@@ -1,0 +1,77 @@
+"""Column-expression helpers shared by plans and operators.
+
+Everything here is a built-in pyspark.sql.functions composition —
+JVM-side, whole-stage-codegen friendly. No Python UDFs.
+
+Parity discipline (driver correctness gate hashes values against a
+DuckDB oracle): float aggregation order differs between engines, so
+sums go through an exact DECIMAL accumulator and come back as DOUBLE —
+bit-identical on both sides. The matching SQL fragments live in
+:mod:`venus_spark.functions.sqlgen`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact-sum accumulator type. 25-6 = 19 integral digits: enough headroom
+# for 100 TB-scale sums of money-like doubles without overflow.
+DECIMAL_ACC = "decimal(25,6)"
+
+# 2^31 - 1 (Mersenne prime) — modulus for 31-bit token hashing so that
+# minhash permutation arithmetic (a*h + b) stays far below 2^63 and is
+# safe under ANSI overflow checking in Spark and DuckDB alike.
+HASH_P31 = 2147483647
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent exact SUM of a double expression (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DECIMAL_ACC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """AVG via exact sum / count, rounded to 6 dp (both engines compute the
+    same double division on identical inputs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(dsum(c) / F.count(c), 6)
+
+
+def fmt_ts(col: Column | str, micros: bool = True) -> Column:
+    """Render a timestamp as a canonical string (oracle-safe output type)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = "yyyy-MM-dd HH:mm:ss.SSSSSS" if micros else "yyyy-MM-dd HH:mm:ss"
+    return F.date_format(c, pattern)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> without empty tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_hash31(col: Column | str) -> Column:
+    """Deterministic 31-bit hash of a string, identical in DuckDB.
+
+    md5 hex -> first 15 hex digits -> bigint -> mod (2^31-1). Stays in
+    built-in expressions (md5/conv/cast) so it runs in codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h60 = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(HASH_P31)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via a left fold —
+    same accumulation order as the oracle's explicit fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,0 +1,44 @@
+"""SQL fragment builders for the DuckDB oracle — kept adjacent to the
+Spark helpers in :mod:`venus_spark.functions` so every parity-sensitive
+expression has exactly one Spark form and one SQL form, defined together.
+"""
+
+from __future__ import annotations
+
+from venus_spark.functions import DECIMAL_ACC, HASH_P31
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS {DECIMAL_ACC.upper()})) AS DOUBLE)"
+
+
+def davg_sql(expr: str) -> str:
+    return f"ROUND({dsum_sql(expr)} / COUNT({expr}), 6)"
+
+
+def fmt_ts_sql(expr: str, micros: bool = True) -> str:
+    pattern = "%Y-%m-%d %H:%M:%S.%f" if micros else "%Y-%m-%d %H:%M:%S"
+    return f"STRFTIME({expr}, '{pattern}')"
+
+
+def tokens_sql(expr: str) -> str:
+    return f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY({expr}, '\\s+'), t -> t <> '')"
+
+
+def token_hash31_sql(expr: str) -> str:
+    return (
+        f"(CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT) % {HASH_P31})"
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    # list_reduce folds left like Spark's F.aggregate
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"LIST_ZIP({a}, {b}).apply(p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (SQRT({dot_sql(a, a)}) * SQRT({dot_sql(b, b)})))"

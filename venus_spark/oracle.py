@@ -1,0 +1,96 @@
+"""Local mini-driver: run a plan on Spark AND its DuckDB oracle, compare.
+
+Mirrors the external correctness gate (row count + column names +
+order-insensitive values) so parity regressions are caught in-repo before
+a round's verify. Designed for bit-equality: sums go through decimal
+accumulators, timestamps are rendered to strings (see
+venus_spark.functions docstring).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from venus_spark.sources import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    rows_spark: int
+    rows_oracle: int
+    detail: str = ""
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        return (a is None or (isinstance(a, float) and math.isnan(a))) and (
+            b is None or (isinstance(b, float) and math.isnan(b))
+        )
+    if isinstance(a, float) or isinstance(b, float):
+        return float(a) == float(b) or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+    return a == b
+
+
+def compare(
+    name: str,
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    oracle_sql: str,
+) -> CompareResult:
+    sp = _normalize(spark_df.toPandas().astype(object).where(pd.notnull, None))
+    du = _normalize(con.sql(oracle_sql).df().astype(object).where(pd.notnull, None))
+    if list(sp.columns) != list(du.columns):
+        return CompareResult(name, False, len(sp), len(du), f"columns differ: spark={list(sp.columns)} oracle={list(du.columns)}")
+    if len(sp) != len(du):
+        return CompareResult(name, False, len(sp), len(du), "row counts differ")
+    for i in range(len(sp)):
+        for c in sp.columns:
+            a, b = sp.at[i, c], du.at[i, c]
+            if not _values_equal(a, b):
+                return CompareResult(
+                    name, False, len(sp), len(du),
+                    f"row {i} col {c!r}: spark={a!r} ({type(a).__name__}) oracle={b!r} ({type(b).__name__})",
+                )
+    return CompareResult(name, True, len(sp), len(du))
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    from venus_spark.plans import all_plans
+
+    con = duckdb_connect(sf_dir)
+    results = []
+    for pname, p in all_plans().items():
+        if names and pname not in names:
+            continue
+        df = p.fn(spark, sf_dir)
+        if p.oracle is None:
+            n = df.count()
+            results.append(CompareResult(pname, n >= 0, n, -1, "rows-only (no oracle)"))
+        else:
+            results.append(compare(pname, df, con, p.oracle))
+    return results

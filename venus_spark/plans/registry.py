@@ -1,0 +1,52 @@
+"""Plan registry powering ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each plan is a pure function (spark, sf_dir) -> DataFrame plus an optional
+ANSI-SQL oracle string the driver runs via DuckDB against the same parquet
+tables. Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "Plan"] = {}
+
+# Modules that register plans on import.
+_PLAN_MODULES = (
+    "venus_spark.plans.venus_surface",
+    "venus_spark.plans.tpch",
+    "venus_spark.plans.pipeline_ops",
+)
+
+
+@dataclass(frozen=True)
+class Plan:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    doc: str = field(default="", compare=False)
+
+
+def plan(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query plan under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate plan name {name!r}")
+        _REGISTRY[name] = Plan(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_plans() -> dict[str, Plan]:
+    for mod in _PLAN_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)
