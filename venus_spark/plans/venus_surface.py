@@ -1,9 +1,383 @@
 """The reference's documented SQL query surface (SURVEY.md §2B) mapped to
-the driver's synthetic tables: ``events`` plays the role of ``logs``
-(ts=time, props=JSONB data, user_id=correlation key, event_type=message),
-``customer`` plays ``context``, order/ship-date windows play ``span``.
+the driver's synthetic tables.
 
-Populated incrementally; see git history.
+Role mapping (reference table -> synthetic table):
+
+- ``logs``    -> ``events``  (time=ts, data JSONB=props, correlation key=
+  user_id, message=event_type); reference schema: migration
+  37716151a213:26-33, README.rst:25-31.
+- ``context`` -> ``customer`` (request-scoped dimension keyed by the
+  correlation key; migration :45-52).
+- ``span``    -> order/ship-date windows derived from ``orders`` /
+  ``lineitem`` (interval data; migration :54-64).
+- ``metric``  -> ``events`` value series (migration :66-78).
+
+Scale notes: every filter/projection here is expressible to the parquet
+scan (pushdown + column pruning); joins broadcast the dimension side;
+aggregations are partial-agg friendly (low-cardinality keys). Timestamps
+are rendered to canonical strings at the output edge only.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from venus_spark.functions import davg, dsum, fmt_ts
+from venus_spark.functions.sqlgen import davg_sql, dsum_sql, fmt_ts_sql
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# --------------------------------------------------------------------------
+# B1/B2/B6 — scan + projection + equality filter on an extracted field
+# (reference: SELECT * FROM logs, tests/test_db.py:11; where filename='…',
+#  README.rst:101)
+# --------------------------------------------------------------------------
+
+_SCAN_ORACLE = f"""
+SELECT event_id, {fmt_ts_sql('ts')} AS ts_str, user_id, value AS event_value
+FROM events WHERE event_type = 'error'
+"""
+
+
+@plan("events_scan_filter", oracle=_SCAN_ORACLE)
+def events_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B2/B6: projection + equality filter; both push into the parquet
+    scan (PushedFilters + pruned ReadSchema)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        fmt_ts("ts").alias("ts_str"),
+        "user_id",
+        F.col("value").alias("event_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B3/B4 — JSONB scalar field access (data->>'k')
+# (reference: README.rst:88-89; doc/json_tricks.rst:85-95)
+# --------------------------------------------------------------------------
+
+_JSON_ACCESS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       COUNT(*) AS n
+FROM events
+GROUP BY k_val
+"""
+
+
+@plan("json_field_access", oracle=_JSON_ACCESS_ORACLE)
+def json_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/B4: get_json_object is the data->>'key' analog; grouped count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — record-ize JSON (LATERAL jsonb_to_record analog)
+# (reference: README.rst:91-100; doc/json_tricks.rst:17-26)
+# --------------------------------------------------------------------------
+
+_RECORDIZE_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+@plan("json_recordize", oracle=_RECORDIZE_ORACLE)
+def json_recordize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: from_json with a caller-declared schema, then rec.* — the
+    jsonb_to_record(...) AS x(k int) idiom without any lateral join."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id", F.from_json("props", schema).alias("rec")
+    ).select("event_id", F.col("rec.k").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# B7 — correlation-id point lookup ("the primary query pattern",
+#  README.rst:73-74; doc/json_tricks.rst:27-28)
+# --------------------------------------------------------------------------
+
+_LOOKUP_ORACLE = f"""
+SELECT event_id, {fmt_ts_sql('ts')} AS ts_str, event_type, value AS event_value
+FROM events WHERE user_id = 13
+"""
+
+
+@plan("correlation_lookup", oracle=_LOOKUP_ORACLE)
+def correlation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: point lookup on the correlation key. At scale this is served by
+    partition/clustering layout on the key instead of a b-tree."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") == 13).select(
+        "event_id",
+        fmt_ts("ts").alias("ts_str"),
+        "event_type",
+        F.col("value").alias("event_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B8/B9 — time-range constraint + NULL test
+# (reference: README.rst:73-74; doc/json_tricks.rst:29,73-81)
+# --------------------------------------------------------------------------
+
+_T0, _T1 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+_TIME_RANGE_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '{_T0}' AND ts < TIMESTAMP '{_T1}' AND value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@plan("time_range_filter", oracle=_TIME_RANGE_ORACLE)
+def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/B9: time window + IS NOT NULL; maps to partition pruning on a
+    date(time)-partitioned layout (the hypertable-chunk analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= _ts(_T0))
+            & (F.col("ts") < _ts(_T1))
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — fuzzy multi-pattern case-insensitive search (ILIKE ANY)
+# (reference: tests/conftest.py:169-174; pg_trgm GIN, migration :21,36)
+# --------------------------------------------------------------------------
+
+_PATTERNS = ("%spark window%", "%hash join%")
+
+_FUZZY_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE text ILIKE '{_PATTERNS[0]}' OR text ILIKE '{_PATTERNS[1]}'
+GROUP BY lang
+"""
+
+
+@plan("fuzzy_multi_pattern", oracle=_FUZZY_ORACLE)
+def fuzzy_multi_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: ILIKE ANY(ARRAY[...]) as an OR of ilike predicates.
+
+    No pg_trgm analog exists: substring search is scan-bound in Spark;
+    the mitigation at scale is a token-bloom prefilter column (SURVEY
+    §7.2.4). Correctness path is plain predicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("text").ilike(_PATTERNS[0]) | F.col("text").ilike(_PATTERNS[1])
+    return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# B12 — top-k by time (order by time desc limit 10, README.rst:102-103)
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+SELECT event_id, {fmt_ts_sql('ts')} AS ts_str, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+"""
+
+
+@plan("topk_recent", oracle=_TOPK_ORACLE)
+def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: Spark plans orderBy+limit as TakeOrderedAndProject — a true
+    top-k (per-partition heap + merge), no global sort. event_id breaks
+    ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", fmt_ts("ts").alias("ts_str"), "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — key discovery (select distinct jsonb_object_keys(data),
+#  doc/json_tricks.rst:50-76)
+# --------------------------------------------------------------------------
+
+_KEYS_ORACLE = """
+SELECT DISTINCT UNNEST(json_keys(props)) AS key FROM events
+"""
+
+
+@plan("json_key_discovery", oracle=_KEYS_ORACLE)
+def json_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: explode(json_object_keys(...)).distinct(). The reference's
+    planner-hint hack (where id=id) is obsolete: Catalyst hash-aggregates
+    by default. At 100 TB, run against a constraint-pruned slice."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.explode(F.json_object_keys("props")).alias("key")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# B14 — dynamic projection two-step (discover keys -> project each;
+#  absent keys yield NULL; doc/json_tricks.rst:77-99)
+# --------------------------------------------------------------------------
+
+_DYNPROJ_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_k,
+       json_extract_string(props, '$.nonexistent') AS k_nonexistent
+FROM events
+"""
+
+
+@plan("dynamic_projection", oracle=_DYNPROJ_ORACLE)
+def dynamic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: driver-side two-phase — collect the discovered key set (small),
+    then build one projection per key; a probe for a key that never occurs
+    demonstrates the NULL-for-missing semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    discovered = sorted(
+        r["key"]
+        for r in ev.select(
+            F.explode(F.json_object_keys("props")).alias("key")
+        )
+        .distinct()
+        .collect()
+    )
+    cols = [F.col("event_id")]
+    for key in [*discovered, "nonexistent"]:
+        cols.append(F.get_json_object("props", f"$.{key}").alias(f"k_{key}"))
+    return ev.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# B15 — logs ⋈ context on the correlation key (migration :45-52)
+# --------------------------------------------------------------------------
+
+_CONTEXT_JOIN_ORACLE = f"""
+SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
+       {dsum_sql('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@plan("context_join", oracle=_CONTEXT_JOIN_ORACLE)
+def context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: broadcast hash join — the context/customer dimension ships to
+    every executor; the fact table never shuffles for this join."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — interval (span) join: equi key + time BETWEEN start AND end
+# (reference span table: migration :54-64)
+# --------------------------------------------------------------------------
+
+_SPAN_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       {dsum_sql('l.l_extendedprice')} AS sum_price,
+       {davg_sql('(EPOCH(l.l_shipdate) - EPOCH(o.o_orderdate)) / 86400.0')} AS avg_lag_days
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderpriority
+"""
+
+
+@plan("span_interval_join", oracle=_SPAN_JOIN_ORACLE)
+def span_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: the span-bracketing join — equi on the key (drives a shuffle
+    hash/sort-merge join co-partitioned on orderkey), range predicate
+    applied as a post-join filter; span duration via epoch diff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag_days = (
+        F.unix_timestamp(F.col("l_shipdate")) - F.unix_timestamp(F.col("o_orderdate"))
+    ) / 86400.0
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+            davg(lag_days).alias("avg_lag_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — time-series aggregation per bucket (Metabase line chart;
+#  doc/metabase-instructions.rst:18-22; hypertable chunks migration :39-43)
+# --------------------------------------------------------------------------
+
+_TIMESERIES_ORACLE = f"""
+SELECT {fmt_ts_sql("DATE_TRUNC('hour', ts)", micros=False)} AS bucket,
+       COUNT(*) AS n, {dsum_sql('value')} AS total_value
+FROM events GROUP BY bucket
+"""
+
+
+@plan("timeseries_hourly", oracle=_TIMESERIES_ORACLE)
+def timeseries_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: date_trunc bucket + count/sum — partial aggregation makes the
+    shuffle tiny (one row per bucket per task)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            fmt_ts(F.date_trunc("hour", F.col("ts")), micros=False).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B18 — set-membership verification via anti-join
+# (reference superset oracle: tests/test_sender.py:60-61)
+# --------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT COUNT(*) AS n_unmatched FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+@plan("antijoin_unmatched", oracle=_ANTI_ORACLE)
+def antijoin_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: left-anti join emptiness check — customers that never emitted
+    an event. The reference's 'logged ⊇ sent' assertion is this with
+    count()==0."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_anti")
+        .agg(F.count("*").alias("n_unmatched"))
+    )

@@ -40,9 +40,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # Parquet naive timestamps (the testdata) read as TIMESTAMP_NTZ so
         # no session-tz reinterpretation happens between engines.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) is unsupported by the Spark reader;
+        # surface it as epoch-nanos LongType and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -32,7 +34,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushes filters into the parquet reader automatically."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # events.ts is parquet TIMESTAMP(NANOS), read as epoch-nanos long
+        # (see session.py nanosAsLong). Truncate (integer DIV, matching
+        # DuckDB's ns->us truncation) to micros; land on TIMESTAMP_NTZ to
+        # match the other tables' naive timestamps.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
