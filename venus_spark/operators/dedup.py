@@ -1,0 +1,207 @@
+"""Deduplication operators: exact (fingerprint groupBy), MinHash + LSH
+banding, SimHash, and token-set Jaccard — the standard near-dup stack of
+a pretraining data pipeline.
+
+Design for 100 TB:
+- Exact dedup shuffles once on the md5 fingerprint (uniform keys, no skew).
+- MinHash: one explode + one groupBy (partial-agg friendly MIN aggregates),
+  then a self-join on (band_idx, band_hash) — the LSH trick that turns the
+  quadratic all-pairs problem into joins on small buckets.
+- SimHash: same shape with SUM aggregates per bit.
+- Jaccard is only ever computed on candidate pairs (LSH output or an
+  explicit bucket key), never all-pairs.
+
+Everything is built-in column expressions (md5/conv/bitwise/array ops) —
+no Python in the hot path. Hash parameters are module constants shared
+with the SQL oracle generators in venus_spark/plans/pipeline_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from venus_spark.functions import HASH_P31, token_hash31, tokens
+from venus_spark.operators.text import fingerprint_col
+
+# MinHash permutation parameters: sig_i = min over tokens of
+# (A_i * h(tok) + B_i) mod P31. Fixed odd multipliers/offsets (no runtime
+# randomness — results must be reproducible across runs and engines).
+N_PERM = 12
+ROWS_PER_BAND = 3
+N_BANDS = N_PERM // ROWS_PER_BAND
+PERM_A = (
+    1610612741, 805306457, 402653189, 201326611,
+    100663319, 50331653, 25165843, 12582917,
+    6291469, 3145739, 1572869, 786433,
+)
+PERM_B = (
+    15485863, 32452843, 49979687, 67867967,
+    86028121, 104395301, 122949823, 141650939,
+    160481183, 179424673, 198491317, 217645177,
+)
+
+SIMHASH_BITS = 32
+
+
+def exploded_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (id, distinct token) with its 31-bit hash."""
+    return df.select(
+        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", token_hash31("tok"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """id + mh_0..mh_{N_PERM-1} MinHash signature columns."""
+    toks = exploded_tokens(df, id_col, text_col)
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % F.lit(HASH_P31)).alias(f"mh_{i}")
+        for i in range(N_PERM)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature into (id, band_idx, band_hash) rows.
+
+    band_hash = md5 of the '-'-joined signature slice — the bucket key for
+    the candidate join.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band."""
+    bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: band-bucket candidates, then exact Jaccard
+    verification above ``threshold``. The band join bounds the pair
+    expansion; verification only ever touches candidates."""
+    cands = lsh_candidate_pairs(df, id_col, text_col)
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("toks")
+    )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") > threshold)
+    )
+
+
+def jaccard(a_toks: Column, b_toks: Column) -> Column:
+    """Token-set Jaccard similarity (exact, for verifying candidates)."""
+    inter = F.size(F.array_intersect(a_toks, b_toks))
+    union = F.size(a_toks) + F.size(b_toks) - inter
+    return inter / union
+
+
+def jaccard_pairs_in_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs within explicit buckets (the non-LSH
+    baseline; bucket keys bound the pair blow-up)."""
+    t = df.select(
+        id_col, *bucket_cols, F.array_distinct(tokens(text_col)).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sim = jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") > threshold)
+    )
+
+
+def simhash_col_aggs() -> list[Column]:
+    """SUM(±1) per bit position over exploded token hashes."""
+    return [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), b).bitwiseAND(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_value_col() -> Column:
+    """Assemble the SIMHASH_BITS-bit value from the per-bit vote sums."""
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"s_{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document SimHash (bit-majority of token hashes)."""
+    toks = exploded_tokens(df, id_col, text_col)
+    return (
+        toks.groupBy(id_col)
+        .agg(*simhash_col_aggs())
+        .select(id_col, simhash_value_col().alias("simhash"))
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate groups by canonical fingerprint: (fingerprint, n_copies,
+    keep_id = min id). Downstream keeps keep_id and drops the rest —
+    at-scale this is one hash-partitioned aggregation, no window needed."""
+    return (
+        df.withColumn("fingerprint", fingerprint_col(text_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1,0 +1,97 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All JVM-side column expressions (split/filter/array ops/md5) — no Python
+in the hot path, so they run inside whole-stage codegen and scale to
+arbitrarily wide scans. Each has an exact SQL twin used by the DuckDB
+oracle (see venus_spark/plans/pipeline_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from venus_spark.functions import tokens
+
+# Tiny per-language marker-word profiles for the heuristic language ID.
+# Order matters: ties resolve to the earlier entry (CASE chain), which the
+# oracle replicates verbatim.
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "and", "of")),
+    ("de", ("der", "die", "das", "und")),
+    ("es", ("el", "la", "que", "los")),
+    ("fr", ("le", "les", "des", "et")),
+    ("zh", ("de", "le", "shi", "bu")),
+)
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``toks`` (all tokens) and ``n_tokens``."""
+    return df.withColumn("toks", tokens(text_col)).withColumn(
+        "n_tokens", F.size("toks")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, type-token ratio,
+    stopword ratio, mean token length — the standard cheap filters a
+    pretraining pipeline runs before anything expensive."""
+    df = with_tokens(df, text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct("toks"))
+    total_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return (
+        df.withColumn("type_token_ratio", F.round(n_distinct / F.col("n_tokens"), 6))
+        .withColumn("stopword_ratio", F.round(n_stop / F.col("n_tokens"), 6))
+        .withColumn("mean_token_len", F.round(total_len / F.col("n_tokens"), 6))
+    )
+
+
+def quality_score_col() -> Column:
+    """Composite quality score scaled to parts-per-million (bigint).
+
+    Emitted as FLOOR(score * 1e6): round() at a fixed decimal place is
+    engine-dependent when the true value sits on the half boundary
+    (Spark HALF_UP on the binary double vs DuckDB's decimal-string
+    rounding), while floor of bit-identical doubles is deterministic.
+    """
+    score = (
+        0.4 * F.col("type_token_ratio")
+        + 0.4 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        + 0.2 * F.least(F.col("mean_token_len") / 8, F.lit(1.0))
+    )
+    return F.floor(score * 1000000)
+
+
+def lang_hits(df: DataFrame) -> DataFrame:
+    """Marker-word hit counts per candidate language (requires ``toks``)."""
+    for lang, markers in LANG_PROFILES:
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        df = df.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter("toks", lambda t: F.array_contains(marker_arr, t))),
+        )
+    return df
+
+
+def predicted_lang_col() -> Column:
+    """First-maximum CASE chain over the hit counts; 'und' when no marker
+    matched. Ties resolve in LANG_PROFILES order (oracle replicates)."""
+    langs = [lang for lang, _ in LANG_PROFILES]
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """Canonical document fingerprint: lowercase, collapse whitespace,
+    md5. The exact-dedup key."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
