@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered plan once at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Execution is forced with a noop-format write (full materialization on
+the executors, nothing collected to the driver), so timings measure the
+distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from venus_spark.plans import all_plans
+from venus_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def materialize(df) -> None:
+    # noop sink: executes the whole plan, discards rows executor-side.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="venus_spark_bench")
+    plans = all_plans()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers once so q1 doesn't pay startup cost.
+    from venus_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    total0 = time.perf_counter()
+    for name, p in sorted(plans.items()):
+        t0 = time.perf_counter()
+        try:
+            materialize(p.fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

