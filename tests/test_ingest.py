@@ -1,0 +1,162 @@
+"""Ingest pipeline tests — the reference's test strategy (SURVEY.md §5)
+reproduced: synthesize LogRecord JSON, run the pipeline, read the sink,
+assert superset presence + field fidelity (reference
+tests/test_sender.py:37-61,97-136).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from venus_spark.ingest import (
+    DROP_FIELDS,
+    good_records,
+    log_record_schema,
+    parse_records,
+    quarantined_records,
+)
+from venus_spark.streaming import read_log_stream, start_logs_ingest
+
+
+def make_record(i: int, corr: str | None = None, **extra) -> dict:
+    """A LogRecord-as-JSON like reference README.rst:35-61 /
+    tests/sender.py:48 produce."""
+    return {
+        "name": "svc",
+        "msg": "work %d",
+        "levelname": "INFO",
+        "levelno": 20,
+        "pathname": "/app/sender.py",
+        "filename": "sender.py",
+        "module": "sender",
+        "exc_text": None,
+        "stack_info": None,
+        "lineno": 60,
+        "funcName": "main",
+        "created": 1700000000.0 + i * 3600,
+        "msecs": 123.0,
+        "relativeCreated": 45.0,
+        "thread": 1,
+        "threadName": "MainThread",
+        "processName": "MainProcess",
+        "process": 99,
+        "correlation_id": corr or str(uuid.uuid4()),
+        "message": f"work {i}",
+        "created_iso": "2023-11-14T22:13:20+00:00",
+        **extra,
+    }
+
+
+def raw_df(spark, lines: list[str]):
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+def test_parse_field_fidelity(spark):
+    corr = "ABCDEF01-2345-6789-abcd-ef0123456789"
+    rec = make_record(0, corr=corr, random_timing_data=1.23)
+    schema = log_record_schema((("random_timing_data", T.DoubleType()),))
+    parsed = parse_records(raw_df(spark, [json.dumps(rec)]), schema=schema)
+    row = good_records(parsed).collect()[0]
+    assert row["message"] == "work 0"
+    # UUID canonicalized to lowercase (reference parses via UUID()).
+    assert row["correlation_id"] == corr.lower()
+    # time derives from `created` epoch seconds, UTC.
+    assert row["time"].isoformat() == "2023-11-14T22:13:20"
+    data = json.loads(row["data"])
+    # DROP_FIELDS pruned; promoted fields popped (venus/db/write.py:41-52).
+    for f in DROP_FIELDS + ("message", "correlation_id"):
+        assert f not in data
+    # residual payload retained, including declared extras.
+    assert data["filename"] == "sender.py"
+    assert data["pathname"] == "/app/sender.py"
+    assert data["random_timing_data"] == 1.23
+    assert data["levelno"] == 20
+
+
+def test_parse_quarantine_split(spark):
+    lines = [
+        json.dumps(make_record(1)),
+        "{not json at all",                                   # A4: bad JSON
+        json.dumps({"message": "no created field"}),          # A6: no `created`
+        json.dumps(make_record(2)),
+    ]
+    parsed = parse_records(raw_df(spark, lines))
+    assert good_records(parsed).count() == 2
+    quarantined = {r["raw"] for r in quarantined_records(parsed).collect()}
+    assert quarantined == {lines[1], lines[2]}
+
+
+def test_malformed_uuid_nulls_not_drops(spark):
+    rec = make_record(3, corr="not-a-uuid")
+    row = good_records(parse_records(raw_df(spark, [json.dumps(rec)]))).collect()[0]
+    # Reference would raise in UUID() and drop via extract_safe -> None;
+    # the row still lands with a NULL correlation_id.
+    assert row["correlation_id"] is None
+    assert row["message"] == "work 3"
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """File-landing stream -> parse -> partitioned parquet logs +
+    quarantine; superset assertion like reference tests/test_sender.py:61."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sent = [make_record(i) for i in range(50)]
+    # Two files = two source splits; one malformed line for quarantine.
+    (landing / "a.jsonl").write_text("\n".join(json.dumps(r) for r in sent[:25]))
+    (landing / "b.jsonl").write_text(
+        "\n".join([*(json.dumps(r) for r in sent[25:]), "xx-broken"])
+    )
+
+    source = read_log_stream(spark, str(landing), max_files_per_trigger=1)
+    q = start_logs_ingest(
+        source,
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,  # availableNow: drain and stop
+    )
+    q.awaitTermination(120)
+
+    logs = spark.read.parquet(str(tmp_path / "sink" / "logs"))
+    got = {r["message"] for r in logs.select("message").collect()}
+    assert got >= {r["message"] for r in sent}  # logged ⊇ sent
+    # Partitioned by date (hypertable-chunk analog): directories exist.
+    parts = [p for p in os.listdir(tmp_path / "sink" / "logs") if p.startswith("date=")]
+    assert parts, "expected date= partition directories"
+    # Time predicates prune partitions: filter one day only.
+    one_day = logs.filter(F.col("date") == F.lit("2023-11-15")).count()
+    assert 0 < one_day < len(sent)
+    quarantine = spark.read.parquet(str(tmp_path / "sink" / "quarantine"))
+    assert quarantine.count() == 1
+
+
+def test_streaming_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint restart must not duplicate rows (A11 upgraded to
+    exactly-once; reference tolerates dupes, superset still holds)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(
+        "\n".join(json.dumps(make_record(i)) for i in range(10))
+    )
+    kwargs = dict(
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    q = start_logs_ingest(read_log_stream(spark, str(landing)), **kwargs)
+    q.awaitTermination(120)
+    # New data lands; restart from checkpoint picks up only the delta.
+    (landing / "b.jsonl").write_text(
+        "\n".join(json.dumps(make_record(i)) for i in range(10, 15))
+    )
+    q = start_logs_ingest(read_log_stream(spark, str(landing)), **kwargs)
+    q.awaitTermination(120)
+
+    logs = spark.read.parquet(str(tmp_path / "sink" / "logs"))
+    assert logs.count() == 15
+    assert logs.select("message").distinct().count() == 15

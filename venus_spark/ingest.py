@@ -1,0 +1,166 @@
+"""Ingest transforms: raw JSON log lines -> the ``logs`` table rows.
+
+Re-expresses the reference's ingest dataflow (SURVEY.md §2A; reference
+``venus/db/write.py:19-56``) as *pure* DataFrame->DataFrame functions so
+the identical code path serves batch tests and Structured Streaming
+(:mod:`venus_spark.streaming` wires these under a trigger).
+
+Reference semantics reproduced:
+
+- A4  JSON parse w/ error skip (``venus/db/write.py:31-36``) ->
+  ``from_json`` PERMISSIVE; unparseable lines land in a quarantine
+  DataFrame instead of a log-and-drop (strictly better observability,
+  same ``logs`` contents).
+- A5  field extraction + cast (``venus/db/write.py:41-47``):
+  ``created`` epoch-float -> ``time`` timestamp, ``message``,
+  ``correlation_id`` -> canonical lowercase UUID string.
+- A6  required-field predicate (``venus/db/write.py:42-44``): rows with
+  no parseable ``created`` never reach ``logs``.
+- A7  ingest-time column pruning (``venus/db/write.py:65-67``, defaults
+  ``venus/settings.py:26-37``): DROP_FIELDS removed from the payload.
+- A8  re-serialize the residual payload to JSON (``venus/db/write.py:52``)
+  into the ``data`` column.
+
+Scale posture: everything here is built-in expressions (from_json /
+to_json / timestamp_seconds) — whole-stage codegen, no Python in the
+row path; the output is partitioned by ``date`` so the hypertable
+chunk-pruning access path (reference migration :39-43) survives as
+partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fields pruned at ingest time (reference venus/settings.py:26-37).
+DROP_FIELDS = (
+    "stack_info",
+    "funcName",
+    "created",
+    "msecs",
+    "module",
+    "thread",
+    "threadName",
+    "processName",
+)
+
+# Promoted columns (reference migration 37716151a213:26-33): everything
+# else stays inside the JSON payload.
+PROMOTED = ("created", "message", "correlation_id")
+
+# The canonical python LogRecord-as-JSON shape (reference README.rst:35-61)
+# plus room for user `extra` fields declared by the caller — the same
+# "need to know which names you're looking for" contract as
+# jsonb_to_record (reference README.rst:92-100).
+LOG_RECORD_FIELDS: tuple[tuple[str, T.DataType], ...] = (
+    ("name", T.StringType()),
+    ("msg", T.StringType()),
+    ("levelname", T.StringType()),
+    ("levelno", T.IntegerType()),
+    ("pathname", T.StringType()),
+    ("filename", T.StringType()),
+    ("module", T.StringType()),
+    ("exc_text", T.StringType()),
+    ("stack_info", T.StringType()),
+    ("lineno", T.IntegerType()),
+    ("funcName", T.StringType()),
+    ("created", T.DoubleType()),
+    ("msecs", T.DoubleType()),
+    ("relativeCreated", T.DoubleType()),
+    ("thread", T.LongType()),
+    ("threadName", T.StringType()),
+    ("processName", T.StringType()),
+    ("process", T.LongType()),
+    ("correlation_id", T.StringType()),
+    ("message", T.StringType()),
+    ("created_iso", T.StringType()),
+)
+
+
+def log_record_schema(
+    extra_fields: tuple[tuple[str, T.DataType], ...] = (),
+) -> T.StructType:
+    """Declared-schema for ``from_json`` over a LogRecord JSON line.
+
+    ``extra_fields`` is the caller's `extra` declaration (e.g.
+    ``(("random_timing_data", DoubleType()),)`` per reference
+    README.rst:58); undeclared extras are simply not materialized —
+    identical to the jsonb_to_record contract.
+    """
+    return T.StructType(
+        [T.StructField(n, t) for n, t in (*LOG_RECORD_FIELDS, *extra_fields)]
+    )
+
+
+LOGS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType(), False),
+        T.StructField("message", T.StringType()),
+        T.StructField("correlation_id", T.StringType()),
+        T.StructField("data", T.StringType(), False),
+    ]
+)
+
+_UUID_RE = r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+
+
+def canonical_uuid(col: Column) -> Column:
+    """Lowercase-canonical UUID string or NULL if malformed.
+
+    The reference parses with ``UUID()`` (venus/db/write.py:47), which
+    accepts mixed case and yields lowercase; Spark has no UUID type so we
+    normalize + validate with a regexp.
+    """
+    low = F.lower(F.trim(col))
+    return F.when(low.rlike(_UUID_RE), low)
+
+
+def parse_records(
+    raw: DataFrame,
+    raw_col: str = "value",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Raw JSON-line DataFrame -> parsed rows with an ``_ok`` marker.
+
+    Output columns: ``time, message, correlation_id, data, date, _ok,
+    _raw``. ``_ok = false`` rows (unparseable JSON or missing
+    ``created``) are the quarantine set — the reference logs-and-drops
+    them (venus/db/write.py:34-36,42-44); we keep the raw line.
+    """
+    schema = schema or log_record_schema()
+    rec = F.from_json(F.col(raw_col), schema)
+    residual = [f.name for f in schema.fields if f.name not in DROP_FIELDS + ("message", "correlation_id")]
+    return (
+        raw.withColumn("_rec", rec)
+        .select(
+            F.timestamp_seconds(F.col("_rec.created")).alias("time"),
+            F.col("_rec.message").alias("message"),
+            canonical_uuid(F.col("_rec.correlation_id")).alias("correlation_id"),
+            # A7+A8: the payload loses DROP_FIELDS (pruned) and the three
+            # promoted fields (the reference's extract_safe *pops* them,
+            # venus/db/write.py:87-91); everything else re-serializes.
+            F.to_json(F.struct(*[F.col(f"_rec.{c}").alias(c) for c in residual])).alias(
+                "data"
+            ),
+            F.col("_rec.created").isNotNull().alias("_ok"),
+            F.col(raw_col).alias("_raw"),
+        )
+        .withColumn("date", F.to_date("time"))
+    )
+
+
+def good_records(parsed: DataFrame) -> DataFrame:
+    """The rows that enter ``logs`` (A6 filter applied), in table schema
+    plus the ``date`` partition column."""
+    return parsed.filter(F.col("_ok")).select(
+        "time", "message", "correlation_id", "data", "date"
+    )
+
+
+def quarantined_records(parsed: DataFrame) -> DataFrame:
+    """Rows the reference would log-and-drop: kept with their raw line."""
+    return parsed.filter(~F.col("_ok") | F.col("_ok").isNull()).select(
+        F.col("_raw").alias("raw")
+    )

@@ -1,0 +1,156 @@
+"""Structured Streaming wiring for the ingest pipeline (SURVEY.md §2A).
+
+The reference's dataflow is: ZMQ PULL socket -> bounded queue ->
+micro-batcher (flush at size>=100 OR age>=5s) -> batched INSERT
+(``venus/io/__init__.py:78-108``, ``venus/db/write.py:19-84``,
+``venus/main.py:22-49``). Here the same pipeline is one streaming
+query:
+
+- **Source** (A1): a file-based JSON-lines stream (``read_log_stream``).
+  The ZMQ bind itself is a non-Spark edge process in any deployment —
+  exactly as the reference's *sender* is a separate process — it relays
+  frames into the landing directory / Kafka topic the stream reads.
+- **Admission control** (A3): ``maxFilesPerTrigger`` bounds per-batch
+  intake — the Spark analog of the reference's bounded queue; Spark
+  never drops internally, so at-most-once admission becomes
+  source-side backpressure (strictly better, same steady-state rate).
+- **Micro-batcher** (A9): ``trigger(processingTime='5 seconds')``
+  mirrors MAX_BATCH_AGE_SECONDS=5 (``venus/settings.py:39-41``); the
+  size trigger generalizes to the per-trigger intake cap.
+- **Sink** (A10): ``foreachBatch`` appends to the parquet ``logs``
+  table partitioned by ``date`` (the hypertable-chunk analog,
+  migration :39-43); malformed rows append to a quarantine table
+  (the reference log-and-drops at A2/A4/A6 — quarantined rows never
+  enter ``logs``, preserving drop semantics).
+- **Delivery** (A11/A12): checkpointing gives exactly-once batch
+  replay into an append-only sink — strictly stronger than the
+  reference's retry-by-retention at-least-once tail
+  (``venus/db/write.py:80-84``); graceful stop = ``query.stop()`` +
+  checkpoint recovery.
+- **Health** (A15): ``IngestHealthListener`` replaces the TCP
+  health-check endpoint (``venus/main.py:40-47``) with
+  StreamingQueryListener-driven liveness.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.listener import StreamingQueryListener
+from pyspark.sql import types as T
+
+from venus_spark.ingest import (
+    good_records,
+    log_record_schema,
+    parse_records,
+    quarantined_records,
+)
+
+DEFAULT_TRIGGER_SECONDS = 5  # reference MAX_BATCH_AGE_SECONDS (settings.py:40-41)
+DEFAULT_MAX_FILES_PER_TRIGGER = 128  # queue-bound analog (venus/main.py:36)
+
+
+def read_log_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int = DEFAULT_MAX_FILES_PER_TRIGGER,
+) -> DataFrame:
+    """Streaming source: JSON lines as raw text (one ``value`` column).
+
+    Reading as *text* (not ``format('json')``) keeps the raw line
+    available for quarantine and defers parsing to ``parse_records`` —
+    the same decode-then-validate split as the reference's
+    Message -> json.loads stages (A2/A4).
+    """
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(T.StructType([T.StructField("value", T.StringType())]))
+        .load(landing_dir)
+    )
+
+
+def start_logs_ingest(
+    source: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+    schema: T.StructType | None = None,
+    query_name: str = "logs_ingest",
+) -> StreamingQuery:
+    """Wire source -> parse -> partitioned logs + quarantine sinks.
+
+    One ``foreachBatch`` writes both tables from a single parse pass
+    (the batch is tiny — one trigger's intake — so the double action
+    re-reads only the micro-batch, and the reference's single-writer
+    discipline per table holds: one streaming query, reference
+    ``venus/db/__init__.py:39-41``).
+
+    ``trigger_seconds=None`` uses ``availableNow`` — drain everything
+    then stop (used by tests; also the batch-backfill mode).
+    """
+    logs_dir = os.path.join(sink_dir, "logs")
+    quarantine_dir = os.path.join(sink_dir, "quarantine")
+    rec_schema = schema or log_record_schema()
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        parsed = parse_records(batch, schema=rec_schema).persist()
+        try:
+            good_records(parsed).write.mode("append").partitionBy("date").parquet(
+                logs_dir
+            )
+            quarantined_records(parsed).write.mode("append").parquet(quarantine_dir)
+        finally:
+            parsed.unpersist()
+
+    writer = (
+        source.writeStream.queryName(query_name)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+class IngestHealthListener(StreamingQueryListener):
+    """A15 analog: liveness from query progress events instead of a TCP
+    'ok' endpoint. ``healthy()`` is what a health probe would serve."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._progress: dict[str, dict] = {}
+        self._terminated: set[str] = set()
+
+    def onQueryStarted(self, event) -> None:
+        with self._lock:
+            self._terminated.discard(event.name or event.id)
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        with self._lock:
+            self._progress[p.name or p.id] = {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "timestamp": p.timestamp,
+            }
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        with self._lock:
+            self._terminated.add(str(event.id))
+
+    def healthy(self, query_name: str) -> bool:
+        with self._lock:
+            return query_name in self._progress
+
+    def last_progress(self, query_name: str) -> dict | None:
+        with self._lock:
+            return self._progress.get(query_name)
