@@ -23,6 +23,7 @@ _PLAN_MODULES = (
     "venus_spark.plans.venus_surface",
     "venus_spark.plans.ingest_surface",
     "venus_spark.plans.tpch",
+    "venus_spark.plans.tpch2",
     "venus_spark.plans.pipeline_ops",
 )
 
