@@ -59,6 +59,57 @@ def brute_force_topk(
     )
 
 
+def centroid_arrays(
+    df: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Centroids reassembled to one mean-vector array per cluster
+    (collect_list over the long-form centroids, ordered by position).
+    Output is n_clusters rows — trivially broadcastable."""
+    return (
+        centroids(df, cluster_col, vec_col)
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))).alias("pv")
+        )
+        .select(
+            "cluster", F.transform("pv", lambda s: s["centroid_v"]).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF two-stage ANN: score the query against the (tiny) centroid
+    table, keep the ``nprobe`` nearest clusters, then exact top-k only
+    inside those clusters.
+
+    At 100 TB the vectors are stored partitioned by cluster id, so the
+    probe semi-join becomes partition pruning: the scan never touches
+    unprobed clusters. The centroid table stays broadcast-sized by
+    construction (n_clusters ≪ n_vectors).
+    """
+    probed = (
+        centroid_arrays(df, cluster_col, vec_col)
+        .select(
+            "cluster",
+            F.round(cosine(F.col("centroid"), query_vec), 6).alias("centroid_sim"),
+        )
+        .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
+        .limit(nprobe)
+    )
+    pruned = df.join(
+        F.broadcast(probed), df[cluster_col] == probed["cluster"], "left_semi"
+    )
+    return brute_force_topk(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_pairs_in_buckets(
     df: DataFrame,
     bucket_col: str = "label",

@@ -1,0 +1,130 @@
+"""Training-data pipeline plans, part 2: multimodal columns and the
+IVF two-stage similarity search.
+
+The multimodal plans run the *real* Spark plumbing (binary payload
+column -> Arrow batches -> ``mapInPandas`` decode/frame-sample with a
+typed output schema); only the codec byte-math is a deterministic stub
+(no image/audio libraries in this container — see
+``venus_spark.operators.multimodal``). Because the stub is pure
+byte-length arithmetic, the oracle can recompute it in SQL, so the
+whole mapInPandas path is value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from venus_spark.functions.sqlgen import cosine_sql, davg_sql
+from venus_spark.operators import multimodal as mm
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Multimodal: payload decode -> typed metadata (stub codec, real plumbing)
+# --------------------------------------------------------------------------
+
+# The payload is encode(text,'utf-8'), so byte_len == strlen(text) and the
+# stub's fake dimensions are pure functions of it (operators/multimodal.py).
+_BLEN = "STRLEN(text)"
+
+_MM_DECODE_ORACLE = f"""
+SELECT doc_id,
+       {_BLEN} AS byte_len,
+       64 + {_BLEN} % 512 AS width,
+       64 + ({_BLEN} * 7) % 512 AS height,
+       ['jpeg', 'png', 'webp'][({_BLEN} % 3) + 1] AS format
+FROM documents
+"""
+
+
+@plan("mm_decode_meta", oracle=_MM_DECODE_ORACLE)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed metadata via Arrow-batched mapInPandas.
+    1:1 row shape; parallelism follows the scan partitioning; payloads
+    never hit the driver."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.decode_metadata(docs)
+
+
+_MM_FRAME_ORACLE = f"""
+SELECT doc_id,
+       f.frame_idx,
+       ({_BLEN} // {mm.N_FRAMES})
+         + CASE WHEN f.frame_idx < {_BLEN} % {mm.N_FRAMES} THEN 1 ELSE 0 END
+         AS frame_len
+FROM documents
+CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {mm.N_FRAMES - 1})) AS frame_idx) f
+"""
+
+
+@plan("mm_frame_sample", oracle=_MM_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling: 1 payload -> N frame rows, the variable
+    fan-out shape through mapInPandas (a real sampler swaps the byte-split
+    for decoded frames without touching the plumbing)."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.frame_sample(docs)
+
+
+# --------------------------------------------------------------------------
+# IVF two-stage ANN search (probe centroids, then exact top-k in-cluster)
+# --------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0
+_TOPK = 10
+_NPROBE = 2
+
+_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _ivf_topk_oracle() -> str:
+    # Mirrors operators/similarity.py: centroid = per-(cluster,pos)
+    # davg (round 6); probe = top-nprobe clusters by rounded cosine;
+    # final = exact top-k within probed clusters.
+    return f"""
+WITH q AS (
+  SELECT {_VD.format('embedding')} AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+),
+long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VD.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+probed AS (
+  SELECT cluster,
+         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+  FROM cent_arr CROSS JOIN q
+  ORDER BY centroid_sim DESC, cluster LIMIT {_NPROBE}
+),
+scored AS (
+  SELECT e.vec_id,
+         ROUND({cosine_sql(_VD.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (SELECT cluster FROM probed)
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id LIMIT {_TOPK}
+"""
+
+
+@plan("sim_ivf_topk", oracle=_ivf_topk_oracle())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: centroid probe (tiny, broadcast) + exact top-k
+    restricted to the probed clusters — the scan-pruning path that makes
+    ANN tractable at 100 TB (vectors partitioned by cluster id)."""
+    from venus_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    return ivf_topk(emb, query, k=_TOPK, nprobe=_NPROBE)

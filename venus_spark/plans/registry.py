@@ -25,6 +25,8 @@ _PLAN_MODULES = (
     "venus_spark.plans.tpch",
     "venus_spark.plans.tpch2",
     "venus_spark.plans.pipeline_ops",
+    "venus_spark.plans.pipeline_ops2",
+    "venus_spark.plans.analytics_ext",
 )
 
 
