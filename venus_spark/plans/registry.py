@@ -24,6 +24,7 @@ _PLAN_MODULES = (
     "venus_spark.plans.ingest_surface",
     "venus_spark.plans.tpch",
     "venus_spark.plans.tpch2",
+    "venus_spark.plans.tpch3",
     "venus_spark.plans.pipeline_ops",
     "venus_spark.plans.pipeline_ops2",
     "venus_spark.plans.analytics_ext",
