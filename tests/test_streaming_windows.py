@@ -1,0 +1,196 @@
+"""Streaming analytics tests: watermarked windowed aggregation, session
+windows, and the custom stateful running-total operator
+(venus_spark/streaming/windows.py). The reference has no streaming-agg
+surface (SURVEY.md §2C) — these cover the north-star extensions.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from venus_spark.streaming.windows import (
+    running_user_totals,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def event(i: int, ts: str, user: int = 1, etype: str = "click", value: float = 1.0):
+    return {"event_id": i, "ts": ts, "user_id": user, "event_type": etype, "value": value}
+
+
+def write_jsonl(path, events: list[dict]) -> None:
+    path.write_text("\n".join(json.dumps(e) for e in events))
+
+
+def read_event_stream(spark, landing, files_per_trigger: int = 1):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(str(landing))
+    )
+
+
+def run_to_memory(df, name: str, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish in time"
+    return q
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    """The same function runs on the stream and on the batch read of the
+    same files; complete-mode output must equal the batch result."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    evts = [
+        event(1, "2024-01-01 10:05:00", value=2.0),
+        event(2, "2024-01-01 10:55:00", value=3.0),
+        event(3, "2024-01-01 11:05:00", etype="view", value=5.0),
+        event(4, "2024-01-01 11:15:00", value=7.0),
+    ]
+    write_jsonl(landing / "a.jsonl", evts[:2])
+    write_jsonl(landing / "b.jsonl", evts[2:])
+
+    run_to_memory(
+        windowed_event_counts(read_event_stream(spark, landing), window="1 hour"),
+        "win_counts",
+        "complete",
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(landing))
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 5.0)
+    assert got[("2024-01-01 11:00:00", "click")] == (1, 7.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 5.0)
+
+
+def test_watermark_bounds_state(spark, tmp_path):
+    """With a watermark, append mode emits only windows the watermark has
+    passed — late-window state is dropped, which is what keeps state
+    bounded on an unbounded stream."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # Batch 1: two old windows. Batch 2: an event 10 hours later, which
+    # advances the watermark far past both.
+    write_jsonl(
+        landing / "a.jsonl",
+        [event(1, "2024-01-01 00:10:00"), event(2, "2024-01-01 01:10:00")],
+    )
+    write_jsonl(landing / "b.jsonl", [event(3, "2024-01-01 11:00:00")])
+
+    run_to_memory(
+        windowed_event_counts(
+            read_event_stream(spark, landing), window="1 hour", watermark="2 hours"
+        ),
+        "win_append",
+        "append",
+    )
+    emitted = {str(r["window_start"]) for r in spark.table("win_append").collect()}
+    # The two closed windows are final; the 11:00 window is still open.
+    assert emitted == {"2024-01-01 00:00:00", "2024-01-01 01:00:00"}
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    """Session state merges across micro-batches; sessions are emitted
+    once the watermark passes their close."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # Batch 1: user 1 two events 10 s apart; user 2 one event.
+    write_jsonl(
+        landing / "a.jsonl",
+        [
+            event(1, "2024-01-01 00:00:00", user=1),
+            event(2, "2024-01-01 00:00:10", user=1),
+            event(3, "2024-01-01 00:00:00", user=2),
+        ],
+    )
+    # Batch 2: user 2 extends their session within the gap; user 1
+    # returns an hour later (new session) and pushes the watermark to
+    # 00:50, past both earlier sessions' close (last event + 30 min gap).
+    write_jsonl(
+        landing / "b.jsonl",
+        [
+            event(4, "2024-01-01 01:00:00", user=1),
+            event(5, "2024-01-01 00:10:00", user=2),
+        ],
+    )
+
+    run_to_memory(
+        sessionize_stream(
+            read_event_stream(spark, landing), gap_seconds=1800, watermark="10 minutes"
+        ),
+        "sessions",
+        "append",
+    )
+    closed = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+    assert closed == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:00:10", 2),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+    }
+
+
+def test_running_totals_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals carry across micro-batches
+    (update mode re-emits the new running value each batch)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_jsonl(
+        landing / "a.jsonl",
+        [
+            event(1, "2024-01-01 00:00:00", user=1, value=2.0),
+            event(2, "2024-01-01 00:00:10", user=1, value=3.0),
+            event(3, "2024-01-01 00:00:00", user=2, value=5.0),
+        ],
+    )
+    write_jsonl(
+        landing / "b.jsonl",
+        [
+            event(4, "2024-01-01 01:00:00", user=1, value=10.0),
+            event(5, "2024-01-01 00:10:00", user=2, value=1.0),
+        ],
+    )
+
+    run_to_memory(
+        running_user_totals(read_event_stream(spark, landing)), "totals", "update"
+    )
+    rows = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.table("totals").collect()
+    }
+    # Final snapshots prove state accumulated across batches. (File
+    # pickup order between the two micro-batches is not deterministic,
+    # so intermediate snapshots are only checked for presence/monotonic
+    # growth, not exact values.)
+    assert {(1, 3, 15.0), (2, 2, 6.0)} <= rows
+    per_user = {u: sorted(n for uu, n, _ in rows if uu == u) for u in (1, 2)}
+    assert len(per_user[1]) == 2 and per_user[1][-1] == 3
+    assert len(per_user[2]) == 2 and per_user[2][-1] == 2

@@ -1,0 +1,90 @@
+"""Plans exposing the streaming operators' batch twins.
+
+``windowed_event_counts`` is the exact function the streaming query
+runs (withWatermark is a no-op on batch input), so oracle parity here
+certifies the streaming aggregation logic too — same plan, same
+codegen, different source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from venus_spark.functions import fmt_ts
+from venus_spark.functions.sqlgen import dsum_sql
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+from venus_spark.streaming.windows import sessionize_stream, windowed_event_counts
+
+_WINDOWED_ORACLE = f"""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@plan("windowed_event_stats", oracle=_WINDOWED_ORACLE)
+def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch run of the
+    streaming operator (B17 / metric rollup). One scan, partial agg,
+    tiny shuffle on (window, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        fmt_ts(F.col("window_start"), micros=False).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+_SW_GAP_SECONDS = 1800
+
+# Independent formulation: lag + cumulative-sum session ids. An event
+# belongs to the previous session iff ts < prev_ts + gap — the same
+# open-interval rule the native session_window operator applies.
+_SESSION_WINDOW_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts >= LAG(ts) OVER w + INTERVAL {_SW_GAP_SECONDS} SECONDS
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@plan("session_window_stats", oracle=_SESSION_WINDOW_ORACLE)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window on batch input, certified against an
+    independent lag/cumsum SQL formulation. In streaming this exact
+    function body runs with a watermark and emits closed sessions in
+    append mode (see venus_spark.streaming.windows.sessionize_stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_stream(ev, gap_seconds=_SW_GAP_SECONDS)
+    return out.select(
+        "user_id",
+        fmt_ts(F.col("session_start"), micros=False).alias("session_start"),
+        fmt_ts(F.col("session_end"), micros=False).alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")

@@ -1,0 +1,145 @@
+"""Streaming analytics operators: watermarked windowed aggregation,
+gap-based session windows, and a custom stateful running-aggregate.
+
+The reference has no late-data policy — any parseable ``created`` is
+accepted regardless of age (reference ``venus/db/write.py:41-44`` is the
+only time gate; SURVEY.md §2C). These operators are the north-star
+extension for the metric/dashboard surface (B17) done properly for
+streams: bounded state via watermarks, session windows, and an
+``applyInPandasWithState`` example for semantics the built-ins lack.
+
+Scale notes:
+- Both windowed aggregates partial-aggregate map-side before the
+  shuffle; keys are low-cardinality (window × event_type) or uniform
+  (user_id), so AQE needs no skew handling.
+- Watermarks bound state: closed windows/sessions are emitted once and
+  evicted, so state is O(open windows), independent of stream length.
+- Sessionization uses the built-in ``session_window`` — JVM state
+  store, whole-stage codegen, no Python worker in the loop. A
+  Pandas-state fold would put every event through Arrow+Python; the
+  built-in merges sessions inside the state store. (The environment's
+  ``applyInPandasWithState`` is also unreliable under timeout configs —
+  Python workers crash in the timeout-evaluation path — so the custom
+  stateful example below sticks to ``NoTimeout``, which is solid.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from venus_spark.functions import dsum
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type (B17 for
+    streams). Works identically on a batch DataFrame — the watermark is
+    only attached to streaming input — so the batch oracle plan and the
+    streaming query share this exact function."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows over (user_id, ts) events — the
+    streaming twin of the batch ``sessionize_events`` plan, built on the
+    native ``session_window`` operator (dynamic-gap merge inside the JVM
+    state store; no Python in the hot path).
+
+    In append mode a session row is emitted exactly once, when the
+    watermark passes session end + gap. ``session_window.end`` is
+    last-event-time + gap by definition, so ``session_end`` subtracts
+    the gap back out to report the last event timestamp."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    gap = F.lit(f"{int(gap_seconds)} seconds")
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end") - F.make_dt_interval(secs=F.lit(float(gap_seconds)))).alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _running_totals_group(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched per-user fold: lifetime event count and value sum,
+    carried across micro-batches in the state store."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += int(len(pdf))
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime running totals, updated every micro-batch (update output
+    mode). This is the escape hatch for stateful semantics the built-in
+    operators can't express; state is one tiny tuple per user, Arrow
+    moves each batch in bulk."""
+    prepared = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _running_totals_group,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
