@@ -51,6 +51,22 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
 
 
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (Broder shingling) — the similarity
+    unit for MinHash/SimHash near-dup. Word n-grams are discriminative
+    where unigram token sets are not: two documents sharing vocabulary
+    but not phrasing have near-zero shingle overlap. Documents shorter
+    than ``n`` tokens contribute one whole-text shingle."""
+    t = tokens(col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, ngrams).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
 def token_hash31(col: Column | str) -> Column:
     """Deterministic 31-bit hash of a string, identical in DuckDB.
 

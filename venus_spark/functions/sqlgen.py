@@ -25,6 +25,16 @@ def tokens_sql(expr: str) -> str:
     return f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY({expr}, '\\s+'), t -> t <> '')"
 
 
+def shingles_sql(expr: str, n: int = 3) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"(CASE WHEN LEN({t}) >= {n} THEN "
+        f"LIST_DISTINCT([ARRAY_TO_STRING(({t})[i:i+{n - 1}], ' ') "
+        f"FOR i IN RANGE(1, LEN({t}) - {n - 2})]) "
+        f"ELSE [ARRAY_TO_STRING({t}, ' ')] END)"
+    )
+
+
 def token_hash31_sql(expr: str) -> str:
     return (
         f"(CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT) % {HASH_P31})"

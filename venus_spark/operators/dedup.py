@@ -4,6 +4,12 @@ a pretraining data pipeline.
 
 Design for 100 TB:
 - Exact dedup shuffles once on the md5 fingerprint (uniform keys, no skew).
+- MinHash/SimHash similarity is over word n-gram *shingles* (Broder),
+  not unigram token sets: corpora share vocabulary pervasively, so
+  unigram Jaccard is high between unrelated documents and LSH buckets
+  degenerate (measured on the synthetic corpus: ~30% of ALL pairs above
+  0.75 unigram Jaccard → 7.7M candidate pairs from 5k docs; 3-gram
+  shingles → ~10² true pairs).
 - MinHash: one explode + one groupBy (partial-agg friendly MIN aggregates),
   then a self-join on (band_idx, band_hash) — the LSH trick that turns the
   quadratic all-pairs problem into joins on small buckets.
@@ -21,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import HASH_P31, token_hash31, tokens
+from venus_spark.functions import HASH_P31, shingles, token_hash31, tokens
 from venus_spark.operators.text import fingerprint_col
 
 # MinHash permutation parameters: sig_i = min over tokens of
@@ -44,16 +50,16 @@ PERM_B = (
 SIMHASH_BITS = 32
 
 
-def exploded_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per (id, distinct token) with its 31-bit hash."""
+def exploded_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (id, distinct word-3-gram shingle) with its 31-bit hash."""
     return df.select(
-        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+        id_col, F.explode(shingles(text_col)).alias("tok")
     ).withColumn("h", token_hash31("tok"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """id + mh_0..mh_{N_PERM-1} MinHash signature columns."""
-    toks = exploded_tokens(df, id_col, text_col)
+    toks = exploded_shingles(df, id_col, text_col)
     aggs = [
         F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % F.lit(HASH_P31)).alias(f"mh_{i}")
         for i in range(N_PERM)
@@ -109,13 +115,11 @@ def lsh_near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full MinHash-LSH dedup: band-bucket candidates, then exact Jaccard
-    verification above ``threshold``. The band join bounds the pair
-    expansion; verification only ever touches candidates."""
+    """Full MinHash-LSH dedup: band-bucket candidates, then exact
+    shingle-set Jaccard verification above ``threshold``. The band join
+    bounds the pair expansion; verification only ever touches candidates."""
     cands = lsh_candidate_pairs(df, id_col, text_col)
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(text_col)).alias("toks")
-    )
+    toks = df.select(F.col(id_col), shingles(text_col).alias("toks"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     return (
@@ -166,7 +170,7 @@ def jaccard_pairs_in_buckets(
 
 
 def simhash_col_aggs() -> list[Column]:
-    """SUM(±1) per bit position over exploded token hashes."""
+    """SUM(±1) per bit position over exploded shingle hashes."""
     return [
         F.sum(
             F.when((F.shiftright(F.col("h"), b).bitwiseAND(1)) == 1, 1).otherwise(-1)
@@ -184,8 +188,8 @@ def simhash_value_col() -> Column:
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document SimHash (bit-majority of token hashes)."""
-    toks = exploded_tokens(df, id_col, text_col)
+    """Per-document SimHash (bit-majority of shingle hashes)."""
+    toks = exploded_shingles(df, id_col, text_col)
     return (
         toks.groupBy(id_col)
         .agg(*simhash_col_aggs())

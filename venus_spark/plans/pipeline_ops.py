@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, dsum
-from venus_spark.functions.sqlgen import davg_sql, dsum_sql, tokens_sql
+from venus_spark.functions.sqlgen import davg_sql, dsum_sql, shingles_sql, tokens_sql
 from venus_spark.operators import text as tx
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -194,6 +194,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_T = 0.8
 _DISTINCT_TOKS = f"LIST_DISTINCT({_TOKS})"
+_SHINGLES = shingles_sql("text")
 
 _DEDUP_JACCARD_ORACLE = f"""
 WITH toks AS (
@@ -246,7 +247,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, UNNEST({_DISTINCT_TOKS}) AS tok FROM documents
+  SELECT doc_id, UNNEST({_SHINGLES}) AS tok FROM documents
 ),
 h AS (
   SELECT doc_id, {token_hash31_sql('tok')} AS h FROM toks
@@ -266,7 +267,7 @@ cands AS (
    AND a.doc_id < b.doc_id
 ),
 docsets AS (
-  SELECT doc_id, {_DISTINCT_TOKS} AS t FROM documents
+  SELECT doc_id, {_SHINGLES} AS t FROM documents
 ),
 verified AS (
   SELECT c.id_a, c.id_b,
@@ -312,7 +313,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, UNNEST({_DISTINCT_TOKS}) AS tok FROM documents
+  SELECT doc_id, UNNEST({_SHINGLES}) AS tok FROM documents
 ),
 h AS (
   SELECT doc_id, {token_hash31_sql('tok')} AS h FROM toks
@@ -328,7 +329,7 @@ SELECT doc_id, {assemble} AS simhash FROM votes
 
 @plan("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash (bit-majority vote over token hashes).
+    """Per-document 32-bit SimHash (bit-majority vote over shingle hashes).
     Near-dup pairs then reduce to hamming-distance joins on this value."""
     from venus_spark.operators.dedup import simhash
 
