@@ -160,3 +160,59 @@ def test_streaming_restart_is_exactly_once(spark, tmp_path):
     logs = spark.read.parquet(str(tmp_path / "sink" / "logs"))
     assert logs.count() == 15
     assert logs.select("message").distinct().count() == 15
+
+
+def test_socket_source_end_to_end(spark, tmp_path):
+    """TCP push source (reference ZMQ-PULL analog): a sender thread
+    writes JSON lines into a socket; the same parse pipeline lands them
+    in the logs table. At-most-once, like the reference's admission."""
+    import socket
+    import threading
+    import time as _time
+
+    from venus_spark.streaming import read_log_stream_socket
+
+    records = [make_record(i) for i in range(10)]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = "".join(json.dumps(r) + "\n" for r in records)
+            conn.sendall(payload.encode())
+            _time.sleep(8)  # keep the pipe open past a few triggers
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    source = read_log_stream_socket(spark, "127.0.0.1", port)
+    sink = tmp_path / "sink"
+    q = start_logs_ingest(
+        source,
+        sink_dir=str(sink),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = _time.time() + 60
+        got: set[str] = set()
+        want = {r["message"] for r in records}
+        while _time.time() < deadline and not want <= got:
+            _time.sleep(2)
+            try:
+                got = {
+                    r["message"]
+                    for r in spark.read.parquet(str(sink / "logs"))
+                    .select("message")
+                    .collect()
+                }
+            except Exception:  # sink not created / no committed files yet
+                continue
+        assert want <= got  # logged ⊇ sent (reference tests/test_sender.py:61)
+    finally:
+        q.stop()
+        server.close()

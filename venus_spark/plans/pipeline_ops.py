@@ -165,6 +165,39 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A BPE-ish pre-tokenizer: words / digit runs / punctuation runs, each
+# optionally absorbing one leading space — the shape of GPT-style
+# pre-tokenization, portable between Java regex (Spark) and RE2 (DuckDB).
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+_N_BPE = f"LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_PATTERN}'))"
+
+_TOKEN_BPE_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM({_N_BPE}) AS total_bpe_tokens,
+       {davg_sql(_N_BPE)} AS avg_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+@plan("token_count_bpe", oracle=_TOKEN_BPE_ORACLE)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token budget per language via the BPE-style
+    pre-tokenizer regex — the second half of the token-counting surface
+    (whitespace tokens in token_count_by_lang). One scan, tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    return (
+        docs.withColumn("n_bpe", n_bpe)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            davg("n_bpe").alias("avg_bpe_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup (fingerprint groups)
 # --------------------------------------------------------------------------

@@ -73,6 +73,27 @@ def read_log_stream(
     )
 
 
+def read_log_stream_socket(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 5555,
+) -> DataFrame:
+    """Push-socket source: one JSON line per record on a TCP stream —
+    the closest Spark analog of the reference's ZMQ PULL bind
+    (``venus/io/__init__.py:78-108``). Like the reference's ingest edge,
+    this source is *at-most-once*: no offsets, no replay, messages that
+    arrive while no reader is attached are lost (the reference drops on
+    queue overflow, ``venus/io/__init__.py:97-105``). Use the file/Kafka
+    landing path for at-least-once ingest; this exists for wire parity
+    and low-latency relays."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
 def start_logs_ingest(
     source: DataFrame,
     sink_dir: str,
