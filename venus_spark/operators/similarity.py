@@ -110,6 +110,67 @@ def ivf_topk(
     return brute_force_topk(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+# Random-hyperplane LSH: H pseudo-random ±1 hyperplanes. Weight of
+# hyperplane h at position i (1-based) is +1 iff ((RP_A[h]*i + RP_B[h])
+# mod P31) is even — deterministic, replicated verbatim in the SQL
+# oracle. sign-bits concatenate into a bucket id in [0, 2^H).
+RP_H = 8
+RP_A = (179426549, 179426323, 179425879, 179425661, 15487469, 15487313, 15487291, 15487177)
+RP_B = (32452867, 49979693, 67867979, 86028157, 104395303, 122949829, 141650963, 160481219)
+_RP_P = 2147483647
+
+
+def _rp_weight(h: int, i: Column) -> Column:
+    # 64-bit arithmetic: RP_A * i would overflow int32 under ANSI mode.
+    parity = ((F.lit(RP_A[h]).cast("long") * i + F.lit(RP_B[h])) % _RP_P) % 2
+    return F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def rp_projection(vec: Column, h: int) -> Column:
+    """Signed projection of ``vec`` onto pseudo-random hyperplane ``h`` —
+    a left fold over (value × ±1 weight), same order as the oracle."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+    terms = F.zip_with(vec, idx, lambda x, i: x * _rp_weight(h, i))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def rp_bucket(vec: Column) -> Column:
+    """Random-hyperplane LSH bucket id: bit h set iff projection_h >= 0."""
+    out = F.lit(0)
+    for h in range(RP_H):
+        out = out + F.when(rp_projection(vec, h) >= 0, F.lit(1 << h)).otherwise(0)
+    return out
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine top-k restricted to the query's
+    sign-random-projection bucket. The bucket id is a pure column
+    expression, so at scale it becomes a *storage partition key* — the
+    probe reads one partition out of 2^H instead of the full table
+    (multi-probe = also scan buckets at hamming distance 1). Recall is
+    traded against the 2^H-fold scan reduction; the exact
+    ``brute_force_topk`` remains the ground-truth baseline."""
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", rp_bucket(F.col("v")))
+    qrow = vecs.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("q_bucket"), F.col("v").alias("q_vec")
+    )
+    in_bucket = vecs.join(F.broadcast(qrow), F.col("bucket") == F.col("q_bucket"))
+    sim = cosine(F.col("v"), F.col("q_vec"))
+    return (
+        in_bucket.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_in_buckets(
     df: DataFrame,
     bucket_col: str = "label",
