@@ -1,0 +1,156 @@
+"""Analytics extensions, part 2: as-of join, CUBE grouping sets, and
+exact percentiles — Spark-free capabilities the reference lacks
+(SURVEY.md §2C) that round out the dashboard/attribution surface.
+
+Scale notes:
+- The as-of join is the union+window formulation: tag both sides, one
+  shuffle on the join key, one ordered window pass carrying the last
+  right-side row forward. No range-join explosion, no per-row probe —
+  at 100 TB this is a single sort-merge per key partition (uniform
+  user keys). DuckDB's native ASOF JOIN is the independent oracle.
+- CUBE expands to one Expand + hash aggregate — all 4 grouping sets in
+  a single scan.
+- percentile() is exact with linear interpolation, matching DuckDB's
+  quantile_cont on identical input doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import dsum, fmt_ts
+from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase attributed to the user's latest prior click
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       {fmt_ts_sql('p.ts')} AS purchase_ts,
+       c.event_id AS click_id,
+       {fmt_ts_sql('c.ts')} AS click_ts,
+       ROUND(c.value, 6) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+"""
+
+
+@plan("asof_join_attribution", oracle=_ASOF_ORACLE)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + ordered window (carry the last right-side
+    row forward within each user): one shuffle on user_id, one window
+    pass — the formulation that avoids range-join explosion at scale.
+    (user_id, ts) is unique in the events table, so the match is
+    deterministic; right-side rows sort before left at equal ts to give
+    the ASOF <= (inclusive) bound."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    u = clicks.unionByName(purchases, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        "side",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("click_ts"),
+        F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            "click_id",
+            fmt_ts("click_ts").alias("click_ts"),
+            F.round("click_value", 6).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE: subtotals over every subset of (orderstatus, orderpriority)
+# --------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@plan("cube_order_totals", oracle=_CUBE_ORACLE)
+def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two order dimensions — all four grouping sets from one
+    Expand + hash aggregate, a single scan of orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles per event type (dashboard latency-style tiles)
+# --------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT event_type,
+       ROUND(QUANTILE_CONT(value, 0.25), 6) AS p25,
+       ROUND(QUANTILE_CONT(value, 0.50), 6) AS p50,
+       ROUND(QUANTILE_CONT(value, 0.75), 6) AS p75,
+       ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@plan("value_percentiles", oracle=_PCT_ORACLE)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type. At 100 TB
+    the drop-in replacement is approx_percentile (t-digest) — kept
+    exact here so the oracle can hash-match values."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", F.lit(q)), 6).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.50, 0.75, 0.95)
+            ]
+        )
+        .orderBy("event_type")
+    )
