@@ -216,3 +216,68 @@ def test_socket_source_end_to_end(spark, tmp_path):
     finally:
         q.stop()
         server.close()
+
+
+def test_parse_context_span_metric(spark):
+    """Aux-table ingest paths (reference migration :45-78): typed rows,
+    UUID canonicalization, NOT NULL quarantine, span durations."""
+    from venus_spark.ingest import parse_context, parse_metric, parse_span
+
+    ctx_rows = parse_context(
+        raw_df(
+            spark,
+            [
+                json.dumps(
+                    {
+                        "correlation_id": "ABCDEF01-2345-6789-abcd-ef0123456789",
+                        "tenant": "acme",
+                        "plan": "pro",
+                    }
+                ),
+                json.dumps({"tenant": "no-key"}),  # missing PK -> quarantine
+            ],
+        )
+    ).collect()
+    ok = [r for r in ctx_rows if r["_ok"]]
+    assert len(ok) == 1
+    assert ok[0]["correlation_id"] == "abcdef01-2345-6789-abcd-ef0123456789"
+    assert json.loads(ok[0]["data"]) == {"tenant": "acme", "plan": "pro"}
+    assert sum(not r["_ok"] for r in ctx_rows) == 1
+
+    span_rows = parse_span(
+        raw_df(
+            spark,
+            [
+                json.dumps(
+                    {
+                        "span_id": "11111111-2222-3333-4444-555555555555",
+                        "correlation_id": "abcdef01-2345-6789-abcd-ef0123456789",
+                        "description": "db query",
+                        "time_start": 1700000000.0,
+                        "time_end": 1700000001.5,
+                    }
+                ),
+                json.dumps({"span_id": "bad", "time_start": 1.0}),  # no end
+            ],
+        )
+    ).collect()
+    ok = [r for r in span_rows if r["_ok"]]
+    assert len(ok) == 1
+    dur = (ok[0]["time_end"] - ok[0]["time_start"]).total_seconds()
+    assert dur == 1.5
+    assert sum(not r["_ok"] for r in span_rows) == 1
+
+    metric_rows = parse_metric(
+        raw_df(
+            spark,
+            [
+                json.dumps({"time": 1700000000.0, "cpu": 0.5, "host": "a1"}),
+                json.dumps({"cpu": 0.9}),  # no time -> quarantine
+            ],
+        )
+    ).collect()
+    ok = [r for r in metric_rows if r["_ok"]]
+    assert len(ok) == 1
+    assert str(ok[0]["date"]) == "2023-11-14"
+    assert json.loads(ok[0]["data"]) == {"cpu": "0.5", "host": "a1"}
+    assert sum(not r["_ok"] for r in metric_rows) == 1

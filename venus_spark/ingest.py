@@ -164,3 +164,93 @@ def quarantined_records(parsed: DataFrame) -> DataFrame:
     return parsed.filter(~F.col("_ok") | F.col("_ok").isNull()).select(
         F.col("_raw").alias("raw")
     )
+
+
+# --------------------------------------------------------------------------
+# Aux tables (reference migration 37716151a213:45-78): context, span,
+# metric. Same parse/quarantine split as logs; metric is date-partitioned
+# like logs (both are hypertables in the reference, migration :39-43,74-78).
+# --------------------------------------------------------------------------
+
+CONTEXT_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("correlation_id", T.StringType(), False),
+        T.StructField("data", T.StringType(), False),
+    ]
+)
+
+SPAN_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("span_id", T.StringType(), False),
+        T.StructField("correlation_id", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("time_start", T.TimestampType(), False),
+        T.StructField("time_end", T.TimestampType(), False),
+    ]
+)
+
+METRIC_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType(), False),
+        T.StructField("data", T.StringType(), False),
+    ]
+)
+
+
+def parse_context(raw: DataFrame, raw_col: str = "value") -> DataFrame:
+    """Context records: ``{"correlation_id": uuid, ...}`` — the request-
+    scoped dimension row (reference migration :45-52). The whole payload
+    minus the key is re-serialized into ``data``; rows without a valid
+    correlation_id (the PK) quarantine."""
+    rec = F.from_json(F.col(raw_col), "correlation_id string, data string")
+    # Payload = the raw object minus the promoted key; parsing the raw
+    # line as a map keeps caller-defined fields without a declared schema
+    # (context data is schemaless JSONB in the reference).
+    payload = F.from_json(F.col(raw_col), "map<string,string>")
+    cid = canonical_uuid(rec["correlation_id"])
+    return raw.select(
+        cid.alias("correlation_id"),
+        F.to_json(F.map_filter(payload, lambda k, _: k != "correlation_id")).alias(
+            "data"
+        ),
+        cid.isNotNull().alias("_ok"),
+        F.col(raw_col).alias("_raw"),
+    )
+
+
+def parse_span(raw: DataFrame, raw_col: str = "value") -> DataFrame:
+    """Span records (reference migration :54-64): interval rows keyed by
+    span_id with epoch-second bounds. Rows lacking a valid span_id or
+    either bound quarantine (both bounds are NOT NULL in the reference
+    schema)."""
+    schema = (
+        "span_id string, correlation_id string, description string, "
+        "time_start double, time_end double"
+    )
+    rec = F.from_json(F.col(raw_col), schema)
+    sid = canonical_uuid(rec["span_id"])
+    t0 = F.timestamp_seconds(rec["time_start"])
+    t1 = F.timestamp_seconds(rec["time_end"])
+    return raw.select(
+        sid.alias("span_id"),
+        canonical_uuid(rec["correlation_id"]).alias("correlation_id"),
+        rec["description"].alias("description"),
+        t0.alias("time_start"),
+        t1.alias("time_end"),
+        (sid.isNotNull() & t0.isNotNull() & t1.isNotNull()).alias("_ok"),
+        F.col(raw_col).alias("_raw"),
+    )
+
+
+def parse_metric(raw: DataFrame, raw_col: str = "value") -> DataFrame:
+    """Metric records (reference migration :66-78): epoch ``time`` +
+    schemaless payload, date-partitioned like logs."""
+    rec = F.from_json(F.col(raw_col), "time double")
+    payload = F.from_json(F.col(raw_col), "map<string,string>")
+    t = F.timestamp_seconds(rec["time"])
+    return raw.select(
+        t.alias("time"),
+        F.to_json(F.map_filter(payload, lambda k, _: k != "time")).alias("data"),
+        t.isNotNull().alias("_ok"),
+        F.col(raw_col).alias("_raw"),
+    ).withColumn("date", F.to_date("time"))
