@@ -95,3 +95,28 @@ def fingerprint_col(text_col: str = "text") -> Column:
     """Canonical document fingerprint: lowercase, collapse whitespace,
     md5. The exact-dedup key."""
     return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+
+
+def char_trigrams(text_col: str = "text") -> Column:
+    """Distinct lowercase character 3-grams — the pg_trgm unit (reference
+    migration :21,36 builds a GIN trigram index over logs.message).
+
+    ``s ILIKE '%needle%'`` implies every trigram of ``needle`` is in
+    ``char_trigrams(s)``, so trigram containment is a *sound* prefilter
+    for substring search: prefilter-then-verify returns exactly the scan
+    result. At scale this column is materialized at ingest and backed by
+    a bloom filter / data-skipping index, turning the full-column scan
+    into file pruning — the Spark reproduction of the GIN access path.
+    """
+    low = F.lower(F.col(text_col))
+    n = F.length(low)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2), lambda i: F.substring(low, i, F.lit(3))
+    )
+    return F.array_distinct(F.when(n >= 3, grams).otherwise(F.array(low)))
+
+
+def trigrams_of(needle: str) -> list[str]:
+    """The query-side trigram set for a literal needle (lowercased)."""
+    s = needle.lower()
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)}) if len(s) >= 3 else [s]

@@ -381,3 +381,35 @@ def antijoin_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(ev, cust.c_custkey == ev.user_id, "left_anti")
         .agg(F.count("*").alias("n_unmatched"))
     )
+
+
+# --------------------------------------------------------------------------
+# B10 at scale: trigram prefilter-then-verify (the pg_trgm GIN analog)
+# --------------------------------------------------------------------------
+
+
+@plan("fuzzy_trgm_prefilter", oracle=_FUZZY_ORACLE)
+def fuzzy_trgm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same multi-pattern ILIKE result as ``fuzzy_multi_pattern``,
+    produced by the scale path: trigram containment prefilters candidate
+    rows (sound — a substring match implies all its trigrams are
+    present), then the exact ILIKE verifies. The trigram array is a
+    pure column expression here; a deployment materializes it at ingest
+    with a bloom/data-skipping index so the prefilter becomes file-level
+    pruning instead of a scan (reference pg_trgm GIN, migration :21,36).
+    """
+    from venus_spark.operators.text import char_trigrams, trigrams_of
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_trg", char_trigrams("text")
+    )
+
+    def needle_pred(pattern: str):
+        needle = pattern.strip("%")
+        contains_all = F.lit(True)
+        for g in trigrams_of(needle):
+            contains_all = contains_all & F.array_contains("_trg", g)
+        return contains_all & F.col("text").ilike(pattern)
+
+    pred = needle_pred(_PATTERNS[0]) | needle_pred(_PATTERNS[1])
+    return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))
