@@ -154,3 +154,34 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate dashboard tiles (the 100 TB path for B17-style dashboards)
+# --------------------------------------------------------------------------
+
+
+@plan("approx_dashboard_tiles")  # no oracle: sketch estimates are engine-specific
+def approx_dashboard_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based versions of the dashboard aggregates — HLL++
+    distinct users and t-digest percentiles per event type. These are
+    what a 100 TB deployment serves interactively (single pass, fixed
+    memory, mergeable across partitions); the exact twins
+    (timeseries_hourly, value_percentiles) are the correctness oracles.
+    Registered without a SQL oracle: sketch estimates are
+    implementation-specific, so the driver records a rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 6
+            ).alias("approx_p50"),
+            F.round(
+                F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 6
+            ).alias("approx_p95"),
+        )
+        .orderBy("event_type")
+    )
