@@ -281,3 +281,36 @@ def test_parse_context_span_metric(spark):
     assert str(ok[0]["date"]) == "2023-11-14"
     assert json.loads(ok[0]["data"]) == {"cpu": "0.5", "host": "a1"}
     assert sum(not r["_ok"] for r in metric_rows) == 1
+
+
+def test_streaming_aux_metric_ingest(spark, tmp_path):
+    """Metric stream -> date-partitioned parquet + quarantine, via the
+    generic aux-table wiring (all four reference tables now have a
+    streaming path)."""
+    from venus_spark.ingest import parse_metric
+    from venus_spark.streaming import start_aux_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    lines = [
+        json.dumps({"time": 1700000000.0 + i * 86400, "cpu": i / 10}) for i in range(3)
+    ] + ["not json"]
+    (landing / "a.jsonl").write_text("\n".join(lines))
+
+    q = start_aux_ingest(
+        read_log_stream(spark, str(landing)),
+        parse_metric,
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table="metric",
+        partition_cols=("date",),
+        trigger_seconds=None,
+    )
+    q.awaitTermination(120)
+
+    metric = spark.read.parquet(str(tmp_path / "sink" / "metric"))
+    assert metric.count() == 3
+    days = {str(r["date"]) for r in metric.select("date").collect()}
+    assert len(days) == 3  # one partition per day (hypertable-chunk analog)
+    quarantine = spark.read.parquet(str(tmp_path / "sink" / "metric_quarantine"))
+    assert quarantine.count() == 1

@@ -175,3 +175,50 @@ class IngestHealthListener(StreamingQueryListener):
     def last_progress(self, query_name: str) -> dict | None:
         with self._lock:
             return self._progress.get(query_name)
+
+
+def start_aux_ingest(
+    source: DataFrame,
+    parse_fn,
+    sink_dir: str,
+    checkpoint_dir: str,
+    table: str,
+    partition_cols: tuple[str, ...] = (),
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Aux-table twin of ``start_logs_ingest``: wire a raw JSON-line
+    stream through one of the aux parse functions
+    (:func:`venus_spark.ingest.parse_context` / ``parse_span`` /
+    ``parse_metric``) into a parquet table + quarantine, one streaming
+    query per table (the reference's single-writer discipline,
+    ``venus/db/__init__.py:39-41``). ``metric`` passes
+    ``partition_cols=("date",)`` to keep the hypertable-chunk layout."""
+    import pyspark.sql.functions as F
+
+    table_dir = os.path.join(sink_dir, table)
+    quarantine_dir = os.path.join(sink_dir, f"{table}_quarantine")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        parsed = parse_fn(batch).persist()
+        try:
+            good = parsed.filter(F.col("_ok")).drop("_ok", "_raw")
+            writer = good.write.mode("append")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(table_dir)
+            parsed.filter(~F.col("_ok") | F.col("_ok").isNull()).select(
+                F.col("_raw").alias("raw")
+            ).write.mode("append").parquet(quarantine_dir)
+        finally:
+            parsed.unpersist()
+
+    writer = (
+        source.writeStream.queryName(f"{table}_ingest")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
