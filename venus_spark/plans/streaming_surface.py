@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import fmt_ts
+from venus_spark.functions import dsum, fmt_ts
 from venus_spark.functions.sqlgen import dsum_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -88,3 +88,72 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     ).orderBy("user_id", "session_start")
+
+
+# --------------------------------------------------------------------------
+# Gap-filled time series with LOCF (the TimescaleDB
+# time_bucket_gapfill + locf() dashboard idiom over a hypertable)
+# --------------------------------------------------------------------------
+
+_GAPFILL_T0, _GAPFILL_T1 = "2024-01-01 00:00:00", "2024-01-30 23:00:00"
+_GAPFILL_TYPE = "purchase"
+
+_GAPFILL_ORACLE = f"""
+WITH hours AS (
+  SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '{_GAPFILL_T0}',
+                                TIMESTAMP '{_GAPFILL_T1}',
+                                INTERVAL 1 HOUR)) AS bucket
+),
+agg AS (
+  SELECT DATE_TRUNC('hour', ts) AS b,
+         COUNT(*) AS n, {dsum_sql('value')} AS total
+  FROM events WHERE event_type = '{_GAPFILL_TYPE}' GROUP BY 1
+)
+SELECT STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       COALESCE(n, 0) AS n_events,
+       ROUND(LAST_VALUE(total IGNORE NULLS)
+             OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW), 6) AS locf_value
+FROM hours LEFT JOIN agg ON agg.b = hours.bucket
+ORDER BY bucket
+"""
+
+
+@plan("timeseries_gapfill_locf", oracle=_GAPFILL_ORACLE)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with last-observation-carried-forward fill —
+    the TimescaleDB ``time_bucket_gapfill`` + ``locf()`` dashboard idiom
+    the reference's hypertables exist to serve. The hour spine is
+    generated (sequence+explode, no table scan), the aggregate is the
+    usual partial-agg groupBy, and LOCF is one ordered window over the
+    already-aggregated (tiny) series. At scale the window partitions by
+    series key, so state per partition stays one row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_GAPFILL_T0).cast("timestamp_ntz"),
+                F.lit(_GAPFILL_T1).cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    agg = (
+        ev.filter(F.col("event_type") == _GAPFILL_TYPE)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hours.join(agg, hours["bucket"] == agg["b"], "left")
+        .select(
+            fmt_ts(F.col("bucket"), micros=False).alias("bucket_s"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.round(F.last("total", ignorenulls=True).over(w), 6).alias("locf_value"),
+            F.col("bucket"),
+        )
+        .orderBy("bucket")
+        .select(F.col("bucket_s").alias("bucket"), "n_events", "locf_value")
+    )
