@@ -99,7 +99,7 @@ _GAP_MINUTES = 60
 
 _SESSION_ORACLE = f"""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL {_GAP_MINUTES} MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -107,8 +107,9 @@ WITH flagged AS (
   FROM events
 ),
 sessions AS (
+  -- cumsum tie-order must match the Spark window exactly: (ts, event_id)
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ),

@@ -148,7 +148,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_COUNT_ORACLE = f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM({_N_TOKENS}) AS total_tokens,
+       CAST(SUM({_N_TOKENS}) AS BIGINT) AS total_tokens,
        {davg_sql(_N_TOKENS)} AS avg_tokens
 FROM documents GROUP BY lang
 """
@@ -168,13 +168,15 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A BPE-ish pre-tokenizer: words / digit runs / punctuation runs, each
 # optionally absorbing one leading space — the shape of GPT-style
 # pre-tokenization, portable between Java regex (Spark) and RE2 (DuckDB).
-_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# The whitespace class is spelled out because \s differs between the two
+# engines (Java includes \x0B, RE2's \s does not).
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+"
 
 _N_BPE = f"LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_PATTERN}'))"
 
 _TOKEN_BPE_ORACLE = f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM({_N_BPE}) AS total_bpe_tokens,
+       CAST(SUM({_N_BPE}) AS BIGINT) AS total_bpe_tokens,
        {davg_sql(_N_BPE)} AS avg_bpe_tokens
 FROM documents GROUP BY lang
 """

@@ -31,9 +31,20 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Columnar scan: Catalyst prunes columns and
-    pushes filters into the parquet reader automatically."""
+    pushes filters into the parquet reader automatically.
+
+    Self-sufficient in a foreign SparkSession: events.parquet carries
+    TIMESTAMP(NANOS) which Spark's vectorized reader rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, and the nanos→micros
+    timestamp hop below is session-timezone-sensitive — both confs are
+    runtime-settable, so pin them here rather than relying on the caller's
+    session builder (venus_spark.session sets them too, but driver-owned
+    sessions don't go through it).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # events.ts is parquet TIMESTAMP(NANOS), read as epoch-nanos long
