@@ -232,6 +232,9 @@ def test_parse_context_span_metric(spark):
                         "correlation_id": "ABCDEF01-2345-6789-abcd-ef0123456789",
                         "tenant": "acme",
                         "plan": "pro",
+                        "quota": 5,
+                        "beta": True,
+                        "limits": {"rps": [10, 20]},
                     }
                 ),
                 json.dumps({"tenant": "no-key"}),  # missing PK -> quarantine
@@ -241,7 +244,16 @@ def test_parse_context_span_metric(spark):
     ok = [r for r in ctx_rows if r["_ok"]]
     assert len(ok) == 1
     assert ok[0]["correlation_id"] == "abcdef01-2345-6789-abcd-ef0123456789"
-    assert json.loads(ok[0]["data"]) == {"tenant": "acme", "plan": "pro"}
+    # JSON types survive the strip-and-reserialize (reference keeps the
+    # parsed dict's types through json.dumps): numbers stay numbers,
+    # booleans stay booleans, nested objects stay nested.
+    assert json.loads(ok[0]["data"]) == {
+        "tenant": "acme",
+        "plan": "pro",
+        "quota": 5,
+        "beta": True,
+        "limits": {"rps": [10, 20]},
+    }
     assert sum(not r["_ok"] for r in ctx_rows) == 1
 
     span_rows = parse_span(
@@ -279,7 +291,7 @@ def test_parse_context_span_metric(spark):
     ok = [r for r in metric_rows if r["_ok"]]
     assert len(ok) == 1
     assert str(ok[0]["date"]) == "2023-11-14"
-    assert json.loads(ok[0]["data"]) == {"cpu": "0.5", "host": "a1"}
+    assert json.loads(ok[0]["data"]) == {"cpu": 0.5, "host": "a1"}
     assert sum(not r["_ok"] for r in metric_rows) == 1
 
 

@@ -205,8 +205,11 @@ def parse_context(raw: DataFrame, raw_col: str = "value") -> DataFrame:
     rec = F.from_json(F.col(raw_col), "correlation_id string, data string")
     # Payload = the raw object minus the promoted key; parsing the raw
     # line as a map keeps caller-defined fields without a declared schema
-    # (context data is schemaless JSONB in the reference).
-    payload = F.from_json(F.col(raw_col), "map<string,string>")
+    # (context data is schemaless JSONB in the reference). VARIANT values
+    # keep JSON types intact through the re-serialization — {"cpu":0.5}
+    # stays a number and nested objects stay objects, matching the
+    # reference's json.dumps(parsed_dict) (venus/db/write.py).
+    payload = F.from_json(F.col(raw_col), "map<string,variant>")
     cid = canonical_uuid(rec["correlation_id"])
     return raw.select(
         cid.alias("correlation_id"),
@@ -246,7 +249,9 @@ def parse_metric(raw: DataFrame, raw_col: str = "value") -> DataFrame:
     """Metric records (reference migration :66-78): epoch ``time`` +
     schemaless payload, date-partitioned like logs."""
     rec = F.from_json(F.col(raw_col), "time double")
-    payload = F.from_json(F.col(raw_col), "map<string,string>")
+    # VARIANT values: payload numbers/booleans/nested objects survive the
+    # strip-and-reserialize with their JSON types (see parse_context).
+    payload = F.from_json(F.col(raw_col), "map<string,variant>")
     t = F.timestamp_seconds(rec["time"])
     return raw.select(
         t.alias("time"),
