@@ -1,0 +1,91 @@
+"""Prepared-table (ingest-time index analog) tests: trigram bloom
+parity, prefilter soundness incl. short needles, plan equivalence."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from venus_spark.operators.text import char_trigrams, trigrams_of
+from venus_spark.prepared import documents_trgm, needle_mask, trigram_bloom64
+
+TEXTS = [
+    "Spark WINDOW functions work",
+    "ab",
+    "",
+    "hash join hash join",
+    "xyz",
+    "a b c d e",
+    "ZZZZ spark Window zzz",
+]
+
+
+def test_bloom_matches_driver_mask(spark):
+    """The stored bloom (SQL fold, Spark crc32) must equal the
+    driver-computed needle_mask (zlib.crc32) on the same trigram set —
+    the soundness precondition of the probe."""
+    df = (
+        spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+        .withColumn("_trg", char_trigrams("text"))
+        .withColumn("_trg_bloom", trigram_bloom64("_trg"))
+    )
+    for r in df.collect():
+        assert r["_trg_bloom"] == needle_mask(sorted(set(r["_trg"])))
+
+
+def test_char_trigrams_short_text_empty(spark):
+    df = spark.createDataFrame([("ab",), ("",), ("abc",)], ["text"]).withColumn(
+        "_trg", char_trigrams("text")
+    )
+    got = {r["text"]: r["_trg"] for r in df.collect()}
+    assert got["ab"] == []
+    assert got[""] == []
+    assert got["abc"] == ["abc"]
+
+
+def test_trigrams_of_short_needle_empty():
+    assert trigrams_of("ab") == []
+    assert trigrams_of("") == []
+    assert trigrams_of("abcd") == ["abc", "bcd"]
+
+
+def test_crc32_parity(spark):
+    """Spark's crc32 must equal zlib.crc32 byte-for-byte (the bucket
+    hash both mask builders rely on)."""
+    vals = ["abc", "spa", " wi", "ZZ9", "üml"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"]).select(
+        "s", F.crc32(F.col("s").cast("binary")).alias("c")
+    )
+    for r in df.collect():
+        assert r["c"] == zlib.crc32(r["s"].encode("utf-8"))
+
+
+@pytest.mark.parametrize("pattern", ["%spark window%", "%ha%", "%b%"])
+def test_prefilter_equals_plain_ilike(spark, sf_dir, pattern):
+    """Prefilter-then-verify returns exactly the plain-scan rows, even
+    for needles shorter than 3 chars (no trigrams -> probe skipped)."""
+    docs = documents_trgm(spark, sf_dir)
+    plain = docs.filter(F.col("text").ilike(pattern)).select("doc_id")
+
+    verify = F.col("text").ilike(pattern)
+    grams = trigrams_of(pattern.strip("%"))
+    pred = verify
+    if grams:
+        mask = F.lit(needle_mask(grams))
+        pred = (F.col("_trg_bloom").bitwiseAND(mask) == mask) & verify
+    pre = docs.filter(pred).select("doc_id")
+
+    assert sorted(r[0] for r in plain.collect()) == sorted(
+        r[0] for r in pre.collect()
+    )
+
+
+def test_fuzzy_plans_agree(spark, sf_dir):
+    from venus_spark.plans import all_plans
+
+    plans = all_plans()
+    a = plans["fuzzy_multi_pattern"].fn(spark, sf_dir).orderBy("lang").collect()
+    b = plans["fuzzy_trgm_prefilter"].fn(spark, sf_dir).orderBy("lang").collect()
+    assert a == b

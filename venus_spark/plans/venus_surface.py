@@ -391,25 +391,28 @@ def antijoin_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan("fuzzy_trgm_prefilter", oracle=_FUZZY_ORACLE)
 def fuzzy_trgm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same multi-pattern ILIKE result as ``fuzzy_multi_pattern``,
-    produced by the scale path: trigram containment prefilters candidate
-    rows (sound — a substring match implies all its trigrams are
-    present), then the exact ILIKE verifies. The trigram array is a
-    pure column expression here; a deployment materializes it at ingest
-    with a bloom/data-skipping index so the prefilter becomes file-level
-    pruning instead of a scan (reference pg_trgm GIN, migration :21,36).
+    produced by the scale path: the *prepared* ``documents_trgm`` table
+    (built once at ingest time, like the reference's pg_trgm GIN index —
+    migration :21,36) carries a 64-bit trigram bloom per row; the query
+    probes it with a driver-computed constant mask (two bitwise ops in
+    codegen, no per-row trigram recompute) and only bloom-surviving rows
+    pay the exact ILIKE verify. Sound: a substring match implies every
+    needle trigram is present, hence every needle bloom bit is set.
+    Needles shorter than 3 chars have no trigrams and skip the probe
+    (the prefilter can never drop a true match).
     """
-    from venus_spark.operators.text import char_trigrams, trigrams_of
+    from venus_spark.operators.text import trigrams_of
+    from venus_spark.prepared import documents_trgm, needle_mask
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "_trg", char_trigrams("text")
-    )
+    docs = documents_trgm(spark, sf_dir)
 
     def needle_pred(pattern: str):
-        needle = pattern.strip("%")
-        contains_all = F.lit(True)
-        for g in trigrams_of(needle):
-            contains_all = contains_all & F.array_contains("_trg", g)
-        return contains_all & F.col("text").ilike(pattern)
+        verify = F.col("text").ilike(pattern)
+        grams = trigrams_of(pattern.strip("%"))
+        if not grams:  # <3-char needle: no sound prefilter, exact scan only
+            return verify
+        mask = F.lit(needle_mask(grams))
+        return (F.col("_trg_bloom").bitwiseAND(mask) == mask) & verify
 
     pred = needle_pred(_PATTERNS[0]) | needle_pred(_PATTERNS[1])
     return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import zlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +40,10 @@ PREPARED_ROOT = os.environ.get(
 _BLOOM_BITS = 64
 
 
-def trigram_bloom64(grams: Column) -> Column:
-    """64-bit trigram bloom fingerprint: OR of ``1 << (xxhash64(g) mod 64)``
-    over a trigram array.
+def trigram_bloom64(grams_expr: str) -> Column:
+    """64-bit trigram bloom fingerprint: OR of ``1 << (crc32(g) mod 64)``
+    over a trigram array (``grams_expr`` is a SQL expression for the
+    array column).
 
     ``needle`` a substring of ``text`` implies trigrams(needle) is a
     subset of trigrams(text), hence ``bloom(needle) & bloom(text) ==
@@ -49,16 +51,26 @@ def trigram_bloom64(grams: Column) -> Column:
     the exact ILIKE verify. One long per row: the probe is two bitwise
     ops inside whole-stage codegen, independent of text length.
 
-    The same expression builds both the stored column and the (constant-
-    folded) query mask, so the hashing necessarily agrees.
+    Built as a SQL fold because pyspark 4.1.2's ``F.shiftleft`` only
+    accepts a literal ``numBits``; SQL ``shiftleft`` takes a column.
+    CRC32 (not xxhash64) is the bucket hash so the *query-side* mask is
+    computable on the driver with :func:`needle_mask` (``zlib.crc32`` is
+    bit-identical to Spark's ``crc32``) — no Spark job per needle.
     """
-    return F.aggregate(
-        grams,
-        F.lit(0).cast("long"),
-        lambda acc, g: acc.bitwiseOR(
-            F.shiftleft(F.lit(1).cast("long"), F.pmod(F.xxhash64(g), F.lit(_BLOOM_BITS)).cast("int"))
-        ),
+    return F.expr(
+        f"aggregate({grams_expr}, 0L, (acc, g) -> acc | "
+        f"shiftleft(1L, cast(pmod(crc32(cast(g AS BINARY)), {_BLOOM_BITS}) AS INT)))"
     )
+
+
+def needle_mask(grams: list[str]) -> int:
+    """Driver-side bloom mask for a needle's trigram set — the exact
+    two's-complement long :func:`trigram_bloom64` would produce, so
+    ``bloom & mask == mask`` is a sound containment probe."""
+    mask = 0
+    for g in grams:
+        mask |= 1 << (zlib.crc32(g.encode("utf-8")) % _BLOOM_BITS)
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
 
 
 def prepared_path(sf_dir: str, name: str) -> str:
@@ -83,9 +95,7 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").withColumn(
             "_trg", char_trigrams("text")
         )
-        docs.withColumn("_trg_bloom", trigram_bloom64(F.col("_trg"))).write.parquet(
-            path
-        )
+        docs.withColumn("_trg_bloom", trigram_bloom64("_trg")).write.parquet(path)
     return spark.read.parquet(path)
 
 
