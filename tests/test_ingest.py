@@ -326,3 +326,44 @@ def test_streaming_aux_metric_ingest(spark, tmp_path):
     assert len(days) == 3  # one partition per day (hypertable-chunk analog)
     quarantine = spark.read.parquet(str(tmp_path / "sink" / "metric_quarantine"))
     assert quarantine.count() == 1
+
+
+def test_aux_ingest_replay_is_idempotent(spark, tmp_path):
+    """Batch replay (crash between parquet write and checkpoint commit)
+    must not duplicate aux rows: rerunning the same input with a FRESH
+    checkpoint — the worst case, every batch replays — overwrites each
+    batch's own ``_batch_id`` partition instead of appending."""
+    import shutil
+
+    from venus_spark.ingest import parse_metric
+    from venus_spark.streaming import read_sink_table, start_aux_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    lines = [
+        json.dumps({"time": 1700000000.0 + i * 86400, "cpu": i / 10}) for i in range(3)
+    ] + ["not json"]
+    (landing / "a.jsonl").write_text("\n".join(lines))
+
+    def run(ckpt: str) -> None:
+        q = start_aux_ingest(
+            read_log_stream(spark, str(landing)),
+            parse_metric,
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            table="metric",
+            partition_cols=("date",),
+            trigger_seconds=None,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run("ckpt1")
+    shutil.rmtree(tmp_path / "ckpt1")  # lose the commit log -> full replay
+    run("ckpt2")
+
+    metric = read_sink_table(spark, str(tmp_path / "sink"), "metric")
+    assert metric.count() == 3  # replayed, not duplicated
+    assert "_batch_id" not in metric.columns
+    quarantine = spark.read.parquet(str(tmp_path / "sink" / "metric_quarantine"))
+    assert quarantine.count() == 1

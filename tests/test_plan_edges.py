@@ -1,0 +1,75 @@
+"""Edge-case regression tests for analytics plans, run against tiny
+synthetic tables written to a tmp dir (same parquet-table layout the
+plans load via ``sources.load_table``)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from venus_spark.oracle import compare, duckdb_connect
+
+
+def _write_events(spark, sf_dir, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_asof_attribution_null_click_value_not_torn(spark, tmp_path):
+    """A click with NULL value must be attributed WHOLE: click_id/ts/value
+    all from that click, not value carried from an earlier click (the
+    torn-row bug a per-column last() carry would produce)."""
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        # user 1: click(3.0) -> click(NULL value) -> purchase: the NULL
+        # click is the as-of match and must win for ALL carried fields.
+        (1, t("2024-01-01 10:00:00"), 1, "click", 3.0, "{}"),
+        (2, t("2024-01-01 11:00:00"), 1, "click", None, "{}"),
+        (3, t("2024-01-01 12:00:00"), 1, "purchase", 9.0, "{}"),
+        # user 2: purchase with no prior click -> all click fields NULL.
+        (4, t("2024-01-01 12:00:00"), 2, "purchase", 1.0, "{}"),
+        # user 3: click strictly after the purchase -> no match.
+        (5, t("2024-01-02 09:00:00"), 3, "purchase", 1.0, "{}"),
+        (6, t("2024-01-02 10:00:00"), 3, "click", 2.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir, rows)
+
+    from venus_spark.plans import all_plans
+
+    p = all_plans()["asof_join_attribution"]
+    got = {r["purchase_id"]: r for r in p.fn(spark, sf_dir).collect()}
+    assert got[3]["click_id"] == 2  # the later, NULL-valued click
+    assert got[3]["click_value"] is None  # not torn back to 3.0
+    assert got[3]["click_ts"] == "2024-01-01 11:00:00.000000"
+    assert got[4]["click_id"] is None
+    assert got[5]["click_id"] is None
+
+    # And the DuckDB ASOF oracle agrees on the same synthetic table.
+    con = duckdb_connect(sf_dir)
+    res = compare("asof_edge", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail
+
+
+def test_gapfill_locf_partitions_by_series(spark, sf_dir):
+    """The LOCF window partitions by event_type: every observed series
+    appears with a full dense spine, and values never leak across
+    series boundaries (each series' first LOCF value is its own)."""
+    from venus_spark.plans import all_plans
+
+    df = all_plans()["timeseries_gapfill_locf"].fn(spark, sf_dir)
+    pdf = df.toPandas()
+    n_series = pdf["event_type"].nunique()
+    assert len(pdf) == n_series * 720  # 30 days x 24h dense spine per series
+    import pandas as pd
+
+    first = pdf.sort_values(["event_type", "bucket"]).drop_duplicates(
+        "event_type", keep="first"
+    )
+    # Before a series' first observation, LOCF must be NULL (nothing to
+    # carry) — a cross-series leak would show the previous series' tail.
+    for _, row in first.iterrows():
+        assert row["n_events"] > 0 or pd.isna(row["locf_value"])

@@ -245,17 +245,26 @@ FROM events
 """
 
 
+_DISCOVERY_CUTOFF = "2024-01-25 00:00:00"
+
+
 @plan("dynamic_projection", oracle=_DYNPROJ_ORACLE)
 def dynamic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14: driver-side two-phase — collect the discovered key set (small),
     then build one projection per key; a probe for a key that never occurs
-    demonstrates the NULL-for-missing semantics."""
+    demonstrates the NULL-for-missing semantics.
+
+    Discovery runs on a *constraint-pruned slice* (a recent time window),
+    exactly as the reference prescribes for jsonb_object_keys over big
+    tables (/root/reference/doc/json_tricks.rst:73-81): the time predicate
+    pushes into the scan / prunes partitions, so the 100 TB discovery cost
+    is one recent chunk, not the full table. The documented trade: keys
+    that stopped appearing before the slice aren't discovered."""
     ev = load_table(spark, sf_dir, "events")
     discovered = sorted(
         r["key"]
-        for r in ev.select(
-            F.explode(F.json_object_keys("props")).alias("key")
-        )
+        for r in ev.filter(F.col("ts") >= _ts(_DISCOVERY_CUTOFF))
+        .select(F.explode(F.json_object_keys("props")).alias("key"))
         .distinct()
         .collect()
     )
@@ -416,3 +425,61 @@ def fuzzy_trgm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pred = needle_pred(_PATTERNS[0]) | needle_pred(_PATTERNS[1])
     return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# B11 — JSONB containment (data @> '{"a":1,"b":2}') + key-existence (data ? 'k')
+# (reference: README.rst:105-107 — "use JSONB operators in WHERE so the
+#  jsonb_path_ops GIN index is used"; indexes at migration :37,52,73)
+# --------------------------------------------------------------------------
+
+# The driver's synthetic events carry a single-key props payload, so the
+# plan first composes the reference-shaped multi-key document — the same
+# deterministic construction on both sides — then applies the containment
+# conjunction. ``uid`` is deliberately present on only ~2/3 of rows so the
+# missing-key semantics (containment fails, existence probe fails) are
+# exercised, not just value equality.
+
+_CONTAIN_ORACLE = f"""
+WITH logs AS (
+  SELECT event_id, user_id, ts,
+         json_object('k', CAST(json_extract_string(props, '$.k') AS INTEGER),
+                     'type', event_type,
+                     'uid', CASE WHEN user_id % 3 <> 0 THEN user_id END) AS data
+  FROM events
+)
+SELECT event_id, user_id, {fmt_ts_sql('ts')} AS ts_str
+FROM logs
+WHERE CAST(json_extract_string(data, '$.k') AS INTEGER) = 7
+  AND json_extract_string(data, '$.type') = 'click'
+  AND json_extract_string(data, '$.uid') IS NOT NULL
+"""
+
+
+@plan("json_containment", oracle=_CONTAIN_ORACLE)
+def json_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: multi-key JSONB containment — the ``data @> '{"k":7,
+    "type":"click"}'`` analog as a conjunction of path extractions, plus
+    the ``data ? 'uid'`` existence operator as extract-IS-NOT-NULL.
+    Missing keys extract to NULL, so any missing containment key makes
+    the conjunct false — exactly jsonb_path_ops semantics.
+
+    Each extraction is a codegen'd JsonPath probe over the stored JSON
+    column — one scan, conjunction evaluated per row, no shuffle. At
+    100 TB the reference's GIN-index role is played by materializing
+    hot keys as ingest-time columns (venus_spark.prepared) so the
+    conjunction pushes into the parquet scan as ordinary predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    data = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.col("event_type").alias("type"),
+            F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uid"),
+        )
+    )
+    logs = ev.withColumn("data", data)
+    return logs.filter(
+        (F.get_json_object("data", "$.k").cast("int") == 7)
+        & (F.get_json_object("data", "$.type") == "click")
+        & F.get_json_object("data", "$.uid").isNotNull()
+    ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
