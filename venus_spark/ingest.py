@@ -207,8 +207,11 @@ def parse_context(raw: DataFrame, raw_col: str = "value") -> DataFrame:
     # line as a map keeps caller-defined fields without a declared schema
     # (context data is schemaless JSONB in the reference). VARIANT values
     # keep JSON types intact through the re-serialization — {"cpu":0.5}
-    # stays a number and nested objects stay objects, matching the
-    # reference's json.dumps(parsed_dict) (venus/db/write.py).
+    # stays a number and nested objects stay objects, like the reference's
+    # json.dumps(parsed_dict) (venus/db/write.py). Types match, but nested
+    # object key order is canonicalized (variant sorts keys), so the data
+    # string is not byte-identical to the reference for nested objects —
+    # fine for every JSON-path consumer, not for byte-level diffs.
     payload = F.from_json(F.col(raw_col), "map<string,variant>")
     cid = canonical_uuid(rec["correlation_id"])
     return raw.select(

@@ -69,10 +69,15 @@ def _dtype_mismatches(sp_raw: pd.DataFrame, du_raw: pd.DataFrame) -> list[str]:
         da, db = sp_raw[c].dtype, du_raw[c].dtype
         # Integer width differences (int32 year vs BIGINT) hash identically
         # at the gate (r1 evidence: q7/q8/q9 passed with int32 vs int64);
-        # what it does NOT tolerate is a kind change, e.g. HUGEINT->float64.
+        # what it does NOT tolerate is the int-kind vs float-kind change
+        # (DuckDB HUGEINT -> float64 vs Spark BIGINT -> int64).  Only that
+        # transition is flagged: DATE (Spark 'O' vs DuckDB 'M') and
+        # DECIMAL (Spark 'O' vs DuckDB 'f') columns normalize equal and
+        # hash equal at the gate, so a bare kind != comparison would
+        # false-fail them (ADVICE r2).
         ka = "i" if da.kind in ("i", "u") else da.kind
         kb = "i" if db.kind in ("i", "u") else db.kind
-        if ka != kb:
+        if {ka, kb} == {"i", "f"}:
             bad.append(f"{c!r}: spark dtype {da} vs oracle dtype {db}")
     return bad
 
