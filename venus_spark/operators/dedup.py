@@ -197,6 +197,62 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup *pairs* into duplicate *clusters*: (id, cluster_id)
+    where cluster_id = min node id reachable in the pair graph.
+
+    Iterative min-label propagation over symmetrized edges — each round is
+    one shuffle join + one partial-aggregated groupBy, and ``localCheckpoint``
+    truncates lineage so round N's plan doesn't re-derive rounds 1..N-1.
+    Convergence is O(graph diameter) rounds; near-dup graphs are unions of
+    band-clique clusters, so the diameter is small by construction (a long
+    chain would need a 0.8-Jaccard path of distinct documents). On a real
+    cluster, swap localCheckpoint for reliable checkpointing and cache the
+    (static) edge relation; at 100 TB the edge set is the LSH pair output,
+    orders of magnitude smaller than the corpus.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = edges.localCheckpoint()  # evaluate the (possibly expensive) pair plan once
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
 def exact_dedup_keep_first(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

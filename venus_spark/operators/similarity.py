@@ -110,27 +110,43 @@ def ivf_topk(
     return brute_force_topk(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
-# Random-hyperplane LSH: H pseudo-random ±1 hyperplanes. Weight of
-# hyperplane h at position i (1-based) is +1 iff ((RP_A[h]*i + RP_B[h])
-# mod P31) is even — deterministic, replicated verbatim in the SQL
-# oracle. sign-bits concatenate into a bucket id in [0, 2^H).
+# Random-hyperplane LSH: H pseudo-random ±1 hyperplanes over RP_DIM
+# dimensions. The weight matrix is PRECOMPUTED at import from md5 of the
+# (hyperplane, position) pair — deterministic, engine-independent, and
+# embedded as literal arrays in both the Spark expression and the SQL
+# oracle. An earlier affine-parity construction
+# (parity of (A_h*i + B_h) mod P) was degenerate: hyperplane pairs whose
+# A/B differences are both even have IDENTICAL parity sequences for all
+# i, so the 8 planes collapsed to ~2 effective bits (4 occupied buckets
+# out of 256, measured) and the "bucketed" pair join was quadratic in
+# 500-vector buckets. md5 weights have no such linear structure.
+# sign-bits concatenate into a bucket id in [0, 2^H).
 RP_H = 8
-RP_A = (179426549, 179426323, 179425879, 179425661, 15487469, 15487313, 15487291, 15487177)
-RP_B = (32452867, 49979693, 67867979, 86028157, 104395303, 122949829, 141650963, 160481219)
-_RP_P = 2147483647
+RP_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md)
 
 
-def _rp_weight(h: int, i: Column) -> Column:
-    # 64-bit arithmetic: RP_A * i would overflow int32 under ANSI mode.
-    parity = ((F.lit(RP_A[h]).cast("long") * i + F.lit(RP_B[h])) % _RP_P) % 2
-    return F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _rp_weight_matrix() -> tuple[tuple[float, ...], ...]:
+    import hashlib
+
+    return tuple(
+        tuple(
+            1.0
+            if int(hashlib.md5(f"rp-{h}-{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(1, RP_DIM + 1)
+        )
+        for h in range(RP_H)
+    )
+
+
+RP_W = _rp_weight_matrix()
 
 
 def rp_projection(vec: Column, h: int) -> Column:
     """Signed projection of ``vec`` onto pseudo-random hyperplane ``h`` —
     a left fold over (value × ±1 weight), same order as the oracle."""
-    idx = F.sequence(F.lit(1), F.size(vec))
-    terms = F.zip_with(vec, idx, lambda x, i: x * _rp_weight(h, i))
+    w = F.array(*[F.lit(x) for x in RP_W[h]])
+    terms = F.zip_with(vec, w, lambda x, wi: x * wi)
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -142,6 +158,28 @@ def rp_bucket(vec: Column) -> Column:
     return out
 
 
+def _rp_w_sql(h: int) -> str:
+    return "[" + ", ".join(str(x) for x in RP_W[h]) + "]"
+
+
+def rp_projection_sql(vec: str, h: int) -> str:
+    """DuckDB twin of :func:`rp_projection` — same literal weights, same
+    left-fold order."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"[({vec})[i] * ({_rp_w_sql(h)})[i] FOR i IN RANGE(1, LEN({vec}) + 1)]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def rp_bucket_sql(vec: str) -> str:
+    """DuckDB twin of :func:`rp_bucket`."""
+    return " + ".join(
+        f"(CASE WHEN {rp_projection_sql(vec, h)} >= 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(RP_H)
+    )
+
+
 def rp_lsh_topk(
     df: DataFrame,
     query_id: int,
@@ -149,20 +187,26 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact cosine top-k restricted to the query's
-    sign-random-projection bucket. The bucket id is a pure column
+    """LSH-bucketed ANN with multi-probe: exact cosine top-k restricted
+    to the query's sign-random-projection bucket PLUS the H buckets at
+    hamming distance 1 (the sign most likely to flip for a true neighbor
+    is one borderline projection). The bucket id is a pure column
     expression, so at scale it becomes a *storage partition key* — the
-    probe reads one partition out of 2^H instead of the full table
-    (multi-probe = also scan buckets at hamming distance 1). Recall is
-    traded against the 2^H-fold scan reduction; the exact
-    ``brute_force_topk`` remains the ground-truth baseline."""
+    probe reads H+1 partitions out of 2^H instead of the full table.
+    Membership is one predicate (xor is 0 or a power of two), no probe
+    list to explode. Recall is traded against the ~2^H/(H+1)-fold scan
+    reduction; the exact ``brute_force_topk`` remains the ground-truth
+    baseline."""
     vecs = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", rp_bucket(F.col("v")))
     qrow = vecs.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("q_bucket"), F.col("v").alias("q_vec")
     )
-    in_bucket = vecs.join(F.broadcast(qrow), F.col("bucket") == F.col("q_bucket"))
+    xor = F.col("bucket").bitwiseXOR(F.col("q_bucket"))
+    in_bucket = vecs.join(
+        F.broadcast(qrow), (xor.bitwiseAND(xor - 1)) == 0
+    )
     sim = cosine(F.col("v"), F.col("q_vec"))
     return (
         in_bucket.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))

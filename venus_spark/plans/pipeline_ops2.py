@@ -136,26 +136,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rp_lsh_oracle() -> str:
-    # Mirrors operators/similarity.py rp_bucket: bit h set iff the
-    # signed projection onto pseudo-random +/-1 hyperplane h is >= 0.
-    from venus_spark.operators import similarity as sim
-
-    def proj(vec: str, h: int) -> str:
-        w = (
-            f"CASE WHEN (({sim.RP_A[h]} * i + {sim.RP_B[h]}) % {sim._RP_P}) % 2 = 0 "
-            f"THEN 1.0 ELSE -1.0 END"
-        )
-        return (
-            f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
-            f"[({vec})[i] * {w} FOR i IN RANGE(1, LEN({vec}) + 1)]), "
-            f"(acc, x) -> acc + x)"
-        )
-
-    def bucket(vec: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN {proj(vec, h)} >= 0 THEN {1 << h} ELSE 0 END)"
-            for h in range(sim.RP_H)
-        )
+    # Mirrors operators/similarity.py rp_bucket — the ±1 weight matrix is
+    # a shared module constant with one Spark and one SQL generator.
+    from venus_spark.operators.similarity import rp_bucket_sql as bucket
 
     return f"""
 WITH v AS (
@@ -170,7 +153,8 @@ q AS (
 scored AS (
   SELECT b.vec_id,
          ROUND({cosine_sql('b.v', 'q.qv')}, 6) AS cosine_sim
-  FROM b JOIN q ON b.bucket = q.q_bucket
+  FROM b JOIN q
+    ON (XOR(b.bucket, q.q_bucket) & (XOR(b.bucket, q.q_bucket) - 1)) = 0
 )
 SELECT vec_id, cosine_sim FROM scored
 ORDER BY cosine_sim DESC, vec_id LIMIT {_TOPK}
@@ -180,9 +164,10 @@ ORDER BY cosine_sim DESC, vec_id LIMIT {_TOPK}
 @plan("sim_rp_lsh_topk", oracle=_rp_lsh_oracle())
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: sign-random-projection bucket as the blocking
-    key, exact cosine top-k inside the query's bucket. The bucket id is
-    a deterministic column expression, so at scale it doubles as the
-    storage partition key (scan 1 of 2^H partitions)."""
+    key, exact cosine top-k over the query's bucket plus its H
+    hamming-distance-1 neighbors (multi-probe). The bucket id is a
+    deterministic column expression, so at scale it doubles as the
+    storage partition key (scan H+1 of 2^H partitions)."""
     from venus_spark.operators.similarity import rp_lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

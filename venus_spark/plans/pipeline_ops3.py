@@ -229,23 +229,9 @@ _NEAR_THRESHOLD = 0.35
 
 
 def _rp_bucket_sql(vec: str) -> str:
-    # Generated from the SAME hyperplane constants as similarity.rp_bucket
-    # (RP_A/RP_B/RP_H) — one constant set, two generators.
-    def proj(h: int) -> str:
-        w = (
-            f"CASE WHEN (({sim.RP_A[h]} * i + {sim.RP_B[h]}) % {sim._RP_P}) % 2 = 0 "
-            f"THEN 1.0 ELSE -1.0 END"
-        )
-        return (
-            f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
-            f"[({vec})[i] * {w} FOR i IN RANGE(1, LEN({vec}) + 1)]), "
-            f"(acc, x) -> acc + x)"
-        )
-
-    return " + ".join(
-        f"(CASE WHEN {proj(h)} >= 0 THEN {1 << h} ELSE 0 END)"
-        for h in range(sim.RP_H)
-    )
+    # Generated from the SAME precomputed ±1 weight matrix as
+    # similarity.rp_bucket — one constant set, two generators.
+    return sim.rp_bucket_sql(vec)
 
 
 _NEAR_ORACLE = f"""

@@ -1,0 +1,250 @@
+"""Training-data pipeline plans, part 4: duplicate-cluster resolution,
+repetition-based quality signals, corpus health reporting, and length
+distribution — the curation stages that consume the dedup/quality
+primitives from parts 1-3.
+
+Same discipline as parts 1-3: Spark side is built-in column expressions
+or well-bounded iterative joins; every oracle is generated from the same
+constants as the Spark implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from venus_spark.functions import davg, tokens
+from venus_spark.functions.sqlgen import davg_sql, tokens_sql
+from venus_spark.operators import text as tx
+from venus_spark.plans.pipeline_ops import _minhash_oracle
+from venus_spark.plans.pipeline_ops3 import (
+    _MAX_STOP_RATIO,
+    _MIN_TOKENS,
+    _MIN_TTR,
+)
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+_TOKS = tokens_sql("text")
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup PAIRS -> connected components ->
+# one cluster id per document. The reference's dedup story stops at "find
+# duplicates"; a pipeline must also decide which copy to KEEP, and that
+# requires resolving the pair graph into clusters (A~B, B~C => {A,B,C}
+# even when A~C was never emitted by LSH).
+# --------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle()})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT l.id AS doc_id, l.cluster_id, s.n_members,
+       (l.id = l.cluster_id) AS is_keeper
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+@plan("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs resolved into duplicate clusters by
+    iterative min-label propagation (operators.dedup.connected_components),
+    with the min doc_id as the canonical keeper. The oracle computes the
+    same components via a recursive CTE. The iteration count is bounded by
+    the pair-graph diameter — small by construction for near-dup graphs —
+    and each round is one shuffle join over the (tiny relative to corpus)
+    edge set, never over the documents themselves."""
+    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
+    from venus_spark.plans.pipeline_ops import _JACCARD_T
+
+    pairs = lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "n_members",
+            (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style): duplicate word-3-gram fraction and
+# top-token mass per document. High values flag boilerplate / template /
+# degenerate text that slips past vocabulary-level quality gates.
+# --------------------------------------------------------------------------
+
+# Non-distinct word 3-grams: same construction as functions.shingles but
+# KEEPING duplicates — the duplicate fraction is the signal here.
+_GRAMS = (
+    f"(CASE WHEN LEN({_TOKS}) >= 3 THEN "
+    f"[ARRAY_TO_STRING(({_TOKS})[i:i+2], ' ') FOR i IN RANGE(1, LEN({_TOKS}) - 1)] "
+    f"ELSE [ARRAY_TO_STRING({_TOKS}, ' ')] END)"
+)
+
+_REP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         ROUND(1.0 - LEN(LIST_DISTINCT({_GRAMS})) * 1.0 / LEN({_GRAMS}), 6)
+           AS dup_3gram_frac
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+mass AS (
+  SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_mass
+  FROM cnt GROUP BY doc_id
+)
+SELECT g.doc_id, g.dup_3gram_frac, m.top_token_mass
+FROM grams g JOIN mass m USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _ngrams_keep_dups(col: str, n: int = 3):
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+@plan("quality_repetition", oracle=_REP_ORACLE)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: fraction of duplicate word-3-grams
+    (array exprs, zero shuffle) and the mass of the single most frequent
+    token (explode -> two partially-aggregated groupBys on doc_id — the
+    shape that handles million-token documents, where a per-row quadratic
+    count-each-distinct expression would not). The doc_id join is on a
+    uniform key."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = _ngrams_keep_dups("text")
+    dup = docs.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct(g)) * F.lit(1.0) / F.size(g), 6
+        ).alias("dup_3gram_frac"),
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    mass = cnt.groupBy("doc_id").agg(
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias("top_token_mass")
+    )
+    return dup.join(mass, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Corpus health report: per (source, lang) — volume, mean length, and the
+# share of documents passing the part-3 quality gate. The one-screen
+# rollup a curation run is judged by.
+# --------------------------------------------------------------------------
+
+_PASS_SQL = (
+    f"LEN({_TOKS}) >= {_MIN_TOKENS}"
+    f" AND ROUND(LEN(LIST_DISTINCT({_TOKS})) * 1.0 / LEN({_TOKS}), 6) >= {_MIN_TTR}"
+    f" AND ROUND(LEN(LIST_FILTER({_TOKS},"
+    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * 1.0"
+    f" / LEN({_TOKS}), 6) <= {_MAX_STOP_RATIO}"
+)
+
+_REPORT_ORACLE = f"""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       {davg_sql('n_chars')} AS mean_chars,
+       ROUND(SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS pass_share
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@plan("corpus_report", oracle=_REPORT_ORACLE)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) curation rollup: doc counts, mean char length
+    (decimal-accumulated), and the share passing the quality gate. One
+    scan, one partial-aggregated groupBy on low-cardinality keys — the
+    100 TB shape (the gate predicate is evaluated inline in the scan
+    projection, not via a join against quality_filter output)."""
+    docs = tx.quality_features(load_table(spark, sf_dir, "documents"))
+    passed = (
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("type_token_ratio") >= _MIN_TTR)
+        & (F.col("stopword_ratio") <= _MAX_STOP_RATIO)
+    )
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("n_chars").alias("mean_chars"),
+            F.round(
+                F.sum(F.when(passed, 1).otherwise(0)) * F.lit(1.0) / F.count("*"), 6
+            ).alias("pass_share"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Length histogram: per-lang doc-length distribution in fixed-width
+# buckets — the standard first look at a new corpus drop.
+# --------------------------------------------------------------------------
+
+_BUCKET_WIDTH = 50
+
+_HIST_ORACLE = f"""
+SELECT lang,
+       CAST(FLOOR(n_chars / {_BUCKET_WIDTH}) AS BIGINT) * {_BUCKET_WIDTH}
+         AS bucket_lo,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, bucket_lo
+ORDER BY lang, bucket_lo
+"""
+
+
+@plan("length_histogram", oracle=_HIST_ORACLE)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram per language: fixed-width char buckets with
+    counts and per-bucket extrema. Pure partial-aggregated groupBy on
+    (lang, bucket) — embarrassingly parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.floor(F.col("n_chars") / _BUCKET_WIDTH).cast("long") * _BUCKET_WIDTH
+    ).alias("bucket_lo")
+    return (
+        docs.groupBy("lang", bucket)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket_lo")
+    )

@@ -16,7 +16,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, dsum
@@ -369,9 +369,12 @@ ORDER BY s.s_suppkey
 
 @plan("q15_top_supplier", oracle=_Q15_ORACLE)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: per-supplier revenue, then the max via an unpartitioned
-    window over the *aggregated* (tiny) relation — the scalar-subquery
-    shape without a second scan of lineitem."""
+    """TPC-H Q15: per-supplier revenue, then the scalar max as a one-row
+    aggregate broadcast back onto the revenue relation — no second scan
+    of lineitem and no single-partition window (an unpartitioned window
+    would drag the whole aggregated relation to one task; at SF100k the
+    per-supplier relation is 10M rows, so the broadcast-scalar shape is
+    the one that survives scale-up)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -385,9 +388,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    best = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return (
         best.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
