@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""ZMQ -> landing-directory relay: the non-Spark edge process that
+closes the A1 ingest loop end-to-end.
+
+The reference binds a ZMQ PULL socket and queues 2-frame
+``(level, message)`` multiparts into its micro-batcher
+(``venus/io/__init__.py:78-108``, ``venus/models.py:5-7``). Spark's
+ingest edge is the same shape, split at the process boundary: this
+relay PULL-binds, micro-batches frames with the reference's flush
+policy (size >= max_batch_size OR age >= max_batch_age, mirroring
+``venus/settings.py:36-41``), and atomically lands each batch as a
+JSON-lines file in the directory ``streaming.read_log_stream``
+watches. Queue overflow drops, like the reference's ``put_nowait``
+(``venus/io/__init__.py:97-105``) — backpressure cannot reach an
+application logger.
+
+pyzmq is not installed in the build container, so the socket loop is
+import-gated; ``--stdin`` exercises the identical batching/landing path
+from standard input (one message per line) and is what the tests drive.
+
+Usage:
+    python scripts/zmq_relay.py --landing /tmp/landing --port 5555
+    some-producer | python scripts/zmq_relay.py --landing /tmp/landing --stdin
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import uuid
+
+MAX_BATCH_SIZE = 100  # reference MAX_BATCH_SIZE (venus/settings.py:36-38)
+MAX_BATCH_AGE_SECONDS = 5.0  # reference MAX_BATCH_AGE_SECONDS (:39-41)
+
+
+def frame_to_line(level: bytes, message: bytes) -> str:
+    """One ZMQ multipart -> one landing line.
+
+    The reference treats ``message`` as the JSON log record and
+    ``level`` as transport metadata (``venus/models.py:5-7``); the line
+    we land IS the raw record so Spark's decode-then-validate split
+    (``venus_spark.ingest.parse_records``) sees exactly what the wire
+    carried. Non-UTF8 payloads are preserved via surrogateescape so the
+    quarantine path still receives (and can log) the bad bytes.
+    """
+    del level  # transport metadata; the record itself carries its level
+    return message.decode("utf-8", errors="surrogateescape").rstrip("\n")
+
+
+def land_batch(lines: list[str], landing_dir: str, seq: int) -> str:
+    """Atomically write one micro-batch as a JSON-lines file.
+
+    tmp-write + rename: the Spark file source lists the directory
+    between triggers, so a half-written file must never be visible under
+    its final name. The uuid component keeps relay restarts (seq reset)
+    from colliding with already-landed files."""
+    name = f"batch-{seq:08d}-{uuid.uuid4().hex[:8]}.jsonl"
+    final = os.path.join(landing_dir, name)
+    tmp = os.path.join(landing_dir, f"._tmp-{name}")
+    with open(tmp, "w", encoding="utf-8", errors="surrogateescape") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.rename(tmp, final)
+    return final
+
+
+class MicroBatcher:
+    """The reference's flush policy: emit when size or age trips."""
+
+    def __init__(
+        self,
+        landing_dir: str,
+        max_size: int = MAX_BATCH_SIZE,
+        max_age: float = MAX_BATCH_AGE_SECONDS,
+    ) -> None:
+        self.landing_dir = landing_dir
+        self.max_size = max_size
+        self.max_age = max_age
+        self.buf: list[str] = []
+        self.seq = 0
+        self.oldest: float | None = None
+
+    def add(self, line: str, now: float | None = None) -> str | None:
+        now = time.monotonic() if now is None else now
+        if not self.buf:
+            self.oldest = now
+        self.buf.append(line)
+        if len(self.buf) >= self.max_size:
+            return self.flush()
+        return None
+
+    def due(self, now: float | None = None) -> bool:
+        now = time.monotonic() if now is None else now
+        return bool(self.buf) and (now - (self.oldest or now)) >= self.max_age
+
+    def flush(self) -> str | None:
+        if not self.buf:
+            return None
+        path = land_batch(self.buf, self.landing_dir, self.seq)
+        self.buf = []
+        self.oldest = None
+        self.seq += 1
+        return path
+
+
+def run_stdin(batcher: MicroBatcher) -> None:
+    """Drive the batching/landing path from stdin (no zmq needed)."""
+    for raw in sys.stdin.buffered if hasattr(sys.stdin, "buffered") else sys.stdin:
+        line = raw if isinstance(raw, str) else raw.decode("utf-8", "surrogateescape")
+        batcher.add(line.rstrip("\n"))
+        if batcher.due():
+            batcher.flush()
+    batcher.flush()  # graceful EOF flush (A12)
+
+
+def run_zmq(batcher: MicroBatcher, port: int) -> None:
+    try:
+        import zmq
+    except ImportError:
+        sys.exit(
+            "pyzmq is not installed. Install it on the ingest edge host, or "
+            "use --stdin to exercise the landing path without a socket."
+        )
+
+    ctx = zmq.Context.instance()
+    sock = ctx.socket(zmq.PULL)
+    sock.setsockopt(zmq.LINGER, 1)
+    sock.bind(f"tcp://*:{port:d}")
+    poller = zmq.Poller()
+    poller.register(sock, zmq.POLLIN)
+    print(f"relay: PULL bound on tcp://*:{port}", file=sys.stderr)
+    try:
+        while True:
+            # Poll with a short timeout so the age trigger fires even
+            # when the wire goes quiet (the reference's batch-age timer).
+            if poller.poll(timeout=250):
+                raw = sock.recv_multipart()
+                if len(raw) != 2:
+                    print(f"relay: unexpected multipart {raw!r}", file=sys.stderr)
+                    continue
+                batcher.add(frame_to_line(raw[0], raw[1]))
+            if batcher.due():
+                batcher.flush()
+    except KeyboardInterrupt:
+        batcher.flush()
+    finally:
+        sock.close(1)
+        ctx.term()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--landing", required=True, help="landing directory")
+    ap.add_argument("--port", type=int, default=5555)
+    ap.add_argument("--batch-size", type=int, default=MAX_BATCH_SIZE)
+    ap.add_argument("--batch-age", type=float, default=MAX_BATCH_AGE_SECONDS)
+    ap.add_argument(
+        "--stdin", action="store_true", help="read lines from stdin instead of zmq"
+    )
+    args = ap.parse_args()
+    os.makedirs(args.landing, exist_ok=True)
+    batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
+    if args.stdin:
+        run_stdin(batcher)
+    else:
+        run_zmq(batcher, args.port)
+
+
+if __name__ == "__main__":
+    main()

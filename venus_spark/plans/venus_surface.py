@@ -129,6 +129,26 @@ def correlation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("correlation_lookup_clustered", oracle=_LOOKUP_ORACLE)
+def correlation_lookup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 on the prepared key-clustered layout (prepared.events_by_user:
+    range-partitioned + sorted on the correlation key, so parquet
+    row-group min/max stats prune the point lookup to ~one row group —
+    the b-tree analog of the reference migration's index on the
+    correlation column, :35). Same answer as correlation_lookup, served
+    from layout instead of scan; the oracle is literally the same SQL
+    over the unclustered table."""
+    from venus_spark.prepared import events_by_user
+
+    ev = events_by_user(spark, sf_dir)
+    return ev.filter(F.col("user_id") == 13).select(
+        "event_id",
+        fmt_ts("ts").alias("ts_str"),
+        "event_type",
+        F.col("value").alias("event_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B8/B9 — time-range constraint + NULL test
 # (reference: README.rst:73-74; doc/json_tricks.rst:29,73-81)

@@ -99,7 +99,33 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` re-laid-out for the correlation-key access path: range-
+    partitioned on ``user_id``, sorted ``(user_id, ts)`` within
+    partitions. Parquet row-group min/max statistics then serve a point
+    lookup from ~one row group per touched file instead of a full scan —
+    the storage-layout analog of the reference's b-tree on the
+    correlation column (alembic migration
+    37716151a213_initialise_database.py:35); a lakehouse table format
+    would express the same layout as clustering/Z-ORDER on
+    ``(user_id, ts)``. The partition count is sized for sf0.1; at scale
+    it is a target-file-size calculation, and the sort is the same
+    one-shuffle write-side job."""
+    path = prepared_path(sf_dir, "events_by_user.parquet")
+    if not _is_built(path):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.repartitionByRange(32, "user_id")
+            .sortWithinPartitions("user_id", "ts")
+            .write.parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     """Build every prepared table for ``sf_dir`` (bench warm-up calls this:
     index builds are ingest-time work, not query-time work)."""
     documents_trgm(spark, sf_dir)
+    events_by_user(spark, sf_dir)
