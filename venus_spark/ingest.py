@@ -121,6 +121,7 @@ def parse_records(
     raw: DataFrame,
     raw_col: str = "value",
     schema: T.StructType | None = None,
+    drop_fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Raw JSON-line DataFrame -> parsed rows with an ``_ok`` marker.
 
@@ -128,10 +129,16 @@ def parse_records(
     _raw``. ``_ok = false`` rows (unparseable JSON or missing
     ``created``) are the quarantine set — the reference logs-and-drops
     them (venus/db/write.py:34-36,42-44); we keep the raw line.
+
+    ``drop_fields`` overrides the module-constant DROP_FIELDS — the
+    streaming path passes the *live* value per micro-batch
+    (venus_spark.live_config, the A14 analog), so a config change
+    applies at the next trigger without restarting the query.
     """
     schema = schema or log_record_schema()
+    drop = DROP_FIELDS if drop_fields is None else tuple(drop_fields)
     rec = F.from_json(F.col(raw_col), schema)
-    residual = [f.name for f in schema.fields if f.name not in DROP_FIELDS + ("message", "correlation_id")]
+    residual = [f.name for f in schema.fields if f.name not in drop + ("message", "correlation_id")]
     return (
         raw.withColumn("_rec", rec)
         .select(

@@ -133,6 +133,7 @@ def start_logs_ingest(
     trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
     schema: T.StructType | None = None,
     query_name: str = "logs_ingest",
+    live_config=None,
 ) -> StreamingQuery:
     """Wire source -> parse -> partitioned logs + quarantine sinks.
 
@@ -144,13 +145,25 @@ def start_logs_ingest(
 
     ``trigger_seconds=None`` uses ``availableNow`` — drain everything
     then stop (used by tests; also the batch-backfill mode).
+
+    ``live_config`` (a :class:`venus_spark.live_config.LiveConfig`) is
+    the A14 analog: ``drop_fields`` and logger levels are re-read per
+    micro-batch inside ``foreachBatch``, so a config change applies at
+    the next trigger without restarting the query — the reference reads
+    its Consul-backed settings through callables at exactly the same
+    cadence (``venus/settings.py:44-127``, ``venus/main.py:30-36``).
     """
     logs_dir = os.path.join(sink_dir, "logs")
     quarantine_dir = os.path.join(sink_dir, "quarantine")
     rec_schema = schema or log_record_schema()
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        parsed = parse_records(batch, schema=rec_schema).persist()
+        drop = None
+        if live_config is not None:
+            raw_drop = live_config.get("drop_fields")
+            drop = tuple(raw_drop) if raw_drop is not None else None
+            live_config.apply_log_levels()
+        parsed = parse_records(batch, schema=rec_schema, drop_fields=drop).persist()
         try:
             _write_idempotent(
                 good_records(parsed), logs_dir, batch_id, partition_cols=("date",)
