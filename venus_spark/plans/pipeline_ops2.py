@@ -130,6 +130,42 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query, k=_TOPK, nprobe=_NPROBE)
 
 
+@plan("sim_ivf_topk_prepared", oracle=_ivf_topk_oracle())
+def sim_ivf_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_topk served from the prepared IVF layout
+    (prepared.embeddings_ivf): centroids come from a materialized
+    broadcast-sized table instead of a per-query aggregation over every
+    vector, and the vector table is partitioned by cluster id so the
+    probe semi-join prunes partition *directories* (dynamic partition
+    pruning) — the index-at-write-time shape a 100 TB ANN deployment
+    actually runs. Same oracle as sim_ivf_topk: the layout changes the
+    access path, not the answer."""
+    from venus_spark.operators.similarity import brute_force_topk, cosine
+
+    from venus_spark.prepared import embeddings_ivf
+
+    vecs, cents = embeddings_ivf(spark, sf_dir)
+    qrow = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    # Two-phase like the query-vector fetch above: the probe result is
+    # nprobe rows of a broadcast-sized table, so collecting the cluster
+    # ids and planting them as a literal partition filter gives *static*
+    # directory pruning (PartitionFilters: label IN (...)) — Spark's
+    # dynamic-pruning rule declines this join because of the limit, and
+    # at 100 TB a guaranteed static prune beats hoping for DPP.
+    probed = (
+        cents.select(
+            "cluster",
+            F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
+        )
+        .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
+        .limit(_NPROBE)
+        .collect()
+    )
+    pruned = vecs.filter(F.col("label").isin([r["cluster"] for r in probed]))
+    return brute_force_topk(pruned, query, k=_TOPK)
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH-bucketed ANN (the non-IVF bucketing variant)
 # --------------------------------------------------------------------------

@@ -124,8 +124,33 @@ def events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The IVF index as a *layout*: ``(vectors, centroids)`` where the
+    vector table is written ``partitionBy(cluster id)`` — so the probe's
+    semi-join against the chosen centroids prunes whole partition
+    directories (Spark's dynamic partition pruning), not just row
+    groups — and the centroid table (n_clusters rows, broadcast-sized)
+    is materialized once instead of being re-aggregated from the full
+    vector set per query. Building both is one scan + one shuffle at
+    ingest time; ``sim_ivf_topk`` without this layout pays that
+    centroid aggregation on every search."""
+    vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
+    cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
+    if not (_is_built(vec_path) and _is_built(cent_path)):
+        for p in (vec_path, cent_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        from venus_spark.operators.similarity import centroid_arrays
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb.write.partitionBy("label").parquet(vec_path)
+        centroid_arrays(emb).write.parquet(cent_path)
+    return spark.read.parquet(vec_path), spark.read.parquet(cent_path)
+
+
 def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     """Build every prepared table for ``sf_dir`` (bench warm-up calls this:
     index builds are ingest-time work, not query-time work)."""
     documents_trgm(spark, sf_dir)
     events_by_user(spark, sf_dir)
+    embeddings_ivf(spark, sf_dir)
