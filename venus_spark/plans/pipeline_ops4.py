@@ -13,8 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, tokens
-from venus_spark.functions.sqlgen import davg_sql, tokens_sql
+from venus_spark.functions import davg, shingles, tokens
+from venus_spark.functions.sqlgen import davg_sql, shingles_sql, tokens_sql
 from venus_spark.operators import text as tx
 from venus_spark.plans.pipeline_ops import _minhash_oracle
 from venus_spark.plans.pipeline_ops3 import (
@@ -85,6 +85,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# The shipped corpus: documents minus every non-keeper cluster member —
+# what the dedup stack exists to produce. Anti-join against the (tiny)
+# drop list; the corpus itself is scanned exactly once.
+# --------------------------------------------------------------------------
+
+_KEEP_ORACLE = f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN (
+  {_CLUSTERS_ORACLE}
+) c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.is_keeper
+ORDER BY d.doc_id
+"""
+
+
+@plan("dedup_keep_corpus", oracle=_KEEP_ORACLE)
+def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus a training run actually reads: every
+    document except non-keeper near-dup cluster members (min doc_id per
+    cluster is kept). The drop list is orders of magnitude smaller than
+    the corpus — broadcast anti-join, one corpus scan; all heavy lifting
+    happened in the LSH/cluster stages over the pair graph."""
+    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
+    from venus_spark.plans.pipeline_ops import _JACCARD_T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_dup_pairs(docs, threshold=_JACCARD_T)
+    labels = connected_components(pairs)
+    drop = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
 
@@ -207,6 +247,101 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pass_share"),
         )
         .orderBy("source", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary rarity: mean inverse-document-frequency RATIO per document.
+# The idf family without logarithms on purpose: ln/log10 are not
+# correctly-rounded in every libm, so a last-ulp difference between the
+# JVM and DuckDB could flip the value hash; n_docs/df uses only IEEE
+# division (correctly rounded), keeping the parity discipline.
+# --------------------------------------------------------------------------
+
+_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, {davg_sql('n_docs * 1.0 / df')} AS mean_idf_ratio
+FROM toks JOIN dfreq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@plan("vocab_rarity", oracle=_RARITY_ORACLE)
+def vocab_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary rarity: the mean, over a doc's distinct
+    tokens, of n_docs/document_frequency — high values flag documents
+    built from vocabulary the rest of the corpus doesn't use (OOV-ish /
+    spam / wrong-language leakage). Shapes: one explode, one
+    partially-aggregated groupBy for the df table, one shuffle join back
+    on the token key (zipf-head tokens are the skew risk — AQE skew-join
+    is on; at 100 TB, broadcast the df head and default the tail), one
+    per-doc aggregate. The corpus size joins in as a broadcast one-row
+    aggregate, not a driver constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(davg(F.col("n_docs") * F.lit(1.0) / F.col("df")).alias("mean_idf_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: the share of a document's distinct word-3-grams that
+# occur in NO other document — the complement of boilerplate: near-1.0
+# means original phrasing, near-0.0 means the doc is assembled from
+# corpus-common n-grams.
+# --------------------------------------------------------------------------
+
+_SH = shingles_sql("text")
+
+_NOVELTY_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, UNNEST({_SH}) AS gram FROM documents
+),
+gf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+SELECT g.doc_id,
+       ROUND(SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS novel_3gram_share
+FROM g JOIN gf USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@plan("ngram_novelty", oracle=_NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each doc's distinct word-3-grams that are corpus-unique
+    (document frequency 1). Same explode/agg/join-back shape as
+    vocab_rarity, on the shingle key — shingles are phrase-level, so the
+    df table has no zipf head to speak of (a hot shingle IS duplication,
+    which the dedup stack removes first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(shingles("text")).alias("gram"))
+    gf = g.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        g.join(gf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("novel_3gram_share")
+        )
+        .orderBy("doc_id")
     )
 
 

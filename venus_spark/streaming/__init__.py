@@ -265,3 +265,28 @@ def start_aux_ingest(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dedup_stream(
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+    event_time_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming duplicate suppression: keep the first arrival per key
+    within the watermark horizon.
+
+    This is the stream-side cover for the reference's at-least-once tail
+    (``venus/db/write.py:80-84``): a sender retry or an upstream replay
+    re-delivers a record, and ``dropDuplicatesWithinWatermark`` drops the
+    re-delivery as long as it arrives within ``watermark_delay`` of the
+    original. The watermark bounds the dedup state — exact dedup over an
+    unbounded stream needs unbounded state, so the horizon IS the
+    contract (duplicates farther apart than the delay fall through to
+    the batch `dedup_exact` pass, the standard lambda split). State is
+    hash-partitioned by key — uniform ids, no skew; scales with the
+    number of DISTINCT keys inside one horizon, not with stream length.
+    """
+    return source.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
