@@ -163,11 +163,15 @@ ORDER BY doc_id
 
 
 def _ngrams_keep_dups(col: str, n: int = 3):
+    # Same zipped-slices construction as functions.shingles (see its
+    # docstring for why), minus the distinct.
     t = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    cnt = F.size(t) - (n - 1)
+    grams = F.slice(t, 1, cnt)
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(t, k, cnt), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     return F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
 
 
@@ -180,11 +184,18 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-each-distinct expression would not). The doc_id join is on a
     uniform key."""
     docs = load_table(spark, sf_dir, "documents")
-    g = _ngrams_keep_dups("text")
-    dup = docs.select(
+    # Two branches joined on doc_id, deliberately: folding the dup
+    # fraction into the explode pipeline looks join-free but makes
+    # Catalyst push the O(tokens) gram expression BELOW the Generate,
+    # recomputing it once per exploded token instead of once per doc
+    # (measured ~2x slower end-to-end at sf0.1). The join key is the
+    # uniform doc id. The gram array is materialized once per row —
+    # inlining it into both size() calls builds it twice (no CSE
+    # across the conditional).
+    dup = docs.select("doc_id", _ngrams_keep_dups("text").alias("g")).select(
         "doc_id",
         F.round(
-            1.0 - F.size(F.array_distinct(g)) * F.lit(1.0) / F.size(g), 6
+            1.0 - F.size(F.array_distinct("g")) * F.lit(1.0) / F.size("g"), 6
         ).alias("dup_3gram_frac"),
     )
     cnt = (
