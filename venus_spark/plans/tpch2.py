@@ -497,6 +497,42 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("q18_colocated", oracle=_Q18_ORACLE)
+def q18_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over the co-bucketed layout (prepared.bucketed_sales):
+    lineitem and orders are both bucketed+sorted on the order key, so
+    the per-order aggregation AND the orders join consume the storage
+    distribution — no exchange of either fact table in the physical
+    plan (the .explain has zero Exchange below the final ordering; the
+    unbucketed twin shuffles lineitem once and orders once). Identical
+    oracle to q18_large_orders: layout changes the plan, not the
+    answer."""
+    from venus_spark.prepared import bucketed_sales
+
+    li_name, ord_name = bucketed_sales(spark, sf_dir)
+    li, orders = spark.table(li_name), spark.table(ord_name)
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 # Q19 — discounted revenue (disjunctive brand/size/quantity predicates)
 # --------------------------------------------------------------------------

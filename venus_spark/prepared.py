@@ -148,9 +148,56 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return spark.read.parquet(vec_path), spark.read.parquet(cent_path)
 
 
+N_BUCKETS = 32
+
+
+def bucketed_sales(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """``(lineitem, orders)`` co-bucketed on the order key: both tables
+    written ``bucketBy(N_BUCKETS, orderkey).sortBy(orderkey)`` — the
+    Spark expression of co-located storage. A join or groupBy on the
+    bucket key then needs NO exchange: each task reads bucket i of both
+    sides, already hash-distributed and sorted. At 100 TB this is the
+    difference between shuffling the fact table per query and never
+    shuffling it at all; the bucket count is sized per-SF here, by
+    target file size in production.
+
+    Bucket METADATA lives in the session catalog (this container has no
+    persistent metastore — production parks the table spec in one), so
+    an unknown table is (re)built into ``spark.sql.warehouse.dir``; one
+    shuffle each at ingest time, exactly like the other prepared
+    artifacts."""
+    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    names = (f"lineitem_bkt_{sfx}", f"orders_bkt_{sfx}")
+    for name, table, key in (
+        (names[0], "lineitem", "l_orderkey"),
+        (names[1], "orders", "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            # A fresh process has an empty in-memory catalog while the
+            # warehouse directory persists; saveAsTable refuses to adopt
+            # an orphaned location, so clear it and rebuild (bucket
+            # metadata cannot outlive the catalog entry without a real
+            # metastore).
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
+            )
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            (
+                load_table(spark, sf_dir, table)
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    return names
+
+
 def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     """Build every prepared table for ``sf_dir`` (bench warm-up calls this:
     index builds are ingest-time work, not query-time work)."""
     documents_trgm(spark, sf_dir)
     events_by_user(spark, sf_dir)
     embeddings_ivf(spark, sf_dir)
+    bucketed_sales(spark, sf_dir)

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Bucketed (co-located) tables land here — see prepared.bucketed_sales.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".prepared", "warehouse"),
+        )
         # Parquet naive timestamps (the testdata) read as TIMESTAMP_NTZ so
         # no session-tz reinterpretation happens between engines.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
