@@ -45,10 +45,18 @@ def fmt_ts(col: Column | str, micros: bool = True) -> Column:
     return F.date_format(c, pattern)
 
 
+# Explicit ASCII whitespace class instead of \s: Java regex \s includes
+# \x0B (vertical tab), RE2 (DuckDB) \s does not — on text containing a
+# vertical tab the two engines would tokenize differently. The explicit
+# class is Java's exact \s set, spelled so both engines agree. (Same
+# discipline as the BPE tokenizer's explicit class, pipeline_ops.py.)
+WHITESPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization -> array<string> without empty tokens."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+    return F.filter(F.split(c, WHITESPACE_CLASS + "+"), lambda x: x != F.lit(""))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -56,7 +64,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     unit for MinHash/SimHash near-dup. Word n-grams are discriminative
     where unigram token sets are not: two documents sharing vocabulary
     but not phrasing have near-zero shingle overlap. Documents shorter
-    than ``n`` tokens contribute one whole-text shingle.
+    than ``n`` tokens contribute one whole-text shingle; a document with
+    NO tokens contributes none (an empty array — the whole-text branch
+    would render it as Spark ``['']`` vs DuckDB ``[NULL]``, the one
+    place the engines disagree, caught by tests/test_text_parity_fuzz).
 
     Built by zipping n position-shifted slices of the token array
     (n-1 zip_with passes, O(tokens) total) rather than slicing a
@@ -71,7 +82,9 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             grams, F.slice(t, k, cnt), lambda x, y: F.concat(x, F.lit(" "), y)
         )
     return F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
+        F.when(F.size(t) >= n, grams)
+        .when(F.size(t) > 0, F.array(F.concat_ws(" ", t)))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 

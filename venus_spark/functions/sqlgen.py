@@ -5,7 +5,7 @@ expression has exactly one Spark form and one SQL form, defined together.
 
 from __future__ import annotations
 
-from venus_spark.functions import DECIMAL_ACC, HASH_P31
+from venus_spark.functions import DECIMAL_ACC, HASH_P31, WHITESPACE_CLASS
 
 
 def dsum_sql(expr: str) -> str:
@@ -22,16 +22,24 @@ def fmt_ts_sql(expr: str, micros: bool = True) -> str:
 
 
 def tokens_sql(expr: str) -> str:
-    return f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY({expr}, '\\s+'), t -> t <> '')"
+    # WHITESPACE_CLASS, not \s: RE2's \s lacks \x0B while Java's has it
+    # (see functions/__init__.py).
+    return (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY({expr}, "
+        f"'{WHITESPACE_CLASS}+'), t -> t <> '')"
+    )
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:
+    # Empty-token docs get an EMPTY shingle list (the whole-text branch
+    # would render Spark [''] vs DuckDB [NULL] — see functions.shingles).
     t = tokens_sql(expr)
     return (
         f"(CASE WHEN LEN({t}) >= {n} THEN "
         f"LIST_DISTINCT([ARRAY_TO_STRING(({t})[i:i+{n - 1}], ' ') "
         f"FOR i IN RANGE(1, LEN({t}) - {n - 2})]) "
-        f"ELSE [ARRAY_TO_STRING({t}, ' ')] END)"
+        f"WHEN LEN({t}) > 0 THEN [ARRAY_TO_STRING({t}, ' ')] "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
     )
 
 

@@ -93,8 +93,15 @@ def predicted_lang_col() -> Column:
 
 def fingerprint_col(text_col: str = "text") -> Column:
     """Canonical document fingerprint: lowercase, collapse whitespace,
-    md5. The exact-dedup key."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    md5. The exact-dedup key. Explicit whitespace class for Java/RE2
+    parity (functions.WHITESPACE_CLASS)."""
+    from venus_spark.functions import WHITESPACE_CLASS
+
+    return F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), WHITESPACE_CLASS + "+", " ")
+        )
+    )
 
 
 def char_trigrams(text_col: str = "text") -> Column:

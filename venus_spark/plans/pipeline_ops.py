@@ -37,7 +37,9 @@ _TTR = f"ROUND({_N_DISTINCT} * 1.0 / {_N_TOKENS}, 6)"
 _STOP_RATIO = f"ROUND({_N_STOP} * 1.0 / {_N_TOKENS}, 6)"
 _MEAN_LEN = f"ROUND({_TOTAL_LEN} * 1.0 / {_N_TOKENS}, 6)"
 
-_FINGERPRINT = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
+from venus_spark.functions import WHITESPACE_CLASS as _WS
+
+_FINGERPRINT = f"MD5(TRIM(REGEXP_REPLACE(LOWER(text), '{_WS}+', ' ', 'g')))"
 
 
 def _lang_hits_sql(markers: tuple[str, ...]) -> str:
