@@ -394,3 +394,99 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket_lo")
     )
+
+
+# --------------------------------------------------------------------------
+# The full curation funnel in one plan: quality gate AND not a near-dup
+# cluster drop AND not benchmark-contaminated — the query that produces
+# the training set. Each stage reuses the exact constants of its
+# standalone plan, so this composition cannot drift from the parts.
+# --------------------------------------------------------------------------
+
+def _curated_oracle() -> str:
+    from venus_spark.plans.pipeline_ops3 import _BENCH_MAX_ID, _DECON_N
+
+    decon_sh = shingles_sql("text", _DECON_N)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle()})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+dup_drop AS (
+  SELECT id FROM (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+  WHERE id <> cluster_id
+),
+bench AS (
+  SELECT DISTINCT UNNEST({decon_sh}) AS g
+  FROM documents WHERE doc_id < {_BENCH_MAX_ID}
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, UNNEST({decon_sh}) AS g
+        FROM documents WHERE doc_id >= {_BENCH_MAX_ID}) c
+  JOIN bench USING (g)
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id >= {_BENCH_MAX_ID}
+  AND {_PASS_SQL}
+  AND doc_id NOT IN (SELECT id FROM dup_drop)
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+@plan("curated_corpus", oracle=_curated_oracle())
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training set: corpus documents (the benchmark split excluded)
+    that pass the quality gate, are not near-dup cluster drops, and
+    share no {n}-gram with the benchmark set. One corpus scan carries
+    the quality predicate; the two exclusion lists are orders of
+    magnitude smaller than the corpus and anti-join broadcast — the
+    funnel shape a production curation run has, with every stage's
+    constants imported from its standalone plan."""
+    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
+    from venus_spark.plans.pipeline_ops import _JACCARD_T
+    from venus_spark.plans.pipeline_ops3 import _BENCH_MAX_ID, _DECON_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+
+    labels = connected_components(lsh_near_dup_pairs(docs, threshold=_JACCARD_T))
+    dup_drop = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+
+    bench_grams = (
+        docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode(shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        corpus.select("doc_id", F.explode(shingles("text", _DECON_N)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+
+    gated = tx.quality_features(corpus).filter(
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("type_token_ratio") >= _MIN_TTR)
+        & (F.col("stopword_ratio") <= _MAX_STOP_RATIO)
+    )
+    return (
+        gated.join(F.broadcast(dup_drop), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
