@@ -101,3 +101,49 @@ def test_bucketed_sales_rebuilds_from_orphaned_location(spark, tmp_path):
     assert li_name2 == li_name
     assert spark.table(li_name).count() == rows
     assert not os.path.exists(os.path.join(loc, "stale-part"))
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """The packing window must partition by shard — a global-sort
+    window here is the 100 TB scale-killer the docstring rules out."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["pack_sequences"].fn(spark, SF))
+    # The pre-window exchange must hash on shard, never SinglePartition.
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(shard#\d+", plan), plan[:2000]
+
+
+def test_mixture_sample_rate_table_is_broadcast(spark):
+    """The 20-row rate table must join the corpus scan as a broadcast;
+    a shuffled join would move the corpus for a constant-size dim."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["mixture_sample"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_counts_is_top_k_not_global_sort(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a full sort of the pair-frequency table."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["bpe_pair_counts"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_quantize_codes_within_int8_range(spark):
+    """Symmetric scale = max|x|/127 guarantees codes in [-127, 127];
+    assert the invariant on real vectors (the persisted int8 column
+    depends on it)."""
+    from venus_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    codes = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
+    out_of_range = emb.select(
+        F.size(F.filter(codes, lambda c: (c > 127) | (c < -127))).alias("bad")
+    ).agg(F.sum("bad")).first()[0]
+    assert out_of_range == 0

@@ -1,0 +1,303 @@
+"""Training-data pipeline plans, part 5: mixture rebalancing, sequence
+packing, tokenizer-training primitives, and embedding quantization — the
+stages between "curated corpus" and "tokens on the trainer".
+
+Same discipline as parts 1-4: Spark side is built-in column expressions
+(whole-stage codegen, no Python in the data path); every oracle is
+generated from the same constants as the Spark implementation. All
+parity-sensitive arithmetic is integer (counts, hash buckets, integer
+division) or the established double/decimal forms from
+:mod:`venus_spark.functions`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import token_hash31, tokens
+from venus_spark.functions.sqlgen import token_hash31_sql, tokens_sql
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+_TOKS = tokens_sql("text")
+
+# --------------------------------------------------------------------------
+# Data-mixture rebalancing: derive per-source keep rates FROM the corpus
+# (rebalance toward a uniform source mixture under a global budget),
+# then apply them with the deterministic doc hash. Differs from
+# stratified_sample (pipeline_ops3), whose rates are fixed constants:
+# here the rates are data-dependent, the two-phase shape a mixture tool
+# actually has. All rate arithmetic is BIGINT (permille, integer
+# division) so both engines derive bit-identical rates.
+# --------------------------------------------------------------------------
+
+# Global budget as permille of the corpus, split evenly across sources.
+_MIX_BUDGET_PERMILLE = 300
+_MIX_HASH = "'mix-' || CAST(doc_id AS VARCHAR)"
+
+_MIXTURE_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+),
+totals AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS n_sources FROM counts
+),
+rates AS (
+  -- CAST: SUM() yields HUGEINT in DuckDB, which pandas renders float64
+  SELECT source,
+         CAST(LEAST(1000, (total * {_MIX_BUDGET_PERMILLE})
+                          // (n_sources * cnt)) AS BIGINT)
+           AS keep_permille
+  FROM counts, totals
+)
+SELECT d.doc_id, d.source, r.keep_permille
+FROM documents d
+JOIN rates r USING (source)
+WHERE {token_hash31_sql(_MIX_HASH)} % 1000 < r.keep_permille
+ORDER BY d.doc_id
+"""
+
+
+@plan("mixture_sample", oracle=_MIXTURE_ORACLE)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a uniform source mixture under a
+    global token budget: per-source quota = budget / n_sources, keep
+    rate = min(1, quota / source_count), applied as the deterministic
+    ``hash(doc_id) % 1000 < rate`` filter. Phase 1 is one tiny groupBy
+    (one row per source); phase 2 broadcasts the 20-row rate table back
+    onto the corpus scan — no second shuffle, no rand(), reproducible
+    across engines and retries. At 100 TB the rate table is still 20
+    rows; the corpus is still scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr(f"(total * {_MIX_BUDGET_PERMILLE}) div (n_sources * cnt)"),
+        ).alias("keep_permille"),
+    )
+    h = token_hash31(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter((h % 1000) < F.col("keep_permille"))
+        .select("doc_id", "source", "keep_permille")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-size training sequences by
+# cumulative token count, per shard. The shard key is the scale unit —
+# the window function partitions by shard, so no global sort ever
+# happens; shards are independent and the layout is reproducible.
+# --------------------------------------------------------------------------
+
+_PACK_SEQ_TOKENS = 2048
+_PACK_SHARDS = 16
+_SHARD_HASH = "'shard-' || CAST(doc_id AS VARCHAR)"
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id,
+         {token_hash31_sql(_SHARD_HASH)} % {_PACK_SHARDS} AS shard,
+         LEN({_TOKS}) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM sized
+)
+SELECT shard,
+       CAST((cum - n_tokens) // {_PACK_SEQ_TOKENS} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_started,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+"""
+
+
+@plan("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: hash documents into {_PACK_SHARDS}
+    shards, order deterministically within each shard, and chop the
+    concatenated token stream into {_PACK_SEQ_TOKENS}-token training
+    sequences (a document starts in sequence ``floor(preceding_tokens /
+    seq_len)``). The manifest reports docs-per-sequence and token fill.
+    The window partitions BY SHARD — the single-partition global-sort
+    trap does not exist here; 100 TB is just more shards, each an
+    independent sorted run (in production the shard count rises with
+    the cluster, the per-shard work is unchanged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        token_hash31(F.concat(F.lit("shard-"), F.col("doc_id").cast("string")))
+        % _PACK_SHARDS
+    )
+    sized = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        placed.groupBy(
+            "shard",
+            F.expr(f"(cum - n_tokens) div {_PACK_SEQ_TOKENS}").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tok_started"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer training, step zero: corpus-wide adjacent-pair frequencies
+# (the statistic the first BPE merge maximizes). Raw multiplicity, not
+# per-doc distinct — a merge cares how often the pair occurs, not in
+# how many documents.
+# --------------------------------------------------------------------------
+
+_BPE_TOP_K = 20
+
+# Non-distinct adjacent bigrams of the token array (empty for <2 tokens).
+_BIGRAMS_SQL = (
+    f"[({_TOKS})[i] || ' ' || ({_TOKS})[i+1] "
+    f"FOR i IN RANGE(1, LEN({_TOKS}))]"
+)
+
+_BPE_ORACLE = f"""
+SELECT g AS pair, COUNT(*) AS n_occurrences
+FROM (SELECT UNNEST({_BIGRAMS_SQL}) AS g FROM documents)
+GROUP BY g
+ORDER BY n_occurrences DESC, pair
+LIMIT {_BPE_TOP_K}
+"""
+
+
+@plan("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration's candidate table: corpus-wide
+    adjacent token-pair occurrence counts, top {_BPE_TOP_K} with a
+    deterministic (count DESC, pair) tie-break. One scan, the bigram
+    build is two array slices zipped (O(tokens), codegen), then
+    explode -> partial-aggregating groupBy -> TakeOrderedAndProject.
+    The full merge loop re-runs this statistic per iteration; each
+    iteration is this same shuffle-light shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization: symmetric per-vector int8 — the storage/
+# bandwidth lever for vector corpora at 100 TB scale. Codes are exact
+# integers (parity-trivial); the reconstruction-error audit uses the
+# same explicit floor(x + 0.5) rounding in both engines.
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = f"""
+WITH prepared AS (
+  SELECT label,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT label, v,
+         LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127 AS scale
+  FROM prepared
+),
+coded AS (
+  SELECT label, scale,
+         LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5)) AS codes,
+         LIST_MAX(
+           LIST_ZIP(v, LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5)))
+             .apply(p -> ABS(CAST(p[2] AS DOUBLE) * scale
+                             - CAST(p[1] AS DOUBLE)))
+         ) AS max_err
+  FROM scaled
+  WHERE scale > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(LIST_REDUCE(codes, (a, b) -> a + b) AS BIGINT))
+            AS BIGINT) AS code_sum_total,
+       ROUND(MAX(max_err), 9) AS max_abs_err
+FROM coded
+GROUP BY label
+ORDER BY label
+"""
+
+
+@plan("embedding_quantize", oracle=_QUANT_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale = max|x|/127,
+    code = floor(x/scale + 0.5) (explicit floor rounding — identical in
+    both engines, unlike engine-native round()), reporting per label the
+    integer code checksum and the max absolute reconstruction error.
+    All math is higher-order array functions over one scan; the groupBy
+    key (label) is 64-ary — partial-agg, no data movement beyond the
+    final tiny exchange. At scale the codes column (4x smaller than
+    float32, 8x than float64) is what you'd persist; this plan is the
+    write-time audit that the error bound holds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prepared = emb.select("label", v.alias("v"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    scaled = prepared.select("label", "v", scale.alias("scale"))
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            codes,
+            lambda x, c: F.abs(c.cast("double") * F.col("scale") - x),
+        )
+    )
+    coded = scaled.filter(F.col("scale") > 0).select(
+        "label",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "code_sum"
+        ),
+        max_err.alias("max_err"),
+    )
+    return (
+        coded.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("code_sum").alias("code_sum_total"),
+            F.round(F.max("max_err"), 9).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
