@@ -86,3 +86,30 @@ def test_fingerprints_agree(frames):
     sp, du = frames
     for s, d in zip(sp, du):
         assert s["fp"] == d[3], f"doc {s['doc_id']}"
+
+def test_bigram_pairs_agree(spark):
+    """The non-distinct adjacent-bigram expression (bpe_pair_counts) is
+    written twice — Spark zip_with and a DuckDB list comprehension —
+    so fuzz it on the same adversarial corpus. Order matters here
+    (pairs are positional), so compare lists, not sets."""
+    import duckdb as _duck
+
+    from venus_spark.functions import bigram_pairs
+    from venus_spark.functions.sqlgen import bigram_pairs_sql
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL)], "doc_id long, text string"
+    )
+    sp = (
+        df.select("doc_id", bigram_pairs("text").alias("p"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = _duck.connect()
+    con.register("documents_py", df.toPandas())
+    du = con.sql(
+        f"SELECT doc_id, {bigram_pairs_sql('text')} AS p "
+        "FROM documents_py ORDER BY doc_id"
+    ).fetchall()
+    for s, d in zip(sp, du):
+        assert s["p"] == list(d[1]), f"doc {s['doc_id']}: {s['p']} != {d[1]}"

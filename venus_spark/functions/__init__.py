@@ -88,6 +88,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def bigram_pairs(col: Column | str) -> Column:
+    """Non-distinct adjacent token bigrams, in position order — the
+    pair-frequency unit for BPE-merge statistics (multiplicity matters,
+    unlike the distinct Broder shingles). Empty for 0/1-token input:
+    greatest(…, 0) because slice() rejects negative lengths."""
+    t = tokens(col)
+    n_pairs = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, n_pairs),
+        F.slice(t, 2, n_pairs),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+
+
 def token_hash31(col: Column | str) -> Column:
     """Deterministic 31-bit hash of a string, identical in DuckDB.
 

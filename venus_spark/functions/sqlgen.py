@@ -43,6 +43,12 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def bigram_pairs_sql(expr: str) -> str:
+    # RANGE(1, n) is empty when n <= 1, so 0/1-token input yields [].
+    t = tokens_sql(expr)
+    return f"[({t})[i] || ' ' || ({t})[i+1] FOR i IN RANGE(1, LEN({t}))]"
+
+
 def token_hash31_sql(expr: str) -> str:
     return (
         f"(CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT) % {HASH_P31})"

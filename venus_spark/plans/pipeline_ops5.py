@@ -15,8 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import token_hash31, tokens
-from venus_spark.functions.sqlgen import token_hash31_sql, tokens_sql
+from venus_spark.functions import bigram_pairs, token_hash31, tokens
+from venus_spark.functions.sqlgen import (
+    bigram_pairs_sql,
+    token_hash31_sql,
+    tokens_sql,
+)
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -179,15 +183,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_TOP_K = 20
 
-# Non-distinct adjacent bigrams of the token array (empty for <2 tokens).
-_BIGRAMS_SQL = (
-    f"[({_TOKS})[i] || ' ' || ({_TOKS})[i+1] "
-    f"FOR i IN RANGE(1, LEN({_TOKS}))]"
-)
-
 _BPE_ORACLE = f"""
 SELECT g AS pair, COUNT(*) AS n_occurrences
-FROM (SELECT UNNEST({_BIGRAMS_SQL}) AS g FROM documents)
+FROM (SELECT UNNEST({bigram_pairs_sql("text")}) AS g FROM documents)
 GROUP BY g
 ORDER BY n_occurrences DESC, pair
 LIMIT {_BPE_TOP_K}
@@ -204,14 +202,8 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full merge loop re-runs this statistic per iteration; each
     iteration is this same shuffle-light shape."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    pairs = F.zip_with(
-        F.slice(t, 1, F.size(t) - 1),
-        F.slice(t, 2, F.size(t) - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        docs.select(F.explode(bigram_pairs("text")).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "pair")
@@ -300,4 +292,169 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_err"), 9).alias("max_abs_err"),
         )
         .orderBy("label")
+    )
+
+# --------------------------------------------------------------------------
+# Quantization recall audit: does int8 change retrieval answers? Exact
+# float top-k vs top-k over dequantized vectors, reported as integer
+# recall permille — the accept/reject gate for shipping the quantized
+# index. Composes embedding_quantize's code math with sim_cosine_topk's
+# retrieval shape; all constants shared with those plans.
+# --------------------------------------------------------------------------
+
+_QR_K = 10
+_QR_QUERY_ID = 0
+_VDBL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _quant_recall_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql
+
+    return f"""
+WITH q AS (
+  SELECT {_VDBL.format('embedding')} AS qv FROM embeddings
+  WHERE vec_id = {_QR_QUERY_ID}
+),
+v AS (
+  SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127 AS scale
+  FROM v
+),
+dq AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5) * scale) AS vq
+  FROM s WHERE scale > 0
+),
+exact AS (
+  SELECT vec_id FROM v CROSS JOIN q
+  ORDER BY ROUND({cosine_sql('v', 'qv')}, 6) DESC, vec_id LIMIT {_QR_K}
+),
+quant AS (
+  SELECT vec_id FROM dq CROSS JOIN q
+  ORDER BY ROUND({cosine_sql('vq', 'qv')}, 6) DESC, vec_id LIMIT {_QR_K}
+)
+SELECT CAST({_QR_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN quant USING (vec_id)) AS BIGINT)
+         AS n_common,
+       CAST(((SELECT COUNT(*) FROM exact JOIN quant USING (vec_id)) * 1000)
+            // {_QR_K} AS BIGINT) AS recall_permille
+"""
+
+
+@plan("quant_recall_topk", oracle=_quant_recall_oracle())
+def quant_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized retrieval against the exact float
+    baseline for the canonical query vector: quantize (same floor(x/
+    scale + 0.5) codes as embedding_quantize), dequantize, rank by
+    cosine with the sim_cosine_topk tie-break (sim DESC, vec_id), and
+    intersect the two k-sets. Two TakeOrderedAndProject scans plus a
+    k-row join — nothing driver-side but the one query-vector lookup;
+    at scale this audit runs per shard on a sample of queries, same
+    shape."""
+    from venus_spark.functions import cosine
+    from venus_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _QR_QUERY_ID).select("embedding").first()
+    )
+    q = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+
+    v = as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    vq = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)) * scale)
+
+    exact = (
+        emb.select("vec_id", F.round(cosine(v, q), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_QR_K)
+        .select("vec_id")
+    )
+    quant = (
+        emb.filter(scale > 0)
+        .select("vec_id", F.round(cosine(vq, q), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_QR_K)
+        .select("vec_id")
+    )
+    return exact.join(quant, "vec_id").agg(
+        F.lit(_QR_K).cast("long").alias("k"),
+        F.count("*").alias("n_common"),
+        F.expr(f"(count(*) * 1000) div {_QR_K}").alias("recall_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH bucket purity: how well the RP-LSH buckets align with labels — the
+# diagnostic that decides whether the bucket key is a usable blocking /
+# storage-partition key. Integer shares only; window partitions by
+# bucket (bounded cardinality 2^RP_H), never a global sort.
+# --------------------------------------------------------------------------
+
+
+def _bucket_purity_oracle() -> str:
+    from venus_spark.operators.similarity import rp_bucket_sql
+
+    b = rp_bucket_sql(_VDBL.format("embedding"))
+    return f"""
+WITH b AS (
+  SELECT CAST({b} AS BIGINT) AS bucket, label FROM embeddings
+),
+cnt AS (SELECT bucket, label, COUNT(*) AS c FROM b GROUP BY bucket, label),
+ranked AS (
+  SELECT bucket, label, c,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn,
+         SUM(c) OVER (PARTITION BY bucket) AS n_vecs,
+         COUNT(*) OVER (PARTITION BY bucket) AS n_labels
+  FROM cnt
+)
+SELECT bucket,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       label AS top_label,
+       CAST((c * 1000) // n_vecs AS BIGINT) AS top_share_permille
+FROM ranked WHERE rn = 1
+ORDER BY bucket
+"""
+
+
+@plan("lsh_bucket_purity", oracle=_bucket_purity_oracle())
+def lsh_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-RP-LSH-bucket label mixture: size, distinct labels, dominant
+    label and its integer permille share. The aggregation runs on the
+    (bucket,label) pair table — already tiny after the first partial
+    agg — and every window partitions by bucket, so the plan scales as
+    one corpus scan regardless of corpus size."""
+    from venus_spark.operators.similarity import as_double, rp_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        rp_bucket(as_double(F.col("embedding"))).cast("long").alias("bucket"),
+        "label",
+    )
+    cnt = pairs.groupBy("bucket", "label").agg(F.count("*").alias("c"))
+    wb = Window.partitionBy("bucket")
+    ranked = cnt.select(
+        "bucket",
+        "label",
+        "c",
+        F.row_number()
+        .over(wb.orderBy(F.desc("c"), "label"))
+        .alias("rn"),
+        F.sum("c").over(wb).alias("n_vecs"),
+        F.count("*").over(wb).alias("n_labels"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            "n_vecs",
+            "n_labels",
+            F.col("label").alias("top_label"),
+            F.expr("(c * 1000) div n_vecs").alias("top_share_permille"),
+        )
+        .orderBy("bucket")
     )
