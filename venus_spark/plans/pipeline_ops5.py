@@ -363,18 +363,30 @@ def quant_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
 
-    v = as_double(F.col("embedding"))
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
-    vq = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)) * scale)
+    # Hoist v and scale into projections: referencing the scale
+    # EXPRESSION inside the dequantize lambda would inline the whole
+    # array_max fold per element — O(dim^2) per row instead of O(dim).
+    prepared = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    scaled = prepared.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    vq = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
 
     exact = (
-        emb.select("vec_id", F.round(cosine(v, q), 6).alias("sim"))
+        prepared.select("vec_id", F.round(cosine(F.col("v"), q), 6).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(_QR_K)
         .select("vec_id")
     )
     quant = (
-        emb.filter(scale > 0)
+        scaled.filter(F.col("scale") > 0)
         .select("vec_id", F.round(cosine(vq, q), 6).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(_QR_K)
