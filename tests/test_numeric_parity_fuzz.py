@@ -1,0 +1,114 @@
+"""Cross-engine parity fuzz for the NUMERIC primitives the similarity
+and hashing plans are built on: token_hash31 (md5-prefix bucket hash)
+and the dot/cosine left-folds must produce IDENTICAL values in Spark
+and DuckDB — the folds bit-for-bit (same accumulation order), the hash
+exactly — on seeded random input far denser than the curated corpus.
+
+One Spark job per family (seeded numpy batch), not one per example:
+the JVM round-trip dominates, and a deterministic batch gives the same
+coverage as example-at-a-time property testing here.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+N_STRINGS = 300
+N_VECTORS = 150
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(20260813)
+
+
+def _random_strings(rng) -> list[str]:
+    # Mixed alphabets, whitespace runs, metacharacters, empties — plus
+    # fully random codepoints from the BMP (surrogates excluded).
+    alphabet = list("abcXYZ019 \t\n\r\x0b.*|[]()^$\\éü東京… ")
+    out = []
+    for i in range(N_STRINGS):
+        n = int(rng.randint(0, 40))
+        out.append("".join(rng.choice(alphabet) for _ in range(n)))
+    for i in range(50):
+        cps = rng.randint(32, 0xD7FF, size=int(rng.randint(1, 20)))
+        out.append("".join(chr(c) for c in cps))
+    return out
+
+
+def _random_vectors(rng) -> list[list[float]]:
+    # float32-representable doubles (the embeddings column is float[]),
+    # including subnormal-ish tiny values, exact zeros, and big spreads.
+    vecs = rng.standard_normal((N_VECTORS, DIM)).astype(np.float32)
+    vecs[0] = 0.0  # all-zero vector (cosine denominator edge)
+    vecs[1, ::2] = 0.0
+    vecs[2] *= 1e-30
+    vecs[3] *= 1e30
+    return [[float(x) for x in row] for row in vecs]
+
+
+def test_token_hash31_agrees_on_random_strings(spark, rng):
+    from venus_spark.functions import token_hash31
+    from venus_spark.functions.sqlgen import token_hash31_sql
+
+    strs = _random_strings(rng)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "id long, s string"
+    )
+    sp = df.select("id", token_hash31(F.col("s")).alias("h")).orderBy("id").collect()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(strs)), "s": strs}))
+    du = con.sql(f"SELECT id, {token_hash31_sql('s')} AS h FROM t ORDER BY id").fetchall()
+    for s, d in zip(sp, du):
+        assert s["h"] == d[1], f"id {s['id']}: {strs[s['id']]!r}"
+
+
+def test_dot_and_cosine_folds_agree_bitwise(spark, rng):
+    """The Spark F.aggregate fold and DuckDB LIST_REDUCE fold must be
+    the same double value BIT-FOR-BIT (no rounding allowance): both
+    sides promise identical accumulation order."""
+    from venus_spark.functions import cosine, dot
+    from venus_spark.functions.sqlgen import cosine_sql, dot_sql, double_array_sql
+
+    vecs = _random_vectors(rng)
+    q = vecs[10]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    qcol = F.array(*[F.lit(x).cast("double") for x in q])
+    sp = (
+        df.select(
+            "id",
+            dot(F.col("v"), qcol).alias("d"),
+            cosine(F.col("v"), qcol).alias("c"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(vecs)), "v": vecs}))
+    # NOT bare repr() literals: DuckDB parses those as DECIMAL and its
+    # decimal->double conversion can be 1 ulp off strtod.
+    qsql = double_array_sql(q)
+    du = con.sql(
+        f"SELECT id, {dot_sql('v', qsql)} AS d, {cosine_sql('v', qsql)} AS c "
+        "FROM t ORDER BY id"
+    ).fetchall()
+    for s, d in zip(sp, du):
+        assert _bits(s["d"]) == _bits(d[1]), f"dot id {s['id']}: {s['d']!r} vs {d[1]!r}"
+        assert _bits(s["c"]) == _bits(d[2]), f"cos id {s['id']}: {s['c']!r} vs {d[2]!r}"
+
+
+def _bits(x) -> int | None:
+    """NaN-safe bit pattern of a double (None for NULL; all NaNs equal)."""
+    if x is None:
+        return None
+    if x != x:
+        return -1
+    import struct
+
+    return struct.unpack("<Q", struct.pack("<d", float(x)))[0]

@@ -124,5 +124,11 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity of two array<double> columns.
+
+    try_divide, not `/`: an all-zero vector has norm 0 and the result
+    must be NULL — DuckDB's double division already yields NULL on a
+    zero divisor, and ANSI `/` would raise DIVIDE_BY_ZERO instead.
+    The nonzero path is the same double division bit-for-bit.
+    """
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -55,6 +55,22 @@ def token_hash31_sql(expr: str) -> str:
     )
 
 
+def double_lit_sql(x: float) -> str:
+    """A double literal DuckDB parses to EXACTLY the same double Python
+    holds. A bare ``1.1544435024261475`` parses as DECIMAL(17,16) and
+    DuckDB's decimal->double conversion is not correctly rounded (can be
+    1 ulp off the strtod value); routing through a string cast uses the
+    correctly-rounded strtod path. Use this for any float inlined into
+    oracle SQL that feeds a value-hashed column."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def double_array_sql(xs) -> str:
+    """Literal array<double> with exact per-element parity (see
+    :func:`double_lit_sql`)."""
+    return "[" + ", ".join(double_lit_sql(x) for x in xs) + "]"
+
+
 def dot_sql(a: str, b: str) -> str:
     # list_reduce folds left like Spark's F.aggregate
     return (
