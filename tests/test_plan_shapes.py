@@ -147,3 +147,43 @@ def test_embedding_quantize_codes_within_int8_range(spark):
         F.size(F.filter(codes, lambda c: (c > 127) | (c < -127))).alias("bad")
     ).agg(F.sum("bad")).first()[0]
     assert out_of_range == 0
+
+
+def test_bm25_stats_and_dfreq_are_broadcast(spark):
+    """BM25's corpus stats (1 row) and per-term document frequencies
+    (|query| rows) must reach the postings as broadcasts, and the final
+    top-k must be TakeOrderedAndProject — the only data-sized shuffle
+    keys on doc_id."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["bm25_topk"].fn(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_refine_is_window_free_broadcast_assign(spark):
+    """The argmax assignment must be a partial-aggregable groupBy over a
+    broadcast of the k-row centroid table — no Window (which would force
+    a full sort per vec_id) and no shuffled join of the vectors against
+    the centroids."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["kmeans_refine"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_window_is_partitioned_by_doc(spark):
+    """The per-doc ranking window must partition on doc_id (a global
+    ranking window would be the single-partition scale-killer the LOCF
+    fix removed elsewhere). The corpus-stats aggregate legitimately
+    plans a one-row SinglePartition exchange, so assert on the Window
+    node's own partition spec, not the whole plan."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["tfidf_keywords"].fn(spark, SF))
+    m = re.search(r"\(\d+\) Window\b.*?Arguments: .*?\[doc_id#\d+L?\]", plan, re.S)
+    assert m, plan[:2000]
+    assert re.search(r"hashpartitioning\(doc_id#\d+", plan), plan[:2000]

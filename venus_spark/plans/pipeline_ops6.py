@@ -1,0 +1,402 @@
+"""Training-data pipeline plans, part 6: text retrieval (BM25, tf-idf
+keyword extraction), behavioral funnels/retention over the event stream,
+and one Lloyd iteration of k-means over the embedding table.
+
+Same discipline as parts 1-5: the Spark side is built-in column
+expressions (whole-stage codegen, no Python in the data path); every
+parity-sensitive scalar formula is ONE shared SQL-syntax string passed
+to Spark via ``F.expr`` and to DuckDB verbatim, so both engines parse
+the identical expression tree and the doubles come out bit-equal.
+Aggregation of rounded doubles goes through the exact decimal
+accumulator (:func:`venus_spark.functions.dsum`) so summation order
+cannot matter.
+
+Reference tie-in: the reference delegates all analytics to documented
+SQL over PostgreSQL (`/root/reference/README.rst:82-107`); retrieval
+ranking and cohort funnels are the natural extensions of that surface
+for a training-data curation engine (SURVEY.md north star), and each
+plan here carries the equivalent ANSI SQL as its oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from venus_spark.functions import davg, dsum, tokens
+from venus_spark.functions.sqlgen import (
+    cosine_sql,
+    davg_sql,
+    dsum_sql,
+    tokens_sql,
+)
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "stream", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+# The per-(doc, term) partial score. ONE string, parsed by both engines:
+# inputs are tf/dl/df/n_docs (BIGINT) and avgdl (canonical double), so the
+# arithmetic promotes identically and LN/div/mul associate identically.
+# Rounded to 6 dp so the per-doc sum can use the exact decimal accumulator.
+_BM25_TERM_SCORE = (
+    f"ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    f" * (tf * ({_BM25_K1} + 1.0))"
+    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6)"
+)
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS toks,
+         LEN({tokens_sql('LOWER(text)')}) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, {davg_sql('dl')} AS avgdl FROM dl
+),
+hits AS (
+  SELECT doc_id, dl,
+         UNNEST(LIST_FILTER(toks, x -> LIST_CONTAINS([{_BM25_TERMS_SQL}], x))) AS term
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, {_BM25_TERM_SCORE} AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, ROUND({dsum_sql('s')}, 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+@plan("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval, top-k documents for a fixed term set.
+
+    Scale shape: tokens are filtered to query-term hits BEFORE the
+    explode, so the exploded row count is proportional to matching
+    postings, not corpus tokens; corpus stats (N, avgdl) and per-term
+    document frequencies are broadcast-sized; the only data-sized
+    shuffle keys on doc_id for hit documents; top-k is
+    TakeOrderedAndProject. The pg_trgm-style text access path of the
+    reference (`/root/reference/README.rst:101`) generalized to ranked
+    retrieval.
+    """
+    dl = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens(F.lower(F.col("text"))).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), davg("dl").alias("avgdl")
+    )
+
+    # explode + IN-filter, not a higher-order array filter: the generate
+    # and the codegen'd IN run vectorized, where a filter() lambda is
+    # interpreted per token AND pays a large one-shot expression-compile
+    # cost (measured ~4.5 s at sf0.1 — same lesson as the shingle zip
+    # rewrite, PERF.md).
+    hits = dl.select(
+        "doc_id",
+        "dl",
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# --------------------------------------------------------------------------
+
+_TFIDF_TOP_PER_DOC = 3
+_TFIDF_DOC_LIMIT = 20  # report keywords for doc_id < this bound
+
+# Smoothed idf; tf BIGINT, df/n_docs BIGINT -> identical double promotion.
+_TFIDF_SCORE = "ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 6)"
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({tokens_sql('LOWER(text)')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, {_TFIDF_SCORE} AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank
+FROM ranked
+WHERE rank <= {_TFIDF_TOP_PER_DOC} AND doc_id < {_TFIDF_DOC_LIMIT}
+"""
+
+
+@plan("tfidf_keywords", oracle=_TFIDF_ORACLE)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tf-idf keywords per document (document fingerprinting for
+    corpus exploration / topic labeling).
+
+    Scale shape: the (doc, term) frequency table is the one data-sized
+    shuffle (keyed on doc_id then term — both high-cardinality and
+    uniform); document frequencies aggregate to vocabulary size and
+    broadcast back; the per-doc ranking window partitions by doc_id, so
+    no global ordering anywhere. Corpus-wide df is computed BEFORE the
+    reporting filter, as it must be.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_TFIDF_SCORE).alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") <= _TFIDF_TOP_PER_DOC)
+            & (F.col("doc_id") < _TFIDF_DOC_LIMIT)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral funnel over the event stream
+# --------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_stage1,
+       (SELECT COUNT(*) FROM s2) AS n_stage2,
+       (SELECT COUNT(*) FROM s3) AS n_stage3
+"""
+
+
+@plan("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-stage funnel (view -> click -> purchase):
+    users counted at stage n+1 only for events after their first
+    stage-n event.
+
+    Scale shape: each stage is a hash aggregate keyed on user_id; all
+    three stages and both joins share the same shuffle key, so after
+    the first exchange the join/agg chain stays co-partitioned (no
+    re-shuffle). Window-free — no per-user event ordering is
+    materialized, only MIN(ts) partial aggregates.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            prev_t = prev.columns[-1]
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage(_FUNNEL[0], None, "t1")
+    s2 = stage(_FUNNEL[1], s1, "t2")
+    s3 = stage(_FUNNEL[2], s2, "t3")
+    return (
+        s1.agg(F.count("*").alias("n_stage1"))
+        .join(s2.agg(F.count("*").alias("n_stage2")))
+        .join(s3.agg(F.count("*").alias("n_stage3")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(DATE_DIFF('day', c.cohort_day, a.active_day) AS INT) AS day_offset,
+       COUNT(*) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@plan("retention_cohorts", oracle=_RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention triangle: users bucketed by first-seen
+    day, counted on each subsequent active day.
+
+    Scale shape: cohort assignment and the (user, day) de-dup are both
+    hash aggregates on user_id (same key -> co-partitioned join, one
+    exchange); the final rollup groups on (cohort_day, day_offset)
+    whose cardinality is O(days^2) — trivially small however large the
+    event table. Output days are canonical strings (oracle-stable).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    cohort = events.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day")
+    )
+    active = events.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# One Lloyd iteration of k-means over the embedding table
+# --------------------------------------------------------------------------
+
+_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+_KMEANS_ORACLE = f"""
+WITH long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VD.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.cluster,
+         ROUND({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}, 6) AS sim
+  FROM embeddings e CROSS JOIN cent_arr c
+),
+assigned AS (
+  SELECT vec_id, label, cluster, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT cluster,
+       COUNT(*) AS n_assigned,
+       COUNT(*) FILTER (WHERE label <> cluster) AS n_moved,
+       {davg_sql('sim')} AS avg_sim
+FROM assigned GROUP BY cluster
+"""
+
+
+@plan("kmeans_refine", oracle=_KMEANS_ORACLE)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step of k-means: seed centroids from the label means,
+    re-assign every vector to its nearest centroid (cosine, argmax with
+    deterministic tie-break), and report per-cluster membership, move
+    count, and mean similarity — the iterative-refinement unit an
+    embedding-clustering pipeline runs to convergence.
+
+    Scale shape: the centroid table is k rows and broadcast; scoring is
+    a broadcast nested-loop over a single scan of the vectors; the
+    argmax is MAX(struct(sim, -cluster)) — a partial-aggregable
+    groupBy, NOT a window, so assignment map-side-combines and the only
+    shuffle keys on vec_id. The per-cluster rollup is k rows.
+    """
+    from venus_spark.operators.similarity import as_double, centroid_arrays
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_arrays(emb)
+
+    from venus_spark.functions import cosine
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.col("cluster"),
+        F.round(
+            cosine(as_double(F.col("embedding")), F.col("centroid")), 6
+        ).alias("sim"),
+    )
+    assigned = (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cluster")).alias("negc"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            "label",
+            (-F.col("m.negc")).alias("cluster"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_assigned"),
+        F.count(F.when(F.col("label") != F.col("cluster"), 1)).alias("n_moved"),
+        davg("sim").alias("avg_sim"),
+    )
