@@ -1,0 +1,295 @@
+"""Training-data pipeline plans, part 7: leakage-free split assignment,
+a corpus bigram-LM quality score (the KenLM-perplexity analog), event
+inter-arrival statistics, and z-score anomaly ranking over the hourly
+time series.
+
+Same discipline as parts 1-6: built-in column expressions only (no
+Python in the data path); every parity-sensitive scalar formula is ONE
+shared SQL string handed to Spark via ``F.expr`` and to DuckDB
+verbatim; aggregate means go through the exact decimal accumulator
+(:func:`venus_spark.functions.davg`) so summation order cannot matter;
+integer aggregates that feed double math are exact on both engines.
+
+Reference tie-in: the reference's analytics surface is documented SQL
+over PostgreSQL (`/root/reference/README.rst:82-107`); anomaly ranking
+and inter-arrival gaps are the time-series queries a centralised
+logging service runs over its hypertables, and split/LM-score are the
+curation extensions the north star asks for (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import bigram_pairs, davg, fmt_ts, token_hash31, tokens
+from venus_spark.functions.sqlgen import (
+    bigram_pairs_sql,
+    davg_sql,
+    fmt_ts_sql,
+    token_hash31_sql,
+    tokens_sql,
+)
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Leakage-free split assignment: train/val/test by key hash, with the
+# per-(split, source) accounting a dataset card reports. Hash-based (not
+# rand()) so the split is reproducible, stable under retries, and a
+# document can never migrate between splits across runs/engines.
+# --------------------------------------------------------------------------
+
+_TRAIN_PCT = 80  # [0, 80) -> train
+_VAL_PCT = 90  # [80, 90) -> val, [90, 100) -> test
+
+_TOKS = tokens_sql("text")
+_SPLIT_HASH = f"({token_hash31_sql(chr(39) + 'split-' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 100)"
+_SPLIT_CASE = (
+    f"CASE WHEN {_SPLIT_HASH} < {_TRAIN_PCT} THEN 'train' "
+    f"WHEN {_SPLIT_HASH} < {_VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT {_SPLIT_CASE} AS split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN({_TOKS})) AS BIGINT) AS total_tokens,
+       {davg_sql(f'LEN({_TOKS})')} AS mean_tokens
+FROM documents
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+@plan("split_assignment", oracle=_SPLIT_ORACLE)
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: ``hash('split-'||doc_id) %
+    100`` against fixed cut points, rolled up per (split, source) with
+    doc and token accounting. The salt prefix decorrelates this hash
+    from the sampling hash (stratified_sample) so membership in one
+    never biases the other. One scan + one tiny groupBy — the split
+    decision itself never shuffles, which is what lets the same
+    assignment run as a filter inside any downstream plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = token_hash31(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < _TRAIN_PCT, "train").when(h < _VAL_PCT, "val").otherwise("test")
+    )
+    n_tok = F.size(tokens("text"))
+    return (
+        docs.select(split.alias("split"), "source", n_tok.alias("n_tok"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            davg("n_tok").alias("mean_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality score: per-document mean log-probability under an
+# add-one-smoothed corpus bigram model — the in-engine analog of the
+# KenLM perplexity gate (CCNet-style) every pretraining pipeline runs.
+# --------------------------------------------------------------------------
+
+# P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). All inputs are exact BIGINT
+# aggregates, so the double math below evaluates the identical tree on
+# both engines; rounded to 6 dp so the per-doc mean can use the exact
+# decimal accumulator.
+_LM_SCORE = "ROUND(LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v)), 6)"
+
+_BIGRAMS = bigram_pairs_sql("text")
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST({_TOKS}) AS tok FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS c_uni FROM toks GROUP BY tok),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+bigs AS (
+  SELECT doc_id, UNNEST({_BIGRAMS}) AS g FROM documents
+),
+bigc AS (SELECT g, COUNT(*) AS c_big FROM bigs GROUP BY g),
+scored AS (
+  SELECT bigs.doc_id, {_LM_SCORE} AS lp
+  FROM bigs
+  JOIN bigc USING (g)
+  JOIN uni ON SPLIT_PART(g, ' ', 1) = uni.tok
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, {davg_sql('lp')} AS avg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@plan("lm_quality", oracle=_LM_ORACLE)
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-prob under the corpus's own add-one
+    bigram LM — low scores flag gibberish/degenerate text that
+    vocabulary-ratio gates miss. Two corpus passes build the model
+    (bigram + unigram counts, both partial-aggregated on uniform
+    string keys); scoring joins each document's bigrams to the model.
+    The unigram table and vocab scalar are broadcast (vocab is bounded
+    by the language, not the corpus); the bigram join shuffles on the
+    bigram string — uniform by construction. No Python, no windows,
+    no driver materialization: at 100 TB this is three shuffles over
+    long-narrow count tables, the same shape as token_count_by_lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_uni"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    bigs = docs.select("doc_id", F.explode(bigram_pairs("text")).alias("g"))
+    bigc = bigs.groupBy("g").agg(F.count("*").alias("c_big"))
+    scored = (
+        bigs.join(bigc, "g")
+        .withColumn("tok", F.expr("substring_index(g, ' ', 1)"))
+        .join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", F.expr(_LM_SCORE))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), davg("lp").alias("avg_logp"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event inter-arrival gaps: lag() over per-user event streams, rolled up
+# per event type — the "how bursty is this signal" query, and the B17
+# family's lead/lag coverage.
+# --------------------------------------------------------------------------
+
+# Gap in integer microseconds (exact on both engines), rendered to
+# seconds through one shared rounding expression.
+_GAP_S = "ROUND(gap_us / CAST(1000000 AS DOUBLE), 6)"
+
+_GAPS_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       {davg_sql(_GAP_S)} AS avg_gap_s,
+       MAX({_GAP_S}) AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@plan("event_gap_stats", oracle=_GAPS_ORACLE)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics: lag(ts) over (partition by
+    user order by ts, event_id) — the window partitions on the uniform
+    user key, so no single partition ever exceeds one user's history;
+    the rollup after it is a tiny groupBy. Gaps are computed in exact
+    integer microseconds and converted once, so both engines round the
+    identical quotient. The event_id tiebreak makes lag() well-defined
+    under equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in parquet; the session tz is UTC so the cast
+    # is value-preserving and matches DuckDB's naive EPOCH_US.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select(
+            "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .withColumn("gap_s", F.expr(_GAP_S))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            davg("gap_s").alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly ranking: hourly counts per event type scored against
+# that type's own mean/stddev, top-3 most anomalous buckets per type —
+# the alerting query a logging service runs over its hypertable
+# (reference surface: README.rst:82-107 time-bucketed aggregates).
+# --------------------------------------------------------------------------
+
+_ANOM_TOPK = 3
+
+# Welford-free variance from exact integer aggregates: n, s1 = sum(c),
+# s2 = sum(c*c) are all BIGINT-exact, so the double expression below is
+# the identical tree on both engines.
+# CAST AS DOUBLE, not `* 1.0`: an exact-numeric literal parses as
+# DECIMAL on both engines and their decimal division scale rules
+# differ (measured: a 6dp-boundary z diverged); the cast keeps every
+# op in IEEE double where the engines agree bit-for-bit.
+_Z_SCORE = (
+    "ROUND((c - CAST(s1 AS DOUBLE) / n)"
+    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)"
+)
+
+_ANOM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS b, COUNT(*) AS c
+  FROM events GROUP BY event_type, b
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM hourly GROUP BY event_type
+),
+z AS (
+  SELECT hourly.event_type, b, c, {_Z_SCORE} AS z
+  FROM hourly JOIN stats USING (event_type)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY ABS(z) DESC, b) AS rn
+  FROM z
+)
+SELECT event_type, {fmt_ts_sql('b', micros=False)} AS bucket, c, z
+FROM r WHERE rn <= {_ANOM_TOPK}
+ORDER BY event_type, bucket
+"""
+
+
+@plan("timeseries_anomaly", oracle=_ANOM_ORACLE)
+def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most anomalous hours per event type by |z| against the
+    type's own hourly-count distribution. The raw scan partial-aggs to
+    one row per (type, hour) before anything else happens, so the
+    window and the stats join both run over data bounded by the time
+    range, not the event volume — at 100 TB the post-agg table is the
+    same ~10^4 rows it is here. Stats come from exact integer sums
+    (no float accumulation order); the stats side is broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    z = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "z", F.expr(_Z_SCORE)
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("z")).desc(), F.col("b")
+    )
+    return (
+        z.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANOM_TOPK)
+        .select(
+            "event_type",
+            fmt_ts(F.col("b"), micros=False).alias("bucket"),
+            "c",
+            "z",
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -31,6 +31,7 @@ _PLAN_MODULES = (
     "venus_spark.plans.pipeline_ops4",
     "venus_spark.plans.pipeline_ops5",
     "venus_spark.plans.pipeline_ops6",
+    "venus_spark.plans.pipeline_ops7",
     "venus_spark.plans.analytics_ext",
     "venus_spark.plans.analytics_ext2",
     "venus_spark.plans.streaming_surface",
