@@ -77,6 +77,66 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_TARGET = 224  # longest-side target, the common vision-model input
+RESIZE_SCHEMA = "doc_id long, src_w long, src_h long, dst_w long, dst_h long, out_len long"
+
+
+def resize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: decode dims -> aspect-preserving integer rescale
+    to ``RESIZE_TARGET`` on the longest side -> output geometry + the
+    RGB byte count the resized frame would occupy. All-integer math so
+    the oracle recomputes it exactly. A real implementation emits the
+    resized bytes from the same loop; the fake frame is deliberately
+    NOT materialized (it would be pure padding at dst_w*dst_h*3 bytes
+    per row), so the output stays long-narrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h", "out_len")}
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                _n, w, h, _fmt = _decode_bytes_stub(bytes(buf))
+                m = max(w, h)
+                dw, dh = (w * RESIZE_TARGET) // m, (h * RESIZE_TARGET) // m
+                cols["doc_id"].append(doc_id)
+                cols["src_w"].append(w)
+                cols["src_h"].append(h)
+                cols["dst_w"].append(dw)
+                cols["dst_h"].append(dh)
+                cols["out_len"].append(dw * dh * 3)
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, n_bytes long, n_space long, n_vowel long, byte_sum long"
+
+_VOWELS = b"aeiou"
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction plumbing: payload bytes -> fixed-width scalar
+    feature row (the MFCC/spectrogram-summary shape). The features are
+    honest byte statistics a SQL oracle can recompute — byte count,
+    space count, vowel count, byte sum — standing in for the DSP a real
+    audio library would run in this exact loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_bytes", "n_space", "n_vowel", "byte_sum")}
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(buf)
+                cols["doc_id"].append(doc_id)
+                cols["n_bytes"].append(len(b))
+                cols["n_space"].append(b.count(b" "))
+                cols["n_vowel"].append(sum(b.count(v) for v in _VOWELS))
+                cols["byte_sum"].append(sum(b))
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, id_col: str = "doc_id", n_frames: int = N_FRAMES) -> DataFrame:
     """'Video' frame sampling shape: one input payload -> n output frame
     rows (variable fan-out through mapInPandas). Frame lengths are the

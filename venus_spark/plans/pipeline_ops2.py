@@ -67,6 +67,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(docs)
 
 
+# Integer aspect-preserving rescale of the stub dims — every operand
+# BIGINT, so both engines compute the identical quotients.
+_W = f"(64 + {_BLEN} % 512)"
+_H = f"(64 + ({_BLEN} * 7) % 512)"
+_MM_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       {_W} AS src_w, {_H} AS src_h,
+       ({_W} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H}) AS dst_w,
+       ({_H} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H}) AS dst_h,
+       (({_W} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H}))
+         * (({_H} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H})) * 3 AS out_len
+FROM documents
+"""
+
+
+@plan("mm_resize", oracle=_MM_RESIZE_ORACLE)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize: decode dims, aspect-preserving integer rescale to
+    the vision-model input size, output geometry + resized byte count.
+    Same Arrow-batched mapInPandas plumbing as the decode plan; a real
+    deployment emits the resized bytes from the identical loop."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.resize_images(docs)
+
+
+# ASCII corpus (verified: len == strlen for every row), so char ops and
+# byte ops agree and the feature row is SQL-recomputable.
+_MM_AUDIO_ORACLE = f"""
+SELECT doc_id,
+       {_BLEN} AS n_bytes,
+       {_BLEN} - STRLEN(REPLACE(text, ' ', '')) AS n_space,
+       {_BLEN} - STRLEN(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+         text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS n_vowel,
+       CAST(LIST_SUM([ORD(x) FOR x IN STRING_SPLIT(text, '')]) AS BIGINT)
+         AS byte_sum
+FROM documents
+"""
+
+
+@plan("mm_audio_features", oracle=_MM_AUDIO_ORACLE)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: payload -> fixed-width feature row
+    through the same Arrow-batched path (the MFCC-summary shape). The
+    byte-statistics stand-in keeps the whole path value-checked."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.audio_features(docs)
+
+
 # --------------------------------------------------------------------------
 # IVF two-stage ANN search (probe centroids, then exact top-k in-cluster)
 # --------------------------------------------------------------------------
