@@ -1,0 +1,203 @@
+"""Analytics extensions, part 3: GROUPING SETS, frame-bounded moving
+averages, NTILE decile summaries, and ordered event-path analysis —
+the remaining window/aggregation surfaces of the documented SQL family
+(`/root/reference/README.rst:82-107` delegates all of this shape of
+work to PostgreSQL; these are the idioms a dashboard over the same
+schema runs).
+
+Same parity discipline as parts 1-2: shared scalar formulas via
+``F.expr``; double math through explicit casts (never exact-numeric
+literals); decimal accumulators for float sums; deterministic
+tiebreaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import dsum, fmt_ts
+from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# GROUPING SETS: the explicit-subset sibling of ROLLUP/CUBE — per-priority
+# and per-status subtotals plus the grand total, but NOT the cross product
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@plan("grouping_sets_orders", oracle=_GSETS_ORACLE)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((priority), (status), ()) — three aggregation
+    grains in one Expand + partial-agg pass over a single scan, where
+    CUBE would also pay for the (priority × status) grain nobody asked
+    for. Same one-shuffle shape as the rollup/cube twins."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame-bounded moving average: 6-hour trailing mean of hourly counts —
+# the smoothing pass every monitoring dashboard applies
+# --------------------------------------------------------------------------
+
+# Frame sum/count are exact BIGINTs; one shared double formula rounds
+# the quotient identically on both engines.
+_MAVG = "ROUND(CAST(s AS DOUBLE) / cnt, 6)"
+
+_MAVG_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS b, COUNT(*) AS c
+  FROM events GROUP BY event_type, b
+),
+framed AS (
+  SELECT event_type, b, c,
+         SUM(c) OVER w AS s, COUNT(c) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, {fmt_ts_sql('b', micros=False)} AS bucket, c,
+       {_MAVG} AS moving_avg
+FROM framed ORDER BY event_type, bucket
+"""
+
+
+@plan("moving_average", oracle=_MAVG_ORACLE)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-bucket moving average over the hourly series. The raw
+    scan partial-aggs to one row per (type, hour) BEFORE the window, so
+    the frame walks ~10^4 post-agg rows regardless of event volume, and
+    the window partitions on the series key (no single-partition
+    global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    return (
+        hourly.withColumn("s", F.sum("c").over(w))
+        .withColumn("cnt", F.count("c").over(w))
+        .select(
+            "event_type",
+            fmt_ts(F.col("b"), micros=False).alias("bucket"),
+            "c",
+            F.expr(_MAVG).alias("moving_avg"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# NTILE deciles: length distribution summary per language
+# --------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH d AS (
+  SELECT lang, n_chars,
+         NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT lang, decile, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM d GROUP BY lang, decile ORDER BY lang, decile
+"""
+
+
+@plan("length_deciles", oracle=_DECILE_ORACLE)
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles via NTILE — the exact-rank profile of
+    the length distribution (length_histogram is the fixed-bucket twin).
+    The window partitions on the language stratum; doc_id breaks
+    equal-length ties so tile assignment is deterministic. At 100 TB a
+    skewed stratum makes exact NTILE a single-partition sort — the
+    scale path swaps in approx_percentile cut points; kept exact here
+    so the oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-path analysis: the first-3-events journey per user, ranked —
+# the "what do users do first" behavioral query (funnel's free-form twin)
+# --------------------------------------------------------------------------
+
+_PATHS_TOPK = 20
+
+_PATHS_ORACLE = f"""
+WITH paths AS (
+  SELECT ARRAY_TO_STRING(
+           (LIST(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATHS_TOPK}
+"""
+
+
+@plan("event_paths", oracle=_PATHS_ORACLE)
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-3-event paths across users: rank the journey prefixes
+    by user count. One window (partitioned on the uniform user key) to
+    order-and-truncate each user's stream, one groupBy on the path
+    string, TakeOrderedAndProject for the top-k. The (ts, event_id)
+    tiebreak makes the path deterministic under equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATHS_TOPK)
+    )
