@@ -187,3 +187,46 @@ def test_tfidf_window_is_partitioned_by_doc(spark):
     m = re.search(r"\(\d+\) Window\b.*?Arguments: .*?\[doc_id#\d+L?\]", plan, re.S)
     assert m, plan[:2000]
     assert re.search(r"hashpartitioning\(doc_id#\d+", plan), plan[:2000]
+
+
+def test_series_windows_partition_on_their_keys(spark):
+    """The part-7/ext-3 window plans must partition their windows on the
+    series key (event_type / user_id / lang) — never a global
+    single-partition sort over the data-sized side."""
+    from venus_spark.plans import all_plans
+
+    plans = all_plans()
+    for name, key in (
+        ("event_gap_stats", "user_id"),
+        ("moving_average", "event_type"),
+        ("timeseries_anomaly", "event_type"),
+        ("length_deciles", "lang"),
+        ("event_paths", "user_id"),
+    ):
+        plan = formatted_plan(plans[name].fn(spark, SF))
+        assert re.search(rf"hashpartitioning\({key}#\d+", plan), (name, plan[:1500])
+
+
+def test_lm_quality_model_sides_are_broadcast(spark):
+    """The unigram table and vocab scalar must reach the scoring join as
+    broadcasts; only the bigram join and the doc_id rollup may shuffle
+    data-sized inputs."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["lm_quality"].fn(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_multimodal_resize_and_audio_are_arrow_batched(spark):
+    """The resize/feature-extract plans must run their Python through a
+    single Arrow-batched MapInPandas (real plumbing), not row-at-a-time
+    UDFs, and carry no shuffle at all before it."""
+    from venus_spark.plans import all_plans
+
+    plans = all_plans()
+    for name in ("mm_resize", "mm_audio_features"):
+        plan = formatted_plan(plans[name].fn(spark, SF))
+        assert "MapInPandas" in plan, (name, plan[:1500])
+        assert "BatchEvalPython" not in plan, name
+        assert shuffle_exchanges(plan) == 0, name
