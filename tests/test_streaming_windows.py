@@ -194,3 +194,49 @@ def test_running_totals_state_spans_batches(spark, tmp_path):
     per_user = {u: sorted(n for uu, n, _ in rows if uu == u) for u in (1, 2)}
     assert len(per_user[1]) == 2 and per_user[1][-1] == 3
     assert len(per_user[2]) == 2 and per_user[2][-1] == 2
+
+
+def test_stream_stream_join_attributes_clicks_to_views(spark, tmp_path):
+    """Two file streams joined with watermarks + interval condition;
+    the batch join of the same files is the oracle. A view outside the
+    attribution window and a different-user view must not match."""
+    from venus_spark.streaming.windows import join_views_to_clicks
+
+    views_dir = tmp_path / "views"
+    clicks_dir = tmp_path / "clicks"
+    views_dir.mkdir()
+    clicks_dir.mkdir()
+    write_jsonl(
+        views_dir / "v.jsonl",
+        [
+            event(100, "2024-01-01 10:00:00", user=1, etype="view"),
+            event(101, "2024-01-01 10:30:00", user=1, etype="view"),
+            event(102, "2024-01-01 08:00:00", user=1, etype="view"),  # too old
+            event(103, "2024-01-01 10:40:00", user=2, etype="view"),  # other user
+        ],
+    )
+    write_jsonl(
+        clicks_dir / "c.jsonl",
+        [event(200, "2024-01-01 10:45:00", user=1, etype="click")],
+    )
+
+    run_to_memory(
+        join_views_to_clicks(
+            read_event_stream(spark, views_dir),
+            read_event_stream(spark, clicks_dir),
+        ),
+        "ss_join",
+        "append",
+    )
+    got = {
+        (r["click_id"], r["view_id"]) for r in spark.table("ss_join").collect()
+    }
+    assert got == {(200, 100), (200, 101)}
+
+    batch_views = spark.read.schema(EVENT_SCHEMA).json(str(views_dir))
+    batch_clicks = spark.read.schema(EVENT_SCHEMA).json(str(clicks_dir))
+    want = {
+        (r["click_id"], r["view_id"])
+        for r in join_views_to_clicks(batch_views, batch_clicks).collect()
+    }
+    assert got == want

@@ -153,6 +153,63 @@ def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rank family: the four SQL ranking functions over one leaderboard —
+# top users by total value per event type
+# --------------------------------------------------------------------------
+
+_RANK_K = 5
+
+_RANK_ORACLE = f"""
+WITH totals AS (
+  SELECT event_type, user_id, {dsum_sql('ROUND(value, 6)')} AS total_value
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, total_value,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+         ROUND(CUME_DIST() OVER w, 6) AS cdist
+  FROM totals
+  WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC)
+)
+SELECT * FROM ranked WHERE rnk <= {_RANK_K}
+ORDER BY event_type, rnk, user_id
+"""
+
+
+@plan("rank_leaderboard", oracle=_RANK_ORACLE)
+def rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} users by total value per event type, carrying all four
+    ranking functions (rank / dense_rank / percent_rank / cume_dist).
+    The scan partial-aggs to one row per (type, user) before the
+    window, and the window partitions on event_type over that bounded
+    aggregate. Totals go through the decimal accumulator so the
+    ordering key is bit-identical on both engines; rank semantics
+    (not row_number) keep tied rows deterministic. percent_rank and
+    cume_dist are exact integer-ratio divisions — identical IEEE
+    results — rounded to 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        dsum(F.round("value", 6)).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("total_value").desc())
+    return (
+        totals.select(
+            "event_type",
+            "user_id",
+            "total_value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .filter(F.col("rnk") <= _RANK_K)
+        .orderBy("event_type", "rnk", "user_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Event-path analysis: the first-3-events journey per user, ranked —
 # the "what do users do first" behavioral query (funnel's free-form twin)
 # --------------------------------------------------------------------------

@@ -93,6 +93,55 @@ def sessionize_stream(
     )
 
 
+def join_views_to_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each click attributed to
+    the same user's views in the preceding ``max_delay_minutes``. Works
+    identically on batch DataFrames (watermarks only attach to
+    streaming input), so the batch twin of the same files is the test
+    oracle.
+
+    Scale/state posture: watermarks on BOTH sides plus the time-range
+    join condition are what let the state store evict — a view row can
+    be dropped once the watermark passes view_ts + max_delay, a click
+    row as soon as its window closes. Without the interval conjunct
+    the view-side state would grow without bound. The equality key
+    (user_id) is uniform, so the symmetric hash join shuffles both
+    streams on a well-distributed key."""
+    v = views
+    c = clicks
+    if v.isStreaming:
+        v = v.withWatermark("ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("ts", watermark)
+    v = v.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = c.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts")
+            - F.make_dt_interval(mins=F.lit(int(max_delay_minutes)))
+        )
+    )
+    return v.join(c, cond, "inner").select(
+        "click_id", F.col("click_user").alias("user_id"), "click_ts", "view_id", "view_ts"
+    )
+
+
 RUNNING_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
