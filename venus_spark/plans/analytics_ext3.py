@@ -153,6 +153,80 @@ def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PIVOT: daily event-type count matrix (long -> wide). The oracle uses
+# conditional aggregation — the ANSI-portable PIVOT — so the pivoted
+# column list is pinned by the shared constant, not inferred.
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+_PIVOT_ORACLE = f"""
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events
+GROUP BY day ORDER BY day
+"""
+
+
+@plan("pivot_daily_counts", oracle=_PIVOT_ORACLE)
+def pivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot: one row per day, one count column per event
+    type. The type list is an explicit constant — passing values to
+    ``pivot()`` skips Spark's extra distinct-discovery job AND pins
+    the output schema (an inferred pivot can change schema when a new
+    type appears, which no 100 TB pipeline wants). One scan, one
+    partial-aggregated shuffle on the day key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # Pivot leaves NULL where a (day, type) cell had no rows; the
+    # conditional-aggregation oracle yields 0. Coalesce to match.
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES],
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT: wide quality features -> long (doc_id, metric, value) rows,
+# the melt every metrics store ingests
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT doc_id, metric, value FROM (
+  SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS DOUBLE) AS value FROM documents
+  UNION ALL
+  SELECT doc_id, 'n_tokens', CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text,
+    '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS DOUBLE) FROM documents
+)
+ORDER BY doc_id, metric
+"""
+
+
+@plan("unpivot_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt via native unpivot (Expand node: N output rows
+    per input row in one pass, no self-union re-scan — the oracle's
+    UNION ALL formulation would scan the table once per metric)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from venus_spark.functions import tokens
+
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(tokens("text")).cast("double").alias("n_tokens"),
+    )
+    return wide.unpivot(
+        "doc_id", ["n_chars", "n_tokens"], "metric", "value"
+    ).orderBy("doc_id", "metric")
+
+
+# --------------------------------------------------------------------------
 # Rank family: the four SQL ranking functions over one leaderboard —
 # top users by total value per event type
 # --------------------------------------------------------------------------
