@@ -503,3 +503,48 @@ def json_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.get_json_object("data", "$.type") == "click")
         & F.get_json_object("data", "$.uid").isNotNull()
     ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
+
+
+# --------------------------------------------------------------------------
+# The SQL front door: the reference's user interface IS SQL text
+# (README.rst:82-107 documents the query surface as literal SQL to run
+# against PostgreSQL). This plan executes Spark SQL text — the near-
+# verbatim translation of the README.rst:84-89 projection idiom
+# (`data->>'k'` -> get_json_object) — over the registered temp views,
+# proving a reference user can keep writing SQL strings, not DataFrames.
+# --------------------------------------------------------------------------
+
+_SQL_FRONTDOOR = """
+SELECT event_id,
+       get_json_object(props, '$.k') AS k_str,
+       CAST(get_json_object(props, '$.k') AS INT) AS k
+FROM events
+WHERE event_type = 'error'
+ORDER BY event_id
+LIMIT 100
+"""
+
+_SQL_FRONTDOOR_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE event_type = 'error'
+ORDER BY event_id
+LIMIT 100
+"""
+
+
+@plan("sql_frontdoor", oracle=_SQL_FRONTDOOR_ORACLE)
+def sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/B3 through ``spark.sql`` text instead of the DataFrame API:
+    register the tables as views, run the documented SQL idiom
+    verbatim. Catalyst plans SQL text and DataFrame calls into the
+    same optimized plan (filter pushdown, column pruning, top-k), so
+    this costs nothing over the DataFrame twin — it exists to close
+    the interface gap, since the reference exposes its surface as SQL
+    strings (README.rst:84-89)."""
+    from venus_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FRONTDOOR)
