@@ -131,11 +131,12 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-ratio gates miss. Two corpus passes build the model
     (bigram + unigram counts, both partial-aggregated on uniform
     string keys); scoring joins each document's bigrams to the model.
-    The unigram table and vocab scalar are broadcast (vocab is bounded
-    by the language, not the corpus); the bigram join shuffles on the
-    bigram string — uniform by construction. No Python, no windows,
-    no driver materialization: at 100 TB this is three shuffles over
-    long-narrow count tables, the same shape as token_count_by_lang."""
+    Only the 1-row vocab scalar is force-broadcast. The unigram join
+    is left to AQE: vocabulary grows with the corpus (Heaps' law), so
+    at 100 TB it must be allowed to shuffle — AQE broadcasts it while
+    it fits and splits the skewed head tokens ("the") otherwise. The
+    bigram join shuffles on the bigram string — uniform by
+    construction. No Python, no windows, no driver materialization."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("c_uni"))
@@ -145,7 +146,7 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bigs.join(bigc, "g")
         .withColumn("tok", F.expr("substring_index(g, ' ', 1)"))
-        .join(F.broadcast(uni), "tok")
+        .join(uni, "tok")
         .crossJoin(F.broadcast(vocab))
         .withColumn("lp", F.expr(_LM_SCORE))
     )
