@@ -111,7 +111,9 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus a training run actually reads: every
     document except non-keeper near-dup cluster members (min doc_id per
     cluster is kept). The drop list is orders of magnitude smaller than
-    the corpus — broadcast anti-join, one corpus scan; all heavy lifting
+    the corpus but still corpus-proportional, so the anti-join is left
+    to AQE — broadcast while the list fits, shuffle on the uniform
+    doc_id when (at 100 TB) it no longer does; all heavy lifting
     happened in the LSH/cluster stages over the pair graph."""
     from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
     from venus_spark.plans.pipeline_ops import _JACCARD_T
@@ -123,7 +125,7 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return (
-        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        docs.join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
@@ -452,9 +454,11 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pass the quality gate, are not near-dup cluster drops, and
     share no {n}-gram with the benchmark set. One corpus scan carries
     the quality predicate; the two exclusion lists are orders of
-    magnitude smaller than the corpus and anti-join broadcast — the
-    funnel shape a production curation run has, with every stage's
-    constants imported from its standalone plan."""
+    magnitude smaller than the corpus but corpus-proportional, so
+    their anti-joins are left to AQE (broadcast while small, shuffle
+    on the uniform doc_id at scale) — the funnel shape a production
+    curation run has, with every stage's constants imported from its
+    standalone plan."""
     from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
     from venus_spark.plans.pipeline_ops import _JACCARD_T
     from venus_spark.plans.pipeline_ops3 import _BENCH_MAX_ID, _DECON_N
@@ -485,8 +489,8 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") <= _MAX_STOP_RATIO)
     )
     return (
-        gated.join(F.broadcast(dup_drop), "doc_id", "left_anti")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        gated.join(dup_drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
