@@ -73,3 +73,24 @@ def test_gapfill_locf_partitions_by_series(spark, sf_dir):
     # carry) — a cross-series leak would show the previous series' tail.
     for _, row in first.iterrows():
         assert row["n_events"] > 0 or pd.isna(row["locf_value"])
+
+
+def test_anomaly_z_guard_survives_degenerate_series(spark):
+    """Under ANSI mode a one-bucket or zero-variance series must yield
+    NULL z, not a DIVIDE_BY_ZERO runtime error."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.plans.pipeline_ops7 import _Z_SCORE
+
+    rows = spark.createDataFrame(
+        [
+            (5, 1, 5, 25),      # n=1: single bucket
+            (3, 4, 12, 36),     # n>1 but zero variance (all c=3)
+            (10, 4, 20, 150),   # healthy: genuine spread
+        ],
+        "c long, n long, s1 long, s2 long",
+    )
+    got = [r["z"] for r in rows.select(F.expr(_Z_SCORE).alias("z")).collect()]
+    assert got[0] is None
+    assert got[1] is None
+    assert got[2] is not None

@@ -229,10 +229,15 @@ _ANOM_TOPK = 3
 # CAST AS DOUBLE, not `* 1.0`: an exact-numeric literal parses as
 # DECIMAL on both engines and their decimal division scale rules
 # differ (measured: a 6dp-boundary z diverged); the cast keeps every
-# op in IEEE double where the engines agree bit-for-bit.
+# op in IEEE double where the engines agree bit-for-bit. The CASE
+# guard matters under Spark's default ANSI mode, where a one-bucket or
+# zero-variance series would make the division a runtime ERROR, not a
+# NULL (the guard compares in double so it cannot overflow at scale).
 _Z_SCORE = (
+    "CASE WHEN n > 1 AND CAST(s2 AS DOUBLE) * n > CAST(s1 AS DOUBLE) * s1 THEN "
     "ROUND((c - CAST(s1 AS DOUBLE) / n)"
-    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)"
+    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6) "
+    "ELSE CAST(NULL AS DOUBLE) END"
 )
 
 _ANOM_ORACLE = f"""
@@ -250,7 +255,7 @@ z AS (
 ),
 r AS (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY event_type ORDER BY ABS(z) DESC, b) AS rn
+    PARTITION BY event_type ORDER BY ABS(z) DESC NULLS LAST, b) AS rn
   FROM z
 )
 SELECT event_type, {fmt_ts_sql('b', micros=False)} AS bucket, c, z
@@ -281,7 +286,7 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z", F.expr(_Z_SCORE)
     )
     w = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("z")).desc(), F.col("b")
+        F.abs(F.col("z")).desc_nulls_last(), F.col("b")
     )
     return (
         z.withColumn("rn", F.row_number().over(w))
