@@ -158,6 +158,71 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with stride/overlap — the
+# context-window split every pretraining/RAG pipeline applies before
+# tokenized examples are packed (pack_sequences is the downstream twin).
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks), 1), {_CHUNK_STRIDE}))
+           AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       start_tok,
+       LEAST({_CHUNK_TOKENS}, LEN(toks) - start_tok + 1) AS n_tok,
+       MD5(ARRAY_TO_STRING(toks[start_tok:start_tok + {_CHUNK_TOKENS} - 1], ' '))
+         AS chunk_md5
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@plan("doc_chunking", oracle=_CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document ({chunk} tokens,
+    stride {stride}). The start positions come from one sequence()
+    expression and the chunk content is fingerprinted (md5 of the
+    joined slice) so the oracle verifies the actual text windows, not
+    just the geometry. Pure array expressions + one explode — no
+    shuffle at all until the output sort; a zero-token document still
+    yields exactly one (empty) chunk on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks"), F.lit(1)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / F.lit(_CHUNK_STRIDE)).cast("long").alias("chunk_idx"),
+        "start_tok",
+        F.least(
+            F.lit(_CHUNK_TOKENS), F.size("toks") - F.col("start_tok") + 1
+        ).alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("start_tok"), F.lit(_CHUNK_TOKENS)))
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
 # Event inter-arrival gaps: lag() over per-user event streams, rolled up
 # per event type — the "how bursty is this signal" query, and the B17
 # family's lead/lag coverage.
