@@ -367,3 +367,52 @@ def test_aux_ingest_replay_is_idempotent(spark, tmp_path):
     assert "_batch_id" not in metric.columns
     quarantine = spark.read.parquet(str(tmp_path / "sink" / "metric_quarantine"))
     assert quarantine.count() == 1
+
+
+def test_compact_closed_partition_preserves_rows(spark, tmp_path):
+    """Compacting a closed date partition must preserve rows exactly,
+    collapse the per-batch small files into one, keep the layout
+    readable as one table, and be idempotent under crash-retry."""
+    import shutil
+
+    from venus_spark.streaming import (
+        _write_idempotent,
+        compact_closed_partition,
+        read_sink_table,
+    )
+
+    table_dir = str(tmp_path / "logs")
+    for batch_id in range(4):
+        batch = spark.createDataFrame(
+            [(batch_id * 10 + i, "2024-01-01" if i % 2 else "2024-01-02")
+             for i in range(6)],
+            "event_id long, date string",
+        )
+        _write_idempotent(batch, table_dir, batch_id, partition_cols=("date",))
+
+    before = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+    assert len(before) == 24
+
+    n = compact_closed_partition(spark, table_dir, "date=2024-01-01")
+    assert n == 4
+    after = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+    assert after == before
+
+    part = tmp_path / "logs" / "date=2024-01-01"
+    subdirs = [d for d in os.listdir(part) if d.startswith("_batch_id=")]
+    assert subdirs == ["_batch_id=-1"]
+
+    # crash-retry: a half-written compacted dir from a failed run is
+    # cleared and rebuilt from the remaining batch dirs
+    shutil.rmtree(part / "_batch_id=-1")
+    for batch_id in (7, 8):
+        batch = spark.createDataFrame(
+            [(1000 + batch_id, "2024-01-01")], "event_id long, date string"
+        )
+        _write_idempotent(batch, table_dir, batch_id, partition_cols=("date",))
+    (part / "_batch_id=-1").mkdir()  # simulate torn compacted output
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 2
+    final = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+    # even ids live in the untouched 2024-01-02 partition; the rebuilt
+    # 2024-01-01 partition holds exactly the two retry batches
+    assert final == {e for e in before if e % 2 == 0} | {1007, 1008}

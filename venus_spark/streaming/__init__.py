@@ -126,6 +126,58 @@ def read_sink_table(spark: SparkSession, sink_dir: str, table: str) -> DataFrame
     return spark.read.parquet(os.path.join(sink_dir, table)).drop("_batch_id")
 
 
+COMPACTED_BATCH_ID = -1
+
+
+def compact_closed_partition(
+    spark: SparkSession,
+    table_dir: str,
+    partition: str,
+    target_files: int = 1,
+) -> int:
+    """Compact one CLOSED partition of a streaming sink (e.g.
+    ``date=2024-01-01`` after the stream's watermark has moved past that
+    date): the micro-batch trigger cadence writes one small file set per
+    batch, and at 100 TB a year of 5-second batches is millions of tiny
+    files — the classic small-file problem; compaction is the
+    maintenance pass every micro-batch sink needs.
+
+    The compacted rows land under ``_batch_id=-1`` so the
+    directory layout stays homogeneous with live partitions (mixed
+    depths break parquet partition discovery), and the real batch ids
+    can never collide with it. Crash-safe by retry, matching the sink's
+    own model: a rerun first clears any half-written compacted
+    directory, rewrites it from the remaining batch directories, then
+    removes them — so rows are never lost, and a crash between write
+    and cleanup only leaves duplicates that the rerun removes. (A
+    lakehouse table format expresses this same operation as a
+    transactional OPTIMIZE/rewrite.)
+
+    Returns the number of batch directories compacted away.
+    """
+    import shutil
+
+    part_dir = os.path.join(table_dir, partition)
+    compacted = os.path.join(part_dir, f"_batch_id={COMPACTED_BATCH_ID}")
+    if os.path.exists(compacted):  # half-finished earlier run: redo
+        shutil.rmtree(compacted)
+    batch_dirs = [
+        d
+        for d in os.listdir(part_dir)
+        if d.startswith("_batch_id=") and os.path.isdir(os.path.join(part_dir, d))
+    ]
+    if not batch_dirs:
+        return 0
+    (
+        spark.read.parquet(*[os.path.join(part_dir, d) for d in batch_dirs])
+        .coalesce(target_files)
+        .write.parquet(compacted)
+    )
+    for d in batch_dirs:
+        shutil.rmtree(os.path.join(part_dir, d))
+    return len(batch_dirs)
+
+
 def start_logs_ingest(
     source: DataFrame,
     sink_dir: str,
