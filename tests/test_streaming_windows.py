@@ -240,3 +240,37 @@ def test_stream_stream_join_attributes_clicks_to_views(spark, tmp_path):
         for r in join_views_to_clicks(batch_views, batch_clicks).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Events streamed from files, enriched against a static dimension;
+    unmatched keys survive with NULLs (left join), and the result equals
+    the batch twin."""
+    from venus_spark.streaming.windows import enrich_with_dimension
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_jsonl(
+        landing / "a.jsonl",
+        [event(1, "2024-01-01 10:00:00", user=1), event(2, "2024-01-01 10:01:00", user=99)],
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "cust_id long, tier string"
+    )
+
+    run_to_memory(
+        enrich_with_dimension(
+            read_event_stream(spark, landing), dim, "user_id", "cust_id"
+        ),
+        "enriched",
+        "append",
+    )
+    got = {(r["event_id"], r["tier"]) for r in spark.table("enriched").collect()}
+    assert got == {(1, "gold"), (2, None)}
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(landing))
+    want = {
+        (r["event_id"], r["tier"])
+        for r in enrich_with_dimension(batch, dim, "user_id", "cust_id").collect()
+    }
+    assert got == want

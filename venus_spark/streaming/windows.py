@@ -93,6 +93,24 @@ def sessionize_stream(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    event_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Stream-static enrichment: left-join each event against a static
+    dimension table (the logs⋈context shape, B15, applied to a live
+    stream). The static side is broadcast — it is re-planned per
+    micro-batch, so a dimension refresh (overwrite of the underlying
+    table) is picked up on the next trigger without restarting the
+    query. Stateless: unlike a stream-stream join there is no state
+    store, so this composes freely under any output mode."""
+    return events.join(
+        F.broadcast(dim), events[event_key] == dim[dim_key], "left"
+    ).drop(dim_key)
+
+
 def join_views_to_clicks(
     views: DataFrame,
     clicks: DataFrame,
