@@ -94,3 +94,32 @@ def test_anomaly_z_guard_survives_degenerate_series(spark):
     assert got[0] is None
     assert got[1] is None
     assert got[2] is not None
+
+
+def test_quality_features_null_on_zero_token_doc(spark):
+    """A zero-token document must yield NULL ratios (dropped by any
+    quality gate), not an ANSI DIVIDE_BY_ZERO runtime error — real
+    corpora contain empty documents."""
+    from venus_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["type_token_ratio"] is None
+    assert rows[2]["stopword_ratio"] is None
+    assert rows[3]["type_token_ratio"] == 1.0
+
+
+def test_cosine_pairs_null_on_zero_vector(spark):
+    """A zero vector in a bucket must produce NULL similarity (filtered
+    out), not a runtime error."""
+    from venus_spark.operators.similarity import cosine_pairs_in_buckets
+
+    df = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [1.0, 0.0]), (3, 0, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           cosine_pairs_in_buckets(df, threshold=0.5).collect()}
+    assert got == {(2, 3)}

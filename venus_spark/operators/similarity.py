@@ -233,7 +233,12 @@ def cosine_pairs_in_buckets(
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a, b = t.alias("a"), t.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    # try_divide: a zero vector has norm 0, which must yield NULL (and
+    # fail the >= threshold filter) — not an ANSI DIVIDE_BY_ZERO error —
+    # matching DuckDB's double division and functions.cosine.
+    sim = F.try_divide(
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.norm") * F.col("b.norm")
+    )
     return (
         a.join(
             b,

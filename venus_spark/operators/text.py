@@ -46,10 +46,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     total_len = F.aggregate(
         F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
+    # try_divide, not `/`: a zero-token document (real corpora have
+    # them) makes the ratio a DIVIDE_BY_ZERO runtime ERROR under
+    # Spark's default ANSI mode; try_divide yields NULL — exactly what
+    # DuckDB's double division produces — so quality gates (>=
+    # comparisons) drop such docs on both engines identically.
+    n_tok = F.col("n_tokens")
     return (
-        df.withColumn("type_token_ratio", F.round(n_distinct / F.col("n_tokens"), 6))
-        .withColumn("stopword_ratio", F.round(n_stop / F.col("n_tokens"), 6))
-        .withColumn("mean_token_len", F.round(total_len / F.col("n_tokens"), 6))
+        df.withColumn("type_token_ratio", F.round(F.try_divide(n_distinct, n_tok), 6))
+        .withColumn("stopword_ratio", F.round(F.try_divide(n_stop, n_tok), 6))
+        .withColumn("mean_token_len", F.round(F.try_divide(total_len, n_tok), 6))
     )
 
 
