@@ -109,17 +109,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def lsh_near_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.8,
+def _verify_candidates(
+    cands: DataFrame, toks: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Full MinHash-LSH dedup: band-bucket candidates, then exact
-    shingle-set Jaccard verification above ``threshold``. The band join
-    bounds the pair expansion; verification only ever touches candidates."""
-    cands = lsh_candidate_pairs(df, id_col, text_col)
-    toks = df.select(F.col(id_col), shingles(text_col).alias("toks"))
+    """Exact shingle-set Jaccard verification of candidate pairs."""
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     return (
@@ -132,6 +125,52 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("jaccard_sim") > threshold)
     )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: band-bucket candidates, then exact
+    shingle-set Jaccard verification above ``threshold``. The band join
+    bounds the pair expansion; verification only ever touches candidates."""
+    cands = lsh_candidate_pairs(df, id_col, text_col)
+    toks = df.select(F.col(id_col), shingles(text_col).alias("toks"))
+    return _verify_candidates(cands, toks, id_col, threshold)
+
+
+def lsh_near_dup_pairs_from_index(
+    idx: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "_sh",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs from a PREPARED MinHash index (``id + mh_* +
+    shingle array`` — venus_spark.prepared.documents_minhash): bands are
+    cheap array expressions over the stored signature and the exact
+    verify reads the stored shingle arrays, so the whole
+    explode→hash→MIN-aggregate signature pass is skipped at query time.
+    This is the write-time-index posture of the reference (its GIN
+    indexes are maintained on INSERT) applied to near-dup search — at
+    100 TB signatures are computed once per ingested document, not once
+    per dedup run."""
+    bands = lsh_bands(idx, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    toks = idx.select(F.col(id_col), F.col(shingle_col).alias("toks"))
+    return _verify_candidates(cands, toks, id_col, threshold)
 
 
 def jaccard(a_toks: Column, b_toks: Column) -> Column:

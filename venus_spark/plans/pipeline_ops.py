@@ -332,6 +332,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("dedup_minhash_lsh_prepared", oracle=_minhash_oracle())
+def dedup_minhash_lsh_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``dedup_minhash_lsh``, produced from the PREPARED
+    MinHash index (signatures + shingle arrays materialized at ingest
+    time — venus_spark.prepared.documents_minhash): query time pays
+    band expressions + the bucket join + candidate verification only,
+    never the corpus-wide signature aggregation. The write-time-index
+    posture of the reference's GIN indexes (migration :36-37) applied
+    to near-dup search."""
+    from venus_spark.operators.dedup import lsh_near_dup_pairs_from_index
+    from venus_spark.prepared import documents_minhash
+
+    return lsh_near_dup_pairs_from_index(
+        documents_minhash(spark, sf_dir), threshold=_JACCARD_T
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash per-document values
 # --------------------------------------------------------------------------

@@ -99,6 +99,30 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_id`` + distinct shingle array (``_sh``) + MinHash signature
+    columns (``mh_0..mh_{n}``) — the near-dup index, built once at
+    ingest time like the reference's write-time GIN indexes. Query-time
+    dedup then starts from stored signatures (band exprs + bucket join)
+    instead of re-running the explode→hash→MIN-aggregate pass over the
+    full corpus. One scan + one groupBy + one uniform doc_id join to
+    build; incremental at 100 TB because a new document's signature
+    depends only on its own text."""
+    from venus_spark.operators.dedup import minhash_signatures
+
+    path = prepared_path(sf_dir, "documents_minhash.parquet")
+    if not _is_built(path):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        from venus_spark.functions import shingles
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = docs.select("doc_id", shingles("text").alias("_sh"))
+        sigs = minhash_signatures(docs)
+        sh.join(sigs, "doc_id").write.parquet(path)
+    return spark.read.parquet(path)
+
+
 def events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` re-laid-out for the correlation-key access path: range-
     partitioned on ``user_id``, sorted ``(user_id, ts)`` within
@@ -198,6 +222,7 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     """Build every prepared table for ``sf_dir`` (bench warm-up calls this:
     index builds are ingest-time work, not query-time work)."""
     documents_trgm(spark, sf_dir)
+    documents_minhash(spark, sf_dir)
     events_by_user(spark, sf_dir)
     embeddings_ivf(spark, sf_dir)
     bucketed_sales(spark, sf_dir)
