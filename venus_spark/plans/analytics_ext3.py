@@ -114,6 +114,48 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ratio-to-report: each event type's share of its day's volume — the
+# unordered partition-window aggregate (no frame, no sort), the one
+# window shape the running/moving/ranking plans don't cover
+# --------------------------------------------------------------------------
+
+# c and day_total are exact BIGINTs; one shared double division.
+_SHARE = "ROUND(CAST(c AS DOUBLE) / day_total, 6)"
+
+_SHARE_ORACLE = f"""
+WITH daily AS (
+  SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         event_type, COUNT(*) AS c
+  FROM events GROUP BY day, event_type
+),
+tot AS (
+  SELECT *, SUM(c) OVER (PARTITION BY day) AS day_total FROM daily
+)
+SELECT day, event_type, c, {_SHARE} AS share
+FROM tot ORDER BY day, event_type
+"""
+
+
+@plan("share_of_total", oracle=_SHARE_ORACLE)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each type's share of its day: partial-agg to (day, type) counts
+    first, then an unordered window sum partitioned on the day key over
+    the ~10^2-rows-per-day post-agg table — never a sort, never a
+    single partition, volume-independent window input."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("day")
+    return (
+        daily.withColumn("day_total", F.sum("c").over(w))
+        .select("day", "event_type", "c", F.expr(_SHARE).alias("share"))
+        .orderBy("day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # NTILE deciles: length distribution summary per language
 # --------------------------------------------------------------------------
 
