@@ -89,3 +89,30 @@ def test_fuzzy_plans_agree(spark, sf_dir):
     a = plans["fuzzy_multi_pattern"].fn(spark, sf_dir).orderBy("lang").collect()
     b = plans["fuzzy_trgm_prefilter"].fn(spark, sf_dir).orderBy("lang").collect()
     assert a == b
+
+
+def test_stale_prepared_index_is_rebuilt(spark, tmp_path, monkeypatch):
+    """An artifact built under different constants must be rebuilt, not
+    silently served (a stale MinHash index would yield wrong pairs)."""
+    import json
+    import os
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    prepared.documents_minhash(spark, sf)
+    path = prepared.prepared_path(sf, "documents_minhash.parquet")
+    stamp = os.path.join(path, "_prep_meta.json")
+    built_at = os.path.getmtime(stamp)
+
+    # same constants -> cached (no rebuild)
+    prepared.documents_minhash(spark, sf)
+    assert os.path.getmtime(stamp) == built_at
+
+    # constants drift -> rebuild
+    meta = json.load(open(stamp))
+    meta["n_perm"] = meta["n_perm"] - 1
+    json.dump(meta, open(stamp, "w"))
+    prepared.documents_minhash(spark, sf)
+    assert json.load(open(stamp))["n_perm"] != meta["n_perm"]

@@ -23,6 +23,7 @@ parse-time columns the same way); nothing here is driver-side.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import zlib
@@ -79,8 +80,28 @@ def prepared_path(sf_dir: str, name: str) -> str:
     )
 
 
-def _is_built(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _is_built(path: str, meta: dict | None = None) -> bool:
+    """Complete build = Spark's ``_SUCCESS`` marker plus (when the
+    artifact derives from tunable constants) a ``_prep_meta.json``
+    matching the CURRENT constants. Without the stamp, changing e.g.
+    the MinHash permutation count would leave a stale index silently
+    producing wrong signatures; with it, the mismatch forces a rebuild.
+    The underscore prefix keeps the stamp invisible to parquet readers
+    (same convention as ``_SUCCESS``)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    if meta is None:
+        return True
+    try:
+        with open(os.path.join(path, "_prep_meta.json")) as f:
+            return json.load(f) == meta
+    except (OSError, ValueError):
+        return False
+
+
+def _stamp(path: str, meta: dict) -> None:
+    with open(os.path.join(path, "_prep_meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,14 +109,16 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit) + ``_trg_bloom`` (64-bit fingerprint), built on first use."""
     from venus_spark.operators.text import char_trigrams
 
+    meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "gram": 3}
     path = prepared_path(sf_dir, "documents_trgm.parquet")
-    if not _is_built(path):
-        if os.path.exists(path):  # partial/failed earlier build
+    if not _is_built(path, meta):
+        if os.path.exists(path):  # partial/failed/stale earlier build
             shutil.rmtree(path)
         docs = load_table(spark, sf_dir, "documents").withColumn(
             "_trg", char_trigrams("text")
         )
         docs.withColumn("_trg_bloom", trigram_bloom64("_trg")).write.parquet(path)
+        _stamp(path, meta)
     return spark.read.parquet(path)
 
 
@@ -108,10 +131,18 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus. One scan + one groupBy + one uniform doc_id join to
     build; incremental at 100 TB because a new document's signature
     depends only on its own text."""
+    from venus_spark.operators import dedup as dd
     from venus_spark.operators.dedup import minhash_signatures
 
+    meta = {
+        "n_perm": dd.N_PERM,
+        "rows_per_band": dd.ROWS_PER_BAND,
+        "perm_a": list(dd.PERM_A),
+        "perm_b": list(dd.PERM_B),
+        "shingle_n": 3,
+    }
     path = prepared_path(sf_dir, "documents_minhash.parquet")
-    if not _is_built(path):
+    if not _is_built(path, meta):
         if os.path.exists(path):
             shutil.rmtree(path)
         from venus_spark.functions import shingles
@@ -120,6 +151,7 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = docs.select("doc_id", shingles("text").alias("_sh"))
         sigs = minhash_signatures(docs)
         sh.join(sigs, "doc_id").write.parquet(path)
+        _stamp(path, meta)
     return spark.read.parquet(path)
 
 
