@@ -230,3 +230,20 @@ def test_multimodal_resize_and_audio_are_arrow_batched(spark):
         assert "MapInPandas" in plan, (name, plan[:1500])
         assert "BatchEvalPython" not in plan, name
         assert shuffle_exchanges(plan) == 0, name
+
+
+def test_session_scale_posture_configs(spark):
+    """The cluster-posture configs the docs claim (AQE re-planning,
+    skew-join splitting, partition coalescing, UTC timestamps, Arrow
+    batching) must actually be set — dropping any of them silently
+    invalidates the scale and parity story."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    # ANSI stays ON (Spark 4 default): the plans are written to be total
+    # under it (try_divide, CASE guards), and turning it off would mask
+    # real overflow/zero-division divergence from the oracle.
+    assert conf.get("spark.sql.ansi.enabled") == "true"
