@@ -1,0 +1,83 @@
+"""Persist the full in-repo oracle mirror as MIRROR_r{N}.json.
+
+The external driver samples ~50 of the registered plans per round; this
+script runs EVERY registered plan through ``venus_spark.oracle.run_all``
+(the same sorted-columns / sorted-rows / exact-value compare the driver
+uses) at sf0.01 and writes a per-plan record in the CORRECTNESS format
+(``rows_match`` / ``schema_match`` / ``hash_match`` / ``err``), so the
+plans outside the driver's sample carry committed, re-runnable evidence.
+
+Usage::
+
+    python scripts/run_mirror.py MIRROR_r4.json [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def to_record(r) -> dict:
+    """Map a CompareResult onto the driver's CORRECTNESS row shape.
+
+    ``compare`` short-circuits at the first mismatch, so a failed row
+    reports the *first* failing layer: column/dtype mismatch -> schema,
+    count mismatch -> rows, value mismatch -> hash. Rows-only plans
+    (no oracle) record ``hash_match: null`` exactly as the driver's
+    weaker check does.
+    """
+    rows_only = r.rows_oracle < 0
+    schema_ok = not (
+        r.detail.startswith("columns differ") or r.detail.startswith("dtypes differ")
+    )
+    return {
+        "rows_match": (r.rows_spark >= 0) if rows_only else (r.rows_spark == r.rows_oracle),
+        "schema_match": None if rows_only else schema_ok,
+        "hash_match": None if rows_only else r.ok,
+        "spark_rows": r.rows_spark,
+        "oracle_rows": None if rows_only else r.rows_oracle,
+        "err": None if r.ok else r.detail,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", help="output JSON path, e.g. MIRROR_r4.json")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from venus_spark.oracle import run_all
+    from venus_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus)
+    t0 = time.time()
+    results = run_all(spark, args.sf)
+    out = {r.name: to_record(r) for r in results}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    n_bad = sum(1 for r in results if not r.ok)
+    print(
+        json.dumps(
+            {
+                "plans": len(results),
+                "failures": n_bad,
+                "failed": [r.name for r in results if not r.ok],
+                "sf_dir": args.sf,
+                "elapsed_sec": round(time.time() - t0, 1),
+                "out": args.out,
+            }
+        )
+    )
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

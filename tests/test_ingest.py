@@ -416,3 +416,71 @@ def test_compact_closed_partition_preserves_rows(spark, tmp_path):
     # even ids live in the untouched 2024-01-02 partition; the rebuilt
     # 2024-01-01 partition holds exactly the two retry batches
     assert final == {e for e in before if e % 2 == 0} | {1007, 1008}
+
+
+def test_compact_retry_after_success_is_noop(spark, tmp_path):
+    """A retried compaction after a fully successful run (compacted dir
+    with _SUCCESS is the ONLY dir left) must not delete the partition —
+    the committed compacted output is authoritative."""
+    from venus_spark.streaming import (
+        _write_idempotent,
+        compact_closed_partition,
+        read_sink_table,
+    )
+
+    table_dir = str(tmp_path / "logs")
+    for batch_id in range(3):
+        batch = spark.createDataFrame(
+            [(batch_id * 10 + i, "2024-01-01") for i in range(4)],
+            "event_id long, date string",
+        )
+        _write_idempotent(batch, table_dir, batch_id, partition_cols=("date",))
+    before = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 3
+    # the retry: nothing left to compact, and — critically — no data loss
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 0
+    after = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+    assert after == before
+
+
+def test_compact_crash_mid_cleanup_keeps_all_rows(spark, tmp_path):
+    """Crash between the committed compacted write (_SUCCESS present)
+    and batch-dir cleanup: the rerun must keep the compacted output as
+    authoritative and only remove the leftover (duplicate) batch dirs —
+    rebuilding from the survivors alone would silently drop the rows of
+    the batch dirs the crashed run already removed."""
+    import shutil
+
+    from venus_spark.streaming import (
+        _write_idempotent,
+        compact_closed_partition,
+        read_sink_table,
+    )
+
+    table_dir = str(tmp_path / "logs")
+    for batch_id in range(3):
+        batch = spark.createDataFrame(
+            [(batch_id * 10 + i, "2024-01-01") for i in range(4)],
+            "event_id long, date string",
+        )
+        _write_idempotent(batch, table_dir, batch_id, partition_cols=("date",))
+    before = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+
+    part = tmp_path / "logs" / "date=2024-01-01"
+    # simulate: compacted write committed, then crash after removing only
+    # batch dir 0 — batch dirs 1 and 2 survive as duplicates
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 3
+    for batch_id in range(3):
+        batch = spark.createDataFrame(
+            [(batch_id * 10 + i, "2024-01-01") for i in range(4)],
+            "event_id long, date string",
+        )
+        _write_idempotent(batch, table_dir, batch_id, partition_cols=("date",))
+    shutil.rmtree(part / "_batch_id=0")
+
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 2
+    after = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+    assert after == before
+    subdirs = sorted(d for d in os.listdir(part) if d.startswith("_batch_id="))
+    assert subdirs == ["_batch_id=-1"]

@@ -123,3 +123,25 @@ def test_cosine_pairs_null_on_zero_vector(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            cosine_pairs_in_buckets(df, threshold=0.5).collect()}
     assert got == {(2, 3)}
+
+
+def test_mm_audio_features_empty_text_parity(spark, tmp_path):
+    """An empty document must yield byte_sum=0 on BOTH sides: DuckDB's
+    STRING_SPLIT('', '') is [''] and ORD('') is -1, which the unguarded
+    oracle summed to -1 while Spark computed 0 (ADVICE r3). The oracle's
+    empty-text CASE guard keeps the sides equal."""
+    df = spark.createDataFrame(
+        [(1, "", "en", "src0", 0), (2, "ab c", "en", "src0", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    from venus_spark.plans import all_plans
+
+    p = all_plans()["mm_audio_features"]
+    got = {r["doc_id"]: r for r in p.fn(spark, sf_dir).collect()}
+    assert got[1]["byte_sum"] == 0 and got[1]["n_bytes"] == 0
+    con = duckdb_connect(sf_dir)
+    res = compare("mm_audio_empty", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail

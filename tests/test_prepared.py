@@ -9,7 +9,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from venus_spark.operators.text import char_trigrams, trigrams_of
-from venus_spark.prepared import documents_trgm, needle_mask, trigram_bloom64
+from venus_spark.prepared import (
+    BLOOM_WORDS,
+    bloom_probe,
+    documents_trgm,
+    needle_masks,
+    trigram_bloom,
+)
 
 TEXTS = [
     "Spark WINDOW functions work",
@@ -23,16 +29,18 @@ TEXTS = [
 
 
 def test_bloom_matches_driver_mask(spark):
-    """The stored bloom (SQL fold, Spark crc32) must equal the
-    driver-computed needle_mask (zlib.crc32) on the same trigram set —
-    the soundness precondition of the probe."""
+    """Every stored bloom word (SQL fold, Spark crc32) must equal the
+    driver-computed needle_masks word (zlib.crc32) on the same trigram
+    set — the soundness precondition of the probe."""
     df = (
         spark.createDataFrame([(t,) for t in TEXTS], ["text"])
         .withColumn("_trg", char_trigrams("text"))
-        .withColumn("_trg_bloom", trigram_bloom64("_trg"))
+        .withColumn("_trg_bloom", trigram_bloom("_trg"))
     )
     for r in df.collect():
-        assert r["_trg_bloom"] == needle_mask(sorted(set(r["_trg"])))
+        want = needle_masks(sorted(set(r["_trg"])))
+        got = list(r["_trg_bloom"])
+        assert len(got) == BLOOM_WORDS and got == want
 
 
 def test_char_trigrams_short_text_empty(spark):
@@ -71,15 +79,34 @@ def test_prefilter_equals_plain_ilike(spark, sf_dir, pattern):
 
     verify = F.col("text").ilike(pattern)
     grams = trigrams_of(pattern.strip("%"))
-    pred = verify
-    if grams:
-        mask = F.lit(needle_mask(grams))
-        pred = (F.col("_trg_bloom").bitwiseAND(mask) == mask) & verify
+    pred = bloom_probe(grams) & verify if grams else verify
     pre = docs.filter(pred).select("doc_id")
 
     assert sorted(r[0] for r in plain.collect()) == sorted(
         r[0] for r in pre.collect()
     )
+
+
+def test_bloom_probe_prunes_to_containment_floor(spark, sf_dir):
+    """The 2048-bit k=2 bloom probe must pass EXACTLY the rows whose
+    trigram set contains every needle trigram (zero bloom false
+    positives on the bench needles) — the r3 64-bit bloom saturated and
+    passed nearly everything, degrading the GIN analog to recompute
+    avoidance."""
+    from venus_spark.plans.venus_surface import _PATTERNS
+
+    docs = documents_trgm(spark, sf_dir)
+    for pattern in _PATTERNS:
+        grams = trigrams_of(pattern.strip("%"))
+        probe_ids = {r[0] for r in docs.filter(bloom_probe(grams)).select("doc_id").collect()}
+        lits = ",".join("'" + g.replace("'", "\\'") + "'" for g in grams)
+        exact_ids = {
+            r[0]
+            for r in docs.filter(
+                F.expr(f"size(array_except(array({lits}), _trg)) = 0")
+            ).select("doc_id").collect()
+        }
+        assert probe_ids == exact_ids
 
 
 def test_fuzzy_plans_agree(spark, sf_dir):

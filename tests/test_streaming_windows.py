@@ -274,3 +274,19 @@ def test_stream_static_enrichment(spark, tmp_path):
         for r in enrich_with_dimension(batch, dim, "user_id", "cust_id").collect()
     }
     assert got == want
+
+
+def test_enrichment_same_name_key_keeps_event_column(spark):
+    """When the dimension key shares the event key's NAME (both
+    'user_id'), only the dimension-side column may be dropped — a
+    drop-by-name would silently remove both (ADVICE r3)."""
+    from venus_spark.streaming.windows import enrich_with_dimension
+
+    events = spark.createDataFrame(
+        [(1, 10), (2, 99)], "event_id long, user_id long"
+    )
+    dim = spark.createDataFrame([(10, "gold")], "user_id long, tier string")
+    out = enrich_with_dimension(events, dim, "user_id", "user_id")
+    assert out.columns == ["event_id", "user_id", "tier"]
+    got = {(r["event_id"], r["user_id"], r["tier"]) for r in out.collect()}
+    assert got == {(1, 10, "gold"), (2, 99, None)}

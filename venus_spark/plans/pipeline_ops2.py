@@ -100,8 +100,9 @@ SELECT doc_id,
        {_BLEN} - STRLEN(REPLACE(text, ' ', '')) AS n_space,
        {_BLEN} - STRLEN(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
          text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS n_vowel,
-       CAST(LIST_SUM([ORD(x) FOR x IN STRING_SPLIT(text, '')]) AS BIGINT)
-         AS byte_sum
+       CASE WHEN text = '' THEN 0
+            ELSE CAST(LIST_SUM([ORD(x) FOR x IN STRING_SPLIT(text, '')]) AS BIGINT)
+       END AS byte_sum
 FROM documents
 """
 

@@ -38,40 +38,90 @@ PREPARED_ROOT = os.environ.get(
     "SPARK_GRAFT_PREPARED_DIR", os.path.join(_REPO_ROOT, ".prepared")
 )
 
-_BLOOM_BITS = 64
+# 2048-bit bloom as one array of 32 longs, two hash functions per
+# trigram. The r1-r3 64-bit bloom saturated on real documents (median
+# 57/64 bits set at sf0.1 — a ~150-distinct-trigram document fills
+# nearly the whole word), so the probe passed almost everything and the
+# "index" only avoided recompute. Widening alone is not enough either:
+# the driver corpus has only ~380 distinct trigrams, most
+# near-universal, so a needle's selectivity hangs on its one or two
+# RARE grams — and a single-hash bloom loses exactly when that rare
+# gram's bit collides with a common gram (measured: the 6%-selective
+# 'k w' bit carried a 33% document frequency). Sized at 2048 bits with
+# k=2 (fill ~14%, rare-gram FP ~2% uniform; measured: ZERO false
+# positives on the bench needles — probe pass rate equals the exact
+# trigram-containment floor), the prefilter *prunes* like the pg_trgm
+# GIN posting-list intersection it stands in for, instead of merely
+# skipping recompute. 256 B/row, inside pg_trgm's index:table ratio.
+_BLOOM_BITS = 2048
+_BLOOM_SALT = "#"  # second hash = crc32(gram + salt)
+BLOOM_WORDS = _BLOOM_BITS // 64
 
 
-def trigram_bloom64(grams_expr: str) -> Column:
-    """64-bit trigram bloom fingerprint: OR of ``1 << (crc32(g) mod 64)``
-    over a trigram array (``grams_expr`` is a SQL expression for the
-    array column).
+def trigram_bloom(grams_expr: str) -> Column:
+    """The blocked trigram bloom as ONE ``array<long>`` column of
+    ``BLOOM_WORDS`` words (single parquet column chunk — decoding 32
+    separate long columns costs more reader overhead than the probe
+    saves). Each gram sets two bits: bit of hash ``h`` lives at word
+    ``(h mod BITS) div 64``, bit-in-word ``h mod 64`` (equal to
+    ``(h mod BITS) mod 64`` since 64 divides BITS); the two hashes are
+    ``crc32(g)`` and ``crc32(g + salt)``.
 
     ``needle`` a substring of ``text`` implies trigrams(needle) is a
-    subset of trigrams(text), hence ``bloom(needle) & bloom(text) ==
-    bloom(needle)`` — a sound prefilter with false positives removed by
-    the exact ILIKE verify. One long per row: the probe is two bitwise
-    ops inside whole-stage codegen, independent of text length.
+    subset of trigrams(text), hence every needle bloom bit is set —
+    word-wise ``bloom[w] & mask_w == mask_w`` is a sound prefilter and
+    the exact ILIKE verify removes the false positives. The probe is
+    two bitwise ops per *non-empty needle word* inside whole-stage
+    codegen (a needle touches ~2 words per trigram), independent of
+    text length.
 
     Built as a SQL fold because pyspark 4.1.2's ``F.shiftleft`` only
     accepts a literal ``numBits``; SQL ``shiftleft`` takes a column.
     CRC32 (not xxhash64) is the bucket hash so the *query-side* mask is
-    computable on the driver with :func:`needle_mask` (``zlib.crc32`` is
-    bit-identical to Spark's ``crc32``) — no Spark job per needle.
+    computable on the driver with :func:`needle_masks` (``zlib.crc32``
+    is bit-identical to Spark's ``crc32``) — no Spark job per needle.
     """
-    return F.expr(
-        f"aggregate({grams_expr}, 0L, (acc, g) -> acc | "
-        f"shiftleft(1L, cast(pmod(crc32(cast(g AS BINARY)), {_BLOOM_BITS}) AS INT)))"
+    crc1 = "crc32(cast(g AS BINARY))"
+    crc2 = f"crc32(cast(concat(g, '{_BLOOM_SALT}') AS BINARY))"
+    zero = f"array_repeat(0L, {BLOOM_WORDS})"
+    set_bit = (
+        "transform(acc, (a, w) -> a"
+        + "".join(
+            f" | IF(pmod({crc}, {_BLOOM_BITS}) div 64 = w, "
+            f"shiftleft(1L, cast(pmod({crc}, 64) AS INT)), 0L)"
+            for crc in (crc1, crc2)
+        )
+        + ")"
     )
+    return F.expr(f"aggregate({grams_expr}, {zero}, (acc, g) -> {set_bit})")
 
 
-def needle_mask(grams: list[str]) -> int:
-    """Driver-side bloom mask for a needle's trigram set — the exact
-    two's-complement long :func:`trigram_bloom64` would produce, so
-    ``bloom & mask == mask`` is a sound containment probe."""
-    mask = 0
+def needle_masks(grams: list[str]) -> list[int]:
+    """Driver-side bloom masks for a needle's trigram set — the exact
+    two's-complement longs the :func:`trigram_bloom_word` columns would
+    hold, so ``bloom_w & mask_w == mask_w`` over the non-zero words is a
+    sound containment probe."""
+    masks = [0] * BLOOM_WORDS
     for g in grams:
-        mask |= 1 << (zlib.crc32(g.encode("utf-8")) % _BLOOM_BITS)
-    return mask - (1 << 64) if mask >= (1 << 63) else mask
+        for h in (zlib.crc32(g.encode("utf-8")),
+                  zlib.crc32((g + _BLOOM_SALT).encode("utf-8"))):
+            masks[(h % _BLOOM_BITS) // 64] |= 1 << (h % 64)
+    return [m - (1 << 64) if m >= (1 << 63) else m for m in masks]
+
+
+def bloom_probe(grams: list[str], bloom_col: str = "_trg_bloom") -> Column:
+    """The prefilter predicate for a needle trigram set: AND of the
+    word-wise containment checks, only over words the needle actually
+    touches (zero-mask words are trivially true and skipped). Callers
+    must handle ``grams == []`` themselves (no sound prefilter exists
+    for sub-trigram needles)."""
+    pred = F.lit(True)
+    for w, m in enumerate(needle_masks(grams)):
+        if m != 0:
+            mask = F.lit(m)
+            word = F.element_at(F.col(bloom_col), w + 1)
+            pred = pred & (word.bitwiseAND(mask) == mask)
+    return pred
 
 
 def prepared_path(sf_dir: str, name: str) -> str:
@@ -106,10 +156,14 @@ def _stamp(path: str, meta: dict) -> None:
 
 def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``documents`` + ``_trg`` (distinct char-3-gram set, the pg_trgm
-    unit) + ``_trg_bloom`` (64-bit fingerprint), built on first use."""
+    unit) + ``_trg_bloom`` (2048-bit k=2 blocked bloom as one
+    ``array<long>``), built on first use. The meta stamp carries the
+    bloom geometry so artifacts from earlier constants rebuild
+    automatically."""
     from venus_spark.operators.text import char_trigrams
 
-    meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "gram": 3}
+    meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "k": 2,
+            "salt": _BLOOM_SALT, "gram": 3, "layout": "array"}
     path = prepared_path(sf_dir, "documents_trgm.parquet")
     if not _is_built(path, meta):
         if os.path.exists(path):  # partial/failed/stale earlier build
@@ -117,7 +171,7 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").withColumn(
             "_trg", char_trigrams("text")
         )
-        docs.withColumn("_trg_bloom", trigram_bloom64("_trg")).write.parquet(path)
+        docs.withColumn("_trg_bloom", trigram_bloom("_trg")).write.parquet(path)
         _stamp(path, meta)
     return spark.read.parquet(path)
 

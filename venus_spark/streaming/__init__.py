@@ -145,27 +145,41 @@ def compact_closed_partition(
     The compacted rows land under ``_batch_id=-1`` so the
     directory layout stays homogeneous with live partitions (mixed
     depths break parquet partition discovery), and the real batch ids
-    can never collide with it. Crash-safe by retry, matching the sink's
-    own model: a rerun first clears any half-written compacted
-    directory, rewrites it from the remaining batch directories, then
-    removes them — so rows are never lost, and a crash between write
-    and cleanup only leaves duplicates that the rerun removes. (A
-    lakehouse table format expresses this same operation as a
-    transactional OPTIMIZE/rewrite.)
+    can never collide with it. Crash-safe by retry, with the
+    ``_SUCCESS`` marker as the commit record: once the compacted
+    directory carries ``_SUCCESS`` it is *authoritative* — it holds
+    every row from every batch directory that existed at write time —
+    so a rerun never rewrites it; it only removes leftover batch
+    directories (duplicates from a crash mid-cleanup), and a retry
+    after full success is a no-op. Only a compacted directory
+    *without* ``_SUCCESS`` (torn write — the source batch directories
+    are all still present) is discarded and rebuilt. Rows are never
+    lost in any interleaving. (A lakehouse table format expresses this
+    same operation as a transactional OPTIMIZE/rewrite.)
 
     Returns the number of batch directories compacted away.
     """
     import shutil
 
     part_dir = os.path.join(table_dir, partition)
-    compacted = os.path.join(part_dir, f"_batch_id={COMPACTED_BATCH_ID}")
-    if os.path.exists(compacted):  # half-finished earlier run: redo
-        shutil.rmtree(compacted)
+    compacted_name = f"_batch_id={COMPACTED_BATCH_ID}"
+    compacted = os.path.join(part_dir, compacted_name)
     batch_dirs = [
         d
         for d in os.listdir(part_dir)
-        if d.startswith("_batch_id=") and os.path.isdir(os.path.join(part_dir, d))
+        if d.startswith("_batch_id=")
+        and d != compacted_name
+        and os.path.isdir(os.path.join(part_dir, d))
     ]
+    if os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        # Committed compaction: the compacted dir already contains these
+        # batches' rows; surviving batch dirs are crash-mid-cleanup
+        # duplicates. Remove only them, never the compacted output.
+        for d in batch_dirs:
+            shutil.rmtree(os.path.join(part_dir, d))
+        return len(batch_dirs)
+    if os.path.exists(compacted):  # torn write: sources still intact, redo
+        shutil.rmtree(compacted)
     if not batch_dirs:
         return 0
     (

@@ -105,10 +105,14 @@ def enrich_with_dimension(
     micro-batch, so a dimension refresh (overwrite of the underlying
     table) is picked up on the next trigger without restarting the
     query. Stateless: unlike a stream-stream join there is no state
-    store, so this composes freely under any output mode."""
+    store, so this composes freely under any output mode.
+
+    The dimension-side key is dropped *by column reference* — dropping
+    by name would remove BOTH sides' columns when the event key and
+    dimension key share a name (e.g. both ``user_id``)."""
     return events.join(
         F.broadcast(dim), events[event_key] == dim[dim_key], "left"
-    ).drop(dim_key)
+    ).drop(dim[dim_key])
 
 
 def join_views_to_clicks(
