@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 
 import pytest
@@ -49,6 +50,88 @@ def test_ivf_prepared_scan_prunes_partitions(spark):
     assert len(m.group(1).split(",")) == _NPROBE
 
 
+def test_skew_agg_partial_aggregates_below_exchange(spark):
+    """The deliberately-skewed hot-user aggregation must partial-
+    aggregate map-side: a HashAggregate must appear BELOW the shuffle
+    Exchange in the plan, so the hot key collapses to one row per input
+    partition before any data moves — the property that makes a
+    skewed-key agg safe at any scale."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["skew_hot_user_agg"].fn(spark, SF))
+    # formatted-plan node order: the partial HashAggregate is listed
+    # before the Exchange that consumes it, the final one after
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index(") Exchange")
+    assert first_agg < first_exchange, plan[:2000]
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Drive a forced large-large join with one hot key and assert
+    AQE's skew-join actually splits the hot partition
+    (SortMergeJoin(skew=true) in the final adaptive plan) — the
+    documented fallback when neither side is broadcastable. Thresholds
+    are lowered to make local-mode data big enough to trip the same
+    code path production trips at real sizes."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 220000).select(
+            F.when(F.col("id") < 200000, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("d").alias("tag")
+        )
+        j = left.join(right, "k").select("k", "tag", "pad")
+        assert len(j.collect()) == 220000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin(skew=true)" in final, final[:2000]
+        assert "skewed" in final  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_time_range_pruned_scan_has_date_partition_filters(spark):
+    """The date-partitioned events layout must serve the time-range
+    plan through PartitionFilters on the date directory column (the
+    hypertable-chunk analog) — an empty PartitionFilters list means the
+    layout is decorative and every day directory is opened."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["time_range_filter_pruned"].fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*date[^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no date partition filters:\n{plan[:2000]}"
+
+
+def test_variant_scan_reads_shredded_fields_not_text(spark):
+    """The variant twins must read SHREDDED typed subcolumns of the
+    stored variant (ReadSchema: struct<props_v:struct<...>>), never the
+    raw text payload — that per-field decode is the whole point of the
+    prepared variant layout (SURVEY §1.4's JSONB mapping)."""
+    from venus_spark.plans import all_plans
+
+    plans = all_plans()
+    access = formatted_plan(plans["json_field_access_variant"].fn(spark, SF))
+    m = re.search(r"ReadSchema: struct<props_v:struct<[^>]*int[^>]*>>", access)
+    assert m, f"expected shredded variant read, plan:\n{access[:2000]}"
+    assert "props:string" not in access  # text payload never scanned
+
+    contain = formatted_plan(plans["json_containment_variant"].fn(spark, SF))
+    assert re.search(r"data_v:struct<", contain)
+    assert "get_json_object" not in contain  # no per-row JsonPath
+
+
 def test_connected_components_chain_and_singleton(spark):
     """A 4-chain (needs >1 propagation round), a pair, and an isolated
     node that appears in no pair (and so in no output row)."""
@@ -75,6 +158,42 @@ def test_connected_components_label_crosses_long_path(spark):
     labels = connected_components(pairs)
     assert labels.filter(F.col("cluster_id") != 1).count() == 0
     assert labels.count() == 6
+
+
+def test_connected_components_uses_reliable_checkpoint_when_configured(tmp_path):
+    """With a reliable checkpoint dir configured on the context (the
+    cluster deployment setting), connected_components must write its
+    lineage-truncation points THERE (surviving executor loss) instead
+    of localCheckpoint, and still produce the same clusters. Runs in a
+    subprocess: the checkpoint dir is session-global state that must
+    not leak into the shared fixture session."""
+    import subprocess
+    import sys
+
+    script = f"""
+import os
+from venus_spark.session import get_spark
+from venus_spark.operators.dedup import connected_components
+spark = get_spark(cpus=4)
+ck = {str(tmp_path / "ck")!r}
+spark.sparkContext.setCheckpointDir(ck)
+pairs = spark.createDataFrame(
+    [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+got = {{(r["id"], r["cluster_id"])
+       for r in connected_components(pairs).collect()}}
+assert got == {{(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}}, got
+walked = [f for _, _, fs in os.walk(ck) for f in fs]
+assert walked, "no reliable checkpoint files written"
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
 
 
 def test_bucketed_sales_rebuilds_from_orphaned_location(spark, tmp_path):

@@ -93,3 +93,63 @@ def test_zmq_mode_without_pyzmq_exits_with_guidance(tmp_path):
     )
     assert proc.returncode != 0
     assert "--stdin" in proc.stderr
+
+
+def test_relay_to_ingest_to_query_end_to_end(spark, tmp_path):
+    """The full reference topology in ONE test (reference
+    tests/test_sender.py:61 asserts logged ⊇ sent over the same path):
+    sender lines -> relay micro-batcher (subprocess; stdin drives the
+    identical batch/land code the ZMQ PULL loop feeds — pyzmq is absent
+    in this container) -> landing dir -> start_logs_ingest -> logs
+    table -> correlation-id point query. Round 3 tested relay and
+    ingest separately; this closes the seam between them."""
+    import json
+    import uuid
+
+    import test_ingest as ti
+    from venus_spark.streaming import (
+        read_log_stream,
+        read_sink_table,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    corr = str(uuid.uuid4())
+    sent_msgs = set()
+    lines = []
+    for i in range(25):
+        rec = ti.make_record(i, corr=corr if i == 7 else None)
+        rec["message"] = f"sent-{uuid.uuid4()}"
+        sent_msgs.add(rec["message"])
+        lines.append(json.dumps(rec))
+    lines.append("{torn frame, not json")  # must quarantine, not crash
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts", "zmq_relay.py")
+    subprocess.run(
+        [sys.executable, script, "--landing", str(landing), "--stdin",
+         "--batch-size", "10"],
+        input="\n".join(lines) + "\n",
+        text=True,
+        check=True,
+        timeout=60,
+    )
+    assert len(list(landing.iterdir())) == 3  # 10 + 10 + EOF flush of 6
+
+    sink = tmp_path / "sink"
+    q = start_logs_ingest(
+        read_log_stream(spark, str(landing)),
+        sink_dir=str(sink),
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger_seconds=None,  # availableNow: drain and stop
+    )
+    q.awaitTermination()
+
+    logs = read_sink_table(spark, str(sink), "logs")
+    logged = {r["message"] for r in logs.select("message").collect()}
+    assert logged.issuperset(sent_msgs)  # the reference's core assertion
+    # the quarantine caught the torn frame instead of dropping the batch
+    quarantine = read_sink_table(spark, str(sink), "quarantine")
+    assert quarantine.count() == 1
+    # and the landed table serves the reference's primary query pattern
+    hits = logs.filter(logs.correlation_id == corr).collect()
+    assert len(hits) == 1 and hits[0]["message"].startswith("sent-")

@@ -186,26 +186,58 @@ def jaccard_pairs_in_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs within explicit buckets (the non-LSH
-    baseline; bucket keys bound the pair blow-up)."""
-    t = df.select(
-        id_col, *bucket_cols, F.array_distinct(tokens(text_col)).alias("toks")
+    baseline; bucket keys bound the pair blow-up). With ``toks_col``,
+    ``df`` already carries the comparison-set array (e.g. the prepared
+    MinHash index's stored shingles) and nothing is re-tokenized here;
+    otherwise the distinct word-token set is built from ``text_col``.
+
+    Executes as an inverted-postings self-join, not an array-pair
+    cross product: exploding to (id, element) rows and joining equal
+    elements within a bucket materializes a pair only ONCE PER SHARED
+    ELEMENT (count = exact |A∩B|), instead of shipping both full set
+    arrays on every candidate pair row. Pairs sharing nothing never
+    exist (they cannot pass any threshold > 0); cost is
+    sum-of-squared-posting-lengths — postings-proportional like the
+    BM25 plan, and the standard set-similarity-join shape at scale.
+    The size filter (J > t forces t·|B| < |A| < |B|/t) prunes pairs
+    before the aggregation."""
+    if toks_col is not None:
+        t = df.select(id_col, *bucket_cols, F.col(toks_col).alias("toks"))
+    else:
+        t = df.select(
+            id_col, *bucket_cols, F.array_distinct(tokens(text_col)).alias("toks")
+        )
+    posts = t.withColumn("_n", F.size("toks")).select(
+        id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
     )
-    a, b = t.alias("a"), t.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a._tok") == F.col("b._tok")
+    )
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    sim = jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (
+    cond = (
+        cond
+        & (F.col("a._n") > F.lit(threshold) * F.col("b._n"))
+        & (F.col("b._n") > F.lit(threshold) * F.col("a._n"))
+    )
+    inter = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("jaccard_sim"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
-        .filter(F.col("jaccard_sim") > threshold)
+        .agg(F.count("*").alias("_inter"))
     )
+    sim = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
+    ).filter(F.col("jaccard_sim") > threshold)
 
 
 def simhash_col_aggs() -> list[Column]:
@@ -246,24 +278,36 @@ def connected_components(
     where cluster_id = min node id reachable in the pair graph.
 
     Iterative min-label propagation over symmetrized edges — each round is
-    one shuffle join + one partial-aggregated groupBy, and ``localCheckpoint``
-    truncates lineage so round N's plan doesn't re-derive rounds 1..N-1.
-    Convergence is O(graph diameter) rounds; near-dup graphs are unions of
-    band-clique clusters, so the diameter is small by construction (a long
-    chain would need a 0.8-Jaccard path of distinct documents). On a real
-    cluster, swap localCheckpoint for reliable checkpointing and cache the
-    (static) edge relation; at 100 TB the edge set is the LSH pair output,
+    one shuffle join + one partial-aggregated groupBy, with per-round
+    checkpointing truncating lineage so round N's plan doesn't re-derive
+    rounds 1..N-1. Convergence is O(graph diameter) rounds; near-dup
+    graphs are unions of band-clique clusters, so the diameter is small
+    by construction (a long chain would need a 0.8-Jaccard path of
+    distinct documents). At 100 TB the edge set is the LSH pair output,
     orders of magnitude smaller than the corpus.
+
+    Checkpoint durability follows the session: when a RELIABLE
+    checkpoint directory is configured (``spark.sparkContext.
+    setCheckpointDir('hdfs://...')`` — the cluster deployment setting),
+    every truncation point is written there and an executor loss
+    mid-iteration recomputes nothing; otherwise ``localCheckpoint``
+    (executor-memory lineage truncation, the single-node default) is
+    used. Same plan shape either way.
     """
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = edges.localCheckpoint()  # evaluate the (possibly expensive) pair plan once
-    labels = (
+    edges = _ckpt(edges)  # evaluate the (possibly expensive) pair plan once
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lab", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -271,13 +315,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
                 F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -166,27 +166,121 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@plan("approx_dashboard_tiles")  # no oracle: sketch estimates are engine-specific
+_APPROX_TILES_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS users_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@plan("approx_dashboard_tiles", oracle=_APPROX_TILES_ORACLE)
 def approx_dashboard_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based versions of the dashboard aggregates — HLL++
-    distinct users and t-digest percentiles per event type. These are
-    what a 100 TB deployment serves interactively (single pass, fixed
-    memory, mergeable across partitions); the exact twins
-    (timeseries_hourly, value_percentiles) are the correctness oracles.
-    Registered without a SQL oracle: sketch estimates are
-    implementation-specific, so the driver records a rows-only check."""
+    distinct users and quantile-sketch percentiles per event type.
+    These are what a 100 TB deployment serves interactively (single
+    pass, fixed memory, mergeable across partitions).
+
+    Sketch estimates are implementation-specific, so the raw estimate
+    cannot be hash-compared against DuckDB — instead the plan emits a
+    CHECKABLE CONTRACT (VERDICT r3 #7): the exact counts (which the
+    oracle recomputes exactly) plus one boolean per sketch asserting
+    the estimate lies inside its documented error bound, which the
+    oracle pins to TRUE. An out-of-bounds sketch therefore hash-FAILS
+    the driver compare instead of hiding behind a rows-only check.
+    Bounds: HLL++ at rsd=1% must land within ±5% of the exact distinct
+    count (5 standard deviations); percentile_approx at accuracy 10⁴
+    (rank error ≤ n/10⁴) must land between the exact 45th/55th
+    (resp. 90th/99th) percentile values. The exact twins add one
+    countDistinct shuffle + exact percentiles — acceptable for the
+    verification plan; the interactive path serves the sketches alone.
+    """
     ev = load_table(spark, sf_dir, "events")
+
+    def within(approx, lo, hi):
+        # null-safe: an empty/all-null group yields NULL on both the
+        # sketch and the exact side — that counts as in-contract
+        return (approx.between(lo, hi)) | (approx.isNull() & lo.isNull())
+
+    approx_users = F.approx_count_distinct("user_id", rsd=0.01)
+    exact_users = F.count_distinct("user_id")
+    approx_p50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    approx_p95 = F.percentile_approx("value", F.lit(0.95), F.lit(10000))
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.count("*").alias("n_events"),
-            F.round(
-                F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 6
-            ).alias("approx_p50"),
-            F.round(
-                F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 6
-            ).alias("approx_p95"),
+            exact_users.alias("exact_users"),
+            within(
+                approx_users.cast("double"),
+                exact_users * 0.95,
+                exact_users * 1.05,
+            ).alias("users_ok"),
+            within(
+                approx_p50,
+                F.percentile("value", F.lit(0.45)),
+                F.percentile("value", F.lit(0.55)),
+            ).alias("p50_ok"),
+            within(
+                approx_p95,
+                F.percentile("value", F.lit(0.90)),
+                F.percentile("value", F.lit(0.99)),
+            ).alias("p95_ok"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew posture, demonstrated (VERDICT r3 #6)
+# --------------------------------------------------------------------------
+
+_SKEW_ORACLE = f"""
+SELECT CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END AS hot_user,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY hot_user
+ORDER BY n_events DESC, hot_user
+LIMIT 5
+"""
+
+
+@plan("skew_hot_user_agg", oracle=_SKEW_ORACLE)
+def skew_hot_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-user aggregation over a DELIBERATELY skewed key: ~70% of all
+    events collapse onto one synthetic "bot" user (the driver's
+    user_ids are uniform, so the hot key is derived — real traffic has
+    this shape natively). This plan exists to make the repo's skew
+    posture demonstrable instead of asserted:
+
+    - A skewed-key *aggregation* is safe because Spark's hash
+      aggregate is partial-final: the hot key collapses to ONE row per
+      input partition map-side before the shuffle, so the reduce task
+      for the hot key receives n_partitions rows, not 70% of the
+      corpus. ``tests/test_plan_shapes.py`` asserts the partial
+      HashAggregate sits below the Exchange in this plan.
+    - A skewed-key *join* is handled by (first) broadcasting the small
+      side — broadcast joins never shuffle the fact table, making them
+      skew-immune, the default posture everywhere in this repo — and
+      (when both sides are large) AQE's skew-join, which splits hot
+      partitions at runtime; the same shape-test file drives a forced
+      large-large skewed join and asserts ``SortMergeJoin(skew=true)``
+      appears in the final adaptive plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 7, F.lit(-1).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    return (
+        ev.select(hot.alias("hot_user"), "value")
+        .groupBy("hot_user")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy(F.col("n_events").desc(), "hot_user")
+        .limit(5)
     )

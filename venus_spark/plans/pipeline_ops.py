@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, dsum
-from venus_spark.functions.sqlgen import davg_sql, dsum_sql, shingles_sql, tokens_sql
+from venus_spark.functions.sqlgen import (
+    davg_sql,
+    dsum_sql,
+    shingles_sql,
+    token_hash31_sql,
+    tokens_sql,
+)
 from venus_spark.operators import text as tx
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -226,16 +232,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Token-set Jaccard near-dup pairs within (lang, source) buckets
+# Shingle-set Jaccard near-dup pairs within (lang, source) buckets
 # --------------------------------------------------------------------------
 
 _JACCARD_T = 0.8
-_DISTINCT_TOKS = f"LIST_DISTINCT({_TOKS})"
 _SHINGLES = shingles_sql("text")
 
 _DEDUP_JACCARD_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, source, {_DISTINCT_TOKS} AS t FROM documents
+  SELECT doc_id, lang, source,
+         LIST_DISTINCT([{token_hash31_sql('s')} FOR s IN {_SHINGLES}]) AS t
+  FROM documents
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -251,15 +258,25 @@ SELECT id_a, id_b, jaccard_sim FROM pairs WHERE jaccard_sim > {_JACCARD_T}
 
 @plan("dedup_jaccard_pairs", oracle=_DEDUP_JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs above threshold within explicit
-    buckets — the verification baseline for the LSH path; bucket keys
-    bound the quadratic pair expansion."""
+    """Exact SHINGLE-set Jaccard pairs above threshold within explicit
+    (lang, source) buckets — the exhaustive verification baseline for
+    the LSH path, on the SAME comparison set the LSH verify uses (word
+    3-gram shingles; r3 compared word-token sets, a different metric
+    than the one LSH approximates). Served from the prepared MinHash
+    index's stored HASHED shingle sets (``_sh_h``) and covered bucket
+    keys — one index scan, nothing re-tokenized, no join back to the
+    base table, and the quadratic intersects run over int arrays
+    instead of ~20-char strings (~3× cheaper per pair). hash31 is
+    engine-portable, so the oracle builds the identical hashed sets.
+    Bucket keys bound the quadratic pair expansion."""
     from venus_spark.operators.dedup import jaccard_pairs_in_buckets
+    from venus_spark.prepared import documents_minhash
 
     return jaccard_pairs_in_buckets(
-        load_table(spark, sf_dir, "documents"),
+        documents_minhash(spark, sf_dir),
         bucket_cols=["lang", "source"],
         threshold=_JACCARD_T,
+        toks_col="_sh_h",
     )
 
 

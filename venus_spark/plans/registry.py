@@ -21,6 +21,7 @@ _REGISTRY: dict[str, "Plan"] = {}
 # Modules that register plans on import.
 _PLAN_MODULES = (
     "venus_spark.plans.venus_surface",
+    "venus_spark.plans.variant_surface",
     "venus_spark.plans.ingest_surface",
     "venus_spark.plans.tpch",
     "venus_spark.plans.tpch2",

@@ -180,6 +180,32 @@ def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("time_range_filter_pruned", oracle=_TIME_RANGE_ORACLE)
+def time_range_filter_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/B9 on the scale layout: the same time-window aggregate served
+    from the prepared date-partitioned ``events_by_date`` table
+    (hypertable-chunk analog, migration :39-43). The added ``date``
+    bounds are implied by the ``ts`` range (whole-day endpoints), and
+    because ``date`` is a partition COLUMN they become
+    ``PartitionFilters`` — the scan lists only the in-range day
+    directories and never opens the rest (asserted by
+    ``tests/test_plan_shapes.py``). Same rows, same oracle."""
+    from venus_spark.prepared import events_by_date
+
+    ev = events_by_date(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("date") >= F.lit(_T0[:10]).cast("date"))
+            & (F.col("date") < F.lit(_T1[:10]).cast("date"))
+            & (F.col("ts") >= _ts(_T0))
+            & (F.col("ts") < _ts(_T1))
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
 # --------------------------------------------------------------------------
 # B10 — fuzzy multi-pattern case-insensitive search (ILIKE ANY)
 # (reference: tests/conftest.py:169-174; pg_trgm GIN, migration :21,36)

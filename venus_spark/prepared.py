@@ -177,14 +177,16 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``doc_id`` + distinct shingle array (``_sh``) + MinHash signature
-    columns (``mh_0..mh_{n}``) — the near-dup index, built once at
-    ingest time like the reference's write-time GIN indexes. Query-time
-    dedup then starts from stored signatures (band exprs + bucket join)
-    instead of re-running the explode→hash→MIN-aggregate pass over the
-    full corpus. One scan + one groupBy + one uniform doc_id join to
-    build; incremental at 100 TB because a new document's signature
-    depends only on its own text."""
+    """``doc_id`` + bucket keys (``lang``, ``source`` — covered like an
+    index INCLUDE column, so bucket-scoped queries need no join back to
+    the base table) + distinct shingle array (``_sh``) + MinHash
+    signature columns (``mh_0..mh_{n}``) — the near-dup index, built
+    once at ingest time like the reference's write-time GIN indexes.
+    Query-time dedup then starts from stored signatures (band exprs +
+    bucket join) instead of re-running the explode→hash→MIN-aggregate
+    pass over the full corpus. One scan + one groupBy + one uniform
+    doc_id join to build; incremental at 100 TB because a new
+    document's signature depends only on its own text."""
     from venus_spark.operators import dedup as dd
     from venus_spark.operators.dedup import minhash_signatures
 
@@ -194,17 +196,93 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "perm_a": list(dd.PERM_A),
         "perm_b": list(dd.PERM_B),
         "shingle_n": 3,
+        "covered": ["lang", "source"],
+        "sh_hash": "hash31",
     }
     path = prepared_path(sf_dir, "documents_minhash.parquet")
     if not _is_built(path, meta):
         if os.path.exists(path):
             shutil.rmtree(path)
-        from venus_spark.functions import shingles
+        from venus_spark.functions import shingles, token_hash31
 
         docs = load_table(spark, sf_dir, "documents")
-        sh = docs.select("doc_id", shingles("text").alias("_sh"))
+        sh = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            shingles("text").alias("_sh"),
+        ).withColumn(
+            # hashed shingle set: Jaccard over int arrays costs a
+            # fraction of Jaccard over ~20-char shingle strings, and
+            # hash31 is engine-portable so the DuckDB oracle computes
+            # the identical set (collisions, ~1e-5 per pair, change
+            # both sides identically)
+            "_sh_h",
+            F.array_distinct(F.transform("_sh", token_hash31)),
+        )
         sigs = minhash_signatures(docs)
         sh.join(sigs, "doc_id").write.parquet(path)
+        _stamp(path, meta)
+    return spark.read.parquet(path)
+
+
+def events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` re-laid-out ``partitionBy(date(ts))`` — the BATCH-side
+    hypertable-chunk analog (the streaming sink already lands ``logs``
+    date-partitioned; migration :39-43 declares the reference table a
+    1-day-chunk hypertable). A time-range query that also constrains
+    the derived ``date`` column prunes whole partition directories
+    (``PartitionFilters`` in the scan) instead of relying on row-group
+    min/max stats over an unpartitioned file — at 100 TB the
+    difference between listing ~10 directories and stat-ing every
+    row group of every file. One scan + one shuffle-free write (the
+    writer splits by partition value) at ingest time."""
+    path = prepared_path(sf_dir, "events_by_date.parquet")
+    if not _is_built(path):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("date", F.to_date("ts"))
+            .write.partitionBy("date")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with the JSON payload stored as Spark 4 ``VARIANT``
+    (SURVEY §1.4's primary JSONB mapping): ``props_v`` is the raw
+    payload parsed once at ingest time, ``data_v`` the reference-shaped
+    multi-key document the containment plans probe. Queries then read
+    ``variant_get(...)`` instead of running a JsonPath parse over a
+    text column per row per query — and Spark's parquet *shredding*
+    pushes each requested field into the read schema
+    (``ReadSchema: struct<props_v:struct<0:int,...>>``), so a scan
+    decodes only the probed keys, the columnar answer to the
+    reference's GIN-served ``data->>'k'`` (README.rst:105-107). The
+    parse cost moves to write time exactly like every other prepared
+    artifact; at 100 TB repeated per-query JsonPath over text is the
+    expensive way to serve hot-key access."""
+    meta = {"variant": True, "keys": ["k", "type", "uid"]}
+    path = prepared_path(sf_dir, "events_variant.parquet")
+    if not _is_built(path, meta):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ev = load_table(spark, sf_dir, "events")
+        data = F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("event_type").alias("type"),
+                F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uid"),
+            )
+        )
+        (
+            ev.withColumn("props_v", F.parse_json("props"))
+            .withColumn("data_v", F.parse_json(data))
+            .drop("props")
+            .write.parquet(path)
+        )
         _stamp(path, meta)
     return spark.read.parquet(path)
 
@@ -310,5 +388,7 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     documents_trgm(spark, sf_dir)
     documents_minhash(spark, sf_dir)
     events_by_user(spark, sf_dir)
+    events_by_date(spark, sf_dir)
+    events_variant(spark, sf_dir)
     embeddings_ivf(spark, sf_dir)
     bucketed_sales(spark, sf_dir)
