@@ -366,3 +366,54 @@ def test_session_scale_posture_configs(spark):
     # under it (try_divide, CASE guards), and turning it off would mask
     # real overflow/zero-division divergence from the oracle.
     assert conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_pq_prepared_scans_codes_not_vectors(spark):
+    """The prepared ADC plan must read the 8-byte codes column, never
+    the float vectors (the 32x bandwidth claim), stay shuffle-free up
+    to the TakeOrderedAndProject merge, and keep its arithmetic in
+    codegen (no Python in the data path)."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["sim_pq_adc_prepared"].fn(spark, SF))
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "codes" in m.group(1) and "embedding" not in m.group(1), plan[:1500]
+    assert shuffle_exchanges(plan) == 0, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pq_codes_are_valid_ids_and_selfcode_is_exact(spark):
+    """Every stored code is a valid codebook id, and a vector that IS a
+    codebook row must encode to itself in every subspace (its subspace
+    distance to itself is exactly 0.0) — the encode-correctness
+    invariant that doesn't depend on the oracle."""
+    from venus_spark.operators import similarity as sim
+    from venus_spark.prepared import embeddings_pq
+
+    codes_df, cb_df = embeddings_pq(spark, SF)
+    n_cb = cb_df.count()
+    assert 0 < n_cb <= sim.PQ_KS
+    bad = codes_df.filter(
+        F.exists("codes", lambda c: (c < 0) | (c >= F.lit(n_cb)))
+    ).count()
+    assert bad == 0
+    # codebook row c came from the vector with the c-th smallest
+    # qualifying vec_id; that vector's codes must be [c] * PQ_M
+    from venus_spark.sources import load_table
+
+    cb_ids = [
+        r["vec_id"]
+        for r in load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % sim.PQ_CB_MOD == 0)
+        .orderBy("vec_id")
+        .limit(sim.PQ_KS)
+        .select("vec_id")
+        .collect()
+    ]
+    rows = {
+        r["vec_id"]: r["codes"]
+        for r in codes_df.filter(F.col("vec_id").isin(cb_ids)).collect()
+    }
+    for ci, vid in enumerate(cb_ids):
+        assert rows[vid] == [ci] * sim.PQ_M, (vid, ci, rows[vid])

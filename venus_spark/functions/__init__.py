@@ -123,6 +123,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array<double> columns via the same
+    left fold as :func:`dot` — the PQ encode/ADC kernel. Squaring is
+    ``d * d`` (one multiply), mirrored exactly in the oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns.
 

@@ -80,5 +80,16 @@ def dot_sql(a: str, b: str) -> str:
     )
 
 
+def l2sq_sql(a: str, b: str) -> str:
+    # Same left fold as dot_sql; (x - y) * (x - y) mirrors functions.l2sq.
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"LIST_ZIP({a}, {b}).apply(p -> "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (SQRT({dot_sql(a, a)}) * SQRT({dot_sql(b, b)})))"

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, dot
+from venus_spark.functions import cosine, dot, l2sq
 
 
 def as_double(vec: Column) -> Column:
@@ -213,6 +213,101 @@ def rp_lsh_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# Product quantization (PQ): split the vector into PQ_M subspaces of
+# PQ_DSUB dims, encode each subspace as the id of its nearest codeword
+# (PQ_KS per subspace), answer queries with an asymmetric-distance
+# (ADC) lookup-sum over the codes (Jégou et al., TPAMI 2011). Codebooks
+# are a deterministic coreset sample (every PQ_CB_MOD-th vec_id, first
+# PQ_KS) so the whole path stays in-engine and parity-checkable;
+# kmeans_refine demonstrates the Lloyd step a trained codebook adds.
+PQ_M = 8
+PQ_DSUB = 8  # embeddings are 64-dim (TESTDATA.md): 8 x 8
+PQ_KS = 16
+PQ_CB_MOD = 3
+
+
+def pq_sub(vec: list, j: int) -> list:
+    """Python-side subspace slice of a full-dim vector."""
+    return vec[j * PQ_DSUB : (j + 1) * PQ_DSUB]
+
+
+def pq_fold_l2sq(a: list, b: list) -> float:
+    """Driver-side L2² with the exact left fold order of functions.l2sq
+    (and the oracle's LIST_REDUCE) — IEEE double either way, so the
+    Spark-literal LUT and the oracle's in-SQL LUT are bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def pq_codebook_rows(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """The deterministic codebook sample (<= PQ_KS rows collected —
+    bounded like the query-vector fetches)."""
+    rows = (
+        df.filter(F.col(id_col) % PQ_CB_MOD == 0)
+        .orderBy(id_col)
+        .limit(PQ_KS)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def pq_code_col(vcol: Column, j: int, codebook: list[list[float]]) -> Column:
+    """Code id of subspace ``j``: argmin over the codewords of the L2²
+    fold against literal codeword arrays — pure codegen arithmetic.
+    array_min on struct(d, c) breaks distance ties on the lower code id,
+    matching the oracle's ROW_NUMBER ORDER BY (d, cb_id)."""
+    vslice = F.slice(vcol, j * PQ_DSUB + 1, PQ_DSUB)
+    cands = F.array(
+        *[
+            F.struct(
+                l2sq(
+                    vslice, F.array(*[F.lit(x) for x in pq_sub(c, j)])
+                ).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(codebook)
+        ]
+    )
+    return F.array_min(cands)["c"]
+
+
+def pq_codes_col(vcol: Column, codebook: list[list[float]]) -> Column:
+    """All PQ_M subspace codes as one array<int> column — the 8-byte
+    representation a PQ index persists per vector."""
+    return F.array(*[pq_code_col(vcol, j, codebook) for j in range(PQ_M)])
+
+
+def pq_lut(q: list[float], codebook: list[list[float]]) -> list[list[float]]:
+    """ADC lookup tables: lut[j][c] = L2²(q_j, codeword_jc)."""
+    return [
+        [pq_fold_l2sq(pq_sub(q, j), pq_sub(c, j)) for c in codebook]
+        for j in range(PQ_M)
+    ]
+
+
+def pq_adc_dist(codes_col: Column, lut: list[list[float]]) -> Column:
+    """Approximate L2² from stored codes: an PQ_M-term sum of literal-
+    array lookups, added left-to-right (the oracle folds the same order
+    over LIST(ld ORDER BY j))."""
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in lut[j]]),
+            F.element_at(codes_col, j + 1) + 1,
+        )
+        for j in range(PQ_M)
+    ]
+    adist = terms[0]
+    for t in terms[1:]:
+        adist = adist + t
+    return adist
 
 
 def cosine_pairs_in_buckets(

@@ -1,0 +1,181 @@
+"""Training-data pipeline plans, part 8: product quantization (PQ)
+retrieval — the memory-bandwidth lever for ANN at 100 TB scale.
+
+IVF (sim_ivf_topk) prunes WHICH vectors a query touches; PQ shrinks the
+COST of each touched vector: encode every vector once at write time as
+m subspace code ids, then answer queries with an asymmetric-distance
+(ADC) scan — per subspace, look the code up in a k_s-entry table of
+precomputed query-to-codeword distances and sum the m lookups. The scan
+reads m bytes per vector instead of 4*dim and does m array lookups
+instead of dim multiplies (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public literature; the reference
+has no vector surface, SURVEY.md §2C).
+
+Kernel and constants live in :mod:`venus_spark.operators.similarity`
+(PQ_M/PQ_DSUB/PQ_KS/PQ_CB_MOD); the codebook is a deterministic coreset
+sample rather than offline k-means — Lloyd refinement is demonstrated
+separately by ``kmeans_refine``; sampling keeps the whole plan
+in-engine and parity-checkable while preserving the exact encode/ADC
+dataflow a trained codebook would use.
+
+Parity discipline: all distances are the shared left-fold L2² kernel
+(:func:`venus_spark.functions.l2sq` / ``l2sq_sql``) over doubles, ties
+broken on the lower code id / vec_id in both engines, and the Spark
+side's driver-computed ADC lookup tables use the same left-to-right
+Python float fold (IEEE double) the oracle's LIST_REDUCE performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from venus_spark.functions import l2sq
+from venus_spark.functions.sqlgen import l2sq_sql
+from venus_spark.operators import similarity as sim
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+_PQ_K = 10
+_PQ_QUERY_ID = 0
+
+_VDBL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _pq_cte_prefix() -> str:
+    """Shared oracle CTEs: codebook sample, query, encode, LUT, ADC."""
+    d = sim.PQ_DSUB
+    sub = f"v[(CAST(j AS INT) * {d} + 1):(CAST(j AS INT) * {d} + {d})]"
+    qsub = f"qv[(CAST(j AS INT) * {d} + 1):(CAST(j AS INT) * {d} + {d})]"
+    csub = f"cv[(CAST(j AS INT) * {d} + 1):(CAST(j AS INT) * {d} + {d})]"
+    return f"""
+WITH cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cb_id,
+         {_VDBL.format('embedding')} AS cv
+  FROM (SELECT * FROM embeddings WHERE vec_id % {sim.PQ_CB_MOD} = 0
+        ORDER BY vec_id LIMIT {sim.PQ_KS})
+),
+q AS (
+  SELECT {_VDBL.format('embedding')} AS qv FROM embeddings
+  WHERE vec_id = {_PQ_QUERY_ID}
+),
+subs AS (SELECT j FROM RANGE({sim.PQ_M}) t(j)),
+-- encode: nearest codeword per (vector, subspace), lower cb_id on ties
+enc AS (
+  SELECT vec_id, j, cb_id,
+         {l2sq_sql(sub, csub)} AS d
+  FROM (SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings)
+  CROSS JOIN subs CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, cb_id FROM enc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cb_id) = 1
+),
+-- ADC lookup table: query-to-codeword distance per (subspace, code)
+lut AS (
+  SELECT j, cb_id, {l2sq_sql(qsub, csub)} AS ld
+  FROM cb CROSS JOIN subs CROSS JOIN q
+),
+adc AS (
+  SELECT vec_id,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                  LIST(ld ORDER BY j)),
+                     (acc, x) -> acc + x) AS adist
+  FROM codes JOIN lut USING (j, cb_id)
+  GROUP BY vec_id
+)"""
+
+
+def _pq_oracle() -> str:
+    return f"""{_pq_cte_prefix()},
+exact AS (
+  SELECT vec_id, {l2sq_sql('v', '(SELECT qv FROM q)')} AS edist
+  FROM (SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings)
+)
+SELECT vec_id,
+       ROUND(adist, 6) AS adc_l2sq,
+       ROUND(edist, 6) AS exact_l2sq
+FROM adc JOIN exact USING (vec_id)
+ORDER BY adist, vec_id LIMIT {_PQ_K}
+"""
+
+
+def _pq_prepared_oracle() -> str:
+    return f"""{_pq_cte_prefix()}
+SELECT vec_id, ROUND(adist, 6) AS adc_l2sq
+FROM adc ORDER BY adist, vec_id LIMIT {_PQ_K}
+"""
+
+
+def _query_vec(df: DataFrame) -> list[float]:
+    qrow = (
+        df.filter(F.col("vec_id") == _PQ_QUERY_ID).select("embedding").first()
+    )
+    return [float(x) for x in qrow["embedding"]]
+
+
+@plan("sim_pq_adc_topk", oracle=_pq_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-k in ONE whole-stage-codegen scan.
+
+    The codebook (<= 16 rows) and query vector are the only driver-side
+    fetches — the same bounded pattern as the other query-vector plans.
+    From them the plan builds per-subspace literal codeword arrays and a
+    literal ADC lookup table, so the scan itself does: for each of the m
+    subspaces, argmin over k_s literal-array L2² folds (codegen
+    arithmetic, no shuffle, no join), then an m-term lookup sum. Nothing
+    wide ever moves: the plan's only exchange is the final
+    TakeOrderedAndProject merge. The exact_l2sq column is the per-row
+    audit of how well ADC approximates the true distance.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim.pq_codebook_rows(emb)
+    q = _query_vec(emb)
+    lut = sim.pq_lut(q, codebook)
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    t = emb.select("vec_id", v.alias("v"))
+    codes = sim.pq_codes_col(F.col("v"), codebook)
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        t.select(
+            "vec_id",
+            sim.pq_adc_dist(codes, lut).alias("adist"),
+            l2sq(F.col("v"), qlit).alias("edist"),
+        )
+        .orderBy("adist", "vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            F.round("adist", 6).alias("adc_l2sq"),
+            F.round("edist", 6).alias("exact_l2sq"),
+        )
+    )
+
+
+@plan("sim_pq_adc_prepared", oracle=_pq_prepared_oracle())
+def sim_pq_adc_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k served from the prepared PQ index
+    (prepared.embeddings_pq): the encode half ran once at write time, so
+    the query scans the 8-byte ``codes`` column — 32x less bandwidth
+    than the float32 vectors — and does PQ_M literal-array lookups per
+    row. This is the steady-state shape of a PQ deployment; the
+    recompute twin (sim_pq_adc_topk) is the write-time audit. Same
+    oracle pipeline: the layout changes the access path, not the
+    answer."""
+    from venus_spark.prepared import embeddings_pq
+
+    codes_df, cb_df = embeddings_pq(spark, sf_dir)
+    codebook = [
+        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
+    ]
+    q = _query_vec(load_table(spark, sf_dir, "embeddings"))
+    lut = sim.pq_lut(q, codebook)
+    return (
+        codes_df.select(
+            "vec_id", sim.pq_adc_dist(F.col("codes"), lut).alias("adist")
+        )
+        .orderBy("adist", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
+    )

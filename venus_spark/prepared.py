@@ -336,6 +336,51 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return spark.read.parquet(vec_path), spark.read.parquet(cent_path)
 
 
+def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The PQ index as write-time artifacts: ``(codes, codebook)``.
+
+    The codes table stores each vector as PQ_M small ints (8 bytes vs
+    256 for the float32 vector — the 32x bandwidth saving ADC queries
+    ride on); the codebook table is PQ_KS rows, collected per query
+    like the other broadcast-sized prepared artifacts. Encoding is one
+    scan of pure codegen arithmetic (argmin over literal codeword
+    arrays) and runs once at ingest; ``sim_pq_adc_topk`` without this
+    layout re-encodes the corpus per query. The meta stamp carries the
+    PQ geometry so constant drift forces a rebuild; the codebook itself
+    derives deterministically from the data (coreset sample), so same
+    data + same constants = same index."""
+    from venus_spark.operators import similarity as sim
+
+    meta = {
+        "m": sim.PQ_M,
+        "dsub": sim.PQ_DSUB,
+        "ks": sim.PQ_KS,
+        "cb_mod": sim.PQ_CB_MOD,
+        "kernel": "l2sq",
+    }
+    codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
+    cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
+    if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)):
+        for p in (codes_path, cb_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        emb = load_table(spark, sf_dir, "embeddings")
+        codebook = sim.pq_codebook_rows(emb)
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(codebook)],
+            "cb_id int, cv array<double>",
+        ).coalesce(1).write.parquet(cb_path)
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        (
+            emb.select("vec_id", v.alias("v"))
+            .select("vec_id", sim.pq_codes_col(F.col("v"), codebook).alias("codes"))
+            .write.parquet(codes_path)
+        )
+        _stamp(codes_path, meta)
+        _stamp(cb_path, meta)
+    return spark.read.parquet(codes_path), spark.read.parquet(cb_path)
+
+
 N_BUCKETS = 32
 
 
@@ -391,4 +436,5 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     events_by_date(spark, sf_dir)
     events_variant(spark, sf_dir)
     embeddings_ivf(spark, sf_dir)
+    embeddings_pq(spark, sf_dir)
     bucketed_sales(spark, sf_dir)
