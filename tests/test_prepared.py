@@ -143,3 +143,83 @@ def test_stale_prepared_index_is_rebuilt(spark, tmp_path, monkeypatch):
     json.dump(meta, open(stamp, "w"))
     prepared.documents_minhash(spark, sf)
     assert json.load(open(stamp))["n_perm"] != meta["n_perm"]
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path, monkeypatch):
+    """INSERT-time index maintenance: building the indexes on a base
+    corpus and appending a new batch must yield row-for-row the same
+    artifacts as one full build over base+batch — the property that
+    makes the write-time indexes O(batch) to maintain at 100 TB (the
+    reference's GIN indexes are maintained per INSERT the same way)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    base_docs = docs.filter(F.col("doc_id") < 40)
+    dup_text = docs.filter(F.col("doc_id") == 0).first()["text"]
+    new_docs = (
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 49))
+        .withColumn("doc_id", F.col("doc_id") + 960)
+        .unionByName(
+            spark.createDataFrame(
+                [(1009, dup_text, "en", "web", len(dup_text))],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+    )
+    vecs = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    base_vecs = vecs.filter(F.col("vec_id") < 48)  # keeps all 16 codebook ids
+    new_vecs = vecs.filter(F.col("vec_id") >= 48).withColumn(
+        "vec_id", F.col("vec_id") + 952
+    )
+
+    base_sf = str(tmp_path / "base_sf")
+    full_sf = str(tmp_path / "full_sf")
+    for sf, d, v in (
+        (base_sf, base_docs, new_vecs.sparkSession.createDataFrame([], vecs.schema).unionByName(base_vecs)),
+        (full_sf, base_docs.unionByName(new_docs), base_vecs.unionByName(new_vecs)),
+    ):
+        d.write.parquet(os.path.join(sf, "documents.parquet"))
+        v.write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    # incremental: build on base, then append the batch
+    prepared.append_documents(spark, base_sf, new_docs)
+    prepared.append_embeddings(spark, base_sf, new_vecs)
+
+    def rows(df, key):
+        return [r.asDict(recursive=True) for r in df.orderBy(key).collect()]
+
+    for name, key in (
+        ("documents_trgm.parquet", "doc_id"),
+        ("documents_minhash.parquet", "doc_id"),
+        ("embeddings_pq_codes.parquet", "vec_id"),
+        ("embeddings_ivf.parquet", "vec_id"),
+    ):
+        inc = spark.read.parquet(prepared.prepared_path(base_sf, name))
+        # trigger the full-side build, then read its artifact
+        if name == "documents_trgm.parquet":
+            prepared.documents_trgm(spark, full_sf)
+        elif name == "documents_minhash.parquet":
+            prepared.documents_minhash(spark, full_sf)
+        elif name == "embeddings_pq_codes.parquet":
+            prepared.embeddings_pq(spark, full_sf)
+        else:
+            prepared.embeddings_ivf(spark, full_sf)
+        full = spark.read.parquet(prepared.prepared_path(full_sf, name))
+        assert rows(inc, key) == rows(full, key), name
+
+    # appended docs are immediately servable: the near-dup planted in
+    # the batch is found by the index-served LSH path
+    from venus_spark.operators.dedup import lsh_near_dup_pairs_from_index
+
+    idx = spark.read.parquet(
+        prepared.prepared_path(base_sf, "documents_minhash.parquet")
+    )
+    pairs = lsh_near_dup_pairs_from_index(idx).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1009 for r in pairs)

@@ -154,24 +154,30 @@ def _stamp(path: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
+def _trgm_rows(docs: DataFrame) -> DataFrame:
+    """Derived trigram-index rows for a batch of documents — shared by
+    the full build and the incremental append (a row depends only on
+    its own text)."""
+    from venus_spark.operators.text import char_trigrams
+
+    return docs.withColumn("_trg", char_trigrams("text")).withColumn(
+        "_trg_bloom", trigram_bloom("_trg")
+    )
+
+
 def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``documents`` + ``_trg`` (distinct char-3-gram set, the pg_trgm
     unit) + ``_trg_bloom`` (2048-bit k=2 blocked bloom as one
     ``array<long>``), built on first use. The meta stamp carries the
     bloom geometry so artifacts from earlier constants rebuild
     automatically."""
-    from venus_spark.operators.text import char_trigrams
-
     meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "k": 2,
             "salt": _BLOOM_SALT, "gram": 3, "layout": "array"}
     path = prepared_path(sf_dir, "documents_trgm.parquet")
     if not _is_built(path, meta):
         if os.path.exists(path):  # partial/failed/stale earlier build
             shutil.rmtree(path)
-        docs = load_table(spark, sf_dir, "documents").withColumn(
-            "_trg", char_trigrams("text")
-        )
-        docs.withColumn("_trg_bloom", trigram_bloom("_trg")).write.parquet(path)
+        _trgm_rows(load_table(spark, sf_dir, "documents")).write.parquet(path)
         _stamp(path, meta)
     return spark.read.parquet(path)
 
@@ -203,27 +209,37 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _is_built(path, meta):
         if os.path.exists(path):
             shutil.rmtree(path)
-        from venus_spark.functions import shingles, token_hash31
-
         docs = load_table(spark, sf_dir, "documents")
-        sh = docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            shingles("text").alias("_sh"),
-        ).withColumn(
-            # hashed shingle set: Jaccard over int arrays costs a
-            # fraction of Jaccard over ~20-char shingle strings, and
-            # hash31 is engine-portable so the DuckDB oracle computes
-            # the identical set (collisions, ~1e-5 per pair, change
-            # both sides identically)
-            "_sh_h",
-            F.array_distinct(F.transform("_sh", token_hash31)),
-        )
-        sigs = minhash_signatures(docs)
-        sh.join(sigs, "doc_id").write.parquet(path)
+        _minhash_rows(docs).write.parquet(path)
         _stamp(path, meta)
     return spark.read.parquet(path)
+
+
+def _minhash_rows(docs: DataFrame) -> DataFrame:
+    """Derived MinHash-index rows for a batch of documents — shared by
+    the full build and the incremental append. The signature groupBy
+    runs over the BATCH only (a signature depends only on the one
+    document's shingles), which is what makes maintenance O(batch) at
+    100 TB."""
+    from venus_spark.functions import shingles, token_hash31
+    from venus_spark.operators.dedup import minhash_signatures
+
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        shingles("text").alias("_sh"),
+    ).withColumn(
+        # hashed shingle set: Jaccard over int arrays costs a
+        # fraction of Jaccard over ~20-char shingle strings, and
+        # hash31 is engine-portable so the DuckDB oracle computes
+        # the identical set (collisions, ~1e-5 per pair, change
+        # both sides identically)
+        "_sh_h",
+        F.array_distinct(F.transform("_sh", token_hash31)),
+    )
+    sigs = minhash_signatures(docs)
+    return sh.join(sigs, "doc_id")
 
 
 def events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +395,65 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         _stamp(codes_path, meta)
         _stamp(cb_path, meta)
     return spark.read.parquet(codes_path), spark.read.parquet(cb_path)
+
+
+def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> None:
+    """INSERT-time maintenance of the document indexes — the Spark
+    analog of the reference's GIN upkeep on every insert (migration
+    :21,36: the index is declared once; PostgreSQL maintains it per
+    row thereafter).
+
+    Both document indexes are row-local (a trigram bloom / MinHash
+    signature depends only on that document's text), so maintaining
+    them for a new batch is ONE narrow scan of the batch appended to
+    each index directory — O(batch) work, no shuffle over and no
+    rewrite of the existing corpus. The indexes must already be built
+    for ``sf_dir`` (the ensure calls below are no-ops after the first
+    build). ``tests/test_prepared.py`` asserts incremental-append ==
+    full-rebuild row-for-row."""
+    documents_trgm(spark, sf_dir)
+    documents_minhash(spark, sf_dir)
+    _trgm_rows(new_docs).write.mode("append").parquet(
+        prepared_path(sf_dir, "documents_trgm.parquet")
+    )
+    _minhash_rows(new_docs).write.mode("append").parquet(
+        prepared_path(sf_dir, "documents_minhash.parquet")
+    )
+
+
+def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> None:
+    """INSERT-time maintenance of the vector indexes.
+
+    - IVF: new vectors append under their cluster's partition directory
+      (assignment to the EXISTING centroids is the standard IVF insert
+      path; centroids are refreshed by a periodic offline re-train, not
+      per insert — here the ``label`` column already carries the
+      assignment).
+    - PQ: new vectors are encoded against the EXISTING codebook and
+      their 8-byte codes appended — exactly how a deployed PQ index
+      ingests. The deterministic codebook sample (first PQ_KS of
+      ``vec_id % PQ_CB_MOD == 0``) is stable under append as long as
+      new ids are larger than the last codebook id, which monotone
+      ingest ids guarantee.
+    """
+    from venus_spark.operators import similarity as sim
+
+    vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
+    embeddings_ivf(spark, sf_dir)
+    new_vecs.write.mode("append").partitionBy("label").parquet(vec_path)
+
+    codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
+    _, cb_df = embeddings_pq(spark, sf_dir)
+    codebook = [
+        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
+    ]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    (
+        new_vecs.select("vec_id", v.alias("v"))
+        .select("vec_id", sim.pq_codes_col(F.col("v"), codebook).alias("codes"))
+        .write.mode("append")
+        .parquet(codes_path)
+    )
 
 
 N_BUCKETS = 32
