@@ -259,30 +259,49 @@ def pq_codebook_rows(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def pq_code_col(vcol: Column, j: int, codebook: list[list[float]]) -> Column:
-    """Code id of subspace ``j``: argmin over the codewords of the L2²
-    fold against literal codeword arrays — pure codegen arithmetic.
-    array_min on struct(d, c) breaks distance ties on the lower code id,
-    matching the oracle's ROW_NUMBER ORDER BY (d, cb_id)."""
-    vslice = F.slice(vcol, j * PQ_DSUB + 1, PQ_DSUB)
-    cands = F.array(
-        *[
-            F.struct(
-                l2sq(
-                    vslice, F.array(*[F.lit(x) for x in pq_sub(c, j)])
-                ).alias("d"),
-                F.lit(ci).alias("c"),
-            )
-            for ci, c in enumerate(codebook)
-        ]
+def _dlit(x: float) -> str:
+    """Spark SQL double literal that parses (Double.parseDouble, the
+    correctly-rounded strtod path) to exactly the Python float."""
+    return f"{float(x)!r}D"
+
+
+def _l2sq_flat_sql(vname: str, offset: int, cw: list[float]) -> str:
+    """L2² of ``vname[offset+1 .. offset+len]`` against a literal
+    codeword as FLAT left-associated scalar arithmetic — bit-identical
+    to the shared left fold ((0+t0)+t1)+... but built as one SQL string.
+    The folded-lambda form (zip_with + aggregate) costs one py4j round
+    trip per node to BUILD and is interpreted per element to RUN; with
+    PQ_M * PQ_KS distance expressions per row, both costs dominate —
+    measured 6.9 s -> 0.9 s for the encode scan at sf0.1. Requires
+    fixed-dimension vectors (PQ needs that anyway): element_at past the
+    end would raise under ANSI mode."""
+    terms = []
+    for i, c in enumerate(cw):
+        e = f"(element_at({vname}, {offset + i + 1}) - {_dlit(c)})"
+        terms.append(f"{e} * {e}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_code_sql(vname: str, j: int, codebook: list[list[float]]) -> str:
+    """Code id of subspace ``j``: argmin over the codewords.
+    array_min on struct(d, c) breaks distance ties on the lower code
+    id, matching the oracle's ROW_NUMBER ORDER BY (d, cb_id)."""
+    cands = ", ".join(
+        f"named_struct('d', {_l2sq_flat_sql(vname, j * PQ_DSUB, pq_sub(c, j))}, "
+        f"'c', {ci})"
+        for ci, c in enumerate(codebook)
     )
-    return F.array_min(cands)["c"]
+    return f"array_min(array({cands})).c"
 
 
-def pq_codes_col(vcol: Column, codebook: list[list[float]]) -> Column:
+def pq_codes_col(vname: str, codebook: list[list[float]]) -> Column:
     """All PQ_M subspace codes as one array<int> column — the 8-byte
-    representation a PQ index persists per vector."""
-    return F.array(*[pq_code_col(vcol, j, codebook) for j in range(PQ_M)])
+    representation a PQ index persists per vector. ``vname`` is the
+    NAME of an array<double> column (the expression is generated as SQL
+    text; see _l2sq_flat_sql for why)."""
+    return F.expr(
+        "array(" + ", ".join(pq_code_sql(vname, j, codebook) for j in range(PQ_M)) + ")"
+    )
 
 
 def pq_lut(q: list[float], codebook: list[list[float]]) -> list[list[float]]:
@@ -293,21 +312,17 @@ def pq_lut(q: list[float], codebook: list[list[float]]) -> list[list[float]]:
     ]
 
 
-def pq_adc_dist(codes_col: Column, lut: list[list[float]]) -> Column:
+def pq_adc_dist(codes_name: str, lut: list[list[float]]) -> Column:
     """Approximate L2² from stored codes: an PQ_M-term sum of literal-
     array lookups, added left-to-right (the oracle folds the same order
-    over LIST(ld ORDER BY j))."""
+    over LIST(ld ORDER BY j)). ``codes_name`` is the NAME of the
+    array<int> codes column."""
     terms = [
-        F.element_at(
-            F.array(*[F.lit(x) for x in lut[j]]),
-            F.element_at(codes_col, j + 1) + 1,
-        )
+        f"element_at(array({', '.join(_dlit(x) for x in lut[j])}), "
+        f"element_at({codes_name}, {j + 1}) + 1)"
         for j in range(PQ_M)
     ]
-    adist = terms[0]
-    for t in terms[1:]:
-        adist = adist + t
-    return adist
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def cosine_pairs_in_buckets(

@@ -207,33 +207,47 @@ def approx_dashboard_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sketch and the exact side — that counts as in-contract
         return (approx.between(lo, hi)) | (approx.isNull() & lo.isNull())
 
-    approx_users = F.approx_count_distinct("user_id", rsd=0.01)
-    exact_users = F.count_distinct("user_id")
-    approx_p50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
-    approx_p95 = F.percentile_approx("value", F.lit(0.95), F.lit(10000))
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            exact_users.alias("exact_users"),
-            within(
-                approx_users.cast("double"),
-                exact_users * 0.95,
-                exact_users * 1.05,
-            ).alias("users_ok"),
-            within(
-                approx_p50,
-                F.percentile("value", F.lit(0.45)),
-                F.percentile("value", F.lit(0.55)),
-            ).alias("p50_ok"),
-            within(
-                approx_p95,
-                F.percentile("value", F.lit(0.90)),
-                F.percentile("value", F.lit(0.99)),
-            ).alias("p95_ok"),
-        )
-        .orderBy("event_type")
+    # The array forms compute all requested quantiles from ONE state
+    # object per group (four scalar F.percentile aggregates each buffer
+    # and sort independently). exact COUNT(DISTINCT) runs as its OWN
+    # aggregation joined back on the 10-row group key: mixing a
+    # distinct aggregate with sketch aggregates triggers Spark's
+    # Expand rewrite, whose first pass partially aggregates the
+    # sketches once per (event_type, user_id) — tens of thousands of
+    # HLL/KLL buffers instead of 10. Measured warm at sf0.1:
+    # 4.9 s one-pass-with-distinct -> 1.2 s split.
+    approx_pcts = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
     )
+    exact_pcts = F.percentile(
+        "value", F.array(*[F.lit(x) for x in (0.45, 0.55, 0.90, 0.99)])
+    )
+    sketches = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
+        approx_pcts.alias("_ap"),
+        exact_pcts.alias("_ep"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    joined = sketches.join(F.broadcast(exact), "event_type")
+    return joined.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        within(
+            F.col("_approx_users").cast("double"),
+            F.col("exact_users") * 0.95,
+            F.col("exact_users") * 1.05,
+        ).alias("users_ok"),
+        within(F.col("_ap")[0], F.col("_ep")[0], F.col("_ep")[1]).alias(
+            "p50_ok"
+        ),
+        within(F.col("_ap")[1], F.col("_ep")[2], F.col("_ep")[3]).alias(
+            "p95_ok"
+        ),
+    ).orderBy("event_type")
 
 
 # --------------------------------------------------------------------------

@@ -134,13 +134,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = sim.pq_lut(q, codebook)
 
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    t = emb.select("vec_id", v.alias("v"))
-    codes = sim.pq_codes_col(F.col("v"), codebook)
+    t = emb.select("vec_id", v.alias("v")).withColumn(
+        "codes", sim.pq_codes_col("v", codebook)
+    )
     qlit = F.array(*[F.lit(x) for x in q])
     return (
         t.select(
             "vec_id",
-            sim.pq_adc_dist(codes, lut).alias("adist"),
+            sim.pq_adc_dist("codes", lut).alias("adist"),
             l2sq(F.col("v"), qlit).alias("edist"),
         )
         .orderBy("adist", "vec_id")
@@ -173,7 +174,7 @@ def sim_pq_adc_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = sim.pq_lut(q, codebook)
     return (
         codes_df.select(
-            "vec_id", sim.pq_adc_dist(F.col("codes"), lut).alias("adist")
+            "vec_id", sim.pq_adc_dist("codes", lut).alias("adist")
         )
         .orderBy("adist", "vec_id")
         .limit(_PQ_K)

@@ -389,7 +389,7 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         (
             emb.select("vec_id", v.alias("v"))
-            .select("vec_id", sim.pq_codes_col(F.col("v"), codebook).alias("codes"))
+            .select("vec_id", sim.pq_codes_col("v", codebook).alias("codes"))
             .write.parquet(codes_path)
         )
         _stamp(codes_path, meta)
@@ -450,7 +450,7 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     (
         new_vecs.select("vec_id", v.alias("v"))
-        .select("vec_id", sim.pq_codes_col(F.col("v"), codebook).alias("codes"))
+        .select("vec_id", sim.pq_codes_col("v", codebook).alias("codes"))
         .write.mode("append")
         .parquet(codes_path)
     )
