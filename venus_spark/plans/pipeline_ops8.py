@@ -180,3 +180,63 @@ def sim_pq_adc_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup keep-set (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space (the given `label` column plays the k-means
+# cluster id, as in sim_cosine_pairs/sim_ivf_*), form near-dup pairs only
+# WITHIN a cluster, and keep one representative per near-dup
+# neighborhood — the greedy lowest-id rule: a vector is dropped iff a
+# lower-id vector in its cluster sits above the cosine threshold. Same
+# pair predicate and threshold as sim_cosine_pairs, so the two plans are
+# the pairs view and the keep view of one operation.
+# --------------------------------------------------------------------------
+
+_SEM_T = 0.35  # = pipeline_ops._COS_PAIR_T (one near-dup band corpus-wide)
+
+_SEM_KEEP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, {_VDBL.format('embedding')} AS v FROM embeddings
+),
+p AS (
+  SELECT b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({{cos}}, 6) > {_SEM_T}
+)
+SELECT e.vec_id, e.label FROM e
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = e.vec_id)
+ORDER BY e.vec_id
+"""
+
+
+def _sem_keep_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql
+
+    return _SEM_KEEP_ORACLE.format(cos=cosine_sql("a.v", "b.v"))
+
+
+@plan("dedup_semantic_keep", oracle=_sem_keep_oracle())
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set: drop every vector with a lower-id
+    above-threshold neighbor in its embedding cluster; emit the
+    survivors. The pair join is confined to cluster buckets (at 100 TB
+    the cluster id is the storage partition key, so it is
+    co-partitioned and shuffle-free) and the drop side collapses to a
+    distinct id set — the anti-join is on a uniform key. Composition:
+    sim_cosine_pairs emits these pairs, this plan applies the keep
+    policy; curated_corpus applies the same policy shape to MinHash
+    clusters on the text side."""
+    from venus_spark.operators.similarity import cosine_pairs_in_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drops = (
+        cosine_pairs_in_buckets(emb, threshold=_SEM_T)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(drops, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
