@@ -223,3 +223,96 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path, monkeypatch):
     )
     pairs = lsh_near_dup_pairs_from_index(idx).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 1009 for r in pairs)
+
+
+def test_streaming_index_maintenance_pending_list(spark, tmp_path, monkeypatch):
+    """The GIN-fastupdate analog end-to-end: a documents stream lands
+    exactly-once AND maintains the MinHash dedup index per micro-batch
+    via the pending area; the live view (base ∪ pending) equals a full
+    rebuild, a checkpoint-replay adds no duplicates, and the
+    VACUUM-style merge folds pending files into the base idempotently."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.streaming import read_sink_table, start_documents_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)  # base index over the backfill
+
+    # two landed JSON micro-batch files of new documents
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    new_rows = [
+        r.asDict()
+        for r in docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 46))
+        .withColumn("doc_id", F.col("doc_id") + 970)
+        .collect()
+    ]
+    for i, chunk in enumerate((new_rows[:8], new_rows[8:])):
+        (landing / f"batch{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in chunk) + "\n"
+        )
+
+    def run():
+        q = start_documents_ingest(
+            spark.readStream.schema(docs.schema).json(str(landing)),
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            index_sf_dir=sf,
+            trigger_seconds=None,
+        )
+        q.awaitTermination()
+
+    run()
+
+    def live_rows():
+        return [
+            r.asDict()
+            for r in prepared.documents_minhash_live(spark, sf)
+            .orderBy("doc_id")
+            .collect()
+        ]
+
+    # live view == full rebuild over backfill + streamed docs
+    full_sf = str(tmp_path / "full_sf")
+    all_docs = docs.filter(F.col("doc_id") < 30).unionByName(
+        spark.createDataFrame(new_rows, docs.schema)
+    )
+    all_docs.write.parquet(os.path.join(full_sf, "documents.parquet"))
+    prepared.documents_minhash(spark, full_sf)
+    expect = [
+        r.asDict()
+        for r in prepared.documents_minhash(spark, full_sf)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert live_rows() == expect
+    # landed table matches too
+    landed = read_sink_table(spark, str(tmp_path / "sink"), "documents")
+    assert landed.count() == len(new_rows)
+
+    # replay: rerun the whole stream against the same checkpoint
+    run()
+    assert live_rows() == expect
+
+    # VACUUM: merge pending into base — same rows, pending gone
+    n = prepared.merge_minhash_pending(spark, sf)
+    assert n > 0
+    assert not os.path.exists(prepared._pending_path(sf, "documents_minhash.parquet"))
+    base_rows = [
+        r.asDict()
+        for r in prepared.documents_minhash(spark, sf).orderBy("doc_id").collect()
+    ]
+    assert base_rows == expect
+    # merge retry is a no-op
+    assert prepared.merge_minhash_pending(spark, sf) == 0

@@ -421,6 +421,80 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
     )
 
 
+def _pending_path(sf_dir: str, index_name: str) -> str:
+    return prepared_path(sf_dir, index_name + ".pending")
+
+
+_MINHASH_INDEX = "documents_minhash.parquet"
+
+
+def write_minhash_pending(sf_dir: str, batch_docs: DataFrame, batch_id: int) -> None:
+    """Pending-list index maintenance for a streaming micro-batch — the
+    analog of PostgreSQL GIN's ``fastupdate`` path, which is what
+    actually services the reference's per-INSERT index upkeep: new
+    entries accumulate in a pending list served alongside the main
+    tree and are folded in by VACUUM. Here the batch's index rows land
+    under a pending area partitioned by ``_batch_id`` with dynamic
+    partition overwrite, so a replayed micro-batch rewrites exactly its
+    own partition — the same exactly-once discipline as the streaming
+    sinks. Readers use :func:`documents_minhash_live`; a periodic
+    :func:`merge_minhash_pending` is the VACUUM."""
+    (
+        _minhash_rows(batch_docs)
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_pending_path(sf_dir, _MINHASH_INDEX))
+    )
+
+
+def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup index INCLUDING not-yet-merged streaming inserts:
+    base ∪ pending (the same union a GIN scan performs over tree +
+    pending list)."""
+    base = documents_minhash(spark, sf_dir)
+    pend = _pending_path(sf_dir, _MINHASH_INDEX)
+    # The dynamic-partition-overwrite committer writes no root _SUCCESS;
+    # a batch partition directory only appears at job commit (the same
+    # guarantee the streaming sinks' exactly-once reads rely on).
+    if os.path.isdir(pend) and any(
+        d.startswith("_batch_id=") for d in os.listdir(pend)
+    ):
+        base = base.unionByName(spark.read.parquet(pend).drop("_batch_id"))
+    return base
+
+
+def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
+    """VACUUM-style pending merge: move each pending data file into the
+    base index directory under a collision-free name (``os.rename`` —
+    atomic within the filesystem), then drop the pending area.
+    Idempotent under crash/retry at ANY point: a moved file no longer
+    exists in pending, so a rerun moves only the remainder; rows are
+    never duplicated or lost. (The pending files carry no ``_batch_id``
+    column — it is a partition directory — so they are schema-identical
+    to base files.) Returns the number of data files merged."""
+    import uuid
+
+    base = prepared_path(sf_dir, _MINHASH_INDEX)
+    pend = _pending_path(sf_dir, _MINHASH_INDEX)
+    if not os.path.exists(pend):
+        return 0
+    documents_minhash(spark, sf_dir)  # base must exist to receive files
+    n = 0
+    for root, _dirs, files in os.walk(pend):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            os.rename(
+                os.path.join(root, fn),
+                os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
+            )
+            n += 1
+    shutil.rmtree(pend)
+    return n
+
+
 def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> None:
     """INSERT-time maintenance of the vector indexes.
 

@@ -250,6 +250,52 @@ def start_logs_ingest(
     return writer.start()
 
 
+def start_documents_ingest(
+    source: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    index_sf_dir: str,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Documents-table ingest with WRITE-TIME INDEX MAINTENANCE: each
+    micro-batch lands exactly-once (idempotent ``_batch_id`` overwrite)
+    AND writes its MinHash-index rows to the pending area of the
+    prepared dedup index — the streaming expression of the reference's
+    "every INSERT maintains the index" posture (the pg_trgm GIN is
+    declared once in the migration and PostgreSQL's fastupdate pending
+    list services inserts thereafter; see
+    :func:`venus_spark.prepared.write_minhash_pending` /
+    ``merge_minhash_pending`` for the pending/VACUUM pair).
+
+    Both writes are idempotent on ``_batch_id``, so a crash between
+    them (or between either and the checkpoint commit) replays into
+    exactly the same state — the table and its index cannot diverge
+    under retry. ``source`` is a parsed documents stream with columns
+    (doc_id, text, lang, source, n_chars)."""
+    docs_dir = os.path.join(sink_dir, "documents")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from venus_spark import prepared
+
+        batch = batch.persist()
+        try:
+            _write_idempotent(batch, docs_dir, batch_id)
+            prepared.write_minhash_pending(index_sf_dir, batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    writer = (
+        source.writeStream.queryName("documents_ingest")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 class IngestHealthListener(StreamingQueryListener):
     """A15 analog: liveness from query progress events instead of a TCP
     'ok' endpoint. ``healthy()`` is what a health probe would serve."""
