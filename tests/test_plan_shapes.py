@@ -417,3 +417,21 @@ def test_pq_codes_are_valid_ids_and_selfcode_is_exact(spark):
     }
     for ci, vid in enumerate(cb_ids):
         assert rows[vid] == [ci] * sim.PQ_M, (vid, ci, rows[vid])
+
+
+def test_ivfpq_scan_prunes_partitions_and_reads_codes_only(spark):
+    """sim_ivfpq_topk must compose BOTH prepared layouts: a literal IN
+    partition filter on the probed cluster ids (IVF directory pruning)
+    over a scan whose ReadSchema is the codes column, never the float
+    vectors (PQ bandwidth) — and no shuffle before the top-k merge."""
+    from venus_spark.plans import all_plans
+    from venus_spark.plans.pipeline_ops8 import _IVFPQ_NPROBE
+
+    plan = formatted_plan(all_plans()["sim_ivfpq_topk"].fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[label#\d+ IN \((\d+(?:,\d+)*)\)\]", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) == _IVFPQ_NPROBE
+    rs = re.search(r"ReadSchema: (\S+)", plan)
+    assert rs and "codes" in rs.group(1) and "embedding" not in rs.group(1)
+    assert shuffle_exchanges(plan) == 0
+    assert "TakeOrderedAndProject" in plan

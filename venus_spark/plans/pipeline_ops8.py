@@ -240,3 +240,88 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the full FAISS-style ANN composition — coarse quantizer prunes
+# WHICH cluster directories are read (IVF, static partition filter over
+# the label-partitioned codes table), PQ shrinks the COST of each read
+# row (8-byte codes + ADC lookup-sum). At 100 TB this is the deployed
+# shape: nprobe/n_clusters of the corpus touched, 32x less bandwidth on
+# what is touched, no vector arithmetic in the scan.
+# --------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2  # = pipeline_ops2._NPROBE (one probe width corpus-wide)
+
+
+def _ivfpq_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql, davg_sql
+
+    return f"""{_pq_cte_prefix()},
+long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VDBL.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+probed AS (
+  SELECT cluster,
+         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+  FROM cent_arr CROSS JOIN q
+  ORDER BY centroid_sim DESC, cluster LIMIT {_IVFPQ_NPROBE}
+)
+SELECT a.vec_id, ROUND(a.adist, 6) AS adc_l2sq
+FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
+WHERE e.label IN (SELECT cluster FROM probed)
+ORDER BY a.adist, a.vec_id LIMIT {_PQ_K}
+"""
+
+
+@plan("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over the prepared layouts: score the query against
+    the materialized centroid table (broadcast-sized), collect the
+    nprobe winning cluster ids (bounded driver fetch, same two-phase
+    idiom as sim_ivf_topk_prepared — a literal IN beats hoping for DPP),
+    plant them as a static partition filter on the label-partitioned
+    codes table, and ADC-scan only those directories. The scan touches
+    neither unprobed clusters nor any float vector; its physical plan
+    shows PartitionFilters on label and a codes-only ReadSchema
+    (shape-tested)."""
+    from venus_spark.functions import cosine
+    from venus_spark.prepared import embeddings_ivf, embeddings_pq
+
+    codes_df, cb_df = embeddings_pq(spark, sf_dir)
+    _, cents = embeddings_ivf(spark, sf_dir)
+    codebook = [
+        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
+    ]
+    q = _query_vec(load_table(spark, sf_dir, "embeddings"))
+    lut = sim.pq_lut(q, codebook)
+    qlit = F.array(*[F.lit(x) for x in q])
+
+    probed = (
+        cents.select(
+            "cluster", F.round(cosine(F.col("centroid"), qlit), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("cluster"))
+        .limit(_IVFPQ_NPROBE)
+        .collect()
+    )
+    pruned = codes_df.filter(
+        F.col("label").isin([r["cluster"] for r in probed])
+    )
+    return (
+        pruned.select("vec_id", sim.pq_adc_dist("codes", lut).alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
+    )

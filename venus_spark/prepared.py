@@ -373,6 +373,7 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         "ks": sim.PQ_KS,
         "cb_mod": sim.PQ_CB_MOD,
         "kernel": "l2sq",
+        "layout": "partitionBy(label)",
     }
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
@@ -388,9 +389,13 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         ).coalesce(1).write.parquet(cb_path)
         v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         (
-            emb.select("vec_id", v.alias("v"))
-            .select("vec_id", sim.pq_codes_col("v", codebook).alias("codes"))
-            .write.parquet(codes_path)
+            # partitioned by the IVF cluster id: an IVF-PQ search prunes
+            # to the probed clusters' directories and ADC-scans only
+            # their codes — the FAISS IVFPQ storage layout.
+            emb.select("vec_id", "label", v.alias("v"))
+            .select("vec_id", "label", sim.pq_codes_col("v", codebook).alias("codes"))
+            .write.partitionBy("label")
+            .parquet(codes_path)
         )
         _stamp(codes_path, meta)
         _stamp(cb_path, meta)
@@ -523,9 +528,10 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
     ]
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     (
-        new_vecs.select("vec_id", v.alias("v"))
-        .select("vec_id", sim.pq_codes_col("v", codebook).alias("codes"))
+        new_vecs.select("vec_id", "label", v.alias("v"))
+        .select("vec_id", "label", sim.pq_codes_col("v", codebook).alias("codes"))
         .write.mode("append")
+        .partitionBy("label")
         .parquet(codes_path)
     )
 
