@@ -435,3 +435,15 @@ def test_ivfpq_scan_prunes_partitions_and_reads_codes_only(spark):
     assert rs and "codes" in rs.group(1) and "embedding" not in rs.group(1)
     assert shuffle_exchanges(plan) == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_prepared_pushes_term_filter_into_postings_scan(spark):
+    """The served BM25 must read the term-sorted postings with the
+    query terms as a pushed parquet filter (the posting-list fetch as
+    row-group pruning) and never touch the documents text column."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["bm25_topk_prepared"].fn(spark, SF))
+    assert re.search(r"PushedFilters: \[.*In\(term, \[", plan), plan[:2000]
+    rs = re.findall(r"ReadSchema: (\S+)", plan)
+    assert rs and all("text" not in s for s in rs)

@@ -132,6 +132,36 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("bm25_topk_prepared", oracle=_BM25_ORACLE)
+def bm25_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk served from the prepared inverted index
+    (prepared.documents_postings): the query-term filter pushes into
+    the term-sorted postings scan (``PushedFilters: In(term, ...)``,
+    row-group pruning — the posting-list fetch), df and corpus stats
+    come from materialized broadcast-sized tables, and the only
+    remaining work is the per-doc score sum + top-k. No tokenize, no
+    explode, no stats aggregation at query time — the Lucene/GIN
+    steady-state. Same oracle: the layout changes the access path, not
+    the answer."""
+    from venus_spark.prepared import documents_postings
+
+    post, dfreq, stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_BM25_TERMS))
+    scored = (
+        hits.join(
+            F.broadcast(dfreq.filter(F.col("term").isin(*_BM25_TERMS))), "term"
+        )
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
 # --------------------------------------------------------------------------
 # TF-IDF keyword extraction (top terms per document)
 # --------------------------------------------------------------------------
@@ -203,6 +233,36 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank") <= _TFIDF_TOP_PER_DOC)
             & (F.col("doc_id") < _TFIDF_DOC_LIMIT)
         )
+    )
+
+
+@plan("tfidf_keywords_prepared", oracle=_TFIDF_ORACLE)
+def tfidf_keywords_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_keywords served from the prepared inverted index: tf rows
+    come straight off the postings table (no tokenize/explode at query
+    time), df from the materialized vocabulary table, and — because df
+    is already corpus-wide — the reporting filter (doc_id < bound)
+    pushes into the scan BEFORE scoring, so only the reported docs'
+    postings are ever scored or ranked. n_docs is recomputed as
+    COUNT(DISTINCT doc_id) over postings to match the oracle exactly
+    (a zero-token document is absent from postings but counted by the
+    corpus stats table). Same oracle as tfidf_keywords."""
+    from pyspark.sql import Window
+
+    from venus_spark.prepared import documents_postings
+
+    post, dfreq, _stats = documents_postings(spark, sf_dir)
+    stats = post.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        post.filter(F.col("doc_id") < _TFIDF_DOC_LIMIT)
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_TFIDF_SCORE).alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOP_PER_DOC)
     )
 
 
