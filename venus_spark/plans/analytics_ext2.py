@@ -298,3 +298,102 @@ def skew_hot_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "hot_user")
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# Interval (stream-stream) attribution join, batch-registered
+# --------------------------------------------------------------------------
+
+_ATTR_DELAY_MIN = 60
+
+_ATTR_ORACLE = f"""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       {fmt_ts_sql('c.ts')} AS click_ts,
+       v.event_id AS view_id,
+       {fmt_ts_sql('v.ts')} AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL {_ATTR_DELAY_MIN} MINUTE
+"""
+
+
+@plan("attribution_interval_join", oracle=_ATTR_ORACLE)
+def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the same user's views in the preceding
+    hour — executed by the SAME function the streaming topology uses
+    (:func:`venus_spark.streaming.windows.join_views_to_clicks`;
+    watermarks only attach to streaming input), so the stream-stream
+    join's logic gets a driver-verified oracle row through its batch
+    twin. Scale shape: equality key (user_id) is uniform and carries
+    the shuffle; the time-interval conjunct is what lets the streaming
+    state store evict (and here bounds the per-user pair expansion)."""
+    from venus_spark.streaming.windows import join_views_to_clicks
+
+    ev = load_table(spark, sf_dir, "events")
+    out = join_views_to_clicks(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        max_delay_minutes=_ATTR_DELAY_MIN,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        fmt_ts("click_ts").alias("click_ts"),
+        "view_id",
+        fmt_ts("view_ts").alias("view_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB 2014): per pixel-bucket keep
+# min/max/first/last — the error-free line-chart decimation every
+# time-series dashboard runs before plotting. TimescaleDB ships this
+# as its downsample functions; here it is one partial-aggregating
+# groupBy over the hourly bucket.
+# --------------------------------------------------------------------------
+
+# first/last are selected by a FIXED-WIDTH string key (canonical ts
+# render + zero-padded event_id) so lexicographic MIN_BY/MAX_BY order
+# equals (ts, event_id) order in both engines — DuckDB's arg_min does
+# not accept composite ordering values.
+_M4_KEY_SQL = f"{fmt_ts_sql('ts')} || '|' || LPAD(CAST(event_id AS VARCHAR), 12, '0')"
+
+_M4_ORACLE = f"""
+SELECT {fmt_ts_sql("DATE_TRUNC('hour', ts)")} AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v,
+       ROUND(MIN_BY(value, {_M4_KEY_SQL}), 6) AS first_v,
+       ROUND(MAX_BY(value, {_M4_KEY_SQL}), 6) AS last_v
+FROM events
+GROUP BY DATE_TRUNC('hour', ts)
+ORDER BY bucket
+"""
+
+
+@plan("m4_downsample", oracle=_M4_ORACLE)
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 line-chart downsampling: hourly buckets reduced to the four
+    values that render the pixel-exact polyline (min, max, first,
+    last). One scan, partial-aggregating groupBy on ~720 bucket keys,
+    no window, no sort beyond the final tiny orderBy — at 100 TB this
+    is the plan a dashboard runs instead of shipping raw points."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        fmt_ts("ts"), F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0")
+    )
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("_b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.min_by("value", key), 6).alias("first_v"),
+            F.round(F.max_by("value", key), 6).alias("last_v"),
+        )
+        .select(fmt_ts("_b").alias("bucket"), "n", "min_v", "max_v", "first_v", "last_v")
+        .orderBy("bucket")
+    )
