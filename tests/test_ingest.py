@@ -484,3 +484,35 @@ def test_compact_crash_mid_cleanup_keeps_all_rows(spark, tmp_path):
     assert after == before
     subdirs = sorted(d for d in os.listdir(part) if d.startswith("_batch_id="))
     assert subdirs == ["_batch_id=-1"]
+
+
+def test_cli_query_and_sql_smoke(tmp_path):
+    """The console entry point (reference setup.py:42-45 analog) must
+    run a plan and a SQL statement end-to-end in a fresh process."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "venus_spark", "query", "q6_forecast_revenue",
+         "--sf", "/root/testdata/sf0.001", "--limit", "5"],
+        capture_output=True, text=True, timeout=180, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "revenue" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "venus_spark", "sql",
+         "SELECT COUNT(*) AS n FROM region", "--sf", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=180, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "5" in out.stdout
+    # unknown plan -> clean error, not a traceback
+    out = subprocess.run(
+        [sys.executable, "-m", "venus_spark", "query", "nope"],
+        capture_output=True, text=True, timeout=180, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert out.returncode == 2 and "unknown plan" in out.stderr

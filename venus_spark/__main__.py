@@ -1,0 +1,162 @@
+"""Console entry point — the analog of the reference's ``venus``
+command (`/root/reference/setup.py:42-45` console script →
+``venus/main.py:52-70``). Where the reference's single command boots
+the ingest service, a Spark engine's operational surface is wider, so
+this exposes subcommands for each long-running/maintenance role:
+
+    python -m venus_spark list                      # registered plans
+    python -m venus_spark query <plan> [--sf DIR] [--limit N] [--explain]
+    python -m venus_spark sql "SELECT ..." [--sf DIR]
+    python -m venus_spark prepare [--sf DIR]        # build write-time indexes
+    python -m venus_spark mirror [--sf DIR]         # oracle-compare all plans
+    python -m venus_spark ingest LANDING_DIR SINK_DIR [--checkpoint DIR]
+                                                    # logs ingest service
+
+``ingest`` is the reference's amain() role set on Spark: one streaming
+query (single-writer), health via StreamingQueryListener, graceful stop
+on SIGINT/SIGTERM (A12); pair it with ``scripts/zmq_relay.py`` for the
+ZMQ edge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+
+DEFAULT_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _spark():
+    from venus_spark.session import get_spark
+
+    spark = get_spark(app_name="venus_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_list(_args) -> int:
+    from venus_spark.plans import all_plans
+
+    for name, p in sorted(all_plans().items()):
+        doc = (p.doc or "").strip().splitlines()
+        print(f"{name:32s} {doc[0] if doc else ''}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from venus_spark.plans import all_plans
+
+    plans = all_plans()
+    if args.plan not in plans:
+        print(f"unknown plan {args.plan!r} (see: python -m venus_spark list)",
+              file=sys.stderr)
+        return 2
+    df = plans[args.plan].fn(_spark(), args.sf)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from venus_spark.sources import register_views
+
+    spark = _spark()
+    register_views(spark, args.sf)
+    spark.sql(args.statement).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    from venus_spark.prepared import prepare_all
+
+    prepare_all(_spark(), args.sf)
+    print(f"prepared indexes built for {args.sf}")
+    return 0
+
+
+def cmd_mirror(args) -> int:
+    from venus_spark.oracle import run_all
+
+    results = run_all(_spark(), args.sf)
+    bad = [r for r in results if not r.ok]
+    print(json.dumps({
+        "plans": len(results),
+        "failures": len(bad),
+        "failed": {r.name: r.detail for r in bad},
+    }))
+    return 1 if bad else 0
+
+
+def cmd_ingest(args) -> int:
+    from venus_spark.streaming import (
+        IngestHealthListener,
+        read_log_stream,
+        start_logs_ingest,
+    )
+
+    spark = _spark()
+    listener = IngestHealthListener()
+    spark.streams.addListener(listener)
+    query = start_logs_ingest(
+        read_log_stream(spark, args.landing_dir),
+        sink_dir=args.sink_dir,
+        checkpoint_dir=args.checkpoint or os.path.join(args.sink_dir, "_checkpoint"),
+        trigger_seconds=args.trigger_seconds,
+    )
+
+    def stop(_signum, _frame):  # A12: drain the in-flight batch, then exit
+        query.stop()
+
+    signal.signal(signal.SIGINT, stop)
+    signal.signal(signal.SIGTERM, stop)
+    query.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="venus_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered plans")
+
+    q = sub.add_parser("query", help="run one plan and print its result")
+    q.add_argument("plan")
+    q.add_argument("--sf", default=DEFAULT_SF)
+    q.add_argument("--limit", type=int, default=50)
+    q.add_argument("--explain", action="store_true")
+
+    s = sub.add_parser("sql", help="run a SQL statement over the registered views")
+    s.add_argument("statement")
+    s.add_argument("--sf", default=DEFAULT_SF)
+    s.add_argument("--limit", type=int, default=50)
+
+    p = sub.add_parser("prepare", help="build the write-time index artifacts")
+    p.add_argument("--sf", default=DEFAULT_SF)
+
+    m = sub.add_parser("mirror", help="oracle-compare every plan (exit 1 on mismatch)")
+    m.add_argument("--sf", default=DEFAULT_SF)
+
+    i = sub.add_parser("ingest", help="run the logs ingest service on a landing dir")
+    i.add_argument("landing_dir")
+    i.add_argument("sink_dir")
+    i.add_argument("--checkpoint")
+    i.add_argument("--trigger-seconds", type=int, default=5)
+
+    args = ap.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "query": cmd_query,
+        "sql": cmd_sql,
+        "prepare": cmd_prepare,
+        "mirror": cmd_mirror,
+        "ingest": cmd_ingest,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
