@@ -447,3 +447,27 @@ def test_bm25_prepared_pushes_term_filter_into_postings_scan(spark):
     assert re.search(r"PushedFilters: \[.*In\(term, \[", plan), plan[:2000]
     rs = re.findall(r"ReadSchema: (\S+)", plan)
     assert rs and all("text" not in s for s in rs)
+
+
+def test_no_plan_uses_row_python_or_cartesian_product(spark):
+    """Repo-wide physical-plan invariants, swept over EVERY registered
+    plan: no BatchEvalPython anywhere (Python in the data path is
+    exclusively Arrow-batched MapInPandas, and only in the multimodal
+    plans) and no CartesianProduct (every cross join in the repo is a
+    broadcast of a one-row stats/query table, which plans as
+    BroadcastNestedLoopJoin). A refactor that silently demotes an
+    expression to a row-at-a-time UDF or drops a join condition fails
+    here by name."""
+    from venus_spark.plans import all_plans
+
+    offenders = {}
+    for name, p in sorted(all_plans().items()):
+        plan = formatted_plan(p.fn(spark, SF))
+        hits = [
+            marker
+            for marker in ("BatchEvalPython", "CartesianProduct")
+            if marker in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders

@@ -149,6 +149,37 @@ def correlation_lookup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_KEYS = (13, 21, 42, 77, 104)
+
+_LOOKUP_BATCH_ORACLE = f"""
+SELECT user_id, event_id, {fmt_ts_sql('ts')} AS ts_str, event_type,
+       value AS event_value
+FROM events WHERE user_id IN ({", ".join(map(str, _BATCH_KEYS))})
+"""
+
+
+@plan("correlation_lookup_batch", oracle=_LOOKUP_BATCH_ORACLE)
+def correlation_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 at batch width: an IN-list of correlation keys against the
+    key-clustered layout — the shape of 'investigate these N incident
+    ids' and of a point-lookup-serving API batching its probes. The IN
+    list reaches the parquet scan as a pushed filter, and because the
+    layout is range-partitioned + sorted on the key, each key touches
+    ~one row group: N probes cost N row groups, not N scans (the
+    reference answers this with N b-tree descents on its
+    correlation-id index, migration :35)."""
+    from venus_spark.prepared import events_by_user
+
+    ev = events_by_user(spark, sf_dir)
+    return ev.filter(F.col("user_id").isin(*_BATCH_KEYS)).select(
+        "user_id",
+        "event_id",
+        fmt_ts("ts").alias("ts_str"),
+        "event_type",
+        F.col("value").alias("event_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B8/B9 — time-range constraint + NULL test
 # (reference: README.rst:73-74; doc/json_tricks.rst:29,73-81)
