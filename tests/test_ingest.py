@@ -516,3 +516,39 @@ def test_cli_query_and_sql_smoke(tmp_path):
         cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
     assert out.returncode == 2 and "unknown plan" in out.stderr
+
+
+def test_logs_sink_stores_payload_as_variant(spark, tmp_path):
+    """The landed logs table must carry the payload as VARIANT parsed
+    at ingest (the JSONB-at-INSERT analog): variant_get over data_v
+    answers the B3-style field access without any JsonPath over text,
+    agreeing with the JSON-string column it shadows."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.streaming import (
+        read_log_stream,
+        read_sink_table,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    recs = [make_record(i, pathname=f"/srv/app_{i}.py") for i in range(6)]
+    (landing / "b0.json").write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    q = start_logs_ingest(
+        read_log_stream(spark, str(landing)),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger_seconds=None,
+    )
+    q.awaitTermination()
+
+    logs = read_sink_table(spark, str(tmp_path / "sink"), "logs")
+    assert dict(logs.dtypes)["data_v"] == "variant"
+    got = logs.select(
+        F.expr("variant_get(data_v, '$.pathname', 'string')").alias("v"),
+        F.get_json_object("data", "$.pathname").alias("j"),
+    ).collect()
+    assert len(got) == 6
+    for r in got:
+        assert r["v"] is not None and r["v"] == r["j"]

@@ -160,9 +160,23 @@ def parse_records(
 
 def good_records(parsed: DataFrame) -> DataFrame:
     """The rows that enter ``logs`` (A6 filter applied), in table schema
-    plus the ``date`` partition column."""
+    plus the ``date`` partition column.
+
+    ``data_v`` is the payload parsed ONCE at ingest into Spark 4
+    ``VARIANT`` — the JSONB-at-INSERT-time analog (SURVEY §1.4): queries
+    read ``variant_get(data_v, ...)`` with parquet shredding pushing the
+    probed keys into the read schema, instead of JsonPath over text per
+    row per query. The JSON string rides along because the DuckDB
+    oracle (and any non-Spark reader) cannot decode Spark's variant
+    encoding; a pure-Spark deployment at 100 TB stores only ``data_v``
+    (the reference likewise stores only JSONB, never the raw text)."""
     return parsed.filter(F.col("_ok")).select(
-        "time", "message", "correlation_id", "data", "date"
+        "time",
+        "message",
+        "correlation_id",
+        "data",
+        F.parse_json("data").alias("data_v"),
+        "date",
     )
 
 

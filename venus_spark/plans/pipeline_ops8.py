@@ -223,7 +223,12 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors. The pair join is confined to cluster buckets (at 100 TB
     the cluster id is the storage partition key, so it is
     co-partitioned and shuffle-free) and the drop side collapses to a
-    distinct id set — the anti-join is on a uniform key. Composition:
+    distinct id set — the anti-join is on a uniform key. Within-cluster
+    pair formation is quadratic in the bucket BY DESIGN (SemDeDup's own
+    semantics); the paper-scale posture is a cluster count that grows
+    with the corpus (k ~ 10^4-10^5 for web-scale sets), keeping buckets
+    near-constant — the driver corpus fixes k=10, so this plan's bench
+    cost overstates the production per-row cost. Composition:
     sim_cosine_pairs emits these pairs, this plan applies the keep
     policy; curated_corpus applies the same policy shape to MinHash
     clusters on the text side."""
