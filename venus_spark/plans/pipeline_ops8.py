@@ -330,3 +330,82 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ recall audit: does coarse pruning + 8-byte codes change the
+# retrieved set? Recall@k of sim_ivfpq_topk against the exact float
+# L2 top-k — the accept/reject gate for shipping the compressed index,
+# composing quant_recall_topk's audit shape with the IVFPQ plan.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_recall_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql, davg_sql
+
+    return f"""{_pq_cte_prefix()},
+long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VDBL.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+probed AS (
+  SELECT cluster,
+         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+  FROM cent_arr CROSS JOIN q
+  ORDER BY centroid_sim DESC, cluster LIMIT {_IVFPQ_NPROBE}
+),
+approx AS (
+  SELECT a.vec_id
+  FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE e.label IN (SELECT cluster FROM probed)
+  ORDER BY a.adist, a.vec_id LIMIT {_PQ_K}
+),
+exact AS (
+  SELECT vec_id
+  FROM (SELECT vec_id, {l2sq_sql('v', '(SELECT qv FROM q)')} AS edist
+        FROM (SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings))
+  ORDER BY edist, vec_id LIMIT {_PQ_K}
+)
+SELECT CAST({_PQ_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_common,
+       CAST(((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) * 1000)
+            // {_PQ_K} AS BIGINT) AS recall_permille
+"""
+
+
+@plan("sim_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the full IVF-PQ path (partition-pruned ADC scan over
+    stored codes) against the exact float L2 top-k — the audit that
+    decides nprobe and the PQ geometry before shipping the index. Two
+    top-k scans plus a k-row join; at scale this runs per shard over a
+    query sample, same shape."""
+    from venus_spark.functions import l2sq
+
+    approx = sim_ivfpq_topk(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = (
+        emb.select("vec_id", l2sq(v, qlit).alias("edist"))
+        .orderBy("edist", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id")
+    )
+    return exact.join(approx, "vec_id").agg(
+        F.lit(_PQ_K).cast("long").alias("k"),
+        F.count("*").alias("n_common"),
+        F.expr(f"(count(*) * 1000) div {_PQ_K}").alias("recall_permille"),
+    )

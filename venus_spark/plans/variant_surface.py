@@ -86,3 +86,25 @@ def json_containment_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.variant_get("data_v", "$.type", "string") == "click")
         & F.variant_get("data_v", "$.uid", "long").isNotNull()
     ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
+
+
+_VARIANT_RECORDIZE_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+@plan("json_recordize_variant", oracle=_VARIANT_RECORDIZE_ORACLE)
+def json_recordize_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 (jsonb_to_record) from stored VARIANT — completes the variant
+    trio (scalar access, containment, record-ize): the typed record
+    column comes off the shredded variant subcolumn in the scan, so
+    record-izing is a projection, not a parse. Same oracle as
+    json_recordize: the storage changes the access path, not the
+    answer."""
+    from venus_spark.prepared import events_variant
+
+    ev = events_variant(spark, sf_dir)
+    return ev.select(
+        "event_id", F.variant_get("props_v", "$.k", "int").alias("k")
+    )
