@@ -364,3 +364,85 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level duplicate detection: which fixed-size token windows recur
+# across documents (Lee et al. 2022's substring dedup at window
+# granularity — the pass that catches shared boilerplate/quotations
+# exact-doc and near-doc dedup both miss). Reuses doc_chunking's
+# geometry and fingerprints; only FULL windows participate (standard
+# practice — short tail windows match trivially).
+# --------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks), 1), {_CHUNK_STRIDE}))
+           AS start_tok
+  FROM t
+),
+chunks AS (
+  SELECT doc_id,
+         LEAST({_CHUNK_TOKENS}, LEN(toks) - start_tok + 1) AS n_tok,
+         MD5(ARRAY_TO_STRING(toks[start_tok:start_tok + {_CHUNK_TOKENS} - 1], ' '))
+           AS chunk_md5
+  FROM starts
+)
+SELECT chunk_md5,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS keeper_doc
+FROM chunks
+WHERE n_tok = {_CHUNK_TOKENS}
+GROUP BY chunk_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_md5
+"""
+
+
+@plan("chunk_dedup_groups", oracle=_CHUNK_DEDUP_ORACLE)
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate chunks: full {chunk}-token windows whose
+    fingerprint occurs in >= 2 distinct documents, with the lowest
+    doc_id as the canonical keeper — the window-granular substring
+    dedup that catches shared boilerplate inside otherwise-distinct
+    documents. One chunking scan (array expressions + explode, no
+    Python) into one hash-partitioned aggregate on the uniform md5 key;
+    at 100 TB this is the same single shuffle the exact-dedup pass
+    runs, at chunk cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks"), F.lit(1)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.least(
+            F.lit(_CHUNK_TOKENS), F.size("toks") - F.col("start_tok") + 1
+        ).alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("start_tok"), F.lit(_CHUNK_TOKENS)))
+        ).alias("chunk_md5"),
+    )
+    return (
+        chunks.filter(F.col("n_tok") == _CHUNK_TOKENS)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )

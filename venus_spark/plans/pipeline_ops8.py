@@ -256,7 +256,9 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # what is touched, no vector arithmetic in the scan.
 # --------------------------------------------------------------------------
 
-_IVFPQ_NPROBE = 2  # = pipeline_ops2._NPROBE (one probe width corpus-wide)
+# One probe width corpus-wide: drift between the IVF and IVF-PQ plans
+# would make their recall numbers incomparable.
+from venus_spark.plans.pipeline_ops2 import _NPROBE as _IVFPQ_NPROBE  # noqa: E402
 
 
 def _ivfpq_oracle() -> str:
