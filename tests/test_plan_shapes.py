@@ -471,3 +471,29 @@ def test_no_plan_uses_row_python_or_cartesian_product(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_lsh_bucketed_band_join_has_no_exchange(spark):
+    """Candidate generation over the bucketed band table must ride the
+    buckets: the self-join on (band_hash, band_idx) plans with ZERO
+    shuffle exchanges (the corpus-sized shuffle of the dedup run), and
+    the full colocated plan agrees with the recompute twin."""
+    from venus_spark.plans import all_plans
+    from venus_spark.prepared import lsh_bands_bucketed
+
+    bands = spark.table(lsh_bands_bucketed(spark, SF))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert shuffle_exchanges(formatted_plan(cands)) == 0, formatted_plan(cands)[:1500]
+
+    plans = all_plans()
+    got = sorted(
+        map(tuple, plans["dedup_minhash_lsh_colocated"].fn(spark, SF).collect())
+    )
+    want = sorted(map(tuple, plans["dedup_minhash_lsh"].fn(spark, SF).collect()))
+    assert got == want

@@ -411,3 +411,49 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_common"),
         F.expr(f"(count(*) * 1000) div {_PQ_K}").alias("recall_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zero-shuffle LSH candidate generation: the band self-join rides a
+# bucketed layout. At 100 TB the band join is the dedup run's only
+# corpus-sized shuffle; this variant removes it entirely.
+# --------------------------------------------------------------------------
+
+
+def _lsh_colocated_oracle() -> str:
+    from venus_spark.plans.pipeline_ops import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+@plan("dedup_minhash_lsh_colocated", oracle=_lsh_colocated_oracle())
+def dedup_minhash_lsh_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as dedup_minhash_lsh / _prepared, with the candidate
+    self-join served from the bucketed band table
+    (prepared.lsh_bands_bucketed): both join sides read the same
+    band_hash buckets, so candidate generation needs NO exchange
+    (shape-tested) — the only remaining shuffles are candidate-set
+    sized (the pair distinct and the verify joins), which are orders
+    of magnitude smaller than the corpus. The full prepared-layout
+    posture for near-dup dedup: signatures materialized at ingest
+    (documents_minhash), band keys bucketed at ingest (this table),
+    query time pays only bucket-local joins + bounded verification."""
+    from venus_spark.operators.dedup import _verify_candidates
+    from venus_spark.plans.pipeline_ops import _JACCARD_T
+    from venus_spark.prepared import documents_minhash, lsh_bands_bucketed
+
+    bands = spark.table(lsh_bands_bucketed(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    idx = documents_minhash(spark, sf_dir)
+    toks = idx.select(F.col("doc_id"), F.col("_sh").alias("toks"))
+    return _verify_candidates(cands, toks, "doc_id", _JACCARD_T)
