@@ -552,3 +552,42 @@ def test_logs_sink_stores_payload_as_variant(spark, tmp_path):
     assert len(got) == 6
     for r in got:
         assert r["v"] is not None and r["v"] == r["j"]
+
+
+def test_compact_then_late_batch_is_merged_not_deleted(spark, tmp_path):
+    """A batch the stream lands AFTER a committed compaction is NOT a
+    crash duplicate and must survive the next compaction run merged
+    into the output — the manifest distinguishes the two cases (the
+    pre-manifest code deleted any surviving batch dir once _SUCCESS
+    existed, silently losing late rows)."""
+    from venus_spark.streaming import (
+        _write_idempotent,
+        compact_closed_partition,
+        read_sink_table,
+    )
+
+    table_dir = str(tmp_path / "logs")
+    for batch_id in range(3):
+        batch = spark.createDataFrame(
+            [(batch_id * 10 + i, "2024-01-01") for i in range(4)],
+            "event_id long, date string",
+        )
+        _write_idempotent(batch, table_dir, batch_id, partition_cols=("date",))
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 3
+    before = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+
+    # late-arriving micro-batch AFTER the commit
+    late = spark.createDataFrame(
+        [(900 + i, "2024-01-01") for i in range(3)], "event_id long, date string"
+    )
+    _write_idempotent(late, table_dir, 9, partition_cols=("date",))
+
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 1
+    after = {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()}
+    assert after == before | {900, 901, 902}
+    part = tmp_path / "logs" / "date=2024-01-01"
+    subdirs = [d for d in os.listdir(part) if d.startswith("_batch_id=")]
+    assert subdirs == ["_batch_id=-1"]
+    # and the retry after THAT is a clean no-op
+    assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 0
+    assert {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()} == after

@@ -195,24 +195,31 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path, monkeypatch):
     def rows(df, key):
         return [r.asDict(recursive=True) for r in df.orderBy(key).collect()]
 
-    for name, key in (
-        ("documents_trgm.parquet", "doc_id"),
-        ("documents_minhash.parquet", "doc_id"),
-        ("embeddings_pq_codes.parquet", "vec_id"),
-        ("embeddings_ivf.parquet", "vec_id"),
-    ):
+    builders = {
+        "documents_trgm.parquet": prepared.documents_trgm,
+        "documents_minhash.parquet": prepared.documents_minhash,
+        "embeddings_pq_codes.parquet": prepared.embeddings_pq,
+        "embeddings_ivf.parquet": prepared.embeddings_ivf,
+        "documents_postings.parquet": prepared.documents_postings,
+        "documents_dfreq.parquet": prepared.documents_postings,
+        # one-row stats: bit-equal avgdl proves the O(1) counter update
+        # reproduces the engine aggregate exactly
+        "documents_stats.parquet": prepared.documents_postings,
+    }
+    keys = {
+        "documents_trgm.parquet": ["doc_id"],
+        "documents_minhash.parquet": ["doc_id"],
+        "embeddings_pq_codes.parquet": ["vec_id"],
+        "embeddings_ivf.parquet": ["vec_id"],
+        "documents_postings.parquet": ["term", "doc_id"],
+        "documents_dfreq.parquet": ["term"],
+        "documents_stats.parquet": ["n_docs"],
+    }
+    for name, build in builders.items():
         inc = spark.read.parquet(prepared.prepared_path(base_sf, name))
-        # trigger the full-side build, then read its artifact
-        if name == "documents_trgm.parquet":
-            prepared.documents_trgm(spark, full_sf)
-        elif name == "documents_minhash.parquet":
-            prepared.documents_minhash(spark, full_sf)
-        elif name == "embeddings_pq_codes.parquet":
-            prepared.embeddings_pq(spark, full_sf)
-        else:
-            prepared.embeddings_ivf(spark, full_sf)
+        build(spark, full_sf)  # trigger full-side build, then compare
         full = spark.read.parquet(prepared.prepared_path(full_sf, name))
-        assert rows(inc, key) == rows(full, key), name
+        assert rows(inc, keys[name]) == rows(full, keys[name]), name
 
     # appended docs are immediately servable: the near-dup planted in
     # the batch is found by the index-served LSH path
@@ -223,6 +230,13 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path, monkeypatch):
     )
     pairs = lsh_near_dup_pairs_from_index(idx).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 1009 for r in pairs)
+    # ... and by the BUCKETED band layout: append_documents invalidated
+    # it, so the rebuild covers the appended batch (a stale band table
+    # would silently miss the pair)
+    from venus_spark.plans import all_plans
+
+    colo = all_plans()["dedup_minhash_lsh_colocated"].fn(spark, base_sf).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1009 for r in colo)
 
 
 def test_streaming_index_maintenance_pending_list(spark, tmp_path, monkeypatch):
@@ -315,4 +329,53 @@ def test_streaming_index_maintenance_pending_list(spark, tmp_path, monkeypatch):
     ]
     assert base_rows == expect
     # merge retry is a no-op
+    assert prepared.merge_minhash_pending(spark, sf) == 0
+
+
+def test_merge_replay_does_not_duplicate_and_new_batch_survives(
+    spark, tmp_path, monkeypatch
+):
+    """The merged-batch manifest makes the VACUUM safe around a live
+    writer: (a) a micro-batch REPLAYED into pending after its merge is
+    excluded from the live view and dropped (not re-moved) by the next
+    merge — no duplicates; (b) a batch landed after the merge's
+    directory listing survives (surgical per-batch deletes, no blanket
+    rmtree) and merges on the next run — no loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)
+
+    b0 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35))
+    b1 = docs.filter((F.col("doc_id") >= 35) & (F.col("doc_id") < 40))
+    prepared.write_minhash_pending(sf, b0, 0)
+    assert prepared.merge_minhash_pending(spark, sf) > 0
+    expect_ids = set(range(35))
+    assert {
+        r["doc_id"] for r in prepared.documents_minhash_live(spark, sf).collect()
+    } == expect_ids
+
+    # (a) checkpoint-replay rewrites batch 0 into pending post-merge
+    prepared.write_minhash_pending(sf, b0, 0)
+    live = prepared.documents_minhash_live(spark, sf)
+    assert live.count() == 35  # no double-counting
+    assert live.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # (b) plus a genuinely new batch lands
+    prepared.write_minhash_pending(sf, b1, 1)
+    n = prepared.merge_minhash_pending(spark, sf)
+    assert n > 0  # batch 1 merged; replayed batch 0 dropped, not re-moved
+    base_ids = [
+        r["doc_id"] for r in prepared.documents_minhash(spark, sf).collect()
+    ]
+    assert sorted(base_ids) == sorted(set(range(40)))  # each exactly once
     assert prepared.merge_minhash_pending(spark, sf) == 0

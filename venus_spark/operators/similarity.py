@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, dot, l2sq
+from venus_spark.functions import cosine, dot
 
 
 def as_double(vec: Column) -> Column:

@@ -84,16 +84,30 @@ def trigram_bloom(grams_expr: str) -> Column:
     crc1 = "crc32(cast(g AS BINARY))"
     crc2 = f"crc32(cast(concat(g, '{_BLOOM_SALT}') AS BINARY))"
     zero = f"array_repeat(0L, {BLOOM_WORDS})"
-    set_bit = (
-        "transform(acc, (a, w) -> a"
-        + "".join(
-            f" | IF(pmod({crc}, {_BLOOM_BITS}) div 64 = w, "
-            f"shiftleft(1L, cast(pmod({crc}, 64) AS INT)), 0L)"
-            for crc in (crc1, crc2)
+    # Two-step: map each gram to its two (word, mask) pairs ONCE, then
+    # fold the pairs into the word array. Folding with the crc32
+    # expressions inline in the per-word lambda re-evaluated both
+    # hashes once per accumulator word — 2 x BLOOM_WORDS hashes per
+    # gram instead of 2 (interpreted HOFs do no common-subexpression
+    # elimination across lambda invocations).
+    bit = (
+        "named_struct("
+        + ", ".join(
+            f"'w{i}', cast(pmod({crc}, {_BLOOM_BITS}) div 64 AS INT), "
+            f"'m{i}', shiftleft(1L, cast(pmod({crc}, 64) AS INT))"
+            for i, crc in enumerate((crc1, crc2))
         )
         + ")"
     )
-    return F.expr(f"aggregate({grams_expr}, {zero}, (acc, g) -> {set_bit})")
+    set_bit = (
+        "transform(acc, (a, w) -> a"
+        " | IF(b.w0 = w, b.m0, 0L)"
+        " | IF(b.w1 = w, b.m1, 0L))"
+    )
+    return F.expr(
+        f"aggregate(transform({grams_expr}, g -> {bit}), {zero}, "
+        f"(acc, b) -> {set_bit})"
+    )
 
 
 def needle_masks(grams: list[str]) -> list[int]:
@@ -408,22 +422,52 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
     :21,36: the index is declared once; PostgreSQL maintains it per
     row thereafter).
 
-    Both document indexes are row-local (a trigram bloom / MinHash
-    signature depends only on that document's text), so maintaining
-    them for a new batch is ONE narrow scan of the batch appended to
-    each index directory — O(batch) work, no shuffle over and no
-    rewrite of the existing corpus. The indexes must already be built
-    for ``sf_dir`` (the ensure calls below are no-ops after the first
-    build). ``tests/test_prepared.py`` asserts incremental-append ==
-    full-rebuild row-for-row."""
+    The trigram/MinHash indexes are row-local (a bloom or signature
+    depends only on that document's text), so maintaining them for a
+    new batch is ONE narrow scan of the batch appended to each index
+    directory — O(batch) work, no shuffle over and no rewrite of the
+    existing corpus. The inverted index appends its batch postings the
+    same way, then refreshes its two corpus-wide aggregates: df
+    (vocabulary-sized re-aggregation over postings) and stats (pure
+    O(1) arithmetic on the stored exact counters). Derived layouts
+    that cannot absorb appends in place (the bucketed LSH band table)
+    are DROPPED so their next use rebuilds over the updated index —
+    stale-serving is the failure mode that cannot be allowed. The
+    indexes must already be built for ``sf_dir`` (the ensure calls
+    below are no-ops after the first build). ``tests/test_prepared.py``
+    asserts incremental-append == full-rebuild row-for-row."""
     documents_trgm(spark, sf_dir)
     documents_minhash(spark, sf_dir)
+    documents_postings(spark, sf_dir)
     _trgm_rows(new_docs).write.mode("append").parquet(
         prepared_path(sf_dir, "documents_trgm.parquet")
     )
     _minhash_rows(new_docs).write.mode("append").parquet(
         prepared_path(sf_dir, "documents_minhash.parquet")
     )
+    post_path = prepared_path(sf_dir, "documents_postings.parquet")
+    dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
+    stats_path = prepared_path(sf_dir, "documents_stats.parquet")
+    (
+        _postings_rows(new_docs)
+        .repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .parquet(post_path)
+    )
+    old = spark.read.parquet(stats_path).first()
+    b_n, b_sum = _doclen_counters(new_docs)
+    _write_dfreq(spark, post_path, dfreq_path)
+    _write_stats(
+        spark, stats_path, int(old["n_docs"]) + b_n, int(old["dl_sum"]) + b_sum
+    )
+    _stamp(dfreq_path, _POSTINGS_META)
+    _stamp(stats_path, _POSTINGS_META)
+    _drop_lsh_bands(spark, sf_dir)
+
+
+_POSTINGS_META = {"norm": "lower", "tokens": "ws", "layout": "range(term)",
+                  "stats": "counters"}
 
 
 def documents_postings(
@@ -448,7 +492,7 @@ def documents_postings(
     the corpus (``bm25_topk`` vs ``bm25_topk_prepared``)."""
     from venus_spark.functions import davg, tokens
 
-    meta = {"norm": "lower", "tokens": "ws", "layout": "range(term)"}
+    meta = _POSTINGS_META
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
@@ -456,33 +500,92 @@ def documents_postings(
         for p in (post_path, dfreq_path, stats_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
-        docs = load_table(spark, sf_dir, "documents")
-        dl = docs.select(
-            "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
-        ).select("doc_id", "toks", F.size("toks").alias("dl"))
-        tf = (
-            dl.select("doc_id", "dl", F.explode("toks").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count("*").alias("tf"))
-        )
         (
-            tf.repartitionByRange("term")
+            _postings_rows(load_table(spark, sf_dir, "documents"))
+            .repartitionByRange("term")
             .sortWithinPartitions("term", "doc_id")
             .write.parquet(post_path)
         )
-        post = spark.read.parquet(post_path)
-        post.groupBy("term").agg(F.count("*").alias("df")).coalesce(1).write.parquet(
-            dfreq_path
+        _write_dfreq(spark, post_path, dfreq_path)
+        n_docs, dl_sum = _doclen_counters(
+            load_table(spark, sf_dir, "documents")
         )
-        dl.agg(
-            F.count("*").alias("n_docs"), davg("dl").alias("avgdl")
-        ).coalesce(1).write.parquet(stats_path)
+        _write_stats(spark, stats_path, n_docs, dl_sum)
         for p in (post_path, dfreq_path, stats_path):
             _stamp(p, meta)
     return (
         spark.read.parquet(post_path),
         spark.read.parquet(dfreq_path),
         spark.read.parquet(stats_path),
+    )
+
+
+def _postings_rows(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, dl, tf) postings for a batch of documents — shared
+    by the full build and the incremental append (a posting depends
+    only on its own document's text)."""
+    from venus_spark.functions import tokens
+
+    dl = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    return (
+        dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _doclen_counters(docs: DataFrame) -> tuple[int, int]:
+    """(n_docs, total token count) for a batch — the EXACT integer
+    counters corpus stats accumulate. Counts every document including
+    zero-token ones (the oracle's avgdl divides by ALL docs)."""
+    from venus_spark.functions import tokens
+
+    row = docs.select(F.size(tokens(F.lower(F.col("text")))).alias("dl")).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).first()
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def _write_dfreq(spark: SparkSession, post_path: str, dfreq_path: str) -> None:
+    """(Re)derive the vocabulary df table from the postings — run at
+    build time and after every append (df is a corpus-wide aggregate,
+    so an insert invalidates it; the table is vocabulary-sized). A
+    crash mid-overwrite leaves no _SUCCESS/_prep_meta, so the next
+    documents_postings() call falls back to a full rebuild."""
+    (
+        spark.read.parquet(post_path)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dfreq_path)
+    )
+
+
+def _write_stats(
+    spark: SparkSession, stats_path: str, n_docs: int, dl_sum: int
+) -> None:
+    """One-row corpus stats from exact integer counters. avgdl is
+    emitted through the same arithmetic ``davg`` performs — the decimal
+    sum of integer dl is integer-valued and < 2^53, so its
+    cast-to-double is exact and ``round(double(dl_sum)/n_docs, 6)``
+    reproduces the engine aggregate bit-for-bit. Storing the counters
+    (not just the average) is what lets an append update stats as
+    O(batch) arithmetic instead of a corpus re-tokenize."""
+    (
+        spark.createDataFrame([(n_docs, dl_sum)], "n_docs long, dl_sum long")
+        .select(
+            "n_docs",
+            "dl_sum",
+            F.round(
+                F.col("dl_sum").cast("double") / F.col("n_docs"), 6
+            ).alias("avgdl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stats_path)
     )
 
 
@@ -514,11 +617,36 @@ def write_minhash_pending(sf_dir: str, batch_docs: DataFrame, batch_id: int) -> 
     )
 
 
+def _merged_manifest_path(base: str) -> str:
+    # Underscore prefix: invisible to parquet readers, like _SUCCESS.
+    return os.path.join(base, "_merged_batches.json")
+
+
+def _read_merged(base: str) -> set[int]:
+    try:
+        with open(_merged_manifest_path(base)) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _write_merged(base: str, merged: set[int]) -> None:
+    tmp = _merged_manifest_path(base) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(merged), f)
+    os.rename(tmp, _merged_manifest_path(base))  # atomic commit
+
+
 def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup index INCLUDING not-yet-merged streaming inserts:
     base ∪ pending (the same union a GIN scan performs over tree +
-    pending list)."""
-    base = documents_minhash(spark, sf_dir)
+    pending list). Pending batches already recorded in the merged-batch
+    manifest are EXCLUDED: after a merge, a crash-replayed micro-batch
+    re-writes its pending partition even though its (byte-identical,
+    deterministically derived) rows already sit in the base — without
+    the exclusion the union would double-count them."""
+    base_df = documents_minhash(spark, sf_dir)
+    base = prepared_path(sf_dir, _MINHASH_INDEX)
     pend = _pending_path(sf_dir, _MINHASH_INDEX)
     # The dynamic-partition-overwrite committer writes no root _SUCCESS;
     # a batch partition directory only appears at job commit (the same
@@ -526,19 +654,34 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(pend) and any(
         d.startswith("_batch_id=") for d in os.listdir(pend)
     ):
-        base = base.unionByName(spark.read.parquet(pend).drop("_batch_id"))
-    return base
+        pend_df = spark.read.parquet(pend)
+        merged = _read_merged(base)
+        if merged:
+            pend_df = pend_df.filter(~F.col("_batch_id").isin(sorted(merged)))
+        base_df = base_df.unionByName(pend_df.drop("_batch_id"))
+    return base_df
 
 
 def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
-    """VACUUM-style pending merge: move each pending data file into the
-    base index directory under a collision-free name (``os.rename`` —
-    atomic within the filesystem), then drop the pending area.
-    Idempotent under crash/retry at ANY point: a moved file no longer
-    exists in pending, so a rerun moves only the remainder; rows are
-    never duplicated or lost. (The pending files carry no ``_batch_id``
-    column — it is a partition directory — so they are schema-identical
-    to base files.) Returns the number of data files merged."""
+    """VACUUM-style pending merge, safe under crash/retry AND a
+    concurrently running writer.
+
+    Per pending batch directory: move each data file into the base
+    index under a collision-free name (``os.rename`` — atomic), then
+    record the batch id in the base's ``_merged_batches.json`` manifest
+    (written via temp-file + atomic rename), then remove that batch's
+    directory — never a blanket rmtree of the pending area, so a batch
+    the stream lands AFTER this call's directory listing survives
+    untouched for the next merge.
+
+    Crash windows: mid-move → the batch is unmanifested, a rerun moves
+    only the remaining files (moved ones are gone from pending); after
+    manifest, before dir removal → the dir holds no data files, rerun
+    just removes it; stream replays an already-merged batch → its id is
+    manifested, so the replayed (byte-identical) partition is dropped
+    here and excluded by documents_minhash_live — no duplicates, no
+    loss, in any interleaving. Returns the number of data files
+    merged."""
     import uuid
 
     base = prepared_path(sf_dir, _MINHASH_INDEX)
@@ -546,17 +689,32 @@ def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
     if not os.path.exists(pend):
         return 0
     documents_minhash(spark, sf_dir)  # base must exist to receive files
+    merged = _read_merged(base)
     n = 0
-    for root, _dirs, files in os.walk(pend):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            os.rename(
-                os.path.join(root, fn),
-                os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
-            )
-            n += 1
-    shutil.rmtree(pend)
+    for d in sorted(os.listdir(pend)):
+        if not d.startswith("_batch_id="):
+            continue
+        batch_dir = os.path.join(pend, d)
+        bid = int(d.split("=", 1)[1])
+        if bid not in merged:
+            for fn in sorted(os.listdir(batch_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                os.rename(
+                    os.path.join(batch_dir, fn),
+                    os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
+                )
+                n += 1
+            merged.add(bid)
+            _write_merged(base, merged)
+        shutil.rmtree(batch_dir)
+    try:
+        os.rmdir(pend)  # only if the writer hasn't landed new batches
+    except OSError:
+        pass
+    # Band-key layout derives from the base index contents; invalidate
+    # so the colocated dedup plan rebuilds over the merged corpus.
+    _drop_lsh_bands(spark, sf_dir)
     return n
 
 
@@ -571,9 +729,13 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
     - PQ: new vectors are encoded against the EXISTING codebook and
       their 8-byte codes appended — exactly how a deployed PQ index
       ingests. The deterministic codebook sample (first PQ_KS of
-      ``vec_id % PQ_CB_MOD == 0``) is stable under append as long as
-      new ids are larger than the last codebook id, which monotone
-      ingest ids guarantee.
+      ``vec_id % PQ_CB_MOD == 0``) is stable under append only when the
+      base corpus already SATURATES it: with fewer than PQ_KS stored
+      codewords, a full rebuild over base+batch would pull additional
+      codewords from the appended ids and re-code every vector — so an
+      unsaturated codebook makes incremental maintenance impossible,
+      and this function refuses rather than let append and rebuild
+      silently diverge.
     """
     from venus_spark.operators import similarity as sim
 
@@ -586,6 +748,13 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
     codebook = [
         [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
     ]
+    if len(codebook) < sim.PQ_KS:
+        raise ValueError(
+            f"PQ codebook has {len(codebook)} < PQ_KS={sim.PQ_KS} codewords: "
+            "the deterministic sample is not saturated, so appended ids "
+            "would change the codebook and append != rebuild. Rebuild the "
+            "PQ index over the full corpus instead of appending."
+        )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     (
         new_vecs.select("vec_id", "label", v.alias("v"))
@@ -642,6 +811,19 @@ def bucketed_sales(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return names
 
 
+def _lsh_bands_table(sf_dir: str) -> str:
+    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    return f"lsh_bands_bkt_{sfx}"
+
+
+def _drop_lsh_bands(spark: SparkSession, sf_dir: str) -> None:
+    """Invalidate the bucketed band layout after its source (the MinHash
+    index) changes — the table is derived and rebuilt lazily on next
+    use; serving stale bands would silently drop candidate pairs for
+    appended documents."""
+    spark.sql(f"DROP TABLE IF EXISTS {_lsh_bands_table(sf_dir)}")
+
+
 def lsh_bands_bucketed(spark: SparkSession, sf_dir: str) -> str:
     """The LSH band keys as a BUCKETED catalog table
     ``(doc_id, band_idx, band_hash)``, bucketed + sorted on
@@ -654,8 +836,7 @@ def lsh_bands_bucketed(spark: SparkSession, sf_dir: str) -> str:
     catalog-resident pattern and caveats as ``bucketed_sales``)."""
     from venus_spark.operators.dedup import lsh_bands
 
-    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    name = f"lsh_bands_bkt_{sfx}"
+    name = _lsh_bands_table(sf_dir)
     if not spark.catalog.tableExists(name):
         loc = os.path.join(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name

@@ -37,6 +37,7 @@ query:
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
@@ -145,17 +146,27 @@ def compact_closed_partition(
     The compacted rows land under ``_batch_id=-1`` so the
     directory layout stays homogeneous with live partitions (mixed
     depths break parquet partition discovery), and the real batch ids
-    can never collide with it. Crash-safe by retry, with the
-    ``_SUCCESS`` marker as the commit record: once the compacted
-    directory carries ``_SUCCESS`` it is *authoritative* — it holds
-    every row from every batch directory that existed at write time —
-    so a rerun never rewrites it; it only removes leftover batch
-    directories (duplicates from a crash mid-cleanup), and a retry
-    after full success is a no-op. Only a compacted directory
-    *without* ``_SUCCESS`` (torn write — the source batch directories
-    are all still present) is discarded and rebuilt. Rows are never
-    lost in any interleaving. (A lakehouse table format expresses this
-    same operation as a transactional OPTIMIZE/rewrite.)
+    can never collide with it. Crash-safe by retry, with an explicit
+    commit record: ``_compact_manifest.json`` in the partition
+    directory (written via temp-file + atomic rename) lists EXACTLY
+    the batch directories the compacted output absorbed. A surviving
+    batch directory is removed only if the manifest names it
+    (crash-mid-cleanup duplicate); an UNMANIFESTED directory is a
+    batch the stream landed after the last commit — "closed" cannot be
+    enforced here, watermarks live in the caller — and is never
+    deleted: it is re-compacted together with the committed output
+    through a dot-prefixed staging directory (invisible to partition
+    discovery), with the manifest update as the new commit point
+    BEFORE the old output is swapped out, so every crash window
+    resolves by retry to the same committed state. Rows are never lost
+    in any interleaving; the only retry anomaly is re-doing work. (A
+    lakehouse table format expresses this same operation as a
+    transactional OPTIMIZE/rewrite.)
+
+    Legacy state (a ``_SUCCESS``-committed compacted dir with NO
+    manifest, from a pre-manifest run) keeps its old semantics: its
+    surviving batch dirs were its sources, so they are adopted into a
+    manifest as absorbed.
 
     Returns the number of batch directories compacted away.
     """
@@ -164,32 +175,91 @@ def compact_closed_partition(
     part_dir = os.path.join(table_dir, partition)
     compacted_name = f"_batch_id={COMPACTED_BATCH_ID}"
     compacted = os.path.join(part_dir, compacted_name)
-    batch_dirs = [
-        d
-        for d in os.listdir(part_dir)
-        if d.startswith("_batch_id=")
-        and d != compacted_name
-        and os.path.isdir(os.path.join(part_dir, d))
-    ]
-    if os.path.exists(os.path.join(compacted, "_SUCCESS")):
-        # Committed compaction: the compacted dir already contains these
-        # batches' rows; surviving batch dirs are crash-mid-cleanup
-        # duplicates. Remove only them, never the compacted output.
-        for d in batch_dirs:
+    staging = os.path.join(part_dir, ".compact_staging")
+    manifest_path = os.path.join(part_dir, "_compact_manifest.json")
+
+    def read_manifest() -> set[str]:
+        try:
+            with open(manifest_path) as f:
+                return set(json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def commit_manifest(names: set[str]) -> None:
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(sorted(names), f)
+        os.rename(manifest_path + ".tmp", manifest_path)  # atomic commit
+
+    def list_batch_dirs() -> list[str]:
+        return [
+            d
+            for d in os.listdir(part_dir)
+            if d.startswith("_batch_id=")
+            and d != compacted_name
+            and os.path.isdir(os.path.join(part_dir, d))
+        ]
+
+    committed = os.path.exists(os.path.join(compacted, "_SUCCESS"))
+    if committed and not os.path.exists(manifest_path):
+        # pre-manifest commit: its sources are exactly the survivors
+        commit_manifest(set(list_batch_dirs()))
+    absorbed = read_manifest()
+
+    # Finish or discard an interrupted re-compaction first.
+    if os.path.exists(staging):
+        staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
+        new_in_manifest = any(d in absorbed for d in list_batch_dirs())
+        if staged_ok and committed is False and absorbed:
+            # crash after old-output removal: staging is the output
+            os.rename(staging, compacted)
+            committed = True
+        elif staged_ok and new_in_manifest:
+            # crash after manifest commit: staging (old ∪ new) is
+            # authoritative — swap it in
+            if os.path.exists(compacted):
+                shutil.rmtree(compacted)
+            os.rename(staging, compacted)
+        else:
+            # torn or uncommitted staging: sources intact, discard
+            shutil.rmtree(staging)
+
+    # Remove crash-mid-cleanup duplicates: dirs the commit absorbed.
+    n_cleaned = 0
+    for d in list_batch_dirs():
+        if d in absorbed:
             shutil.rmtree(os.path.join(part_dir, d))
-        return len(batch_dirs)
-    if os.path.exists(compacted):  # torn write: sources still intact, redo
-        shutil.rmtree(compacted)
+            n_cleaned += 1
+
+    batch_dirs = list_batch_dirs()  # whatever remains is NEW input
+    if os.path.exists(compacted) and not os.path.exists(
+        os.path.join(compacted, "_SUCCESS")
+    ):
+        shutil.rmtree(compacted)  # torn first write: sources intact
     if not batch_dirs:
-        return 0
-    (
-        spark.read.parquet(*[os.path.join(part_dir, d) for d in batch_dirs])
-        .coalesce(target_files)
-        .write.parquet(compacted)
-    )
+        return n_cleaned
+
+    sources = [os.path.join(part_dir, d) for d in batch_dirs]
+    if os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        # Re-compaction: fold the committed output and the new batches
+        # into staging, commit the widened manifest, then swap.
+        (
+            spark.read.parquet(compacted, *sources)
+            .coalesce(target_files)
+            .write.parquet(staging)
+        )
+        commit_manifest(absorbed | set(batch_dirs))
+        shutil.rmtree(compacted)
+        os.rename(staging, compacted)
+    else:
+        (
+            spark.read.parquet(*sources)
+            .coalesce(target_files)
+            .write.parquet(compacted)
+        )
+        commit_manifest(absorbed | set(batch_dirs))
     for d in batch_dirs:
         shutil.rmtree(os.path.join(part_dir, d))
-    return len(batch_dirs)
+    return n_cleaned + len(batch_dirs)
 
 
 def start_logs_ingest(
