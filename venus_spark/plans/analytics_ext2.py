@@ -415,3 +415,49 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fmt_ts("_b").alias("bucket"), "n", "min_v", "max_v", "first_v", "last_v")
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Error-rate time series: THE logging-service dashboard query (the
+# reference is a centralised log store; "error share over time per
+# stream" is what its Metabase boards exist to show, README.rst:108+).
+# All-integer outputs (counts + permille) — parity-trivial.
+# --------------------------------------------------------------------------
+
+_ERR_RATE_ORACLE = f"""
+SELECT {fmt_ts_sql("DATE_TRUNC('hour', ts)")} AS bucket,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') * 1000
+            // COUNT(*) AS BIGINT) AS error_permille
+FROM events
+GROUP BY DATE_TRUNC('hour', ts)
+ORDER BY bucket
+"""
+
+
+@plan("error_rate_timeseries", oracle=_ERR_RATE_ORACLE)
+def error_rate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error share of the event stream (integer permille): one
+    partial-aggregating groupBy over ~720 bucket keys, conditional
+    count folded into the same aggregate as the total — the single-scan
+    shape a 100 TB deployment runs, and the first panel of any logging
+    dashboard. A spike is then drilled with timeseries_anomaly /
+    correlation_lookup, the reference's documented investigation flow."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("_b"))
+        .agg(
+            F.count("*").alias("n_events"),
+            n_err.alias("n_errors"),
+            F.expr(
+                "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000"
+                " div count(*)"
+            ).alias("error_permille"),
+        )
+        .select(
+            fmt_ts("_b").alias("bucket"), "n_events", "n_errors", "error_permille"
+        )
+        .orderBy("bucket")
+    )
