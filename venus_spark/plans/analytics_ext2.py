@@ -461,3 +461,67 @@ def error_rate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / trailing-7-day WAU / stickiness — the canonical product-health
+# metric (retention_cohorts is the cohort view; this is the time-series
+# view product dashboards lead with).
+# --------------------------------------------------------------------------
+
+_DAU_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, COUNT(*) AS dau FROM d GROUP BY day
+),
+wau AS (
+  SELECT a.day, COUNT(DISTINCT b.user_id) AS wau
+  FROM dau a JOIN d b
+    ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+  GROUP BY a.day
+)
+SELECT {fmt_ts_sql('day')} AS day, dau, wau,
+       CAST(dau * 1000 // wau AS BIGINT) AS stickiness_permille
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+
+@plan("dau_wau_stickiness", oracle=_DAU_ORACLE)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly actives, and the
+    DAU/WAU stickiness ratio (integer permille). COUNT(DISTINCT) over
+    a trailing window cannot be a window function, so WAU is the
+    standard day-to-day-set join: the (day, user) distinct set is the
+    one data-sized aggregate; the trailing join then touches ~7 such
+    day-sets per output day — at 100 TB the day-set table is the thing
+    you materialize incrementally and this query stays one small
+    range join over it."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    b = d.select(F.col("day").alias("b_day"), "user_id")
+    wau = (
+        dau.select("day")
+        .join(
+            b,
+            (F.col("b_day") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("b_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            fmt_ts("day").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000 div wau").alias("stickiness_permille"),
+        )
+        .orderBy("day")
+    )

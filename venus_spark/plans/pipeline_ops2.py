@@ -257,3 +257,43 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_topk(emb, query_id=_QUERY_VEC_ID, k=_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Multimodal payload dedup: exact-byte dedup over the opaque binary
+# column — the first pass every image/audio corpus runs (identical
+# files recur massively in web crawls), and deliberately DIFFERENT
+# from doc_fingerprint: this hashes the raw payload bytes with no text
+# normalization, so it applies to any binary modality unchanged.
+# --------------------------------------------------------------------------
+
+_MM_DEDUP_ORACLE = """
+SELECT MD5(text) AS payload_md5,
+       COUNT(*) AS n_payloads,
+       MIN(doc_id) AS keeper_doc
+FROM documents
+GROUP BY MD5(text)
+HAVING COUNT(*) >= 2
+ORDER BY payload_md5
+"""
+
+
+@plan("mm_payload_dedup", oracle=_MM_DEDUP_ORACLE)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate binary payloads by content hash, lowest doc_id as the
+    canonical keeper. One hash-partitioned aggregate on the uniform
+    md5 key — at 100 TB the md5 computes where the bytes live and only
+    32-byte digests shuffle, never payloads. The oracle hashes the
+    source text directly: the payload is its UTF-8 encoding, so the
+    digests coincide (DuckDB MD5 hashes the varchar's UTF-8 bytes) —
+    which is exactly the audit that the binary plumbing is lossless."""
+    from venus_spark.operators.multimodal import attach_payload
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.md5("payload").alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(F.count("*").alias("n_payloads"), F.min("doc_id").alias("keeper_doc"))
+        .filter(F.col("n_payloads") >= 2)
+        .orderBy("payload_md5")
+    )
