@@ -92,7 +92,10 @@ class MicroBatcher:
 
     def due(self, now: float | None = None) -> bool:
         now = time.monotonic() if now is None else now
-        return bool(self.buf) and (now - (self.oldest or now)) >= self.max_age
+        # self.oldest is always set while buf is non-empty; `oldest or
+        # now` would misread a legitimate monotonic clock value of 0.0
+        # as unset and never age that batch out.
+        return bool(self.buf) and (now - self.oldest) >= self.max_age
 
     def flush(self) -> str | None:
         if not self.buf:
@@ -105,10 +108,37 @@ class MicroBatcher:
 
 
 def run_stdin(batcher: MicroBatcher) -> None:
-    """Drive the batching/landing path from stdin (no zmq needed)."""
-    for raw in sys.stdin.buffered if hasattr(sys.stdin, "buffered") else sys.stdin:
-        line = raw if isinstance(raw, str) else raw.decode("utf-8", "surrogateescape")
-        batcher.add(line.rstrip("\n"))
+    """Drive the batching/landing path from stdin (no zmq needed).
+
+    Lines are read on a helper thread feeding a queue so the main loop
+    can poll with a timeout — the stdin twin of the zmq branch's 250 ms
+    poll: a producer that goes quiet WITHOUT closing the pipe must
+    still see its buffered batch land once the age trigger passes, not
+    sit in memory until the next line arrives. Bytes are read from
+    ``sys.stdin.buffer`` (the binary layer) and decoded with
+    surrogateescape, so a non-UTF8 byte is preserved for downstream
+    quarantine instead of killing the relay with UnicodeDecodeError."""
+    import queue
+    import threading
+
+    q: queue.Queue[bytes | None] = queue.Queue(maxsize=10000)
+
+    def reader() -> None:
+        for raw in sys.stdin.buffer:
+            q.put(raw)
+        q.put(None)  # EOF sentinel
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        try:
+            raw = q.get(timeout=0.25)
+        except queue.Empty:
+            if batcher.due():
+                batcher.flush()
+            continue
+        if raw is None:
+            break
+        batcher.add(raw.decode("utf-8", "surrogateescape").rstrip("\n"))
         if batcher.due():
             batcher.flush()
     batcher.flush()  # graceful EOF flush (A12)

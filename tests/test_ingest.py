@@ -591,3 +591,18 @@ def test_compact_then_late_batch_is_merged_not_deleted(spark, tmp_path):
     # and the retry after THAT is a clean no-op
     assert compact_closed_partition(spark, table_dir, "date=2024-01-01") == 0
     assert {r["event_id"] for r in read_sink_table(spark, str(tmp_path), "logs").collect()} == after
+
+
+def test_promoted_fields_always_popped_from_data(spark):
+    """The three promoted fields must never leak into the payload even
+    when a live drop_fields override omits them — `created` was only
+    excluded by its accidental presence in the default DROP_FIELDS."""
+    rec = make_record(0)
+    parsed = parse_records(
+        raw_df(spark, [json.dumps(rec)]), drop_fields=("thread", "threadName")
+    )
+    data = json.loads(good_records(parsed).first()["data"])
+    for promoted in ("created", "message", "correlation_id"):
+        assert promoted not in data
+    # the override is still honored for the non-promoted fields
+    assert "thread" not in data and "module" in data

@@ -138,3 +138,26 @@ def test_streaming_ingest_applies_drop_fields_live(spark, tmp_path):
         spark.read.parquet(logs_dir).filter("message = 'work 2'").first()["data"]
     )
     assert "thread" in second and "module" not in second
+
+
+def test_apply_log_levels_survives_malformed_config(tmp_path):
+    """A config typo must be logged and skipped, never raised — this
+    runs inside the ingest foreachBatch, where an exception fails the
+    micro-batch and takes down the streaming query."""
+    import json
+    import logging
+
+    from venus_spark.live_config import LiveConfig
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"log_levels": {
+        "vs_test_logger": "debug",      # lowercase: must normalize, not crash
+        "vs_other_logger": "NOT_A_LEVEL",  # unknown: must skip, not crash
+    }}))
+    cfg = LiveConfig(str(p), refresh_seconds=0)
+    cfg.apply_log_levels()  # must not raise
+    assert logging.getLogger("vs_test_logger").level == logging.DEBUG
+    assert logging.getLogger("vs_other_logger").level == logging.NOTSET
+
+    p.write_text(json.dumps({"log_levels": ["not", "a", "dict"]}))
+    cfg.apply_log_levels()  # wrong shape: ignored, not raised

@@ -153,3 +153,33 @@ def test_relay_to_ingest_to_query_end_to_end(spark, tmp_path):
     # and the landed table serves the reference's primary query pattern
     hits = logs.filter(logs.correlation_id == corr).collect()
     assert len(hits) == 1 and hits[0]["message"].startswith("sent-")
+
+
+def test_due_handles_monotonic_zero():
+    # `oldest or now` misread clock value 0.0 as unset, so a batch
+    # whose first line arrived at t=0 never aged out
+    b = relay.MicroBatcher("/tmp/unused", max_size=100, max_age=5.0)
+    b.add("x", now=0.0)
+    assert not b.due(now=4.9)
+    assert b.due(now=5.0)
+
+
+def test_stdin_mode_preserves_non_utf8_bytes(tmp_path):
+    """A non-UTF8 byte on stdin must ride through surrogateescape into
+    the landing file (downstream quarantine decides), not kill the
+    relay with UnicodeDecodeError and lose the buffered batch."""
+    landing = tmp_path / "landing"
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts", "zmq_relay.py")
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(landing), "--stdin",
+         "--batch-size", "10"],
+        input=b'{"ok": 1}\n\xff{torn\n{"ok": 2}\n',
+        check=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0
+    files = sorted(landing.iterdir())
+    assert len(files) == 1  # EOF flush of all three lines
+    raw = files[0].read_bytes()
+    assert b'{"ok": 1}' in raw and b'{"ok": 2}' in raw
+    assert b"{torn" in raw  # the bad line survived for quarantine

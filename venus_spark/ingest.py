@@ -138,7 +138,12 @@ def parse_records(
     schema = schema or log_record_schema()
     drop = DROP_FIELDS if drop_fields is None else tuple(drop_fields)
     rec = F.from_json(F.col(raw_col), schema)
-    residual = [f.name for f in schema.fields if f.name not in drop + ("message", "correlation_id")]
+    # The three PROMOTED fields are popped from the payload
+    # unconditionally (reference extract_safe, venus/db/write.py:87-91)
+    # — independent of the live drop_fields override, which would
+    # otherwise leak `created` into data whenever a config omits it.
+    promoted = ("created", "message", "correlation_id")
+    residual = [f.name for f in schema.fields if f.name not in drop + promoted]
     return (
         raw.withColumn("_rec", rec)
         .select(
@@ -223,7 +228,7 @@ def parse_context(raw: DataFrame, raw_col: str = "value") -> DataFrame:
     scoped dimension row (reference migration :45-52). The whole payload
     minus the key is re-serialized into ``data``; rows without a valid
     correlation_id (the PK) quarantine."""
-    rec = F.from_json(F.col(raw_col), "correlation_id string, data string")
+    rec = F.from_json(F.col(raw_col), "correlation_id string")
     # Payload = the raw object minus the promoted key; parsing the raw
     # line as a map keeps caller-defined fields without a declared schema
     # (context data is schemaless JSONB in the reference). VARIANT values

@@ -104,15 +104,34 @@ class LiveConfig:
     def apply_log_levels(self, key: str = "log_levels") -> None:
         """Apply ``{logger_name: level}`` from config; ``root`` aliases
         the root logger; unchanged levels are skipped (reference
-        ``load_new_logger_levels``)."""
+        ``load_new_logger_levels``). A malformed entry — wrong value
+        shape, unknown or lowercase level name — is logged and SKIPPED,
+        never raised: this runs inside the ingest ``foreachBatch``, so
+        an exception here would fail the micro-batch and take down the
+        streaming query over a config typo (the module contract is
+        keep-last-good, not crash)."""
         levels = self.get(key, {}) or {}
+        if not isinstance(levels, dict):
+            logger.warning("live-config: %r is not a mapping, ignored: %r",
+                           key, levels)
+            return
         for name, level in levels.items():
-            target = logging.getLogger(None if name == "root" else name)
             if self._applied_levels.get(name) == level:
                 continue
+            # getLevelName on an unknown name returns the string
+            # "Level <x>", which setLevel rejects — normalize and
+            # validate instead of letting ValueError escape.
+            resolved = logging.getLevelName(str(level).upper())
+            if not isinstance(resolved, int):
+                logger.warning(
+                    "live-config: unknown log level %r for logger %r, skipped",
+                    level, name or "root",
+                )
+                continue
+            target = logging.getLogger(None if name == "root" else name)
             old = logging.getLevelName(target.level)
             logger.info(
                 "live-config: logger %r level %s -> %s", name or "root", old, level
             )
-            target.setLevel(logging.getLevelName(level))
+            target.setLevel(resolved)
             self._applied_levels[name] = level

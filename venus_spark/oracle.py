@@ -54,7 +54,8 @@ def _values_equal(a, b) -> bool:
             b is None or (isinstance(b, float) and math.isnan(b))
         )
     if isinstance(a, float) or isinstance(b, float):
-        return float(a) == float(b) or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+        # exact equality — parity is bit-level by design, no tolerance
+        return float(a) == float(b)
     return a == b
 
 
