@@ -64,6 +64,7 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - total0, 3)
 
+    failed = sorted(k for k, v in timings.items() if v < 0)
     print(
         json.dumps(
             {
@@ -71,6 +72,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # total_wall_sec spans the whole loop INCLUDING time a
+                # failed plan burned before throwing (its queries entry
+                # is -1.0); the explicit list keeps the headline number
+                # honest when cross-checking against the breakdown.
+                "failed": failed,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

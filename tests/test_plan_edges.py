@@ -145,3 +145,49 @@ def test_mm_audio_features_empty_text_parity(spark, tmp_path):
     con = duckdb_connect(sf_dir)
     res = compare("mm_audio_empty", p.fn(spark, sf_dir), con, p.oracle)
     assert res.ok, res.detail
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter must raise, not return intermediate labels —
+    silent mislabeling would corrupt every downstream keep/drop."""
+    import pytest
+
+    from venus_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3).collect()
+    # and a budget >= diameter converges fine on the same graph
+    labels = connected_components(chain, max_iter=15).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_multimodal_null_payload_yields_null_rows_not_crash(spark):
+    """A NULL payload must produce NULL output rows (decode/resize/
+    audio) or no frames (sampler) — matching SQL NULL propagation —
+    instead of len(None) aborting the Arrow batch."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.operators.multimodal import (
+        attach_payload,
+        audio_features,
+        decode_metadata,
+        frame_sample,
+        resize_images,
+    )
+
+    docs = attach_payload(
+        spark.createDataFrame(
+            [(0, "real content here"), (1, None)], "doc_id long, text string"
+        )
+    )
+    dec = {r["doc_id"]: r for r in decode_metadata(docs).collect()}
+    assert dec[1]["byte_len"] is None and dec[0]["byte_len"] > 0
+    rs = {r["doc_id"]: r for r in resize_images(docs).collect()}
+    assert rs[1]["dst_w"] is None and rs[0]["dst_w"] > 0
+    au = {r["doc_id"]: r for r in audio_features(docs).collect()}
+    assert au[1]["n_bytes"] is None and au[0]["n_bytes"] > 0
+    fr = frame_sample(docs).groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in fr} == {0}

@@ -47,7 +47,11 @@ PERM_B = (
     160481183, 179424673, 198491317, 217645177,
 )
 
-SIMHASH_BITS = 32
+# 31, not 32: the shingle hashes are token_hash31 values in
+# [0, 2^31-2], so bit 31 of every hash is zero — a 32nd vote column
+# would be constant (always -count) and the assembled bit always 0:
+# one dead aggregate per document and a phantom bit of resolution.
+SIMHASH_BITS = 31
 
 
 def exploded_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -92,9 +96,11 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing any LSH band."""
-    bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
+def band_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band —
+    the one candidate-join semantics, shared by the recompute, the
+    prepared-index, and the bucketed-layout paths (which are asserted
+    to agree; a forked copy of this join could silently diverge)."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -106,6 +112,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band."""
+    return band_candidate_pairs(
+        lsh_bands(minhash_signatures(df, id_col, text_col), id_col), id_col
     )
 
 
@@ -156,28 +169,21 @@ def lsh_near_dup_pairs_from_index(
     indexes are maintained on INSERT) applied to near-dup search — at
     100 TB signatures are computed once per ingested document, not once
     per dedup run."""
-    bands = lsh_bands(idx, id_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    cands = band_candidate_pairs(lsh_bands(idx, id_col), id_col)
     toks = idx.select(F.col(id_col), F.col(shingle_col).alias("toks"))
     return _verify_candidates(cands, toks, id_col, threshold)
 
 
 def jaccard(a_toks: Column, b_toks: Column) -> Column:
-    """Token-set Jaccard similarity (exact, for verifying candidates)."""
+    """Token-set Jaccard similarity (exact, for verifying candidates).
+
+    try_divide, not `/`: two empty sets have union 0 and must yield
+    NULL (failing any > threshold filter) — DuckDB's division already
+    does, and ANSI `/` would raise DIVIDE_BY_ZERO (same discipline as
+    functions.cosine)."""
     inter = F.size(F.array_intersect(a_toks, b_toks))
     union = F.size(a_toks) + F.size(b_toks) - inter
-    return inter / union
+    return F.try_divide(inter, union)
 
 
 def jaccard_pairs_in_buckets(
@@ -205,7 +211,14 @@ def jaccard_pairs_in_buckets(
     The size filter (J > t forces t·|B| < |A| < |B|/t) prunes pairs
     before the aggregation."""
     if toks_col is not None:
-        t = df.select(id_col, *bucket_cols, F.col(toks_col).alias("toks"))
+        # array_distinct defensively: the postings count equals |A∩B|
+        # only for element-distinct arrays — a caller passing a raw
+        # token array would inflate the count past the true
+        # intersection (jaccard_sim could exceed 1). Idempotent and
+        # cheap on the already-distinct prepared columns.
+        t = df.select(
+            id_col, *bucket_cols, F.array_distinct(F.col(toks_col)).alias("toks")
+        )
     else:
         t = df.select(
             id_col, *bucket_cols, F.array_distinct(tokens(text_col)).alias("toks")
@@ -332,6 +345,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixed point means the label
+        # table still holds INTERMEDIATE values — returning it would
+        # silently mislabel every node farther than max_iter hops from
+        # its component's min id (a >max_iter-diameter near-dup chain),
+        # and downstream keep/drop decisions would be wrong with no
+        # diagnostic. Refuse instead: diameter-shaped graphs need a
+        # bigger budget (or the pair threshold is admitting junk edges).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations: the pair graph has diameter > max_iter. "
+            "Raise max_iter or inspect the edge set for an "
+            "unexpectedly long near-dup chain."
+        )
     return labels.select("id", F.col("lab").alias("cluster_id"))
 
 

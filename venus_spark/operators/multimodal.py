@@ -63,7 +63,13 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_bytes_stub(b) for b in pdf["payload"]]
+            # NULL payload (a NULL source row) decodes to a NULL row —
+            # matching the oracle's SQL NULL propagation — instead of
+            # len(None) aborting the whole Arrow batch.
+            decoded = [
+                _decode_bytes_stub(bytes(b)) if b is not None else (None,) * 4
+                for b in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -95,6 +101,11 @@ def resize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             cols: dict[str, list] = {k: [] for k in (
                 "doc_id", "src_w", "src_h", "dst_w", "dst_h", "out_len")}
             for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                if buf is None:  # NULL payload -> NULL geometry row
+                    cols["doc_id"].append(doc_id)
+                    for k in ("src_w", "src_h", "dst_w", "dst_h", "out_len"):
+                        cols[k].append(None)
+                    continue
                 _n, w, h, _fmt = _decode_bytes_stub(bytes(buf))
                 m = max(w, h)
                 dw, dh = (w * RESIZE_TARGET) // m, (h * RESIZE_TARGET) // m
@@ -126,6 +137,11 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             cols: dict[str, list] = {k: [] for k in (
                 "doc_id", "n_bytes", "n_space", "n_vowel", "byte_sum")}
             for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                if buf is None:  # NULL payload -> NULL feature row
+                    cols["doc_id"].append(doc_id)
+                    for k in ("n_bytes", "n_space", "n_vowel", "byte_sum"):
+                        cols[k].append(None)
+                    continue
                 b = bytes(buf)
                 cols["doc_id"].append(doc_id)
                 cols["n_bytes"].append(len(b))
@@ -146,6 +162,9 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id", n_frames: int = N_FRAMES
         for pdf in batches:
             ids, idxs, lens = [], [], []
             for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                if buf is None:
+                    continue  # no frames from a NULL payload (the
+                    # oracle's generate_series over NULL yields none)
                 n = len(buf)
                 base, rem = divmod(n, n_frames)
                 for i in range(n_frames):

@@ -438,22 +438,15 @@ def dedup_minhash_lsh_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture for near-dup dedup: signatures materialized at ingest
     (documents_minhash), band keys bucketed at ingest (this table),
     query time pays only bucket-local joins + bounded verification."""
-    from venus_spark.operators.dedup import _verify_candidates
+    from venus_spark.operators.dedup import (
+        _verify_candidates,
+        band_candidate_pairs,
+    )
     from venus_spark.plans.pipeline_ops import _JACCARD_T
     from venus_spark.prepared import documents_minhash, lsh_bands_bucketed
 
     bands = spark.table(lsh_bands_bucketed(spark, sf_dir))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cands = band_candidate_pairs(bands)
     idx = documents_minhash(spark, sf_dir)
     toks = idx.select(F.col("doc_id"), F.col("_sh").alias("toks"))
     return _verify_candidates(cands, toks, "doc_id", _JACCARD_T)
