@@ -253,6 +253,57 @@ def jaccard_pairs_in_buckets(
     ).filter(F.col("jaccard_sim") > threshold)
 
 
+def containment_pairs_in_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    toks_col: str = "_sh_h",
+) -> DataFrame:
+    """Asymmetric set CONTAINMENT pairs C(A→B) = |A∩B| / |A| above
+    threshold within explicit buckets: detects documents substantially
+    contained in another (quotes, excerpts, supersets) that symmetric
+    Jaccard misses when |B| ≫ |A| (Broder's containment measure, the
+    second resemblance statistic of the original shingling paper).
+    ``df`` is the prepared MinHash index (or any frame carrying a
+    distinct comparison-set array in ``toks_col``).
+
+    Same inverted-postings self-join shape as
+    :func:`jaccard_pairs_in_buckets` — a pair costs one row per shared
+    element, never a full-array ship — but the join keeps BOTH
+    orientations (``id`` inequality, not ``<``) because containment is
+    directional, and the only sound size prune is one-sided:
+    C > t forces |B| ≥ |A∩B| > t·|A|; nothing bounds |A| from below.
+    try_divide for the degenerate empty-|A| case (cannot reach the join
+    output — empty sets post no rows — but keeps the kernel total)."""
+    t = df.select(
+        id_col, *bucket_cols, F.array_distinct(F.col(toks_col)).alias("toks")
+    )
+    posts = t.withColumn("_n", F.size("toks")).select(
+        id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")) & (
+        F.col("a._tok") == F.col("b._tok")
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("b._n") > F.lit(threshold) * F.col("a._n"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("_na"),
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    c = F.try_divide(F.col("_inter"), F.col("_na"))
+    return inter.select(
+        "id_a", "id_b", F.round(c, 6).alias("containment")
+    ).filter(F.col("containment") > threshold)
+
+
 def simhash_col_aggs() -> list[Column]:
     """SUM(±1) per bit position over exploded shingle hashes."""
     return [

@@ -1,0 +1,303 @@
+"""Training-data pipeline plans, part 9: corpus-audit operators —
+containment dedup, cross-source overlap, embedding outlier QA, and EWMA
+trend smoothing.
+
+These extend the dedup/QA families with the audit queries a curation
+team runs BEFORE committing a mixture: which documents are excerpts of
+others (containment, the second resemblance statistic of Broder's
+shingling paper, "On the resemblance and containment of documents",
+SEQUENCES 1997), how much two sources share verbatim n-grams (the C4 /
+"Deduplicating Training Data Makes Language Models Better" style
+cross-split audit, Lee et al. 2022), which vectors sit farthest from
+their cluster centroid (mislabel / outlier triage), and a smoothed
+operational trend over the event stream.
+
+The reference has no corpus surface (SURVEY.md §2C addendum — these are
+the pipeline-ops family, graded alongside §2); parity discipline follows
+PARITY.md: shared hash31 shingle sets, decimal-accumulated means, and
+identical left-fold double kernels on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import davg, fmt_ts, l2sq
+from venus_spark.functions.sqlgen import (
+    davg_sql,
+    double_lit_sql,
+    fmt_ts_sql,
+    l2sq_sql,
+    shingles_sql,
+    token_hash31_sql,
+)
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+_VDBL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+# --------------------------------------------------------------------------
+# Containment near-dup pairs (asymmetric): excerpts and supersets that
+# symmetric Jaccard misses when |B| >> |A|.
+# --------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+_HASHED_SHINGLES = (
+    f"LIST_DISTINCT([{token_hash31_sql('s')} FOR s IN {shingles_sql('text')}])"
+)
+
+_CONTAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, {_HASHED_SHINGLES} AS t
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * 1.0 / LEN(a.t), 6)
+           AS containment
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+)
+SELECT id_a, id_b, containment FROM pairs WHERE containment > {_CONTAIN_T}
+"""
+
+
+@plan("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs C(A→B) = |A∩B|/|A| > 0.9 within
+    (lang, source) buckets, served from the prepared MinHash index's
+    stored hashed shingle sets — one index scan, nothing re-tokenized.
+    Same inverted-postings join shape as dedup_jaccard_pairs (a pair
+    costs one row per SHARED shingle, sets never ship whole), kept
+    bidirectional because containment is asymmetric: a paragraph quoted
+    inside a book scores ~1.0 here and ~0 on Jaccard. At 100 TB the
+    posting key is a uniform 31-bit hash (no skew) and the one-sided
+    size prune (C > t forces |B| > t·|A|) drops most cross-size pairs
+    before the aggregation."""
+    from venus_spark.operators.dedup import containment_pairs_in_buckets
+    from venus_spark.prepared import documents_minhash
+
+    return containment_pairs_in_buckets(
+        documents_minhash(spark, sf_dir),
+        bucket_cols=["lang", "source"],
+        threshold=_CONTAIN_T,
+        toks_col="_sh_h",
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source n-gram overlap: the pre-mixture contamination audit.
+# --------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, h FROM (
+    SELECT source, UNNEST({_HASHED_SHINGLES}) AS h FROM documents
+  )
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS shared_ngrams
+  FROM vocab a JOIN vocab b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.shared_ngrams,
+       ROUND(s.shared_ngrams * 1.0 / (na.n + nb.n - s.shared_ngrams), 6)
+         AS ngram_jaccard
+FROM shared s
+JOIN sizes na ON na.source = s.source_a
+JOIN sizes nb ON nb.source = s.source_b
+"""
+
+
+@plan("source_overlap_ngrams", oracle=_OVERLAP_ORACLE)
+def source_overlap_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap: distinct word-3-gram hashes
+    per source, self-joined on the hash to count shared n-grams, plus
+    the Jaccard of the two vocabularies — the audit that catches one
+    source republishing another before both enter a training mixture
+    (Lee et al. 2022's cross-split leakage measure, run source-level).
+    Served from the prepared MinHash index's stored hashed shingles.
+    Scale shape: the (source, hash) distinct is one hash-partitioned
+    agg on a uniform key; the self-join ships only vocabulary rows
+    (distinct n-grams, not occurrences), and the source-pair result is
+    |sources|² rows — tiny. The sizes side is broadcast."""
+    from venus_spark.prepared import documents_minhash
+
+    idx = documents_minhash(spark, sf_dir)
+    vocab = idx.select(
+        "source", F.explode("_sh_h").alias("h")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    na, nb = F.broadcast(sizes.alias("na")), F.broadcast(sizes.alias("nb"))
+    jac = F.col("shared_ngrams") / (
+        F.col("na.n") + F.col("nb.n") - F.col("shared_ngrams")
+    )
+    return (
+        shared.join(na, F.col("na.source") == F.col("source_a"))
+        .join(nb, F.col("nb.source") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            F.round(jac, 6).alias("ngram_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding outliers: farthest-from-centroid triage per cluster.
+# --------------------------------------------------------------------------
+
+_OUTLIER_N = 3
+
+_OUTLIER_ORACLE = f"""
+WITH long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VDBL.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+e AS (
+  SELECT vec_id, label, {_VDBL.format('embedding')} AS v FROM embeddings
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         ROUND({l2sq_sql('e.v', 'c.centroid')}, 6) AS centroid_l2sq
+  FROM e JOIN cent_arr c ON c.cluster = e.label
+)
+SELECT vec_id, label, centroid_l2sq, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY centroid_l2sq DESC, vec_id) AS rn
+  FROM d
+) WHERE rn <= {_OUTLIER_N}
+"""
+
+
+@plan("embedding_outliers", oracle=_OUTLIER_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N farthest vectors from their own cluster centroid — the
+    mislabel/outlier triage view of the embedding space (the farthest
+    members are the first candidates for relabeling or pruning, the
+    complement of dedup_semantic_keep's nearest-pair view). Centroids
+    are the shared position-wise decimal mean (operators.similarity.
+    centroid_arrays — n_clusters rows, broadcast); the distance is one
+    codegen L2² fold per row, and WindowGroupLimit keeps only N rows
+    per cluster on the map side. One scan, one broadcast, one tiny
+    window — the same shape at any corpus size."""
+    from venus_spark.operators.similarity import as_double, centroid_arrays
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_arrays(emb)
+    d = (
+        emb.select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        )
+        .join(F.broadcast(cents), F.col("label") == F.col("cluster"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2sq(F.col("v"), F.col("centroid")), 6).alias(
+                "centroid_l2sq"
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_l2sq").desc(), F.col("vec_id")
+    )
+    return d.select(
+        "vec_id", "label", "centroid_l2sq", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _OUTLIER_N)
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing of the hourly event series.
+# --------------------------------------------------------------------------
+
+_EWMA_A = 0.3
+
+_EWMA_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, {davg_sql('value')} AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+series AS (
+  SELECT event_type, h, v,
+         LIST(v) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS arr
+  FROM hourly
+)
+SELECT event_type, {fmt_ts_sql('h', micros=False)} AS hour,
+       v AS hourly_avg,
+       ROUND(LIST_REDUCE(arr, (acc, x) ->
+             {double_lit_sql(_EWMA_A)} * x +
+             {double_lit_sql(1 - _EWMA_A)} * acc), 6) AS ewma
+FROM series
+"""
+
+
+@plan("ewma_smoothing", oracle=_EWMA_ORACLE)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event type over the
+    hourly series: ewma_i = α·x_i + (1-α)·ewma_{i-1}, seeded with the
+    first observation — the smoothed dashboard trend feeding the
+    anomaly view (timeseries_anomaly is the z-score twin; M4 is the
+    decimator). The recursion is a left fold over the hour-ordered
+    prefix (collect_list over a running window), identical
+    IEEE-double step order on both engines (seed = first element, per
+    DuckDB LIST_REDUCE). Prefix arrays are quadratic in SERIES length,
+    which is bounded by the time range (720 buckets here), never by
+    corpus size — the same bounded-cardinality posture as gapfill/LOCF;
+    row volume collapses to one row per (type, hour) at the partial
+    agg before any window runs."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(davg("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = F.collect_list("v").over(w)
+    step = lambda acc, x: (  # noqa: E731 — shared fold kernel, both engines
+        F.when(acc.isNull(), x).otherwise(
+            F.lit(_EWMA_A) * x + F.lit(1 - _EWMA_A) * acc
+        )
+    )
+    ewma = F.aggregate(arr, F.lit(None).cast("double"), step)
+    return hourly.select(
+        "event_type",
+        fmt_ts(F.col("h"), micros=False).alias("hour"),
+        F.col("v").alias("hourly_avg"),
+        F.round(ewma, 6).alias("ewma"),
+    )
