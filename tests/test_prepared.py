@@ -379,3 +379,70 @@ def test_merge_replay_does_not_duplicate_and_new_batch_survives(
     ]
     assert sorted(base_ids) == sorted(set(range(40)))  # each exactly once
     assert prepared.merge_minhash_pending(spark, sf) == 0
+
+
+# --------------------------------------------------------------------------
+# Z-order layout: footer-stats prunability on BOTH dimensions
+# --------------------------------------------------------------------------
+
+
+def _rg_stats(pattern: str):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rgs = []
+    for f in sorted(glob.glob(pattern)):
+        md = pq.ParquetFile(f).metadata
+        sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            su = rg.column(sch["user_id"]).statistics
+            st = rg.column(sch["ts"]).statistics
+            rgs.append(((su.min, su.max), (st.min, st.max)))
+    return rgs
+
+
+def test_zorder_prunes_both_dims_where_1d_layout_cannot(spark):
+    """The 2-D probe (user_id = K AND ts in window) must be servable
+    from a small fraction of the Z-order layout's row groups, with
+    BOTH dimensions contributing pruning — while the key-clustered 1-D
+    layout, by construction, passes every row group for a time-only
+    probe. Checked against the real parquet footers, i.e. exactly the
+    stats the pushed filters prune with at scan time."""
+    import datetime
+
+    from tests.conftest import SF_DIR_MED
+    from venus_spark.plans.pipeline_ops9 import _L2D_KEY, _L2D_T0, _L2D_T1
+    from venus_spark.prepared import events_by_user, events_zorder, prepared_path
+
+    events_zorder(spark, SF_DIR_MED)
+    events_by_user(spark, SF_DIR_MED)
+    k = _L2D_KEY
+    t0 = datetime.datetime.fromisoformat(_L2D_T0)
+    t1 = datetime.datetime.fromisoformat(_L2D_T1)
+
+    def admit(rgs):
+        u = sum(1 for (umin, umax), _ in rgs if umin <= k <= umax)
+        t = sum(1 for _, (tmin, tmax) in rgs if tmin < t1 and tmax >= t0)
+        b = sum(
+            1
+            for (umin, umax), (tmin, tmax) in rgs
+            if umin <= k <= umax and tmin < t1 and tmax >= t0
+        )
+        return u, t, b, len(rgs)
+
+    zu, zt, zb, zn = admit(
+        _rg_stats(prepared_path(SF_DIR_MED, "events_zorder.parquet") + "/*.parquet")
+    )
+    # both dims prune individually, and the conjunction reads <= 25%
+    assert zu < zn and zt < zn
+    assert zb <= zn // 4, (zu, zt, zb, zn)
+
+    uu, ut, ub, un = admit(
+        _rg_stats(prepared_path(SF_DIR_MED, "events_by_user.parquet") + "/*.parquet")
+    )
+    # 1-D key clustering: razor-sharp on the key...
+    assert uu <= max(2, un // 8)
+    # ...and blind on time — every row group admits the window
+    assert ut == un

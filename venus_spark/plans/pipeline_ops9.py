@@ -234,6 +234,64 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 2-D point-in-time lookup: correlation key AND time window, plain scan
+# vs the Z-order clustered layout.
+# --------------------------------------------------------------------------
+
+_L2D_KEY = 13
+_L2D_T0, _L2D_T1 = "2024-01-10 00:00:00", "2024-01-13 00:00:00"
+
+_L2D_ORACLE = f"""
+SELECT event_id, {fmt_ts_sql('ts')} AS ts_str, event_type,
+       value AS event_value
+FROM events
+WHERE user_id = {_L2D_KEY}
+  AND ts >= TIMESTAMP '{_L2D_T0}' AND ts < TIMESTAMP '{_L2D_T1}'
+"""
+
+
+def _lookup_2d(ev: DataFrame) -> DataFrame:
+    from venus_spark.plans.venus_surface import _ts
+
+    return ev.filter(
+        (F.col("user_id") == _L2D_KEY)
+        & (F.col("ts") >= _ts(_L2D_T0))
+        & (F.col("ts") < _ts(_L2D_T1))
+    ).select(
+        "event_id",
+        fmt_ts("ts").alias("ts_str"),
+        "event_type",
+        F.col("value").alias("event_value"),
+    )
+
+
+@plan("lookup_2d", oracle=_L2D_ORACLE)
+def lookup_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary pattern with its hypertable constraint
+    attached: correlation-key probe AND time window (README.rst:73-74;
+    the migration's 1-day chunks exist for exactly this shape). Plain
+    full scan — the baseline twin of lookup_2d_zorder; both predicates
+    are pushed to the parquet reader but an unclustered layout gives
+    the row-group stats nothing to prune on."""
+    return _lookup_2d(load_table(spark, sf_dir, "events"))
+
+
+@plan("lookup_2d_zorder", oracle=_L2D_ORACLE)
+def lookup_2d_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 2-D probe served from the Z-order clustered layout
+    (prepared.events_zorder): every file covers a small rectangle of
+    (user_id, hour) space, so the pushed min/max filters prune on BOTH
+    dimensions — the multi-dimensional answer where the 1-D layouts
+    (events_by_user, events_by_date) each serve only their own
+    predicate. tests/test_prepared.py asserts the footer-stats
+    prunability of all three layouts against both probe shapes. Same
+    rows, same oracle."""
+    from venus_spark.prepared import events_zorder
+
+    return _lookup_2d(events_zorder(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # EWMA smoothing of the hourly event series.
 # --------------------------------------------------------------------------
 

@@ -342,6 +342,63 @@ def events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_Z_BITS = 16
+_Z_FILES = 32
+
+
+def _zvalue(u: Column, t: Column) -> Column:
+    """Bit-interleave two non-negative keys into one Morton (Z-order)
+    value: bit i of ``u`` lands at position 2i+1, bit i of ``t`` at 2i.
+    Keys are masked to ``_Z_BITS`` — aliasing just coarsens the curve
+    into buckets (still locality-preserving); widen the bit budget with
+    the key domain at real scale. Pure codegen bit arithmetic, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(t, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` clustered on the Z-ORDER (Morton) curve over
+    ``(user_id, hour(ts))`` — the MULTI-dimensional clustering layout
+    (Delta/Iceberg ``ZORDER BY``, done by hand: compute the interleaved
+    key, one range-repartition + in-partition sort, write). The 1-D
+    layouts each serve one predicate and nothing else: ``events_by_user``
+    prunes a key probe but a time-only query reads every row group, and
+    ``events_by_date`` the converse. On the Z curve every file covers a
+    small rectangle of (key, time) space, so row-group min/max stats on
+    BOTH columns stay tight and a 2-D probe (correlation key AND time
+    window — the reference's primary pattern plus its hypertable
+    constraint, README.rst:73-74 + migration :39-43) prunes on
+    whichever dimension is more selective. The interleaved column is
+    dropped after the sort — it exists to order the write, not to be
+    queried. One shuffle at ingest time, same as every other prepared
+    layout; at 100 TB files-per-z-range is a target-file-size
+    calculation and the same write job."""
+    meta = {"bits": _Z_BITS, "files": _Z_FILES, "dims": ["user_id", "hour"]}
+    path = prepared_path(sf_dir, "events_zorder.parquet")
+    if not _is_built(path, meta):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ev = load_table(spark, sf_dir, "events")
+        hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+        min_hour = ev.agg(F.min(hour).alias("h")).first()["h"]  # write-time
+        z = _zvalue(F.col("user_id"), hour - F.lit(min_hour))
+        (
+            ev.withColumn("_z", z)
+            .repartitionByRange(_Z_FILES, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.parquet(path)
+        )
+        _stamp(path, meta)
+    return spark.read.parquet(path)
+
+
 def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The IVF index as a *layout*: ``(vectors, centroids)`` where the
     vector table is written ``partitionBy(cluster id)`` — so the probe's
@@ -861,6 +918,7 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     documents_minhash(spark, sf_dir)
     events_by_user(spark, sf_dir)
     events_by_date(spark, sf_dir)
+    events_zorder(spark, sf_dir)
     events_variant(spark, sf_dir)
     embeddings_ivf(spark, sf_dir)
     embeddings_pq(spark, sf_dir)
