@@ -104,3 +104,20 @@ def test_ewma_matches_reference_fold(spark):
     for h, v in series:
         acc = v if acc is None else _EWMA_A * v + (1 - _EWMA_A) * acc
         assert got[(etype, h)][1] == pytest.approx(round(acc, 6), abs=1e-9)
+
+
+def test_hash_embed_unit_norm(spark):
+    from pyspark.sql import functions as F
+
+    from venus_spark.plans.pipeline_ops9 import text_hash_embed
+
+    emb = text_hash_embed(spark, SF_DIR)
+    norms = (
+        emb.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
+        .collect()
+    )
+    assert norms
+    for r in norms:
+        # rounding w to 6 decimals perturbs the norm by < 64 * 1e-6
+        assert abs(r.sq - 1.0) < 1e-4, r

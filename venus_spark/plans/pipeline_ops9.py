@@ -234,6 +234,82 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Feature-hashing text embedder (the hashing trick, Weinberger et al.,
+# ICML 2009): deterministic text -> sparse L2-normalized vector.
+# --------------------------------------------------------------------------
+
+_HASH_DIM = 64
+
+_EMBED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({{toks}}) AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, {{h}} AS h FROM toks
+),
+buckets AS (
+  SELECT doc_id, h % {_HASH_DIM} AS bucket,
+         SUM(1 - 2 * ((h >> 6) & 1)) AS v
+  FROM hashed GROUP BY doc_id, h % {_HASH_DIM}
+),
+normed AS (
+  SELECT doc_id, bucket, v,
+         SQRT(SUM(CAST(v AS DOUBLE) * v) OVER (PARTITION BY doc_id))
+           AS nrm
+  FROM buckets
+)
+SELECT doc_id, bucket, ROUND(CAST(v AS DOUBLE) / nrm, 6) AS w
+FROM normed WHERE v <> 0
+"""
+
+
+def _embed_oracle() -> str:
+    from venus_spark.functions.sqlgen import token_hash31_sql, tokens_sql
+
+    return _EMBED_ORACLE.format(toks=tokens_sql("text"), h=token_hash31_sql("t"))
+
+
+@plan("text_hash_embed", oracle=_embed_oracle())
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedder: every token hashes to one of 64
+    buckets with a hash-derived ±1 sign, per-bucket signs sum, and the
+    vector is L2-normalized — emitted SPARSE as (doc_id, bucket,
+    weight) rows, the form a downstream ANN bulk-load or linear model
+    actually ingests. This is the vectorizer-shaped plumbing for
+    corpora with no model-served embedding column: fully deterministic
+    (hash31 is engine-portable; no model weights), one explode + one
+    hash-partitioned agg + one per-doc window over <= 64 rows. At
+    100 TB the shuffle carries (doc, bucket) partial sums — already
+    combined map-side — never token occurrences; dim is a constant
+    (vocabulary-free, the point of the hashing trick)."""
+    from venus_spark.functions import token_hash31, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = token_hash31(F.col("t"))
+    sign = F.lit(1) - F.lit(2) * F.shiftright(h, 6).bitwiseAND(F.lit(1))
+    buckets = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .select("doc_id", (h % _HASH_DIM).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("v"))
+    )
+    nrm = F.sqrt(
+        F.sum(F.col("v").cast("double") * F.col("v")).over(
+            Window.partitionBy("doc_id")
+        )
+    )
+    return (
+        buckets.withColumn("nrm", nrm)
+        .filter(F.col("v") != 0)
+        .select(
+            "doc_id",
+            "bucket",
+            F.round(F.col("v").cast("double") / F.col("nrm"), 6).alias("w"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 2-D point-in-time lookup: correlation key AND time window, plain scan
 # vs the Z-order clustered layout.
 # --------------------------------------------------------------------------
