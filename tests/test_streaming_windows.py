@@ -290,3 +290,53 @@ def test_enrichment_same_name_key_keeps_event_column(spark):
     assert out.columns == ["event_id", "user_id", "tier"]
     got = {(r["event_id"], r["user_id"], r["tier"]) for r in out.collect()}
     assert got == {(1, 10, "gold"), (2, 99, None)}
+
+
+def test_latest_state_stream_converges_to_batch(spark, tmp_path):
+    """latest_state_per_key in streaming update mode: later files update
+    keys; the last update emitted per key must equal the batch run over
+    all events (the incrementally-maintained upsert view)."""
+    from venus_spark.streaming.windows import latest_state_per_key
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_jsonl(
+        landing / "b0.jsonl",
+        [
+            event(1, "2024-01-01 10:00:00", user=1, etype="click", value=1.0),
+            event(2, "2024-01-01 10:05:00", user=2, etype="view", value=2.0),
+        ],
+    )
+    write_jsonl(
+        landing / "b1.jsonl",
+        [
+            # user 1 updated by a later event; user 3 appears
+            event(3, "2024-01-01 11:00:00", user=1, etype="buy", value=9.0),
+            event(4, "2024-01-01 10:30:00", user=3, etype="click", value=3.0),
+        ],
+    )
+    stream = read_event_stream(spark, landing)
+    run_to_memory(latest_state_per_key(stream), "latest_state", "update")
+
+    # final state per key = the emitted update with the greatest ts
+    emitted = spark.sql("select * from latest_state").collect()
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.ts > final[r.user_id].ts:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in latest_state_per_key(
+            spark.read.schema(EVENT_SCHEMA).json(str(landing))
+        ).collect()
+    }
+    assert set(final) == set(batch) == {1, 2, 3}
+    for uid, want in batch.items():
+        got = final[uid]
+        assert (got.ts, got.last_type, got.last_value) == (
+            want.ts,
+            want.last_type,
+            want.last_value,
+        ), uid
+    # and the stream actually updated user 1 across triggers
+    assert final[1].last_type == "buy"

@@ -234,6 +234,116 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MinHash estimator audit: signature-estimated vs exact Jaccard on the
+# LSH candidate set — the index-quality audit (sim_ivfpq_recall's twin
+# on the text side).
+# --------------------------------------------------------------------------
+
+
+def _mh_audit_oracle() -> str:
+    from venus_spark.functions import HASH_P31
+    from venus_spark.operators import dedup as dd
+
+    mins = ",\n         ".join(
+        f"MIN(({dd.PERM_A[i]} * h + {dd.PERM_B[i]}) % {HASH_P31}) AS mh_{i}"
+        for i in range(dd.N_PERM)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS('-', "
+        + ", ".join(
+            f"mh_{b * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND)
+        )
+        + ")) AS band_hash FROM sig"
+        for b in range(dd.N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(dd.N_PERM)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({shingles_sql('text')}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, {token_hash31_sql('tok')} AS h FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+hsets AS (
+  SELECT doc_id, {_HASHED_SHINGLES} AS t FROM documents
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(({matches}) / {float(dd.N_PERM)!r}, 6) AS mh_est,
+         ROUND(LEN(LIST_INTERSECT(hx.t, hy.t)) * 1.0 /
+               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t))), 6)
+           AS true_jac
+  FROM cands c
+  JOIN sig x ON c.id_a = x.doc_id
+  JOIN sig y ON c.id_b = y.doc_id
+  JOIN hsets hx ON c.id_a = hx.doc_id
+  JOIN hsets hy ON c.id_b = hy.doc_id
+)
+SELECT id_a, id_b, mh_est, true_jac,
+       ROUND(ABS(mh_est - true_jac), 6) AS abs_err
+FROM scored
+"""
+
+
+@plan("minhash_recall_audit", oracle=_mh_audit_oracle())
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit of the MinHash index: for every LSH
+    candidate pair, the signature-estimated Jaccard (matching
+    components / N_PERM — the unbiased MinHash estimator, Broder 1997)
+    against the exact Jaccard of the stored hashed shingle sets, plus
+    the absolute error. The write-time-index counterpart of
+    sim_ivfpq_recall (which audits PQ the same way on the vector
+    side): run it after tuning N_PERM/band geometry to see what the
+    estimator actually resolves at the dedup threshold. Everything is
+    served from the prepared index — signatures AND shingle sets are
+    stored columns — so the audit costs the candidate join plus one
+    row of arithmetic per candidate, never a corpus rescan."""
+    from venus_spark.operators import dedup as dd
+    from venus_spark.operators.dedup import band_candidate_pairs, jaccard, lsh_bands
+    from venus_spark.prepared import documents_minhash
+
+    idx = documents_minhash(spark, sf_dir)
+    mh_cols = [f"mh_{i}" for i in range(dd.N_PERM)]
+    cands = band_candidate_pairs(lsh_bands(idx.select("doc_id", *mh_cols)))
+    side = idx.select("doc_id", F.col("_sh_h").alias("t"), *mh_cols)
+    x, y = side.alias("x"), side.alias("y")
+    matches = sum(
+        F.when(F.col(f"x.mh_{i}") == F.col(f"y.mh_{i}"), 1).otherwise(0)
+        for i in range(dd.N_PERM)
+    )
+    est = F.round(matches / F.lit(float(dd.N_PERM)), 6)
+    true_jac = F.round(jaccard(F.col("x.t"), F.col("y.t")), 6)
+    return (
+        cands.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("mh_est"),
+            true_jac.alias("true_jac"),
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("mh_est") - F.col("true_jac")), 6))
+    )
+
+
+# --------------------------------------------------------------------------
 # Feature-hashing text embedder (the hashing trick, Weinberger et al.,
 # ICML 2009): deterministic text -> sparse L2-normalized vector.
 # --------------------------------------------------------------------------

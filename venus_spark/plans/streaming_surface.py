@@ -174,3 +174,26 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "bucket")
         .select("event_type", F.col("bucket_s").alias("bucket"), "n_events", "locf_value")
     )
+
+
+from venus_spark.plans.analytics_ext4 import _LATEST_ORACLE  # noqa: E402
+from venus_spark.streaming.windows import latest_state_per_key  # noqa: E402
+
+
+@plan("latest_state_agg", oracle=_LATEST_ORACLE)
+def latest_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the STREAMING latest-state operator — max-of-struct
+    aggregation instead of latest_event_state's row_number window; this
+    is the formulation that also runs incrementally in streaming update
+    mode (tests/test_streaming_windows.py drives it through a real
+    stream and asserts it converges to this batch answer). Same oracle
+    as latest_event_state: two independent formulations pinned to one
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    out = latest_state_per_key(ev)
+    return out.select(
+        "user_id",
+        fmt_ts("ts").alias("last_ts"),
+        "last_type",
+        "last_value",
+    )

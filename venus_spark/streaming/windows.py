@@ -214,3 +214,27 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_state_per_key(events: DataFrame) -> DataFrame:
+    """Latest event per key as a streaming-capable AGGREGATION: MAX of
+    the (ts, event_id, payload...) struct — lexicographic struct
+    ordering picks the greatest (ts, event_id), and since that pair is
+    unique the payload fields ride along without influencing the
+    order. Unlike the row_number formulation (latest_event_state, the
+    log-compaction batch job) this partial-aggregates map-side — every
+    task forwards ONE candidate struct per key — and runs unchanged in
+    streaming update mode, where the state store holds exactly one
+    struct per key: the incrementally-maintained upsert 'current
+    view'. Same rows either way; the two plans share one oracle."""
+    top = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    return (
+        events.groupBy("user_id")
+        .agg(top)
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_type").alias("last_type"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
