@@ -286,7 +286,7 @@ hsets AS (
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
-         ROUND(({matches}) / {float(dd.N_PERM)!r}, 6) AS mh_est,
+         ROUND(({matches}) / {double_lit_sql(dd.N_PERM)}, 6) AS mh_est,
          ROUND(LEN(LIST_INTERSECT(hx.t, hy.t)) * 1.0 /
                (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t))), 6)
            AS true_jac
