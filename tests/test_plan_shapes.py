@@ -497,3 +497,32 @@ def test_lsh_bucketed_band_join_has_no_exchange(spark):
     )
     want = sorted(map(tuple, plans["dedup_minhash_lsh"].fn(spark, SF).collect()))
     assert got == want
+
+
+def test_lookup_2d_zorder_pushes_both_predicates(spark):
+    """The 2-D probe over the Z-order layout must push BOTH the key
+    equality and the time bounds into the parquet scan — those pushed
+    filters are what the row-group min/max stats prune with (the
+    footer-level prunability itself is asserted in test_prepared)."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["lookup_2d_zorder"].fn(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    pushed = m.group(1)
+    assert "EqualTo(user_id" in pushed, pushed
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, pushed
+    assert "events_zorder" in plan
+
+
+def test_profile_events_scans_are_column_pruned(spark):
+    """Each profile branch must read ONLY its column (single-column
+    ReadSchema) and the plan must contain no Expand node — the
+    multi-COUNT(DISTINCT) formulation would expand the full-width scan
+    7x before shuffling."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["profile_events"].fn(spark, SF))
+    assert "Expand" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(s.count(":") == 1 for s in schemas), schemas
