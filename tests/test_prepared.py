@@ -446,3 +446,94 @@ def test_zorder_prunes_both_dims_where_1d_layout_cannot(spark):
     assert uu <= max(2, un // 8)
     # ...and blind on time — every row group admits the window
     assert ut == un
+
+
+# --------------------------------------------------------------------------
+# Event-side INSERT maintenance: rollup append == full recompute;
+# retention drops chunks without touching survivors
+# --------------------------------------------------------------------------
+
+
+def test_append_events_rollup_equals_full_recompute(spark, tmp_path, monkeypatch):
+    """The hourly rollup must absorb a batch as appended partials and
+    still read back EXACTLY the one-shot aggregate over base+batch —
+    including the double bit-pattern of the decimal-merged sums — and
+    the appended Z-order/by_date/by_user layouts must serve the full
+    row set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.functions import dsum, fmt_ts
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    cut = "2024-01-20 00:00:00"
+    base = ev.filter(F.col("ts") < cut)
+    batch = ev.filter(F.col("ts") >= cut)
+
+    base_sf = str(tmp_path / "base_sf")
+    base.write.parquet(os.path.join(base_sf, "events.parquet"))
+
+    prepared.events_by_date(spark, base_sf)
+    prepared.events_by_user(spark, base_sf)
+    prepared.events_zorder(spark, base_sf)
+    prepared.append_events(spark, base_sf, batch)
+
+    served = {
+        r["bucket"]: (r["n"], r["total_value"])
+        for r in prepared.events_hourly_rollup(spark, base_sf)
+        .groupBy(fmt_ts(F.col("bucket_ts"), micros=False).alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_dec").cast("double").alias("total_value"))
+        .collect()
+    }
+    want = {
+        r["bucket"]: (r["n"], r["total_value"])
+        for r in ev.groupBy(
+            fmt_ts(F.date_trunc("hour", F.col("ts")), micros=False).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .collect()
+    }
+    assert served == want  # exact, including the merged-sum doubles
+
+    # appended layouts carry the complete row set
+    n_all = ev.count()
+    for layout in ("events_by_date", "events_by_user", "events_zorder"):
+        got = getattr(prepared, layout)(spark, base_sf)
+        assert got.count() == n_all, layout
+        assert got.select(F.sum("event_id")).first()[0] == \
+            ev.select(F.sum("event_id")).first()[0], layout
+
+
+def test_drop_event_chunks_retention(spark, tmp_path, monkeypatch):
+    """drop_chunks analog: partitions before the cutoff vanish, the
+    survivors are untouched files serving exactly the post-cutoff rows,
+    and a second call is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "events.parquet")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    prepared.events_by_date(spark, sf)
+    cutoff = "2024-01-15"
+    dropped = prepared.drop_event_chunks(sf, cutoff)
+    assert dropped > 0
+    kept = prepared.events_by_date(spark, sf)
+    assert kept.filter(F.col("date") < cutoff).count() == 0
+    want = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .filter(F.to_date("ts") >= cutoff)
+        .count()
+    )
+    assert kept.count() == want
+    assert prepared.drop_event_chunks(sf, cutoff) == 0

@@ -98,3 +98,35 @@ def latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Continuous-aggregate analog: the hourly series served from the
+# materialized partial-aggregate rollup.
+# --------------------------------------------------------------------------
+
+from venus_spark.plans.venus_surface import _TIMESERIES_ORACLE  # noqa: E402
+
+
+@plan("timeseries_hourly_rollup", oracle=_TIMESERIES_ORACLE)
+def timeseries_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries_hourly served from the MATERIALIZED rollup
+    (prepared.events_hourly_rollup — the continuous-aggregate analog):
+    the scan reads O(buckets) partial-aggregate rows and re-combines
+    them (SUM of counts, SUM of exact decimal partial sums cast to
+    double at the end — bit-identical to dsum over the raw table), so
+    the fact table is never touched at query time. append_events
+    maintains the rollup per batch; tests/test_prepared.py asserts
+    append+merge equals a full recompute. Same oracle as
+    timeseries_hourly: the layout changes the access path, not the
+    answer."""
+    from venus_spark.prepared import events_hourly_rollup
+
+    roll = events_hourly_rollup(spark, sf_dir)
+    return (
+        roll.groupBy(fmt_ts(F.col("bucket_ts"), micros=False).alias("bucket"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+        )
+    )
