@@ -537,3 +537,68 @@ def test_drop_event_chunks_retention(spark, tmp_path, monkeypatch):
     )
     assert kept.count() == want
     assert prepared.drop_event_chunks(sf, cutoff) == 0
+
+
+def test_recluster_restores_zorder_prunability(spark, tmp_path, monkeypatch):
+    """Appends dilute the Z-order layout's per-file rectangles; the
+    recluster (OPTIMIZE) job must rewrite base+appends into one curve
+    with the 2-D prunability of a fresh build — and never change the
+    row set. Also exercises the crash window: with the live dir moved
+    aside mid-swap, the next read completes the swap from the complete
+    tmp copy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    cut = "2024-01-20 00:00:00"
+    base_sf = str(tmp_path / "base_sf")
+    ev.filter(F.col("ts") < cut).write.parquet(
+        os.path.join(base_sf, "events.parquet")
+    )
+    prepared.events_zorder(spark, base_sf)
+    prepared.events_hourly_rollup(spark, base_sf)
+    prepared.events_by_date(spark, base_sf)
+    prepared.events_by_user(spark, base_sf)
+    prepared.append_events(spark, base_sf, ev.filter(F.col("ts") >= cut))
+
+    path = prepared.prepared_path(base_sf, "events_zorder.parquet")
+
+    def both_pass_fraction() -> float:
+        import datetime
+
+        rgs = _rg_stats(path + "/*.parquet")
+        t0 = datetime.datetime(2024, 1, 10)
+        t1 = datetime.datetime(2024, 1, 13)
+        b = sum(
+            1
+            for (umin, umax), (tmin, tmax) in rgs
+            if umin <= 13 <= umax and tmin < t1 and tmax >= t0
+        )
+        return b / len(rgs)
+
+    diluted = both_pass_fraction()
+    checksum = ev.select(F.sum("event_id")).first()[0]
+    prepared.recluster_events_zorder(spark, base_sf)
+    reclustered = both_pass_fraction()
+    assert reclustered <= 0.25, (diluted, reclustered)
+    assert reclustered <= diluted
+    got = prepared.events_zorder(spark, base_sf)
+    assert got.count() == ev.count()
+    assert got.select(F.sum("event_id")).first()[0] == checksum
+
+    # crash window: live dir moved aside, complete tmp left behind
+    import shutil
+
+    os.rename(path, path + ".recluster.old")
+    shutil.copytree(path + ".recluster.old", path + ".recluster.tmp")
+    os.rename(path + ".recluster.old", str(tmp_path / "displaced"))
+    os.rename(str(tmp_path / "displaced"), path + ".recluster.old")
+    recovered = prepared.events_zorder(spark, base_sf)
+    assert recovered.count() == ev.count()
+    assert not os.path.exists(path + ".recluster.tmp")
+    assert not os.path.exists(path + ".recluster.old")

@@ -340,3 +340,76 @@ def test_latest_state_stream_converges_to_batch(spark, tmp_path):
         ), uid
     # and the stream actually updated user 1 across triggers
     assert final[1].last_type == "buy"
+
+
+def test_streaming_rollup_converges_and_replay_is_idempotent(spark, tmp_path):
+    """The continuous aggregate maintained per micro-batch must merge to
+    the one-shot aggregate over all streamed events, and replaying a
+    batch's writes (the crash-between-write-and-commit window) must
+    leave the rollup unchanged."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.functions import dsum
+    from venus_spark.prepared import _hourly_partial_rows
+    from venus_spark.streaming import (
+        _write_idempotent,
+        read_hourly_rollup,
+        read_sink_table,
+        start_events_rollup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_jsonl(
+        landing / "b0.jsonl",
+        [
+            event(1, "2024-01-01 10:10:00", value=1.5),
+            event(2, "2024-01-01 10:40:00", value=2.25),
+            event(3, "2024-01-01 11:05:00", value=4.0),
+        ],
+    )
+    write_jsonl(
+        landing / "b1.jsonl",
+        [
+            # overlaps hour 10 from the earlier batch
+            event(4, "2024-01-01 10:55:00", value=8.125),
+            event(5, "2024-01-01 12:00:00", value=16.0),
+        ],
+    )
+    sink = str(tmp_path / "sink")
+    q = start_events_rollup_ingest(
+        read_event_stream(spark, landing),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+
+    def snapshot():
+        return {
+            r["bucket_ts"]: (r["n"], r["total_value"])
+            for r in read_hourly_rollup(spark, sink).collect()
+        }
+
+    got = snapshot()
+    all_events = read_sink_table(spark, sink, "events")
+    want = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in all_events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
+
+    # replay the second batch's rollup write verbatim: no duplication
+    import os
+
+    replay = all_events.filter(F.col("event_id") >= 4)
+    _write_idempotent(
+        _hourly_partial_rows(replay),
+        os.path.join(sink, "events_hourly_rollup"),
+        1,
+    )
+    assert snapshot() == want

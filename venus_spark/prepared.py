@@ -381,6 +381,7 @@ def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     calculation and the same write job."""
     meta = {"bits": _Z_BITS, "files": _Z_FILES, "dims": ["user_id", "hour"]}
     path = prepared_path(sf_dir, "events_zorder.parquet")
+    _recover_recluster_swap(path)
     # The stamp also records the curve's hour ORIGIN (append_events
     # needs it to keep batch z-values on the same curve), which is only
     # known after the build — so built-ness checks the static geometry
@@ -584,6 +585,60 @@ def append_events(spark: SparkSession, sf_dir: str, new_events: DataFrame) -> No
         .write.mode("append")
         .parquet(z_path)
     )
+
+
+def _recover_recluster_swap(path: str) -> None:
+    """Finish or roll back a recluster swap interrupted mid-rename: a
+    COMPLETE tmp (``_SUCCESS`` present) wins — the rewrite holds every
+    row, so completing the swap is always safe; otherwise the displaced
+    old directory is put back. Appended-but-not-yet-reclustered rows
+    can therefore never be lost to a crash window."""
+    tmp, old = path + ".recluster.tmp", path + ".recluster.old"
+    if not os.path.exists(path):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
+    for leftover in (tmp, old):
+        if os.path.exists(path) and os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
+    """The OPTIMIZE / re-ZORDER maintenance job: rewrite the Z-order
+    layout from its own CURRENT contents (base build plus every
+    appended batch) back into one globally z-sorted file set, restoring
+    the per-file rectangle tightness that appends gradually dilute.
+    Reuses the stamped hour origin so the curve is identical across
+    recluster generations. The swap is crash-safe: the rewrite lands in
+    a tmp directory first, the live directory is moved aside, tmp is
+    renamed in, and only then is the old copy deleted —
+    :func:`_recover_recluster_swap` (run by every ``events_zorder``
+    read) completes or rolls back any interruption. At 100 TB this is
+    the scheduled compaction every lakehouse table runs; queries never
+    stop being correct while it is due, only less pruned."""
+    events_zorder(spark, sf_dir)  # ensures built + completes any prior swap
+    path = prepared_path(sf_dir, "events_zorder.parquet")
+    meta = _read_meta(path)
+    min_hour = int(meta["min_hour"])
+    tmp, old = path + ".recluster.tmp", path + ".recluster.old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    cur = spark.read.parquet(path)
+    hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+    z = _zvalue(F.col("user_id"), F.greatest(F.lit(0), hour - F.lit(min_hour)))
+    (
+        cur.withColumn("_z", z)
+        .repartitionByRange(_Z_FILES, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(tmp)
+    )
+    _stamp(tmp, meta)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def drop_event_chunks(sf_dir: str, before_date: str) -> int:
