@@ -191,3 +191,107 @@ def test_multimodal_null_payload_yields_null_rows_not_crash(spark):
     assert au[1]["n_bytes"] is None and au[0]["n_bytes"] > 0
     fr = frame_sample(docs).groupBy("doc_id").count().collect()
     assert {r["doc_id"] for r in fr} == {0}
+
+
+def _write_documents(spark, sf_dir, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_ewma_edges_single_point_and_null_hours(spark, tmp_path):
+    """EWMA on degenerate series, cross-engine: a one-point series (ewma
+    == the point), an hour whose only value is NULL (bucket vanishes on
+    both sides), and a multi-hour series exercising the fold."""
+    from venus_spark.plans.pipeline_ops9 import _EWMA_ORACLE, ewma_smoothing
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01 10:10:00"), 1, "solo", 7.5, "{}"),
+        (2, t("2024-01-01 10:00:00"), 1, "nullhole", None, "{}"),  # drops
+        (3, t("2024-01-01 11:00:00"), 1, "nullhole", 2.0, "{}"),
+        (4, t("2024-01-01 10:00:00"), 1, "multi", 1.0, "{}"),
+        (5, t("2024-01-01 11:00:00"), 1, "multi", 10.0, "{}"),
+        (6, t("2024-01-01 12:00:00"), 1, "multi", 100.0, "{}"),
+        (7, t("2024-01-01 12:30:00"), 1, "multi", None, "{}"),  # ignored
+    ]
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir, rows)
+    r = compare(
+        "ewma_edges",
+        ewma_smoothing(spark, sf_dir),
+        duckdb_connect(sf_dir),
+        _EWMA_ORACLE,
+    )
+    assert r, r.detail
+    got = {
+        (x.event_type, x.hour): x.ewma
+        for x in ewma_smoothing(spark, sf_dir).collect()
+    }
+    assert got[("solo", "2024-01-01 10:00:00")] == 7.5
+    assert ("nullhole", "2024-01-01 10:00:00") not in got  # all-NULL hour
+    assert got[("multi", "2024-01-01 11:00:00")] == round(0.3 * 10 + 0.7 * 1, 6)
+
+
+def test_hash_embed_edges_empty_and_whitespace_docs(spark, tmp_path):
+    """Feature hashing on degenerate docs, cross-engine: empty text and
+    whitespace-only text produce NO rows (no tokens), a one-token doc
+    produces exactly one unit-weight bucket."""
+    from venus_spark.plans.pipeline_ops9 import _embed_oracle, text_hash_embed
+
+    rows = [
+        (0, "", "en", "web", 0),
+        (1, " \t\n ", "en", "web", 4),
+        (2, "solitary", "en", "web", 8),
+        (3, "a few real tokens here", "en", "web", 22),
+    ]
+    sf_dir = str(tmp_path)
+    _write_documents(spark, sf_dir, rows)
+    r = compare(
+        "hash_embed_edges",
+        text_hash_embed(spark, sf_dir),
+        duckdb_connect(sf_dir),
+        _embed_oracle(),
+    )
+    assert r, r.detail
+    got = text_hash_embed(spark, sf_dir).collect()
+    by_doc = {}
+    for x in got:
+        by_doc.setdefault(x.doc_id, []).append(x)
+    assert 0 not in by_doc and 1 not in by_doc
+    assert len(by_doc[2]) == 1 and abs(abs(by_doc[2][0].w) - 1.0) < 1e-9
+
+
+def test_containment_edges_short_docs_and_exact_dup(spark, tmp_path, monkeypatch):
+    """Containment on degenerate docs, cross-engine: sub-shingle-length
+    docs (single whole-text shingle), an exact duplicate pair (both
+    directions at 1.0), and a cross-bucket pair that must NOT pair."""
+    from venus_spark import prepared
+    from venus_spark.plans.pipeline_ops9 import _CONTAIN_ORACLE, dedup_containment
+
+    # the plan builds the MinHash index for this tmp sf_dir — keep it
+    # out of the repo-level .prepared cache
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    rows = [
+        (0, long_a, "en", "web", len(long_a)),
+        (1, long_a, "en", "web", len(long_a)),          # exact dup of 0
+        (2, "tiny doc", "en", "web", 8),                # whole-text shingle
+        (3, long_a, "de", "web", len(long_a)),          # other bucket
+    ]
+    sf_dir = str(tmp_path)
+    _write_documents(spark, sf_dir, rows)
+    r = compare(
+        "containment_edges",
+        dedup_containment(spark, sf_dir),
+        duckdb_connect(sf_dir),
+        _CONTAIN_ORACLE,
+    )
+    assert r, r.detail
+    got = sorted(
+        (x.id_a, x.id_b, x.containment)
+        for x in dedup_containment(spark, sf_dir).collect()
+    )
+    assert got == [(0, 1, 1.0), (1, 0, 1.0)]
