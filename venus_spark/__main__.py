@@ -11,6 +11,12 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark mirror [--sf DIR]         # oracle-compare all plans
     python -m venus_spark ingest LANDING_DIR SINK_DIR [--checkpoint DIR]
                                                     # logs ingest service
+    python -m venus_spark maintain recluster [--sf DIR]
+    python -m venus_spark maintain drop-chunks --before YYYY-MM-DD [--sf DIR]
+    python -m venus_spark maintain merge-index [--sf DIR]
+                                                    # scheduled maintenance:
+                                                    # OPTIMIZE / retention /
+                                                    # index VACUUM
 
 ``ingest`` is the reference's amain() role set on Spark: one streaming
 query (single-writer), health via StreamingQueryListener, graceful stop
@@ -118,6 +124,27 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Scheduled-maintenance roles: the OPTIMIZE (re-ZORDER) rewrite,
+    chunk-drop retention, and the index pending-list VACUUM — the jobs
+    a cron owns in a deployment, kept out of the query path."""
+    from venus_spark import prepared
+
+    if args.op == "recluster":
+        prepared.recluster_events_zorder(_spark(), args.sf)
+        print(f"events_zorder reclustered for {args.sf}")
+    elif args.op == "drop-chunks":
+        if not args.before:
+            print("drop-chunks requires --before YYYY-MM-DD", file=sys.stderr)
+            return 2
+        n = prepared.drop_event_chunks(args.sf, args.before)
+        print(f"dropped {n} chunk(s) before {args.before}")
+    elif args.op == "merge-index":
+        n = prepared.merge_minhash_pending(_spark(), args.sf)
+        print(f"merged {n} pending index batch(es)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="venus_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -147,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--checkpoint")
     i.add_argument("--trigger-seconds", type=int, default=5)
 
+    mt = sub.add_parser(
+        "maintain", help="scheduled maintenance: OPTIMIZE / retention / index VACUUM"
+    )
+    mt.add_argument("op", choices=["recluster", "drop-chunks", "merge-index"])
+    mt.add_argument("--sf", default=DEFAULT_SF)
+    mt.add_argument("--before", help="retention cutoff date (drop-chunks)")
+
     args = ap.parse_args(argv)
     return {
         "list": cmd_list,
@@ -155,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         "prepare": cmd_prepare,
         "mirror": cmd_mirror,
         "ingest": cmd_ingest,
+        "maintain": cmd_maintain,
     }[args.cmd](args)
 
 
