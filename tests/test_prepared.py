@@ -602,3 +602,48 @@ def test_recluster_restores_zorder_prunability(spark, tmp_path, monkeypatch):
     assert recovered.count() == ev.count()
     assert not os.path.exists(path + ".recluster.tmp")
     assert not os.path.exists(path + ".recluster.old")
+
+
+def test_daily_hll_tiles_merge_across_appends(spark, tmp_path, monkeypatch):
+    """Appended batches land their own daily HLL tiles; a range query
+    that union-merges tiles spanning base and batch (including
+    same-day overlaps) must estimate within the contract bound of the
+    exact distinct count over base+batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    # split WITHIN days so tiles for the same (day, type) exist in both
+    # the base build and the appended batch
+    base_sf = str(tmp_path / "base_sf")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(base_sf, "events.parquet")
+    )
+    prepared.events_daily_hll(spark, base_sf)
+    prepared.events_hourly_rollup(spark, base_sf)
+    prepared.events_by_date(spark, base_sf)
+    prepared.events_by_user(spark, base_sf)
+    prepared.events_zorder(spark, base_sf)
+    prepared.append_events(spark, base_sf, ev.filter(F.col("event_id") % 2 == 1))
+
+    got = {
+        r["event_type"]: r["est"]
+        for r in prepared.events_daily_hll(spark, base_sf)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("users_sk")).alias("est"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for etype, exact in want.items():
+        assert abs(got[etype] - exact) <= 0.05 * exact, (etype, got[etype], exact)
