@@ -480,7 +480,9 @@ def test_append_events_rollup_equals_full_recompute(spark, tmp_path, monkeypatch
     prepared.events_by_date(spark, base_sf)
     prepared.events_by_user(spark, base_sf)
     prepared.events_zorder(spark, base_sf)
-    prepared.append_events(spark, base_sf, batch)
+    prepared.append_events(spark, base_sf, batch, batch_id=1)
+    # retry of the same batch must converge, not double-count
+    prepared.append_events(spark, base_sf, batch, batch_id=1)
 
     served = {
         r["bucket"]: (r["n"], r["total_value"])
@@ -564,7 +566,7 @@ def test_recluster_restores_zorder_prunability(spark, tmp_path, monkeypatch):
     prepared.events_hourly_rollup(spark, base_sf)
     prepared.events_by_date(spark, base_sf)
     prepared.events_by_user(spark, base_sf)
-    prepared.append_events(spark, base_sf, ev.filter(F.col("ts") >= cut))
+    prepared.append_events(spark, base_sf, ev.filter(F.col("ts") >= cut), batch_id=1)
 
     path = prepared.prepared_path(base_sf, "events_zorder.parquet")
 
@@ -629,7 +631,7 @@ def test_daily_hll_tiles_merge_across_appends(spark, tmp_path, monkeypatch):
     prepared.events_by_date(spark, base_sf)
     prepared.events_by_user(spark, base_sf)
     prepared.events_zorder(spark, base_sf)
-    prepared.append_events(spark, base_sf, ev.filter(F.col("event_id") % 2 == 1))
+    prepared.append_events(spark, base_sf, ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
 
     got = {
         r["event_type"]: r["est"]
@@ -647,3 +649,51 @@ def test_daily_hll_tiles_merge_across_appends(spark, tmp_path, monkeypatch):
     assert set(got) == set(want)
     for etype, exact in want.items():
         assert abs(got[etype] - exact) <= 0.05 * exact, (etype, got[etype], exact)
+
+
+def test_drop_chunks_validates_cutoff_and_prunes_aggregates(spark, tmp_path, monkeypatch):
+    """A malformed cutoff must raise (not lexicographically delete the
+    wrong chunks), and drop_aggregates=True must apply the cutoff to
+    the rollup and HLL tiles as well."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "events.parquet")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    prepared.events_by_date(spark, sf)
+    prepared.events_hourly_rollup(spark, sf)
+    prepared.events_daily_hll(spark, sf)
+
+    with _pytest.raises(ValueError):
+        prepared.drop_event_chunks(sf, "2024-1-15")  # not ISO
+    # nothing was deleted by the rejected call
+    assert prepared.events_by_date(spark, sf).filter(
+        F.col("date") < "2024-01-15"
+    ).count() > 0
+
+    dropped = prepared.drop_event_chunks(
+        sf, "2024-01-15", spark=spark, drop_aggregates=True
+    )
+    assert dropped > 0
+    assert (
+        prepared.events_hourly_rollup(spark, sf)
+        .filter(F.col("bucket_ts") < "2024-01-15 00:00:00")
+        .count()
+        == 0
+    )
+    assert (
+        prepared.events_daily_hll(spark, sf)
+        .filter(F.col("date") < "2024-01-15")
+        .count()
+        == 0
+    )
+    # surviving aggregate rows still serve the post-cutoff series
+    assert prepared.events_hourly_rollup(spark, sf).count() > 0

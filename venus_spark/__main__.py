@@ -137,7 +137,16 @@ def cmd_maintain(args) -> int:
         if not args.before:
             print("drop-chunks requires --before YYYY-MM-DD", file=sys.stderr)
             return 2
-        n = prepared.drop_event_chunks(args.sf, args.before)
+        try:
+            n = prepared.drop_event_chunks(
+                args.sf,
+                args.before,
+                spark=_spark() if args.drop_aggregates else None,
+                drop_aggregates=args.drop_aggregates,
+            )
+        except ValueError as exc:
+            print(f"drop-chunks: {exc}", file=sys.stderr)
+            return 2
         print(f"dropped {n} chunk(s) before {args.before}")
     elif args.op == "merge-index":
         n = prepared.merge_minhash_pending(_spark(), args.sf)
@@ -180,6 +189,11 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("op", choices=["recluster", "drop-chunks", "merge-index"])
     mt.add_argument("--sf", default=DEFAULT_SF)
     mt.add_argument("--before", help="retention cutoff date (drop-chunks)")
+    mt.add_argument(
+        "--drop-aggregates",
+        action="store_true",
+        help="also apply the retention cutoff to the rollup/HLL aggregates",
+    )
 
     args = ap.parse_args(argv)
     return {

@@ -120,15 +120,13 @@ def timeseries_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     append+merge equals a full recompute. Same oracle as
     timeseries_hourly: the layout changes the access path, not the
     answer."""
-    from venus_spark.prepared import events_hourly_rollup
+    from venus_spark.prepared import events_hourly_rollup, merge_hourly_partials
 
-    roll = events_hourly_rollup(spark, sf_dir)
-    return (
-        roll.groupBy(fmt_ts(F.col("bucket_ts"), micros=False).alias("bucket"))
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_dec").cast("double").alias("total_value"),
-        )
+    merged = merge_hourly_partials(events_hourly_rollup(spark, sf_dir))
+    return merged.select(
+        fmt_ts(F.col("bucket_ts"), micros=False).alias("bucket"),
+        "n",
+        "total_value",
     )
 
 
@@ -196,3 +194,64 @@ def hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_users", ok.alias("users_ok"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Layout-consistency audit: the fact table vs every derived layout.
+# --------------------------------------------------------------------------
+
+_CONSISTENCY_ORACLE = """
+WITH b AS (
+  SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS s FROM events
+)
+SELECT 'events' AS layout, n AS n_rows, s AS id_sum FROM b
+UNION ALL SELECT 'events_by_date', n, s FROM b
+UNION ALL SELECT 'events_by_user', n, s FROM b
+UNION ALL SELECT 'events_zorder', n, s FROM b
+UNION ALL SELECT 'events_hourly_rollup', n, CAST(NULL AS BIGINT) FROM b
+ORDER BY layout
+"""
+
+
+@plan("layout_consistency_audit", oracle=_CONSISTENCY_ORACLE)
+def layout_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy check across the event artifacts: row count and
+    event_id checksum recomputed FROM EACH physical layout (base
+    parquet, date-partitioned, key-clustered, Z-order) plus the
+    rollup's count, all pinned by the oracle to the base table's
+    numbers — so a drifted or torn layout hash-FAILS the compare
+    instead of silently serving wrong rows from a faster path. This is
+    the scheduled integrity job a deployment runs after maintenance
+    windows (append/recluster/retention); each branch is one
+    column-pruned scan + a 1-row aggregate, so the audit costs one
+    pass over each layout's (event_id) column, nothing more."""
+    from venus_spark.prepared import (
+        events_by_date,
+        events_by_user,
+        events_hourly_rollup,
+        events_zorder,
+    )
+
+    def counted(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("id_sum"),
+        )
+
+    base = load_table(spark, sf_dir, "events")
+    parts = [
+        counted("events", base),
+        counted("events_by_date", events_by_date(spark, sf_dir)),
+        counted("events_by_user", events_by_user(spark, sf_dir)),
+        counted("events_zorder", events_zorder(spark, sf_dir)),
+        events_hourly_rollup(spark, sf_dir).agg(
+            F.lit("events_hourly_rollup").alias("layout"),
+            F.sum("n").alias("n_rows"),
+            F.lit(None).cast("long").alias("id_sum"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("layout")

@@ -397,18 +397,34 @@ def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(path):
             shutil.rmtree(path)
         ev = load_table(spark, sf_dir, "events")
-        hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
-        min_hour = ev.agg(F.min(hour).alias("h")).first()["h"]  # write-time
-        z = _zvalue(F.col("user_id"), hour - F.lit(min_hour))
-        (
-            ev.withColumn("_z", z)
-            .repartitionByRange(_Z_FILES, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
-            .write.parquet(path)
-        )
-        _stamp(path, {**meta, "min_hour": int(min_hour)})
+        row = ev.agg(F.min(_hour_col()).alias("h")).first()  # write-time
+        min_hour = 0 if row["h"] is None else int(row["h"])  # empty table OK
+        _z_sorted(ev, min_hour, _Z_FILES).write.parquet(path)
+        _stamp(path, {**meta, "min_hour": min_hour})
     return spark.read.parquet(path)
+
+
+def _hour_col() -> Column:
+    """Epoch-hour of ``ts`` — the time key of the Z curve and the
+    rollup bucket share this one definition."""
+    return F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+
+
+def _z_sorted(df: DataFrame, min_hour: int, n_files: int) -> DataFrame:
+    """The ONE Z-order write kernel shared by build, append, and
+    recluster: offset the hour against the curve's stored origin
+    (clamped at 0 so a pre-origin straggler coarsens into bucket 0
+    instead of corrupting the sign bits), interleave with the key,
+    range-partition and sort on the curve, drop the scaffold column.
+    Keeping this in one place is what guarantees every generation of
+    the layout sorts on the SAME curve."""
+    t = F.greatest(F.lit(0), _hour_col() - F.lit(min_hour))
+    return (
+        df.withColumn("_z", _zvalue(F.col("user_id"), t))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
 
 
 def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -565,64 +581,116 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
-def append_events(spark: SparkSession, sf_dir: str, new_events: DataFrame) -> None:
-    """INSERT-time maintenance of the event-side artifacts (the twin of
-    ``append_documents`` on the fact table):
+def merge_hourly_partials(roll: DataFrame) -> DataFrame:
+    """The read-side combine paired with :func:`_hourly_partial_rows`
+    (defined beside it so the write and read kernels cannot drift):
+    SUM of counts plus SUM of the exact decimal partials, cast to
+    double LAST — bit-identical to one dsum over the raw events."""
+    return roll.groupBy("bucket_ts").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").cast("double").alias("total_value"),
+    )
 
-    - hourly rollup: the batch lands as ONE appended partial-aggregate
-      file; overlapping hours merge at read (decimal partials, exact).
-    - date-partitioned layout: the writer splits the batch into its day
-      directories (append, existing chunks untouched).
+
+def _append_batch_files(
+    df: DataFrame,
+    dest: str,
+    batch_id: int,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """IDEMPOTENT batch append without a table format: the batch is
+    written to a side directory, any files from an earlier attempt of
+    the SAME batch are removed from the destination, and the new files
+    are moved in under an ``abatch-<id>-`` prefixed name (per-file
+    rename, atomic on a POSIX filesystem). A crash at any point leaves
+    a retry that converges to exactly one copy of the batch — the
+    batch-API counterpart of the streaming sink's ``_batch_id`` dynamic
+    partition overwrite. Readers may observe a torn batch mid-move
+    (standard for format-less appends; a lakehouse table format's
+    commit log is the production upgrade)."""
+    tmp = f"{dest}.abatch-{batch_id}.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    prefix = f"abatch-{batch_id}-"
+    for root, _dirs, files in os.walk(dest):
+        for f in list(files):
+            if f.startswith(prefix):
+                os.remove(os.path.join(root, f))
+    for root, _dirs, files in os.walk(tmp):
+        rel = os.path.relpath(root, tmp)
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / checksums: not data
+            ddir = dest if rel == "." else os.path.join(dest, rel)
+            os.makedirs(ddir, exist_ok=True)
+            os.rename(os.path.join(root, f), os.path.join(ddir, prefix + f))
+    shutil.rmtree(tmp)
+
+
+def append_events(
+    spark: SparkSession, sf_dir: str, new_events: DataFrame, batch_id: int
+) -> None:
+    """INSERT-time maintenance of the event-side artifacts (the twin of
+    ``append_documents`` on the fact table). Every artifact absorbs the
+    batch through :func:`_append_batch_files`, so re-running a batch
+    (crash-retry, at-least-once upstream) converges instead of
+    double-counting — ``batch_id`` is the caller's stable identity for
+    the batch, exactly like the streaming sink's epoch id:
+
+    - hourly rollup + daily HLL tiles: the batch lands as appended
+      PARTIAL-aggregate rows; overlapping hours/days merge at read
+      (decimal partials exactly, sketches losslessly).
+    - date-partitioned layout: the batch's files land inside their day
+      directories (existing chunks untouched).
     - key-clustered and Z-order layouts: the batch is appended as its
       own sorted files — per-file row-group stats stay tight, overall
       clustering degrades gracefully until a recluster (the OPTIMIZE /
       re-ZORDER posture of every lakehouse table; correctness never
       depends on it). The Z-order key reuses the base build's stored
-      hour origin so batch z-values stay on the same curve; pre-origin
-      timestamps clamp to bucket 0.
+      hour origin (:func:`_z_sorted`) so batch z-values stay on the
+      same curve.
 
-    Layouts must already be built for ``sf_dir``."""
+    Layouts must already be built for ``sf_dir`` (the ensure calls are
+    no-ops after the first build)."""
     events_hourly_rollup(spark, sf_dir)
-    _hourly_partial_rows(new_events).write.mode("append").parquet(
-        prepared_path(sf_dir, "events_hourly_rollup.parquet")
+    _append_batch_files(
+        _hourly_partial_rows(new_events),
+        prepared_path(sf_dir, "events_hourly_rollup.parquet"),
+        batch_id,
     )
 
     events_daily_hll(spark, sf_dir)
-    _daily_hll_rows(new_events).write.mode("append").parquet(
-        prepared_path(sf_dir, "events_daily_hll.parquet")
+    _append_batch_files(
+        _daily_hll_rows(new_events),
+        prepared_path(sf_dir, "events_daily_hll.parquet"),
+        batch_id,
     )
 
     events_by_date(spark, sf_dir)
-    (
-        new_events.withColumn("date", F.to_date("ts"))
-        .write.mode("append")
-        .partitionBy("date")
-        .parquet(prepared_path(sf_dir, "events_by_date.parquet"))
+    _append_batch_files(
+        new_events.withColumn("date", F.to_date("ts")),
+        prepared_path(sf_dir, "events_by_date.parquet"),
+        batch_id,
+        partition_by=("date",),
     )
 
     events_by_user(spark, sf_dir)
-    (
-        new_events.repartitionByRange(4, "user_id")
-        .sortWithinPartitions("user_id", "ts")
-        .write.mode("append")
-        .parquet(prepared_path(sf_dir, "events_by_user.parquet"))
+    _append_batch_files(
+        new_events.repartitionByRange(4, "user_id").sortWithinPartitions(
+            "user_id", "ts"
+        ),
+        prepared_path(sf_dir, "events_by_user.parquet"),
+        batch_id,
     )
 
     events_zorder(spark, sf_dir)
     z_path = prepared_path(sf_dir, "events_zorder.parquet")
     min_hour = int(_read_meta(z_path)["min_hour"])
-    hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
-    z = _zvalue(
-        F.col("user_id"), F.greatest(F.lit(0), hour - F.lit(min_hour))
-    )
-    (
-        new_events.withColumn("_z", z)
-        .repartitionByRange(4, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("append")
-        .parquet(z_path)
-    )
+    _append_batch_files(_z_sorted(new_events, min_hour, 4), z_path, batch_id)
 
 
 def _recover_recluster_swap(path: str) -> None:
@@ -664,35 +732,73 @@ def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
         if os.path.exists(stale):
             shutil.rmtree(stale)
     cur = spark.read.parquet(path)
-    hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
-    z = _zvalue(F.col("user_id"), F.greatest(F.lit(0), hour - F.lit(min_hour)))
-    (
-        cur.withColumn("_z", z)
-        .repartitionByRange(_Z_FILES, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.parquet(tmp)
-    )
+    _z_sorted(cur, min_hour, _Z_FILES).write.parquet(tmp)
     _stamp(tmp, meta)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
 
 
-def drop_event_chunks(sf_dir: str, before_date: str) -> int:
+def drop_event_chunks(
+    sf_dir: str,
+    before_date: str,
+    spark: SparkSession | None = None,
+    drop_aggregates: bool = False,
+) -> int:
     """Retention by chunk exclusion — the ``drop_chunks`` analog on the
     date-partitioned events layout: delete every ``date=YYYY-MM-DD``
     partition directory older than the cutoff. Pure metadata-and-unlink
     work, O(dropped chunks); surviving data files are never opened,
     rewritten, or even listed — the same reason the reference's
     hypertable (migration :39-43) makes retention a chunk drop instead
-    of a DELETE scan. Returns the number of chunks dropped."""
+    of a DELETE scan. Returns the number of chunks dropped.
+
+    Scope, matching TimescaleDB's semantics: dropping hypertable chunks
+    does NOT touch the continuous aggregates — a dashboard keeps its
+    full history of rollup/HLL tiles by design unless a separate
+    retention policy targets them, which ``drop_aggregates=True``
+    applies here (filter-rewrite of the two small aggregate artifacts,
+    tmp-then-swap; requires ``spark``; a crash between the swap steps
+    falls back to a rebuild from the base table — safe, it only
+    resurrects history until retention is re-run). The
+    key-clustered and Z-order layouts derive from the immutable base
+    table in this harness and are out of retention scope — in a
+    deployment the chunked layout IS the table and they would be
+    per-chunk.
+
+    ``before_date`` must be an ISO date — a malformed cutoff raises
+    instead of lexicographically deleting the wrong chunks."""
+    import datetime as _dt
+
+    cutoff = _dt.date.fromisoformat(before_date)  # validates; raises ValueError
+    iso = cutoff.isoformat()
     base = prepared_path(sf_dir, "events_by_date.parquet")
     dropped = 0
     for d in sorted(os.listdir(base)):
-        if d.startswith("date=") and d[len("date=") :] < before_date:
+        if d.startswith("date=") and d[len("date=") :] < iso:
             shutil.rmtree(os.path.join(base, d))
             dropped += 1
+    if drop_aggregates:
+        if spark is None:
+            raise ValueError("drop_aggregates=True requires a SparkSession")
+        targets = (
+            ("events_hourly_rollup.parquet",
+             F.col("bucket_ts") >= F.lit(f"{iso} 00:00:00").cast("timestamp_ntz")),
+            ("events_daily_hll.parquet",
+             F.col("date") >= F.lit(iso).cast("date")),
+        )
+        for name, keep in targets:
+            path = prepared_path(sf_dir, name)
+            if not os.path.exists(path):
+                continue
+            meta = _read_meta(path)
+            tmp = path + ".retention.tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            spark.read.parquet(path).filter(keep).write.parquet(tmp)
+            _stamp(tmp, meta)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
     return dropped
 
 

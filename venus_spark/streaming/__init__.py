@@ -519,13 +519,11 @@ def start_events_rollup_ingest(
 
 def read_hourly_rollup(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Merge the streamed partial aggregates into the dashboard view
-    (bucket_ts, n, total_value): SUM of counts plus SUM of the exact
-    decimal partials cast to double last — bit-identical to a one-shot
-    dsum over the full events table."""
-    import pyspark.sql.functions as F
+    (bucket_ts, n, total_value) — the shared combine kernel
+    (:func:`venus_spark.prepared.merge_hourly_partials`), bit-identical
+    to a one-shot dsum over the full events table."""
+    from venus_spark.prepared import merge_hourly_partials
 
-    roll = read_sink_table(spark, sink_dir, "events_hourly_rollup")
-    return roll.groupBy("bucket_ts").agg(
-        F.sum("n").alias("n"),
-        F.sum("sum_dec").cast("double").alias("total_value"),
+    return merge_hourly_partials(
+        read_sink_table(spark, sink_dir, "events_hourly_rollup")
     )
