@@ -255,3 +255,91 @@ def layout_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("layout")
+
+
+# --------------------------------------------------------------------------
+# Series co-movement: pairwise Pearson correlation between event-type
+# hourly series (time-series similarity search, the "which metrics move
+# together" dashboard question).
+# --------------------------------------------------------------------------
+
+from venus_spark.functions import davg, dsum  # noqa: E402
+from venus_spark.functions.sqlgen import davg_sql, dsum_sql  # noqa: E402
+
+_CORR_SERIES_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, {davg_sql('value')} AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n,
+         {dsum_sql('a.v')} AS sx, {dsum_sql('b.v')} AS sy,
+         {dsum_sql('a.v * b.v')} AS sxy,
+         {dsum_sql('a.v * a.v')} AS sxx,
+         {dsum_sql('b.v * b.v')} AS syy
+  FROM hourly a JOIN hourly b
+    ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n,
+       ROUND((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS pearson_r
+FROM pairs
+ORDER BY type_a, type_b
+"""
+
+
+@plan("series_correlation", oracle=_CORR_SERIES_ORACLE)
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the event types' hourly
+    value series — time-series co-movement, the screening query behind
+    'which metrics move together' dashboards and streaming-similarity
+    search literature (EDBT 2019's problem, batch form). The series
+    join is on the hour bucket (series length × type-pairs rows, both
+    bounded by the time range, never by event volume — the fact table
+    collapses to one row per (type, hour) at the partial agg), and the
+    correlation is computed from the five sufficient statistics with
+    the exact decimal accumulator, so both engines evaluate the same
+    closed form over identical sums — no reliance on either engine's
+    CORR() accumulation order. try_divide-equivalent NULL semantics: a
+    constant series has zero variance and yields NULL r in both
+    engines (0/0)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(davg("value").alias("v"))
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("a.v")).alias("sx"),
+            dsum(F.col("b.v")).alias("sy"),
+            dsum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+            dsum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+            dsum(F.col("b.v") * F.col("b.v")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n",
+        F.round(F.try_divide(num, den), 6).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
