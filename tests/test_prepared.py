@@ -697,3 +697,51 @@ def test_drop_chunks_validates_cutoff_and_prunes_aggregates(spark, tmp_path, mon
     )
     # surviving aggregate rows still serve the post-cutoff series
     assert prepared.events_hourly_rollup(spark, sf).count() > 0
+
+
+def test_append_batch_files_converges_after_partial_move(spark, tmp_path, monkeypatch):
+    """Simulate a crash mid-move: after a successful append, delete
+    half of the batch's moved files (as if the rename loop died), then
+    retry the SAME batch — the retry must first clear the batch's
+    survivors and re-land the whole batch exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    base_sf = str(tmp_path / "base_sf")
+    ev.filter(F.col("event_id") < 500).write.parquet(
+        os.path.join(base_sf, "events.parquet")
+    )
+    prepared.events_hourly_rollup(spark, base_sf)
+    path = prepared.prepared_path(base_sf, "events_hourly_rollup.parquet")
+    batch = ev.filter(F.col("event_id") >= 500)
+
+    prepared._append_batch_files(
+        prepared._hourly_partial_rows(batch), path, batch_id=7
+    )
+    moved = [f for f in os.listdir(path) if f.startswith("abatch-7-")]
+    assert moved
+    for f in moved[: max(1, len(moved) // 2)]:
+        os.remove(os.path.join(path, f))  # torn state
+    prepared._append_batch_files(
+        prepared._hourly_partial_rows(batch), path, batch_id=7
+    )
+
+    got = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in prepared.merge_hourly_partials(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    want = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in prepared.merge_hourly_partials(
+            prepared._hourly_partial_rows(ev)
+        ).collect()
+    }
+    assert got == want

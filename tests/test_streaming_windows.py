@@ -413,3 +413,54 @@ def test_streaming_rollup_converges_and_replay_is_idempotent(spark, tmp_path):
         1,
     )
     assert snapshot() == want
+
+
+def test_rollup_stream_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint restart of the rollup-maintaining stream must not
+    double-count: the second run picks up only the new file, and the
+    merged rollup still equals the one-shot aggregate over everything
+    streamed — on both the fact table and its continuous aggregate."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.functions import dsum
+    from venus_spark.streaming import (
+        read_hourly_rollup,
+        read_sink_table,
+        start_events_rollup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_jsonl(
+        landing / "a.jsonl",
+        [event(i, f"2024-01-01 10:{i:02d}:00", value=float(i)) for i in range(10)],
+    )
+    kwargs = dict(
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    q = start_events_rollup_ingest(read_event_stream(spark, landing), **kwargs)
+    assert q.awaitTermination(180)
+    # same hour as batch a, so a double-count would corrupt the bucket
+    write_jsonl(
+        landing / "b.jsonl",
+        [event(i, f"2024-01-01 10:{i:02d}:00", value=float(i)) for i in range(10, 15)],
+    )
+    q = start_events_rollup_ingest(read_event_stream(spark, landing), **kwargs)
+    assert q.awaitTermination(180)
+
+    events = read_sink_table(spark, str(tmp_path / "sink"), "events")
+    assert events.count() == 15
+    got = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in read_hourly_rollup(spark, str(tmp_path / "sink")).collect()
+    }
+    want = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
+    assert got[next(iter(got))][0] == 15  # one bucket, all 15 rows, once
