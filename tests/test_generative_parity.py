@@ -153,3 +153,50 @@ def test_float_fold_kernels_bit_equal(spark, con, vecs):
             s["vec_id"],
         )
         assert s["l"] == d[3], ("l2sq", s["vec_id"])
+
+
+series_strategy = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@FUZZ_SETTINGS
+@given(xs=series_strategy)
+def test_ewma_fold_bit_equal(spark, con, xs):
+    """The EWMA recursion (ewma_smoothing) must fold bit-identically in
+    Spark's aggregate (NULL-seeded, first element wins), DuckDB's
+    LIST_REDUCE (seeds with element 1), and the driver-side Python
+    fold the unit test recomputes with — same three-way contract as
+    the dot/l2sq kernels."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.functions.sqlgen import double_array_sql, double_lit_sql
+    from venus_spark.plans.pipeline_ops9 import _EWMA_A as a
+
+    du = con.sql(
+        f"SELECT LIST_REDUCE({double_array_sql(xs)}, (acc, x) -> "
+        f"{double_lit_sql(a)} * x + {double_lit_sql(1 - a)} * acc) AS e"
+    ).fetchone()[0]
+
+    acc = None
+    for x in xs:
+        acc = x if acc is None else a * x + (1 - a) * acc
+
+    arr = F.array(*[F.lit(float(x)) for x in xs])
+    step = lambda s, x: F.when(s.isNull(), x).otherwise(  # noqa: E731
+        F.lit(a) * x + F.lit(1 - a) * s
+    )
+    sp = (
+        spark.range(1)
+        .select(F.aggregate(arr, F.lit(None).cast("double"), step).alias("e"))
+        .first()["e"]
+    )
+    assert sp == du == acc, (sp, du, acc, xs)
