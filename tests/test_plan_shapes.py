@@ -526,3 +526,16 @@ def test_profile_events_scans_are_column_pruned(spark):
     assert "Expand" not in plan
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all(s.count(":") == 1 for s in schemas), schemas
+
+
+def test_rollup_plan_never_scans_the_fact_table(spark):
+    """timeseries_hourly_rollup's whole point is O(buckets) reads from
+    the materialized partials — if events.parquet appears in its scan
+    set, the continuous-aggregate claim is broken. (hll_rollup_distinct
+    deliberately scans the base table for its exact audit column, so
+    only the rollup plan carries this invariant.)"""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["timeseries_hourly_rollup"].fn(spark, SF))
+    assert "events_hourly_rollup.parquet" in plan
+    assert "/events.parquet" not in plan
