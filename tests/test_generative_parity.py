@@ -178,12 +178,13 @@ def test_ewma_fold_bit_equal(spark, con, xs):
     the dot/l2sq kernels."""
     from pyspark.sql import functions as F
 
-    from venus_spark.functions.sqlgen import double_array_sql, double_lit_sql
+    from venus_spark.functions import ewma_fold
+    from venus_spark.functions.sqlgen import double_array_sql, ewma_fold_sql
     from venus_spark.plans.pipeline_ops9 import _EWMA_A as a
 
+    # both sides exercise the PRODUCTION kernels, not a local rewrite
     du = con.sql(
-        f"SELECT LIST_REDUCE({double_array_sql(xs)}, (acc, x) -> "
-        f"{double_lit_sql(a)} * x + {double_lit_sql(1 - a)} * acc) AS e"
+        f"SELECT {ewma_fold_sql(double_array_sql(xs), a)} AS e"
     ).fetchone()[0]
 
     acc = None
@@ -191,12 +192,5 @@ def test_ewma_fold_bit_equal(spark, con, xs):
         acc = x if acc is None else a * x + (1 - a) * acc
 
     arr = F.array(*[F.lit(float(x)) for x in xs])
-    step = lambda s, x: F.when(s.isNull(), x).otherwise(  # noqa: E731
-        F.lit(a) * x + F.lit(1 - a) * s
-    )
-    sp = (
-        spark.range(1)
-        .select(F.aggregate(arr, F.lit(None).cast("double"), step).alias("e"))
-        .first()["e"]
-    )
+    sp = spark.range(1).select(ewma_fold(arr, a).alias("e")).first()["e"]
     assert sp == du == acc, (sp, du, acc, xs)

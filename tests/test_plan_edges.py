@@ -295,3 +295,37 @@ def test_containment_edges_short_docs_and_exact_dup(spark, tmp_path, monkeypatch
         for x in dedup_containment(spark, sf_dir).collect()
     )
     assert got == [(0, 1, 1.0), (1, 0, 1.0)]
+
+
+def test_series_correlation_constant_series_yields_null(spark, tmp_path):
+    """A constant series with values whose square quantizes DOWN at
+    decimal(25,6) (v=0.0015: v*v = 0.00000225 -> 0.000002) pushes the
+    variance term negative; unguarded, DuckDB SQRT raises Out of Range
+    while Spark returns NaN. The clamp must make BOTH engines yield
+    NULL pearson_r, and the oracle must run without error."""
+    from venus_spark.plans.analytics_ext4 import (
+        _CORR_SERIES_ORACLE,
+        series_correlation,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = []
+    eid = 0
+    for hh in (10, 11, 12):
+        for etype, val in (("flat", 0.0015), ("moving", float(hh))):
+            rows.append((eid, t(f"2024-01-01 {hh}:00:00"), 1, etype, val, "{}"))
+            eid += 1
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir, rows)
+    r = compare(
+        "corr_constant_edge",
+        series_correlation(spark, sf_dir),
+        duckdb_connect(sf_dir),
+        _CORR_SERIES_ORACLE,
+    )
+    assert r, r.detail
+    got = {
+        (x.type_a, x.type_b): x.pearson_r
+        for x in series_correlation(spark, sf_dir).collect()
+    }
+    assert got[("flat", "moving")] is None  # zero-variance side -> NULL

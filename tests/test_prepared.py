@@ -726,11 +726,21 @@ def test_append_batch_files_converges_after_partial_move(spark, tmp_path, monkey
     )
     moved = [f for f in os.listdir(path) if f.startswith("abatch-7-")]
     assert moved
+    assert 7 in prepared._read_abatch_manifest(path)
+    # model the crash-mid-move state precisely: some files landed, the
+    # manifest commit (which happens LAST) never did
     for f in moved[: max(1, len(moved) // 2)]:
-        os.remove(os.path.join(path, f))  # torn state
+        os.remove(os.path.join(path, f))
+    prepared._write_abatch_manifest(path, prepared._read_abatch_manifest(path) - {7})
     prepared._append_batch_files(
         prepared._hourly_partial_rows(batch), path, batch_id=7
     )
+    # and a retry AFTER the manifest committed is a pure no-op
+    before = sorted(os.listdir(path))
+    prepared._append_batch_files(
+        prepared._hourly_partial_rows(batch), path, batch_id=7
+    )
+    assert sorted(os.listdir(path)) == before
 
     got = {
         r["bucket_ts"]: (r["n"], r["total_value"])

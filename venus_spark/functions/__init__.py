@@ -143,3 +143,16 @@ def cosine(a: Column, b: Column) -> Column:
     The nonzero path is the same double division bit-for-bit.
     """
     return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def ewma_fold(arr: Column, alpha: float) -> Column:
+    """EWMA left fold over an ordered array<double>: seeds with the
+    first element, then ewma = α·x + (1-α)·ewma per step — the ONE
+    kernel behind ewma_smoothing, its oracle (`sqlgen.ewma_fold_sql`,
+    whose LIST_REDUCE seeds with element 1, the same semantics), and
+    the generative bit-equality test. IEEE-double step order is
+    identical across all three."""
+    step = lambda acc, x: F.when(acc.isNull(), x).otherwise(  # noqa: E731
+        F.lit(alpha) * x + F.lit(1 - alpha) * acc
+    )
+    return F.aggregate(arr, F.lit(None).cast("double"), step)

@@ -93,3 +93,13 @@ def l2sq_sql(a: str, b: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (SQRT({dot_sql(a, a)}) * SQRT({dot_sql(b, b)})))"
+
+
+def ewma_fold_sql(arr: str, alpha: float) -> str:
+    """DuckDB twin of :func:`venus_spark.functions.ewma_fold` —
+    LIST_REDUCE without an initial value seeds with element 1, matching
+    the Spark fold's NULL-seed-first-element-wins semantics."""
+    return (
+        f"LIST_REDUCE({arr}, (acc, x) -> "
+        f"{double_lit_sql(alpha)} * x + {double_lit_sql(1 - alpha)} * acc)"
+    )

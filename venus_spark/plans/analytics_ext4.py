@@ -219,12 +219,17 @@ def layout_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id checksum recomputed FROM EACH physical layout (base
     parquet, date-partitioned, key-clustered, Z-order) plus the
     rollup's count, all pinned by the oracle to the base table's
-    numbers — so a drifted or torn layout hash-FAILS the compare
-    instead of silently serving wrong rows from a faster path. This is
-    the scheduled integrity job a deployment runs after maintenance
-    windows (append/recluster/retention); each branch is one
-    column-pruned scan + a 1-row aggregate, so the audit costs one
-    pass over each layout's (event_id) column, nothing more."""
+    numbers — so a torn rebuild, interrupted swap, or stale restore
+    hash-FAILS the compare instead of silently serving wrong rows from
+    a faster path. Scope: the reference set is the TABLE OF RECORD the
+    layouts were derived from — here the driver's immutable base
+    parquet (appends/retention in this harness run against
+    test-isolated roots, so the shipped artifacts must match base
+    exactly). In a deployment where batches flow through the layouts,
+    the same query runs with the maintained fact table as the pin —
+    and after retention, against the post-cutoff window. Each branch
+    is one column-pruned scan + a 1-row aggregate, so the audit costs
+    one pass over each layout's (event_id) column, nothing more."""
     from venus_spark.prepared import (
         events_by_date,
         events_by_user,
@@ -263,14 +268,20 @@ def layout_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # together" dashboard question).
 # --------------------------------------------------------------------------
 
-from venus_spark.functions import davg, dsum  # noqa: E402
-from venus_spark.functions.sqlgen import davg_sql, dsum_sql  # noqa: E402
+from venus_spark.functions import dsum  # noqa: E402
+from venus_spark.functions.sqlgen import dsum_sql  # noqa: E402
 
-_CORR_SERIES_ORACLE = f"""
+def _corr_series_oracle() -> str:
+    from venus_spark.plans.pipeline_ops9 import _HOURLY_SERIES_SQL
+
+    # GREATEST(0, variance) on both engines: decimal(25,6) quantization
+    # of v*v can push a constant series' variance term a hair NEGATIVE
+    # (e.g. v=0.0015: n*R(v²) - (n·v)² = -6.25e-06), where DuckDB's
+    # SQRT raises Out of Range while Spark returns NaN — the clamp
+    # makes both yield a 0 denominator, hence NULL r, identically.
+    return f"""
 WITH hourly AS (
-  SELECT event_type, DATE_TRUNC('hour', ts) AS h, {davg_sql('value')} AS v
-  FROM events WHERE value IS NOT NULL
-  GROUP BY event_type, DATE_TRUNC('hour', ts)
+  {_HOURLY_SERIES_SQL}
 ),
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -285,11 +296,15 @@ pairs AS (
 )
 SELECT type_a, type_b, n,
        ROUND((n * sxy - sx * sy) /
-             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
+                    SQRT(GREATEST(0, n * syy - sy * sy)), 0), 6)
          AS pearson_r
 FROM pairs
 ORDER BY type_a, type_b
 """
+
+
+_CORR_SERIES_ORACLE = _corr_series_oracle()
 
 
 @plan("series_correlation", oracle=_CORR_SERIES_ORACLE)
@@ -304,15 +319,15 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation is computed from the five sufficient statistics with
     the exact decimal accumulator, so both engines evaluate the same
     closed form over identical sums — no reliance on either engine's
-    CORR() accumulation order. try_divide-equivalent NULL semantics: a
-    constant series has zero variance and yields NULL r in both
-    engines (0/0)."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.filter(F.col("value").isNotNull())
-        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(davg("value").alias("v"))
-    )
+    CORR() accumulation order. The variance terms are clamped at 0
+    before the square roots (decimal quantization of v² can push a
+    constant series' variance fractionally negative — see the oracle
+    builder's note), so a constant series yields NULL r identically
+    in both engines. The series itself is the shared
+    hourly_value_series kernel (EWMA's series, one definition)."""
+    from venus_spark.plans.pipeline_ops9 import hourly_value_series
+
+    hourly = hourly_value_series(load_table(spark, sf_dir, "events"))
     a, b = hourly.alias("a"), hourly.alias("b")
     pairs = (
         a.join(
@@ -334,9 +349,9 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    )
+    varx = F.greatest(F.lit(0.0), F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vary = F.greatest(F.lit(0.0), F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    den = F.sqrt(varx) * F.sqrt(vary)
     return pairs.select(
         "type_a",
         "type_b",

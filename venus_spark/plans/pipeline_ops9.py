@@ -483,11 +483,31 @@ def lookup_2d_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EWMA_A = 0.3
 
-_EWMA_ORACLE = f"""
-WITH hourly AS (
-  SELECT event_type, DATE_TRUNC('hour', ts) AS h, {davg_sql('value')} AS v
+# the ONE (type, hour, avg value) series definition, shared with
+# series_correlation (analytics_ext4) in both engines
+_HOURLY_SERIES_SQL = f"""SELECT event_type, DATE_TRUNC('hour', ts) AS h, {davg_sql('value')} AS v
   FROM events WHERE value IS NOT NULL
-  GROUP BY event_type, DATE_TRUNC('hour', ts)
+  GROUP BY event_type, DATE_TRUNC('hour', ts)"""
+
+
+def hourly_value_series(ev: DataFrame) -> DataFrame:
+    """Hourly per-type value series (non-NULL values, exact decimal
+    mean) — the Spark twin of ``_HOURLY_SERIES_SQL``, shared by the
+    EWMA and correlation plans so the series definition cannot
+    drift between them."""
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(davg("value").alias("v"))
+    )
+
+
+def _ewma_oracle() -> str:
+    from venus_spark.functions.sqlgen import ewma_fold_sql
+
+    return f"""
+WITH hourly AS (
+  {_HOURLY_SERIES_SQL}
 ),
 series AS (
   SELECT event_type, h, v,
@@ -498,11 +518,12 @@ series AS (
 )
 SELECT event_type, {fmt_ts_sql('h', micros=False)} AS hour,
        v AS hourly_avg,
-       ROUND(LIST_REDUCE(arr, (acc, x) ->
-             {double_lit_sql(_EWMA_A)} * x +
-             {double_lit_sql(1 - _EWMA_A)} * acc), 6) AS ewma
+       ROUND({ewma_fold_sql('arr', _EWMA_A)}, 6) AS ewma
 FROM series
 """
+
+
+_EWMA_ORACLE = _ewma_oracle()
 
 
 @plan("ewma_smoothing", oracle=_EWMA_ORACLE)
@@ -519,26 +540,16 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — the same bounded-cardinality posture as gapfill/LOCF;
     row volume collapses to one row per (type, hour) at the partial
     agg before any window runs."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.filter(F.col("value").isNotNull())
-        .groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-        )
-        .agg(davg("value").alias("v"))
-    )
+    from venus_spark.functions import ewma_fold
+
+    hourly = hourly_value_series(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     arr = F.collect_list("v").over(w)
-    step = lambda acc, x: (  # noqa: E731 — shared fold kernel, both engines
-        F.when(acc.isNull(), x).otherwise(
-            F.lit(_EWMA_A) * x + F.lit(1 - _EWMA_A) * acc
-        )
-    )
-    ewma = F.aggregate(arr, F.lit(None).cast("double"), step)
+    ewma = ewma_fold(arr, _EWMA_A)
     return hourly.select(
         "event_type",
         fmt_ts(F.col("h"), micros=False).alias("hour"),

@@ -533,6 +533,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a dashboard query re-scanning the fact table and reading a
     few thousand pre-aggregated rows."""
     path = prepared_path(sf_dir, "events_hourly_rollup.parquet")
+    _recover_swap(path, ".retention")
     if not _is_built(path, _ROLLUP_META):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -568,6 +569,7 @@ def events_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     for). ``append_events`` appends the batch's tiles; overlapping days
     merge at read."""
     path = prepared_path(sf_dir, "events_daily_hll.parquet")
+    _recover_swap(path, ".retention")
     if not _is_built(path, _HLL_META):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -600,14 +602,26 @@ def _append_batch_files(
 ) -> None:
     """IDEMPOTENT batch append without a table format: the batch is
     written to a side directory, any files from an earlier attempt of
-    the SAME batch are removed from the destination, and the new files
-    are moved in under an ``abatch-<id>-`` prefixed name (per-file
-    rename, atomic on a POSIX filesystem). A crash at any point leaves
-    a retry that converges to exactly one copy of the batch — the
-    batch-API counterpart of the streaming sink's ``_batch_id`` dynamic
-    partition overwrite. Readers may observe a torn batch mid-move
-    (standard for format-less appends; a lakehouse table format's
-    commit log is the production upgrade)."""
+    the SAME batch are removed from the destination, the new files are
+    moved in under an ``abatch-<id>-`` prefixed name (per-file rename,
+    atomic on a POSIX filesystem), and the batch id is recorded LAST in
+    the artifact's ``_abatch_manifest.json``. A crash at any point
+    leaves a retry that converges to exactly one copy of the batch,
+    and a retry AFTER the manifest committed is a pure no-op — which
+    also protects against re-landing a batch whose rows a later
+    retention/compaction rewrite absorbed into unprefixed files (the
+    rewrite preserves the manifest). The batch-API counterpart of the
+    streaming sink's ``_batch_id`` dynamic partition overwrite. Readers
+    may observe a torn batch mid-move (standard for format-less
+    appends; a lakehouse table format's commit log is the production
+    upgrade).
+
+    Listing cost is O(batch): the prior-attempt cleanup and the move
+    loop both walk only the directories the batch's OWN tmp write
+    produced (top level, or the batch's partition dirs), never the
+    full layout tree."""
+    if batch_id in _read_abatch_manifest(dest):
+        return  # batch fully committed earlier — retry is a no-op
     tmp = f"{dest}.abatch-{batch_id}.tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -616,19 +630,57 @@ def _append_batch_files(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     prefix = f"abatch-{batch_id}-"
-    for root, _dirs, files in os.walk(dest):
-        for f in list(files):
+    batch_dirs = [
+        rel
+        for rel, _files in _walk_rel(tmp)
+    ]
+    # prior-attempt cleanup, scoped to the directories this batch lands in
+    for rel in batch_dirs:
+        ddir = dest if rel == "." else os.path.join(dest, rel)
+        if not os.path.isdir(ddir):
+            continue
+        for f in os.listdir(ddir):
             if f.startswith(prefix):
-                os.remove(os.path.join(root, f))
-    for root, _dirs, files in os.walk(tmp):
-        rel = os.path.relpath(root, tmp)
+                os.remove(os.path.join(ddir, f))
+    for rel, files in _walk_rel(tmp):
+        ddir = dest if rel == "." else os.path.join(dest, rel)
         for f in files:
-            if f.startswith(("_", ".")):
-                continue  # _SUCCESS / checksums: not data
-            ddir = dest if rel == "." else os.path.join(dest, rel)
             os.makedirs(ddir, exist_ok=True)
-            os.rename(os.path.join(root, f), os.path.join(ddir, prefix + f))
+            os.rename(
+                os.path.join(tmp, "" if rel == "." else rel, f),
+                os.path.join(ddir, prefix + f),
+            )
     shutil.rmtree(tmp)
+    _write_abatch_manifest(dest, _read_abatch_manifest(dest) | {batch_id})
+
+
+_ABATCH_MANIFEST = "_abatch_manifest.json"
+
+
+def _walk_rel(tmp: str) -> list[tuple[str, list[str]]]:
+    """(relative dir, data files) pairs under a batch tmp write —
+    bookkeeping files (underscore/dot prefixed) excluded."""
+    out = []
+    for root, _dirs, files in os.walk(tmp):
+        data = [f for f in files if not f.startswith(("_", "."))]
+        if data:
+            out.append((os.path.relpath(root, tmp), data))
+    return out
+
+
+def _read_abatch_manifest(dest: str) -> set[int]:
+    try:
+        with open(os.path.join(dest, _ABATCH_MANIFEST)) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _write_abatch_manifest(dest: str, ids: set[int]) -> None:
+    p = os.path.join(dest, _ABATCH_MANIFEST)
+    with open(p + ".tmp", "w") as f:
+        json.dump(sorted(ids), f)
+    os.replace(p + ".tmp", p)
 
 
 def append_events(
@@ -693,13 +745,15 @@ def append_events(
     _append_batch_files(_z_sorted(new_events, min_hour, 4), z_path, batch_id)
 
 
-def _recover_recluster_swap(path: str) -> None:
-    """Finish or roll back a recluster swap interrupted mid-rename: a
-    COMPLETE tmp (``_SUCCESS`` present) wins — the rewrite holds every
-    row, so completing the swap is always safe; otherwise the displaced
-    old directory is put back. Appended-but-not-yet-reclustered rows
+def _recover_swap(path: str, tag: str) -> None:
+    """Finish or roll back a directory swap interrupted mid-rename
+    (shared by the recluster and retention rewrites): a COMPLETE tmp
+    (``_SUCCESS`` present) wins — a rewrite is only swapped in when it
+    holds the intended surviving rows, so completing the swap is
+    always safe; otherwise the displaced old directory is put back.
+    Rows present only in the live directory (e.g. appended batches)
     can therefore never be lost to a crash window."""
-    tmp, old = path + ".recluster.tmp", path + ".recluster.old"
+    tmp, old = f"{path}{tag}.tmp", f"{path}{tag}.old"
     if not os.path.exists(path):
         if os.path.exists(os.path.join(tmp, "_SUCCESS")):
             os.rename(tmp, path)
@@ -708,6 +762,10 @@ def _recover_recluster_swap(path: str) -> None:
     for leftover in (tmp, old):
         if os.path.exists(path) and os.path.exists(leftover):
             shutil.rmtree(leftover)
+
+
+def _recover_recluster_swap(path: str) -> None:
+    _recover_swap(path, ".recluster")
 
 
 def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
@@ -757,10 +815,12 @@ def drop_event_chunks(
     does NOT touch the continuous aggregates — a dashboard keeps its
     full history of rollup/HLL tiles by design unless a separate
     retention policy targets them, which ``drop_aggregates=True``
-    applies here (filter-rewrite of the two small aggregate artifacts,
-    tmp-then-swap; requires ``spark``; a crash between the swap steps
-    falls back to a rebuild from the base table — safe, it only
-    resurrects history until retention is re-run). The
+    applies here (filter-rewrite of the two small aggregate artifacts
+    through the same crash-safe tmp/old swap the recluster job uses —
+    an interrupted swap completes or rolls back on the next read, so
+    appended-but-unrewritten partials are never lost; the batch
+    manifest is carried across the rewrite so a post-retention retry
+    of an absorbed batch stays a no-op; requires ``spark``). The
     key-clustered and Z-order layouts derive from the immutable base
     table in this harness and are out of retention scope — in a
     deployment the chunked layout IS the table and they would be
@@ -789,16 +849,22 @@ def drop_event_chunks(
         )
         for name, keep in targets:
             path = prepared_path(sf_dir, name)
+            _recover_swap(path, ".retention")
             if not os.path.exists(path):
                 continue
             meta = _read_meta(path)
-            tmp = path + ".retention.tmp"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
+            manifest = _read_abatch_manifest(path)
+            tmp, old = path + ".retention.tmp", path + ".retention.old"
+            for stale in (tmp, old):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
             spark.read.parquet(path).filter(keep).write.parquet(tmp)
             _stamp(tmp, meta)
-            shutil.rmtree(path)
+            if manifest:
+                _write_abatch_manifest(tmp, manifest)
+            os.rename(path, old)
             os.rename(tmp, path)
+            shutil.rmtree(old)
     return dropped
 
 
