@@ -103,3 +103,13 @@ def ewma_fold_sql(arr: str, alpha: float) -> str:
         f"LIST_REDUCE({arr}, (acc, x) -> "
         f"{double_lit_sql(alpha)} * x + {double_lit_sql(1 - alpha)} * acc)"
     )
+
+
+def hashed_shingles_sql(expr: str = "text") -> str:
+    """Distinct hash31-hashed word-3-gram shingle set — the ONE SQL twin
+    of the prepared index's ``_sh_h`` column (prepared._minhash_rows),
+    shared by every oracle that compares against stored shingle sets."""
+    return (
+        f"LIST_DISTINCT([{token_hash31_sql('s')} "
+        f"FOR s IN {shingles_sql(expr)}])"
+    )

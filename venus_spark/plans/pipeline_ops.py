@@ -15,6 +15,7 @@ from venus_spark.functions import davg, dsum
 from venus_spark.functions.sqlgen import (
     davg_sql,
     dsum_sql,
+    hashed_shingles_sql,
     shingles_sql,
     token_hash31_sql,
     tokens_sql,
@@ -240,8 +241,7 @@ _SHINGLES = shingles_sql("text")
 
 _DEDUP_JACCARD_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, source,
-         LIST_DISTINCT([{token_hash31_sql('s')} FOR s IN {_SHINGLES}]) AS t
+  SELECT doc_id, lang, source, {hashed_shingles_sql('text')} AS t
   FROM documents
 ),
 pairs AS (

@@ -73,14 +73,13 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     tok_c = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tok_t = toks.agg(F.count("*").alias("t"))
+    # totals derive from the count tables (sum of counts == row count),
+    # not from re-tokenizing the corpus a second time per total
+    tok_t = tok_c.agg(F.sum("c").alias("t"))
     bigs = docs.select(F.explode(bigram_pairs("text")).alias("bg"))
-    big_c = (
-        bigs.groupBy("bg")
-        .agg(F.count("*").alias("np"))
-        .filter(F.col("np") >= _COLL_MIN_N)
-    )
-    big_t = bigs.agg(F.count("*").alias("b"))
+    big_c_all = bigs.groupBy("bg").agg(F.count("*").alias("np"))
+    big_t = big_c_all.agg(F.sum("np").alias("b"))
+    big_c = big_c_all.filter(F.col("np") >= _COLL_MIN_N)
     cx = tok_c.select(F.col("tok").alias("_tx"), F.col("c").alias("cx"))
     cy = tok_c.select(F.col("tok").alias("_ty"), F.col("c").alias("cy"))
     lift = (F.col("np").cast("double") / F.col("b")) / (
@@ -110,13 +109,12 @@ _NDR_T = 0.8
 
 
 def _ndr_oracle() -> str:
-    from venus_spark.plans.pipeline_ops import _SHINGLES
-    from venus_spark.functions.sqlgen import token_hash31_sql
+    from venus_spark.functions.sqlgen import hashed_shingles_sql
 
-    hashed = f"LIST_DISTINCT([{token_hash31_sql('s')} FOR s IN {_SHINGLES}])"
     return f"""
 WITH toks AS (
-  SELECT doc_id, lang, source, {hashed} AS t FROM documents
+  SELECT doc_id, lang, source, {hashed_shingles_sql('text')} AS t
+  FROM documents
 ),
 pairs AS (
   SELECT a.source AS source, COUNT(*) AS n_pairs
@@ -146,7 +144,11 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exact shingle-Jaccard kernel as dedup_jaccard_pairs, served
     from the prepared MinHash index and aggregated by the pair's
     bucket source; sources with zero pairs appear with rate 0 via the
-    left join against the per-source doc counts."""
+    left join against the per-source doc counts. The doc-count
+    denominator comes from the BASE table, not the index — the index
+    inner-joins signatures and so omits token-free documents, which
+    must still count as corpus members (a token-free doc can never
+    pair, so the numerator is index-safe)."""
     from venus_spark.operators.dedup import jaccard_pairs_in_buckets
     from venus_spark.prepared import documents_minhash
 
@@ -160,7 +162,11 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_pairs"))
     )
-    docs = idx.groupBy("source").agg(F.count("*").alias("n_docs"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
     rate = F.coalesce(F.col("n_pairs"), F.lit(0)) / F.col("n_docs")
     return (
         docs.join(per_src, "source", "left")
@@ -211,41 +217,28 @@ FROM durations
 
 @plan("session_duration_percentiles", oracle=_SDP_ORACLE)
 def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution of session lengths: sessionize (the same
-    lag+cumsum rule as sessionize_events / the session_window twin),
-    take each session's first-to-last span in seconds, and report
+    """Distribution of session lengths: the shared session operator
+    (streaming.windows.sessionize_stream — native session_window, the
+    same 30-min ≥-gap rule session_window_stats certifies; note
+    sessionize_events is a DIFFERENT dashboard with its own 60-min
+    strict gap), each session's first-to-last span in seconds, then
     exact interpolated percentiles — the engagement-health tile next
-    to DAU/stickiness on any product dashboard. Sessionization
-    partial-aggregates per user; the percentile runs over one row per
-    session (orders of magnitude below event volume); at 100 TB the
-    drop-in is approx_percentile, kept exact here for the oracle
-    hash (same policy as value_percentiles)."""
-    from pyspark.sql import Window
+    to DAU/stickiness on any product dashboard. The oracle recomputes
+    the sessions through the independent lag+cumsum formulation, so
+    this plan re-certifies the operator while measuring durations.
+    Sessionization partial-aggregates per user; the percentile runs
+    over one row per session (orders of magnitude below event volume);
+    at 100 TB the drop-in is approx_percentile, kept exact here for
+    the oracle hash (same policy as value_percentiles)."""
+    from venus_spark.streaming.windows import sessionize_stream
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_s = (
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.col("ts")
-                >= F.lag("ts").over(w) + F.expr(f"INTERVAL {_SDP_GAP} SECONDS")
-            ),
-            1,
-        )
-        .otherwise(0)
-    )
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = ev.withColumn("new_s", new_s).withColumn(
-        "sid", F.sum("new_s").over(cum)
-    )
+    sessions = sessionize_stream(ev, gap_seconds=_SDP_GAP)
     dur = (
-        F.unix_micros(F.max("ts").cast("timestamp"))
-        - F.unix_micros(F.min("ts").cast("timestamp"))
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        - F.unix_micros(F.col("session_start").cast("timestamp"))
     ) / F.lit(1e6)
-    durations = sess.groupBy("user_id", "sid").agg(dur.alias("dur_sec"))
+    durations = sessions.select(dur.alias("dur_sec"))
     return durations.agg(
         F.count("*").alias("n_sessions"),
         *[

@@ -28,6 +28,7 @@ from venus_spark.functions.sqlgen import (
     davg_sql,
     double_lit_sql,
     fmt_ts_sql,
+    hashed_shingles_sql,
     l2sq_sql,
     shingles_sql,
     token_hash31_sql,
@@ -43,9 +44,7 @@ _VDBL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
 # --------------------------------------------------------------------------
 
 _CONTAIN_T = 0.9
-_HASHED_SHINGLES = (
-    f"LIST_DISTINCT([{token_hash31_sql('s')} FOR s IN {shingles_sql('text')}])"
-)
+_HASHED_SHINGLES = hashed_shingles_sql("text")
 
 _CONTAIN_ORACLE = f"""
 WITH toks AS (
