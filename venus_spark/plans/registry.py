@@ -40,6 +40,7 @@ _PLAN_MODULES = (
     "venus_spark.plans.analytics_ext2",
     "venus_spark.plans.analytics_ext3",
     "venus_spark.plans.analytics_ext4",
+    "venus_spark.plans.analytics_ext5",
     "venus_spark.plans.streaming_surface",
 )
 
