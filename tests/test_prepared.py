@@ -755,3 +755,56 @@ def test_append_batch_files_converges_after_partial_move(spark, tmp_path, monkey
         ).collect()
     }
     assert got == want
+
+
+def test_recluster_preserves_abatch_manifest(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): the recluster rewrite absorbs appended
+    abatch-prefixed files into unprefixed ones, so it must CARRY the
+    batch manifest into the rewritten directory — a crash-retry of an
+    already-absorbed append_events batch after a recluster has to stay
+    a no-op instead of re-landing (and double-counting) the rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    cut = "2024-01-20 00:00:00"
+    base_sf = str(tmp_path / "base_sf")
+    ev.filter(F.col("ts") < cut).write.parquet(
+        os.path.join(base_sf, "events.parquet")
+    )
+    batch = ev.filter(F.col("ts") >= cut)
+    for layout in ("events_by_date", "events_by_user", "events_zorder",
+                   "events_hourly_rollup", "events_daily_hll"):
+        getattr(prepared, layout)(spark, base_sf)
+    prepared.append_events(spark, base_sf, batch, batch_id=1)
+    prepared.recluster_events_zorder(spark, base_sf)
+
+    z_path = prepared.prepared_path(base_sf, "events_zorder.parquet")
+    # manifest survived the rewrite...
+    assert 1 in prepared._read_abatch_manifest(z_path)
+    # ...so the retry is a pure no-op: same files, same rows
+    before = sorted(os.listdir(z_path))
+    checksum = ev.select(F.sum("event_id")).first()[0]
+    prepared.append_events(spark, base_sf, batch, batch_id=1)
+    assert sorted(os.listdir(z_path)) == before
+    got = prepared.events_zorder(spark, base_sf)
+    assert got.count() == ev.count()
+    assert got.select(F.sum("event_id")).first()[0] == checksum
+
+
+def test_drop_event_chunks_unbuilt_layout_raises_value_error(tmp_path, monkeypatch):
+    """ADVICE r4 (low): retention on an sf_dir whose events_by_date
+    layout was never built must raise ValueError (which the maintain
+    CLI reports cleanly), not leak FileNotFoundError."""
+    import pytest
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    with pytest.raises(ValueError, match="events_by_date layout not built"):
+        prepared.drop_event_chunks(str(tmp_path / "nosuch_sf"), "2024-01-15")

@@ -619,7 +619,16 @@ def _append_batch_files(
     Listing cost is O(batch): the prior-attempt cleanup and the move
     loop both walk only the directories the batch's OWN tmp write
     produced (top level, or the batch's partition dirs), never the
-    full layout tree."""
+    full layout tree.
+
+    CONTRACT: a given ``batch_id`` must always carry the SAME rows —
+    the retry-cleanup scan is scoped to the partition directories the
+    current attempt produces, so a retry whose upstream re-read yielded
+    different rows (and therefore different partition dirs) could leave
+    an earlier attempt's files alive in partitions the retry no longer
+    touches. Same id ⇒ same rows is exactly the contract a streaming
+    epoch id or a lakehouse commit id carries; callers that cannot
+    guarantee it must assign a fresh batch id per logical batch."""
     if batch_id in _read_abatch_manifest(dest):
         return  # batch fully committed earlier — retry is a no-op
     tmp = f"{dest}.abatch-{batch_id}.tmp"
@@ -792,6 +801,14 @@ def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
     cur = spark.read.parquet(path)
     _z_sorted(cur, min_hour, _Z_FILES).write.parquet(tmp)
     _stamp(tmp, meta)
+    # Carry the batch manifest across the rewrite (same as the retention
+    # rewrite below): the recluster absorbs appended abatch files into
+    # unprefixed ones, so a post-recluster retry of an absorbed batch
+    # must still see its id committed — otherwise it re-lands the rows
+    # and double-counts, violating _append_batch_files' invariant.
+    manifest = _read_abatch_manifest(path)
+    if manifest:
+        _write_abatch_manifest(tmp, manifest)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -833,6 +850,11 @@ def drop_event_chunks(
     cutoff = _dt.date.fromisoformat(before_date)  # validates; raises ValueError
     iso = cutoff.isoformat()
     base = prepared_path(sf_dir, "events_by_date.parquet")
+    if not os.path.isdir(base):
+        raise ValueError(
+            f"events_by_date layout not built for {sf_dir!r} — run "
+            "prepared.events_by_date (or the prepare CLI) first"
+        )
     dropped = 0
     for d in sorted(os.listdir(base)):
         if d.startswith("date=") and d[len("date=") :] < iso:
