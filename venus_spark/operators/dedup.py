@@ -115,6 +115,34 @@ def band_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def cross_candidate_pairs(
+    left_bands: DataFrame,
+    right_bands: DataFrame,
+    id_col: str = "doc_id",
+    left_out: str = "id_a",
+    right_out: str = "id_b",
+) -> DataFrame:
+    """Distinct candidate pairs between TWO band sets (e.g. a new batch
+    vs the stored corpus index) sharing any LSH band — the incremental
+    counterpart of :func:`band_candidate_pairs`: a plain hash join on
+    (band_idx, band_hash) with no a<b self-join constraint, so only the
+    left (batch) side is new work per ingest cycle."""
+    a = left_bands.alias("a")
+    b = right_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(left_out),
+            F.col(f"b.{id_col}").alias(right_out),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band."""
     return band_candidate_pairs(

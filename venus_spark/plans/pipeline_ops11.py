@@ -1,0 +1,541 @@
+"""Training-data pipeline plans, part 11: hybrid retrieval (RRF),
+incremental dedup of a new batch against the stored corpus index,
+entity-resolution pairing via deletion-neighborhood blocking, per-group
+linear trend with exact-parity sums, and train/serve distribution-drift
+auditing.
+
+Same discipline as parts 1-10: built-in column expressions only (no
+Python in the data path), every parity-sensitive scalar formula is ONE
+shared SQL string handed to Spark via ``F.expr`` and to DuckDB verbatim,
+and aggregation of rounded doubles goes through the exact decimal
+accumulator (:func:`venus_spark.functions.dsum`) so summation order can
+never matter.
+
+Reference tie-in: the reference serves its query surface through
+documented SQL over PostgreSQL (`/root/reference/README.rst:82-107`);
+these plans extend that surface with the retrieval/curation operators a
+training-data engine adds on top, each carrying its ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import davg, dsum
+from venus_spark.functions.sqlgen import (
+    davg_sql,
+    dsum_sql,
+    hashed_shingles_sql,
+    shingles_sql,
+    token_hash31_sql,
+)
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine top-k
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+_RRF_SIDE_K = 20  # depth of each retrieval list entering the fusion
+_RRF_TOPK = 10
+_RRF_QUERY_VEC_ID = 0
+
+# One shared scoring string: ranks are BIGINT, 1.0/(k+r) is the same
+# double division in both engines, and the two-list sum is a two-term
+# add — no accumulation-order concerns.
+_RRF_SCORE = (
+    f"ROUND(COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0), 6)"
+)
+
+_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _rrf_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql
+    from venus_spark.plans.pipeline_ops6 import _BM25_ORACLE
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM ({_BM25_ORACLE})
+),
+vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS r_vec
+  FROM (
+    WITH q AS (
+      SELECT {_VD.format('embedding')} AS qv
+      FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id AS doc_id,
+           ROUND({cosine_sql(_VD.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_SIDE_K}
+  )
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         {_RRF_SCORE} AS rrf
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+@plan("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical top-k and the dense cosine
+    top-k by reciprocal-rank fusion (score = Σ 1/(60+rank)) — the
+    standard RAG retrieval composition, built entirely from plans this
+    engine already serves (bm25_topk's postings-proportional scan and
+    the brute-force cosine baseline; swap in the prepared-postings /
+    IVF-pruned variants for the 100 TB path, the fusion is unchanged).
+
+    Scale shape: both retrieval lists are corpus-sized scans reduced to
+    k rows by TakeOrderedAndProject; everything after — the rank
+    windows, the full outer join on doc_id, the final top-k — runs on
+    at most 2k = 40 rows regardless of corpus size, so the rank
+    windows over LIMIT-k inputs are constant-bounded by construction
+    (NOT data-sized single-partition windows; the corpus never flows
+    through them)."""
+    from venus_spark.operators.similarity import brute_force_topk
+    from venus_spark.plans.pipeline_ops6 import bm25_topk
+
+    lex = bm25_topk(spark, sf_dir)  # top-_BM25_TOPK (=20) by construction
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )  # bounded single-row fetch, same idiom as sim_cosine_topk
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+
+    # Rank windows over k-row inputs (constant size at any corpus scale).
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r_lex"),
+    )
+    vec_r = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), "doc_id"))
+        .alias("r_vec"),
+    )
+    fused = lex_r.join(vec_r, "doc_id", "full").select(
+        "doc_id", F.expr(_RRF_SCORE).alias("rrf")
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a new batch screened against the EXISTING corpus
+# through the stored MinHash index (the production ingest-time path)
+# --------------------------------------------------------------------------
+
+_INC_MOD = 3  # doc_id % 3 == 0 plays the "newly arrived batch"
+_INC_T = 0.8  # same near-dup threshold as dedup_minhash_lsh
+
+
+def _incremental_oracle() -> str:
+    from venus_spark.functions import HASH_P31
+    from venus_spark.operators import dedup as dd
+
+    sh = shingles_sql("text")
+    mins = ",\n         ".join(
+        f"MIN(({dd.PERM_A[i]} * h + {dd.PERM_B[i]}) % {HASH_P31}) AS mh_{i}"
+        for i in range(dd.N_PERM)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS('-', "
+        + ", ".join(
+            f"mh_{b * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND)
+        )
+        + ")) AS band_hash FROM sig"
+        for b in range(dd.N_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({sh}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, {token_hash31_sql('tok')} AS h FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_doc
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0
+),
+hsets AS (
+  SELECT doc_id, {hashed_shingles_sql('text')} AS t FROM documents
+),
+verified AS (
+  SELECT c.new_doc, c.dup_doc,
+         ROUND(LEN(LIST_INTERSECT(x.t, y.t)) * 1.0 /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t))), 6)
+           AS jaccard_sim
+  FROM cands c
+  JOIN hsets x ON c.new_doc = x.doc_id
+  JOIN hsets y ON c.dup_doc = y.doc_id
+)
+SELECT new_doc, dup_doc, jaccard_sim FROM verified
+WHERE jaccard_sim > {_INC_T}
+"""
+
+
+@plan("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: which documents of a NEW batch
+    duplicate the EXISTING corpus — the decision an ingest pipeline
+    makes per batch, as opposed to the corpus-wide self-dedup of
+    dedup_minhash_lsh. Both sides are served from the prepared MinHash
+    index (stored signatures + hashed shingle sets, maintained O(batch)
+    at INSERT by append_documents / the streaming pending-list): query
+    time pays band expressions, the new-vs-old band join, and exact
+    Jaccard verification of candidates only. The batch here is the
+    doc_id % 3 == 0 slice standing in for newly arrived documents.
+
+    Scale shape: candidate generation is a hash join keyed on
+    (band_idx, band_hash) where only the BATCH side is new work — the
+    corpus side reads stored bands; no a<b self-join over the corpus,
+    no corpus-wide signature recompute, verification touches candidate
+    pairs only. This is exactly how the funnel stays O(batch) per
+    ingest cycle at 100 TB."""
+    from venus_spark.operators.dedup import cross_candidate_pairs, jaccard, lsh_bands
+    from venus_spark.prepared import documents_minhash
+
+    idx = documents_minhash(spark, sf_dir)
+    is_new = (F.col("doc_id") % _INC_MOD) == 0
+    cands = cross_candidate_pairs(
+        lsh_bands(idx.filter(is_new)),
+        lsh_bands(idx.filter(~is_new)),
+        left_out="new_doc",
+        right_out="dup_doc",
+    )
+    hsets = idx.select("doc_id", F.col("_sh_h").alias("t"))
+    return (
+        cands.join(
+            hsets.select(F.col("doc_id").alias("new_doc"), F.col("t").alias("t_a")),
+            "new_doc",
+        )
+        .join(
+            hsets.select(F.col("doc_id").alias("dup_doc"), F.col("t").alias("t_b")),
+            "dup_doc",
+        )
+        .select(
+            "new_doc",
+            "dup_doc",
+            F.round(jaccard(F.col("t_a"), F.col("t_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") > _INC_T)
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: single-substitution identifier pairs via
+# deletion-neighborhood (wildcard-mask) blocking
+# --------------------------------------------------------------------------
+
+_ER_DIGITS = 9  # c_name = 'Customer#' + 9 digits (TPC-H spec format)
+_ER_PREFIX_LEN = 9  # len('Customer#')
+
+# One shared mask string: wildcard position p of the digit tail. SUBSTR
+# is 1-based with identical semantics in Spark SQL and DuckDB.
+_ER_MASK = (
+    f"CONCAT(SUBSTR(c_name, 1, {_ER_PREFIX_LEN} + p - 1), '?', "
+    f"SUBSTR(c_name, {_ER_PREFIX_LEN} + p + 1))"
+)
+
+_ER_ORACLE = f"""
+WITH named AS (
+  SELECT c_custkey, c_name FROM customer
+  WHERE REGEXP_MATCHES(c_name, '^Customer#[0-9]{{{_ER_DIGITS}}}$')
+),
+m AS (
+  SELECT c_custkey, c_name, p, {_ER_MASK} AS mask
+  FROM named CROSS JOIN (
+    SELECT UNNEST(GENERATE_SERIES(1, {_ER_DIGITS})) AS p
+  )
+)
+SELECT a.p AS pos, COUNT(*) AS n_pairs
+FROM m a JOIN m b ON a.mask = b.mask AND a.c_custkey < b.c_custkey
+WHERE LEVENSHTEIN(a.c_name, b.c_name) = 1
+GROUP BY a.p ORDER BY pos
+"""
+
+
+@plan("er_hamming_pairs", oracle=_ER_ORACLE)
+def er_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairing: customer identifiers within
+    Hamming distance 1, found by deletion-neighborhood blocking — each
+    name emits L variants with one position wildcarded, names agreeing
+    on a variant differ in at most that position, and an edit-distance
+    check verifies each candidate (the classic blocking→verify ER
+    shape; the mask join is LSH for strings).
+
+    Scale shape: the expansion is O(L·N) rows (L = 9, a constant), the
+    self-join hashes on the mask key whose groups are bounded by the
+    alphabet (≤ 10 names can share one wildcard mask), and verification
+    (levenshtein) touches candidates only — never the quadratic
+    all-pairs. Reported as pairs-per-wildcard-position, the blocking
+    audit an ER pipeline tracks.
+
+    The equal-length fixed-format filter makes mask blocking EXACT for
+    substitution distance; general edit distance ≤ k needs the
+    partition-signature generalization (PassJoin) on the same plan
+    shape."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .filter(F.col("c_name").rlike(f"^Customer#[0-9]{{{_ER_DIGITS}}}$"))
+    )
+    m = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.array(*[F.lit(p) for p in range(1, _ER_DIGITS + 1)])).alias("p"),
+    ).select("c_custkey", "c_name", "p", F.expr(_ER_MASK).alias("mask"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.mask") == F.col("b.mask"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+    return (
+        pairs.groupBy(F.col("a.p").alias("pos"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group linear trend (exact-parity ordinary least squares)
+# --------------------------------------------------------------------------
+
+# Day zero of the event window; integer microseconds so the centering
+# subtraction below is exact BIGINT arithmetic in both engines.
+_TREND_T0_US = 1704067200000000  # 2024-01-01 00:00:00 UTC
+_US_PER_DAY = "86400000000.0"
+
+# Shared per-row centered terms: x_us0/xbar_us/y/ybar are all either
+# BIGINT or canonical doubles, so the arithmetic is bit-deterministic;
+# ROUND(...,6) makes each term exactly representable for dsum.
+_TREND_XC = f"((CAST(x_us0 AS DOUBLE) - xbar_us) / {_US_PER_DAY})"
+_TREND_YC = "(y - ybar)"
+_TREND_T_XY = f"ROUND({_TREND_XC} * {_TREND_YC}, 6)"
+_TREND_T_XX = f"ROUND({_TREND_XC} * {_TREND_XC}, 6)"
+_TREND_T_YY = f"ROUND({_TREND_YC} * {_TREND_YC}, 6)"
+
+# Final projections over the exact aggregates (sxy/sxx/syy canonical
+# doubles from dsum; xbar_us/ybar canonical from davg).
+_TREND_SLOPE = "CASE WHEN sxx > 0 THEN ROUND(sxy / sxx, 6) END"
+_TREND_INTERCEPT = (
+    f"CASE WHEN sxx > 0 THEN "
+    f"ROUND(ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY}), 6) END"
+)
+_TREND_R2 = (
+    "CASE WHEN sxx * syy > 0 THEN ROUND((sxy * sxy) / (sxx * syy), 6) END"
+)
+
+_TREND_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         EPOCH_US(ts) - {_TREND_T0_US} AS x_us0,
+         ROUND(value, 6) AS y
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         {davg_sql('x_us0')} AS xbar_us,
+         {davg_sql('y')} AS ybar
+  FROM ev GROUP BY event_type
+),
+terms AS (
+  SELECT ev.event_type,
+         {_TREND_T_XY} AS t_xy,
+         {_TREND_T_XX} AS t_xx,
+         {_TREND_T_YY} AS t_yy
+  FROM ev JOIN stats USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+         {dsum_sql('t_xy')} AS sxy,
+         {dsum_sql('t_xx')} AS sxx,
+         {dsum_sql('t_yy')} AS syy
+  FROM terms GROUP BY event_type
+)
+SELECT s.event_type, s.n,
+       {_TREND_SLOPE} AS slope_per_day,
+       {_TREND_INTERCEPT} AS intercept,
+       {_TREND_R2} AS r2
+FROM agg a JOIN stats s USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+@plan("value_trend_per_type", oracle=_TREND_ORACLE)
+def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time (OLS slope,
+    intercept at the window origin, R²) — the drift/trend tile of any
+    metrics dashboard, computed under the repo's exact-parity
+    discipline: timestamps center as exact BIGINT microseconds, the
+    centered per-row terms are rounded then summed through the decimal
+    accumulator (summation order cannot matter), and the closing
+    slope/R² divisions are single deterministic double ops. The same
+    numbers as SQL's REGR_SLOPE/REGR_R2 family, which both engines
+    implement over order-dependent double sums and therefore cannot be
+    value-hashed across engines.
+
+    Scale shape: two corpus scans (the mean pass and the term pass),
+    both partial-aggregating on event_type; the stats join is a
+    broadcast of one row per group. At 100 TB the second scan reuses
+    the first's shuffle partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_TREND_T0_US)
+        ).alias("x_us0"),
+        F.round("value", 6).alias("y"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        davg("x_us0").alias("xbar_us"),
+        davg("y").alias("ybar"),
+    )
+    terms = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.expr(_TREND_T_XY).alias("t_xy"),
+        F.expr(_TREND_T_XX).alias("t_xx"),
+        F.expr(_TREND_T_YY).alias("t_yy"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        dsum("t_xy").alias("sxy"),
+        dsum("t_xx").alias("sxx"),
+        dsum("t_yy").alias("syy"),
+    )
+    return (
+        agg.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.expr(_TREND_SLOPE).alias("slope_per_day"),
+            F.expr(_TREND_INTERCEPT).alias("intercept"),
+            F.expr(_TREND_R2).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: total-variation distance between two periods
+# --------------------------------------------------------------------------
+
+_DRIFT_CUT_US = 1705363200000000  # 2024-01-16 00:00:00 UTC (window midpoint)
+_DRIFT_BIN_W = "25.0"
+
+# Integer-exact TV distance: TV = Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b).
+# Every input is a BIGINT count, so the numerator sum is exact and the
+# single closing division is deterministic in both engines.
+_DRIFT_TV = (
+    "ROUND(CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE), 6)"
+)
+
+_DRIFT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(value / {_DRIFT_BIN_W}) AS INTEGER) AS bin,
+         (EPOCH_US(ts) < {_DRIFT_CUT_US}) AS in_a
+  FROM events
+),
+bins AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS c_b
+  FROM ev GROUP BY event_type, bin
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(c_a) AS BIGINT) AS n_a,
+         CAST(SUM(c_b) AS BIGINT) AS n_b,
+         COUNT(*) AS n_bins
+  FROM bins GROUP BY event_type
+),
+num AS (
+  SELECT b.event_type,
+         SUM(ABS(b.c_a * t.n_b - b.c_b * t.n_a)) AS num
+  FROM bins b JOIN totals t USING (event_type)
+  GROUP BY b.event_type
+)
+SELECT t.event_type, t.n_a, t.n_b, t.n_bins, {_DRIFT_TV} AS tv_drift
+FROM num JOIN totals t USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+@plan("distribution_drift_tv", oracle=_DRIFT_ORACLE)
+def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per event type: total-variation distance
+    between the value histogram of the window's first half and its
+    second half — the train/serve (or week-over-week corpus) drift
+    audit of a data pipeline, preferred here over PSI/KL because TV
+    needs no logarithm: with exact integer bin counts the statistic is
+    a ratio of integers, bit-equal across engines, where log-based
+    divergences differ in the last ulp between libm implementations.
+
+    Scale shape: one scan → partial-aggregating (type, bin) counts
+    (bins are constant-width, so cardinality is bounded), then
+    constant-size joins of per-type totals. Histogram counts are the
+    mergeable partial — the same statistic serves streaming
+    micro-batches by summing bin counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / F.expr(_DRIFT_BIN_W)).cast("integer").alias("bin"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(_DRIFT_CUT_US)
+        ).alias("in_a"),
+    )
+    bins = ev.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
+    )
+    totals = bins.groupBy("event_type").agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count("*").alias("n_bins"),
+    )
+    num = (
+        bins.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            ).alias("num")
+        )
+    )
+    return (
+        num.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "n_bins",
+            F.expr(_DRIFT_TV).alias("tv_drift"),
+        )
+        .orderBy("event_type")
+    )
