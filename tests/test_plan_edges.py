@@ -329,3 +329,119 @@ def test_series_correlation_constant_series_yields_null(spark, tmp_path):
         for x in series_correlation(spark, sf_dir).collect()
     }
     assert got[("flat", "moving")] is None  # zero-variance side -> NULL
+
+
+def test_drift_tv_bin_counts_merge_across_micro_batches(spark):
+    """distribution_drift_tv's docstring claims histogram counts are
+    the mergeable partial: computing (type, bin, period) counts over
+    arbitrary micro-batch slices and SUMMING them must reproduce the
+    one-shot plan exactly — the property that lets the same statistic
+    be maintained per streaming micro-batch or per appended chunk."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.plans.pipeline_ops11 import (
+        _DRIFT_BIN_W,
+        _DRIFT_CUT_US,
+        _DRIFT_TV,
+        distribution_drift_tv,
+    )
+    from venus_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["n_bins"], r["tv_drift"])
+        for r in distribution_drift_tv(spark, sf).collect()
+    }
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") / F.expr(_DRIFT_BIN_W)).cast("integer").alias("bin"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(_DRIFT_CUT_US)).alias(
+            "in_a"
+        ),
+        (F.col("event_id") % 3).alias("slice"),  # 3 arbitrary micro-batches
+    )
+    # per-micro-batch partials, then merged by summation
+    partials = ev.groupBy("slice", "event_type", "bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
+    )
+    bins = partials.groupBy("event_type", "bin").agg(
+        F.sum("c_a").alias("c_a"), F.sum("c_b").alias("c_b")
+    )
+    totals = bins.groupBy("event_type").agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count("*").alias("n_bins"),
+    )
+    num = (
+        bins.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            ).alias("num")
+        )
+    )
+    got = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["n_bins"], r["tv_drift"])
+        for r in num.join(totals, "event_type")
+        .select("event_type", "n_a", "n_b", "n_bins", F.expr(_DRIFT_TV).alias("tv_drift"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_er_mask_blocking_is_complete_vs_brute_force(spark):
+    """Deletion-neighborhood blocking must be EXACT for the fixed-format
+    names: the per-position pair counts from the plan sum to the count
+    the quadratic all-pairs levenshtein-distance-1 check finds (the
+    completeness property that makes mask blocking a sound substitute
+    for the all-pairs scan)."""
+    import duckdb
+
+    from venus_spark.plans.pipeline_ops11 import er_hamming_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = sum(
+        r["n_pairs"] for r in er_hamming_pairs(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+    )
+    want = con.execute(
+        """
+        SELECT COUNT(*) FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+        WHERE LEVENSHTEIN(a.c_name, b.c_name) = 1
+        """
+    ).fetchone()[0]
+    assert got == want and got > 0
+
+
+def test_dedup_incremental_agrees_with_corpus_self_dedup(spark):
+    """The incremental new-vs-corpus result must be exactly the subset
+    of the corpus-wide self-dedup pairs that cross the batch split —
+    same bands, same threshold, no pair invented or lost by the
+    cross-set join."""
+    from venus_spark.plans.pipeline_ops import dedup_minhash_lsh
+    from venus_spark.plans.pipeline_ops11 import _INC_MOD, dedup_incremental
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r["new_doc"], r["dup_doc"])
+        for r in dedup_incremental(spark, sf).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    want = set()
+    for id_a, id_b, _j in full:
+        a_new, b_new = id_a % _INC_MOD == 0, id_b % _INC_MOD == 0
+        if a_new and not b_new:
+            want.add((id_a, id_b))
+        elif b_new and not a_new:
+            want.add((id_b, id_a))
+    assert inc == want and len(inc) > 0
