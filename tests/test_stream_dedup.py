@@ -43,3 +43,90 @@ def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
 
     got = [r["message"] for r in spark.sql("SELECT message FROM dd_out").collect()]
     assert sorted(got) == [f"work {i}" for i in range(6)]  # one row per key, none lost
+
+
+def test_streaming_near_dup_screen_at_ingest(spark, tmp_path, monkeypatch):
+    """Dedup-at-ingest end-to-end: with screen_near_dups=True every
+    documents micro-batch is screened against the LIVE MinHash index
+    (base ∪ earlier batches' pending) BEFORE it lands, and the verdicts
+    land exactly-once in the dup_verdicts side table. Two sequential
+    availableNow runs force two distinct micro-batches, so the second
+    batch must see the first batch's documents as corpus — the verdict
+    log must equal the batch-side incremental_near_dups computation
+    stage by stage, and a checkpoint-complete rerun adds nothing."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.operators.dedup import incremental_near_dups
+    from venus_spark.streaming import read_sink_table, start_documents_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+
+    # corpus = doc_id % 3 != 0 (same split the dedup_incremental plan
+    # uses, so the crossing near-dup population is known non-empty)
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    base_idx = prepared.documents_minhash(spark, sf)
+
+    new_rows = [
+        r.asDict() for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    ]
+    half = len(new_rows) // 2
+    chunks = (new_rows[:half], new_rows[half:])
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def run():
+        q = start_documents_ingest(
+            spark.readStream.schema(docs.schema).json(str(landing)),
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            index_sf_dir=sf,
+            trigger_seconds=None,
+            screen_near_dups=True,
+        )
+        q.awaitTermination()
+
+    # land + run one chunk at a time: two separate micro-batches
+    for i, chunk in enumerate(chunks):
+        (landing / f"batch{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in chunk) + "\n"
+        )
+        run()
+
+    b0_idx = prepared._minhash_rows(spark.createDataFrame(chunks[0], docs.schema))
+    b1_idx = prepared._minhash_rows(spark.createDataFrame(chunks[1], docs.schema))
+    exp = {
+        (r["new_doc"], r["dup_doc"], r["jaccard_sim"])
+        for r in incremental_near_dups(b0_idx, base_idx).collect()
+    } | {
+        (r["new_doc"], r["dup_doc"], r["jaccard_sim"])
+        for r in incremental_near_dups(
+            b1_idx, base_idx.unionByName(b0_idx)
+        ).collect()
+    }
+    assert len(exp) > 0
+
+    def verdict_rows():
+        return [
+            (r["new_doc"], r["dup_doc"], r["jaccard_sim"])
+            for r in read_sink_table(
+                spark, str(tmp_path / "sink"), "dup_verdicts"
+            ).collect()
+        ]
+
+    got = verdict_rows()
+    assert len(got) == len(set(got))  # exactly-once: no duplicate verdicts
+    assert set(got) == exp
+
+    # completed-checkpoint rerun: nothing reprocesses, nothing duplicates
+    run()
+    assert sorted(verdict_rows()) == sorted(got)

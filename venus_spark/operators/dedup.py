@@ -150,6 +150,47 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def incremental_near_dups(
+    new_idx: DataFrame,
+    corpus_idx: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    shingle_col: str = "_sh_h",
+) -> DataFrame:
+    """Near-dup verdicts for a NEW batch against an EXISTING corpus
+    index: cross-set LSH band join for candidates, exact Jaccard over
+    the stored (hashed) shingle sets for verification. Both inputs are
+    index-form rows (``id + mh_* + shingle set`` —
+    prepared.documents_minhash / _minhash_rows output), so only the
+    batch side is ever new compute — the per-ingest-cycle O(batch)
+    screening path shared by the ``dedup_incremental`` plan and the
+    streaming ingest's write-time screen. Returns
+    (new_doc, dup_doc, jaccard_sim) rows above ``threshold``."""
+    cands = cross_candidate_pairs(
+        lsh_bands(new_idx, id_col),
+        lsh_bands(corpus_idx, id_col),
+        id_col=id_col,
+        left_out="new_doc",
+        right_out="dup_doc",
+    )
+    a = new_idx.select(
+        F.col(id_col).alias("new_doc"), F.col(shingle_col).alias("t_a")
+    )
+    b = corpus_idx.select(
+        F.col(id_col).alias("dup_doc"), F.col(shingle_col).alias("t_b")
+    )
+    return (
+        cands.join(a, "new_doc")
+        .join(b, "dup_doc")
+        .select(
+            "new_doc",
+            "dup_doc",
+            F.round(jaccard(F.col("t_a"), F.col("t_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") > threshold)
+    )
+
+
 def _verify_candidates(
     cands: DataFrame, toks: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

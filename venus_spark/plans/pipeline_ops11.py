@@ -263,33 +263,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-wide signature recompute, verification touches candidate
     pairs only. This is exactly how the funnel stays O(batch) per
     ingest cycle at 100 TB."""
-    from venus_spark.operators.dedup import cross_candidate_pairs, jaccard, lsh_bands
+    from venus_spark.operators.dedup import incremental_near_dups
     from venus_spark.prepared import documents_minhash
 
     idx = documents_minhash(spark, sf_dir)
     is_new = (F.col("doc_id") % _INC_MOD) == 0
-    cands = cross_candidate_pairs(
-        lsh_bands(idx.filter(is_new)),
-        lsh_bands(idx.filter(~is_new)),
-        left_out="new_doc",
-        right_out="dup_doc",
-    )
-    hsets = idx.select("doc_id", F.col("_sh_h").alias("t"))
-    return (
-        cands.join(
-            hsets.select(F.col("doc_id").alias("new_doc"), F.col("t").alias("t_a")),
-            "new_doc",
-        )
-        .join(
-            hsets.select(F.col("doc_id").alias("dup_doc"), F.col("t").alias("t_b")),
-            "dup_doc",
-        )
-        .select(
-            "new_doc",
-            "dup_doc",
-            F.round(jaccard(F.col("t_a"), F.col("t_b")), 6).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") > _INC_T)
+    return incremental_near_dups(
+        idx.filter(is_new), idx.filter(~is_new), threshold=_INC_T
     )
 
 

@@ -52,6 +52,7 @@ from venus_spark.ingest import (
     parse_records,
     quarantined_records,
 )
+from venus_spark.operators import dedup as dedup_ops
 
 DEFAULT_TRIGGER_SECONDS = 5  # reference MAX_BATCH_AGE_SECONDS (settings.py:40-41)
 DEFAULT_MAX_FILES_PER_TRIGGER = 128  # queue-bound analog (venus/main.py:36)
@@ -326,6 +327,8 @@ def start_documents_ingest(
     checkpoint_dir: str,
     index_sf_dir: str,
     trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+    screen_near_dups: bool = False,
+    near_dup_threshold: float = 0.8,
 ) -> StreamingQuery:
     """Documents-table ingest with WRITE-TIME INDEX MAINTENANCE: each
     micro-batch lands exactly-once (idempotent ``_batch_id`` overwrite)
@@ -337,18 +340,50 @@ def start_documents_ingest(
     :func:`venus_spark.prepared.write_minhash_pending` /
     ``merge_minhash_pending`` for the pending/VACUUM pair).
 
-    Both writes are idempotent on ``_batch_id``, so a crash between
-    them (or between either and the checkpoint commit) replays into
-    exactly the same state — the table and its index cannot diverge
-    under retry. ``source`` is a parsed documents stream with columns
+    With ``screen_near_dups=True`` each micro-batch is additionally
+    screened against the LIVE index (base ∪ unmerged pending — the
+    state BEFORE this batch lands) through
+    :func:`venus_spark.operators.dedup.incremental_near_dups`, and the
+    verdicts (new_doc, dup_doc, jaccard_sim) land exactly-once in a
+    ``dup_verdicts`` side table — dedup-at-ingest, the production
+    posture of a training-data pipeline: a duplicate is known the
+    moment it arrives, not at the next corpus-wide dedup run. The
+    screen is O(batch): the batch's signatures are computed once and
+    reused for both the verdicts and the pending-list write; the
+    corpus side reads stored bands. Within-batch self-duplicates are
+    NOT flagged here (the batch indexes after screening); they fall
+    to the corpus-wide pass, the standard lambda split.
+
+    All writes are idempotent on ``_batch_id``, so a crash between
+    any of them (or between them and the checkpoint commit) replays
+    into exactly the same state — the table, its index, and the
+    verdict log cannot diverge under retry. (Verdict replay is also
+    deterministic: a replayed batch re-screens against a live view
+    that may meanwhile include later batches, but its own overwrite
+    only widens candidates for ITS rows — and its rows' corpus-side
+    matches are unchanged because the live view excludes the batch
+    itself.) ``source`` is a parsed documents stream with columns
     (doc_id, text, lang, source, n_chars)."""
     docs_dir = os.path.join(sink_dir, "documents")
+    verdicts_dir = os.path.join(sink_dir, "dup_verdicts")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         from venus_spark import prepared
 
         batch = batch.persist()
         try:
+            if screen_near_dups:
+                batch_idx = prepared._minhash_rows(batch).persist()
+                try:
+                    live = prepared.documents_minhash_live(
+                        batch.sparkSession, index_sf_dir
+                    )
+                    verdicts = dedup_ops.incremental_near_dups(
+                        batch_idx, live, threshold=near_dup_threshold
+                    )
+                    _write_idempotent(verdicts, verdicts_dir, batch_id)
+                finally:
+                    batch_idx.unpersist()
             _write_idempotent(batch, docs_dir, batch_id)
             prepared.write_minhash_pending(index_sf_dir, batch, batch_id)
         finally:
