@@ -808,3 +808,129 @@ def test_drop_event_chunks_unbuilt_layout_raises_value_error(tmp_path, monkeypat
     monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
     with pytest.raises(ValueError, match="events_by_date layout not built"):
         prepared.drop_event_chunks(str(tmp_path / "nosuch_sf"), "2024-01-15")
+
+
+def _mk_doc_sf(spark, tmp_path, name="del_sf"):
+    import os
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / name)
+    spark.read.parquet(os.path.join(src, "documents.parquet")).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def test_tombstone_delete_filters_every_document_index(spark, tmp_path, monkeypatch):
+    """Logical DELETE: after tombstoning, every document-index read —
+    MinHash (incl. the live view over a pending batch), trigram bloom,
+    and the rebuilt inverted index with its corpus-level df/stats —
+    serves exactly the state a fresh build over the remaining corpus
+    would, and near-dup search can no longer emit a deleted id. The
+    tombstone append is idempotent on batch_id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.operators.dedup import lsh_near_dup_pairs_from_index
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    # build everything first (indexes exist BEFORE the delete)
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_trgm(spark, sf)
+    prepared.documents_postings(spark, sf)
+    # a streamed pending batch that includes a doc we will delete
+    pend_rows = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    prepared.write_minhash_pending(sf, pend_rows, batch_id=0)
+
+    dead = [3, 17, 5001]  # two base docs + one pending doc
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)  # retry: no-op
+
+    live_ids = {
+        r["doc_id"]
+        for r in prepared.documents_minhash_live(spark, sf).select("doc_id").collect()
+    }
+    assert not (set(dead) & live_ids)
+    assert 5000 in live_ids  # surviving pending rows still served
+
+    trg_ids = {
+        r["doc_id"] for r in prepared.documents_trgm(spark, sf).select("doc_id").collect()
+    }
+    assert not (set(dead) & trg_ids)
+
+    # inverted index was rebuilt over the filtered corpus: identical to
+    # a fresh build over documents-minus-deleted, stats included
+    post, dfreq, stats = prepared.documents_postings(spark, sf)
+    assert post.filter(F.col("doc_id").isin(dead)).count() == 0
+    clean_sf = str(tmp_path / "clean_sf")
+    docs.filter(~F.col("doc_id").isin(dead)).write.parquet(
+        os.path.join(clean_sf, "documents.parquet")
+    )
+    post2, dfreq2, stats2 = prepared.documents_postings(spark, clean_sf)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(post) == key(post2)
+    assert key(dfreq) == key(dfreq2)
+    assert key(stats) == key(stats2)
+
+    # dedup search cannot emit a deleted id
+    pairs = lsh_near_dup_pairs_from_index(
+        prepared.documents_minhash_live(spark, sf), threshold=0.0
+    )
+    bad = pairs.filter(
+        F.col("id_a").isin(dead) | F.col("id_b").isin(dead)
+    ).count()
+    assert bad == 0
+
+
+def test_vacuum_tombstones_physical_idempotent_and_crash_safe(
+    spark, tmp_path, monkeypatch
+):
+    """Physical DELETE: vacuum folds pending, rewrites the row-local
+    indexes without the tombstoned rows (raw parquet no longer contains
+    them), carries the stamp so no rebuild is triggered, clears the
+    tombstone set, and is a no-op when re-run. A crash window that
+    leaves a complete tmp beside a displaced live dir recovers on the
+    next read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_trgm(spark, sf)
+    dead = [1, 2, 40]
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+
+    removed = prepared.vacuum_document_tombstones(spark, sf)
+    assert removed == 2 * len(dead)  # one row per doc in each of 2 indexes
+    assert prepared.document_tombstones(spark, sf) is None
+    assert prepared.vacuum_document_tombstones(spark, sf) == 0  # idempotent
+
+    mh_path = prepared.prepared_path(sf, "documents_minhash.parquet")
+    # raw (unfiltered) parquet no longer holds the rows
+    raw_ids = {r["doc_id"] for r in spark.read.parquet(mh_path).select("doc_id").collect()}
+    assert not (set(dead) & raw_ids)
+    # stamp carried: a re-ensure does NOT rebuild (same file listing)
+    before = sorted(os.listdir(mh_path))
+    prepared.documents_minhash(spark, sf)
+    assert sorted(os.listdir(mh_path)) == before
+
+    # crash window: complete tmp left beside displaced live dir
+    os.rename(mh_path, mh_path + ".vacuum.old")
+    shutil.copytree(mh_path + ".vacuum.old", mh_path + ".vacuum.tmp")
+    recovered = prepared.documents_minhash(spark, sf)
+    assert recovered.count() == len(raw_ids)
+    assert not os.path.exists(mh_path + ".vacuum.tmp")
+    assert not os.path.exists(mh_path + ".vacuum.old")

@@ -188,12 +188,16 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "k": 2,
             "salt": _BLOOM_SALT, "gram": 3, "layout": "array"}
     path = prepared_path(sf_dir, "documents_trgm.parquet")
+    _recover_swap(path, ".vacuum")  # finish any interrupted vacuum rewrite
     if not _is_built(path, meta):
         if os.path.exists(path):  # partial/failed/stale earlier build
             shutil.rmtree(path)
-        _trgm_rows(load_table(spark, sf_dir, "documents")).write.parquet(path)
+        _trgm_rows(
+            _anti_tombstones(spark, sf_dir, load_table(spark, sf_dir, "documents"))
+        ).write.parquet(path)
         _stamp(path, meta)
-    return spark.read.parquet(path)
+    # outstanding (not yet vacuumed) deletes filter at read
+    return _anti_tombstones(spark, sf_dir, spark.read.parquet(path))
 
 
 def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,13 +224,17 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh_hash": "hash31",
     }
     path = prepared_path(sf_dir, "documents_minhash.parquet")
+    _recover_swap(path, ".vacuum")  # finish any interrupted vacuum rewrite
     if not _is_built(path, meta):
         if os.path.exists(path):
             shutil.rmtree(path)
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _anti_tombstones(
+            spark, sf_dir, load_table(spark, sf_dir, "documents")
+        )
         _minhash_rows(docs).write.parquet(path)
         _stamp(path, meta)
-    return spark.read.parquet(path)
+    # outstanding (not yet vacuumed) deletes filter at read
+    return _anti_tombstones(spark, sf_dir, spark.read.parquet(path))
 
 
 def _minhash_rows(docs: DataFrame) -> DataFrame:
@@ -974,16 +982,17 @@ def documents_postings(
         for p in (post_path, dfreq_path, stats_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
+        live_docs = _anti_tombstones(
+            spark, sf_dir, load_table(spark, sf_dir, "documents")
+        )
         (
-            _postings_rows(load_table(spark, sf_dir, "documents"))
+            _postings_rows(live_docs)
             .repartitionByRange("term")
             .sortWithinPartitions("term", "doc_id")
             .write.parquet(post_path)
         )
         _write_dfreq(spark, post_path, dfreq_path)
-        n_docs, dl_sum = _doclen_counters(
-            load_table(spark, sf_dir, "documents")
-        )
+        n_docs, dl_sum = _doclen_counters(live_docs)
         _write_stats(spark, stats_path, n_docs, dl_sum)
         for p in (post_path, dfreq_path, stats_path):
             _stamp(p, meta)
@@ -1132,7 +1141,11 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = _read_merged(base)
         if merged:
             pend_df = pend_df.filter(~F.col("_batch_id").isin(sorted(merged)))
-        base_df = base_df.unionByName(pend_df.drop("_batch_id"))
+        # pending rows honor outstanding deletes too (base_df is already
+        # filtered inside documents_minhash)
+        base_df = base_df.unionByName(
+            _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
+        )
     return base_df
 
 
@@ -1344,3 +1357,119 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     documents_postings(spark, sf_dir)
     lsh_bands_bucketed(spark, sf_dir)
     bucketed_sales(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Document deletion (right-to-be-forgotten): tombstones + vacuum
+# --------------------------------------------------------------------------
+
+_TOMBSTONES = "doc_tombstones.parquet"
+
+
+def _tombstones_path(sf_dir: str) -> str:
+    return prepared_path(sf_dir, _TOMBSTONES)
+
+
+def document_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The current tombstone set (distinct ``doc_id``), or ``None`` when
+    no deletes are outstanding. Tombstones are tiny relative to the
+    corpus (deletes are the rare exception in an append-mostly corpus),
+    so the read-side filter below is a broadcast anti-join."""
+    p = _tombstones_path(sf_dir)
+    if not os.path.isdir(p) or not any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
+def _anti_tombstones(
+    spark: SparkSession, sf_dir: str, df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Filter tombstoned documents out of an index/table read — a
+    broadcast LEFT ANTI join against the (small) tombstone set; a
+    no-op when no deletes are outstanding."""
+    tb = document_tombstones(spark, sf_dir)
+    if tb is None:
+        return df
+    if id_col != "doc_id":
+        tb = tb.withColumnRenamed("doc_id", id_col)
+    return df.join(F.broadcast(tb), id_col, "left_anti")
+
+
+def tombstone_documents(
+    spark: SparkSession, sf_dir: str, doc_ids, batch_id: int
+) -> None:
+    """DELETE for documents — the right-to-be-forgotten path of a
+    training-data engine, mirroring how every lakehouse handles it:
+    the delete is recorded LOGICALLY first (a tombstone set all
+    document-index reads anti-join against, effective immediately),
+    and made PHYSICAL later by :func:`vacuum_document_tombstones`.
+    Queries are never wrong in between; they are only carrying a small
+    extra filter.
+
+    The row-local indexes (MinHash/signature, trigram bloom) absorb
+    deletes through the read filter alone — a row's entries depend only
+    on that row. The inverted index carries CORPUS-level aggregates
+    (per-term df, n_docs/avgdl stats) that a row filter cannot fix, so
+    its artifacts are dropped for lazy rebuild over the filtered corpus
+    — the same cannot-absorb-so-invalidate policy the bucketed band
+    table applies on append (stale-serving is the one failure mode
+    never allowed). ``batch_id`` makes retries idempotent, exactly like
+    the append paths (same-id-same-ids contract)."""
+    ids = doc_ids if isinstance(doc_ids, DataFrame) else spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    )
+    _append_batch_files(ids.select("doc_id"), _tombstones_path(sf_dir), batch_id)
+    for name in (
+        "documents_postings.parquet",
+        "documents_dfreq.parquet",
+        "documents_stats.parquet",
+    ):
+        p = prepared_path(sf_dir, name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    _drop_lsh_bands(spark, sf_dir)
+
+
+def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
+    """Make outstanding deletes PHYSICAL: fold the minhash pending list
+    (so streamed rows are in the base), rewrite each row-local document
+    index without the tombstoned rows through the same crash-safe
+    tmp/old swap the recluster and retention jobs use (stamp, batch
+    manifest, and merged-batch manifest are all carried across), then
+    clear the tombstone set. Any crash window leaves a state where the
+    read-side filter still applies — never a resurrected row — and the
+    next vacuum completes the job. Returns the number of index rows
+    physically removed."""
+    tb = document_tombstones(spark, sf_dir)
+    if tb is None:
+        return 0
+    merge_minhash_pending(spark, sf_dir)
+    removed = 0
+    for name in ("documents_minhash.parquet", "documents_trgm.parquet"):
+        path = prepared_path(sf_dir, name)
+        _recover_swap(path, ".vacuum")
+        if not os.path.exists(path):
+            continue
+        meta = _read_meta(path)
+        manifest = _read_abatch_manifest(path)
+        merged = _read_merged(path)
+        tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        cur = spark.read.parquet(path)
+        n0 = cur.count()
+        cur.join(F.broadcast(tb), "doc_id", "left_anti").write.parquet(tmp)
+        removed += n0 - spark.read.parquet(tmp).count()
+        _stamp(tmp, meta)
+        if manifest:
+            _write_abatch_manifest(tmp, manifest)
+        if merged:
+            _write_merged(tmp, merged)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    shutil.rmtree(_tombstones_path(sf_dir))
+    return removed
