@@ -894,10 +894,12 @@ def test_vacuum_tombstones_physical_idempotent_and_crash_safe(
 ):
     """Physical DELETE: vacuum folds pending, rewrites the row-local
     indexes without the tombstoned rows (raw parquet no longer contains
-    them), carries the stamp so no rebuild is triggered, clears the
-    tombstone set, and is a no-op when re-run. A crash window that
-    leaves a complete tmp beside a displaced live dir recovers on the
-    next read."""
+    them), carries the stamp so no rebuild is triggered, and a re-run
+    removes nothing (and rewrites nothing). The tombstone set is
+    RETAINED as the durable delete record — a post-vacuum index rebuild
+    from the (unowned, still-complete) base table must not resurrect
+    the rows. A crash window that leaves a complete tmp beside a
+    displaced live dir recovers on the next read."""
     import os
     import shutil
 
@@ -915,10 +917,21 @@ def test_vacuum_tombstones_physical_idempotent_and_crash_safe(
 
     removed = prepared.vacuum_document_tombstones(spark, sf)
     assert removed == 2 * len(dead)  # one row per doc in each of 2 indexes
-    assert prepared.document_tombstones(spark, sf) is None
-    assert prepared.vacuum_document_tombstones(spark, sf) == 0  # idempotent
+    # the delete record survives the vacuum (deletion-vector semantics)
+    assert prepared.document_tombstones(spark, sf) is not None
 
     mh_path = prepared.prepared_path(sf, "documents_minhash.parquet")
+    listing_after_vacuum = sorted(os.listdir(mh_path))
+    assert prepared.vacuum_document_tombstones(spark, sf) == 0  # no-op re-run
+    assert sorted(os.listdir(mh_path)) == listing_after_vacuum  # no rewrite
+
+    # a forced rebuild from the still-complete base must NOT resurrect
+    shutil.rmtree(mh_path)
+    rebuilt_ids = {
+        r["doc_id"]
+        for r in prepared.documents_minhash(spark, sf).select("doc_id").collect()
+    }
+    assert not (set(dead) & rebuilt_ids)
     # raw (unfiltered) parquet no longer holds the rows
     raw_ids = {r["doc_id"] for r in spark.read.parquet(mh_path).select("doc_id").collect()}
     assert not (set(dead) & raw_ids)

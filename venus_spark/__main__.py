@@ -14,6 +14,8 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark maintain recluster [--sf DIR]
     python -m venus_spark maintain drop-chunks --before YYYY-MM-DD [--sf DIR]
     python -m venus_spark maintain merge-index [--sf DIR]
+    python -m venus_spark maintain delete-docs --ids 1,2,3 [--batch-id N] [--sf DIR]
+    python -m venus_spark maintain vacuum-deletes [--sf DIR]
                                                     # scheduled maintenance:
                                                     # OPTIMIZE / retention /
                                                     # index VACUUM
@@ -151,6 +153,22 @@ def cmd_maintain(args) -> int:
     elif args.op == "merge-index":
         n = prepared.merge_minhash_pending(_spark(), args.sf)
         print(f"merged {n} pending index batch(es)")
+    elif args.op == "delete-docs":
+        if not args.ids:
+            print("delete-docs requires --ids id[,id...]", file=sys.stderr)
+            return 2
+        try:
+            ids = [int(x) for x in args.ids.split(",") if x.strip()]
+        except ValueError:
+            print(f"delete-docs: non-integer id in {args.ids!r}", file=sys.stderr)
+            return 2
+        prepared.tombstone_documents(
+            _spark(), args.sf, ids, batch_id=args.batch_id
+        )
+        print(f"tombstoned {len(ids)} document(s) (batch {args.batch_id})")
+    elif args.op == "vacuum-deletes":
+        n = prepared.vacuum_document_tombstones(_spark(), args.sf)
+        print(f"vacuumed {n} index row(s) for tombstoned documents")
     return 0
 
 
@@ -186,13 +204,29 @@ def main(argv: list[str] | None = None) -> int:
     mt = sub.add_parser(
         "maintain", help="scheduled maintenance: OPTIMIZE / retention / index VACUUM"
     )
-    mt.add_argument("op", choices=["recluster", "drop-chunks", "merge-index"])
+    mt.add_argument(
+        "op",
+        choices=[
+            "recluster",
+            "drop-chunks",
+            "merge-index",
+            "delete-docs",
+            "vacuum-deletes",
+        ],
+    )
     mt.add_argument("--sf", default=DEFAULT_SF)
     mt.add_argument("--before", help="retention cutoff date (drop-chunks)")
     mt.add_argument(
         "--drop-aggregates",
         action="store_true",
         help="also apply the retention cutoff to the rollup/HLL aggregates",
+    )
+    mt.add_argument("--ids", help="comma-separated doc ids (delete-docs)")
+    mt.add_argument(
+        "--batch-id",
+        type=int,
+        default=0,
+        help="idempotency id for the delete batch (delete-docs)",
     )
 
     args = ap.parse_args(argv)

@@ -1433,15 +1433,26 @@ def tombstone_documents(
 
 
 def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
-    """Make outstanding deletes PHYSICAL: fold the minhash pending list
-    (so streamed rows are in the base), rewrite each row-local document
-    index without the tombstoned rows through the same crash-safe
-    tmp/old swap the recluster and retention jobs use (stamp, batch
-    manifest, and merged-batch manifest are all carried across), then
-    clear the tombstone set. Any crash window leaves a state where the
-    read-side filter still applies — never a resurrected row — and the
-    next vacuum completes the job. Returns the number of index rows
-    physically removed."""
+    """Make outstanding deletes PHYSICAL in the index artifacts: fold
+    the minhash pending list (so streamed rows are in the base), then
+    rewrite each row-local document index without the tombstoned rows
+    through the same crash-safe tmp/old swap the recluster and
+    retention jobs use (stamp, batch manifest, and merged-batch
+    manifest are all carried across). An index already holding none of
+    the tombstoned rows is skipped, so a re-run is a cheap no-op. Any
+    crash window leaves a state where the read-side filter still
+    applies — never a resurrected row — and the next read or vacuum
+    completes the swap. Returns the number of index rows physically
+    removed.
+
+    The tombstone SET is deliberately RETAINED — it is the durable
+    delete record, exactly like a lakehouse deletion-vector file that
+    only disappears when the underlying data files are rewritten: this
+    engine does not own the base ``documents`` table, so a future
+    index (re)build must still see the delete or the rows would
+    resurrect. The set stays broadcast-small (deletes are the rare
+    exception), and the read-side anti-join over an already-vacuumed
+    index filters nothing but costs one small broadcast."""
     tb = document_tombstones(spark, sf_dir)
     if tb is None:
         return 0
@@ -1452,6 +1463,10 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         _recover_swap(path, ".vacuum")
         if not os.path.exists(path):
             continue
+        cur = spark.read.parquet(path)
+        n_dead = cur.join(F.broadcast(tb), "doc_id", "left_semi").count()
+        if n_dead == 0:
+            continue  # already physical for this index
         meta = _read_meta(path)
         manifest = _read_abatch_manifest(path)
         merged = _read_merged(path)
@@ -1459,10 +1474,7 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         for stale in (tmp, old):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
-        cur = spark.read.parquet(path)
-        n0 = cur.count()
         cur.join(F.broadcast(tb), "doc_id", "left_anti").write.parquet(tmp)
-        removed += n0 - spark.read.parquet(tmp).count()
         _stamp(tmp, meta)
         if manifest:
             _write_abatch_manifest(tmp, manifest)
@@ -1471,5 +1483,5 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
-    shutil.rmtree(_tombstones_path(sf_dir))
+        removed += n_dead
     return removed
