@@ -947,3 +947,69 @@ def test_vacuum_tombstones_physical_idempotent_and_crash_safe(
     assert recovered.count() == len(raw_ids)
     assert not os.path.exists(mh_path + ".vacuum.tmp")
     assert not os.path.exists(mh_path + ".vacuum.old")
+
+
+def test_embedding_tombstones_filter_vacuum_and_rebuild(spark, tmp_path, monkeypatch):
+    """Vector-side DELETE: tombstoned vec_ids vanish from the IVF
+    vector layout and the PQ codes reads immediately, the vacuum makes
+    it physical while preserving the label-partitioned layout and the
+    PQ stamp (no rebuild triggered), re-running removes nothing, the
+    tombstone record survives, and a forced rebuild from the unowned
+    base cannot resurrect the vectors. Centroids and codebook are
+    retained by design (approximate routing structures)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "emb_sf")
+    spark.read.parquet(os.path.join(src, "embeddings.parquet")).write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    n_all = spark.read.parquet(os.path.join(sf, "embeddings.parquet")).count()
+
+    vecs, cents = prepared.embeddings_ivf(spark, sf)
+    codes, cb = prepared.embeddings_pq(spark, sf)
+    n_cents = cents.count()
+
+    dead = [0, 7, 33]
+    prepared.tombstone_embeddings(spark, sf, dead, batch_id=0)
+
+    vecs, cents = prepared.embeddings_ivf(spark, sf)
+    codes, cb = prepared.embeddings_pq(spark, sf)
+    assert vecs.filter(F.col("vec_id").isin(dead)).count() == 0
+    assert codes.filter(F.col("vec_id").isin(dead)).count() == 0
+    assert vecs.count() == n_all - len(dead)
+    assert cents.count() == n_cents  # routing structure retained
+
+    removed = prepared.vacuum_embedding_tombstones(spark, sf)
+    assert removed == 2 * len(dead)
+    assert prepared.vacuum_embedding_tombstones(spark, sf) == 0  # no-op
+
+    codes_path = prepared.prepared_path(sf, "embeddings_pq_codes.parquet")
+    # physical: raw read excludes; label= partition dirs preserved
+    raw = spark.read.parquet(codes_path)
+    assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+    assert any(d.startswith("label=") for d in os.listdir(codes_path))
+    # stamp carried -> re-ensure does not rebuild
+    before = sorted(os.listdir(codes_path))
+    prepared.embeddings_pq(spark, sf)
+    assert sorted(os.listdir(codes_path)) == before
+
+    # crash window on the IVF layout: complete tmp + displaced live dir
+    ivf_path = prepared.prepared_path(sf, "embeddings_ivf.parquet")
+    os.rename(ivf_path, ivf_path + ".vacuum.old")
+    shutil.copytree(ivf_path + ".vacuum.old", ivf_path + ".vacuum.tmp")
+    vecs2, _ = prepared.embeddings_ivf(spark, sf)
+    assert vecs2.count() == n_all - len(dead)
+    assert not os.path.exists(ivf_path + ".vacuum.tmp")
+    assert not os.path.exists(ivf_path + ".vacuum.old")
+
+    # forced rebuild: tombstone record still guards the unowned base
+    shutil.rmtree(codes_path)
+    codes3, _ = prepared.embeddings_pq(spark, sf)
+    assert codes3.filter(F.col("vec_id").isin(dead)).count() == 0

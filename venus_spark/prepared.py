@@ -447,16 +447,23 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     centroid aggregation on every search."""
     vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
+    _recover_swap(vec_path, ".vacuum")  # finish any interrupted vacuum
     if not (_is_built(vec_path) and _is_built(cent_path)):
         for p in (vec_path, cent_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
         from venus_spark.operators.similarity import centroid_arrays
 
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _anti_vec_tombstones(
+            spark, sf_dir, load_table(spark, sf_dir, "embeddings")
+        )
         emb.write.partitionBy("label").parquet(vec_path)
         centroid_arrays(emb).write.parquet(cent_path)
-    return spark.read.parquet(vec_path), spark.read.parquet(cent_path)
+    # outstanding (not yet vacuumed) vector deletes filter at read
+    return (
+        _anti_vec_tombstones(spark, sf_dir, spark.read.parquet(vec_path)),
+        spark.read.parquet(cent_path),
+    )
 
 
 def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -484,11 +491,14 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     }
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
+    _recover_swap(codes_path, ".vacuum")  # finish any interrupted vacuum
     if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)):
         for p in (codes_path, cb_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _anti_vec_tombstones(
+            spark, sf_dir, load_table(spark, sf_dir, "embeddings")
+        )
         codebook = sim.pq_codebook_rows(emb)
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(codebook)],
@@ -506,7 +516,10 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         )
         _stamp(codes_path, meta)
         _stamp(cb_path, meta)
-    return spark.read.parquet(codes_path), spark.read.parquet(cb_path)
+    return (
+        _anti_vec_tombstones(spark, sf_dir, spark.read.parquet(codes_path)),
+        spark.read.parquet(cb_path),
+    )
 
 
 _ROLLUP_META = {"bucket": "hour", "partials": ["n", "sum_dec"]}
@@ -1480,6 +1493,91 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
             _write_abatch_manifest(tmp, manifest)
         if merged:
             _write_merged(tmp, merged)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        removed += n_dead
+    return removed
+
+
+# --------------------------------------------------------------------------
+# Embedding deletion: the vector-side twin of the document tombstones
+# --------------------------------------------------------------------------
+
+_VEC_TOMBSTONES = "vec_tombstones.parquet"
+
+
+def embedding_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Current embedding tombstone set (distinct ``vec_id``), or
+    ``None`` when no vector deletes are outstanding."""
+    p = prepared_path(sf_dir, _VEC_TOMBSTONES)
+    if not os.path.isdir(p) or not any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p).select("vec_id").distinct()
+
+
+def _anti_vec_tombstones(
+    spark: SparkSession, sf_dir: str, df: DataFrame
+) -> DataFrame:
+    tb = embedding_tombstones(spark, sf_dir)
+    if tb is None:
+        return df
+    return df.join(F.broadcast(tb), "vec_id", "left_anti")
+
+
+def tombstone_embeddings(
+    spark: SparkSession, sf_dir: str, vec_ids, batch_id: int
+) -> None:
+    """DELETE for embedding vectors — same tombstone-then-vacuum shape
+    as :func:`tombstone_documents`. The IVF centroid table and the PQ
+    codebook are deliberately NOT invalidated: they are approximate
+    routing/encoding structures whose quality degrades gracefully as
+    vectors leave (FAISS keeps its coarse quantizer and codebooks on
+    remove_ids for the same reason); correctness lives in the vector
+    and code rows, which the read filter and the vacuum govern."""
+    ids = vec_ids if isinstance(vec_ids, DataFrame) else spark.createDataFrame(
+        [(int(i),) for i in vec_ids], "vec_id long"
+    )
+    _append_batch_files(
+        ids.select("vec_id"), prepared_path(sf_dir, _VEC_TOMBSTONES), batch_id
+    )
+
+
+def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
+    """Physically remove tombstoned vectors from the IVF vector layout
+    and the PQ codes table (label-partitioned writes preserved, stamps
+    carried, same crash-safe swap + retained-tombstone semantics as the
+    document vacuum). Returns rows removed."""
+    tb = embedding_tombstones(spark, sf_dir)
+    if tb is None:
+        return 0
+    removed = 0
+    for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet"):
+        path = prepared_path(sf_dir, name)
+        _recover_swap(path, ".vacuum")
+        if not os.path.exists(path):
+            continue
+        cur = spark.read.parquet(path)
+        n_dead = cur.join(F.broadcast(tb), "vec_id", "left_semi").count()
+        if n_dead == 0:
+            continue
+        try:
+            meta = _read_meta(path)  # the IVF layout carries no stamp
+        except OSError:
+            meta = None
+        tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        (
+            cur.join(F.broadcast(tb), "vec_id", "left_anti")
+            .write.partitionBy("label")
+            .parquet(tmp)
+        )
+        if meta:
+            _stamp(tmp, meta)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
