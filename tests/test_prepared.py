@@ -879,6 +879,14 @@ def test_tombstone_delete_filters_every_document_index(spark, tmp_path, monkeypa
     assert key(dfreq) == key(dfreq2)
     assert key(stats) == key(stats2)
 
+    # a retry of the committed delete batch must NOT re-drop the
+    # already-rebuilt postings artifacts (review r5: the drop loop ran
+    # before the manifest check, forcing a pointless full rebuild)
+    post_path = prepared.prepared_path(sf, "documents_postings.parquet")
+    assert os.path.isdir(post_path)
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+    assert os.path.isdir(post_path)
+
     # dedup search cannot emit a deleted id
     pairs = lsh_near_dup_pairs_from_index(
         prepared.documents_minhash_live(spark, sf), threshold=0.0
@@ -1013,3 +1021,14 @@ def test_embedding_tombstones_filter_vacuum_and_rebuild(spark, tmp_path, monkeyp
     shutil.rmtree(codes_path)
     codes3, _ = prepared.embeddings_pq(spark, sf)
     assert codes3.filter(F.col("vec_id").isin(dead)).count() == 0
+
+
+def test_cli_delete_docs_requires_explicit_batch_id(capsys):
+    """Review r5: an implicit --batch-id default silently no-ops a
+    second logical delete (same id = committed = retry). The CLI must
+    refuse instead."""
+    from venus_spark.__main__ import main
+
+    rc = main(["maintain", "delete-docs", "--ids", "1,2"])
+    assert rc == 2
+    assert "--batch-id" in capsys.readouterr().err

@@ -130,3 +130,118 @@ def test_streaming_near_dup_screen_at_ingest(spark, tmp_path, monkeypatch):
     # completed-checkpoint rerun: nothing reprocesses, nothing duplicates
     run()
     assert sorted(verdict_rows()) == sorted(got)
+
+
+def test_screen_replay_never_self_matches(spark, tmp_path, monkeypatch):
+    """Review r5 finding: a crash-replayed batch already has its own
+    rows in the pending area, so without the corpus-side exclusion the
+    re-screen would flag every replayed document as a duplicate of
+    itself (jaccard 1.0). Simulated by re-running the stream with a
+    FRESH checkpoint (a full replay of all files) over the already-
+    populated pending area — the verdict log must be unchanged and
+    contain no self-pairs."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.streaming import read_sink_table, start_documents_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [r.asDict() for r in docs.filter(F.col("doc_id") % 3 == 0).collect()]
+    (landing / "batch0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+
+    def run(ck):
+        q = start_documents_ingest(
+            spark.readStream.schema(docs.schema).json(str(landing)),
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / ck),
+            index_sf_dir=sf,
+            trigger_seconds=None,
+            screen_near_dups=True,
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    first = sorted(
+        (r["new_doc"], r["dup_doc"], r["jaccard_sim"])
+        for r in read_sink_table(spark, str(tmp_path / "sink"), "dup_verdicts").collect()
+    )
+    assert first  # the %3 split has crossing near-dups at sf0.001
+
+    # full replay: fresh checkpoint, pending partition already landed
+    run("ck2")
+    replayed = sorted(
+        (r["new_doc"], r["dup_doc"], r["jaccard_sim"])
+        for r in read_sink_table(spark, str(tmp_path / "sink"), "dup_verdicts").collect()
+    )
+    assert replayed == first
+    assert all(n != d for n, d, _ in replayed)  # no self-pairs, ever
+
+
+def test_screen_with_no_duplicates_writes_no_verdict_files(spark, tmp_path, monkeypatch):
+    """Review r5 finding: an empty dynamic-overwrite parquet write
+    lands no data files and leaves an uninferrable directory. A batch
+    with zero near-dups must therefore write nothing at all — the
+    verdict table materializes on the first actual duplicate."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.streaming import start_documents_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 50).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # unique texts that cannot reach 0.8 shingle jaccard with anything
+    rows = [
+        {"doc_id": 9000 + i, "text": f"zq{i} wv{i} xr{i} yt{i} uk{i} pj{i}",
+         "lang": "xx", "source": "synthetic", "n_chars": 30}
+        for i in range(3)
+    ]
+    (landing / "b.json").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    q = start_documents_ingest(
+        spark.readStream.schema(docs.schema).json(str(landing)),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_sf_dir=sf,
+        trigger_seconds=None,
+        screen_near_dups=True,
+    )
+    q.awaitTermination()
+
+    vdir = tmp_path / "sink" / "dup_verdicts"
+    if vdir.exists():  # nothing parquet-readable may exist
+        data = [p for p in vdir.rglob("*.parquet")]
+        assert not data
+    # the documents themselves still landed and were indexed
+    assert (tmp_path / "sink" / "documents").exists()
+    live_ids = {
+        r["doc_id"]
+        for r in prepared.documents_minhash_live(spark, sf).select("doc_id").collect()
+    }
+    assert {9000, 9001, 9002} <= live_ids

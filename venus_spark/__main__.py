@@ -14,7 +14,7 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark maintain recluster [--sf DIR]
     python -m venus_spark maintain drop-chunks --before YYYY-MM-DD [--sf DIR]
     python -m venus_spark maintain merge-index [--sf DIR]
-    python -m venus_spark maintain delete-docs --ids 1,2,3 [--batch-id N] [--sf DIR]
+    python -m venus_spark maintain delete-docs --ids 1,2,3 --batch-id N [--sf DIR]
     python -m venus_spark maintain vacuum-deletes [--sf DIR]
                                                     # scheduled maintenance:
                                                     # OPTIMIZE / retention /
@@ -157,18 +157,36 @@ def cmd_maintain(args) -> int:
         if not args.ids:
             print("delete-docs requires --ids id[,id...]", file=sys.stderr)
             return 2
+        if args.batch_id is None:
+            # an implicit default would silently no-op the second delete
+            # (same batch id = already-committed = retry no-op)
+            print(
+                "delete-docs requires an explicit --batch-id N "
+                "(a fresh id per logical delete; reuse an id only to "
+                "retry that same delete)",
+                file=sys.stderr,
+            )
+            return 2
         try:
             ids = [int(x) for x in args.ids.split(",") if x.strip()]
         except ValueError:
             print(f"delete-docs: non-integer id in {args.ids!r}", file=sys.stderr)
             return 2
-        prepared.tombstone_documents(
-            _spark(), args.sf, ids, batch_id=args.batch_id
+        spark = _spark()
+        prepared.tombstone_documents(spark, args.sf, ids, batch_id=args.batch_id)
+        # documents and embeddings share the id space in this corpus
+        # (doc_id == vec_id): a forgotten document must also leave the
+        # vector indexes or dense retrieval keeps resurfacing it.
+        prepared.tombstone_embeddings(spark, args.sf, ids, batch_id=args.batch_id)
+        print(
+            f"tombstoned {len(ids)} document(s) + their vectors "
+            f"(batch {args.batch_id})"
         )
-        print(f"tombstoned {len(ids)} document(s) (batch {args.batch_id})")
     elif args.op == "vacuum-deletes":
-        n = prepared.vacuum_document_tombstones(_spark(), args.sf)
-        print(f"vacuumed {n} index row(s) for tombstoned documents")
+        spark = _spark()
+        n = prepared.vacuum_document_tombstones(spark, args.sf)
+        n += prepared.vacuum_embedding_tombstones(spark, args.sf)
+        print(f"vacuumed {n} index row(s) for tombstoned documents/vectors")
     return 0
 
 
@@ -225,8 +243,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument(
         "--batch-id",
         type=int,
-        default=0,
-        help="idempotency id for the delete batch (delete-docs)",
+        default=None,
+        help="idempotency id for the delete batch (delete-docs; required, "
+        "fresh per logical delete — reuse only to retry the same delete)",
     )
 
     args = ap.parse_args(argv)

@@ -78,6 +78,12 @@ def ingest_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # get_json_object per field — each JsonPath call re-parses the whole
     # string (3 parses/row -> 1; measured 3.3 s -> 2.6 s at sf0.1).
     # Same lesson as the streaming sink's parse-at-INSERT VARIANT column.
+    # Null-semantics note: from_json rejects a type-mismatched token
+    # (e.g. a QUOTED number for a LongType field) where
+    # get_json_object + cast would coerce it; safe here because `data`
+    # is re-serialized by our own A8 step from typed columns, so field
+    # types cannot drift. Free-form payloads should keep per-field
+    # extraction or a permissive schema.
     data_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

@@ -108,6 +108,30 @@ SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
 """
 
 
+def _rrf_fused(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFrame:
+    """The fusion stage shared by both hybrid plans (one copy, so the
+    fused semantics cannot fork): dense cosine top-k for the fixed
+    query vector, bounded-aggregate ranks over both k-row lists (no
+    WindowExec — see _rank_bounded), full outer join on doc_id, RRF
+    score, final top-k."""
+    from venus_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )  # bounded single-row fetch, same idiom as sim_cosine_topk
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = _rank_bounded(lex, "bm25", "r_lex").join(
+        _rank_bounded(vec, "cosine_sim", "r_vec"), "doc_id", "full"
+    ).select("doc_id", F.expr(_RRF_SCORE).alias("rrf"))
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+
+
 @plan("hybrid_search_rrf", oracle=_rrf_oracle())
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: fuse the BM25 lexical top-k and the dense cosine
@@ -124,31 +148,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over LIMIT-k inputs are constant-bounded by construction
     (NOT data-sized single-partition windows; the corpus never flows
     through them)."""
-    from venus_spark.operators.similarity import brute_force_topk
     from venus_spark.plans.pipeline_ops6 import bm25_topk
 
-    lex = bm25_topk(spark, sf_dir)  # top-_BM25_TOPK (=20) by construction
-    emb = load_table(spark, sf_dir, "embeddings")
-    qrow = (
-        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )  # bounded single-row fetch, same idiom as sim_cosine_topk
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
-    vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
-
-    # Ranks over the k-row lists WITHOUT a window: collect the bounded
-    # list into one array, sort by (-score, id), posexplode — a k-row
-    # aggregate, so no WindowExec (and no single-partition window WARN)
-    # ever appears, at any corpus size.
-    lex_r = _rank_bounded(lex, "bm25", "r_lex")
-    vec_r = _rank_bounded(vec, "cosine_sim", "r_vec")
-    fused = lex_r.join(vec_r, "doc_id", "full").select(
-        "doc_id", F.expr(_RRF_SCORE).alias("rrf")
-    )
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+    return _rrf_fused(spark, sf_dir, bm25_topk(spark, sf_dir))
 
 
 @plan("hybrid_search_rrf_prepared", oracle=_rrf_oracle())
@@ -161,24 +163,9 @@ def hybrid_search_rrf_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle — are identical. At 100 TB the dense side swaps to the
     IVF-partition-pruned probe (sim_ivf_topk_prepared) for a fully
     index-served hybrid; the fusion stage is unchanged either way."""
-    from venus_spark.operators.similarity import brute_force_topk
     from venus_spark.plans.pipeline_ops6 import bm25_topk_prepared
 
-    lex = bm25_topk_prepared(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    qrow = (
-        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
-    vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
-    fused = _rank_bounded(lex, "bm25", "r_lex").join(
-        _rank_bounded(vec, "cosine_sim", "r_vec"), "doc_id", "full"
-    ).select("doc_id", F.expr(_RRF_SCORE).alias("rrf"))
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+    return _rrf_fused(spark, sf_dir, bm25_topk_prepared(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

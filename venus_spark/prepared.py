@@ -1092,7 +1092,12 @@ def _pending_path(sf_dir: str, index_name: str) -> str:
 _MINHASH_INDEX = "documents_minhash.parquet"
 
 
-def write_minhash_pending(sf_dir: str, batch_docs: DataFrame, batch_id: int) -> None:
+def write_minhash_pending(
+    sf_dir: str,
+    batch_docs: DataFrame,
+    batch_id: int,
+    index_rows: DataFrame | None = None,
+) -> None:
     """Pending-list index maintenance for a streaming micro-batch — the
     analog of PostgreSQL GIN's ``fastupdate`` path, which is what
     actually services the reference's per-INSERT index upkeep: new
@@ -1102,9 +1107,13 @@ def write_minhash_pending(sf_dir: str, batch_docs: DataFrame, batch_id: int) -> 
     partition overwrite, so a replayed micro-batch rewrites exactly its
     own partition — the same exactly-once discipline as the streaming
     sinks. Readers use :func:`documents_minhash_live`; a periodic
-    :func:`merge_minhash_pending` is the VACUUM."""
+    :func:`merge_minhash_pending` is the VACUUM. ``index_rows`` lets a
+    caller that already derived the batch's index rows (e.g. the
+    ingest-time near-dup screen) reuse them instead of paying the
+    shingle/hash/MIN-aggregate pass a second time."""
+    rows = index_rows if index_rows is not None else _minhash_rows(batch_docs)
     (
-        _minhash_rows(batch_docs)
+        rows
         .withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1430,10 +1439,17 @@ def tombstone_documents(
     table applies on append (stale-serving is the one failure mode
     never allowed). ``batch_id`` makes retries idempotent, exactly like
     the append paths (same-id-same-ids contract)."""
+    if batch_id in _read_abatch_manifest(_tombstones_path(sf_dir)):
+        return  # delete batch fully committed earlier — retry is a no-op
     ids = doc_ids if isinstance(doc_ids, DataFrame) else spark.createDataFrame(
         [(int(i),) for i in doc_ids], "doc_id long"
     )
-    _append_batch_files(ids.select("doc_id"), _tombstones_path(sf_dir), batch_id)
+    # Drop the aggregate-bearing artifacts BEFORE committing the
+    # tombstones: a crash in between leaves the pre-delete state (drop
+    # is rebuild-safe, the delete is simply not recorded yet and the
+    # retry completes it), whereas the reverse order would leave a
+    # committed delete that documents_postings — which has no row
+    # filter — keeps serving until some later invalidation.
     for name in (
         "documents_postings.parquet",
         "documents_dfreq.parquet",
@@ -1443,6 +1459,7 @@ def tombstone_documents(
         if os.path.exists(p):
             shutil.rmtree(p)
     _drop_lsh_bands(spark, sf_dir)
+    _append_batch_files(ids.select("doc_id"), _tombstones_path(sf_dir), batch_id)
 
 
 def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:

@@ -357,35 +357,56 @@ def start_documents_ingest(
     All writes are idempotent on ``_batch_id``, so a crash between
     any of them (or between them and the checkpoint commit) replays
     into exactly the same state — the table, its index, and the
-    verdict log cannot diverge under retry. (Verdict replay is also
-    deterministic: a replayed batch re-screens against a live view
-    that may meanwhile include later batches, but its own overwrite
-    only widens candidates for ITS rows — and its rows' corpus-side
-    matches are unchanged because the live view excludes the batch
-    itself.) ``source`` is a parsed documents stream with columns
-    (doc_id, text, lang, source, n_chars)."""
+    verdict log cannot diverge under retry. Verdict replay is safe
+    because the corpus side explicitly anti-joins the batch's own doc
+    ids out of the live view: a replayed batch whose pending partition
+    already landed would otherwise match every one of its documents
+    against itself. ``source`` is a parsed documents stream with
+    columns (doc_id, text, lang, source, n_chars)."""
     docs_dir = os.path.join(sink_dir, "documents")
     verdicts_dir = os.path.join(sink_dir, "dup_verdicts")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
         from venus_spark import prepared
 
         batch = batch.persist()
         try:
+            batch_idx = None
             if screen_near_dups:
                 batch_idx = prepared._minhash_rows(batch).persist()
-                try:
-                    live = prepared.documents_minhash_live(
-                        batch.sparkSession, index_sf_dir
-                    )
-                    verdicts = dedup_ops.incremental_near_dups(
-                        batch_idx, live, threshold=near_dup_threshold
-                    )
+                # The corpus side must never contain the batch's OWN
+                # rows: a crash-replayed batch already sits in the
+                # pending area (only MERGED batches are excluded from
+                # the live view), and without this anti-join every
+                # replayed document would match its own index row and
+                # be flagged a duplicate of itself (jaccard 1.0).
+                # Excluding by id is identity-correct: id X in the
+                # corpus IS this document, never a near-dup of it.
+                live = prepared.documents_minhash_live(
+                    batch.sparkSession, index_sf_dir
+                ).join(
+                    F.broadcast(batch.select("doc_id").distinct()),
+                    "doc_id",
+                    "left_anti",
+                )
+                verdicts = dedup_ops.incremental_near_dups(
+                    batch_idx, live, threshold=near_dup_threshold
+                ).persist()
+                # Skip the write when the batch has no duplicates: an
+                # empty dynamic-overwrite parquet write lands no data
+                # files (schema would be unrecoverable for readers);
+                # the verdict table materializes on the first dup.
+                if verdicts.limit(1).count() > 0:
                     _write_idempotent(verdicts, verdicts_dir, batch_id)
-                finally:
-                    batch_idx.unpersist()
+                verdicts.unpersist()
             _write_idempotent(batch, docs_dir, batch_id)
-            prepared.write_minhash_pending(index_sf_dir, batch, batch_id)
+            prepared.write_minhash_pending(
+                index_sf_dir, batch, batch_id, index_rows=batch_idx
+            )
+            if batch_idx is not None:
+                batch_idx.unpersist()
         finally:
             batch.unpersist()
 
