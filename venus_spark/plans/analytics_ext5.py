@@ -143,3 +143,119 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# --------------------------------------------------------------------------
+
+_RFM_ASOF = "2001-09-01"  # analysis date: just past the last order date
+
+# One shared tier string per dimension over the quartile scalars
+# b1/b2/b3 (canonical doubles from the exact interpolated percentiles,
+# identical in both engines — same precedent as value_percentiles).
+def _rfm_tier(v: str, x: str) -> str:
+    return (
+        f"CASE WHEN {v} <= b1_{x} THEN 1 WHEN {v} <= b2_{x} THEN 2 "
+        f"WHEN {v} <= b3_{x} THEN 3 ELSE 4 END"
+    )
+
+
+def _rfm_oracle() -> str:
+    from venus_spark.functions.sqlgen import dsum_sql
+
+    qs = "[0.25, 0.50, 0.75]"
+    return f"""
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '{_RFM_ASOF}')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND({dsum_sql('ROUND(o_totalprice, 6)')}, 6) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+bp AS (
+  SELECT QUANTILE_CONT(recency_days, {qs}) AS r,
+         QUANTILE_CONT(frequency, {qs}) AS f,
+         QUANTILE_CONT(monetary, {qs}) AS m
+  FROM cust
+),
+bps AS (
+  SELECT r[1] AS b1_r, r[2] AS b2_r, r[3] AS b3_r,
+         f[1] AS b1_f, f[2] AS b2_f, f[3] AS b3_f,
+         m[1] AS b1_m, m[2] AS b2_m, m[3] AS b3_m
+  FROM bp
+),
+tiers AS (
+  SELECT {_rfm_tier('recency_days', 'r')} AS r_tier,
+         {_rfm_tier('frequency', 'f')} AS f_tier,
+         {_rfm_tier('monetary', 'm')} AS m_tier,
+         monetary
+  FROM cust CROSS JOIN bps
+)
+SELECT r_tier, f_tier, m_tier,
+       COUNT(*) AS n_customers,
+       ROUND({dsum_sql('monetary')}, 6) AS total_monetary
+FROM tiers GROUP BY r_tier, f_tier, m_tier
+ORDER BY r_tier, f_tier, m_tier
+"""
+
+
+@plan("rfm_segments", oracle=_rfm_oracle())
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per customer
+    compute Recency (days since last order at a fixed analysis date),
+    Frequency (order count), Monetary (exact decimal-summed lifetime
+    spend), cut each dimension at its exact interpolated quartiles, and
+    report segment sizes and total spend per (r, f, m) tier cell
+    (the total, not the mean: a mean can land exactly on a 6-dp ROUND
+    boundary where the engines' double-rounding split — the decimal
+    sum cannot).
+    Tiers are ascending numeric in every dimension (tier 1 = lowest
+    value of the measure; consumers relabel to champion/at-risk names).
+
+    Scale shape: one shuffle onto o_custkey for the per-customer
+    aggregate; the quartiles run over the CUSTOMER-sized table (orders
+    never flow through a percentile buffer) and come back as one
+    9-scalar row broadcast onto the same table for the CASE
+    assignment; the final groupBy lands on at most 64 cells. At 100 TB
+    the drop-in for the exact quartiles is approx_percentile, kept
+    exact here so the oracle can hash values (same policy as
+    value_percentiles)."""
+    from venus_spark.functions import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_ASOF).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(dsum(F.round("o_totalprice", 6)), 6).alias("monetary"),
+    )
+    qs = [F.lit(x) for x in (0.25, 0.50, 0.75)]
+    bp = cust.agg(
+        F.percentile("recency_days", F.array(*qs)).alias("r"),
+        F.percentile("frequency", F.array(*qs)).alias("f"),
+        F.percentile("monetary", F.array(*qs)).alias("m"),
+    ).select(
+        *[
+            F.col(x)[i].alias(f"b{i + 1}_{x}")
+            for x in ("r", "f", "m")
+            for i in range(3)
+        ]
+    )
+    tiers = cust.crossJoin(F.broadcast(bp)).select(
+        F.expr(_rfm_tier("recency_days", "r")).alias("r_tier"),
+        F.expr(_rfm_tier("frequency", "f")).alias("f_tier"),
+        F.expr(_rfm_tier("monetary", "m")).alias("m_tier"),
+        "monetary",
+    )
+    return (
+        tiers.groupBy("r_tier", "f_tier", "m_tier")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(dsum("monetary"), 6).alias("total_monetary"),
+        )
+        .orderBy("r_tier", "f_tier", "m_tier")
+    )
