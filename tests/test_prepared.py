@@ -1032,3 +1032,95 @@ def test_cli_delete_docs_requires_explicit_batch_id(capsys):
     rc = main(["maintain", "delete-docs", "--ids", "1,2"])
     assert rc == 2
     assert "--batch-id" in capsys.readouterr().err
+
+
+def test_streaming_embeddings_ingest_maintains_vector_indexes(
+    spark, tmp_path, monkeypatch
+):
+    """The vector twin of the documents-ingest test: a streamed
+    embeddings batch lands exactly-once AND appends its IVF rows and
+    PQ codes idempotently; the served indexes equal a full rebuild over
+    base+streamed, a completed-checkpoint rerun and a direct same-id
+    retry change nothing, and the vacuum rewrite carries the batch
+    manifest so a post-vacuum retry of an absorbed batch stays a no-op."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.streaming import read_sink_table, start_embeddings_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+
+    sf = str(tmp_path / "sf")
+    vecs.filter(F.col("vec_id") < 48).write.parquet(  # saturates the codebook
+        os.path.join(sf, "embeddings.parquet")
+    )
+    prepared.embeddings_ivf(spark, sf)
+    prepared.embeddings_pq(spark, sf)
+
+    new_rows = [
+        {"vec_id": r["vec_id"], "embedding": list(r["embedding"]), "label": r["label"]}
+        for r in vecs.filter(F.col("vec_id") >= 48).collect()
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(new_rows) // 2
+
+    def run():
+        q = start_embeddings_ingest(
+            spark.readStream.schema(vecs.schema).json(str(landing)),
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            index_sf_dir=sf,
+            trigger_seconds=None,
+        )
+        q.awaitTermination()
+
+    # land + run one file at a time: deterministic batch ids 0 and 1
+    for i, chunk in enumerate((new_rows[:half], new_rows[half:])):
+        (landing / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in chunk) + "\n"
+        )
+        run()
+
+    def served():
+        v, _ = prepared.embeddings_ivf(spark, sf)
+        c, _ = prepared.embeddings_pq(spark, sf)
+        return (
+            sorted(tuple(r) for r in v.select("vec_id", "label").collect()),
+            sorted(r["vec_id"] for r in c.collect()),
+        )
+
+    full_sf = str(tmp_path / "full_sf")
+    vecs.write.parquet(os.path.join(full_sf, "embeddings.parquet"))
+    fv, _ = prepared.embeddings_ivf(spark, full_sf)
+    fc, _ = prepared.embeddings_pq(spark, full_sf)
+    expect = (
+        sorted(tuple(r) for r in fv.select("vec_id", "label").collect()),
+        sorted(r["vec_id"] for r in fc.collect()),
+    )
+    assert served() == expect
+    landed = read_sink_table(spark, str(tmp_path / "sink"), "embeddings")
+    assert landed.count() == len(new_rows)
+
+    # completed-checkpoint rerun + direct same-id retry: both no-ops
+    run()
+    assert served() == expect
+    batch1 = spark.createDataFrame(new_rows[half:], vecs.schema)
+    prepared.append_embeddings_batch(spark, sf, batch1, batch_id=1)
+    assert served() == expect
+
+    # vacuum (a delete among the streamed vectors) carries the batch
+    # manifest: a post-vacuum retry of the absorbed batch is a no-op
+    dead = [new_rows[half]["vec_id"]]
+    prepared.tombstone_embeddings(spark, sf, dead, batch_id=0)
+    assert prepared.vacuum_embedding_tombstones(spark, sf) == 2
+    codes_path = prepared.prepared_path(sf, "embeddings_pq_codes.parquet")
+    assert 1 in prepared._read_abatch_manifest(codes_path)
+    prepared.append_embeddings_batch(spark, sf, batch1, batch_id=1)
+    v, _ = prepared.embeddings_ivf(spark, sf)
+    assert v.count() == len(expect[0]) - len(dead)

@@ -1246,13 +1246,38 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
       and this function refuses rather than let append and rebuild
       silently diverge.
     """
-    from venus_spark.operators import similarity as sim
-
     vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
     embeddings_ivf(spark, sf_dir)
     new_vecs.write.mode("append").partitionBy("label").parquet(vec_path)
 
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
+    codebook = _pq_saturated_codebook(spark, sf_dir)
+    (
+        _pq_code_rows(new_vecs, codebook)
+        .write.mode("append")
+        .partitionBy("label")
+        .parquet(codes_path)
+    )
+
+
+def _pq_code_rows(new_vecs: DataFrame, codebook: list) -> DataFrame:
+    """(vec_id, label, codes) rows for a batch encoded against an
+    EXISTING codebook — shared by the batch append and the streaming
+    ingest's idempotent append."""
+    from venus_spark.operators import similarity as sim
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return new_vecs.select("vec_id", "label", v.alias("v")).select(
+        "vec_id", "label", sim.pq_codes_col("v", codebook).alias("codes")
+    )
+
+
+def _pq_saturated_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """The stored PQ codebook, refusing the unsaturated case (same
+    contract as append_embeddings: an unsaturated deterministic sample
+    would change under append, making append != rebuild)."""
+    from venus_spark.operators import similarity as sim
+
     _, cb_df = embeddings_pq(spark, sf_dir)
     codebook = [
         [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
@@ -1264,13 +1289,31 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
             "would change the codebook and append != rebuild. Rebuild the "
             "PQ index over the full corpus instead of appending."
         )
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    (
-        new_vecs.select("vec_id", "label", v.alias("v"))
-        .select("vec_id", "label", sim.pq_codes_col("v", codebook).alias("codes"))
-        .write.mode("append")
-        .partitionBy("label")
-        .parquet(codes_path)
+    return codebook
+
+
+def append_embeddings_batch(
+    spark: SparkSession, sf_dir: str, new_vecs: DataFrame, batch_id: int
+) -> None:
+    """IDEMPOTENT (replay-safe) variant of :func:`append_embeddings`
+    for streaming micro-batches: both vector-index appends go through
+    :func:`_append_batch_files`, so a crash-retried batch converges to
+    exactly one copy under its ``batch_id`` — the vector-side twin of
+    ``append_events``. Same existing-centroid / saturated-codebook
+    posture as the batch path."""
+    embeddings_ivf(spark, sf_dir)
+    _append_batch_files(
+        new_vecs,
+        prepared_path(sf_dir, "embeddings_ivf.parquet"),
+        batch_id,
+        partition_by=("label",),
+    )
+    codebook = _pq_saturated_codebook(spark, sf_dir)
+    _append_batch_files(
+        _pq_code_rows(new_vecs, codebook),
+        prepared_path(sf_dir, "embeddings_pq_codes.parquet"),
+        batch_id,
+        partition_by=("label",),
     )
 
 
@@ -1584,6 +1627,7 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
             meta = _read_meta(path)  # the IVF layout carries no stamp
         except OSError:
             meta = None
+        manifest = _read_abatch_manifest(path)
         tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
         for stale in (tmp, old):
             if os.path.exists(stale):
@@ -1595,6 +1639,12 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
         )
         if meta:
             _stamp(tmp, meta)
+        # carry the batch manifest: the rewrite absorbs appended
+        # abatch files, and a post-vacuum retry of an absorbed
+        # append_embeddings_batch must stay a no-op (same invariant
+        # as the recluster/retention rewrites)
+        if manifest:
+            _write_abatch_manifest(tmp, manifest)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

@@ -422,6 +422,50 @@ def start_documents_ingest(
     return writer.start()
 
 
+def start_embeddings_ingest(
+    source: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    index_sf_dir: str,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Embeddings-table ingest with write-time VECTOR-index
+    maintenance — the vector twin of :func:`start_documents_ingest`:
+    each micro-batch lands exactly-once in the sink table AND appends
+    its IVF rows (existing-centroid assignment) and PQ codes
+    (existing-codebook encode) through the replay-idempotent batch
+    append (:func:`venus_spark.prepared.append_embeddings_batch`), so a
+    crash anywhere replays into the same state. The codebook-saturation
+    contract is enforced per batch; centroid/codebook refresh stays a
+    periodic offline job, exactly as in a deployed IVF-PQ system.
+    ``source`` is a parsed embeddings stream with columns
+    (vec_id, embedding, label)."""
+    vec_dir = os.path.join(sink_dir, "embeddings")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from venus_spark import prepared
+
+        batch = batch.persist()
+        try:
+            _write_idempotent(batch, vec_dir, batch_id)
+            prepared.append_embeddings_batch(
+                batch.sparkSession, index_sf_dir, batch, batch_id
+            )
+        finally:
+            batch.unpersist()
+
+    writer = (
+        source.writeStream.queryName("embeddings_ingest")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 class IngestHealthListener(StreamingQueryListener):
     """A15 analog: liveness from query progress events instead of a TCP
     'ok' endpoint. ``healthy()`` is what a health probe would serve."""
