@@ -539,3 +539,15 @@ def test_rollup_plan_never_scans_the_fact_table(spark):
     plan = formatted_plan(all_plans()["timeseries_hourly_rollup"].fn(spark, SF))
     assert "events_hourly_rollup.parquet" in plan
     assert "/events.parquet" not in plan
+
+
+def test_phrase_search_pushes_terms_and_never_reads_text(spark):
+    """The phrase query must be served entirely from the positional
+    postings: the two phrase terms arrive as a pushed parquet filter
+    and no scan in the plan reads the documents text column."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["phrase_search_prepared"].fn(spark, SF))
+    assert re.search(r"PushedFilters: \[.*In\(term, \[", plan), plan[:2000]
+    rs = re.findall(r"ReadSchema: (\S+)", plan)
+    assert rs and all("text" not in s for s in rs)

@@ -460,3 +460,64 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("label") != F.col("cluster"), 1)).alias("n_moved"),
         davg("sim").alias("avg_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Phrase search over the positional inverted index
+# --------------------------------------------------------------------------
+
+_PHRASE = ("part", "filter")  # adjacent-token phrase present at every SF
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(RANGE(1, LEN(t)),
+             i -> t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'))
+           AS n_occurrences
+  FROM toks
+)
+SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
+ORDER BY doc_id
+"""
+
+
+@plan("phrase_search_prepared", oracle=_PHRASE_ORACLE)
+def phrase_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query served from the POSITIONAL inverted index:
+    fetch the two terms' postings (query terms as a pushed parquet
+    filter over the term-sorted layout — the posting-list fetch), join
+    them on doc_id, and count adjacency by intersecting one term's
+    position list shifted by +1 with the other's — the classic
+    Lucene/IR phrase-intersection algorithm. The corpus text is never
+    touched and nothing is tokenized at query time; per-document work
+    is O(|pos1| + |pos2|), proportional to the PHRASE terms' postings,
+    not to document length. The oracle recomputes occurrences from raw
+    token adjacency, certifying the positional index end-to-end.
+    Generalizes to k-term phrases by chaining the same shifted
+    intersection."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_PHRASE))
+    p1 = hits.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = hits.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(p2, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform("pos1", lambda x: x + 1), F.col("pos2")
+                )
+            ).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy("doc_id")
+    )

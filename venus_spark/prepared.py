@@ -962,7 +962,7 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
 
 
 _POSTINGS_META = {"norm": "lower", "tokens": "ws", "layout": "range(term)",
-                  "stats": "counters"}
+                  "stats": "counters", "positions": "0-based"}
 
 
 def documents_postings(
@@ -1017,18 +1017,26 @@ def documents_postings(
 
 
 def _postings_rows(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, dl, tf) postings for a batch of documents — shared
-    by the full build and the incremental append (a posting depends
-    only on its own document's text)."""
+    """(term, doc_id, dl, tf, pos) postings for a batch of documents —
+    shared by the full build and the incremental append (a posting
+    depends only on its own document's text). ``pos`` is the sorted
+    0-based token-position list of the term within the document — the
+    POSITIONAL part of the index, which is what upgrades it from
+    bag-of-words retrieval (BM25/tf-idf) to phrase queries
+    (Lucene-style adjacency intersection; see ``phrase_search_prepared``).
+    tf = len(pos), so the bag-of-words consumers are unchanged."""
     from venus_spark.functions import tokens
 
     dl = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     ).select("doc_id", "toks", F.size("toks").alias("dl"))
     return (
-        dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        dl.select("doc_id", "dl", F.posexplode("toks").alias("p", "term"))
         .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("p")).alias("pos"),
+        )
     )
 
 
