@@ -521,3 +521,52 @@ def phrase_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Boolean retrieval over the inverted index (AND / NOT posting algebra)
+# --------------------------------------------------------------------------
+
+_BOOL_MUST = ("vector", "merge")  # both required ...
+_BOOL_NOT = "stream"  # ... and this term excluded
+
+_BOOL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
+)
+SELECT doc_id FROM toks
+WHERE LIST_CONTAINS(t, '{_BOOL_MUST[0]}')
+  AND LIST_CONTAINS(t, '{_BOOL_MUST[1]}')
+  AND NOT LIST_CONTAINS(t, '{_BOOL_NOT}')
+ORDER BY doc_id
+"""
+
+
+@plan("boolean_search_prepared", oracle=_BOOL_ORACLE)
+def boolean_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (t1 AND t2 AND NOT t3) as posting-list
+    algebra over the inverted index: one pushed-filter fetch of the
+    three terms' postings, AND = doc_id join between the required
+    terms' lists, NOT = left-anti join against the excluded term's
+    list. The classic Boolean IR evaluation — work is proportional to
+    the QUERY terms' posting lists, never the corpus, and every join
+    keys on the uniform doc_id. The oracle recomputes membership from
+    raw tokens, certifying the index's completeness in both directions
+    (a missing posting loses an AND doc; a phantom posting loses a NOT
+    doc)."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    fetched = post.filter(
+        F.col("term").isin(*_BOOL_MUST, _BOOL_NOT)
+    ).select("term", "doc_id")
+
+    def plist(t: str):
+        return fetched.filter(F.col("term") == t).select("doc_id")
+
+    return (
+        plist(_BOOL_MUST[0])
+        .join(plist(_BOOL_MUST[1]), "doc_id")
+        .join(plist(_BOOL_NOT), "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
