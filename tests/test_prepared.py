@@ -1124,3 +1124,49 @@ def test_streaming_embeddings_ingest_maintains_vector_indexes(
     prepared.append_embeddings_batch(spark, sf, batch1, batch_id=1)
     v, _ = prepared.embeddings_ivf(spark, sf)
     assert v.count() == len(expect[0]) - len(dead)
+
+
+def test_rebuild_refused_when_layout_holds_streamed_batches(
+    spark, tmp_path, monkeypatch
+):
+    """Review r5 finding: streamed/appended vectors can exist ONLY in
+    the index layouts (the sink table, not the base parquet, holds the
+    streamed copies), so a lazy from-base rebuild triggered by constant
+    drift or a lost _SUCCESS would silently drop them. The rebuild must
+    refuse while a batch manifest is non-empty — and proceed once the
+    operator explicitly deletes the layout."""
+    import json as _j
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    sf = str(tmp_path / "sf")
+    vecs.filter(F.col("vec_id") < 48).write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    prepared.embeddings_pq(spark, sf)
+    prepared.append_embeddings_batch(
+        spark, sf, vecs.filter(F.col("vec_id") >= 48), batch_id=0
+    )
+
+    # simulate constant drift: corrupt the stamp so _is_built fails
+    codes_path = prepared.prepared_path(sf, "embeddings_pq_codes.parquet")
+    stamp = os.path.join(codes_path, "_prep_meta.json")
+    meta = _j.load(open(stamp))
+    meta["ks"] = meta["ks"] + 1
+    _j.dump(meta, open(stamp, "w"))
+
+    with pytest.raises(RuntimeError, match="appended/streamed batches"):
+        prepared.embeddings_pq(spark, sf)
+
+    # explicit deletion accepts the loss and unblocks the rebuild
+    shutil.rmtree(codes_path)
+    codes, _ = prepared.embeddings_pq(spark, sf)
+    assert codes.count() == 48  # base-table rows only, by explicit choice

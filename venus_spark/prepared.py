@@ -226,6 +226,9 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "documents_minhash.parquet")
     _recover_swap(path, ".vacuum")  # finish any interrupted vacuum rewrite
     if not _is_built(path, meta):
+        # merged streamed batches may exist only in this index + the
+        # sink table, never in the base parquet — do not drop them
+        _refuse_rebuild_with_absorbed_batches(path, "MinHash index")
         if os.path.exists(path):
             shutil.rmtree(path)
         docs = _anti_tombstones(
@@ -449,6 +452,7 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
     _recover_swap(vec_path, ".vacuum")  # finish any interrupted vacuum
     if not (_is_built(vec_path) and _is_built(cent_path)):
+        _refuse_rebuild_with_absorbed_batches(vec_path, "IVF vector layout")
         for p in (vec_path, cent_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
@@ -493,6 +497,7 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
     _recover_swap(codes_path, ".vacuum")  # finish any interrupted vacuum
     if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)):
+        _refuse_rebuild_with_absorbed_batches(codes_path, "PQ codes layout")
         for p in (codes_path, cb_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
@@ -696,6 +701,26 @@ def _walk_rel(tmp: str) -> list[tuple[str, list[str]]]:
         if data:
             out.append((os.path.relpath(root, tmp), data))
     return out
+
+
+def _refuse_rebuild_with_absorbed_batches(path: str, what: str) -> None:
+    """Guard a lazy from-base rebuild of a derived layout: once the
+    layout has absorbed appended/streamed batches (non-empty abatch or
+    merged-batch manifest), those rows may exist ONLY in the layout —
+    the sink table, not the base parquet, holds the streamed copies —
+    so dropping the directory and rebuilding from ``load_table`` would
+    silently lose them (and forget the committed batch ids). Refuse
+    loudly instead: the operator either re-lands those rows in the
+    base table or deletes the layout directory explicitly to accept
+    the loss."""
+    if _read_abatch_manifest(path) or _read_merged(path):
+        raise RuntimeError(
+            f"{what} at {path} holds appended/streamed batches that the "
+            "base table may not contain (non-empty batch manifest); a "
+            "rebuild from the base table would silently drop those rows. "
+            "Re-land them in the base table first, or delete the layout "
+            "directory explicitly to accept the loss."
+        )
 
 
 def _read_abatch_manifest(dest: str) -> set[int]:
@@ -1301,14 +1326,21 @@ def _pq_saturated_codebook(spark: SparkSession, sf_dir: str) -> list:
 
 
 def append_embeddings_batch(
-    spark: SparkSession, sf_dir: str, new_vecs: DataFrame, batch_id: int
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    batch_id: int,
+    codebook: list | None = None,
 ) -> None:
     """IDEMPOTENT (replay-safe) variant of :func:`append_embeddings`
     for streaming micro-batches: both vector-index appends go through
     :func:`_append_batch_files`, so a crash-retried batch converges to
     exactly one copy under its ``batch_id`` — the vector-side twin of
     ``append_events``. Same existing-centroid / saturated-codebook
-    posture as the batch path."""
+    posture as the batch path. ``codebook`` lets a long-lived caller
+    (the streaming ingest) pass the once-validated codebook instead of
+    re-collecting it per micro-batch — the saturation contract makes
+    it immutable for the stream's lifetime."""
     embeddings_ivf(spark, sf_dir)
     _append_batch_files(
         new_vecs,
@@ -1316,7 +1348,8 @@ def append_embeddings_batch(
         batch_id,
         partition_by=("label",),
     )
-    codebook = _pq_saturated_codebook(spark, sf_dir)
+    if codebook is None:
+        codebook = _pq_saturated_codebook(spark, sf_dir)
     _append_batch_files(
         _pq_code_rows(new_vecs, codebook),
         prepared_path(sf_dir, "embeddings_pq_codes.parquet"),

@@ -440,16 +440,25 @@ def start_embeddings_ingest(
     periodic offline job, exactly as in a deployed IVF-PQ system.
     ``source`` is a parsed embeddings stream with columns
     (vec_id, embedding, label)."""
+    from venus_spark import prepared
+
     vec_dir = os.path.join(sink_dir, "embeddings")
+    # Validate + collect the codebook ONCE at stream start: the
+    # saturation contract makes it immutable under append, so paying a
+    # parquet read + driver collect per micro-batch buys nothing. (This
+    # also surfaces an unsaturated codebook at start() instead of
+    # failing the first trigger.)
+    codebook = prepared._pq_saturated_codebook(
+        source.sparkSession, index_sf_dir
+    )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        from venus_spark import prepared
-
         batch = batch.persist()
         try:
             _write_idempotent(batch, vec_dir, batch_id)
             prepared.append_embeddings_batch(
-                batch.sparkSession, index_sf_dir, batch, batch_id
+                batch.sparkSession, index_sf_dir, batch, batch_id,
+                codebook=codebook,
             )
         finally:
             batch.unpersist()
