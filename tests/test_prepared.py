@@ -1170,3 +1170,59 @@ def test_rebuild_refused_when_layout_holds_streamed_batches(
     shutil.rmtree(codes_path)
     codes, _ = prepared.embeddings_pq(spark, sf)
     assert codes.count() == 48  # base-table rows only, by explicit choice
+
+
+def test_compact_postings_preserves_rows_and_recovers_from_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The inverted-index OPTIMIZE: after appends spread a term's
+    postings across per-batch file sets, compaction rewrites one
+    globally term-sorted set with the identical row content, carries
+    the stamp (no rebuild triggered), and an interrupted swap (complete
+    tmp beside displaced live dir) completes on the next read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 40).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_postings(spark, sf)
+    new_docs = docs.filter(F.col("doc_id") >= 40).withColumn(
+        "doc_id", F.col("doc_id") + 960
+    )
+    prepared.append_documents(spark, sf, new_docs)
+
+    def rows():
+        post, dfreq, stats = prepared.documents_postings(spark, sf)
+        return (
+            sorted((r["term"], r["doc_id"], r["tf"], list(r["pos"])) for r in post.collect()),
+            sorted(tuple(r) for r in dfreq.collect()),
+            sorted(tuple(r) for r in stats.collect()),
+        )
+
+    before = rows()
+    path = prepared.prepared_path(sf, "documents_postings.parquet")
+    n_files_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    prepared.compact_documents_postings(spark, sf)
+    assert rows() == before
+    # stamp carried: re-ensure is a no-op (same listing)
+    listing = sorted(os.listdir(path))
+    prepared.documents_postings(spark, sf)
+    assert sorted(os.listdir(path)) == listing
+    n_files_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_files_after <= n_files_before
+
+    # crash window: complete tmp + displaced live dir -> next read recovers
+    os.rename(path, path + ".compact.old")
+    shutil.copytree(path + ".compact.old", path + ".compact.tmp")
+    assert rows() == before
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.old")

@@ -16,6 +16,7 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark maintain merge-index [--sf DIR]
     python -m venus_spark maintain delete-docs --ids 1,2,3 --batch-id N [--sf DIR]
     python -m venus_spark maintain vacuum-deletes [--sf DIR]
+    python -m venus_spark maintain compact-postings [--sf DIR]
                                                     # scheduled maintenance:
                                                     # OPTIMIZE / retention /
                                                     # index VACUUM
@@ -187,6 +188,9 @@ def cmd_maintain(args) -> int:
         n = prepared.vacuum_document_tombstones(spark, args.sf)
         n += prepared.vacuum_embedding_tombstones(spark, args.sf)
         print(f"vacuumed {n} index row(s) for tombstoned documents/vectors")
+    elif args.op == "compact-postings":
+        prepared.compact_documents_postings(_spark(), args.sf)
+        print(f"documents_postings compacted for {args.sf}")
     return 0
 
 
@@ -230,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
             "merge-index",
             "delete-docs",
             "vacuum-deletes",
+            "compact-postings",
         ],
     )
     mt.add_argument("--sf", default=DEFAULT_SF)

@@ -527,6 +527,38 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     )
 
 
+def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
+    """The OPTIMIZE job for the inverted index — the text-side twin of
+    ``recluster_events_zorder``: appended batches land as their own
+    term-sorted file sets, so over time a query term's postings spread
+    across one file per append and the pushed In(term) filter prunes
+    less sharply. The compaction rewrites the CURRENT postings (base
+    plus every append) back into one globally term-range-partitioned,
+    term-sorted file set through the same crash-safe tmp/old swap
+    (stamp and any batch manifest carried; ``documents_postings`` reads
+    complete an interrupted swap). Queries stay correct while it is
+    due, only less pruned — dfreq/stats are row-set invariants and are
+    untouched."""
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    path = prepared_path(sf_dir, "documents_postings.parquet")
+    manifest = _read_abatch_manifest(path)
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    (
+        post.repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(tmp)
+    )
+    _stamp(tmp, _POSTINGS_META)
+    if manifest:
+        _write_abatch_manifest(tmp, manifest)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 _ROLLUP_META = {"bucket": "hour", "partials": ["n", "sum_dec"]}
 
 
@@ -1016,7 +1048,9 @@ def documents_postings(
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
+    _recover_swap(post_path, ".compact")  # finish any interrupted compaction
     if not all(_is_built(p, meta) for p in (post_path, dfreq_path, stats_path)):
+        _refuse_rebuild_with_absorbed_batches(post_path, "inverted index")
         for p in (post_path, dfreq_path, stats_path):
             if os.path.exists(p):
                 shutil.rmtree(p)
