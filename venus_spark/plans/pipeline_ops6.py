@@ -570,3 +570,70 @@ def boolean_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(plist(_BOOL_NOT), "doc_id", "left_anti")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Proximity (slop) search over the positional index
+# --------------------------------------------------------------------------
+
+_PROX_TERMS = ("hash", "join")
+_PROX_SLOP = 3  # max token distance between the two terms
+
+_PROX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
+),
+h AS (
+  SELECT doc_id,
+         [i FOR i IN RANGE(1, LEN(t) + 1) IF t[i] = '{_PROX_TERMS[0]}'] AS p1,
+         [i FOR i IN RANGE(1, LEN(t) + 1) IF t[i] = '{_PROX_TERMS[1]}'] AS p2
+  FROM toks
+),
+n AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(FLATTEN([[ABS(a - b) FOR b IN p2] FOR a IN p1]),
+             d -> d <= {_PROX_SLOP})) AS n_near
+  FROM h
+)
+SELECT doc_id, n_near FROM n WHERE n_near > 0 ORDER BY doc_id
+"""
+
+
+@plan("proximity_search_prepared", oracle=_PROX_ORACLE)
+def proximity_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (slop) query: documents where the two terms occur
+    within 3 tokens of each other, with the count of such position
+    pairs — phrase search's tolerant sibling (Lucene's ``"a b"~k``),
+    served from the SAME positional postings: pushed In(term) fetch,
+    doc_id join, |pos1 − pos2| <= slop over the two position lists.
+    Per-document work is O(|pos1|·|pos2|) over the QUERY terms'
+    occurrences (single digits per doc), text never read, nothing
+    tokenized. Oracle recomputes from raw token positions; position
+    BASES differ (0- vs 1-based) but distances are base-invariant."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_PROX_TERMS))
+    p1 = hits.filter(F.col("term") == _PROX_TERMS[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = hits.filter(F.col("term") == _PROX_TERMS[1]).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    n_near = F.size(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "p1",
+                    lambda a: F.transform(F.col("p2"), lambda b: F.abs(a - b)),
+                )
+            ),
+            lambda d: d <= F.lit(_PROX_SLOP),
+        )
+    )
+    return (
+        p1.join(p2, "doc_id")
+        .select("doc_id", n_near.alias("n_near"))
+        .filter(F.col("n_near") > 0)
+        .orderBy("doc_id")
+    )

@@ -288,6 +288,42 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGE2_ORACLE = f"""
+SELECT event_id, {fmt_ts_sql('ts')} AS ts_str, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 10 OFFSET 10
+"""
+
+
+@plan("topk_recent_page2", oracle=_PAGE2_ORACLE)
+def topk_recent_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second dashboard page via KEYSET pagination — the production
+    idiom OFFSET cannot scale to: page 1's last row becomes a cursor,
+    and page 2 is ``WHERE (ts, id) < cursor ORDER BY … LIMIT k``. The
+    cursor is derived IN-PLAN (min-of-struct over page 1's k rows, one
+    broadcast row) so the whole page is a single distributed query:
+    both scans are TakeOrderedAndProject and the seek predicate reaches
+    the parquet scan as a pushed range filter — work stays O(k), never
+    O(pages·k) the way OFFSET's skip-and-discard does at depth. The
+    oracle uses LIMIT/OFFSET, certifying the keyset formulation against
+    the definitionally-correct one under the total (ts, event_id)
+    order."""
+    ev = load_table(spark, sf_dir, "events")
+    page1 = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(10)
+    cursor = page1.agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("c")
+    ).select(F.col("c.ts").alias("c_ts"), F.col("c.event_id").alias("c_id"))
+    return (
+        ev.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("ts") < F.col("c_ts"))
+            | ((F.col("ts") == F.col("c_ts")) & (F.col("event_id") < F.col("c_id")))
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", fmt_ts("ts").alias("ts_str"), "event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # B13 — key discovery (select distinct jsonb_object_keys(data),
 #  doc/json_tricks.rst:50-76)
