@@ -17,6 +17,7 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark maintain delete-docs --ids 1,2,3 --batch-id N [--sf DIR]
     python -m venus_spark maintain vacuum-deletes [--sf DIR]
     python -m venus_spark maintain compact-postings [--sf DIR]
+    python -m venus_spark export OUT_DIR [--shards N] [--sf DIR]
                                                     # scheduled maintenance:
                                                     # OPTIMIZE / retention /
                                                     # index VACUUM
@@ -194,6 +195,16 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Materialize the curated corpus as sharded JSONL — the hand-off
+    artifact from the engine to a training run."""
+    from venus_spark.export import export_curated_jsonl
+
+    n = export_curated_jsonl(_spark(), args.sf, args.out_dir, shards=args.shards)
+    print(f"exported {n} curated document(s) to {args.out_dir} ({args.shards} shards)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="venus_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -244,6 +255,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also apply the retention cutoff to the rollup/HLL aggregates",
     )
+    ex = sub.add_parser(
+        "export", help="materialize the curated corpus as sharded JSONL"
+    )
+    ex.add_argument("out_dir")
+    ex.add_argument("--sf", default=DEFAULT_SF)
+    ex.add_argument("--shards", type=int, default=8)
+
     mt.add_argument("--ids", help="comma-separated doc ids (delete-docs)")
     mt.add_argument(
         "--batch-id",
@@ -262,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
         "mirror": cmd_mirror,
         "ingest": cmd_ingest,
         "maintain": cmd_maintain,
+        "export": cmd_export,
     }[args.cmd](args)
 
 
