@@ -81,3 +81,49 @@ def test_export_shard_assignment_is_id_stable(spark, tmp_path):
 
     full, sub = shard_of(full_dir), shard_of(sub_dir)
     assert sub and all(full[d] == s for d, s in sub.items())
+
+
+def test_export_excludes_tombstoned_documents(spark, tmp_path, monkeypatch):
+    """Review r5 #3: the curated funnel reads the unowned base table,
+    so without the explicit anti-join a right-to-be-forgotten document
+    would ride straight into the training hand-off. Tombstone a doc the
+    funnel keeps and assert it is absent from the export."""
+    import os
+    import shutil
+
+    from venus_spark import prepared
+    from venus_spark.export import export_curated_jsonl
+    from venus_spark.plans.registry import all_plans
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("documents", "embeddings"):
+        shutil.copytree(
+            os.path.join(src, f"{t}.parquet"), os.path.join(sf, f"{t}.parquet")
+        ) if os.path.isdir(os.path.join(src, f"{t}.parquet")) else shutil.copy(
+            os.path.join(src, f"{t}.parquet"), os.path.join(sf, f"{t}.parquet")
+        )
+
+    kept = all_plans()["curated_corpus"].fn(spark, sf).select("doc_id").first()
+    dead = int(kept["doc_id"])
+    prepared.tombstone_documents(spark, sf, [dead], batch_id=0)
+
+    out = str(tmp_path / "exp")
+    export_curated_jsonl(spark, sf, out, shards=2)
+    ids = {r["doc_id"] for r in spark.read.json(out).collect()}
+    assert dead not in ids and len(ids) > 0
+
+
+def test_export_rejects_nonpositive_shards(spark):
+    """shards=0 would make every row's pmod shard NULL and land the
+    corpus in a __HIVE_DEFAULT_PARTITION__ directory; refuse instead."""
+    import pytest
+
+    from venus_spark.export import export_jsonl
+    from venus_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="shards"):
+        export_jsonl(docs, "/tmp/never-written", shards=0)

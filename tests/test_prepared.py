@@ -1226,3 +1226,54 @@ def test_compact_postings_preserves_rows_and_recovers_from_crash(
     assert rows() == before
     assert not os.path.exists(path + ".compact.tmp")
     assert not os.path.exists(path + ".compact.old")
+
+
+def test_mode_append_marker_blocks_lossy_rebuild_and_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Review r5 #3 (second pass): plain mode-append batches carry no
+    manifest, so the rebuild-refusal guard needs the append marker —
+    after append_documents, (a) a constant-drift rebuild of the
+    postings must refuse rather than silently drop the appended
+    documents' postings, and (b) tombstone_documents must refuse too,
+    because its postings drop triggers exactly that from-base rebuild.
+    The marker survives compaction."""
+    import json as _j
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 40).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_trgm(spark, sf)
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_postings(spark, sf)
+    appended = docs.filter(F.col("doc_id") >= 40).withColumn(
+        "doc_id", F.col("doc_id") + 960
+    )
+    prepared.append_documents(spark, sf, appended)
+
+    # (b) deleting now would rebuild postings from the appended-less base
+    with pytest.raises(RuntimeError, match="appended/streamed"):
+        prepared.tombstone_documents(spark, sf, [3], batch_id=0)
+
+    # marker survives the OPTIMIZE rewrite
+    prepared.compact_documents_postings(spark, sf)
+    post_path = prepared.prepared_path(sf, "documents_postings.parquet")
+    assert prepared._has_append_marker(post_path)
+
+    # (a) constant drift: corrupt the stamp -> refusal, not silent loss
+    stamp = os.path.join(post_path, "_prep_meta.json")
+    meta = _j.load(open(stamp))
+    meta["norm"] = "other"
+    _j.dump(meta, open(stamp, "w"))
+    with pytest.raises(RuntimeError, match="appended/streamed"):
+        prepared.documents_postings(spark, sf)

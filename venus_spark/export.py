@@ -38,6 +38,8 @@ def export_jsonl(
 
     At 100 TB this is one shuffle + one write, shards sized to the
     loader's preferred file size by picking ``shards``."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     (
         df.withColumn("_shard", shard)
@@ -58,12 +60,22 @@ def export_curated_jsonl(
     spark: SparkSession, sf_dir: str, out_dir: str, shards: int = 8
 ) -> int:
     """Export the CURATED corpus (the ``curated_corpus`` funnel:
-    quality gate ∧ not-near-dup ∧ not-benchmark-contaminated) as
-    sharded JSONL — the hand-off artifact from this engine to a
-    training run. Returns the number of documents exported."""
-    from venus_spark.plans.registry import all_plans
+    quality gate ∧ not-near-dup ∧ not-benchmark-contaminated, MINUS any
+    tombstoned documents — the funnel reads the unowned base table, so
+    without the explicit anti-join a right-to-be-forgotten document
+    would ride straight into the training hand-off) as sharded JSONL.
+    Returns the number of documents exported.
 
-    curated = all_plans()["curated_corpus"].fn(spark, sf_dir)
+    The returned count deliberately re-reads the written artifact (a
+    line count over the text files, one narrow pass) so the number
+    certifies the EXPORT, not the plan; at very large scale pass the
+    certification cost on to the loader's own manifest check instead."""
+    from venus_spark.plans.registry import all_plans
+    from venus_spark.prepared import _anti_tombstones
+
+    curated = _anti_tombstones(
+        spark, sf_dir, all_plans()["curated_corpus"].fn(spark, sf_dir)
+    )
     export_jsonl(curated, out_dir, shards)
     # count from the written artifact, certifying the export itself
     return spark.read.text(out_dir).count()

@@ -484,6 +484,26 @@ ORDER BY doc_id
 """
 
 
+def _term_pair_positions(
+    spark: SparkSession, sf_dir: str, t1: str, t2: str
+) -> DataFrame:
+    """(doc_id, pos1, pos2) for documents containing BOTH terms —
+    the shared scaffolding of the positional queries (phrase,
+    proximity): pushed In(term) posting fetch, per-term position
+    lists, doc_id join. One copy so the fetch path cannot fork."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(t1, t2))
+    p1 = hits.filter(F.col("term") == t1).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = hits.filter(F.col("term") == t2).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    return p1.join(p2, "doc_id")
+
+
 @plan("phrase_search_prepared", oracle=_PHRASE_ORACLE)
 def phrase_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase query served from the POSITIONAL inverted index:
@@ -498,18 +518,8 @@ def phrase_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     token adjacency, certifying the positional index end-to-end.
     Generalizes to k-term phrases by chaining the same shifted
     intersection."""
-    from venus_spark.prepared import documents_postings
-
-    post, _dfreq, _stats = documents_postings(spark, sf_dir)
-    hits = post.filter(F.col("term").isin(*_PHRASE))
-    p1 = hits.filter(F.col("term") == _PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("pos1")
-    )
-    p2 = hits.filter(F.col("term") == _PHRASE[1]).select(
-        "doc_id", F.col("pos").alias("pos2")
-    )
     return (
-        p1.join(p2, "doc_id")
+        _term_pair_positions(spark, sf_dir, *_PHRASE)
         .select(
             "doc_id",
             F.size(
@@ -610,29 +620,19 @@ def proximity_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences (single digits per doc), text never read, nothing
     tokenized. Oracle recomputes from raw token positions; position
     BASES differ (0- vs 1-based) but distances are base-invariant."""
-    from venus_spark.prepared import documents_postings
-
-    post, _dfreq, _stats = documents_postings(spark, sf_dir)
-    hits = post.filter(F.col("term").isin(*_PROX_TERMS))
-    p1 = hits.filter(F.col("term") == _PROX_TERMS[0]).select(
-        "doc_id", F.col("pos").alias("p1")
-    )
-    p2 = hits.filter(F.col("term") == _PROX_TERMS[1]).select(
-        "doc_id", F.col("pos").alias("p2")
-    )
     n_near = F.size(
         F.filter(
             F.flatten(
                 F.transform(
-                    "p1",
-                    lambda a: F.transform(F.col("p2"), lambda b: F.abs(a - b)),
+                    "pos1",
+                    lambda a: F.transform(F.col("pos2"), lambda b: F.abs(a - b)),
                 )
             ),
             lambda d: d <= F.lit(_PROX_SLOP),
         )
     )
     return (
-        p1.join(p2, "doc_id")
+        _term_pair_positions(spark, sf_dir, *_PROX_TERMS)
         .select("doc_id", n_near.alias("n_near"))
         .filter(F.col("n_near") > 0)
         .orderBy("doc_id")

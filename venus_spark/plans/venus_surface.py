@@ -299,25 +299,29 @@ def topk_recent_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second dashboard page via KEYSET pagination — the production
     idiom OFFSET cannot scale to: page 1's last row becomes a cursor,
     and page 2 is ``WHERE (ts, id) < cursor ORDER BY … LIMIT k``. The
-    cursor is derived IN-PLAN (min-of-struct over page 1's k rows, one
-    broadcast row) so the whole page is a single distributed query:
-    both scans are TakeOrderedAndProject and the seek predicate reaches
-    the parquet scan as a pushed range filter — work stays O(k), never
-    O(pages·k) the way OFFSET's skip-and-discard does at depth. The
-    oracle uses LIMIT/OFFSET, certifying the keyset formulation against
-    the definitionally-correct one under the total (ts, event_id)
-    order."""
+    cursor is fetched as ONE bounded driver row (the same documented
+    idiom as the IVF centroid probe — a runtime join column cannot be
+    pushed into a parquet scan, a literal can) and inlined, so the seek
+    predicate reaches the scan as a PUSHED filter
+    (``Or(LessThan(ts), And(EqualTo(ts), LessThan(event_id)))``) and
+    row groups entirely after the cursor are skipped via footer stats —
+    work stays near O(k) at depth, never OFFSET's skip-and-discard of
+    every earlier page. The oracle uses LIMIT/OFFSET, certifying the
+    keyset formulation against the definitionally-correct one under the
+    total (ts, event_id) order."""
     ev = load_table(spark, sf_dir, "events")
-    page1 = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(10)
-    cursor = page1.agg(
-        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("c")
-    ).select(F.col("c.ts").alias("c_ts"), F.col("c.event_id").alias("c_id"))
+    cur = (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .agg(F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("c"))
+        .first()["c"]
+    )  # bounded single-row fetch: the page-1 cursor
+    ts_lit = f"TIMESTAMP_NTZ'{cur['ts'].isoformat(sep=' ')}'"
+    seek = F.expr(
+        f"ts < {ts_lit} OR (ts = {ts_lit} AND event_id < {int(cur['event_id'])})"
+    )
     return (
-        ev.crossJoin(F.broadcast(cursor))
-        .filter(
-            (F.col("ts") < F.col("c_ts"))
-            | ((F.col("ts") == F.col("c_ts")) & (F.col("event_id") < F.col("c_id")))
-        )
+        ev.filter(seek)
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(10)
         .select("event_id", fmt_ts("ts").alias("ts_str"), "event_type")

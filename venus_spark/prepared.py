@@ -542,6 +542,7 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     post, _dfreq, _stats = documents_postings(spark, sf_dir)
     path = prepared_path(sf_dir, "documents_postings.parquet")
     manifest = _read_abatch_manifest(path)
+    marked = _has_append_marker(path)
     tmp, old = path + ".compact.tmp", path + ".compact.old"
     for stale in (tmp, old):
         if os.path.exists(stale):
@@ -554,6 +555,10 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     _stamp(tmp, _POSTINGS_META)
     if manifest:
         _write_abatch_manifest(tmp, manifest)
+    if marked:
+        # appended rows are still base-absent after absorption — the
+        # rebuild-refusal marker must survive the rewrite
+        _mark_appended(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -735,23 +740,48 @@ def _walk_rel(tmp: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+_APPEND_MARKER = "_has_appends.json"
+
+
+def _mark_appended(path: str) -> None:
+    """Record that a layout absorbed un-manifested (plain mode-append)
+    batch rows — the batch-API appends carry no batch id, so this
+    marker is what lets :func:`_refuse_rebuild_with_absorbed_batches`
+    protect them the way the manifested streaming appends are
+    protected. Rewrites that preserve the row set (compaction, vacuum,
+    retention) must carry the marker like they carry the manifests."""
+    p = os.path.join(path, _APPEND_MARKER)
+    with open(p + ".tmp", "w") as f:
+        json.dump(True, f)
+    os.replace(p + ".tmp", p)
+
+
+def _has_append_marker(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _APPEND_MARKER))
+
+
 def _refuse_rebuild_with_absorbed_batches(path: str, what: str) -> None:
     """Guard a lazy from-base rebuild of a derived layout: once the
     layout has absorbed appended/streamed batches (non-empty abatch or
-    merged-batch manifest), those rows may exist ONLY in the layout —
-    the sink table, not the base parquet, holds the streamed copies —
-    so dropping the directory and rebuilding from ``load_table`` would
-    silently lose them (and forget the committed batch ids). Refuse
-    loudly instead: the operator either re-lands those rows in the
-    base table or deletes the layout directory explicitly to accept
-    the loss."""
-    if _read_abatch_manifest(path) or _read_merged(path):
+    merged-batch manifest, or the mode-append marker), those rows may
+    exist ONLY in the layout — the sink table, not the base parquet,
+    holds the streamed copies — so dropping the directory and
+    rebuilding from ``load_table`` would silently lose them (and forget
+    the committed batch ids). Refuse loudly instead: the operator
+    either re-lands those rows in the base table or deletes the layout
+    directory explicitly to accept the loss."""
+    if (
+        _read_abatch_manifest(path)
+        or _read_merged(path)
+        or _has_append_marker(path)
+    ):
         raise RuntimeError(
             f"{what} at {path} holds appended/streamed batches that the "
-            "base table may not contain (non-empty batch manifest); a "
-            "rebuild from the base table would silently drop those rows. "
-            "Re-land them in the base table first, or delete the layout "
-            "directory explicitly to accept the loss."
+            "base table may not contain (non-empty batch manifest or "
+            "append marker); a rebuild from the base table would "
+            "silently drop those rows. Re-land them in the base table "
+            "first, or delete the layout directory explicitly to accept "
+            "the loss."
         )
 
 
@@ -991,12 +1021,12 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
     documents_trgm(spark, sf_dir)
     documents_minhash(spark, sf_dir)
     documents_postings(spark, sf_dir)
-    _trgm_rows(new_docs).write.mode("append").parquet(
-        prepared_path(sf_dir, "documents_trgm.parquet")
-    )
-    _minhash_rows(new_docs).write.mode("append").parquet(
-        prepared_path(sf_dir, "documents_minhash.parquet")
-    )
+    trgm_path = prepared_path(sf_dir, "documents_trgm.parquet")
+    _trgm_rows(new_docs).write.mode("append").parquet(trgm_path)
+    _mark_appended(trgm_path)
+    mh_path = prepared_path(sf_dir, "documents_minhash.parquet")
+    _minhash_rows(new_docs).write.mode("append").parquet(mh_path)
+    _mark_appended(mh_path)
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
@@ -1007,6 +1037,7 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
         .write.mode("append")
         .parquet(post_path)
     )
+    _mark_appended(post_path)
     old = spark.read.parquet(stats_path).first()
     b_n, b_sum = _doclen_counters(new_docs)
     _write_dfreq(spark, post_path, dfreq_path)
@@ -1316,6 +1347,7 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
     vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
     embeddings_ivf(spark, sf_dir)
     new_vecs.write.mode("append").partitionBy("label").parquet(vec_path)
+    _mark_appended(vec_path)
 
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
     codebook = _pq_saturated_codebook(spark, sf_dir)
@@ -1325,6 +1357,7 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
         .partitionBy("label")
         .parquet(codes_path)
     )
+    _mark_appended(codes_path)
 
 
 def _pq_code_rows(new_vecs: DataFrame, codebook: list) -> DataFrame:
@@ -1559,6 +1592,13 @@ def tombstone_documents(
     the append paths (same-id-same-ids contract)."""
     if batch_id in _read_abatch_manifest(_tombstones_path(sf_dir)):
         return  # delete batch fully committed earlier — retry is a no-op
+    # The postings drop below triggers a rebuild FROM THE BASE TABLE; if
+    # the index holds mode-appended documents the base table lacks, that
+    # rebuild would silently lose their postings — refuse the delete
+    # until those documents are re-landed in the base (review r5 #3).
+    _refuse_rebuild_with_absorbed_batches(
+        prepared_path(sf_dir, "documents_postings.parquet"), "inverted index"
+    )
     ids = doc_ids if isinstance(doc_ids, DataFrame) else spark.createDataFrame(
         [(int(i),) for i in doc_ids], "doc_id long"
     )
@@ -1618,6 +1658,7 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         meta = _read_meta(path)
         manifest = _read_abatch_manifest(path)
         merged = _read_merged(path)
+        marked = _has_append_marker(path)
         tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
         for stale in (tmp, old):
             if os.path.exists(stale):
@@ -1628,6 +1669,8 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
             _write_abatch_manifest(tmp, manifest)
         if merged:
             _write_merged(tmp, merged)
+        if marked:
+            _mark_appended(tmp)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
@@ -1703,6 +1746,7 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
         except OSError:
             meta = None
         manifest = _read_abatch_manifest(path)
+        marked = _has_append_marker(path)
         tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
         for stale in (tmp, old):
             if os.path.exists(stale):
@@ -1720,6 +1764,8 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
         # as the recluster/retention rewrites)
         if manifest:
             _write_abatch_manifest(tmp, manifest)
+        if marked:
+            _mark_appended(tmp)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
