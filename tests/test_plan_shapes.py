@@ -551,3 +551,16 @@ def test_phrase_search_pushes_terms_and_never_reads_text(spark):
     assert re.search(r"PushedFilters: \[.*In\(term, \[", plan), plan[:2000]
     rs = re.findall(r"ReadSchema: (\S+)", plan)
     assert rs and all("text" not in s for s in rs)
+
+
+def test_keyset_page2_seek_predicate_is_pushed(spark):
+    """The keyset cursor must reach the parquet scan as a pushed
+    range filter (a runtime join column cannot; the inlined-literal
+    cursor can) — the property that keeps deep pagination near O(k)."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["topk_recent_page2"].fn(spark, SF))
+    assert re.search(
+        r"PushedFilters: \[Or\(LessThan\(ts,.*And\(EqualTo\(ts,.*LessThan\(event_id,",
+        plan,
+    ), plan[:2000]
