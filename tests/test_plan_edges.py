@@ -445,3 +445,73 @@ def test_dedup_incremental_agrees_with_corpus_self_dedup(spark):
         elif b_new and not a_new:
             want.add((id_b, id_a))
     assert inc == want and len(inc) > 0
+
+
+def test_drift_tv_one_sided_type_is_total_drift_not_nan(spark, tmp_path):
+    """A type present in only one period must report tv_drift = 1.0
+    (total mass moved), not the 0/0 NaN the unguarded ratio degenerates
+    to — and the oracle must agree on the same synthetic table."""
+    import datetime as dt
+
+    from venus_spark.plans import all_plans
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        # 'early' exists only before the cut (2024-01-16)
+        (1, t("2024-01-02 10:00:00"), 1, "early", 5.0, "{}"),
+        (2, t("2024-01-03 10:00:00"), 2, "early", 30.0, "{}"),
+        # 'late' exists only after
+        (3, t("2024-01-20 10:00:00"), 3, "late", 7.0, "{}"),
+        # 'both' spans the cut with identical histograms -> tv 0
+        (4, t("2024-01-02 09:00:00"), 4, "both", 10.0, "{}"),
+        (5, t("2024-01-20 09:00:00"), 5, "both", 10.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir, rows)
+
+    p = all_plans()["distribution_drift_tv"]
+    got = {r["event_type"]: r for r in p.fn(spark, sf_dir).collect()}
+    assert got["early"]["tv_drift"] == 1.0 and got["early"]["n_b"] == 0
+    assert got["late"]["tv_drift"] == 1.0 and got["late"]["n_a"] == 0
+    assert got["both"]["tv_drift"] == 0.0
+
+    con = duckdb_connect(sf_dir)
+    res = compare("drift_edge", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail
+
+
+def test_trend_degenerate_series_yield_null_not_error(spark, tmp_path):
+    """value_trend_per_type's CASE guards: a type whose events share
+    ONE timestamp has sxx = 0 (slope/intercept/r2 NULL, no division
+    error under ANSI), and a type with constant value has syy = 0
+    (r2 NULL, slope 0) — oracle-matched on the same synthetic table."""
+    import datetime as dt
+
+    from venus_spark.plans import all_plans
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        # one shared timestamp -> sxx = 0
+        (1, t("2024-01-05 10:00:00"), 1, "same_ts", 1.0, "{}"),
+        (2, t("2024-01-05 10:00:00"), 2, "same_ts", 9.0, "{}"),
+        # constant value over time -> syy = 0, slope 0
+        (3, t("2024-01-02 10:00:00"), 3, "flat", 4.0, "{}"),
+        (4, t("2024-01-09 10:00:00"), 4, "flat", 4.0, "{}"),
+        # a real trend for contrast: value doubles in 7 days
+        (5, t("2024-01-02 10:00:00"), 5, "rise", 2.0, "{}"),
+        (6, t("2024-01-09 10:00:00"), 6, "rise", 4.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir, rows)
+
+    p = all_plans()["value_trend_per_type"]
+    got = {r["event_type"]: r for r in p.fn(spark, sf_dir).collect()}
+    assert got["same_ts"]["slope_per_day"] is None
+    assert got["same_ts"]["r2"] is None
+    assert got["flat"]["slope_per_day"] == 0.0 and got["flat"]["r2"] is None
+    assert abs(got["rise"]["slope_per_day"] - 2.0 / 7.0) < 1e-6
+    assert got["rise"]["r2"] == 1.0
+
+    con = duckdb_connect(sf_dir)
+    res = compare("trend_edge", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail

@@ -470,8 +470,14 @@ _DRIFT_BIN_W = "25.0"
 # Integer-exact TV distance: TV = Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b).
 # Every input is a BIGINT count, so the numerator sum is exact and the
 # single closing division is deterministic in both engines.
+# Guarded: a type present in only ONE period has n_a*n_b = 0 and the
+# raw ratio degenerates to 0/0 = NaN (engine-divergent under hashing).
+# TV against an empty distribution is definitionally 1 when the other
+# side is non-empty (total mass moved), NULL when both are empty.
 _DRIFT_TV = (
-    "ROUND(CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE), 6)"
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+    "ROUND(CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE), 6) "
+    "WHEN n_a > 0 OR n_b > 0 THEN 1.0 END"
 )
 
 _DRIFT_ORACLE = f"""
