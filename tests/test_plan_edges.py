@@ -515,3 +515,50 @@ def test_trend_degenerate_series_yield_null_not_error(spark, tmp_path):
     con = duckdb_connect(sf_dir)
     res = compare("trend_edge", p.fn(spark, sf_dir), con, p.oracle)
     assert res.ok, res.detail
+
+
+def _write_docs(spark, sf_dir, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_phrase_search_counts_repeats_and_ignores_reversals(
+    spark, tmp_path, monkeypatch
+):
+    """Positional-phrase edges on a synthetic corpus: a doc repeating
+    the phrase counts every occurrence, the reversed word order does
+    NOT match, a doc containing only one term does not match, and the
+    oracle agrees."""
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    rows = [
+        (1, "part filter part filter", "en", "a", 23),  # 2 occurrences
+        (2, "filter part", "en", "a", 11),  # reversed: no match
+        (3, "part alone here", "en", "a", 15),  # one term only
+        (4, "a part filter b", "en", "a", 15),  # 1 occurrence
+        (5, "nothing relevant", "en", "a", 16),
+        # proximity corpus (_PROX_TERMS = hash/join, slop 3):
+        (6, "join x hash", "en", "a", 11),  # reversed, distance 2: match
+        (7, "hash a b c d join", "en", "a", 17),  # distance 5: no match
+    ]
+    sf_dir = str(tmp_path)
+    _write_docs(spark, sf_dir, rows)
+
+    p = all_plans()["phrase_search_prepared"]
+    got = {r["doc_id"]: r["n_occurrences"] for r in p.fn(spark, sf_dir).collect()}
+    assert got == {1: 2, 4: 1}
+
+    con = duckdb_connect(sf_dir)
+    res = compare("phrase_edge", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail
+
+    # proximity (slop 3) admits the reversed order but not distance > 3
+    px = all_plans()["proximity_search_prepared"]
+    got_p = {r["doc_id"]: r["n_near"] for r in px.fn(spark, sf_dir).collect()}
+    assert got_p == {6: 1}
+    res = compare("prox_edge", px.fn(spark, sf_dir), con, px.oracle)
+    assert res.ok, res.detail
