@@ -112,3 +112,45 @@ def _bits(x) -> int | None:
     import struct
 
     return struct.unpack("<Q", struct.pack("<d", float(x)))[0]
+
+
+def test_trend_and_drift_plans_agree_on_seeded_random_events(spark, rng, tmp_path):
+    """Plan-level numeric fuzz: value_trend_per_type and
+    distribution_drift_tv must hash-match their oracles on a seeded
+    random events table far wilder than the curated corpus — NEGATIVE
+    values (ROUND/FLOOR at negative half-boundaries are where engines
+    diverge first), near-zero magnitudes, duplicate timestamps, and
+    microsecond-resolution times."""
+    import datetime as dt
+
+    from venus_spark.oracle import compare, duckdb_connect
+    from venus_spark.plans import all_plans
+
+    n = 600
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        us = int(rng.randint(0, 30 * 86400)) * 1_000_000 + int(
+            rng.randint(0, 1_000_000)
+        )
+        ts = base + dt.timedelta(microseconds=us)
+        if i % 97 == 0:
+            ts = base + dt.timedelta(days=5)  # duplicate-timestamp cluster
+        v = float(rng.standard_normal() * 300.0)
+        if i % 53 == 0:
+            v = float(rng.standard_normal() * 1e-6)  # near-zero
+        rows.append(
+            (i, ts, int(rng.randint(0, 40)), f"t{i % 3}", v, "{}")
+        )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb_connect(sf_dir)
+    for name in ("value_trend_per_type", "distribution_drift_tv"):
+        p = all_plans()[name]
+        res = compare(name, p.fn(spark, sf_dir), con, p.oracle)
+        assert res.ok, (name, res.detail)
