@@ -1771,3 +1771,173 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
         shutil.rmtree(old)
         removed += n_dead
     return removed
+
+
+# --------------------------------------------------------------------------
+# Streaming maintenance for the inverted index: pending list + live view
+# + VACUUM merge — the postings twin of the MinHash pending machinery,
+# so a documents stream keeps BM25/phrase/boolean search current too.
+# --------------------------------------------------------------------------
+
+_POSTINGS_INDEX = "documents_postings.parquet"
+_POSTINGS_COUNTERS = "documents_stats_counters.parquet"
+
+
+def write_postings_pending(
+    sf_dir: str, batch_docs: DataFrame, batch_id: int
+) -> None:
+    """Per-micro-batch inverted-index maintenance: the batch's postings
+    land under a ``_batch_id`` pending partition (dynamic overwrite —
+    a replayed batch rewrites exactly its own partition) and its EXACT
+    corpus-stat counters (n_docs, dl_sum — counting zero-token docs,
+    which have no postings rows) land as a one-row counter partition
+    keyed the same way. Counter rows are the permanent per-batch
+    stats record: :func:`documents_postings` adds the MERGED batches'
+    counters to the stored stats and the live view adds them all, so
+    stats stay exact in every crash window without ever rewriting the
+    stats table during a merge."""
+    spark = batch_docs.sparkSession
+    (
+        _postings_rows(batch_docs)
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_pending_path(sf_dir, _POSTINGS_INDEX))
+    )
+    n, s = _doclen_counters(batch_docs)
+    (
+        spark.createDataFrame(
+            [(batch_id, n, s)], "_batch_id long, n_docs long, dl_sum long"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(prepared_path(sf_dir, _POSTINGS_COUNTERS))
+    )
+
+
+def _batch_counters(
+    spark: SparkSession, sf_dir: str, only: set[int] | None = None
+) -> tuple[int, int]:
+    """Sum of the per-batch (n_docs, dl_sum) counter rows — all of them,
+    or only the given batch ids."""
+    p = prepared_path(sf_dir, _POSTINGS_COUNTERS)
+    if not os.path.isdir(p) or not any(
+        d.startswith("_batch_id=") for d in os.listdir(p)
+    ):
+        return 0, 0
+    df = spark.read.parquet(p)
+    if only is not None:
+        if not only:
+            return 0, 0
+        df = df.filter(F.col("_batch_id").isin(sorted(only)))
+    row = df.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("dl_sum").cast("long").alias("s"),
+    ).first()
+    return int(row["n"] or 0), int(row["s"] or 0)
+
+
+def _stats_row(spark: SparkSession, n_docs: int, dl_sum: int) -> DataFrame:
+    """One-row (n_docs, dl_sum, avgdl) frame via the same arithmetic
+    _write_stats stores — shared by the counter-adjusted read paths."""
+    return spark.createDataFrame(
+        [(n_docs, dl_sum)], "n_docs long, dl_sum long"
+    ).select(
+        "n_docs",
+        "dl_sum",
+        F.round(F.col("dl_sum").cast("double") / F.col("n_docs"), 6).alias(
+            "avgdl"
+        ),
+    )
+
+
+def documents_postings_live(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The inverted index INCLUDING not-yet-merged streaming batches —
+    the postings analog of :func:`documents_minhash_live`:
+
+    - postings: base ∪ pending (batches already manifested as merged
+      are excluded from pending — their byte-identical rows sit in the
+      base after a crash-replay, same rule as the MinHash live view);
+    - df: recomputed over that union (vocabulary-sized output; the same
+      aggregation cost class as the per-append ``_write_dfreq``);
+    - stats: stored build counters + EVERY batch counter row (merged
+      batches' rows are in the base, unmerged ones in pending — either
+      way present in the union exactly once, so adding all counters is
+      exact in every crash window, including mid-merge).
+    """
+    post, _dfreq, stats = documents_postings(spark, sf_dir)
+    pend = _pending_path(sf_dir, _POSTINGS_INDEX)
+    base = prepared_path(sf_dir, _POSTINGS_INDEX)
+    if os.path.isdir(pend) and any(
+        d.startswith("_batch_id=") for d in os.listdir(pend)
+    ):
+        pp = spark.read.parquet(pend)
+        merged = _read_merged(base)
+        if merged:
+            pp = pp.filter(~F.col("_batch_id").isin(sorted(merged)))
+        post = post.unionByName(pp.drop("_batch_id"))
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    srow = stats.first()
+    pn, ps = _batch_counters(spark, sf_dir)  # merged counters are already
+    # inside documents_postings' stats; add only the unmerged remainder
+    mn, ms = _batch_counters(spark, sf_dir, only=_read_merged(base))
+    live_stats = _stats_row(
+        spark,
+        int(srow["n_docs"]) + (pn - mn),
+        int(srow["dl_sum"]) + (ps - ms),
+    )
+    return post, dfreq, live_stats
+
+
+def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
+    """VACUUM the postings pending list: per unmanifested batch, move
+    its data files into the base (collision-free rename), refresh the
+    vocabulary df table from the enlarged base, manifest the batch id,
+    and remove the emptied pending partition — the same move/manifest
+    discipline as :func:`merge_minhash_pending`. Stats need NO rewrite:
+    the per-batch counter rows are permanent and the read paths add the
+    merged ones to the stored stats (see write_postings_pending), so
+    there is no fold step and therefore no double-count crash window.
+    The one transient window: after a file move but before the df
+    refresh completes, the STORED df table lags the moved rows — the
+    merge retry (or the next merge) completes the refresh; the live
+    view's df is recomputed from the union and never lags. Returns the
+    number of data files merged."""
+    import uuid
+
+    base = prepared_path(sf_dir, _POSTINGS_INDEX)
+    pend = _pending_path(sf_dir, _POSTINGS_INDEX)
+    if not os.path.exists(pend):
+        return 0
+    documents_postings(spark, sf_dir)  # base must exist to receive files
+    dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
+    merged = _read_merged(base)
+    n = 0
+    moved_any = False
+    for d in sorted(os.listdir(pend)):
+        if not d.startswith("_batch_id="):
+            continue
+        batch_dir = os.path.join(pend, d)
+        bid = int(d.split("=", 1)[1])
+        if bid not in merged:
+            for fn in sorted(os.listdir(batch_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                os.rename(
+                    os.path.join(batch_dir, fn),
+                    os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
+                )
+                n += 1
+            moved_any = True
+            _write_dfreq(spark, base, dfreq_path)
+            _stamp(dfreq_path, _POSTINGS_META)
+            merged.add(bid)
+            _write_merged(base, merged)
+        shutil.rmtree(batch_dir)
+    if moved_any:
+        _mark_appended(base)  # merged rows may exist only here + the sink
+    return n
