@@ -9,6 +9,14 @@
 Execution is forced with a noop-format write (full materialization on
 the executors, nothing collected to the driver), so timings measure the
 distributed plan, not result transfer.
+
+``$SPARK_GRAFT_REPEAT`` (default 1) runs every plan N times and reports
+the per-plan MEDIAN: single-shot totals on this shared host swing
+±10-20% run to run (PERF.md), so round-over-round comparisons should be
+made on medians (the driver's per-round run keeps the default; the
+recorded BENCH_SELF artifacts use REPEAT=3). The output contract is
+unchanged — "queries" holds one number per plan — with "repeat" added
+so a reader knows which protocol produced the file.
 """
 
 from __future__ import annotations
@@ -16,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -23,6 +32,7 @@ from venus_spark.plans import all_plans
 from venus_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
 
 
 def sf_from_dir(path: str) -> float:
@@ -55,13 +65,19 @@ def main() -> None:
 
     total0 = time.perf_counter()
     for name, p in sorted(plans.items()):
-        t0 = time.perf_counter()
-        try:
-            materialize(p.fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(REPEAT):
+            t0 = time.perf_counter()
+            try:
+                materialize(p.fn(spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+            except Exception as exc:  # keep the bench line parseable
+                runs = []
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                break
+        timings[name] = (
+            round(statistics.median(runs), 3) if runs else -1.0
+        )
     total = round(time.perf_counter() - total0, 3)
 
     failed = sorted(k for k, v in timings.items() if v < 0)
@@ -77,6 +93,7 @@ def main() -> None:
                 # is -1.0); the explicit list keeps the headline number
                 # honest when cross-checking against the breakdown.
                 "failed": failed,
+                "repeat": REPEAT,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

@@ -1,0 +1,287 @@
+"""Streaming maintenance of the POSITIONAL inverted index — the
+postings twin of the MinHash pending-list suite (ADVICE r5: this
+machinery previously had no coverage at all).
+
+Contract under test, end to end:
+
+- a documents micro-batch lands its postings + per-document length
+  counters exactly-once under ``_batch_id`` pending partitions;
+- ``documents_postings_live`` (base ∪ unmerged pending) equals a full
+  rebuild over backfill + streamed docs — postings rows, vocabulary df,
+  AND the (n_docs, dl_sum, avgdl) stats row;
+- ``merge_postings_pending`` folds pending into the base idempotently,
+  after which the BASE read path (``documents_postings``) serves the
+  merged rows with stats that still match the rebuild (the r5 ADVICE
+  high finding: merged postings without merged counters silently skew
+  BM25 idf/avgdl);
+- compaction carries the merged-batch manifest, so a crash-replayed
+  pending write after OPTIMIZE cannot double-count;
+- tombstoned streamed documents vanish from the live view and its
+  stats immediately, and the merge scrubs their rows instead of
+  resurrecting them into the filterless base.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from venus_spark import prepared
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _split_docs(spark, tmp_path, n_base=30, n_new=16):
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < n_base).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    new = (
+        docs.filter(
+            (F.col("doc_id") >= n_base) & (F.col("doc_id") < n_base + n_new)
+        )
+        .withColumn("doc_id", F.col("doc_id") + 970)
+    )
+    return docs, sf, new
+
+
+def _rebuild_sf(spark, tmp_path, base_docs, extra_docs):
+    full_sf = str(tmp_path / "full_sf")
+    base_docs.unionByName(extra_docs).write.parquet(
+        os.path.join(full_sf, "documents.parquet")
+    )
+    return full_sf
+
+
+def _collect_index(post, dfreq, stats):
+    return (
+        [r.asDict() for r in post.orderBy("term", "doc_id").collect()],
+        [r.asDict() for r in dfreq.orderBy("term").collect()],
+        stats.first().asDict(),
+    )
+
+
+def test_postings_stream_maintenance_matches_rebuild_and_merge(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)  # base over the backfill
+
+    from venus_spark.streaming import start_documents_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    new_rows = [r.asDict() for r in new.collect()]
+    for i, chunk in enumerate((new_rows[:8], new_rows[8:])):
+        (landing / f"batch{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in chunk) + "\n"
+        )
+
+    def run():
+        q = start_documents_ingest(
+            spark.readStream.schema(docs.schema).json(str(landing)),
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            index_sf_dir=sf,
+            trigger_seconds=None,
+        )
+        q.awaitTermination()
+
+    run()
+
+    full_sf = _rebuild_sf(
+        spark,
+        tmp_path,
+        docs.filter(F.col("doc_id") < 30),
+        spark.createDataFrame(new_rows, docs.schema),
+    )
+    expect = _collect_index(*prepared.documents_postings(spark, full_sf))
+
+    live = _collect_index(*prepared.documents_postings_live(spark, sf))
+    assert live == expect
+
+    # checkpoint replay: rerun the whole stream — no duplicates anywhere
+    run()
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == expect
+
+    # capture a real batch's membership for the replay below (replay
+    # carries the SAME rows — the same-id-same-rows contract)
+    counters = spark.read.parquet(
+        prepared.prepared_path(sf, "documents_stats_counters.parquet")
+    )
+    replay_bid = int(counters.agg(F.min("_batch_id")).first()[0])
+    replay_ids = [
+        int(r["doc_id"])
+        for r in counters.filter(F.col("_batch_id") == replay_bid).collect()
+    ]
+
+    # VACUUM: the BASE read path now serves the merged rows AND their
+    # counters (merge-then-stats parity — the ADVICE r5 high finding)
+    assert prepared.merge_postings_pending(spark, sf) > 0
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
+    # live == base once nothing is pending
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == expect
+    # merge retry is a no-op
+    assert prepared.merge_postings_pending(spark, sf) == 0
+
+    # OPTIMIZE carries the merged manifest: a crash-replayed pending
+    # write after compaction must stay excluded (no double count)
+    prepared.compact_documents_postings(spark, sf)
+    post_path = prepared.prepared_path(sf, "documents_postings.parquet")
+    assert prepared._read_merged(post_path)
+    b0 = spark.createDataFrame(
+        [r for r in new_rows if r["doc_id"] in set(replay_ids)], docs.schema
+    )
+    prepared.write_postings_pending(sf, b0, replay_bid)
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == expect
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
+    # and the next merge drops (not re-moves) the replayed partition
+    prepared.merge_postings_pending(spark, sf)
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
+
+
+def test_tombstoned_streamed_doc_excluded_from_live_and_scrubbed_on_merge(
+    spark, tmp_path, monkeypatch
+):
+    """A streamed-but-unmerged document that is deleted must vanish from
+    live postings AND live stats at once (ADVICE r5: it previously kept
+    surfacing and its counters inflated n_docs/dl_sum forever), and the
+    merge must scrub — not resurrect — its rows, because the base
+    postings serve with no read-side tombstone filter."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+
+    # pending batch: real docs plus one zero-token doc (counter-row-only)
+    zero = spark.createDataFrame(
+        [(9999, "", "en", "web", 0)], docs.schema
+    )
+    batch = new.unionByName(zero)
+    prepared.write_postings_pending(sf, batch, 0)
+
+    dead = [int(new.first()["doc_id"]), 9999, 3]  # streamed, zero-token, base
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+
+    surviving_new = new.filter(~F.col("doc_id").isin(dead))
+    full_sf = _rebuild_sf(
+        spark,
+        tmp_path,
+        docs.filter((F.col("doc_id") < 30) & ~F.col("doc_id").isin(dead)),
+        surviving_new,
+    )
+    expect = _collect_index(*prepared.documents_postings(spark, full_sf))
+
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == expect
+
+    # merge scrubs the tombstoned rows; base == rebuild, stats exact
+    assert prepared.merge_postings_pending(spark, sf) > 0
+    got = _collect_index(*prepared.documents_postings(spark, sf))
+    assert got == expect
+    base_ids = {
+        r["doc_id"]
+        for r in prepared.documents_postings(spark, sf)[0]
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not base_ids & set(dead)  # no resurrection, ever
+
+    # physical-delete maintenance converges too (vacuum calls the merge)
+    assert prepared.merge_postings_pending(spark, sf) == 0
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == expect
+
+
+def test_merge_scrub_crash_window_converges(spark, tmp_path, monkeypatch):
+    """Crash between the scrub's two directory renames: the batch
+    partition is displaced to ``.old`` and the filtered tmp is complete.
+    Recovery must finish the swap (complete-tmp-wins) and the next merge
+    must fold exactly the filtered rows — once."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    prepared.write_postings_pending(sf, new, 0)
+    dead = [int(new.first()["doc_id"])]
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+
+    pend = prepared._pending_path(sf, "documents_postings.parquet")
+    batch_dir = os.path.join(pend, "_batch_id=0")
+    tmp, old = prepared._scrub_paths(pend, 0)
+    # hand-build the mid-swap state the scrub would crash in
+    tb = prepared.document_tombstones(spark, sf)
+    rows = spark.read.parquet(batch_dir)
+    rows.join(F.broadcast(tb), "doc_id", "left_anti").write.parquet(tmp)
+    os.rename(batch_dir, old)
+    assert not os.path.exists(batch_dir)
+
+    assert prepared.merge_postings_pending(spark, sf) > 0
+    full_sf = _rebuild_sf(
+        spark,
+        tmp_path,
+        docs.filter((F.col("doc_id") < 30) & ~F.col("doc_id").isin(dead)),
+        new.filter(~F.col("doc_id").isin(dead)),
+    )
+    expect = _collect_index(*prepared.documents_postings(spark, full_sf))
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+
+
+def test_append_documents_batch_idempotent_and_matches_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """The manifested batch append (r5 round-6 queue): one call lands a
+    batch in all three document indexes; the result equals a full
+    rebuild row-for-row, and a crash-retry of the SAME batch id — at
+    any point, including after full completion — converges to exactly
+    one copy (the mode-append path's documented double-append hazard is
+    what this API removes)."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_trgm(spark, sf)
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_postings(spark, sf)
+
+    prepared.append_documents_batch(spark, sf, new, batch_id=7)
+    # full-completion retry is a pure no-op
+    prepared.append_documents_batch(spark, sf, new, batch_id=7)
+    # partial retry: pending rewritten post-merge, then merged again
+    prepared.write_postings_pending(sf, new, 7)
+    prepared.write_minhash_pending(sf, new, 7)
+    prepared.merge_postings_pending(spark, sf)
+    prepared.merge_minhash_pending(spark, sf)
+
+    full_sf = _rebuild_sf(spark, tmp_path, docs.filter(F.col("doc_id") < 30), new)
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == (
+        _collect_index(*prepared.documents_postings(spark, full_sf))
+    )
+    for fn in (prepared.documents_minhash, prepared.documents_trgm):
+        got = [r.asDict() for r in fn(spark, sf).orderBy("doc_id").collect()]
+        want = [r.asDict() for r in fn(spark, full_sf).orderBy("doc_id").collect()]
+        assert got == want
+
+
+def test_trgm_constant_drift_rebuild_refused_after_append(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5: documents_trgm's lazy rebuild lacked the
+    refuse-rebuild guard the other four prepared layouts carry — a
+    stamp drift after append_documents would silently rebuild from the
+    base and drop the appended docs from fuzzy/trigram search."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_trgm(spark, sf)
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_postings(spark, sf)
+    prepared.append_documents(spark, sf, new)
+
+    path = prepared.prepared_path(sf, "documents_trgm.parquet")
+    stamp = os.path.join(path, "_prep_meta.json")
+    meta = json.load(open(stamp))
+    meta["gram"] = 99
+    json.dump(meta, open(stamp, "w"))
+    with pytest.raises(RuntimeError, match="appended/streamed"):
+        prepared.documents_trgm(spark, sf)

@@ -637,3 +637,66 @@ def proximity_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_near") > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# k-term phrase search: chained position intersection
+# --------------------------------------------------------------------------
+
+_KPHRASE = ("big", "order", "scan")  # 3-token phrase present at every SF
+
+_KPHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(RANGE(1, LEN(t) - 1),
+             i -> t[i] = '{_KPHRASE[0]}' AND t[i + 1] = '{_KPHRASE[1]}'
+                  AND t[i + 2] = '{_KPHRASE[2]}'))
+           AS n_occurrences
+  FROM toks
+)
+SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
+ORDER BY doc_id
+"""
+
+
+@plan("phrase_search_kterm", oracle=_KPHRASE_ORACLE)
+def phrase_search_kterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-term exact phrase over the positional inverted index — the
+    chained generalization ``phrase_search_prepared``'s docstring
+    promises: one pushed In(term) fetch of ALL k terms' postings, then
+    k−1 doc_id joins each narrowing the candidate START positions
+    ``P ← P ∩ (pos_i − i)`` (an array_intersect of two position lists).
+    A document leaves the pipeline at the first term it lacks — the
+    standard Lucene ConjunctionDISI shape — and per-document work stays
+    proportional to the QUERY terms' occurrence counts. The corpus text
+    is never read and nothing is tokenized at query time; the oracle
+    recomputes occurrences from raw token adjacency, certifying
+    position correctness across all three offsets."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    fetched = post.filter(F.col("term").isin(*_KPHRASE)).select(
+        "term", "doc_id", "pos"
+    )
+
+    def plist(i: int) -> DataFrame:
+        # positions of term i re-based to the phrase START position
+        return fetched.filter(F.col("term") == _KPHRASE[i]).select(
+            "doc_id",
+            F.transform("pos", lambda x: x - i).alias(f"p{i}"),
+        )
+
+    cand = plist(0).withColumnRenamed("p0", "starts")
+    for i in range(1, len(_KPHRASE)):
+        cand = cand.join(plist(i), "doc_id").select(
+            "doc_id",
+            F.array_intersect("starts", f"p{i}").alias("starts"),
+        )
+    return (
+        cand.select("doc_id", F.size("starts").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy("doc_id")
+    )

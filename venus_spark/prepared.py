@@ -190,6 +190,9 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "documents_trgm.parquet")
     _recover_swap(path, ".vacuum")  # finish any interrupted vacuum rewrite
     if not _is_built(path, meta):
+        # mode-appended documents may exist only in this index + the
+        # sink table — a from-base rebuild would silently drop them
+        _refuse_rebuild_with_absorbed_batches(path, "trigram index")
         if os.path.exists(path):  # partial/failed/stale earlier build
             shutil.rmtree(path)
         _trgm_rows(
@@ -542,6 +545,7 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     post, _dfreq, _stats = documents_postings(spark, sf_dir)
     path = prepared_path(sf_dir, "documents_postings.parquet")
     manifest = _read_abatch_manifest(path)
+    merged = _read_merged(path)
     marked = _has_append_marker(path)
     tmp, old = path + ".compact.tmp", path + ".compact.old"
     for stale in (tmp, old):
@@ -555,6 +559,11 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     _stamp(tmp, _POSTINGS_META)
     if manifest:
         _write_abatch_manifest(tmp, manifest)
+    if merged:
+        # Forgetting which streamed batch ids were folded in would let a
+        # crash-replayed write_postings_pending recreate their pending
+        # partitions as live again — base + pending double count.
+        _write_merged(tmp, merged)
     if marked:
         # appended rows are still base-absent after absorption — the
         # rebuild-refusal marker must survive the rewrite
@@ -1049,6 +1058,40 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
     _drop_lsh_bands(spark, sf_dir)
 
 
+def append_documents_batch(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame, batch_id: int
+) -> None:
+    """Retry-idempotent batch append across all three document indexes —
+    the manifested counterpart of :func:`append_documents` (which is
+    plain mode-append: guarded against lossy rebuilds by the append
+    marker, but a crash-retry double-appends). Here every artifact
+    absorbs the batch under its id exactly once:
+
+    - trigram index: rows land via :func:`_append_batch_files`
+      (per-file atomic renames, batch manifest committed last — a
+      retry after commit is a pure no-op);
+    - MinHash and postings indexes: the batch goes through the SAME
+      pending-list + merge machinery the streaming path uses
+      (``write_*_pending`` is a dynamic partition overwrite — a replay
+      rewrites byte-identical rows — and the merge manifests the batch
+      id), which also makes the postings stats arithmetic idempotent
+      for free: there is no read-modify-write of the stats table, the
+      batch's per-document counter rows ARE the stats update.
+
+    ``batch_id`` shares one id space with the streaming epoch ids for
+    these indexes (same pending area); callers driving both must keep
+    the ranges disjoint, exactly like :func:`append_events`. Same
+    same-id-same-rows contract as every manifested append."""
+    documents_trgm(spark, sf_dir)
+    trgm_path = prepared_path(sf_dir, "documents_trgm.parquet")
+    _append_batch_files(_trgm_rows(new_docs), trgm_path, batch_id)
+    write_minhash_pending(sf_dir, new_docs, batch_id)
+    merge_minhash_pending(spark, sf_dir)
+    write_postings_pending(sf_dir, new_docs, batch_id)
+    merge_postings_pending(spark, sf_dir)
+    _drop_lsh_bands(spark, sf_dir)
+
+
 _POSTINGS_META = {"norm": "lower", "tokens": "ws", "layout": "range(term)",
                   "stats": "counters", "positions": "0-based"}
 
@@ -1099,10 +1142,23 @@ def documents_postings(
         _write_stats(spark, stats_path, n_docs, dl_sum)
         for p in (post_path, dfreq_path, stats_path):
             _stamp(p, meta)
+    stats = spark.read.parquet(stats_path)
+    merged = _read_merged(post_path)
+    if merged:
+        # Streamed batches folded in by merge_postings_pending exist in
+        # the postings files but NOT in the stored stats (the merge
+        # never rewrites the stats table — see write_postings_pending):
+        # add their permanent per-document counter rows here so n_docs/
+        # dl_sum/avgdl describe the same row set the postings serve.
+        srow = stats.first()
+        mn, ms = _batch_counters(spark, sf_dir, only=merged)
+        stats = _stats_row(
+            spark, int(srow["n_docs"]) + mn, int(srow["dl_sum"]) + ms
+        )
     return (
         spark.read.parquet(post_path),
         spark.read.parquet(dfreq_path),
-        spark.read.parquet(stats_path),
+        stats,
     )
 
 
@@ -1645,6 +1701,13 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
     if tb is None:
         return 0
     merge_minhash_pending(spark, sf_dir)
+    # The postings merge SCRUBS tombstoned rows out of each pending
+    # partition before folding it in (the base serves with no read-side
+    # delete filter), so after this call no postings file anywhere holds
+    # a tombstoned document's rows. Their per-document counter rows are
+    # retained like the tombstone set itself — excluded at read inside
+    # _batch_counters — so stats stay exact.
+    merge_postings_pending(spark, sf_dir)
     removed = 0
     for name in ("documents_minhash.parquet", "documents_trgm.parquet"):
         path = prepared_path(sf_dir, name)
@@ -1789,14 +1852,19 @@ def write_postings_pending(
     """Per-micro-batch inverted-index maintenance: the batch's postings
     land under a ``_batch_id`` pending partition (dynamic overwrite —
     a replayed batch rewrites exactly its own partition) and its EXACT
-    corpus-stat counters (n_docs, dl_sum — counting zero-token docs,
-    which have no postings rows) land as a one-row counter partition
-    keyed the same way. Counter rows are the permanent per-batch
-    stats record: :func:`documents_postings` adds the MERGED batches'
-    counters to the stored stats and the live view adds them all, so
-    stats stay exact in every crash window without ever rewriting the
-    stats table during a merge."""
-    spark = batch_docs.sparkSession
+    per-document length rows ``(doc_id, dl)`` — one row per document
+    INCLUDING zero-token docs, which have no postings rows — land as a
+    counter partition keyed the same way. Counter rows are the
+    permanent per-batch stats record: :func:`documents_postings` adds
+    the MERGED batches' counters to the stored stats and the live view
+    adds them all, so stats stay exact in every crash window without
+    ever rewriting the stats table during a merge. Counters are
+    PER-DOCUMENT (not per-batch scalars) so a later tombstone of a
+    streamed document subtracts exactly its own contribution — the
+    aggregate-level deletion problem that forces the BASE stats table
+    to drop-and-rebuild is solved at row granularity here."""
+    from venus_spark.functions import tokens
+
     (
         _postings_rows(batch_docs)
         .withColumn("_batch_id", F.lit(batch_id))
@@ -1805,11 +1873,12 @@ def write_postings_pending(
         .partitionBy("_batch_id")
         .parquet(_pending_path(sf_dir, _POSTINGS_INDEX))
     )
-    n, s = _doclen_counters(batch_docs)
     (
-        spark.createDataFrame(
-            [(batch_id, n, s)], "_batch_id long, n_docs long, dl_sum long"
+        batch_docs.select(
+            "doc_id",
+            F.size(tokens(F.lower(F.col("text")))).cast("long").alias("dl"),
         )
+        .withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id")
@@ -1820,8 +1889,13 @@ def write_postings_pending(
 def _batch_counters(
     spark: SparkSession, sf_dir: str, only: set[int] | None = None
 ) -> tuple[int, int]:
-    """Sum of the per-batch (n_docs, dl_sum) counter rows — all of them,
-    or only the given batch ids."""
+    """(n_docs, dl_sum) summed over the per-document counter rows — all
+    batches, or only the given batch ids. Tombstoned documents are
+    excluded (their rows stay on disk as the durable record, exactly
+    like the postings pending area; the read subtracts them), so the
+    stats arithmetic built on this stays exact under deletes of
+    streamed documents — including zero-token ones, which have a
+    counter row even though they have no postings rows."""
     p = prepared_path(sf_dir, _POSTINGS_COUNTERS)
     if not os.path.isdir(p) or not any(
         d.startswith("_batch_id=") for d in os.listdir(p)
@@ -1832,9 +1906,10 @@ def _batch_counters(
         if not only:
             return 0, 0
         df = df.filter(F.col("_batch_id").isin(sorted(only)))
+    df = _anti_tombstones(spark, sf_dir, df)
     row = df.agg(
-        F.sum("n_docs").cast("long").alias("n"),
-        F.sum("dl_sum").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("s"),
     ).first()
     return int(row["n"] or 0), int(row["s"] or 0)
 
@@ -1867,11 +1942,19 @@ def documents_postings_live(
     - stats: stored build counters + EVERY batch counter row (merged
       batches' rows are in the base, unmerged ones in pending — either
       way present in the union exactly once, so adding all counters is
-      exact in every crash window, including mid-merge).
+      exact in every crash window, including mid-merge; tombstoned
+      streamed documents' counter rows are excluded inside
+      ``_batch_counters``).
+
+    Pending rows honor outstanding deletes: the base holds no
+    tombstoned rows by construction (dropped-for-rebuild at tombstone
+    commit; merges scrub), and the pending union anti-joins the
+    tombstone set — same rule as ``documents_minhash_live``.
     """
-    post, _dfreq, stats = documents_postings(spark, sf_dir)
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
     pend = _pending_path(sf_dir, _POSTINGS_INDEX)
     base = prepared_path(sf_dir, _POSTINGS_INDEX)
+    _recover_pending_scrubs(pend)
     if os.path.isdir(pend) and any(
         d.startswith("_batch_id=") for d in os.listdir(pend)
     ):
@@ -1879,34 +1962,102 @@ def documents_postings_live(
         merged = _read_merged(base)
         if merged:
             pp = pp.filter(~F.col("_batch_id").isin(sorted(merged)))
-        post = post.unionByName(pp.drop("_batch_id"))
+        post = post.unionByName(
+            _anti_tombstones(spark, sf_dir, pp.drop("_batch_id"))
+        )
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
-    srow = stats.first()
-    pn, ps = _batch_counters(spark, sf_dir)  # merged counters are already
-    # inside documents_postings' stats; add only the unmerged remainder
-    mn, ms = _batch_counters(spark, sf_dir, only=_read_merged(base))
+    # Stored stats describe the BUILD+append row set; counter rows
+    # describe every streamed batch (merged or pending — in the union
+    # exactly once either way). documents_postings' returned stats
+    # already fold the merged counters in, so read the stored file here
+    # and add ALL counters instead of adding the unmerged remainder on
+    # top of the adjusted frame.
+    srow = spark.read.parquet(
+        prepared_path(sf_dir, "documents_stats.parquet")
+    ).first()
+    pn, ps = _batch_counters(spark, sf_dir)
     live_stats = _stats_row(
-        spark,
-        int(srow["n_docs"]) + (pn - mn),
-        int(srow["dl_sum"]) + (ps - ms),
+        spark, int(srow["n_docs"]) + pn, int(srow["dl_sum"]) + ps
     )
     return post, dfreq, live_stats
 
 
+def _scrub_paths(pend: str, bid: int) -> tuple[str, str]:
+    # tmp/old live NEXT TO the pending area, not inside it: anything
+    # under pend/ must parse as a _batch_id= partition directory or
+    # Spark's partition discovery over the pending union would trip.
+    return f"{pend}.scrub-{bid}.tmp", f"{pend}.scrub-{bid}.old"
+
+
+def _recover_pending_scrubs(pend: str) -> None:
+    """Finish or roll back tombstone scrubs of pending-batch partitions
+    interrupted mid-swap (same complete-tmp-wins rule as
+    :func:`_recover_swap`, relocated because the swap target is a
+    partition directory inside the pending area)."""
+    parent, name = os.path.dirname(pend), os.path.basename(pend)
+    if not os.path.isdir(parent):
+        return
+    for d in os.listdir(parent):
+        if not d.startswith(name + ".scrub-"):
+            continue
+        stem = d.rsplit(".", 1)[0]  # strip .tmp/.old
+        bid = int(stem.rsplit("-", 1)[1])
+        tmp, old = _scrub_paths(pend, bid)
+        batch_dir = os.path.join(pend, f"_batch_id={bid}")
+        if not os.path.exists(batch_dir):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, batch_dir)
+            elif os.path.exists(old):
+                os.rename(old, batch_dir)
+        for leftover in (tmp, old):
+            if os.path.exists(batch_dir) and os.path.exists(leftover):
+                shutil.rmtree(leftover)
+
+
+def _scrub_pending_batch(
+    spark: SparkSession, sf_dir: str, pend: str, batch_dir: str, bid: int
+) -> None:
+    """Rewrite one pending-batch partition WITHOUT the tombstoned
+    documents' rows, through a crash-safe tmp/old swap — run just
+    before the batch's files are renamed into the base, because the
+    base postings serve with no read-side tombstone filter (corpus
+    aggregates cannot absorb one): a verbatim move would resurrect
+    deleted rows permanently. Filtering the SOURCE partition (instead
+    of filter-while-moving) preserves the rename-depletes-the-source
+    idempotence of the merge under crash/retry. No-op when the batch
+    holds no tombstoned rows."""
+    tb = document_tombstones(spark, sf_dir)
+    if tb is None:
+        return
+    rows = spark.read.parquet(batch_dir)
+    if rows.join(F.broadcast(tb), "doc_id", "left_semi").limit(1).count() == 0:
+        return
+    tmp, old = _scrub_paths(pend, bid)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    rows.join(F.broadcast(tb), "doc_id", "left_anti").write.parquet(tmp)
+    os.rename(batch_dir, old)
+    os.rename(tmp, batch_dir)
+    shutil.rmtree(old)
+
+
 def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
-    """VACUUM the postings pending list: per unmanifested batch, move
-    its data files into the base (collision-free rename), refresh the
-    vocabulary df table from the enlarged base, manifest the batch id,
-    and remove the emptied pending partition — the same move/manifest
-    discipline as :func:`merge_minhash_pending`. Stats need NO rewrite:
-    the per-batch counter rows are permanent and the read paths add the
-    merged ones to the stored stats (see write_postings_pending), so
-    there is no fold step and therefore no double-count crash window.
-    The one transient window: after a file move but before the df
-    refresh completes, the STORED df table lags the moved rows — the
-    merge retry (or the next merge) completes the refresh; the live
-    view's df is recomputed from the union and never lags. Returns the
-    number of data files merged."""
+    """VACUUM the postings pending list: per unmanifested batch, scrub
+    any tombstoned documents' rows out of the partition (crash-safe
+    in-place swap — the base has no read-side delete filter, so moving
+    them would resurrect deletes), move its data files into the base
+    (collision-free rename), refresh the vocabulary df table, manifest
+    the batch id, and remove the emptied pending partition — the same
+    move/manifest discipline as :func:`merge_minhash_pending`. Stats
+    need NO rewrite: the per-document counter rows are permanent and
+    the read paths add the merged ones to the stored stats (see
+    write_postings_pending), so there is no fold step and therefore no
+    double-count crash window. The one transient window: after a file
+    move but before the df refresh completes, the STORED df table lags
+    the moved rows — the merge retry (or the next merge) completes the
+    refresh; the live view's df is recomputed from the union and never
+    lags. Returns the number of data files merged."""
     import uuid
 
     base = prepared_path(sf_dir, _POSTINGS_INDEX)
@@ -1915,6 +2066,7 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
         return 0
     documents_postings(spark, sf_dir)  # base must exist to receive files
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
+    _recover_pending_scrubs(pend)
     merged = _read_merged(base)
     n = 0
     moved_any = False
@@ -1924,6 +2076,7 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
         batch_dir = os.path.join(pend, d)
         bid = int(d.split("=", 1)[1])
         if bid not in merged:
+            _scrub_pending_batch(spark, sf_dir, pend, batch_dir, bid)
             for fn in sorted(os.listdir(batch_dir)):
                 if not fn.endswith(".parquet"):
                     continue

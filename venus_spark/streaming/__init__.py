@@ -329,6 +329,7 @@ def start_documents_ingest(
     trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
     screen_near_dups: bool = False,
     near_dup_threshold: float = 0.8,
+    maintain_postings: bool = True,
 ) -> StreamingQuery:
     """Documents-table ingest with WRITE-TIME INDEX MAINTENANCE: each
     micro-batch lands exactly-once (idempotent ``_batch_id`` overwrite)
@@ -405,6 +406,16 @@ def start_documents_ingest(
             prepared.write_minhash_pending(
                 index_sf_dir, batch, batch_id, index_rows=batch_idx
             )
+            if maintain_postings:
+                # The POSITIONAL inverted index gets the same pending-
+                # list upkeep as the MinHash index: the batch's postings
+                # and per-document length counters land under their own
+                # _batch_id partitions (dynamic overwrite — replay-
+                # idempotent), so documents_postings_live serves BM25/
+                # phrase/boolean retrieval over streamed documents the
+                # moment the micro-batch commits; merge_postings_pending
+                # is the VACUUM twin.
+                prepared.write_postings_pending(index_sf_dir, batch, batch_id)
             if batch_idx is not None:
                 batch_idx.unpersist()
         finally:
