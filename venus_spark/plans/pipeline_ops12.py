@@ -1,0 +1,251 @@
+"""Training-data pipeline plans, part 12: contrastive hard-negative
+mining over the embedding table, tokenizer vocabulary-coverage (OOV)
+auditing, and deterministic curriculum ordering of the corpus.
+
+Same discipline as parts 1-11: built-in column expressions only (no
+Python in the data path), every parity-sensitive scalar formula is ONE
+shared SQL string handed to Spark via ``F.expr`` and to DuckDB verbatim,
+and no RNG anywhere — "random" orderings are engine-portable hashes.
+
+Reference tie-in: the reference serves its query surface through
+documented SQL over PostgreSQL (`/root/reference/README.rst:82-107`);
+these plans extend that surface with operators a contrastive-training /
+tokenizer-fitting pipeline runs over the same corpus tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from venus_spark.functions import cosine, token_hash31, tokens
+from venus_spark.functions.sqlgen import cosine_sql, token_hash31_sql, tokens_sql
+from venus_spark.operators import similarity as sim
+from venus_spark.plans.registry import plan
+from venus_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: nearest non-positives per query vector
+# --------------------------------------------------------------------------
+
+_HN_N_QUERIES = 8  # vec_id < 8 are the anchors; the rest is the pool
+_HN_K = 5
+_HN_DUP_T = 0.95  # candidates at/above this cosine are near-dups, not negatives
+
+_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, {_VD.format('embedding')} AS qv
+  FROM embeddings WHERE vec_id < {_HN_N_QUERIES}
+),
+pool AS (
+  SELECT vec_id, label, {_VD.format('embedding')} AS v
+  FROM embeddings WHERE vec_id >= {_HN_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, pool.vec_id,
+         ROUND({cosine_sql('pool.v', 'q.qv')}, 6) AS cosine_sim
+  FROM pool CROSS JOIN q
+  WHERE pool.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+         ) AS rn
+  FROM scored WHERE cosine_sim < {_HN_DUP_T}
+)
+SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= {_HN_K}
+ORDER BY query_id, cosine_sim DESC, vec_id
+"""
+
+
+@plan("hard_negatives_topk", oracle=_HARD_NEG_ORACLE)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor
+    vector, the k MOST similar pool vectors that are (a) not positives
+    — a different cluster label, the stand-in for "not the same
+    underlying item" — and (b) not near-duplicates (cosine below the
+    dup ceiling; an unfiltered near-dup mined as a "negative" is a
+    false negative that poisons the contrastive loss — the standard
+    failure mode this screen removes).
+
+    Scale shape: identical to ``knn_join_topk`` — the anchor side
+    broadcasts (anchors ≪ pool), the pool never shuffles its vectors,
+    both exclusion predicates apply BEFORE the per-anchor window so the
+    ranked set is already clean, and the window partitions on query_id.
+    At 100 TB the pool scan becomes the IVF-pruned probe
+    (sim_ivf_topk) with the same label/dup filters applied per
+    cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        sim.as_double(F.col("embedding")).alias("qv"),
+    )
+    pool = emb.filter(F.col("vec_id") >= _HN_N_QUERIES).select(
+        "vec_id", "label", sim.as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        pool.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") < _HN_DUP_T)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: OOV rate under a top-V vocabulary
+# --------------------------------------------------------------------------
+
+_VOCAB_SIZE = 256  # top-V terms by collection frequency form the vocabulary
+
+# BIGINT/BIGINT promotes to double identically in both engines; one
+# shared string so the division cannot fork.
+_OOV_RATE = "ROUND(CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
+
+_VOCAB_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST({tokens_sql('LOWER(text)')}) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cf FROM toks GROUP BY term
+    ORDER BY cf DESC, term LIMIT {_VOCAB_SIZE}
+  )
+),
+flagged AS (
+  SELECT lang, CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks LEFT JOIN vocab ON toks.term = vocab.term
+),
+agg AS (
+  SELECT lang, COUNT(*) AS total_tokens,
+         SUM(oov) AS oov_tokens
+  FROM flagged GROUP BY lang
+)
+SELECT lang, total_tokens, CAST(oov_tokens AS BIGINT) AS oov_tokens,
+       {_OOV_RATE} AS oov_rate
+FROM agg ORDER BY lang
+"""
+
+
+@plan("vocab_coverage_oov", oracle=_VOCAB_OOV_ORACLE)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit audit: build the top-V vocabulary by collection
+    frequency, then measure each language's out-of-vocabulary token
+    rate under it — the coverage report a tokenizer-training run
+    produces before freezing a vocab (a language whose OOV rate is
+    high is under-served and will fragment into bytes/unks).
+
+    Scale shape: one tokenize+explode scan feeds BOTH sides — the
+    vocabulary is a vocabulary-sized aggregate cut to V rows
+    (TakeOrderedAndProject) and broadcast back; OOV flagging is a
+    broadcast LEFT join (no data-sized shuffle keyed on term); the
+    final rollup is languages-sized. The deterministic (cf DESC, term)
+    boundary makes the vocabulary — and therefore the whole report —
+    reproducible across engines and runs."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.col("cf").desc(), "term")
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left").select(
+        "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum("oov").cast("long").alias("oov_tokens"),
+        )
+        .select("lang", "total_tokens", "oov_tokens", F.expr(_OOV_RATE).alias("oov_rate"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering: length-staged, hash-shuffled training schedule
+# --------------------------------------------------------------------------
+
+_CURRICULUM_STAGES = 4
+
+_CURRICULUM_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, LEN({tokens_sql('LOWER(text)')}) AS dl FROM documents
+),
+staged AS (
+  SELECT doc_id, dl,
+         NTILE({_CURRICULUM_STAGES}) OVER (ORDER BY dl, doc_id) AS stage,
+         {token_hash31_sql('CAST(doc_id AS STRING)')} AS shuffle_key
+  FROM dl
+)
+SELECT doc_id, dl, stage,
+       ROW_NUMBER() OVER (
+         PARTITION BY stage ORDER BY shuffle_key, doc_id
+       ) AS pos_in_stage
+FROM staged
+ORDER BY stage, pos_in_stage
+"""
+
+
+@plan("curriculum_order", oracle=_CURRICULUM_ORACLE)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum schedule: documents are staged
+    short-to-long (sequence-length warmup — the standard curriculum
+    that stabilizes early training), and within each stage the order is
+    a hash shuffle (token_hash31 of the doc id — engine-portable, no
+    RNG), so the schedule is fully reproducible: same corpus, same
+    schedule, on any engine.
+
+    Scale shape: the length pass is one narrow scan; NTILE over a
+    global length order is the one global sort (rank-based staging is
+    inherently global — at 100 TB the same stage boundaries come from
+    an approx-quantile cut, turning this into a scan + broadcast
+    thresholds); the within-stage shuffle window partitions by stage,
+    so no single-partition window over the corpus. The output IS the
+    training data-loader's read order."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl")
+    )
+    staged = docs.select(
+        "doc_id",
+        "dl",
+        F.ntile(_CURRICULUM_STAGES)
+        .over(Window.orderBy("dl", "doc_id"))
+        .alias("stage"),
+        token_hash31(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "dl",
+            "stage",
+            F.row_number()
+            .over(
+                Window.partitionBy("stage").orderBy("shuffle_key", "doc_id")
+            )
+            .alias("pos_in_stage"),
+        )
+        .orderBy("stage", "pos_in_stage")
+    )

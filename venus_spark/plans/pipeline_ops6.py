@@ -162,6 +162,38 @@ def bm25_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("bm25_topk_live", oracle=_BM25_ORACLE)
+def bm25_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk served from the LIVE inverted index
+    (``prepared.documents_postings_live``): base postings ∪ any
+    not-yet-merged streaming micro-batches, df recomputed over the
+    union, stats from the stored counters plus every batch's
+    per-document counter rows — the GIN pending-list scan posture
+    (PostgreSQL reads tree + fastupdate pending on every query; the
+    VACUUM-style ``merge_postings_pending`` restores the pure pushed-
+    filter path). Over a quiescent corpus (the driver's case) the union
+    is empty and the answer — same oracle — certifies that the live
+    read path degrades to exactly the prepared one; the streaming tests
+    certify the with-pending half of the contract."""
+    from venus_spark.prepared import documents_postings_live
+
+    post, dfreq, stats = documents_postings_live(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_BM25_TERMS))
+    scored = (
+        hits.join(
+            F.broadcast(dfreq.filter(F.col("term").isin(*_BM25_TERMS))), "term"
+        )
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
 # --------------------------------------------------------------------------
 # TF-IDF keyword extraction (top terms per document)
 # --------------------------------------------------------------------------

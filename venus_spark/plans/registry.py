@@ -37,6 +37,7 @@ _PLAN_MODULES = (
     "venus_spark.plans.pipeline_ops9",
     "venus_spark.plans.pipeline_ops10",
     "venus_spark.plans.pipeline_ops11",
+    "venus_spark.plans.pipeline_ops12",
     "venus_spark.plans.analytics_ext",
     "venus_spark.plans.analytics_ext2",
     "venus_spark.plans.analytics_ext3",
