@@ -230,6 +230,87 @@ def test_merge_scrub_crash_window_converges(spark, tmp_path, monkeypatch):
     assert not os.path.exists(tmp) and not os.path.exists(old)
 
 
+def test_merge_retry_after_moved_files_with_tombstones_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Review r6 #1: a merge that crashed between a batch's last
+    file-move and its manifest write leaves an EMPTY pending partition;
+    with tombstones outstanding the retry's scrub used to throw on the
+    unreadable empty directory, wedging every later merge AND vacuum.
+    The retry must instead fall through, manifest the batch, and
+    converge."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    prepared.write_postings_pending(sf, new, 0)
+    prepared.tombstone_documents(spark, sf, [3], batch_id=0)  # base doc only
+
+    # hand-build the crash state: every data file already moved to base
+    import uuid
+
+    base = prepared.prepared_path(sf, "documents_postings.parquet")
+    prepared.documents_postings(spark, sf)  # rebuild after tombstone drop
+    pend = prepared._pending_path(sf, "documents_postings.parquet")
+    batch_dir = os.path.join(pend, "_batch_id=0")
+    for fn in sorted(os.listdir(batch_dir)):
+        if fn.endswith(".parquet"):
+            os.rename(
+                os.path.join(batch_dir, fn),
+                os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
+            )
+
+    prepared.merge_postings_pending(spark, sf)  # must not throw
+    assert prepared._read_merged(base) == {0}
+    full_sf = _rebuild_sf(
+        spark,
+        tmp_path,
+        docs.filter((F.col("doc_id") < 30) & (F.col("doc_id") != 3)),
+        new,
+    )
+    expect = _collect_index(*prepared.documents_postings(spark, full_sf))
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
+    # vacuum (which always has tombstones outstanding here) runs clean
+    prepared.vacuum_document_tombstones(spark, sf)
+
+
+def test_half_written_pending_batch_invisible_until_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Review r6 #2: the counters partition is the pending write's
+    commit record (written last). A batch whose postings landed but
+    whose counters did not (crash between the two writes) must be
+    invisible to the live view AND skipped by the merge — folding it
+    would serve rows the stats don't count. The stream's replay
+    completes the write and everything appears at once."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    base_expect = _collect_index(*prepared.documents_postings(spark, sf))
+
+    # half-written batch: postings partition only, no counter partition
+    (
+        prepared._postings_rows(new)
+        .withColumn("_batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(prepared._pending_path(sf, "documents_postings.parquet"))
+    )
+
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == base_expect
+    assert prepared.merge_postings_pending(spark, sf) == 0
+    base = prepared.prepared_path(sf, "documents_postings.parquet")
+    assert prepared._read_merged(base) == set()
+
+    # replay completes the write; the batch becomes visible and mergeable
+    prepared.write_postings_pending(sf, new, 0)
+    full_sf = _rebuild_sf(spark, tmp_path, docs.filter(F.col("doc_id") < 30), new)
+    expect = _collect_index(*prepared.documents_postings(spark, full_sf))
+    assert _collect_index(*prepared.documents_postings_live(spark, sf)) == expect
+    assert prepared.merge_postings_pending(spark, sf) > 0
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
+
+
 def test_append_documents_batch_idempotent_and_matches_rebuild(
     spark, tmp_path, monkeypatch
 ):

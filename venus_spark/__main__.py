@@ -153,8 +153,13 @@ def cmd_maintain(args) -> int:
             return 2
         print(f"dropped {n} chunk(s) before {args.before}")
     elif args.op == "merge-index":
-        n = prepared.merge_minhash_pending(_spark(), args.sf)
-        print(f"merged {n} pending index batch(es)")
+        # Both streaming-maintained indexes get their VACUUM here: the
+        # MinHash pending list and the postings pending list (file
+        # counts, not batch counts — each batch may span several files).
+        spark = _spark()
+        n = prepared.merge_minhash_pending(spark, args.sf)
+        n += prepared.merge_postings_pending(spark, args.sf)
+        print(f"merged {n} pending index file(s)")
     elif args.op == "delete-docs":
         if not args.ids:
             print("delete-docs requires --ids id[,id...]", file=sys.stderr)

@@ -132,20 +132,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@plan("bm25_topk_prepared", oracle=_BM25_ORACLE)
-def bm25_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bm25_topk served from the prepared inverted index
-    (prepared.documents_postings): the query-term filter pushes into
-    the term-sorted postings scan (``PushedFilters: In(term, ...)``,
-    row-group pruning — the posting-list fetch), df and corpus stats
-    come from materialized broadcast-sized tables, and the only
-    remaining work is the per-doc score sum + top-k. No tokenize, no
-    explode, no stats aggregation at query time — the Lucene/GIN
-    steady-state. Same oracle: the layout changes the access path, not
-    the answer."""
-    from venus_spark.prepared import documents_postings
-
-    post, dfreq, stats = documents_postings(spark, sf_dir)
+def _bm25_from_index(
+    post: DataFrame, dfreq: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """The index-served BM25 pipeline — ONE copy shared by the prepared
+    and live variants (and the same scoring string as the from-corpus
+    plan), so the three plans cannot silently diverge from their shared
+    oracle: pushed In(term) posting fetch, broadcast df/stats joins,
+    per-doc decimal score sum, TakeOrderedAndProject top-k."""
     hits = post.filter(F.col("term").isin(*_BM25_TERMS))
     scored = (
         hits.join(
@@ -160,6 +154,22 @@ def bm25_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+@plan("bm25_topk_prepared", oracle=_BM25_ORACLE)
+def bm25_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk served from the prepared inverted index
+    (prepared.documents_postings): the query-term filter pushes into
+    the term-sorted postings scan (``PushedFilters: In(term, ...)``,
+    row-group pruning — the posting-list fetch), df and corpus stats
+    come from materialized broadcast-sized tables, and the only
+    remaining work is the per-doc score sum + top-k. No tokenize, no
+    explode, no stats aggregation at query time — the Lucene/GIN
+    steady-state. Same oracle: the layout changes the access path, not
+    the answer."""
+    from venus_spark.prepared import documents_postings
+
+    return _bm25_from_index(*documents_postings(spark, sf_dir))
 
 
 @plan("bm25_topk_live", oracle=_BM25_ORACLE)
@@ -177,21 +187,7 @@ def bm25_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     certify the with-pending half of the contract."""
     from venus_spark.prepared import documents_postings_live
 
-    post, dfreq, stats = documents_postings_live(spark, sf_dir)
-    hits = post.filter(F.col("term").isin(*_BM25_TERMS))
-    scored = (
-        hits.join(
-            F.broadcast(dfreq.filter(F.col("term").isin(*_BM25_TERMS))), "term"
-        )
-        .join(F.broadcast(stats))
-        .select("doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(dsum("s"), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(_BM25_TOPK)
-    )
+    return _bm25_from_index(*documents_postings_live(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -542,7 +542,7 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     complete an interrupted swap). Queries stay correct while it is
     due, only less pruned — dfreq/stats are row-set invariants and are
     untouched."""
-    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    post, _dfreq, _stats = _postings_tables(spark, sf_dir)
     path = prepared_path(sf_dir, "documents_postings.parquet")
     manifest = _read_abatch_manifest(path)
     merged = _read_merged(path)
@@ -1116,8 +1116,33 @@ def documents_postings(
     Build is one tokenize scan + one groupBy + one range sort; query
     time pays a pruned scan + broadcast joins instead of re-tokenizing
     the corpus (``bm25_topk`` vs ``bm25_topk_prepared``)."""
-    from venus_spark.functions import davg, tokens
+    post, dfreq, stats = _postings_tables(spark, sf_dir)
+    merged = _read_merged(
+        prepared_path(sf_dir, "documents_postings.parquet")
+    )
+    if merged:
+        # Streamed batches folded in by merge_postings_pending exist in
+        # the postings files but NOT in the stored stats (the merge
+        # never rewrites the stats table — see write_postings_pending):
+        # add their permanent per-document counter rows here so n_docs/
+        # dl_sum/avgdl describe the same row set the postings serve.
+        srow = stats.first()
+        mn, ms = _batch_counters(spark, sf_dir, only=merged)
+        stats = _stats_row(
+            spark, int(srow["n_docs"]) + mn, int(srow["dl_sum"]) + ms
+        )
+    return post, dfreq, stats
 
+
+def _postings_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Ensure-built + raw reads of the three postings artifacts, with
+    stats AS STORED (build+append counters only — no merged-batch
+    adjustment). Internal: the live view starts here because it folds
+    ALL batch counters itself; every other caller wants
+    :func:`documents_postings`, whose stats describe the base row
+    set."""
     meta = _POSTINGS_META
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
@@ -1142,23 +1167,10 @@ def documents_postings(
         _write_stats(spark, stats_path, n_docs, dl_sum)
         for p in (post_path, dfreq_path, stats_path):
             _stamp(p, meta)
-    stats = spark.read.parquet(stats_path)
-    merged = _read_merged(post_path)
-    if merged:
-        # Streamed batches folded in by merge_postings_pending exist in
-        # the postings files but NOT in the stored stats (the merge
-        # never rewrites the stats table — see write_postings_pending):
-        # add their permanent per-document counter rows here so n_docs/
-        # dl_sum/avgdl describe the same row set the postings serve.
-        srow = stats.first()
-        mn, ms = _batch_counters(spark, sf_dir, only=merged)
-        stats = _stats_row(
-            spark, int(srow["n_docs"]) + mn, int(srow["dl_sum"]) + ms
-        )
     return (
         spark.read.parquet(post_path),
         spark.read.parquet(dfreq_path),
-        stats,
+        spark.read.parquet(stats_path),
     )
 
 
@@ -1862,7 +1874,14 @@ def write_postings_pending(
     PER-DOCUMENT (not per-batch scalars) so a later tombstone of a
     streamed document subtracts exactly its own contribution — the
     aggregate-level deletion problem that forces the BASE stats table
-    to drop-and-rebuild is solved at row granularity here."""
+    to drop-and-rebuild is solved at row granularity here.
+
+    Write order is the batch's COMMIT protocol: postings first,
+    counters last — a batch id's counter partition existing is what
+    marks the pending write complete. The live view and the merge both
+    ignore pending postings whose counter partition is absent (a crash
+    between the two writes), so postings and stats can never diverge:
+    the half-written batch is invisible until the stream replays it."""
     from venus_spark.functions import tokens
 
     (
@@ -1873,6 +1892,14 @@ def write_postings_pending(
         .partitionBy("_batch_id")
         .parquet(_pending_path(sf_dir, _POSTINGS_INDEX))
     )
+    counters_path = prepared_path(sf_dir, _POSTINGS_COUNTERS)
+    # Stamp BEFORE the first partition lands: any directory holding
+    # counter partitions then always carries the format stamp (a dir
+    # with a stamp but no partitions is just an empty table), so a
+    # missing/mismatching stamp under existing partitions can only mean
+    # an older engine's layout — which _batch_counters refuses.
+    os.makedirs(counters_path, exist_ok=True)
+    _stamp(counters_path, _COUNTERS_META)
     (
         batch_docs.select(
             "doc_id",
@@ -1882,8 +1909,25 @@ def write_postings_pending(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id")
-        .parquet(prepared_path(sf_dir, _POSTINGS_COUNTERS))
+        .parquet(counters_path)
     )
+
+
+_COUNTERS_META = {"granularity": "per-doc", "cols": ["doc_id", "dl"]}
+
+
+def _committed_counter_bids(sf_dir: str) -> set[int]:
+    """Batch ids whose counter partition exists — i.e. whose pending
+    write COMMITTED (counters are written last; see
+    write_postings_pending)."""
+    p = prepared_path(sf_dir, _POSTINGS_COUNTERS)
+    if not os.path.isdir(p):
+        return set()
+    return {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(p)
+        if d.startswith("_batch_id=")
+    }
 
 
 def _batch_counters(
@@ -1901,6 +1945,25 @@ def _batch_counters(
         d.startswith("_batch_id=") for d in os.listdir(p)
     ):
         return 0, 0
+    try:
+        with open(os.path.join(p, "_prep_meta.json")) as f:
+            stamp_ok = json.load(f) == _COUNTERS_META
+    except (OSError, ValueError):
+        stamp_ok = False
+    if not stamp_ok:
+        # The counter rows are the permanent stats record — a schema or
+        # constant drift here cannot be healed by a rebuild (only the
+        # stream's own replay regenerates them), so refuse loudly
+        # rather than silently mis-aggregating an older layout. Stamp
+        # checked directly: the dynamic-overwrite committer writes no
+        # root _SUCCESS, so _is_built cannot apply here.
+        raise RuntimeError(
+            f"postings counter table at {p} does not match the current "
+            f"format {_COUNTERS_META}; it was written by an older "
+            "engine version. Replay the stream from its checkpoint to "
+            "regenerate it, or delete it WITH the pending postings "
+            "area to accept the loss."
+        )
     df = spark.read.parquet(p)
     if only is not None:
         if not only:
@@ -1951,14 +2014,28 @@ def documents_postings_live(
     commit; merges scrub), and the pending union anti-joins the
     tombstone set — same rule as ``documents_minhash_live``.
     """
-    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    post, _dfreq, stored_stats = _postings_tables(spark, sf_dir)
     pend = _pending_path(sf_dir, _POSTINGS_INDEX)
     base = prepared_path(sf_dir, _POSTINGS_INDEX)
     _recover_pending_scrubs(pend)
-    if os.path.isdir(pend) and any(
-        d.startswith("_batch_id=") for d in os.listdir(pend)
-    ):
-        pp = spark.read.parquet(pend)
+    pend_bids = (
+        {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(pend)
+            if d.startswith("_batch_id=")
+        }
+        if os.path.isdir(pend)
+        else set()
+    )
+    # A batch is only visible once COMMITTED — its counter partition
+    # written (counters land last; see write_postings_pending). A crash
+    # between the postings and counters writes must hide the postings
+    # too, or the union would serve rows its stats don't count.
+    live_bids = pend_bids & _committed_counter_bids(sf_dir)
+    if live_bids:
+        pp = spark.read.parquet(pend).filter(
+            F.col("_batch_id").isin(sorted(live_bids))
+        )
         merged = _read_merged(base)
         if merged:
             pp = pp.filter(~F.col("_batch_id").isin(sorted(merged)))
@@ -1967,14 +2044,12 @@ def documents_postings_live(
         )
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
     # Stored stats describe the BUILD+append row set; counter rows
-    # describe every streamed batch (merged or pending — in the union
-    # exactly once either way). documents_postings' returned stats
-    # already fold the merged counters in, so read the stored file here
-    # and add ALL counters instead of adding the unmerged remainder on
-    # top of the adjusted frame.
-    srow = spark.read.parquet(
-        prepared_path(sf_dir, "documents_stats.parquet")
-    ).first()
+    # describe every COMMITTED streamed batch (merged or pending — in
+    # the union exactly once either way), so stored + all counters is
+    # the live row set. Starting from _postings_tables' raw stats —
+    # not documents_postings' merged-adjusted frame — avoids paying for
+    # an adjustment this sum would have to subtract back out.
+    srow = stored_stats.first()
     pn, ps = _batch_counters(spark, sf_dir)
     live_stats = _stats_row(
         spark, int(srow["n_docs"]) + pn, int(srow["dl_sum"]) + ps
@@ -2025,9 +2100,14 @@ def _scrub_pending_batch(
     deleted rows permanently. Filtering the SOURCE partition (instead
     of filter-while-moving) preserves the rename-depletes-the-source
     idempotence of the merge under crash/retry. No-op when the batch
-    holds no tombstoned rows."""
+    holds no tombstoned rows — or no data files at all (a retry after
+    the move loop emptied the partition but crashed before the
+    manifest write must fall through to the manifest, not throw on an
+    unreadable empty directory)."""
     tb = document_tombstones(spark, sf_dir)
     if tb is None:
+        return
+    if not any(f.endswith(".parquet") for f in os.listdir(batch_dir)):
         return
     rows = spark.read.parquet(batch_dir)
     if rows.join(F.broadcast(tb), "doc_id", "left_semi").limit(1).count() == 0:
@@ -2064,10 +2144,11 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
     pend = _pending_path(sf_dir, _POSTINGS_INDEX)
     if not os.path.exists(pend):
         return 0
-    documents_postings(spark, sf_dir)  # base must exist to receive files
+    _postings_tables(spark, sf_dir)  # base must exist to receive files
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     _recover_pending_scrubs(pend)
     merged = _read_merged(base)
+    committed = _committed_counter_bids(sf_dir)
     n = 0
     moved_any = False
     for d in sorted(os.listdir(pend)):
@@ -2075,6 +2156,12 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
             continue
         batch_dir = os.path.join(pend, d)
         bid = int(d.split("=", 1)[1])
+        if bid not in merged and bid not in committed:
+            # Half-written batch: postings landed but the counters (the
+            # commit record, written last) did not. Folding it would
+            # permanently skew stats — leave it for the stream's replay
+            # to complete (or rewrite).
+            continue
         if bid not in merged:
             _scrub_pending_batch(spark, sf_dir, pend, batch_dir, bid)
             for fn in sorted(os.listdir(batch_dir)):
