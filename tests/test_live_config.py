@@ -40,6 +40,21 @@ def test_change_is_picked_up_on_mtime_change(tmp_path):
     assert cfg.get("k") == 2
 
 
+def test_secret_values_masked_in_change_log(tmp_path, caplog):
+    """Reference parity (settings.py:10,92-96 DO_NOT_PRINT): a changed
+    config value whose key smells like a credential is logged first
+    character only; non-secret values log verbatim."""
+    p = tmp_path / "cfg.json"
+    write_cfg(p, {"db_password": "hunter2", "max_batch_size": 50})
+    cfg = fresh(p)
+    with caplog.at_level(logging.INFO, logger="venus_spark.live_config"):
+        assert cfg.get("db_password") == "hunter2"  # value itself unmasked
+    joined = "\n".join(r.getMessage() for r in caplog.records)
+    assert "hunter2" not in joined
+    assert "hXXXXXX" in joined
+    assert "50" in joined  # non-secret logged as-is
+
+
 def test_malformed_json_keeps_last_good_config(tmp_path):
     p = tmp_path / "cfg.json"
     write_cfg(p, {"k": 1})

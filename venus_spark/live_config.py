@@ -40,6 +40,21 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_REFRESH_SECONDS = 2.0  # reference UPDATE_ENV_VAR_INTERVAL_SECONDS analog
 
+# Secret-bearing keys are masked in change logs, first character kept —
+# the reference's DO_NOT_PRINT password protection
+# (/root/reference/venus/settings.py:10,92-96).
+DO_NOT_PRINT = {"password", "pass", "pw"}
+
+
+def _printable(key: str, value) -> object:
+    """Mask a secret-looking value for the change log: first character
+    plus one X per remaining character, matching the reference's
+    masking shape. Non-string secrets mask via their str form."""
+    if not any(s in key.lower() for s in DO_NOT_PRINT):
+        return value
+    s = str(value)
+    return (s[0] + "X" * len(s[1:])) if s else s
+
 
 class LiveConfig:
     """A JSON file re-read at most every ``refresh_seconds``, exposing
@@ -86,7 +101,7 @@ class LiveConfig:
         self._mtime_ns = st.st_mtime_ns
         for k, v in data.items():
             if k not in self._data or self._data[k] != v:
-                logger.info("live-config: %r changed, now %r", k, v)
+                logger.info("live-config: %r changed, now %r", k, _printable(k, v))
         self._data = data
 
     def get(self, key: str, default=None):
