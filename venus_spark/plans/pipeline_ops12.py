@@ -18,9 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, token_hash31, tokens
-from venus_spark.functions.sqlgen import cosine_sql, token_hash31_sql, tokens_sql
+from venus_spark.functions import cosine, dsum, token_hash31, tokens
+from venus_spark.functions.sqlgen import (
+    cosine_sql,
+    dsum_sql,
+    token_hash31_sql,
+    tokens_sql,
+)
 from venus_spark.operators import similarity as sim
+from venus_spark.plans.pipeline_ops6 import _BM25_TERM_SCORE
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -182,6 +188,150 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "total_tokens", "oov_tokens", F.expr(_OOV_RATE).alias("oov_rate"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: MRR / recall@k of BM25 against boolean ground truth
+# --------------------------------------------------------------------------
+
+_EVAL_QUERIES = ((1, ("vector", "stream")), (2, ("hash", "join")), (3, ("big", "order")))
+_EVAL_K = 10
+
+_EVAL_TERMS = sorted({t for _, ts in _EVAL_QUERIES for t in ts})
+_EVAL_TERMS_SQL = ", ".join(f"'{t}'" for t in _EVAL_TERMS)
+_EVAL_QTERMS_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _EVAL_QUERIES for t in ts
+)
+
+# The per-(doc, term) partial is _BM25_TERM_SCORE — the SAME string the
+# BM25 plans use, so the eval grades exactly the scorer they ship.
+_RR_SQL = "ROUND(1.0 / first_rel_rank, 6)"  # NULL rank -> NULL rr
+_RECALL_SQL = (
+    "CASE WHEN n_relevant = 0 THEN NULL ELSE "
+    "ROUND(CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) END"
+)
+
+_RETRIEVAL_EVAL_ORACLE = f"""
+WITH qterms(query_id, term) AS (VALUES {_EVAL_QTERMS_SQL}),
+nq AS (
+  SELECT query_id, COUNT(*) AS n_terms FROM qterms GROUP BY query_id
+),
+dl AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS toks,
+         LEN({tokens_sql('LOWER(text)')}) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT doc_id, dl,
+         UNNEST(LIST_FILTER(toks, x -> LIST_CONTAINS([{_EVAL_TERMS_SQL}], x)))
+           AS term
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id, {_BM25_TERM_SCORE} AS s
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats
+),
+perdoc AS (
+  SELECT query_id, doc_id,
+         ROUND({dsum_sql('s')}, 6) AS bm25,
+         COUNT(*) AS matched
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT perdoc.*, nq.n_terms,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+         ) AS rnk
+  FROM perdoc JOIN nq USING (query_id)
+),
+agg AS (
+  SELECT query_id,
+         ANY_VALUE(n_terms) AS n_terms,
+         SUM(CASE WHEN matched = n_terms THEN 1 ELSE 0 END) AS n_relevant,
+         MIN(CASE WHEN matched = n_terms THEN rnk END) AS first_rel_rank,
+         SUM(CASE WHEN matched = n_terms AND rnk <= {_EVAL_K} THEN 1 ELSE 0
+             END) AS rel_at_k
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(n_relevant AS BIGINT) AS n_relevant,
+       CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+       {_RR_SQL} AS rr, {_RECALL_SQL} AS recall_at_k
+FROM agg ORDER BY query_id
+"""
+
+
+@plan("retrieval_eval_mrr", oracle=_RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: per query, rank the corpus
+    by BM25 (served from the prepared inverted index) and grade the
+    ranking against a deterministic pseudo-relevance ground truth —
+    "relevant" = contains EVERY query term (the boolean-AND set) —
+    reporting reciprocal rank of the first relevant document and
+    recall@{k}. This is the eval loop a retrieval pipeline runs on
+    every index or scorer change; the oracle recomputes BOTH the
+    ranking and the ground truth from raw tokens, so a drifting index
+    (missing postings, stale df) or a broken tie-break shows up as a
+    metric mismatch.
+
+    Scale shape: one pushed In(term) posting fetch covers all queries
+    at once (terms ∪ across queries), the per-(query, doc) score sum
+    keys on uniform ids, ranking windows partition per query, and the
+    final aggregate is queries-sized. Adding queries widens the In
+    filter, never adds scans."""
+    from venus_spark.prepared import documents_postings
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _EVAL_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    nq = qterms.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    post, dfreq, stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_EVAL_TERMS))
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.filter(F.col("term").isin(*_EVAL_TERMS))), "term")
+        .join(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    perdoc = scored.groupBy("query_id", "doc_id").agg(
+        F.round(dsum("s"), 6).alias("bm25"), F.count("*").alias("matched")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = perdoc.withColumn("rnk", F.row_number().over(w)).join(
+        F.broadcast(nq), "query_id"
+    )
+    rel = F.col("matched") == F.col("n_terms")
+    agg = ranked.groupBy("query_id").agg(
+        F.first("n_terms").cast("long").alias("n_terms"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_relevant"),
+        F.min(F.when(rel, F.col("rnk"))).cast("long").alias("first_rel_rank"),
+        F.sum(F.when(rel & (F.col("rnk") <= _EVAL_K), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_at_k"),
+    )
+    return agg.select(
+        "query_id",
+        "n_terms",
+        "n_relevant",
+        "first_rel_rank",
+        F.expr(_RR_SQL).alias("rr"),
+        F.expr(_RECALL_SQL).alias("recall_at_k"),
+    ).orderBy("query_id")
 
 
 # --------------------------------------------------------------------------
