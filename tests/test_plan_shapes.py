@@ -449,6 +449,16 @@ def test_bm25_prepared_pushes_term_filter_into_postings_scan(spark):
     assert rs and all("text" not in s for s in rs)
 
 
+def test_trgm_postings_pushes_trigram_fetch(spark):
+    """The GIN-faithful substring path must fetch needle trigrams as a
+    pushed parquet filter over the trigram-sorted postings (the
+    posting-list fetch), never scan the postings unfiltered."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["fuzzy_trgm_postings"].fn(spark, SF))
+    assert re.search(r"PushedFilters: \[.*In\(trg, \[", plan), plan[:2000]
+
+
 def test_no_plan_uses_row_python_or_cartesian_product(spark):
     """Repo-wide physical-plan invariants, swept over EVERY registered
     plan: no BatchEvalPython anywhere (Python in the data path is

@@ -197,6 +197,7 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path, monkeypatch):
 
     builders = {
         "documents_trgm.parquet": prepared.documents_trgm,
+        "documents_trgm_postings.parquet": prepared.documents_trgm_postings,
         "documents_minhash.parquet": prepared.documents_minhash,
         "embeddings_pq_codes.parquet": prepared.embeddings_pq,
         "embeddings_ivf.parquet": prepared.embeddings_ivf,
@@ -208,6 +209,7 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path, monkeypatch):
     }
     keys = {
         "documents_trgm.parquet": ["doc_id"],
+        "documents_trgm_postings.parquet": ["trg", "doc_id"],
         "documents_minhash.parquet": ["doc_id"],
         "embeddings_pq_codes.parquet": ["vec_id"],
         "embeddings_ivf.parquet": ["vec_id"],

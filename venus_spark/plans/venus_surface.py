@@ -550,6 +550,54 @@ def fuzzy_trgm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+@plan("fuzzy_trgm_postings", oracle=_FUZZY_ORACLE)
+def fuzzy_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same multi-pattern ILIKE result a THIRD way — the faithful
+    pg_trgm GIN access path (migration :21,36): the prepared
+    ``documents_trgm_postings`` table stores one (trigram, doc_id) row
+    per distinct document trigram, so each needle becomes a pushed
+    ``In(trg, ...)`` posting fetch and its candidates are the documents
+    containing EVERY needle trigram (count-equality aggregate over the
+    fetched rows — set intersection as a groupBy). Only candidates are
+    semi-joined back to the corpus for the exact ILIKE verify. Sound
+    and exact-pruning: a substring match implies all-trigram
+    containment, and unlike the bloom twin there are no false
+    positives — the verify set IS the trigram-containment floor. A
+    needle shorter than 3 chars contributes no trigram conjuncts and
+    falls back to verifying everywhere (never drops a true match).
+
+    Work is postings-proportional (the fetch touches only the needles'
+    trigram rows; row-group pruning serves it from a term-sorted
+    layout) + one broadcast semi-join — the reference's GIN bitmap-scan
+    shape, not a corpus scan."""
+    from venus_spark.operators.text import trigrams_of
+    from venus_spark.prepared import documents_trgm_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = documents_trgm_postings(spark, sf_dir)
+    cands = []
+    unpruned = []  # patterns with no trigrams verify everywhere
+    for pattern in _PATTERNS:
+        grams = trigrams_of(pattern.strip("%"))
+        if not grams:
+            unpruned.append(pattern)
+            continue
+        cands.append(
+            post.filter(F.col("trg").isin(grams))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit"))
+            .filter(F.col("n_hit") == len(grams))
+            .select("doc_id")
+        )
+    if cands and not unpruned:
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        docs = docs.join(F.broadcast(cand.distinct()), "doc_id", "left_semi")
+    verify = F.col("text").ilike(_PATTERNS[0]) | F.col("text").ilike(_PATTERNS[1])
+    return docs.filter(verify).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 # --------------------------------------------------------------------------
 # B11 — JSONB containment (data @> '{"a":1,"b":2}') + key-existence (data ? 'k')
 # (reference: README.rst:105-107 — "use JSONB operators in WHERE so the

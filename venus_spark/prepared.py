@@ -203,6 +203,54 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _anti_tombstones(spark, sf_dir, spark.read.parquet(path))
 
 
+_TRGM_POST_META = {"gram": 3, "norm": "lower", "layout": "range(trg)"}
+
+
+def _trgm_postings_rows(docs: DataFrame) -> DataFrame:
+    """(trg, doc_id) trigram-posting rows for a batch of documents —
+    one row per DISTINCT lowercase character 3-gram per document, the
+    literal pg_trgm GIN entry. Row-local (a document's rows depend only
+    on its own text), so maintenance is O(batch) like the other
+    document indexes."""
+    from venus_spark.operators.text import char_trigrams
+
+    return docs.select(
+        "doc_id", F.explode(char_trigrams("text")).alias("trg")
+    )
+
+
+def documents_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram index as REAL postings — ``(trg, doc_id)`` rows
+    range-partitioned and sorted by trigram, the faithful structure of
+    the reference's pg_trgm GIN (migration :21,36): a needle's trigram
+    set becomes a pushed ``In(trg, ...)`` posting fetch and candidate
+    documents are those containing EVERY needle trigram (an
+    intersection expressed as a count-equality aggregate). Exact
+    pruning where the per-row bloom (:func:`documents_trgm`) is
+    probabilistic — the bloom column costs O(1) per row and prunes
+    probabilistically at scan time; the postings cost O(text) rows at
+    build time and prune exactly at fetch time, the same trade
+    PostgreSQL makes between a bloom index and GIN. Deletes filter at
+    read like every row-local index; appends land batch rows via the
+    standard append paths."""
+    path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
+    _recover_swap(path, ".vacuum")
+    if not _is_built(path, _TRGM_POST_META):
+        _refuse_rebuild_with_absorbed_batches(path, "trigram postings")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        (
+            _trgm_postings_rows(
+                _anti_tombstones(spark, sf_dir, load_table(spark, sf_dir, "documents"))
+            )
+            .repartitionByRange("trg")
+            .sortWithinPartitions("trg", "doc_id")
+            .write.parquet(path)
+        )
+        _stamp(path, _TRGM_POST_META)
+    return _anti_tombstones(spark, sf_dir, spark.read.parquet(path))
+
+
 def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``doc_id`` + bucket keys (``lang``, ``source`` — covered like an
     index INCLUDE column, so bucket-scoped queries need no join back to
@@ -1028,11 +1076,15 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
     below are no-ops after the first build). ``tests/test_prepared.py``
     asserts incremental-append == full-rebuild row-for-row."""
     documents_trgm(spark, sf_dir)
+    documents_trgm_postings(spark, sf_dir)
     documents_minhash(spark, sf_dir)
     documents_postings(spark, sf_dir)
     trgm_path = prepared_path(sf_dir, "documents_trgm.parquet")
     _trgm_rows(new_docs).write.mode("append").parquet(trgm_path)
     _mark_appended(trgm_path)
+    tp_path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
+    _trgm_postings_rows(new_docs).write.mode("append").parquet(tp_path)
+    _mark_appended(tp_path)
     mh_path = prepared_path(sf_dir, "documents_minhash.parquet")
     _minhash_rows(new_docs).write.mode("append").parquet(mh_path)
     _mark_appended(mh_path)
@@ -1061,7 +1113,7 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
 def append_documents_batch(
     spark: SparkSession, sf_dir: str, new_docs: DataFrame, batch_id: int
 ) -> None:
-    """Retry-idempotent batch append across all three document indexes —
+    """Retry-idempotent batch append across all four document indexes —
     the manifested counterpart of :func:`append_documents` (which is
     plain mode-append: guarded against lossy rebuilds by the append
     marker, but a crash-retry double-appends). Here every artifact
@@ -1085,6 +1137,12 @@ def append_documents_batch(
     documents_trgm(spark, sf_dir)
     trgm_path = prepared_path(sf_dir, "documents_trgm.parquet")
     _append_batch_files(_trgm_rows(new_docs), trgm_path, batch_id)
+    documents_trgm_postings(spark, sf_dir)
+    _append_batch_files(
+        _trgm_postings_rows(new_docs),
+        prepared_path(sf_dir, "documents_trgm_postings.parquet"),
+        batch_id,
+    )
     write_minhash_pending(sf_dir, new_docs, batch_id)
     merge_minhash_pending(spark, sf_dir)
     write_postings_pending(sf_dir, new_docs, batch_id)
@@ -1586,6 +1644,7 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     """Build every prepared table for ``sf_dir`` (bench warm-up calls this:
     index builds are ingest-time work, not query-time work)."""
     documents_trgm(spark, sf_dir)
+    documents_trgm_postings(spark, sf_dir)
     documents_minhash(spark, sf_dir)
     events_by_user(spark, sf_dir)
     events_by_date(spark, sf_dir)
@@ -1721,7 +1780,11 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
     # _batch_counters — so stats stay exact.
     merge_postings_pending(spark, sf_dir)
     removed = 0
-    for name in ("documents_minhash.parquet", "documents_trgm.parquet"):
+    for name in (
+        "documents_minhash.parquet",
+        "documents_trgm.parquet",
+        "documents_trgm_postings.parquet",
+    ):
         path = prepared_path(sf_dir, name)
         _recover_swap(path, ".vacuum")
         if not os.path.exists(path):
