@@ -43,6 +43,21 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def char_trigrams_sql(expr: str) -> str:
+    """DuckDB twin of :func:`venus_spark.operators.text.char_trigrams`:
+    distinct lowercase character 3-grams, empty list under 3 chars.
+    Element ORDER may differ between the engines (array_distinct keeps
+    first occurrence, LIST_DISTINCT does not promise one) — use only
+    under set semantics (membership, intersection counts)."""
+    low = f"LOWER({expr})"
+    return (
+        f"(CASE WHEN LENGTH({low}) >= 3 THEN "
+        f"LIST_DISTINCT([SUBSTR({low}, i, 3) "
+        f"FOR i IN RANGE(1, LENGTH({low}) - 1)]) "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
 def bigram_pairs_sql(expr: str) -> str:
     # RANGE(1, n) is empty when n <= 1, so 0/1-token input yields [].
     t = tokens_sql(expr)

@@ -599,6 +599,82 @@ def fuzzy_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pg_trgm similarity search (the % operator): trigram-Jaccard top-k
+# --------------------------------------------------------------------------
+
+_TRGM_SIM_QUERY = "spark hash join over the stream table"
+_TRGM_SIM_TOPK = 15
+
+
+def _trgm_sim_consts() -> tuple[list[str], int]:
+    from venus_spark.operators.text import trigrams_of
+
+    grams = trigrams_of(_TRGM_SIM_QUERY)
+    return grams, len(grams)
+
+
+def _trgm_sim_oracle() -> str:
+    from venus_spark.functions.sqlgen import char_trigrams_sql
+
+    _, nq = _trgm_sim_consts()
+    qlit = _TRGM_SIM_QUERY.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {char_trigrams_sql('text')} AS dt FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         LEN(LIST_INTERSECT(dt, {char_trigrams_sql(f"'{qlit}'")})) AS c,
+         LEN(dt) AS nd
+  FROM d
+)
+SELECT doc_id,
+       ROUND(CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE), 6) AS sim
+FROM scored WHERE c > 0
+ORDER BY sim DESC, doc_id LIMIT {_TRGM_SIM_TOPK}
+"""
+
+
+@plan("similar_docs_trgm", oracle=_trgm_sim_oracle())
+def similar_docs_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm's OTHER marquee operator — similarity search (``text %
+    query``, ``ORDER BY text <-> query``): top-k documents by trigram
+    Jaccard similarity to a query string, served from the SAME
+    ingest-time trigram artifacts as the substring path. The query's
+    trigram set becomes a pushed ``In(trg, ...)`` posting fetch
+    (per-doc intersection count c as a groupBy), document trigram-set
+    sizes come from the prepared per-row ``_trg`` column (no text
+    re-scan, no trigram recompute), and Jaccard is
+    ``c / (|Q| + |D| − c)``. Documents sharing no trigram are rank-
+    irrelevant and never enter the aggregation — work is proportional
+    to the query trigrams' posting lists, the GIN similarity-scan
+    shape. Oracle recomputes both sets from raw text."""
+    from venus_spark.prepared import documents_trgm, documents_trgm_postings
+
+    grams, nq = _trgm_sim_consts()
+    post = documents_trgm_postings(spark, sf_dir)
+    hits = (
+        post.filter(F.col("trg").isin(grams))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = documents_trgm(spark, sf_dir).select(
+        "doc_id", F.size("_trg").alias("nd")
+    )
+    sim = F.round(
+        F.col("c").cast("double")
+        / (F.lit(nq) + F.col("nd") - F.col("c")).cast("double"),
+        6,
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select("doc_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(_TRGM_SIM_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
 # B11 — JSONB containment (data @> '{"a":1,"b":2}') + key-existence (data ? 'k')
 # (reference: README.rst:105-107 — "use JSONB operators in WHERE so the
 #  jsonb_path_ops GIN index is used"; indexes at migration :37,52,73)
