@@ -1230,6 +1230,66 @@ def test_compact_postings_preserves_rows_and_recovers_from_crash(
     assert not os.path.exists(path + ".compact.old")
 
 
+def test_compact_trgm_postings_preserves_rows_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The trigram-postings OPTIMIZE (review r6: appends and the vacuum
+    rewrite were diluting the trg-sorted layout with nothing to restore
+    it): compaction preserves row content, carries the stamp, and an
+    interrupted swap completes on the next read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 40).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_trgm_postings(spark, sf)
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in prepared.documents_trgm_postings(spark, sf).collect()
+        )
+
+    # vacuum's rewrite keeps serving the surviving rows through a SORTED
+    # rewrite (stamp stays truthful) — run before any append so the
+    # delete guard on the postings twin doesn't refuse
+    dead = [3]
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+    prepared.vacuum_document_tombstones(spark, sf)
+    assert not {t[1] for t in rows()} & set(dead)
+    prepared.documents_trgm_postings(spark, sf)  # no refuse, no rebuild
+
+    new_docs = docs.filter(F.col("doc_id") >= 40).withColumn(
+        "doc_id", F.col("doc_id") + 960
+    )
+    prepared.append_documents(spark, sf, new_docs)
+    before = rows()
+    path = prepared.prepared_path(sf, "documents_trgm_postings.parquet")
+    prepared.compact_documents_trgm_postings(spark, sf)
+    assert rows() == before
+    # stamp + marker carried: re-ensure is a no-op, no refuse, no rebuild
+    listing = sorted(os.listdir(path))
+    prepared.documents_trgm_postings(spark, sf)
+    assert sorted(os.listdir(path)) == listing
+    assert prepared._has_append_marker(path)
+
+    # crash window: complete tmp + displaced live dir -> next read recovers
+    os.rename(path, path + ".compact.old")
+    shutil.copytree(path + ".compact.old", path + ".compact.tmp")
+    assert rows() == before
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.old")
+
+
 def test_mode_append_marker_blocks_lossy_rebuild_and_delete(
     spark, tmp_path, monkeypatch
 ):

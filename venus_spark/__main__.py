@@ -195,8 +195,12 @@ def cmd_maintain(args) -> int:
         n += prepared.vacuum_embedding_tombstones(spark, args.sf)
         print(f"vacuumed {n} index row(s) for tombstoned documents/vectors")
     elif args.op == "compact-postings":
-        prepared.compact_documents_postings(_spark(), args.sf)
-        print(f"documents_postings compacted for {args.sf}")
+        spark = _spark()
+        prepared.compact_documents_postings(spark, args.sf)
+        # the trigram postings degrade the same way under appends; one
+        # OPTIMIZE op restores both term- and trigram-sorted layouts
+        prepared.compact_documents_trgm_postings(spark, args.sf)
+        print(f"documents_postings + documents_trgm_postings compacted for {args.sf}")
     return 0
 
 

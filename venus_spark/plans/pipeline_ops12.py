@@ -205,7 +205,10 @@ _EVAL_QTERMS_SQL = ", ".join(
 
 # The per-(doc, term) partial is _BM25_TERM_SCORE — the SAME string the
 # BM25 plans use, so the eval grades exactly the scorer they ship.
-_RR_SQL = "ROUND(1.0 / first_rel_rank, 6)"  # NULL rank -> NULL rr
+# CAST(1 AS DOUBLE), not the bare literal 1.0: Spark parses 1.0 as
+# DECIMAL and divides exactly while DuckDB divides doubles — the exact
+# literal class PARITY.md bans from hash-checked columns.
+_RR_SQL = "ROUND(CAST(1 AS DOUBLE) / first_rel_rank, 6)"  # NULL rank -> NULL rr
 _RECALL_SQL = (
     "CASE WHEN n_relevant = 0 THEN NULL ELSE "
     "ROUND(CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) END"
@@ -282,7 +285,7 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking against a deterministic pseudo-relevance ground truth —
     "relevant" = contains EVERY query term (the boolean-AND set) —
     reporting reciprocal rank of the first relevant document and
-    recall@{k}. This is the eval loop a retrieval pipeline runs on
+    recall@10. This is the eval loop a retrieval pipeline runs on
     every index or scorer change; the oracle recomputes BOTH the
     ranking and the ground truth from raw tokens, so a drifting index
     (missing postings, stale df) or a broken tie-break shows up as a

@@ -20,6 +20,9 @@ are rendered to canonical strings at the output edge only.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -247,7 +250,7 @@ _PATTERNS = ("%spark window%", "%hash join%")
 _FUZZY_ORACLE = f"""
 SELECT lang, COUNT(*) AS n_docs
 FROM documents
-WHERE text ILIKE '{_PATTERNS[0]}' OR text ILIKE '{_PATTERNS[1]}'
+WHERE {" OR ".join(f"text ILIKE '{p}'" for p in _PATTERNS)}
 GROUP BY lang
 """
 
@@ -261,7 +264,7 @@ def fuzzy_multi_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     §7.2.4). Correctness path is plain predicates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pred = F.col("text").ilike(_PATTERNS[0]) | F.col("text").ilike(_PATTERNS[1])
+    pred = reduce(operator.or_, (F.col("text").ilike(p) for p in _PATTERNS))
     return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
@@ -546,7 +549,9 @@ def fuzzy_trgm_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams = trigrams_of(pattern.strip("%"))
         # a <3-char needle has no trigrams: its probe must pass everything
         probes.append(bloom_probe(grams) if grams else F.lit(True))
-    pred = (probes[0] | probes[1]) & (verifies[0] | verifies[1])
+    # reduce over the SAME list both loops filled — adding a pattern to
+    # _PATTERNS can never desynchronize the prune from the verify
+    pred = reduce(operator.or_, probes) & reduce(operator.or_, verifies)
     return docs.filter(pred).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
@@ -594,7 +599,11 @@ def fuzzy_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cands[1:]:
             cand = cand.unionByName(c)
         docs = docs.join(F.broadcast(cand.distinct()), "doc_id", "left_semi")
-    verify = F.col("text").ilike(_PATTERNS[0]) | F.col("text").ilike(_PATTERNS[1])
+    # verify over ALL patterns via reduce — stays in lockstep with the
+    # candidate loop if _PATTERNS ever grows
+    verify = reduce(
+        operator.or_, (F.col("text").ilike(p) for p in _PATTERNS)
+    )
     return docs.filter(verify).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 

@@ -235,6 +235,7 @@ def documents_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard append paths."""
     path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
     _recover_swap(path, ".vacuum")
+    _recover_swap(path, ".compact")
     if not _is_built(path, _TRGM_POST_META):
         _refuse_rebuild_with_absorbed_batches(path, "trigram postings")
         if os.path.exists(path):
@@ -592,6 +593,33 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     untouched."""
     post, _dfreq, _stats = _postings_tables(spark, sf_dir)
     path = prepared_path(sf_dir, "documents_postings.parquet")
+    _compact_sorted_swap(post, path, _POSTINGS_META, ("term", "doc_id"))
+
+
+def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> None:
+    """The OPTIMIZE job for the trigram postings — same degradation,
+    same cure as ``compact_documents_postings``: appends land their own
+    file sets, diluting the trg-sorted pruning the pushed In(trg)
+    fetch relies on; the compaction rewrites one globally
+    trg-range-partitioned, trg-sorted file set through the crash-safe
+    swap (stamp/manifests/marker carried)."""
+    post = documents_trgm_postings(spark, sf_dir)
+    path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
+    _compact_sorted_swap(post, path, _TRGM_POST_META, ("trg", "doc_id"))
+
+
+def _compact_sorted_swap(
+    rows: DataFrame, path: str, meta: dict, sort_cols: tuple[str, ...]
+) -> None:
+    """Rewrite a range-sorted layout from its own CURRENT contents back
+    into one globally range-partitioned, sorted file set — the shared
+    body of the postings OPTIMIZE jobs. Crash-safe tmp/old swap; the
+    stamp, the append-batch manifest, the merged-batch manifest (a
+    crash-replayed pending write after forgetting it would double
+    count), and the mode-append marker (appended rows are still
+    base-absent after absorption) all survive the rewrite. Row-set
+    invariants (dfreq/stats) are untouched — queries stay correct while
+    compaction is due, only less pruned."""
     manifest = _read_abatch_manifest(path)
     merged = _read_merged(path)
     marked = _has_append_marker(path)
@@ -600,21 +628,16 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
         if os.path.exists(stale):
             shutil.rmtree(stale)
     (
-        post.repartitionByRange("term")
-        .sortWithinPartitions("term", "doc_id")
+        rows.repartitionByRange(sort_cols[0])
+        .sortWithinPartitions(*sort_cols)
         .write.parquet(tmp)
     )
-    _stamp(tmp, _POSTINGS_META)
+    _stamp(tmp, meta)
     if manifest:
         _write_abatch_manifest(tmp, manifest)
     if merged:
-        # Forgetting which streamed batch ids were folded in would let a
-        # crash-replayed write_postings_pending recreate their pending
-        # partitions as live again — base + pending double count.
         _write_merged(tmp, merged)
     if marked:
-        # appended rows are still base-absent after absorption — the
-        # rebuild-refusal marker must survive the rewrite
         _mark_appended(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
@@ -1801,7 +1824,16 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         for stale in (tmp, old):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
-        cur.join(F.broadcast(tb), "doc_id", "left_anti").write.parquet(tmp)
+        survivors = cur.join(F.broadcast(tb), "doc_id", "left_anti")
+        if name == "documents_trgm_postings.parquet":
+            # this layout's pruning contract is the trg-sorted file set
+            # (stamped layout "range(trg)") — an unsorted rewrite would
+            # silently falsify the stamp and degrade the pushed-In(trg)
+            # fetch to a near-full scan
+            survivors = survivors.repartitionByRange("trg").sortWithinPartitions(
+                "trg", "doc_id"
+            )
+        survivors.write.parquet(tmp)
         _stamp(tmp, meta)
         if manifest:
             _write_abatch_manifest(tmp, manifest)
