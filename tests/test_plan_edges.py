@@ -562,3 +562,42 @@ def test_phrase_search_counts_repeats_and_ignores_reversals(
     assert got_p == {6: 1}
     res = compare("prox_edge", px.fn(spark, sf_dir), con, px.oracle)
     assert res.ok, res.detail
+
+
+def test_winnowing_shared_run_guarantee_and_edges(spark, tmp_path):
+    """Winnowing's covenant: two documents sharing a token run of at
+    least w+k-1 (= 8) tokens share at least one selected fingerprint;
+    degenerate docs (under k tokens, zero tokens, exactly one window)
+    digest without error and match the oracle bit-for-bit. The
+    guarantee is checked on the PRODUCTION kernel
+    (pipeline_ops12.winnow_fingerprints), not a reimplementation."""
+    from venus_spark.plans import all_plans
+    from venus_spark.plans.pipeline_ops12 import winnow_fingerprints
+    from venus_spark.sources import load_table
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words here {shared} tail one", "en", "a", 60),
+        (2, f"{shared} completely different ending path", "en", "a", 60),
+        (3, "tiny doc", "en", "a", 8),          # < k tokens: no grams
+        (4, "", "en", "a", 0),                   # zero tokens
+        (5, "one two three four", "en", "a", 18),  # exactly one k-gram
+    ]
+    sf_dir = str(tmp_path)
+    _write_docs(spark, sf_dir, rows)
+
+    p = all_plans()["winnowing_fingerprints"]
+    got = {r["doc_id"]: r.asDict() for r in p.fn(spark, sf_dir).collect()}
+    assert got[3]["n_grams"] == 0 and got[3]["fp_checksum"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["n_selected"] == 0
+    assert got[5]["n_grams"] == 1 and got[5]["n_selected"] == 1
+
+    con = duckdb_connect(sf_dir)
+    res = compare("winnow_edge", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail
+
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert fps[1] & fps[2], "8-token shared run must share a fingerprint"

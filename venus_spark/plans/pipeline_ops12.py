@@ -191,6 +191,114 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): windowed-minimum k-gram digests
+# --------------------------------------------------------------------------
+
+_WIN_K = 4  # token k-gram size
+_WIN_W = 5  # winnowing window (consecutive k-gram hashes)
+
+
+def _win_oracle() -> str:
+    k, w = _WIN_K, _WIN_W
+    grams = (
+        f"[ARRAY_TO_STRING(t[i:i+{k - 1}], ' ') "
+        f"FOR i IN RANGE(1, LEN(t) - {k - 2})]"
+    )
+    h = f"LIST_TRANSFORM({grams}, g -> {token_hash31_sql('g')})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, {h} AS h FROM toks
+),
+wins AS (
+  SELECT doc_id, h,
+         GREATEST(LEN(h) - {w - 1},
+                  CASE WHEN LEN(h) > 0 THEN 1 ELSE 0 END) AS n_win
+  FROM hashed
+),
+sel AS (
+  SELECT doc_id, LEN(h) AS n_grams,
+         LIST_DISTINCT([LIST_MIN(h[j:j+{w - 1}])
+                        FOR j IN RANGE(1, n_win + 1)]) AS fps
+  FROM wins
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(LEN(fps) AS BIGINT) AS n_selected,
+       COALESCE(CAST(LIST_SUM(fps) AS BIGINT), 0) AS fp_checksum
+FROM sel ORDER BY doc_id
+"""
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, fps) — the winnowing kernel: ordered token
+    k-gram hashes, per-window minima, distinct selected values. ONE
+    definition shared by the plan and the guarantee test, so the
+    property the test certifies is the production derivation."""
+    k, w = _WIN_K, _WIN_W
+    t = tokens(F.lower(F.col("text")))
+    docs = docs.select("doc_id", t.alias("t"))
+    cnt = F.size("t") - (k - 1)
+    grams = F.slice("t", 1, cnt)
+    for i in range(2, k + 1):
+        grams = F.zip_with(
+            grams, F.slice("t", i, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    hashed = docs.select(
+        "doc_id",
+        F.when(F.size("t") >= k, F.transform(grams, token_hash31))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("h"),
+    )
+    n_win = F.greatest(
+        F.size("h") - (w - 1), F.when(F.size("h") > 0, 1).otherwise(0)
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_grams"),
+        F.when(
+            F.size("h") > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda j: F.array_min(F.slice("h", j, w)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fps"),
+    )
+
+
+@plan("winnowing_fingerprints", oracle=_win_oracle())
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing digest per document: hash the ORDERED token
+    k-gram sequence, slide a w-window over the hash sequence, select
+    each window's minimum, and keep the distinct selected values — the
+    local-fingerprinting scheme that catches PARTIAL overlap (a copied
+    paragraph inside an otherwise-novel document) where the global
+    MinHash signature dilutes it. Guarantee: any shared substring of at
+    least w+k-1 tokens shares at least one selected fingerprint. A
+    document shorter than w windows contributes its overall minimum;
+    the emitted columns are the count digest + exact integer checksum
+    of the selected set, so any selection divergence — window
+    off-by-one, tie handling, hash drift — flips the hash-checked
+    checksum. At scale the fingerprint set (not the checksum) is the
+    join key for candidate pairing, exactly like the LSH band join;
+    work is one narrow scan, all array ops per-row in codegen."""
+    sel = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_selected"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_checksum"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Retrieval evaluation: MRR / recall@k of BM25 against boolean ground truth
 # --------------------------------------------------------------------------
 
