@@ -1290,6 +1290,68 @@ def test_compact_trgm_postings_preserves_rows_and_recovers(
     assert not os.path.exists(path + ".compact.old")
 
 
+def test_compaction_restores_postings_row_group_pruning(
+    spark, tmp_path, monkeypatch
+):
+    """The point of the postings OPTIMIZE, measured on the real parquet
+    footers (the stats the pushed In(term) filter prunes with): each
+    append adds its own term-sorted file set, so a query term is
+    admitted by one row group PER APPEND; after compaction the same
+    term is admitted by strictly fewer row groups (one globally sorted
+    set). Same assertion style as the Z-order footer test."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 40).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_postings(spark, sf)
+    for j in range(3):  # three appends, each its own sorted file set
+        prepared.append_documents(
+            spark,
+            sf,
+            docs.filter(
+                (F.col("doc_id") >= 40 + j * 20) & (F.col("doc_id") < 60 + j * 20)
+            ).withColumn("doc_id", F.col("doc_id") + 960),
+        )
+
+    def admitted(path: str, col: str, term: str) -> tuple[int, int]:
+        hit = total = 0
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(sch[col]).statistics
+                total += 1
+                if st.min <= term <= st.max:
+                    hit += 1
+        return hit, total
+
+    post_path = prepared.prepared_path(sf, "documents_postings.parquet")
+    before_hit, before_total = admitted(post_path, "term", "vector")
+    assert before_hit >= 3  # the dilution is real: one admitting group per append
+    prepared.compact_documents_postings(spark, sf)
+    after_hit, after_total = admitted(post_path, "term", "vector")
+    assert after_hit < before_hit
+    assert after_hit <= 2  # one globally sorted set: the term lives in ~1 group
+
+    # and the trigram postings behave identically under their OPTIMIZE
+    tp_path = prepared.prepared_path(sf, "documents_trgm_postings.parquet")
+    tb_hit, _ = admitted(tp_path, "trg", "spa")
+    prepared.compact_documents_trgm_postings(spark, sf)
+    ta_hit, _ = admitted(tp_path, "trg", "spa")
+    assert ta_hit <= tb_hit and ta_hit <= 2
+
+
 def test_mode_append_marker_blocks_lossy_rebuild_and_delete(
     spark, tmp_path, monkeypatch
 ):

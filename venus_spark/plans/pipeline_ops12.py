@@ -191,6 +191,159 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF nprobe sweep: recall@k vs probe width — the ANN tuning curve
+# --------------------------------------------------------------------------
+
+_SWEEP_QUERY_VEC_ID = 0
+_SWEEP_K = 10
+_SWEEP_NPROBES = (1, 2, 4)
+
+_SWEEP_RECALL = f"ROUND(CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE), 6)"
+
+_VDL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _nprobe_sweep_oracle() -> str:
+    from venus_spark.functions.sqlgen import davg_sql
+
+    blocks, rows = [], []
+    for n in _SWEEP_NPROBES:
+        blocks.append(f"""
+probed_{n} AS (
+  SELECT cluster FROM cent_scored
+  ORDER BY centroid_sim DESC, cluster LIMIT {n}
+),
+cand_{n} AS (
+  SELECT vec_id, cosine_sim FROM scored_all
+  WHERE label IN (SELECT cluster FROM probed_{n})
+),
+ivf_{n} AS (
+  SELECT vec_id FROM cand_{n}
+  ORDER BY cosine_sim DESC, vec_id LIMIT {_SWEEP_K}
+),
+row_{n} AS (
+  SELECT {n} AS nprobe,
+         (SELECT COUNT(*) FROM cand_{n}) AS n_candidates,
+         (SELECT COUNT(*) FROM ivf_{n} JOIN exact USING (vec_id)) AS hits
+)""")
+        rows.append(f"SELECT * FROM row_{n}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH q AS (
+  SELECT {_VDL.format('embedding')} AS qv FROM embeddings
+  WHERE vec_id = {_SWEEP_QUERY_VEC_ID}
+),
+long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VDL.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+cent_scored AS (
+  SELECT cluster,
+         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+  FROM cent_arr CROSS JOIN q
+),
+scored_all AS (
+  SELECT e.vec_id, e.label,
+         ROUND({cosine_sql(_VDL.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+),
+exact AS (
+  SELECT vec_id FROM scored_all ORDER BY cosine_sim DESC, vec_id
+  LIMIT {_SWEEP_K}
+),{",".join(blocks)}
+SELECT nprobe, CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(hits AS BIGINT) AS hits, {_SWEEP_RECALL} AS recall_at_k
+FROM ({union}) ORDER BY nprobe
+"""
+
+
+@plan("sim_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: for each probe width, recall@k of the IVF
+    search against the exact brute-force top-k, next to the candidate
+    count the probe paid for it — the accuracy/cost trade every IVF
+    deployment sweeps before fixing nprobe (recall rises toward 1.0 as
+    the probe widens toward the full scan). Composes the production
+    pieces: one centroid table scored once, per-width cluster
+    restriction, exact ranking inside the probe, intersection with the
+    exact set.
+
+    Scale shape: the centroid table is broadcast-sized; every per-width
+    branch restricts the SAME scored scan by a cluster semi-join
+    (partition pruning in the prepared layout); counts and the k-row
+    intersections are aggregate-only. No collect beyond the one-row
+    query-vector fetch (the documented idiom)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _SWEEP_QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+
+    scored_all = emb.select(
+        "vec_id",
+        "label",
+        F.round(cosine(sim.as_double(F.col("embedding")), query), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    exact = (
+        scored_all.orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(_SWEEP_K)
+        .select("vec_id")
+    )
+    cent_scored = sim.centroid_arrays(emb).select(
+        "cluster",
+        F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
+    )
+
+    out = None
+    for n in _SWEEP_NPROBES:
+        probed = (
+            cent_scored.orderBy(F.col("centroid_sim").desc(), "cluster")
+            .limit(n)
+            .select("cluster")
+        )
+        cand = scored_all.join(
+            F.broadcast(probed),
+            scored_all["label"] == probed["cluster"],
+            "left_semi",
+        )
+        ivf = (
+            cand.orderBy(F.col("cosine_sim").desc(), "vec_id")
+            .limit(_SWEEP_K)
+            .select("vec_id")
+        )
+        row = (
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            .crossJoin(
+                ivf.join(exact, "vec_id").agg(
+                    F.count("*").cast("long").alias("hits")
+                )
+            )
+            .select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "n_candidates",
+                "hits",
+                F.expr(_SWEEP_RECALL).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS): windowed-minimum k-gram digests
 # --------------------------------------------------------------------------
 
@@ -296,6 +449,94 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_checksum"
         ),
     ).orderBy("doc_id")
+
+
+_WIN_MAX_DF = 50  # fingerprints in more docs than this are "stopword" prints
+_WIN_MIN_SHARED = 2
+
+
+def _win_pairs_oracle() -> str:
+    k, w = _WIN_K, _WIN_W
+    grams = (
+        f"[ARRAY_TO_STRING(t[i:i+{k - 1}], ' ') "
+        f"FOR i IN RANGE(1, LEN(t) - {k - 2})]"
+    )
+    h = f"LIST_TRANSFORM({grams}, g -> {token_hash31_sql('g')})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, {h} AS h FROM toks
+),
+wins AS (
+  SELECT doc_id, h,
+         GREATEST(LEN(h) - {w - 1},
+                  CASE WHEN LEN(h) > 0 THEN 1 ELSE 0 END) AS n_win
+  FROM hashed
+),
+sel AS (
+  SELECT doc_id,
+         LIST_DISTINCT([LIST_MIN(h[j:j+{w - 1}])
+                        FOR j IN RANGE(1, n_win + 1)]) AS fps
+  FROM wins
+),
+fpd AS (
+  SELECT doc_id, UNNEST(fps) AS fp FROM sel
+),
+rare AS (
+  SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) <= {_WIN_MAX_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fpd a JOIN rare USING (fp) JOIN fpd b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= {_WIN_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
+@plan("winnowing_pairs", oracle=_win_pairs_oracle())
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dup CANDIDATE PAIRS from the winnowing digests:
+    documents sharing ≥{2} selected fingerprints, with the shared
+    count — the MOSS pairing step, and the local-overlap sibling of the
+    MinHash LSH band join (LSH catches whole-document similarity; a
+    shared winnowing fingerprint pins a shared ≥ w+k−1-token RUN, so an
+    excerpt embedded in an otherwise-novel document still pairs).
+
+    Scale shape: identical to the band join — explode per-doc
+    fingerprints, drop "stopword" prints appearing in more than
+    {50} documents (ubiquitous boilerplate would quadratically blow the
+    bucket; standard winnowing practice, and exactly the bounded-bucket
+    discipline the LSH plans document), then a fingerprint-keyed
+    self-join whose bucket sizes are bounded by that cap, then a
+    pair-keyed count. No all-pairs expansion anywhere; every join keys
+    on a hash-uniform value."""
+    fpd = (
+        winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+    rare = (
+        fpd.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WIN_MAX_DF)
+        .select("fp")
+    )
+    pruned = fpd.join(rare, "fp")
+    a = pruned.select("fp", F.col("doc_id").alias("id_a"))
+    b = pruned.select("fp", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --------------------------------------------------------------------------
