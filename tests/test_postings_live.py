@@ -311,6 +311,83 @@ def test_half_written_pending_batch_invisible_until_replay(
     assert _collect_index(*prepared.documents_postings(spark, sf)) == expect
 
 
+def test_trgm_postings_stream_maintenance_and_in_service_merge(
+    spark, tmp_path, monkeypatch
+):
+    """The trigram postings get the same streaming upkeep as the term
+    postings: per-micro-batch pending partitions, live view == full
+    rebuild, replay adds nothing, merge folds idempotently — and with
+    ``merge_every=1`` the ingest folds its own pending lists in-service
+    (the GIN autovacuum analog), leaving the batches manifested in the
+    base."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_trgm_postings(spark, sf)
+
+    from venus_spark.streaming import start_documents_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    new_rows = [r.asDict() for r in new.collect()]
+    for i, chunk in enumerate((new_rows[:8], new_rows[8:])):
+        (landing / f"batch{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in chunk) + "\n"
+        )
+
+    def run(**kw):
+        q = start_documents_ingest(
+            spark.readStream.schema(docs.schema).json(str(landing)),
+            sink_dir=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            index_sf_dir=sf,
+            trigger_seconds=None,
+            **kw,
+        )
+        q.awaitTermination()
+
+    run()
+
+    full_sf = _rebuild_sf(
+        spark,
+        tmp_path,
+        docs.filter(F.col("doc_id") < 30),
+        spark.createDataFrame(new_rows, docs.schema),
+    )
+
+    def rows(fn, s):
+        return sorted(tuple(r) for r in fn(spark, s).collect())
+
+    expect = rows(prepared.documents_trgm_postings, full_sf)
+    assert rows(prepared.documents_trgm_postings_live, sf) == expect
+
+    # replay adds nothing; merge folds into the base idempotently
+    run()
+    assert rows(prepared.documents_trgm_postings_live, sf) == expect
+    assert prepared.merge_trgm_postings_pending(spark, sf) > 0
+    assert rows(prepared.documents_trgm_postings, sf) == expect
+    assert prepared.merge_trgm_postings_pending(spark, sf) == 0
+
+    # in-service merge: a fresh stream with merge_every=1 folds its own
+    # pending lists — batches end up manifested in the base, live==base
+    sf2 = str(tmp_path / "sf2")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf2, "documents.parquet")
+    )
+    prepared.documents_trgm_postings(spark, sf2)
+    q = start_documents_ingest(
+        spark.readStream.schema(docs.schema).json(str(landing)),
+        sink_dir=str(tmp_path / "sink2"),
+        checkpoint_dir=str(tmp_path / "ck2"),
+        index_sf_dir=sf2,
+        trigger_seconds=None,
+        merge_every=1,
+    )
+    q.awaitTermination()
+    base2 = prepared.prepared_path(sf2, "documents_trgm_postings.parquet")
+    assert prepared._read_merged(base2)  # at least one in-service fold ran
+    assert rows(prepared.documents_trgm_postings_live, sf2) == expect
+
+
 def test_append_documents_batch_idempotent_and_matches_rebuild(
     spark, tmp_path, monkeypatch
 ):

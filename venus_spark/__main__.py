@@ -159,6 +159,7 @@ def cmd_maintain(args) -> int:
         spark = _spark()
         n = prepared.merge_minhash_pending(spark, args.sf)
         n += prepared.merge_postings_pending(spark, args.sf)
+        n += prepared.merge_trgm_postings_pending(spark, args.sf)
         print(f"merged {n} pending index file(s)")
     elif args.op == "delete-docs":
         if not args.ids:

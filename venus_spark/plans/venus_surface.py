@@ -575,11 +575,36 @@ def fuzzy_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram rows; row-group pruning serves it from a term-sorted
     layout) + one broadcast semi-join — the reference's GIN bitmap-scan
     shape, not a corpus scan."""
-    from venus_spark.operators.text import trigrams_of
     from venus_spark.prepared import documents_trgm_postings
 
+    return _fuzzy_from_trgm_postings(
+        spark, sf_dir, documents_trgm_postings(spark, sf_dir)
+    )
+
+
+@plan("fuzzy_trgm_postings_live", oracle=_FUZZY_ORACLE)
+def fuzzy_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query over the LIVE trigram postings
+    (``prepared.documents_trgm_postings_live``: base ∪ not-yet-merged
+    streaming batches) — certifying that the streaming read path of the
+    trigram index degrades to the prepared one on a quiescent corpus,
+    exactly like ``bm25_topk_live`` does for the term postings; the
+    with-pending half of the contract is stream-tested."""
+    from venus_spark.prepared import documents_trgm_postings_live
+
+    return _fuzzy_from_trgm_postings(
+        spark, sf_dir, documents_trgm_postings_live(spark, sf_dir)
+    )
+
+
+def _fuzzy_from_trgm_postings(
+    spark: SparkSession, sf_dir: str, post: DataFrame
+) -> DataFrame:
+    """Candidate generation + verify shared by the prepared and live
+    trigram-postings plans — one copy so the access path cannot fork."""
+    from venus_spark.operators.text import trigrams_of
+
     docs = load_table(spark, sf_dir, "documents")
-    post = documents_trgm_postings(spark, sf_dir)
     cands = []
     unpruned = []  # patterns with no trigrams verify everywhere
     for pattern in _PATTERNS:

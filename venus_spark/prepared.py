@@ -252,6 +252,98 @@ def documents_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _anti_tombstones(spark, sf_dir, spark.read.parquet(path))
 
 
+_TRGM_POST_INDEX = "documents_trgm_postings.parquet"
+
+
+def write_trgm_postings_pending(
+    sf_dir: str, batch_docs: DataFrame, batch_id: int
+) -> None:
+    """Pending-list maintenance for the trigram postings — the same
+    per-micro-batch discipline as the MinHash and term-postings pending
+    lists (dynamic ``_batch_id`` overwrite, replay rewrites exactly its
+    own partition). Unlike the term postings there are NO corpus-level
+    aggregates here (a trigram posting depends only on its own row), so
+    no counter/commit-record machinery is needed: the partition write
+    itself is the commit, and deletes are complete via the read-side
+    tombstone anti-join alone."""
+    (
+        _trgm_postings_rows(batch_docs)
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_pending_path(sf_dir, _TRGM_POST_INDEX))
+    )
+
+
+def documents_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram postings INCLUDING not-yet-merged streaming batches:
+    base ∪ pending, merged batches excluded from pending (their
+    byte-identical rows sit in the base after a crash replay), pending
+    rows anti-joined against outstanding tombstones like the base read
+    — the same union rule as ``documents_minhash_live``."""
+    base_df = documents_trgm_postings(spark, sf_dir)
+    base = prepared_path(sf_dir, _TRGM_POST_INDEX)
+    pend = _pending_path(sf_dir, _TRGM_POST_INDEX)
+    if os.path.isdir(pend) and any(
+        d.startswith("_batch_id=") for d in os.listdir(pend)
+    ):
+        pend_df = spark.read.parquet(pend)
+        merged = _read_merged(base)
+        if merged:
+            pend_df = pend_df.filter(~F.col("_batch_id").isin(sorted(merged)))
+        base_df = base_df.unionByName(
+            _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
+        )
+    return base_df
+
+
+def merge_trgm_postings_pending(spark: SparkSession, sf_dir: str) -> int:
+    """VACUUM the trigram-postings pending list: per unmanifested
+    batch, move its data files into the base (collision-free rename),
+    manifest the batch id, remove the emptied partition — the exact
+    :func:`merge_minhash_pending` discipline. Rows are row-local, so
+    the base's read-side tombstone filter keeps deletes correct even
+    for moved rows (no scrub step needed); compaction later restores
+    the trg-sorted pruning the moved files dilute. Returns data files
+    merged."""
+    import uuid
+
+    base = prepared_path(sf_dir, _TRGM_POST_INDEX)
+    pend = _pending_path(sf_dir, _TRGM_POST_INDEX)
+    if not os.path.exists(pend):
+        return 0
+    documents_trgm_postings(spark, sf_dir)  # base must exist
+    merged = _read_merged(base)
+    n = 0
+    moved_any = False
+    for d in sorted(os.listdir(pend)):
+        if not d.startswith("_batch_id="):
+            continue
+        batch_dir = os.path.join(pend, d)
+        bid = int(d.split("=", 1)[1])
+        if bid not in merged:
+            for fn in sorted(os.listdir(batch_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                os.rename(
+                    os.path.join(batch_dir, fn),
+                    os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
+                )
+                n += 1
+            moved_any = True
+            merged.add(bid)
+            _write_merged(base, merged)
+        shutil.rmtree(batch_dir)
+    try:
+        os.rmdir(pend)
+    except OSError:
+        pass
+    if moved_any:
+        _mark_appended(base)  # merged rows may exist only here + the sink
+    return n
+
+
 def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``doc_id`` + bucket keys (``lang``, ``source`` — covered like an
     index INCLUDE column, so bucket-scoped queries need no join back to
@@ -1802,6 +1894,10 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
     # retained like the tombstone set itself — excluded at read inside
     # _batch_counters — so stats stay exact.
     merge_postings_pending(spark, sf_dir)
+    # Trigram postings are row-local (read filter is complete), so the
+    # plain move-merge folds them; the rewrite loop below then makes
+    # the delete physical in the enlarged base.
+    merge_trgm_postings_pending(spark, sf_dir)
     removed = 0
     for name in (
         "documents_minhash.parquet",

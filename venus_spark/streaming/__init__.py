@@ -330,6 +330,7 @@ def start_documents_ingest(
     screen_near_dups: bool = False,
     near_dup_threshold: float = 0.8,
     maintain_postings: bool = True,
+    merge_every: int | None = None,
 ) -> StreamingQuery:
     """Documents-table ingest with WRITE-TIME INDEX MAINTENANCE: each
     micro-batch lands exactly-once (idempotent ``_batch_id`` overwrite)
@@ -407,15 +408,33 @@ def start_documents_ingest(
                 index_sf_dir, batch, batch_id, index_rows=batch_idx
             )
             if maintain_postings:
-                # The POSITIONAL inverted index gets the same pending-
-                # list upkeep as the MinHash index: the batch's postings
-                # and per-document length counters land under their own
-                # _batch_id partitions (dynamic overwrite — replay-
-                # idempotent), so documents_postings_live serves BM25/
-                # phrase/boolean retrieval over streamed documents the
-                # moment the micro-batch commits; merge_postings_pending
-                # is the VACUUM twin.
+                # The POSITIONAL inverted index and the trigram postings
+                # get the same pending-list upkeep as the MinHash index:
+                # each batch's rows land under their own _batch_id
+                # partitions (dynamic overwrite — replay-idempotent), so
+                # the *_live views serve BM25/phrase/boolean retrieval
+                # AND fuzzy/similarity search over streamed documents
+                # the moment the micro-batch commits; the merge_*
+                # functions are the VACUUM twins.
                 prepared.write_postings_pending(index_sf_dir, batch, batch_id)
+                prepared.write_trgm_postings_pending(
+                    index_sf_dir, batch, batch_id
+                )
+            if merge_every and (batch_id + 1) % merge_every == 0:
+                # In-service VACUUM cadence — the GIN autovacuum analog:
+                # fold the pending lists into the bases every N batches
+                # so the live views' union side stays micro-batch-sized.
+                # Safe beside this (the only) writer: merges use
+                # surgical per-batch moves + manifests, and a replayed
+                # batch re-running the merge is a manifested no-op.
+                prepared.merge_minhash_pending(batch.sparkSession, index_sf_dir)
+                if maintain_postings:
+                    prepared.merge_postings_pending(
+                        batch.sparkSession, index_sf_dir
+                    )
+                    prepared.merge_trgm_postings_pending(
+                        batch.sparkSession, index_sf_dir
+                    )
             if batch_idx is not None:
                 batch_idx.unpersist()
         finally:
