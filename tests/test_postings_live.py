@@ -388,6 +388,45 @@ def test_trgm_postings_stream_maintenance_and_in_service_merge(
     assert rows(prepared.documents_trgm_postings_live, sf2) == expect
 
 
+def test_trgm_postings_replay_after_merge_and_dataless_partition(
+    spark, tmp_path, monkeypatch
+):
+    """Review r6 (third pass): (a) a batch REPLAYED into pending after
+    its merge must be excluded from the live union (merged manifest) —
+    no double-counted trigram rows in fuzzy/similarity results — and
+    dropped, not re-moved, by the next merge; (b) a merge that crashed
+    between its last file-move and the partition rmtree leaves a
+    DATA-LESS partition directory that must not break the live view's
+    schema inference, and the retry must converge."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_trgm_postings(spark, sf)
+
+    def rows(fn, s):
+        return sorted(tuple(r) for r in fn(spark, s).collect())
+
+    b0 = new.limit(8)
+    prepared.write_trgm_postings_pending(sf, b0, 0)
+    assert prepared.merge_trgm_postings_pending(spark, sf) > 0
+    expect = rows(prepared.documents_trgm_postings, sf)
+
+    # (a) checkpoint-replay rewrites batch 0 into pending post-merge
+    prepared.write_trgm_postings_pending(sf, b0, 0)
+    assert rows(prepared.documents_trgm_postings_live, sf) == expect
+    assert prepared.merge_trgm_postings_pending(spark, sf) == 0  # dropped
+    assert rows(prepared.documents_trgm_postings, sf) == expect
+
+    # (b) crash state: moved-but-unmanifested batch = data-less partition
+    pend = prepared._pending_path(sf, "documents_trgm_postings.parquet")
+    os.makedirs(os.path.join(pend, "_batch_id=7"))
+    assert rows(prepared.documents_trgm_postings_live, sf) == expect  # no throw
+    prepared.merge_trgm_postings_pending(spark, sf)  # converges: manifests 7
+    base = prepared.prepared_path(sf, "documents_trgm_postings.parquet")
+    assert 7 in prepared._read_merged(base)
+    assert not os.path.exists(os.path.join(pend, "_batch_id=7"))
+    assert rows(prepared.documents_trgm_postings, sf) == expect
+
+
 def test_append_documents_batch_idempotent_and_matches_rebuild(
     spark, tmp_path, monkeypatch
 ):

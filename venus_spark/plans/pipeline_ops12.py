@@ -278,11 +278,16 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     restriction, exact ranking inside the probe, intersection with the
     exact set.
 
-    Scale shape: the centroid table is broadcast-sized; every per-width
-    branch restricts the SAME scored scan by a cluster semi-join
-    (partition pruning in the prepared layout); counts and the k-row
-    intersections are aggregate-only. No collect beyond the one-row
-    query-vector fetch (the documented idiom)."""
+    Scale shape: two narrow passes over the vector table (per-cluster
+    top-k digest; per-cluster counts), materialized ONCE via
+    localCheckpoint into broadcast-sized tables — every derived
+    quantity, including each width's top-k AND the exact global top-k
+    (a global top-k vector is necessarily in its own cluster's top-k),
+    re-ranks those tiny tables, so sweeping more widths never
+    re-scans the corpus. Cluster probe order comes from the bounded
+    collect-sort-posexplode aggregate (no single-partition WindowExec).
+    No collect beyond the one-row query-vector fetch (the documented
+    idiom)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = (
         emb.filter(F.col("vec_id") == _SWEEP_QUERY_VEC_ID)
@@ -298,35 +303,63 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_sim"
         ),
     )
-    exact = (
-        scored_all.orderBy(F.col("cosine_sim").desc(), "vec_id")
-        .limit(_SWEEP_K)
-        .select("vec_id")
+    # ONE corpus pass: per-cluster top-k digest + per-cluster counts.
+    per_cluster_rank = Window.partitionBy("label").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
     )
+    digest = (
+        scored_all.withColumn("rn", F.row_number().over(per_cluster_rank))
+        .filter(F.col("rn") <= _SWEEP_K)
+        .drop("rn")
+    )
+    cluster_sizes = scored_all.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    # Probe order of the clusters: rank centroids by cosine via the
+    # bounded collect-sort aggregate (n_clusters rows — no WindowExec).
     cent_scored = sim.centroid_arrays(emb).select(
         "cluster",
         F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
     )
+    cluster_rank = (
+        cent_scored.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("centroid_sim")).alias("neg"), F.col("cluster")
+                    )
+                )
+            ).alias("ordered")
+        )
+        .select(F.posexplode("ordered").alias("i", "s"))
+        .select(
+            F.col("s.cluster").alias("label"), (F.col("i") + 1).alias("crank")
+        )
+    )
+    ranked = F.broadcast(cluster_rank)
+    # Materialize the two digests once (n_clusters × k rows and
+    # n_clusters rows): the sweep branches below each reference them
+    # twice, and without this every branch would re-run the corpus scan
+    # (Catalyst does not share common subplans across a union).
+    sized = cluster_sizes.join(ranked, "label").localCheckpoint(eager=True)
+    dig = digest.join(ranked, "label").localCheckpoint(eager=True)
+    exact = (
+        dig.orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(_SWEEP_K)
+        .select("vec_id")
+    )
 
     out = None
     for n in _SWEEP_NPROBES:
-        probed = (
-            cent_scored.orderBy(F.col("centroid_sim").desc(), "cluster")
-            .limit(n)
-            .select("cluster")
-        )
-        cand = scored_all.join(
-            F.broadcast(probed),
-            scored_all["label"] == probed["cluster"],
-            "left_semi",
-        )
         ivf = (
-            cand.orderBy(F.col("cosine_sim").desc(), "vec_id")
+            dig.filter(F.col("crank") <= n)
+            .orderBy(F.col("cosine_sim").desc(), "vec_id")
             .limit(_SWEEP_K)
             .select("vec_id")
         )
         row = (
-            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            sized.filter(F.col("crank") <= n)
+            .agg(F.sum("n_vecs").cast("long").alias("n_candidates"))
             .crossJoin(
                 ivf.join(exact, "vec_id").agg(
                     F.count("*").cast("long").alias("hits")
@@ -502,15 +535,15 @@ ORDER BY id_a, id_b
 @plan("winnowing_pairs", oracle=_win_pairs_oracle())
 def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level near-dup CANDIDATE PAIRS from the winnowing digests:
-    documents sharing ≥{2} selected fingerprints, with the shared
+    documents sharing at least 2 selected fingerprints, with the shared
     count — the MOSS pairing step, and the local-overlap sibling of the
     MinHash LSH band join (LSH catches whole-document similarity; a
     shared winnowing fingerprint pins a shared ≥ w+k−1-token RUN, so an
     excerpt embedded in an otherwise-novel document still pairs).
 
     Scale shape: identical to the band join — explode per-doc
-    fingerprints, drop "stopword" prints appearing in more than
-    {50} documents (ubiquitous boilerplate would quadratically blow the
+    fingerprints, drop "stopword" prints appearing in more than 50
+    documents (ubiquitous boilerplate would quadratically blow the
     bucket; standard winnowing practice, and exactly the bounded-bucket
     discipline the LSH plans document), then a fingerprint-keyed
     self-join whose bucket sizes are bounded by that cap, then a

@@ -266,13 +266,8 @@ def write_trgm_postings_pending(
     no counter/commit-record machinery is needed: the partition write
     itself is the commit, and deletes are complete via the read-side
     tombstone anti-join alone."""
-    (
-        _trgm_postings_rows(batch_docs)
-        .withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(_pending_path(sf_dir, _TRGM_POST_INDEX))
+    _write_pending(
+        sf_dir, _TRGM_POST_INDEX, _trgm_postings_rows(batch_docs), batch_id
     )
 
 
@@ -281,21 +276,11 @@ def documents_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     base ∪ pending, merged batches excluded from pending (their
     byte-identical rows sit in the base after a crash replay), pending
     rows anti-joined against outstanding tombstones like the base read
-    — the same union rule as ``documents_minhash_live``."""
-    base_df = documents_trgm_postings(spark, sf_dir)
-    base = prepared_path(sf_dir, _TRGM_POST_INDEX)
-    pend = _pending_path(sf_dir, _TRGM_POST_INDEX)
-    if os.path.isdir(pend) and any(
-        d.startswith("_batch_id=") for d in os.listdir(pend)
-    ):
-        pend_df = spark.read.parquet(pend)
-        merged = _read_merged(base)
-        if merged:
-            pend_df = pend_df.filter(~F.col("_batch_id").isin(sorted(merged)))
-        base_df = base_df.unionByName(
-            _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
-        )
-    return base_df
+    — the same union rule as ``documents_minhash_live``
+    (:func:`_pending_union`)."""
+    return _pending_union(
+        spark, sf_dir, _TRGM_POST_INDEX, documents_trgm_postings(spark, sf_dir)
+    )
 
 
 def merge_trgm_postings_pending(spark: SparkSession, sf_dir: str) -> int:
@@ -307,41 +292,10 @@ def merge_trgm_postings_pending(spark: SparkSession, sf_dir: str) -> int:
     for moved rows (no scrub step needed); compaction later restores
     the trg-sorted pruning the moved files dilute. Returns data files
     merged."""
-    import uuid
-
-    base = prepared_path(sf_dir, _TRGM_POST_INDEX)
-    pend = _pending_path(sf_dir, _TRGM_POST_INDEX)
-    if not os.path.exists(pend):
+    if not os.path.exists(_pending_path(sf_dir, _TRGM_POST_INDEX)):
         return 0
     documents_trgm_postings(spark, sf_dir)  # base must exist
-    merged = _read_merged(base)
-    n = 0
-    moved_any = False
-    for d in sorted(os.listdir(pend)):
-        if not d.startswith("_batch_id="):
-            continue
-        batch_dir = os.path.join(pend, d)
-        bid = int(d.split("=", 1)[1])
-        if bid not in merged:
-            for fn in sorted(os.listdir(batch_dir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                os.rename(
-                    os.path.join(batch_dir, fn),
-                    os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
-                )
-                n += 1
-            moved_any = True
-            merged.add(bid)
-            _write_merged(base, merged)
-        shutil.rmtree(batch_dir)
-    try:
-        os.rmdir(pend)
-    except OSError:
-        pass
-    if moved_any:
-        _mark_appended(base)  # merged rows may exist only here + the sink
-    return n
+    return _merge_pending(spark, sf_dir, _TRGM_POST_INDEX)
 
 
 def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,6 +1382,146 @@ def _pending_path(sf_dir: str, index_name: str) -> str:
     return prepared_path(sf_dir, index_name + ".pending")
 
 
+def _write_pending(
+    sf_dir: str, index_name: str, rows: DataFrame, batch_id: int
+) -> None:
+    """Land one micro-batch's index rows under a ``_batch_id`` pending
+    partition with dynamic overwrite — a replayed batch rewrites
+    exactly its own partition. ONE copy of the write discipline for all
+    three pending-list indexes."""
+    (
+        rows.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_pending_path(sf_dir, index_name))
+    )
+
+
+def _pending_bids_with_data(pend: str) -> set[int]:
+    """Pending batch ids whose partition holds at least one data file.
+    A merge that crashed between its last file-move and the partition
+    rmtree leaves a DATA-LESS ``_batch_id=`` directory; reading the
+    pending area through Spark would then fail schema inference, so
+    every pending reader keys off this listing instead of bare
+    directory existence."""
+    if not os.path.isdir(pend):
+        return set()
+    out = set()
+    for d in os.listdir(pend):
+        if not d.startswith("_batch_id="):
+            continue
+        p = os.path.join(pend, d)
+        if any(f.endswith(".parquet") for f in os.listdir(p)):
+            out.add(int(d.split("=", 1)[1]))
+    return out
+
+
+def _pending_union(
+    spark: SparkSession,
+    sf_dir: str,
+    index_name: str,
+    base_df: DataFrame,
+    only_bids: set[int] | None = None,
+) -> DataFrame:
+    """base ∪ pending for a pending-list index — the shared live-view
+    union rule: batches already manifested as merged are EXCLUDED
+    (their byte-identical rows sit in the base after a crash replay),
+    data-less partitions are skipped (see _pending_bids_with_data),
+    ``only_bids`` optionally restricts to committed batches (the term
+    postings' counter gate), and pending rows honor outstanding deletes
+    through the same tombstone anti-join as the base read."""
+    base = prepared_path(sf_dir, index_name)
+    pend = _pending_path(sf_dir, index_name)
+    bids = _pending_bids_with_data(pend)
+    if only_bids is not None:
+        bids &= only_bids
+    bids -= _read_merged(base)
+    if not bids:
+        return base_df
+    pend_df = spark.read.parquet(pend).filter(
+        F.col("_batch_id").isin(sorted(bids))
+    )
+    return base_df.unionByName(
+        _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
+    )
+
+
+def _merge_pending(
+    spark: SparkSession,
+    sf_dir: str,
+    index_name: str,
+    skip_bids: set[int] | None = None,
+    scrub=None,
+    after_moves=None,
+    mark_appended: bool = True,
+) -> int:
+    """VACUUM a pending list into its base layout — ONE copy of the
+    crash-critical move/manifest discipline all three indexes share.
+
+    Per unmanifested batch: optionally ``scrub(batch_dir, bid)`` (the
+    term postings' tombstone rewrite), then move each data file into
+    the base under a collision-free name (os.rename — atomic; the
+    depleted source is what makes retries idempotent). After ALL moves,
+    ``after_moves()`` runs once (the term postings' vocabulary-df
+    refresh — once per merge, not per batch), then every moved batch id
+    is manifested and its emptied partition removed. ``skip_bids``
+    leaves half-written batches (postings counter gate) for the
+    stream's replay.
+
+    Crash windows: mid-move → unmanifested, the rerun moves only the
+    remaining files; after moves, before manifest → partitions are
+    data-less, the rerun moves nothing, re-runs after_moves, manifests
+    (data-less partitions are also invisible to the live views —
+    _pending_bids_with_data); after manifest, before dir removal → the
+    rerun just removes the empty dir; a stream replay of a merged batch
+    rewrites its partition, which the manifest excludes everywhere and
+    the next merge deletes without moving. Returns data files moved."""
+    import uuid
+
+    base = prepared_path(sf_dir, index_name)
+    pend = _pending_path(sf_dir, index_name)
+    if not os.path.exists(pend):
+        return 0
+    merged = _read_merged(base)
+    n = 0
+    touched: list[tuple[int, str]] = []
+    for d in sorted(os.listdir(pend)):
+        if not d.startswith("_batch_id="):
+            continue
+        batch_dir = os.path.join(pend, d)
+        bid = int(d.split("=", 1)[1])
+        if bid in merged:
+            shutil.rmtree(batch_dir)  # replayed after merge: drop, don't move
+            continue
+        if skip_bids is not None and bid in skip_bids:
+            continue
+        if scrub is not None:
+            scrub(batch_dir, bid)
+        for fn in sorted(os.listdir(batch_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            os.rename(
+                os.path.join(batch_dir, fn),
+                os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
+            )
+            n += 1
+        touched.append((bid, batch_dir))
+    if touched:
+        if after_moves is not None:
+            after_moves()
+        _write_merged(base, merged | {bid for bid, _ in touched})
+        for _bid, batch_dir in touched:
+            shutil.rmtree(batch_dir)
+        if mark_appended:
+            _mark_appended(base)  # merged rows may exist only here + sink
+    try:
+        os.rmdir(pend)  # only if the writer hasn't landed new batches
+    except OSError:
+        pass
+    return n
+
+
 _MINHASH_INDEX = "documents_minhash.parquet"
 
 
@@ -1451,14 +1545,7 @@ def write_minhash_pending(
     ingest-time near-dup screen) reuse them instead of paying the
     shingle/hash/MIN-aggregate pass a second time."""
     rows = index_rows if index_rows is not None else _minhash_rows(batch_docs)
-    (
-        rows
-        .withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(_pending_path(sf_dir, _MINHASH_INDEX))
-    )
+    _write_pending(sf_dir, _MINHASH_INDEX, rows, batch_id)
 
 
 def _merged_manifest_path(base: str) -> str:
@@ -1489,25 +1576,9 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-writes its pending partition even though its (byte-identical,
     deterministically derived) rows already sit in the base — without
     the exclusion the union would double-count them."""
-    base_df = documents_minhash(spark, sf_dir)
-    base = prepared_path(sf_dir, _MINHASH_INDEX)
-    pend = _pending_path(sf_dir, _MINHASH_INDEX)
-    # The dynamic-partition-overwrite committer writes no root _SUCCESS;
-    # a batch partition directory only appears at job commit (the same
-    # guarantee the streaming sinks' exactly-once reads rely on).
-    if os.path.isdir(pend) and any(
-        d.startswith("_batch_id=") for d in os.listdir(pend)
-    ):
-        pend_df = spark.read.parquet(pend)
-        merged = _read_merged(base)
-        if merged:
-            pend_df = pend_df.filter(~F.col("_batch_id").isin(sorted(merged)))
-        # pending rows honor outstanding deletes too (base_df is already
-        # filtered inside documents_minhash)
-        base_df = base_df.unionByName(
-            _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
-        )
-    return base_df
+    return _pending_union(
+        spark, sf_dir, _MINHASH_INDEX, documents_minhash(spark, sf_dir)
+    )
 
 
 def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
@@ -1528,38 +1599,14 @@ def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
     just removes it; stream replays an already-merged batch → its id is
     manifested, so the replayed (byte-identical) partition is dropped
     here and excluded by documents_minhash_live — no duplicates, no
-    loss, in any interleaving. Returns the number of data files
-    merged."""
-    import uuid
-
-    base = prepared_path(sf_dir, _MINHASH_INDEX)
-    pend = _pending_path(sf_dir, _MINHASH_INDEX)
-    if not os.path.exists(pend):
+    loss, in any interleaving (the shared discipline lives in
+    :func:`_merge_pending`). Returns the number of data files merged."""
+    if not os.path.exists(_pending_path(sf_dir, _MINHASH_INDEX)):
         return 0
     documents_minhash(spark, sf_dir)  # base must exist to receive files
-    merged = _read_merged(base)
-    n = 0
-    for d in sorted(os.listdir(pend)):
-        if not d.startswith("_batch_id="):
-            continue
-        batch_dir = os.path.join(pend, d)
-        bid = int(d.split("=", 1)[1])
-        if bid not in merged:
-            for fn in sorted(os.listdir(batch_dir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                os.rename(
-                    os.path.join(batch_dir, fn),
-                    os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
-                )
-                n += 1
-            merged.add(bid)
-            _write_merged(base, merged)
-        shutil.rmtree(batch_dir)
-    try:
-        os.rmdir(pend)  # only if the writer hasn't landed new batches
-    except OSError:
-        pass
+    n = _merge_pending(
+        spark, sf_dir, _MINHASH_INDEX, mark_appended=False
+    )  # rebuild-refusal rides the merged manifest itself for this index
     # Band-key layout derives from the base index contents; invalidate
     # so the colocated dedup plan rebuilds over the merged corpus.
     _drop_lsh_bands(spark, sf_dir)
@@ -2075,14 +2122,7 @@ def write_postings_pending(
     the half-written batch is invisible until the stream replays it."""
     from venus_spark.functions import tokens
 
-    (
-        _postings_rows(batch_docs)
-        .withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(_pending_path(sf_dir, _POSTINGS_INDEX))
-    )
+    _write_pending(sf_dir, _POSTINGS_INDEX, _postings_rows(batch_docs), batch_id)
     counters_path = prepared_path(sf_dir, _POSTINGS_COUNTERS)
     # Stamp BEFORE the first partition lands: any directory holding
     # counter partitions then always carries the format stamp (a dir
@@ -2206,33 +2246,18 @@ def documents_postings_live(
     tombstone set — same rule as ``documents_minhash_live``.
     """
     post, _dfreq, stored_stats = _postings_tables(spark, sf_dir)
-    pend = _pending_path(sf_dir, _POSTINGS_INDEX)
-    base = prepared_path(sf_dir, _POSTINGS_INDEX)
-    _recover_pending_scrubs(pend)
-    pend_bids = (
-        {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(pend)
-            if d.startswith("_batch_id=")
-        }
-        if os.path.isdir(pend)
-        else set()
+    _recover_pending_scrubs(_pending_path(sf_dir, _POSTINGS_INDEX))
+    # only_bids: a batch is visible once COMMITTED — its counter
+    # partition written (counters land last; see write_postings_pending).
+    # A crash between the postings and counters writes must hide the
+    # postings too, or the union would serve rows its stats don't count.
+    post = _pending_union(
+        spark,
+        sf_dir,
+        _POSTINGS_INDEX,
+        post,
+        only_bids=_committed_counter_bids(sf_dir),
     )
-    # A batch is only visible once COMMITTED — its counter partition
-    # written (counters land last; see write_postings_pending). A crash
-    # between the postings and counters writes must hide the postings
-    # too, or the union would serve rows its stats don't count.
-    live_bids = pend_bids & _committed_counter_bids(sf_dir)
-    if live_bids:
-        pp = spark.read.parquet(pend).filter(
-            F.col("_batch_id").isin(sorted(live_bids))
-        )
-        merged = _read_merged(base)
-        if merged:
-            pp = pp.filter(~F.col("_batch_id").isin(sorted(merged)))
-        post = post.unionByName(
-            _anti_tombstones(spark, sf_dir, pp.drop("_batch_id"))
-        )
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
     # Stored stats describe the BUILD+append row set; counter rows
     # describe every COMMITTED streamed batch (merged or pending — in
@@ -2327,10 +2352,10 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
     double-count crash window. The one transient window: after a file
     move but before the df refresh completes, the STORED df table lags
     the moved rows — the merge retry (or the next merge) completes the
-    refresh; the live view's df is recomputed from the union and never
-    lags. Returns the number of data files merged."""
-    import uuid
-
+    refresh (the refresh runs BEFORE the manifest commit, once per
+    merge call, so an unrefreshed state is always unmanifested and the
+    retry redoes it); the live view's df is recomputed from the union
+    and never lags. Returns the number of data files merged."""
     base = prepared_path(sf_dir, _POSTINGS_INDEX)
     pend = _pending_path(sf_dir, _POSTINGS_INDEX)
     if not os.path.exists(pend):
@@ -2338,37 +2363,26 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
     _postings_tables(spark, sf_dir)  # base must exist to receive files
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     _recover_pending_scrubs(pend)
-    merged = _read_merged(base)
-    committed = _committed_counter_bids(sf_dir)
-    n = 0
-    moved_any = False
-    for d in sorted(os.listdir(pend)):
-        if not d.startswith("_batch_id="):
-            continue
-        batch_dir = os.path.join(pend, d)
-        bid = int(d.split("=", 1)[1])
-        if bid not in merged and bid not in committed:
-            # Half-written batch: postings landed but the counters (the
-            # commit record, written last) did not. Folding it would
-            # permanently skew stats — leave it for the stream's replay
-            # to complete (or rewrite).
-            continue
-        if bid not in merged:
-            _scrub_pending_batch(spark, sf_dir, pend, batch_dir, bid)
-            for fn in sorted(os.listdir(batch_dir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                os.rename(
-                    os.path.join(batch_dir, fn),
-                    os.path.join(base, f"pending-{uuid.uuid4().hex}.parquet"),
-                )
-                n += 1
-            moved_any = True
-            _write_dfreq(spark, base, dfreq_path)
-            _stamp(dfreq_path, _POSTINGS_META)
-            merged.add(bid)
-            _write_merged(base, merged)
-        shutil.rmtree(batch_dir)
-    if moved_any:
-        _mark_appended(base)  # merged rows may exist only here + the sink
-    return n
+    # Half-written batches — postings landed but the counters (the
+    # commit record, written last) did not — are left for the stream's
+    # replay to complete; folding them would permanently skew stats.
+    uncommitted = (
+        _pending_bids_with_data(pend) - _committed_counter_bids(sf_dir)
+    )
+
+    def refresh_dfreq() -> None:
+        # ONCE per merge call (not per batch): the vocabulary-sized
+        # aggregate over the whole base is the merge's expensive step
+        _write_dfreq(spark, base, dfreq_path)
+        _stamp(dfreq_path, _POSTINGS_META)
+
+    return _merge_pending(
+        spark,
+        sf_dir,
+        _POSTINGS_INDEX,
+        skip_bids=uncommitted,
+        scrub=lambda batch_dir, bid: _scrub_pending_batch(
+            spark, sf_dir, pend, batch_dir, bid
+        ),
+        after_moves=refresh_dfreq,
+    )

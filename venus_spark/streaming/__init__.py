@@ -427,6 +427,12 @@ def start_documents_ingest(
                 # Safe beside this (the only) writer: merges use
                 # surgical per-batch moves + manifests, and a replayed
                 # batch re-running the merge is a manifested no-op.
+                # COST NOTE: each postings merge refreshes the
+                # vocabulary df table (vocabulary-sized aggregate over
+                # the whole base) and each minhash merge invalidates
+                # the bucketed LSH band layout — low merge_every values
+                # trade ingest latency for read freshness; size the
+                # cadence like autovacuum, not per-batch, in production.
                 prepared.merge_minhash_pending(batch.sparkSession, index_sf_dir)
                 if maintain_postings:
                     prepared.merge_postings_pending(
