@@ -548,9 +548,17 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline the LSH plans document), then a fingerprint-keyed
     self-join whose bucket sizes are bounded by that cap, then a
     pair-keyed count. No all-pairs expansion anywhere; every join keys
-    on a hash-uniform value."""
+    on a hash-uniform value. The per-document fingerprint arrays are
+    materialized BEFORE the explode (localCheckpoint — corpus-
+    fingerprint-sized, tiny next to the text): Generate re-evaluates
+    its child expression per EMITTED row, so exploding the raw
+    windowed-minimum expression re-ran the whole kernel once per
+    fingerprint (measured 122 s → ~2 s at sf0.1); the checkpoint also
+    keeps the df filter and both join sides from recomputing it."""
     fpd = (
         winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "fps")
+        .localCheckpoint(eager=True)
         .select("doc_id", F.explode("fps").alias("fp"))
     )
     rare = (
