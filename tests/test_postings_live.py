@@ -388,6 +388,60 @@ def test_trgm_postings_stream_maintenance_and_in_service_merge(
     assert rows(prepared.documents_trgm_postings_live, sf2) == expect
 
 
+def test_streamed_docs_surface_in_live_bm25_before_any_merge(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end streaming retrieval: documents landed by the ingest
+    service are retrievable via BM25 the moment their micro-batch
+    commits — through the LIVE view, before any merge — while the
+    prepared (base-only) read path serves the pre-stream answer; after
+    the VACUUM merge both paths agree. This is the with-pending half of
+    bm25_topk_live's contract, driven through the real service."""
+    from venus_spark.plans.pipeline_ops6 import _bm25_from_index
+    from venus_spark.streaming import start_documents_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, _ = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+
+    # two streamed docs stuffed with the BM25 query terms — they MUST
+    # outrank everything once visible
+    hot = "vector stream merge " * 20
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "hot.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"doc_id": i, "text": hot, "lang": "en", "source": "web",
+                 "n_chars": len(hot)}
+            )
+            for i in (2001, 2002)
+        )
+        + "\n"
+    )
+    q = start_documents_ingest(
+        spark.readStream.schema(docs.schema).json(str(landing)),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_sf_dir=sf,
+        trigger_seconds=None,
+    )
+    q.awaitTermination()
+
+    def topk(reader):
+        return [int(r["doc_id"]) for r in _bm25_from_index(*reader).collect()]
+
+    live = topk(prepared.documents_postings_live(spark, sf))
+    assert live[0] in (2001, 2002) and live[1] in (2001, 2002)
+    base = topk(prepared.documents_postings(spark, sf))
+    assert 2001 not in base and 2002 not in base  # pre-merge base view
+
+    prepared.merge_postings_pending(spark, sf)
+    merged = topk(prepared.documents_postings(spark, sf))
+    assert merged[:2] == live[:2]
+    assert topk(prepared.documents_postings_live(spark, sf)) == merged
+
+
 def test_trgm_postings_replay_after_merge_and_dataless_partition(
     spark, tmp_path, monkeypatch
 ):
