@@ -553,7 +553,7 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-sized, tiny next to the text): Generate re-evaluates
     its child expression per EMITTED row, so exploding the raw
     windowed-minimum expression re-ran the whole kernel once per
-    fingerprint (measured 122 s → ~2 s at sf0.1); the checkpoint also
+    fingerprint (measured 122 s → 1.4 s at sf0.1); the checkpoint also
     keeps the df filter and both join sides from recomputing it."""
     fpd = (
         winnow_fingerprints(load_table(spark, sf_dir, "documents"))
