@@ -1124,11 +1124,22 @@ def drop_event_chunks(
     return dropped
 
 
-def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> None:
+def append_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
+) -> None:
     """INSERT-time maintenance of the document indexes — the Spark
     analog of the reference's GIN upkeep on every insert (migration
     :21,36: the index is declared once; PostgreSQL maintains it per
     row thereafter).
+
+    Pass ``batch_id`` to get the MANIFESTED, retry-idempotent path
+    (delegates to :func:`append_documents_batch`); without one this is
+    plain mode-append — guarded against lossy rebuilds by the append
+    marker, but a crash-retry double-appends, so callers that may
+    retry should always supply an id.
 
     The trigram/MinHash indexes are row-local (a bloom or signature
     depends only on that document's text), so maintaining them for a
@@ -1144,6 +1155,8 @@ def append_documents(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> N
     indexes must already be built for ``sf_dir`` (the ensure calls
     below are no-ops after the first build). ``tests/test_prepared.py``
     asserts incremental-append == full-rebuild row-for-row."""
+    if batch_id is not None:
+        return append_documents_batch(spark, sf_dir, new_docs, batch_id)
     documents_trgm(spark, sf_dir)
     documents_trgm_postings(spark, sf_dir)
     documents_minhash(spark, sf_dir)
@@ -1613,8 +1626,16 @@ def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
-def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> None:
-    """INSERT-time maintenance of the vector indexes.
+def append_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    batch_id: int | None = None,
+) -> None:
+    """INSERT-time maintenance of the vector indexes. Pass ``batch_id``
+    for the MANIFESTED, retry-idempotent path (delegates to
+    :func:`append_embeddings_batch`); without one this is plain
+    mode-append — rebuild-guarded but a crash-retry double-appends.
 
     - IVF: new vectors append under their cluster's partition directory
       (assignment to the EXISTING centroids is the standard IVF insert
@@ -1632,6 +1653,8 @@ def append_embeddings(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> 
       and this function refuses rather than let append and rebuild
       silently diverge.
     """
+    if batch_id is not None:
+        return append_embeddings_batch(spark, sf_dir, new_vecs, batch_id)
     vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
     embeddings_ivf(spark, sf_dir)
     new_vecs.write.mode("append").partitionBy("label").parquet(vec_path)
