@@ -601,3 +601,41 @@ def test_winnowing_shared_run_guarantee_and_edges(spark, tmp_path):
         for r in winnow_fingerprints(load_table(spark, sf_dir, "documents")).collect()
     }
     assert fps[1] & fps[2], "8-token shared run must share a fingerprint"
+
+
+def test_ndcg_drops_below_one_when_bm25_misorders_grades(spark, tmp_path):
+    """The discriminating half of retrieval_eval_ndcg: a short document
+    stuffed with ONE query term outscores (BM25) a long document that
+    matches BOTH terms, so the system ordering is not the ideal
+    ordering and ndcg < 1 for that query — while dcg/idcg/ndcg still
+    match the oracle bit-for-bit."""
+    from venus_spark.plans import all_plans
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        # query 1 = (vector, stream): the 1-term spam doc wins on tf/dl
+        (1, "vector vector vector vector vector", "en", "a", 35),
+        (2, f"vector stream {filler}", "en", "a", 200),
+        (3, f"stream {filler}", "en", "a", 180),
+        # query 2 = (hash, join) and 3 = (big, order): normal docs
+        (4, "hash join big order", "en", "a", 19),
+        (5, f"hash join {filler}", "en", "a", 150),
+        (6, f"big order {filler}", "en", "a", 150),
+        (7, filler, "en", "a", 170),
+    ]
+    sf_dir = str(tmp_path)
+    _write_docs(spark, sf_dir, rows)
+    import venus_spark.prepared as prepared
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    try:
+        p = all_plans()["retrieval_eval_ndcg"]
+        got = {r["query_id"]: r.asDict() for r in p.fn(spark, sf_dir).collect()}
+        assert got[1]["ndcg"] is not None and got[1]["ndcg"] < 1.0
+        con = duckdb_connect(sf_dir)
+        res = compare("ndcg_edge", p.fn(spark, sf_dir), con, p.oracle)
+        assert res.ok, res.detail
+    finally:
+        mp.undo()

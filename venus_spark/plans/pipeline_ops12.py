@@ -728,6 +728,168 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Retrieval evaluation, graded: NDCG@k with libm-free literal discounts
+# --------------------------------------------------------------------------
+
+import math as _math
+
+# 1/log2(rank+1) for rank 1..k as EXACT double literals computed once in
+# Python: neither engine ever calls its libm log, so the discount column
+# is bit-identical by construction (PARITY.md: engine log is only
+# conditionally in the contract; k constants need no log at all).
+_NDCG_DISCOUNTS = {
+    r: 1.0 / _math.log2(r + 1) for r in range(1, _EVAL_K + 1)
+}
+
+from venus_spark.functions.sqlgen import double_lit_sql as _dbl  # noqa: E402
+
+_NDCG_DISCOUNT_SQL = (
+    "CASE rnk "
+    + " ".join(
+        f"WHEN {r} THEN {_dbl(w)}" for r, w in _NDCG_DISCOUNTS.items()
+    )
+    + " END"
+)
+
+# gain = matched term count (graded relevance 0..n_terms); the per-rank
+# term is rounded to 6 dp so the DCG sum can use the exact decimal
+# accumulator, and NDCG is one closing division of two such sums.
+_NDCG_TERM = f"ROUND(matched * ({_NDCG_DISCOUNT_SQL}), 6)"
+_NDCG_RATIO = (
+    "CASE WHEN idcg = 0 THEN NULL ELSE "
+    "ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END"
+)
+
+_NDCG_ORACLE = f"""
+WITH qterms(query_id, term) AS (VALUES {_EVAL_QTERMS_SQL}),
+dl AS (
+  SELECT doc_id, {tokens_sql('LOWER(text)')} AS toks,
+         LEN({tokens_sql('LOWER(text)')}) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT doc_id, dl,
+         UNNEST(LIST_FILTER(toks, x -> LIST_CONTAINS([{_EVAL_TERMS_SQL}], x)))
+           AS term
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id, {_BM25_TERM_SCORE} AS s
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats
+),
+perdoc AS (
+  SELECT query_id, doc_id,
+         ROUND({dsum_sql('s')}, 6) AS bm25,
+         COUNT(*) AS matched
+  FROM scored GROUP BY query_id, doc_id
+),
+sys_ranked AS (
+  SELECT query_id, matched,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+         ) AS rnk
+  FROM perdoc
+),
+ideal_ranked AS (
+  SELECT query_id, matched,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY matched DESC, doc_id
+         ) AS rnk
+  FROM perdoc
+),
+dcg AS (
+  SELECT query_id, ROUND({dsum_sql(_NDCG_TERM)}, 6) AS dcg
+  FROM sys_ranked WHERE rnk <= {_EVAL_K} GROUP BY query_id
+),
+idcg AS (
+  SELECT query_id, ROUND({dsum_sql(_NDCG_TERM)}, 6) AS idcg
+  FROM ideal_ranked WHERE rnk <= {_EVAL_K} GROUP BY query_id
+)
+SELECT query_id, dcg.dcg AS dcg, idcg.idcg AS idcg, {_NDCG_RATIO} AS ndcg
+FROM dcg JOIN idcg USING (query_id)
+ORDER BY query_id
+"""
+
+
+@plan("retrieval_eval_ndcg", oracle=_NDCG_ORACLE)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval evaluation: NDCG@10 of the BM25 ranking with
+    matched-term count as graded relevance — the standard metric when
+    relevance is not binary (MRR/recall's sibling; a system that puts
+     2-term docs above 1-term docs scores higher even when both count
+    as "relevant"). The rank discounts 1/log2(rank+1) are inlined as
+    EXACT double literals for the k ranks, so neither engine's libm
+    log enters the hash-checked contract; per-rank terms round to 6 dp
+    and accumulate through the exact decimal sum, with NDCG as one
+    closing division.
+
+    Scale shape: same as retrieval_eval_mrr — one pushed In(term)
+    fetch serves every query, both the system and the ideal ranking
+    windows partition per query, and the output is queries-sized.
+
+    On the driver corpus (31-word vocabulary, ~58-token docs) every
+    top-10 slot holds a full-match document, so ndcg legitimately reads
+    1.0 — the dcg/idcg columns still carry the discriminating
+    hash-checked content (exact decimal sums through the literal
+    discounts), and the metric's sub-1.0 half is pinned by an edge test
+    on a corpus where BM25 provably mis-orders the grades
+    (tests/test_plan_edges.py)."""
+    from venus_spark.prepared import documents_postings
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _EVAL_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    post, dfreq, stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_EVAL_TERMS))
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.filter(F.col("term").isin(*_EVAL_TERMS))), "term")
+        .join(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    perdoc = scored.groupBy("query_id", "doc_id").agg(
+        F.round(dsum("s"), 6).alias("bm25"), F.count("*").alias("matched")
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("matched").desc(), "doc_id"
+    )
+
+    def gained(wspec) -> DataFrame:
+        return (
+            perdoc.withColumn("rnk", F.row_number().over(wspec))
+            .filter(F.col("rnk") <= _EVAL_K)
+            .groupBy("query_id")
+            .agg(F.round(dsum(F.expr(_NDCG_TERM)), 6).alias("g"))
+        )
+
+    dcg = gained(w_sys).withColumnRenamed("g", "dcg")
+    idcg = gained(w_ideal).withColumnRenamed("g", "idcg")
+    return (
+        dcg.join(idcg, "query_id")
+        .select("query_id", "dcg", "idcg", F.expr(_NDCG_RATIO).alias("ndcg"))
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Curriculum ordering: length-staged, hash-shuffled training schedule
 # --------------------------------------------------------------------------
 
