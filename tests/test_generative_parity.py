@@ -203,16 +203,12 @@ def test_winnowing_and_trigram_kernels_agree(spark, con, texts):
     (ordered k-gram hashes -> windowed minima -> distinct selected set)
     and the character-trigram set must agree cross-engine on arbitrary
     contract-alphabet text — both are SET contracts (LIST_DISTINCT does
-    not promise order), with n_grams pinned exactly."""
-    from pyspark.sql import functions as F
-
-    from venus_spark.functions.sqlgen import (
-        char_trigrams_sql,
-        token_hash31_sql,
-        tokens_sql,
-    )
+    not promise order), with n_grams pinned exactly. The SQL side is
+    the PRODUCTION oracle fragment (winnow_sel_sql), not a copy, so the
+    fuzz cannot drift from what the plans ship."""
+    from venus_spark.functions.sqlgen import char_trigrams_sql
     from venus_spark.operators.text import char_trigrams
-    from venus_spark.plans.pipeline_ops12 import _WIN_K, _WIN_W, winnow_fingerprints
+    from venus_spark.plans.pipeline_ops12 import winnow_fingerprints, winnow_sel_sql
 
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
@@ -224,29 +220,12 @@ def test_winnowing_and_trigram_kernels_agree(spark, con, texts):
         .collect()
     }
     con.register("gen_docs2", df.toPandas())
-    k, w = _WIN_K, _WIN_W
-    grams = (
-        f"[ARRAY_TO_STRING(t[i:i+{k - 1}], ' ') "
-        f"FOR i IN RANGE(1, LEN(t) - {k - 2})]"
-    )
-    h = f"LIST_TRANSFORM({grams}, g -> {token_hash31_sql('g')})"
     du = con.sql(
         f"""
-        WITH toks AS (
-          SELECT doc_id, {tokens_sql('LOWER(text)')} AS t, text FROM gen_docs2
-        ),
-        hashed AS (SELECT doc_id, text, {h} AS h FROM toks),
-        wins AS (
-          SELECT doc_id, text, h,
-                 GREATEST(LEN(h) - {w - 1},
-                          CASE WHEN LEN(h) > 0 THEN 1 ELSE 0 END) AS n_win
-          FROM hashed
-        )
-        SELECT doc_id, LEN(h) AS n_grams,
-               LIST_DISTINCT([LIST_MIN(h[j:j+{w - 1}])
-                              FOR j IN RANGE(1, n_win + 1)]) AS fps,
-               {char_trigrams_sql('text')} AS trg
-        FROM wins ORDER BY doc_id
+        SELECT s.doc_id, s.n_grams, s.fps, {char_trigrams_sql('g.text')} AS trg
+        FROM {winnow_sel_sql('gen_docs2')} s
+        JOIN gen_docs2 g USING (doc_id)
+        ORDER BY s.doc_id
         """
     ).fetchall()
     for doc_id, n_grams, fps, trg in du:

@@ -603,7 +603,7 @@ def test_winnowing_shared_run_guarantee_and_edges(spark, tmp_path):
     assert fps[1] & fps[2], "8-token shared run must share a fingerprint"
 
 
-def test_ndcg_drops_below_one_when_bm25_misorders_grades(spark, tmp_path):
+def test_ndcg_drops_below_one_when_bm25_misorders_grades(spark, tmp_path, monkeypatch):
     """The discriminating half of retrieval_eval_ndcg: a short document
     stuffed with ONE query term outscores (BM25) a long document that
     matches BOTH terms, so the system ordering is not the ideal
@@ -626,16 +626,11 @@ def test_ndcg_drops_below_one_when_bm25_misorders_grades(spark, tmp_path):
     sf_dir = str(tmp_path)
     _write_docs(spark, sf_dir, rows)
     import venus_spark.prepared as prepared
-    import pytest
 
-    mp = pytest.MonkeyPatch()
-    mp.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
-    try:
-        p = all_plans()["retrieval_eval_ndcg"]
-        got = {r["query_id"]: r.asDict() for r in p.fn(spark, sf_dir).collect()}
-        assert got[1]["ndcg"] is not None and got[1]["ndcg"] < 1.0
-        con = duckdb_connect(sf_dir)
-        res = compare("ndcg_edge", p.fn(spark, sf_dir), con, p.oracle)
-        assert res.ok, res.detail
-    finally:
-        mp.undo()
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    p = all_plans()["retrieval_eval_ndcg"]
+    got = {r["query_id"]: r.asDict() for r in p.fn(spark, sf_dir).collect()}
+    assert got[1]["ndcg"] is not None and got[1]["ndcg"] < 1.0
+    con = duckdb_connect(sf_dir)
+    res = compare("ndcg_edge", p.fn(spark, sf_dir), con, p.oracle)
+    assert res.ok, res.detail

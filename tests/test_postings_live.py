@@ -573,7 +573,5 @@ def test_append_apis_with_batch_id_delegate_to_manifested_path(
     # embeddings: abatch manifest records the id, one copy of each vec
     ivf = prepared.prepared_path(sf, "embeddings_ivf.parquet")
     assert 3 in prepared._read_abatch_manifest(ivf)
-    import pyspark.sql.functions as _F
-
     vec_rows = spark.read.parquet(ivf)
     assert vec_rows.groupBy("vec_id").count().filter("count > 1").count() == 0

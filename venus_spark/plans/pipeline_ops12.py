@@ -384,36 +384,44 @@ _WIN_K = 4  # token k-gram size
 _WIN_W = 5  # winnowing window (consecutive k-gram hashes)
 
 
-def _win_oracle() -> str:
+def winnow_sel_sql(src: str = "documents") -> str:
+    """The winnowing digest as ONE SQL fragment — subquery producing
+    ``(doc_id, n_grams, fps)`` over ``src``. Shared by the digest
+    oracle, the pairs oracle, and the generative cross-engine fuzz
+    mirror (tests/test_generative_parity.py), so a change to the gram
+    construction or window rule cannot silently fork any of them."""
     k, w = _WIN_K, _WIN_W
     grams = (
         f"[ARRAY_TO_STRING(t[i:i+{k - 1}], ' ') "
         f"FOR i IN RANGE(1, LEN(t) - {k - 2})]"
     )
     h = f"LIST_TRANSFORM({grams}, g -> {token_hash31_sql('g')})"
-    return f"""
-WITH toks AS (
-  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
-),
-hashed AS (
-  SELECT doc_id, {h} AS h FROM toks
-),
-wins AS (
-  SELECT doc_id, h,
-         GREATEST(LEN(h) - {w - 1},
-                  CASE WHEN LEN(h) > 0 THEN 1 ELSE 0 END) AS n_win
-  FROM hashed
-),
-sel AS (
+    return f"""(
+  WITH w_toks AS (
+    SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM {src}
+  ),
+  w_hashed AS (
+    SELECT doc_id, {h} AS h FROM w_toks
+  ),
+  w_wins AS (
+    SELECT doc_id, h,
+           GREATEST(LEN(h) - {w - 1},
+                    CASE WHEN LEN(h) > 0 THEN 1 ELSE 0 END) AS n_win
+    FROM w_hashed
+  )
   SELECT doc_id, LEN(h) AS n_grams,
          LIST_DISTINCT([LIST_MIN(h[j:j+{w - 1}])
                         FOR j IN RANGE(1, n_win + 1)]) AS fps
-  FROM wins
-)
+  FROM w_wins
+)"""
+
+
+def _win_oracle() -> str:
+    return f"""
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(LEN(fps) AS BIGINT) AS n_selected,
        COALESCE(CAST(LIST_SUM(fps) AS BIGINT), 0) AS fp_checksum
-FROM sel ORDER BY doc_id
+FROM {winnow_sel_sql()} sel ORDER BY doc_id
 """
 
 
@@ -489,33 +497,9 @@ _WIN_MIN_SHARED = 2
 
 
 def _win_pairs_oracle() -> str:
-    k, w = _WIN_K, _WIN_W
-    grams = (
-        f"[ARRAY_TO_STRING(t[i:i+{k - 1}], ' ') "
-        f"FOR i IN RANGE(1, LEN(t) - {k - 2})]"
-    )
-    h = f"LIST_TRANSFORM({grams}, g -> {token_hash31_sql('g')})"
     return f"""
-WITH toks AS (
-  SELECT doc_id, {tokens_sql('LOWER(text)')} AS t FROM documents
-),
-hashed AS (
-  SELECT doc_id, {h} AS h FROM toks
-),
-wins AS (
-  SELECT doc_id, h,
-         GREATEST(LEN(h) - {w - 1},
-                  CASE WHEN LEN(h) > 0 THEN 1 ELSE 0 END) AS n_win
-  FROM hashed
-),
-sel AS (
-  SELECT doc_id,
-         LIST_DISTINCT([LIST_MIN(h[j:j+{w - 1}])
-                        FOR j IN RANGE(1, n_win + 1)]) AS fps
-  FROM wins
-),
-fpd AS (
-  SELECT doc_id, UNNEST(fps) AS fp FROM sel
+WITH fpd AS (
+  SELECT doc_id, UNNEST(fps) AS fp FROM {winnow_sel_sql()} sel
 ),
 rare AS (
   SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) <= {_WIN_MAX_DF}
@@ -553,7 +537,7 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-sized, tiny next to the text): Generate re-evaluates
     its child expression per EMITTED row, so exploding the raw
     windowed-minimum expression re-ran the whole kernel once per
-    fingerprint (measured 122 s → 1.4 s at sf0.1); the checkpoint also
+    fingerprint (measured 122 s → ~1.6 s at sf0.1); the checkpoint also
     keeps the df filter and both join sides from recomputing it."""
     fpd = (
         winnow_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -604,11 +588,10 @@ _RECALL_SQL = (
     "ROUND(CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) END"
 )
 
-_RETRIEVAL_EVAL_ORACLE = f"""
-WITH qterms(query_id, term) AS (VALUES {_EVAL_QTERMS_SQL}),
-nq AS (
-  SELECT query_id, COUNT(*) AS n_terms FROM qterms GROUP BY query_id
-),
+# The qterms→perdoc grading prefix — ONE copy shared by the MRR and
+# NDCG oracles, so the two eval plans cannot diverge on their common
+# ground truth (BM25 per (query, doc) + matched-term count).
+_EVAL_PERDOC_CTES = f"""qterms(query_id, term) AS (VALUES {_EVAL_QTERMS_SQL}),
 dl AS (
   SELECT doc_id, {tokens_sql('LOWER(text)')} AS toks,
          LEN({tokens_sql('LOWER(text)')}) AS dl
@@ -643,6 +626,35 @@ perdoc AS (
          ROUND({dsum_sql('s')}, 6) AS bm25,
          COUNT(*) AS matched
   FROM scored GROUP BY query_id, doc_id
+)"""
+
+
+def _eval_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25, matched) from the prepared index — the
+    Spark twin of _EVAL_PERDOC_CTES, shared by both eval plans."""
+    from venus_spark.prepared import documents_postings
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _EVAL_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    post, dfreq, stats = documents_postings(spark, sf_dir)
+    hits = post.filter(F.col("term").isin(*_EVAL_TERMS))
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.filter(F.col("term").isin(*_EVAL_TERMS))), "term")
+        .join(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.round(dsum("s"), 6).alias("bm25"), F.count("*").alias("matched")
+    )
+
+
+_RETRIEVAL_EVAL_ORACLE = f"""
+WITH {_EVAL_PERDOC_CTES},
+nq AS (
+  SELECT query_id, COUNT(*) AS n_terms FROM qterms GROUP BY query_id
 ),
 ranked AS (
   SELECT perdoc.*, nq.n_terms,
@@ -686,24 +698,11 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on uniform ids, ranking windows partition per query, and the
     final aggregate is queries-sized. Adding queries widens the In
     filter, never adds scans."""
-    from venus_spark.prepared import documents_postings
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in _EVAL_QUERIES for t in ts],
-        "query_id int, term string",
+    nq = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in _EVAL_QUERIES],
+        "query_id int, n_terms long",
     )
-    nq = qterms.groupBy("query_id").agg(F.count("*").alias("n_terms"))
-    post, dfreq, stats = documents_postings(spark, sf_dir)
-    hits = post.filter(F.col("term").isin(*_EVAL_TERMS))
-    scored = (
-        hits.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.filter(F.col("term").isin(*_EVAL_TERMS))), "term")
-        .join(F.broadcast(stats))
-        .select("query_id", "doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
-    )
-    perdoc = scored.groupBy("query_id", "doc_id").agg(
-        F.round(dsum("s"), 6).alias("bm25"), F.count("*").alias("matched")
-    )
+    perdoc = _eval_perdoc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
     ranked = perdoc.withColumn("rnk", F.row_number().over(w)).join(
         F.broadcast(nq), "query_id"
@@ -743,85 +742,47 @@ _NDCG_DISCOUNTS = {
 
 from venus_spark.functions.sqlgen import double_lit_sql as _dbl  # noqa: E402
 
-_NDCG_DISCOUNT_SQL = (
-    "CASE rnk "
-    + " ".join(
-        f"WHEN {r} THEN {_dbl(w)}" for r, w in _NDCG_DISCOUNTS.items()
+def _ndcg_term(rank_col: str) -> str:
+    """Per-rank DCG term for the given rank column: gain (= matched
+    term count, graded relevance) × the rank's literal discount,
+    rounded to 6 dp so the sum can use the exact decimal accumulator;
+    NULL outside the top k (ignored by SUM on both engines)."""
+    discount = (
+        f"CASE {rank_col} "
+        + " ".join(f"WHEN {r} THEN {_dbl(w)}" for r, w in _NDCG_DISCOUNTS.items())
+        + " END"
     )
-    + " END"
-)
+    return (
+        f"CASE WHEN {rank_col} <= {_EVAL_K} "
+        f"THEN ROUND(matched * ({discount}), 6) END"
+    )
 
-# gain = matched term count (graded relevance 0..n_terms); the per-rank
-# term is rounded to 6 dp so the DCG sum can use the exact decimal
-# accumulator, and NDCG is one closing division of two such sums.
-_NDCG_TERM = f"ROUND(matched * ({_NDCG_DISCOUNT_SQL}), 6)"
+
 _NDCG_RATIO = (
     "CASE WHEN idcg = 0 THEN NULL ELSE "
     "ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END"
 )
 
 _NDCG_ORACLE = f"""
-WITH qterms(query_id, term) AS (VALUES {_EVAL_QTERMS_SQL}),
-dl AS (
-  SELECT doc_id, {tokens_sql('LOWER(text)')} AS toks,
-         LEN({tokens_sql('LOWER(text)')}) AS dl
-  FROM documents
-),
-stats AS (
-  SELECT COUNT(*) AS n_docs,
-         ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
-  FROM dl
-),
-hits AS (
-  SELECT doc_id, dl,
-         UNNEST(LIST_FILTER(toks, x -> LIST_CONTAINS([{_EVAL_TERMS_SQL}], x)))
-           AS term
-  FROM dl
-),
-tf AS (
-  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, term
-),
-dfreq AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-),
-scored AS (
-  SELECT qterms.query_id, tf.doc_id, {_BM25_TERM_SCORE} AS s
-  FROM tf
-  JOIN qterms USING (term)
-  JOIN dfreq ON tf.term = dfreq.term
-  CROSS JOIN stats
-),
-perdoc AS (
-  SELECT query_id, doc_id,
-         ROUND({dsum_sql('s')}, 6) AS bm25,
-         COUNT(*) AS matched
-  FROM scored GROUP BY query_id, doc_id
-),
-sys_ranked AS (
+WITH {_EVAL_PERDOC_CTES},
+ranked AS (
   SELECT query_id, matched,
          ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY bm25 DESC, doc_id
-         ) AS rnk
-  FROM perdoc
-),
-ideal_ranked AS (
-  SELECT query_id, matched,
+         ) AS rnk_sys,
          ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY matched DESC, doc_id
-         ) AS rnk
+         ) AS rnk_ideal
   FROM perdoc
 ),
-dcg AS (
-  SELECT query_id, ROUND({dsum_sql(_NDCG_TERM)}, 6) AS dcg
-  FROM sys_ranked WHERE rnk <= {_EVAL_K} GROUP BY query_id
-),
-idcg AS (
-  SELECT query_id, ROUND({dsum_sql(_NDCG_TERM)}, 6) AS idcg
-  FROM ideal_ranked WHERE rnk <= {_EVAL_K} GROUP BY query_id
+agg AS (
+  SELECT query_id,
+         ROUND({dsum_sql(_ndcg_term('rnk_sys'))}, 6) AS dcg,
+         ROUND({dsum_sql(_ndcg_term('rnk_ideal'))}, 6) AS idcg
+  FROM ranked GROUP BY query_id
 )
-SELECT query_id, dcg.dcg AS dcg, idcg.idcg AS idcg, {_NDCG_RATIO} AS ndcg
-FROM dcg JOIN idcg USING (query_id)
-ORDER BY query_id
+SELECT query_id, dcg, idcg, {_NDCG_RATIO} AS ndcg
+FROM agg ORDER BY query_id
 """
 
 
@@ -848,42 +809,25 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounts), and the metric's sub-1.0 half is pinned by an edge test
     on a corpus where BM25 provably mis-orders the grades
     (tests/test_plan_edges.py)."""
-    from venus_spark.prepared import documents_postings
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in _EVAL_QUERIES for t in ts],
-        "query_id int, term string",
-    )
-    post, dfreq, stats = documents_postings(spark, sf_dir)
-    hits = post.filter(F.col("term").isin(*_EVAL_TERMS))
-    scored = (
-        hits.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.filter(F.col("term").isin(*_EVAL_TERMS))), "term")
-        .join(F.broadcast(stats))
-        .select("query_id", "doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
-    )
-    perdoc = scored.groupBy("query_id", "doc_id").agg(
-        F.round(dsum("s"), 6).alias("bm25"), F.count("*").alias("matched")
-    )
+    perdoc = _eval_perdoc(spark, sf_dir)
+    # Both rank columns ride ONE window exchange (same partition key,
+    # two sort specs), and dcg/idcg are two conditional decimal sums in
+    # a single aggregation — one postings fetch, no self-join.
     w_sys = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), "doc_id"
     )
     w_ideal = Window.partitionBy("query_id").orderBy(
         F.col("matched").desc(), "doc_id"
     )
-
-    def gained(wspec) -> DataFrame:
-        return (
-            perdoc.withColumn("rnk", F.row_number().over(wspec))
-            .filter(F.col("rnk") <= _EVAL_K)
-            .groupBy("query_id")
-            .agg(F.round(dsum(F.expr(_NDCG_TERM)), 6).alias("g"))
-        )
-
-    dcg = gained(w_sys).withColumnRenamed("g", "dcg")
-    idcg = gained(w_ideal).withColumnRenamed("g", "idcg")
+    ranked = perdoc.withColumn(
+        "rnk_sys", F.row_number().over(w_sys)
+    ).withColumn("rnk_ideal", F.row_number().over(w_ideal))
     return (
-        dcg.join(idcg, "query_id")
+        ranked.groupBy("query_id")
+        .agg(
+            F.round(dsum(F.expr(_ndcg_term("rnk_sys"))), 6).alias("dcg"),
+            F.round(dsum(F.expr(_ndcg_term("rnk_ideal"))), 6).alias("idcg"),
+        )
         .select("query_id", "dcg", "idcg", F.expr(_NDCG_RATIO).alias("ndcg"))
         .orderBy("query_id")
     )
