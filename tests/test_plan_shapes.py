@@ -459,15 +459,73 @@ def test_trgm_postings_pushes_trigram_fetch(spark):
     assert re.search(r"PushedFilters: \[.*In\(trg, \[", plan), plan[:2000]
 
 
-def test_no_plan_uses_row_python_or_cartesian_product(spark):
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes whose partition spec is EMPTY in a formatted
+    physical plan. A Window's Arguments line prints the non-empty specs
+    as top-level bracket groups: ``[exprs], [partition], [order]`` when
+    both are present, and omits an empty spec entirely — so two groups
+    is ambiguous (``[exprs], [partition]`` for an unordered partitioned
+    window vs ``[exprs], [order]`` for an ordered GLOBAL one). The
+    groups are parsed depth-aware (brackets nested inside window
+    expressions cannot fool it) and a trailing group is recognized as
+    an ORDER spec by its sort-direction markers; a window is flagged
+    when no group is a bare partition spec."""
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        # fullmatch: "(18) WindowGroupLimit" (a top-k pushdown, always
+        # partition-aware here) must not match the bare Window node
+        if not re.fullmatch(r"\(\d+\) Window", line.strip()):
+            continue
+        args = next(
+            (
+                l.strip()[len("Arguments: "):]
+                for l in lines[i + 1 : i + 6]
+                if l.strip().startswith("Arguments: ")
+            ),
+            "",
+        )
+        depth, groups, buf = 0, [], []
+        for ch in args:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                else:
+                    buf.append(ch)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                else:
+                    buf.append(ch)
+            elif depth > 0:
+                buf.append(ch)
+        if len(groups) >= 3:
+            continue  # exprs + partition + order
+        tail = groups[1:]  # groups[0] is always the window exprs
+        has_partition = any(
+            g and "NULLS FIRST" not in g and "NULLS LAST" not in g
+            for g in tail
+        )
+        if not has_partition:
+            n += 1
+    return n
+
+
+def test_no_plan_uses_row_python_cartesian_or_global_window(spark):
     """Repo-wide physical-plan invariants, swept over EVERY registered
     plan: no BatchEvalPython anywhere (Python in the data path is
     exclusively Arrow-batched MapInPandas, and only in the multimodal
-    plans) and no CartesianProduct (every cross join in the repo is a
+    plans), no CartesianProduct (every cross join in the repo is a
     broadcast of a one-row stats/query table, which plans as
-    BroadcastNestedLoopJoin). A refactor that silently demotes an
-    expression to a row-at-a-time UDF or drops a join condition fails
-    here by name."""
+    BroadcastNestedLoopJoin), and — VERDICT r6 #1 — no UNPARTITIONED
+    WindowExec (a window with no partition key moves the whole input
+    through a single task: the one plan shape that cannot survive a
+    100× scale-up, formerly shipped by curriculum_order's global
+    NTILE). A refactor that silently demotes an expression to a
+    row-at-a-time UDF, drops a join condition, or introduces a global
+    window fails here by name."""
     from venus_spark.plans import all_plans
 
     offenders = {}
@@ -478,6 +536,8 @@ def test_no_plan_uses_row_python_or_cartesian_product(spark):
             for marker in ("BatchEvalPython", "CartesianProduct")
             if marker in plan
         ]
+        if _unpartitioned_windows(plan):
+            hits.append("unpartitioned WindowExec")
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
@@ -574,3 +634,27 @@ def test_keyset_page2_seek_predicate_is_pushed(spark):
         r"PushedFilters: \[Or\(LessThan\(ts,.*And\(EqualTo\(ts,.*LessThan\(event_id,",
         plan,
     ), plan[:2000]
+
+
+def test_unpartitioned_window_detector_not_vacuous(spark):
+    """The sweep's global-window detector must actually fire on a real
+    unpartitioned window (and stay silent on partitioned ones — with
+    and without an order spec, the ambiguous two-group printing), or
+    the repo-wide assertion above is vacuously green."""
+    from pyspark.sql import Window
+
+    bad = spark.range(10).select(
+        "id", F.ntile(4).over(Window.orderBy("id")).alias("t")
+    )
+    good = spark.range(10).select(
+        "id",
+        F.row_number()
+        .over(Window.partitionBy((F.col("id") % 2)).orderBy("id"))
+        .alias("r"),
+    )
+    unordered = spark.range(10).select(
+        "id", F.sum("id").over(Window.partitionBy((F.col("id") % 2))).alias("s")
+    )
+    assert _unpartitioned_windows(formatted_plan(bad)) == 1
+    assert _unpartitioned_windows(formatted_plan(good)) == 0
+    assert _unpartitioned_windows(formatted_plan(unordered)) == 0

@@ -368,14 +368,20 @@ def test_trgm_postings_stream_maintenance_and_in_service_merge(
     assert prepared.merge_trgm_postings_pending(spark, sf) == 0
 
     # in-service merge: a fresh stream with merge_every=1 folds its own
-    # pending lists — batches end up manifested in the base, live==base
+    # pending lists — STRICTLY OLDER epochs end up manifested in the
+    # base, while the CURRENT epoch stays pending until the next tick
+    # (the ADVICE r6 gate: its checkpoint has not committed when the
+    # in-service merge runs, so folding it would open a crash-replay
+    # duplication window); live == base ∪ pending either way
     sf2 = str(tmp_path / "sf2")
     docs.filter(F.col("doc_id") < 30).write.parquet(
         os.path.join(sf2, "documents.parquet")
     )
     prepared.documents_trgm_postings(spark, sf2)
     q = start_documents_ingest(
-        spark.readStream.schema(docs.schema).json(str(landing)),
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)  # two files -> two epochs
+        .json(str(landing)),
         sink_dir=str(tmp_path / "sink2"),
         checkpoint_dir=str(tmp_path / "ck2"),
         index_sf_dir=sf2,
@@ -384,7 +390,11 @@ def test_trgm_postings_stream_maintenance_and_in_service_merge(
     )
     q.awaitTermination()
     base2 = prepared.prepared_path(sf2, "documents_trgm_postings.parquet")
-    assert prepared._read_merged(base2)  # at least one in-service fold ran
+    # epoch 1's tick folded epoch 0; epoch 1 itself (the then-current
+    # epoch) remains pending — exactly the gate's contract
+    assert prepared._read_merged(base2) == {0}
+    pend2 = prepared._pending_path(sf2, "documents_trgm_postings.parquet")
+    assert prepared._pending_bids_with_data(pend2) == {1}
     assert rows(prepared.documents_trgm_postings_live, sf2) == expect
 
 
@@ -575,3 +585,94 @@ def test_append_apis_with_batch_id_delegate_to_manifested_path(
     assert 3 in prepared._read_abatch_manifest(ivf)
     vec_rows = spark.read.parquet(ivf)
     assert vec_rows.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_in_service_merge_gate_excludes_current_epoch(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6 (medium): the in-service cadence merge runs inside
+    foreachBatch BEFORE the current epoch's checkpoint commits. A crash
+    mid-move of the CURRENT epoch's pending partition would replay the
+    epoch, whose dynamic partition overwrite RE-POPULATES the
+    partially-depleted partition — the retried merge then moves every
+    file again while the pre-crash moves already sit in the base under
+    uuid names: permanent duplicate postings (doubled df/tf skews BM25;
+    dup rows would break count-equality candidate gates). The fix:
+    ``below_bid`` merges only STRICTLY OLDER epochs (those are
+    checkpoint-committed and can never be replayed), so the hazard
+    window cannot open. This test pins the gate for all three pending
+    indexes and that the full replay→later-merge sequence converges to
+    exactly the rebuild row set."""
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, new = _split_docs(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    prepared.documents_trgm_postings(spark, sf)
+    prepared.documents_minhash(spark, sf)
+
+    b0, b1 = new.limit(8), new.subtract(new.limit(8))
+    for b, bid in ((b0, 0), (b1, 1)):
+        prepared.write_postings_pending(sf, b, bid)
+        prepared.write_trgm_postings_pending(sf, b, bid)
+        prepared.write_minhash_pending(sf, b, bid)
+
+    def pend_files(index_name, bid):
+        p = os.path.join(
+            prepared._pending_path(sf, index_name), f"_batch_id={bid}"
+        )
+        return sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        ) if os.path.isdir(p) else []
+
+    before = {
+        ix: pend_files(ix, 1)
+        for ix in (
+            "documents_postings.parquet",
+            "documents_trgm_postings.parquet",
+            "documents_minhash.parquet",
+        )
+    }
+    # epoch-1 cadence tick: below_bid=1 folds ONLY batch 0; batch 1's
+    # partition (the uncommitted current epoch) is untouched, so no
+    # crash inside this call can strand moved files of a replayable batch
+    assert prepared.merge_postings_pending(spark, sf, below_bid=1) > 0
+    assert prepared.merge_trgm_postings_pending(spark, sf, below_bid=1) > 0
+    assert prepared.merge_minhash_pending(spark, sf, below_bid=1) > 0
+    for ix, files in before.items():
+        base = prepared.prepared_path(sf, ix)
+        assert prepared._read_merged(base) == {0}
+        assert pend_files(ix, 1) == files, f"{ix}: current epoch touched"
+
+    # the replay the gate is protecting against: epoch 1 re-lands its
+    # full partition (dynamic overwrite), then the NEXT cadence tick
+    # (below_bid=2) folds it — exactly once
+    prepared.write_postings_pending(sf, b1, 1)
+    prepared.write_trgm_postings_pending(sf, b1, 1)
+    prepared.write_minhash_pending(sf, b1, 1)
+    assert prepared.merge_postings_pending(spark, sf, below_bid=2) > 0
+    assert prepared.merge_trgm_postings_pending(spark, sf, below_bid=2) > 0
+    assert prepared.merge_minhash_pending(spark, sf, below_bid=2) > 0
+
+    full_sf = _rebuild_sf(
+        spark, tmp_path, docs.filter(F.col("doc_id") < 30), new
+    )
+    assert _collect_index(*prepared.documents_postings(spark, sf)) == (
+        _collect_index(*prepared.documents_postings(spark, full_sf))
+    )
+    got = sorted(
+        tuple(r)
+        for r in prepared.documents_trgm_postings(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in prepared.documents_trgm_postings(spark, full_sf).collect()
+    )
+    assert got == want
+    got_mh = sorted(
+        (int(r["doc_id"]),)
+        for r in prepared.documents_minhash(spark, sf).collect()
+    )
+    want_mh = sorted(
+        (int(r["doc_id"]),)
+        for r in prepared.documents_minhash(spark, full_sf).collect()
+    )
+    assert got_mh == want_mh

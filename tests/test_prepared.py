@@ -1355,13 +1355,16 @@ def test_compaction_restores_postings_row_group_pruning(
 def test_mode_append_marker_blocks_lossy_rebuild_and_delete(
     spark, tmp_path, monkeypatch
 ):
-    """Review r5 #3 (second pass): plain mode-append batches carry no
-    manifest, so the rebuild-refusal guard needs the append marker —
-    after append_documents, (a) a constant-drift rebuild of the
-    postings must refuse rather than silently drop the appended
-    documents' postings, and (b) tombstone_documents must refuse too,
-    because its postings drop triggers exactly that from-base rebuild.
-    The marker survives compaction."""
+    """Review r5 #3 (second pass) + ADVICE r6: plain mode-append
+    batches carry no manifest, so the rebuild-refusal guard needs the
+    append marker — after append_documents, (a) a constant-drift
+    rebuild of the postings must refuse rather than silently drop the
+    appended documents' postings, and (b) tombstone_documents must NOT
+    take the drop-for-lazy-rebuild path (which would trigger exactly
+    that lossy from-base rebuild): it scrubs the postings in place
+    instead, keeping DELETE available — the scrubbed index must equal a
+    rebuild over the full (base + appended) corpus minus the deleted
+    doc. The marker survives compaction."""
     import json as _j
     import os
 
@@ -1385,9 +1388,37 @@ def test_mode_append_marker_blocks_lossy_rebuild_and_delete(
     )
     prepared.append_documents(spark, sf, appended)
 
-    # (b) deleting now would rebuild postings from the appended-less base
-    with pytest.raises(RuntimeError, match="appended/streamed"):
-        prepared.tombstone_documents(spark, sf, [3], batch_id=0)
+    # (b) ADVICE r6: the delete must stay available — scrub, not drop.
+    # The drop path would rebuild from the appended-less base and lose
+    # the appended docs; the scrub rewrites in place, so the result
+    # equals a rebuild over base+appended minus the deleted doc.
+    prepared.tombstone_documents(spark, sf, [3], batch_id=0)
+    assert prepared._has_append_marker(
+        prepared.prepared_path(sf, "documents_postings.parquet")
+    ), "scrub must carry the append marker (rebuild guard stays armed)"
+    full_sf = str(tmp_path / "full_sf")
+    (
+        docs.filter(F.col("doc_id") < 40)
+        .unionByName(appended)
+        .filter(F.col("doc_id") != 3)
+        .write.parquet(os.path.join(full_sf, "documents.parquet"))
+    )
+    exp_post, exp_dfreq, exp_stats = prepared.documents_postings(
+        spark, full_sf
+    )
+    got_post, got_dfreq, got_stats = prepared.documents_postings(spark, sf)
+    assert (
+        got_post.orderBy("term", "doc_id").collect()
+        == exp_post.orderBy("term", "doc_id").collect()
+    )
+    assert (
+        got_dfreq.orderBy("term").collect()
+        == exp_dfreq.orderBy("term").collect()
+    )
+    assert got_stats.first().asDict() == exp_stats.first().asDict()
+    # retry of the same delete batch is a pure no-op (manifested)
+    prepared.tombstone_documents(spark, sf, [3], batch_id=0)
+    assert got_stats.first().asDict() == exp_stats.first().asDict()
 
     # marker survives the OPTIMIZE rewrite
     prepared.compact_documents_postings(spark, sf)
@@ -1401,3 +1432,57 @@ def test_mode_append_marker_blocks_lossy_rebuild_and_delete(
     _j.dump(meta, open(stamp, "w"))
     with pytest.raises(RuntimeError, match="appended/streamed"):
         prepared.documents_postings(spark, sf)
+
+
+def test_trgm_candidate_gate_robust_to_duplicate_posting_rows(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6 (low): the trigram-postings candidate gate used exact
+    count-equality ``n_hit == len(grams)`` — a duplicated (trg, doc_id)
+    posting row (crash-retry of a plain mode-append) pushes the count
+    PAST the target and silently DROPS a truly-matching document, a
+    false negative the downstream ILIKE verify cannot recover because
+    it only sees candidates. The gate now counts DISTINCT trigrams, so
+    duplicate rows can never eliminate a candidate; the similarity
+    plan's intersection count gets the same treatment (a dup row would
+    overstate sim and misorder the top-k)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans.venus_surface import _PATTERNS
+    from venus_spark.operators.text import trigrams_of
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = "/root/testdata/sf0.001"
+    plans = all_plans()
+    expect_fuzzy = plans["fuzzy_trgm_postings"].fn(spark, sf).orderBy(
+        "lang"
+    ).collect()
+    expect_sim = plans["similar_docs_trgm"].fn(spark, sf).collect()
+
+    # duplicate one needle-trigram posting row of a matching document
+    pattern = next(p for p in _PATTERNS if trigrams_of(p.strip("%")))
+    trg = trigrams_of(pattern.strip("%"))[0]
+    victim = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .filter(F.col("text").ilike(pattern))
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    assert victim is not None, "fixture needs at least one matching doc"
+    post_path = prepared.prepared_path(sf, "documents_trgm_postings.parquet")
+    dup = spark.read.parquet(post_path).filter(
+        (F.col("trg") == trg) & (F.col("doc_id") == victim)
+    )
+    assert dup.count() == 1
+    dup.write.mode("append").parquet(post_path)
+
+    got_fuzzy = plans["fuzzy_trgm_postings"].fn(spark, sf).orderBy(
+        "lang"
+    ).collect()
+    assert got_fuzzy == expect_fuzzy
+    got_sim = plans["similar_docs_trgm"].fn(spark, sf).collect()
+    assert got_sim == expect_sim

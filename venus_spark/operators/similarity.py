@@ -159,7 +159,12 @@ def rp_bucket(vec: Column) -> Column:
 
 
 def _rp_w_sql(h: int) -> str:
-    return "[" + ", ".join(str(x) for x in RP_W[h]) + "]"
+    # double_array_sql, not str(x): ±1.0 converts exactly either way,
+    # but the quoted strtod form is the PARITY.md-sanctioned literal
+    # path and keeps the bare-float lint clean by construction.
+    from venus_spark.functions.sqlgen import double_array_sql
+
+    return double_array_sql(RP_W[h])
 
 
 def rp_projection_sql(vec: str, h: int) -> str:

@@ -69,8 +69,8 @@ def quality_score_col() -> Column:
     """
     score = (
         0.4 * F.col("type_token_ratio")
-        + 0.4 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
-        + 0.2 * F.least(F.col("mean_token_len") / 8, F.lit(1.0))
+        + 0.4 * F.least(F.col("stopword_ratio") * 4, F.lit(1).cast("double"))
+        + 0.2 * F.least(F.col("mean_token_len") / 8, F.lit(1).cast("double"))
     )
     return F.floor(score * 1000000)
 

@@ -30,7 +30,7 @@ trans AS (
   GROUP BY prev_type, event_type
 )
 SELECT prev_type, next_type, n,
-       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS share
+       ROUND(n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS share
 FROM trans
 ORDER BY prev_type, next_type
 """

@@ -40,9 +40,9 @@ _N_STOP = f"LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS({_sql_list(tx.STOPWORDS)
 _N_DISTINCT = f"LEN(LIST_DISTINCT({_TOKS}))"
 _TOTAL_LEN = f"LIST_SUM(LIST_TRANSFORM({_TOKS}, t -> LENGTH(t)))"
 
-_TTR = f"ROUND({_N_DISTINCT} * 1.0 / {_N_TOKENS}, 6)"
-_STOP_RATIO = f"ROUND({_N_STOP} * 1.0 / {_N_TOKENS}, 6)"
-_MEAN_LEN = f"ROUND({_TOTAL_LEN} * 1.0 / {_N_TOKENS}, 6)"
+_TTR = f"ROUND({_N_DISTINCT} * CAST(1 AS DOUBLE) / {_N_TOKENS}, 6)"
+_STOP_RATIO = f"ROUND({_N_STOP} * CAST(1 AS DOUBLE) / {_N_TOKENS}, 6)"
+_MEAN_LEN = f"ROUND({_TOTAL_LEN} * CAST(1 AS DOUBLE) / {_N_TOKENS}, 6)"
 
 from venus_spark.functions import WHITESPACE_CLASS as _WS
 
@@ -73,8 +73,8 @@ WITH feat AS (
 )
 SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio, mean_token_len,
        CAST(FLOOR((0.4 * type_token_ratio
-           + 0.4 * LEAST(stopword_ratio * 4, 1.0)
-           + 0.2 * LEAST(mean_token_len / 8, 1.0)) * 1000000) AS BIGINT)
+           + 0.4 * LEAST(stopword_ratio * 4, CAST(1 AS DOUBLE))
+           + 0.2 * LEAST(mean_token_len / 8, CAST(1 AS DOUBLE))) * 1000000) AS BIGINT)
          AS quality_score_ppm
 FROM feat
 """
@@ -246,7 +246,7 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * 1.0 /
+         ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
                (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))), 6)
            AS jaccard_sim
   FROM toks a JOIN toks b
@@ -325,7 +325,7 @@ docsets AS (
 ),
 verified AS (
   SELECT c.id_a, c.id_b,
-         ROUND(LEN(LIST_INTERSECT(x.t, y.t)) * 1.0 /
+         ROUND(LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
                (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t))), 6)
            AS jaccard_sim
   FROM cands c

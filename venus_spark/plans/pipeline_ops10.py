@@ -120,7 +120,7 @@ pairs AS (
   SELECT a.source AS source, COUNT(*) AS n_pairs
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * 1.0 /
+  WHERE ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
               (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))), 6)
         > {_NDR_T}
   GROUP BY a.source
@@ -128,7 +128,7 @@ pairs AS (
 docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
 SELECT d.source, d.n_docs,
        COALESCE(p.n_pairs, 0) AS n_dup_pairs,
-       ROUND(COALESCE(p.n_pairs, 0) * 1.0 / d.n_docs, 6) AS dup_pair_rate
+       ROUND(COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs, 6) AS dup_pair_rate
 FROM docs d LEFT JOIN pairs p ON p.source = d.source
 ORDER BY d.source
 """

@@ -46,8 +46,8 @@ _RRF_QUERY_VEC_ID = 0
 # double division in both engines, and the two-list sum is a two-term
 # add — no accumulation-order concerns.
 _RRF_SCORE = (
-    f"ROUND(COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)"
-    f" + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0), 6)"
+    f"ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0), 6)"
 )
 
 _VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
@@ -220,7 +220,7 @@ hsets AS (
 ),
 verified AS (
   SELECT c.new_doc, c.dup_doc,
-         ROUND(LEN(LIST_INTERSECT(x.t, y.t)) * 1.0 /
+         ROUND(LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
                (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t))), 6)
            AS jaccard_sim
   FROM cands c
@@ -477,7 +477,7 @@ _DRIFT_BIN_W = "25.0"
 _DRIFT_TV = (
     "CASE WHEN n_a > 0 AND n_b > 0 THEN "
     "ROUND(CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE), 6) "
-    "WHEN n_a > 0 OR n_b > 0 THEN 1.0 END"
+    "WHEN n_a > 0 OR n_b > 0 THEN CAST(1 AS DOUBLE) END"
 )
 
 _DRIFT_ORACLE = f"""

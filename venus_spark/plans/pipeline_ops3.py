@@ -38,9 +38,9 @@ _TOKS = tokens_sql("text")
 _QF_ORACLE = f"""
 WITH feat AS (
   SELECT doc_id, lang, LEN({_TOKS}) AS n_tokens,
-         ROUND(LEN(LIST_DISTINCT({_TOKS})) * 1.0 / LEN({_TOKS}), 6) AS ttr,
+         ROUND(LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS}), 6) AS ttr,
          ROUND(LEN(LIST_FILTER({_TOKS},
-               t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * 1.0
+               t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)
                / LEN({_TOKS}), 6) AS stop_ratio
   FROM documents
 )

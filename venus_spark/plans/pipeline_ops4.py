@@ -154,14 +154,14 @@ _GRAMS = (
 _REP_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id,
-         ROUND(1.0 - LEN(LIST_DISTINCT({_GRAMS})) * 1.0 / LEN({_GRAMS}), 6)
+         ROUND(CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS}), 6)
            AS dup_3gram_frac
   FROM documents
 ),
 tok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
 cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
 mass AS (
-  SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_mass
+  SELECT doc_id, ROUND(MAX(c) * CAST(1 AS DOUBLE) / SUM(c), 6) AS top_token_mass
   FROM cnt GROUP BY doc_id
 )
 SELECT g.doc_id, g.dup_3gram_frac, m.top_token_mass
@@ -203,7 +203,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = docs.select("doc_id", _ngrams_keep_dups("text").alias("g")).select(
         "doc_id",
         F.round(
-            1.0 - F.size(F.array_distinct("g")) * F.lit(1.0) / F.size("g"), 6
+            F.lit(1).cast("double") - F.size(F.array_distinct("g")) * F.lit(1).cast("double") / F.size("g"), 6
         ).alias("dup_3gram_frac"),
     )
     cnt = (
@@ -212,7 +212,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     mass = cnt.groupBy("doc_id").agg(
-        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias("top_token_mass")
+        F.round(F.max("c") * F.lit(1).cast("double") / F.sum("c"), 6).alias("top_token_mass")
     )
     return dup.join(mass, "doc_id").orderBy("doc_id")
 
@@ -225,9 +225,9 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PASS_SQL = (
     f"LEN({_TOKS}) >= {_MIN_TOKENS}"
-    f" AND ROUND(LEN(LIST_DISTINCT({_TOKS})) * 1.0 / LEN({_TOKS}), 6) >= {_MIN_TTR}"
+    f" AND ROUND(LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS}), 6) >= {_MIN_TTR}"
     f" AND ROUND(LEN(LIST_FILTER({_TOKS},"
-    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * 1.0"
+    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
     f" / LEN({_TOKS}), 6) <= {_MAX_STOP_RATIO}"
 )
 
@@ -235,7 +235,7 @@ _REPORT_ORACLE = f"""
 SELECT source, lang,
        COUNT(*) AS n_docs,
        {davg_sql('n_chars')} AS mean_chars,
-       ROUND(SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+       ROUND(SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*), 6)
          AS pass_share
 FROM documents
 GROUP BY source, lang
@@ -262,7 +262,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             davg("n_chars").alias("mean_chars"),
             F.round(
-                F.sum(F.when(passed, 1).otherwise(0)) * F.lit(1.0) / F.count("*"), 6
+                F.sum(F.when(passed, 1).otherwise(0)) * F.lit(1).cast("double") / F.count("*"), 6
             ).alias("pass_share"),
         )
         .orderBy("source", "lang")
@@ -283,7 +283,7 @@ WITH toks AS (
 ),
 dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
 tot AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT doc_id, {davg_sql('n_docs * 1.0 / df')} AS mean_idf_ratio
+SELECT doc_id, {davg_sql('n_docs * CAST(1 AS DOUBLE) / df')} AS mean_idf_ratio
 FROM toks JOIN dfreq USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
@@ -311,7 +311,7 @@ def vocab_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(dfreq, "tok")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
-        .agg(davg(F.col("n_docs") * F.lit(1.0) / F.col("df")).alias("mean_idf_ratio"))
+        .agg(davg(F.col("n_docs") * F.lit(1).cast("double") / F.col("df")).alias("mean_idf_ratio"))
         .orderBy("doc_id")
     )
 
@@ -331,7 +331,7 @@ WITH g AS (
 ),
 gf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
 SELECT g.doc_id,
-       ROUND(SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+       ROUND(SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*), 6)
          AS novel_3gram_share
 FROM g JOIN gf USING (gram)
 GROUP BY g.doc_id
@@ -355,7 +355,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                * F.lit(1.0)
+                * F.lit(1).cast("double")
                 / F.count("*"),
                 6,
             ).alias("novel_3gram_share")

@@ -47,9 +47,9 @@ _BM25_TOPK = 20
 # arithmetic promotes identically and LN/div/mul associate identically.
 # Rounded to 6 dp so the per-doc sum can use the exact decimal accumulator.
 _BM25_TERM_SCORE = (
-    f"ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
-    f" * (tf * ({_BM25_K1} + 1.0))"
-    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6)"
+    f"ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
+    f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
+    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6)"
 )
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
@@ -198,7 +198,7 @@ _TFIDF_TOP_PER_DOC = 3
 _TFIDF_DOC_LIMIT = 20  # report keywords for doc_id < this bound
 
 # Smoothed idf; tf BIGINT, df/n_docs BIGINT -> identical double promotion.
-_TFIDF_SCORE = "ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 6)"
+_TFIDF_SCORE = "ROUND(tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE))), 6)"
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (

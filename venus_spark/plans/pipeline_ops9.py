@@ -53,7 +53,7 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * 1.0 / LEN(a.t), 6)
+         ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t), 6)
            AS containment
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
@@ -103,7 +103,7 @@ shared AS (
   GROUP BY a.source, b.source
 )
 SELECT s.source_a, s.source_b, s.shared_ngrams,
-       ROUND(s.shared_ngrams * 1.0 / (na.n + nb.n - s.shared_ngrams), 6)
+       ROUND(s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams), 6)
          AS ngram_jaccard
 FROM shared s
 JOIN sizes na ON na.source = s.source_a
@@ -286,7 +286,7 @@ hsets AS (
 scored AS (
   SELECT c.id_a, c.id_b,
          ROUND(({matches}) / {double_lit_sql(dd.N_PERM)}, 6) AS mh_est,
-         ROUND(LEN(LIST_INTERSECT(hx.t, hy.t)) * 1.0 /
+         ROUND(LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
                (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t))), 6)
            AS true_jac
   FROM cands c

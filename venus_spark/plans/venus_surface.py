@@ -613,9 +613,15 @@ def _fuzzy_from_trgm_postings(
             unpruned.append(pattern)
             continue
         cands.append(
+            # countDistinct, not count: the healthy index holds one row
+            # per distinct (trg, doc_id), but a duplicated posting row
+            # (crash-retry of a plain mode-append) would push a raw
+            # count past len(grams) and silently DROP a truly-matching
+            # document — containment needs at-least-distinct semantics,
+            # which duplicates can never break.
             post.filter(F.col("trg").isin(grams))
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_hit"))
+            .agg(F.countDistinct("trg").alias("n_hit"))
             .filter(F.col("n_hit") == len(grams))
             .select("doc_id")
         )
@@ -688,9 +694,13 @@ def similar_docs_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams, nq = _trgm_sim_consts()
     post = documents_trgm_postings(spark, sf_dir)
     hits = (
+        # countDistinct for the same duplicate-robustness as the
+        # substring path's candidate gate: the intersection size is a
+        # set cardinality, so a duplicated posting row must not inflate
+        # it (it would overstate sim and could misorder the top-k).
         post.filter(F.col("trg").isin(grams))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("c"))
+        .agg(F.countDistinct("trg").alias("c"))
     )
     sizes = documents_trgm(spark, sf_dir).select(
         "doc_id", F.size("_trg").alias("nd")

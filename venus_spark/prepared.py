@@ -283,19 +283,24 @@ def documents_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_trgm_postings_pending(spark: SparkSession, sf_dir: str) -> int:
+def merge_trgm_postings_pending(
+    spark: SparkSession, sf_dir: str, below_bid: int | None = None
+) -> int:
     """VACUUM the trigram-postings pending list: per unmanifested
     batch, move its data files into the base (collision-free rename),
     manifest the batch id, remove the emptied partition — the exact
     :func:`merge_minhash_pending` discipline. Rows are row-local, so
     the base's read-side tombstone filter keeps deletes correct even
     for moved rows (no scrub step needed); compaction later restores
-    the trg-sorted pruning the moved files dilute. Returns data files
-    merged."""
+    the trg-sorted pruning the moved files dilute. ``below_bid`` is the
+    in-service cadence's current-epoch gate (see :func:`_merge_pending`).
+    Returns data files merged."""
     if not os.path.exists(_pending_path(sf_dir, _TRGM_POST_INDEX)):
         return 0
     documents_trgm_postings(spark, sf_dir)  # base must exist
-    return _merge_pending(spark, sf_dir, _TRGM_POST_INDEX)
+    return _merge_pending(
+        spark, sf_dir, _TRGM_POST_INDEX, below_bid=below_bid
+    )
 
 
 def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,6 +1293,8 @@ def _postings_tables(
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
     _recover_swap(post_path, ".compact")  # finish any interrupted compaction
+    _recover_swap(stats_path, ".deladj")  # finish an interrupted delete's
+    # stats adjustment (see _scrub_postings_delete)
     if not all(_is_built(p, meta) for p in (post_path, dfreq_path, stats_path)):
         _refuse_rebuild_with_absorbed_batches(post_path, "inverted index")
         for p in (post_path, dfreq_path, stats_path):
@@ -1468,6 +1475,7 @@ def _merge_pending(
     scrub=None,
     after_moves=None,
     mark_appended: bool = True,
+    below_bid: int | None = None,
 ) -> int:
     """VACUUM a pending list into its base layout — ONE copy of the
     crash-critical move/manifest discipline all three indexes share.
@@ -1481,6 +1489,18 @@ def _merge_pending(
     is manifested and its emptied partition removed. ``skip_bids``
     leaves half-written batches (postings counter gate) for the
     stream's replay.
+
+    ``below_bid`` merges only batch ids STRICTLY below it — the gate
+    the in-service cadence needs: a merge running inside foreachBatch
+    for epoch E executes BEFORE E's checkpoint commit, so a crash
+    mid-merge replays epoch E and its dynamic partition overwrite
+    re-populates the partially-depleted pending partition with the full
+    row set; the retried merge would then move every file again while
+    the pre-crash-moved files already sit in the base under fresh uuid
+    names — permanent duplicate index rows. Strictly-older epochs are
+    checkpoint-committed (foreachBatch commits epochs in order; at most
+    the current epoch is uncommitted), so no replay ever rewrites their
+    partitions and depleted-source idempotence holds.
 
     Crash windows: mid-move → unmanifested, the rerun moves only the
     remaining files; after moves, before manifest → partitions are
@@ -1507,6 +1527,8 @@ def _merge_pending(
         if bid in merged:
             shutil.rmtree(batch_dir)  # replayed after merge: drop, don't move
             continue
+        if below_bid is not None and bid >= below_bid:
+            continue  # current (uncommitted) epoch: a replay may rewrite it
         if skip_bids is not None and bid in skip_bids:
             continue
         if scrub is not None:
@@ -1594,9 +1616,12 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
+def merge_minhash_pending(
+    spark: SparkSession, sf_dir: str, below_bid: int | None = None
+) -> int:
     """VACUUM-style pending merge, safe under crash/retry AND a
-    concurrently running writer.
+    concurrently running writer. ``below_bid`` is the in-service
+    cadence's current-epoch gate (see :func:`_merge_pending`).
 
     Per pending batch directory: move each data file into the base
     index under a collision-free name (``os.rename`` — atomic), then
@@ -1618,7 +1643,8 @@ def merge_minhash_pending(spark: SparkSession, sf_dir: str) -> int:
         return 0
     documents_minhash(spark, sf_dir)  # base must exist to receive files
     n = _merge_pending(
-        spark, sf_dir, _MINHASH_INDEX, mark_appended=False
+        spark, sf_dir, _MINHASH_INDEX, mark_appended=False,
+        below_bid=below_bid,
     )  # rebuild-refusal rides the merged manifest itself for this index
     # Band-key layout derives from the base index contents; invalidate
     # so the colocated dedup plan rebuilds over the merged corpus.
@@ -1882,6 +1908,127 @@ def _anti_tombstones(
     return df.join(F.broadcast(tb), id_col, "left_anti")
 
 
+_DELETE_ADJ_SIDECAR = "_delete_adj.json"
+
+
+def _read_delete_adj_applied(stats_path: str) -> set[int]:
+    """Delete batch ids whose stats adjustment is already baked into
+    the stored stats row (see :func:`_scrub_postings_delete`)."""
+    try:
+        with open(os.path.join(stats_path, _DELETE_ADJ_SIDECAR)) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _scrub_postings_delete(
+    spark: SparkSession, sf_dir: str, new_ids: DataFrame, batch_id: int
+) -> None:
+    """Make a delete physical in the inverted index WITHOUT the
+    from-base rebuild — the path that keeps right-to-be-forgotten
+    available once the postings hold merged streamed batches (which the
+    ``merge_every`` ingest cadence makes the steady state: a from-base
+    rebuild would drop those rows, so the drop-for-lazy-rebuild delete
+    must refuse; PostgreSQL's own answer is that DELETE maintains the
+    GIN eagerly, and this is that shape).
+
+    Four idempotent steps, each safe to re-run after a crash, ordered
+    so every window converges under retry of the same (ids, batch_id):
+
+    1. stats: subtract the tombstoned docs' exact (n, dl) contribution
+       from the STORED stats row — only for docs with no per-batch
+       counter row (counter-row docs are excluded at read by
+       ``_batch_counters`` once the tombstones commit, so subtracting
+       them here would double-count the delete). dl comes from the
+       docs' own postings rows (sum of position-list sizes == token
+       count); zero-token docs (no postings rows) resolve against the
+       base table. The new stats land via a crash-safe ``.deladj``
+       tmp/old swap whose sidecar records the applied delete batch ids
+       — the marker that makes this step exactly-once: the adjustment
+       is computed from the postings BEFORE step 2 destroys the
+       evidence, and a retry that finds the marker skips straight to
+       the scrub. (Known corner, documented: a PLAIN mode-append of a
+       zero-token document leaves no per-doc record anywhere, so its
+       n_docs contribution cannot be reclaimed — use the manifested
+       batch-append path, which writes counter rows, when exact delete
+       accounting matters.)
+    2. postings: rewrite the base without the tombstoned docs' rows
+       through :func:`_compact_sorted_swap` (stamp, both manifests and
+       the append marker carried; re-run removes nothing).
+    3. dfreq: re-derive from the rewritten postings (pure function of
+       the postings — always idempotent).
+    4. caller commits the tombstone batch manifest LAST.
+
+    A crash mid-sequence leaves an UNCOMMITTED delete partially
+    physical: reads in the window may already miss the being-deleted
+    docs with at most a batch-sized stats/df skew — never a resurrected
+    row, never a wrong surviving document — and the retry completes the
+    remaining steps."""
+    post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
+    dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
+    stats_path = prepared_path(sf_dir, "documents_stats.parquet")
+    _recover_swap(stats_path, ".deladj")
+    applied = _read_delete_adj_applied(stats_path)
+    if batch_id not in applied:
+        base_post = spark.read.parquet(post_path)
+        counters_p = prepared_path(sf_dir, _POSTINGS_COUNTERS)
+        adj_ids = new_ids
+        if os.path.isdir(counters_p) and any(
+            d.startswith("_batch_id=") for d in os.listdir(counters_p)
+        ):
+            adj_ids = adj_ids.join(
+                spark.read.parquet(counters_p).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        adj_ids = adj_ids.persist()
+        hit = base_post.join(F.broadcast(adj_ids), "doc_id", "left_semi")
+        row = hit.agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.sum(F.size("pos")).cast("long").alias("s"),
+        ).first()
+        n1, dl1 = int(row["n"] or 0), int(row["s"] or 0)
+        # Docs with no postings rows: zero-token documents counted at
+        # build/append time — resolve against the base table (their dl
+        # is recomputed defensively rather than assumed 0).
+        rest = adj_ids.join(
+            hit.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        base_rest = load_table(spark, sf_dir, "documents").join(
+            F.broadcast(rest), "doc_id", "left_semi"
+        )
+        n2, dl2 = _doclen_counters(base_rest)
+        adj_ids.unpersist()
+        old = spark.read.parquet(stats_path).first()
+        tmp, oldd = stats_path + ".deladj.tmp", stats_path + ".deladj.old"
+        for stale in (tmp, oldd):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        _write_stats(
+            spark,
+            tmp,
+            int(old["n_docs"]) - n1 - n2,
+            int(old["dl_sum"]) - dl1 - dl2,
+        )
+        _stamp(tmp, _POSTINGS_META)
+        with open(os.path.join(tmp, _DELETE_ADJ_SIDECAR), "w") as f:
+            json.dump(sorted(applied | {batch_id}), f)
+        os.rename(stats_path, oldd)
+        os.rename(tmp, stats_path)
+        shutil.rmtree(oldd)
+    # Scrub the postings rows (idempotent: a retry removes nothing) and
+    # re-derive df from the survivors. The join moves its key column
+    # first — re-select the stored column order so the rewritten layout
+    # is schema-identical to a build.
+    cur = spark.read.parquet(post_path)
+    survivors = cur.join(F.broadcast(new_ids), "doc_id", "left_anti").select(
+        *cur.columns
+    )
+    _compact_sorted_swap(survivors, post_path, _POSTINGS_META, ("term", "doc_id"))
+    _write_dfreq(spark, post_path, dfreq_path)
+    _stamp(dfreq_path, _POSTINGS_META)
+
+
 def tombstone_documents(
     spark: SparkSession, sf_dir: str, doc_ids, batch_id: int
 ) -> None:
@@ -1896,38 +2043,59 @@ def tombstone_documents(
     The row-local indexes (MinHash/signature, trigram bloom) absorb
     deletes through the read filter alone — a row's entries depend only
     on that row. The inverted index carries CORPUS-level aggregates
-    (per-term df, n_docs/avgdl stats) that a row filter cannot fix, so
-    its artifacts are dropped for lazy rebuild over the filtered corpus
-    — the same cannot-absorb-so-invalidate policy the bucketed band
-    table applies on append (stale-serving is the one failure mode
-    never allowed). ``batch_id`` makes retries idempotent, exactly like
-    the append paths (same-id-same-ids contract)."""
+    (per-term df, n_docs/avgdl stats) that a row filter cannot fix; two
+    eager strategies cover it, chosen by what the index holds:
+
+    - base-only index: the artifacts are dropped for lazy rebuild over
+      the filtered corpus (cheap to decide, well-trodden);
+    - index holding appended/streamed batches (the ``merge_every``
+      ingest cadence's steady state, where a from-base rebuild would
+      LOSE the streamed rows): the delete is made physical in place by
+      :func:`_scrub_postings_delete` — postings scrub + exact stats
+      subtraction + df re-derivation, all before the tombstone commits
+      — so DELETE stays available on a streaming deployment instead of
+      refusing until rows are re-landed.
+
+    ``batch_id`` makes retries idempotent, exactly like the append
+    paths (same-id-same-ids contract)."""
     if batch_id in _read_abatch_manifest(_tombstones_path(sf_dir)):
         return  # delete batch fully committed earlier — retry is a no-op
-    # The postings drop below triggers a rebuild FROM THE BASE TABLE; if
-    # the index holds mode-appended documents the base table lacks, that
-    # rebuild would silently lose their postings — refuse the delete
-    # until those documents are re-landed in the base (review r5 #3).
-    _refuse_rebuild_with_absorbed_batches(
-        prepared_path(sf_dir, "documents_postings.parquet"), "inverted index"
-    )
     ids = doc_ids if isinstance(doc_ids, DataFrame) else spark.createDataFrame(
         [(int(i),) for i in doc_ids], "doc_id long"
     )
-    # Drop the aggregate-bearing artifacts BEFORE committing the
-    # tombstones: a crash in between leaves the pre-delete state (drop
-    # is rebuild-safe, the delete is simply not recorded yet and the
-    # retry completes it), whereas the reverse order would leave a
-    # committed delete that documents_postings — which has no row
-    # filter — keeps serving until some later invalidation.
-    for name in (
-        "documents_postings.parquet",
-        "documents_dfreq.parquet",
-        "documents_stats.parquet",
-    ):
-        p = prepared_path(sf_dir, name)
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    ids = ids.select("doc_id").distinct()
+    post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
+    absorbed = os.path.exists(post_path) and (
+        _read_abatch_manifest(post_path)
+        or _read_merged(post_path)
+        or _has_append_marker(post_path)
+    )
+    if absorbed:
+        # Ids already tombstoned by an earlier batch must contribute
+        # nothing to this batch's stats subtraction (the earlier delete
+        # already accounted for them, whichever path it took).
+        prior = document_tombstones(spark, sf_dir)
+        new_ids = (
+            ids.join(F.broadcast(prior), "doc_id", "left_anti")
+            if prior is not None
+            else ids
+        )
+        _scrub_postings_delete(spark, sf_dir, new_ids, batch_id)
+    else:
+        # Drop the aggregate-bearing artifacts BEFORE committing the
+        # tombstones: a crash in between leaves the pre-delete state
+        # (drop is rebuild-safe, the delete is simply not recorded yet
+        # and the retry completes it), whereas the reverse order would
+        # leave a committed delete that documents_postings — which has
+        # no row filter — keeps serving until some later invalidation.
+        for name in (
+            "documents_postings.parquet",
+            "documents_dfreq.parquet",
+            "documents_stats.parquet",
+        ):
+            p = prepared_path(sf_dir, name)
+            if os.path.exists(p):
+                shutil.rmtree(p)
     _drop_lsh_bands(spark, sf_dir)
     _append_batch_files(ids.select("doc_id"), _tombstones_path(sf_dir), batch_id)
 
@@ -2361,7 +2529,9 @@ def _scrub_pending_batch(
     shutil.rmtree(old)
 
 
-def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
+def merge_postings_pending(
+    spark: SparkSession, sf_dir: str, below_bid: int | None = None
+) -> int:
     """VACUUM the postings pending list: per unmanifested batch, scrub
     any tombstoned documents' rows out of the partition (crash-safe
     in-place swap — the base has no read-side delete filter, so moving
@@ -2408,4 +2578,5 @@ def merge_postings_pending(spark: SparkSession, sf_dir: str) -> int:
             spark, sf_dir, pend, batch_dir, bid
         ),
         after_moves=refresh_dfreq,
+        below_bid=below_bid,
     )

@@ -427,19 +427,30 @@ def start_documents_ingest(
                 # Safe beside this (the only) writer: merges use
                 # surgical per-batch moves + manifests, and a replayed
                 # batch re-running the merge is a manifested no-op.
+                # below_bid=batch_id: merge STRICTLY OLDER epochs only.
+                # This epoch's checkpoint has not committed yet — a
+                # crash mid-merge would replay it, and the replay's
+                # partition overwrite re-populates a partially-depleted
+                # pending partition, so a retried merge would duplicate
+                # every already-moved file. Older epochs are committed
+                # and can never be rewritten; the current batch stays
+                # pending (served by the live views) until the next
+                # cadence tick folds it.
                 # COST NOTE: each postings merge refreshes the
                 # vocabulary df table (vocabulary-sized aggregate over
                 # the whole base) and each minhash merge invalidates
                 # the bucketed LSH band layout — low merge_every values
                 # trade ingest latency for read freshness; size the
                 # cadence like autovacuum, not per-batch, in production.
-                prepared.merge_minhash_pending(batch.sparkSession, index_sf_dir)
+                prepared.merge_minhash_pending(
+                    batch.sparkSession, index_sf_dir, below_bid=batch_id
+                )
                 if maintain_postings:
                     prepared.merge_postings_pending(
-                        batch.sparkSession, index_sf_dir
+                        batch.sparkSession, index_sf_dir, below_bid=batch_id
                     )
                     prepared.merge_trgm_postings_pending(
-                        batch.sparkSession, index_sf_dir
+                        batch.sparkSession, index_sf_dir, below_bid=batch_id
                     )
             if batch_idx is not None:
                 batch_idx.unpersist()
