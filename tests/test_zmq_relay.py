@@ -183,3 +183,227 @@ def test_stdin_mode_preserves_non_utf8_bytes(tmp_path):
     raw = files[0].read_bytes()
     assert b'{"ok": 1}' in raw and b'{"ok": 2}' in raw
     assert b"{torn" in raw  # the bad line survived for quarantine
+
+
+def test_two_concurrent_relays_one_landing_dir(spark, tmp_path):
+    """Reference tests/test_sender.py:64-94 — TWO senders run in
+    parallel and both supersets must hold. Two relay subprocesses land
+    interleaved micro-batches into the SAME landing directory (the
+    uuid-suffixed filenames must never collide), one ingest drains the
+    union, and every message from BOTH producers is present exactly
+    once."""
+    import json
+    import threading
+    import uuid
+
+    import test_ingest as ti
+    from venus_spark.streaming import (
+        read_log_stream,
+        read_sink_table,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    sent = {"a": set(), "b": set()}
+    payloads = {}
+    for tag in ("a", "b"):
+        lines = []
+        for i in range(40):
+            rec = ti.make_record(i)
+            rec["message"] = f"sender-{tag}-{uuid.uuid4()}"
+            sent[tag].add(rec["message"])
+            lines.append(json.dumps(rec))
+        payloads[tag] = "\n".join(lines) + "\n"
+
+    procs = {
+        tag: subprocess.Popen(
+            [sys.executable, script, "--landing", str(landing), "--stdin",
+             "--batch-size", "7"],
+            stdin=subprocess.PIPE,
+            text=True,
+        )
+        for tag in ("a", "b")
+    }
+
+    def feed(tag):
+        procs[tag].communicate(payloads[tag], timeout=60)
+
+    threads = [threading.Thread(target=feed, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(p.returncode == 0 for p in procs.values())
+
+    files = list(landing.iterdir())
+    # 40 lines / batch 7 -> 6 files per relay; collisions would merge
+    # two batches into one path (or clobber one)
+    assert len(files) == 12
+    landed_lines = [ln for f in sorted(files) for ln in f.read_text().splitlines()]
+    assert len(landed_lines) == 80  # nothing lost, nothing doubled
+
+    q = start_logs_ingest(
+        read_log_stream(spark, str(landing)),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger_seconds=None,
+    )
+    q.awaitTermination()
+    logged = {
+        r["message"]
+        for r in read_sink_table(spark, str(tmp_path / "sink"), "logs")
+        .select("message")
+        .collect()
+    }
+    assert logged.issuperset(sent["a"])  # the reference's twin asserts
+    assert logged.issuperset(sent["b"])
+
+
+def test_full_topology_streaming_retrieval(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #3 — the round's e2e gap: relay -> landing ->
+    start_documents_ingest(merge_every=2, screen_near_dups=True) ->
+    LIVE retrieval pre-merge -> merge -> base-path parity, in ONE test
+    over the real service (reference analog: tests/test_sender.py:37-61
+    drives sender -> venus -> query the same way).
+
+    Asserts, in order: the in-service cadence folded exactly the
+    committed-older epoch (the ADVICE r6 gate); live BM25 ranks the
+    streamed hot docs first while the base path cannot see the
+    still-pending epoch; the live trigram postings carry both streamed
+    batches pre-merge while the base carries one; the dedup screen
+    flagged the streamed near-duplicate against the backfill corpus;
+    and after the remaining merge the base path equals the live view
+    everywhere it should."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.plans.pipeline_ops6 import _bm25_from_index
+    from venus_spark.streaming import start_documents_ingest
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    backfill = docs.filter(F.col("doc_id") < 30)
+    backfill.write.parquet(os.path.join(sf, "documents.parquet"))
+    prepared.documents_postings(spark, sf)
+    prepared.documents_trgm_postings(spark, sf)
+    prepared.documents_minhash(spark, sf)
+
+    # two sender batches: epoch 0 = a hot doc stuffed with the BM25
+    # query terms; epoch 1 = a second hot doc plus a verbatim COPY of a
+    # backfill document (the near-dup the ingest screen must flag)
+    hot = "vector stream merge " * 20
+    dup_text = backfill.filter(F.col("doc_id") == 3).first()["text"]
+    mk = lambda i, text: json.dumps(
+        {"doc_id": i, "text": text, "lang": "en", "source": "web",
+         "n_chars": len(text)}
+    )
+    landing = tmp_path / "landing"
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    subprocess.run(
+        [sys.executable, script, "--landing", str(landing), "--stdin",
+         "--batch-size", "1"],
+        input=mk(2001, hot) + "\n",
+        text=True, check=True, timeout=60,
+    )
+    subprocess.run(
+        [sys.executable, script, "--landing", str(landing), "--stdin",
+         "--batch-size", "2"],
+        input=mk(2002, hot) + "\n" + mk(2003, dup_text) + "\n",
+        text=True, check=True, timeout=60,
+    )
+    assert len(list(landing.iterdir())) == 2  # one file per epoch
+
+    q = start_documents_ingest(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing)),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_sf_dir=sf,
+        trigger_seconds=None,
+        screen_near_dups=True,
+        merge_every=2,
+    )
+    q.awaitTermination()
+
+    # cadence: epoch 1's tick (below_bid=1) folded epoch 0 only
+    post_base = prepared.prepared_path(sf, "documents_postings.parquet")
+    assert prepared._read_merged(post_base) == {0}
+    pend = prepared._pending_path(sf, "documents_postings.parquet")
+    assert prepared._pending_bids_with_data(pend) == {1}
+
+    # LIVE BM25 sees all streamed docs the moment their batch commits;
+    # the base path sees only the merged epoch
+    def topk(reader):
+        return [int(r["doc_id"]) for r in _bm25_from_index(*reader).collect()]
+
+    live = topk(prepared.documents_postings_live(spark, sf))
+    assert set(live[:2]) == {2001, 2002}
+    base = topk(prepared.documents_postings(spark, sf))
+    assert 2001 in base and 2002 not in base  # epoch 1 still pending
+
+    # positional retrieval over the live view: the streamed 3-term
+    # phrase surfaces pre-merge (the with-pending half of the
+    # phrase_search_kterm_live contract), invisible to the base path
+    # for the still-pending epoch
+    from venus_spark.plans.pipeline_ops6 import _kphrase_from_postings
+
+    phrase = ("vector", "stream", "merge")
+    live_post, _d, _s = prepared.documents_postings_live(spark, sf)
+    live_phrase = {
+        int(r["doc_id"]): int(r["n_occurrences"])
+        for r in _kphrase_from_postings(live_post, phrase).collect()
+    }
+    assert live_phrase.get(2001) == 20 and live_phrase.get(2002) == 20
+    base_post, _d, _s = prepared.documents_postings(spark, sf)
+    base_phrase = {
+        int(r["doc_id"])
+        for r in _kphrase_from_postings(base_post, phrase).collect()
+    }
+    assert 2001 in base_phrase and 2002 not in base_phrase
+
+    # live trigram postings carry both epochs pre-merge, base only one
+    live_trgm_docs = {
+        int(r["doc_id"])
+        for r in prepared.documents_trgm_postings_live(spark, sf)
+        .select("doc_id").distinct().collect()
+    }
+    assert {2001, 2002, 2003} <= live_trgm_docs
+    base_trgm_docs = {
+        int(r["doc_id"])
+        for r in prepared.documents_trgm_postings(spark, sf)
+        .select("doc_id").distinct().collect()
+    }
+    assert 2001 in base_trgm_docs and 2002 not in base_trgm_docs
+
+    # the ingest screen flagged the verbatim copy against the backfill
+    verdicts = spark.read.parquet(str(tmp_path / "sink" / "dup_verdicts"))
+    flagged = {
+        (int(r["new_doc"]), int(r["dup_doc"])) for r in verdicts.collect()
+    }
+    assert (2003, 3) in flagged
+
+    # fold the remaining epoch -> base == live everywhere
+    prepared.merge_postings_pending(spark, sf)
+    prepared.merge_trgm_postings_pending(spark, sf)
+    prepared.merge_minhash_pending(spark, sf)
+    assert topk(prepared.documents_postings(spark, sf)) == live
+    assert topk(prepared.documents_postings_live(spark, sf)) == live
+    got = sorted(
+        tuple(r)
+        for r in prepared.documents_trgm_postings(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in prepared.documents_trgm_postings_live(spark, sf).collect()
+    )
+    assert got == want

@@ -512,16 +512,13 @@ ORDER BY doc_id
 """
 
 
-def _term_pair_positions(
-    spark: SparkSession, sf_dir: str, t1: str, t2: str
-) -> DataFrame:
+def _term_pair_positions(post: DataFrame, t1: str, t2: str) -> DataFrame:
     """(doc_id, pos1, pos2) for documents containing BOTH terms —
     the shared scaffolding of the positional queries (phrase,
     proximity): pushed In(term) posting fetch, per-term position
-    lists, doc_id join. One copy so the fetch path cannot fork."""
-    from venus_spark.prepared import documents_postings
-
-    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    lists, doc_id join. One copy so the fetch path cannot fork, and
+    parameterized by the postings relation so the PREPARED (base) and
+    LIVE (base ∪ pending) read paths serve the identical algebra."""
     hits = post.filter(F.col("term").isin(t1, t2))
     p1 = hits.filter(F.col("term") == t1).select(
         "doc_id", F.col("pos").alias("pos1")
@@ -546,8 +543,11 @@ def phrase_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     token adjacency, certifying the positional index end-to-end.
     Generalizes to k-term phrases by chaining the same shifted
     intersection."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
     return (
-        _term_pair_positions(spark, sf_dir, *_PHRASE)
+        _term_pair_positions(post, *_PHRASE)
         .select(
             "doc_id",
             F.size(
@@ -648,6 +648,15 @@ def proximity_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences (single digits per doc), text never read, nothing
     tokenized. Oracle recomputes from raw token positions; position
     BASES differ (0- vs 1-based) but distances are base-invariant."""
+    from venus_spark.prepared import documents_postings
+
+    post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    return _prox_from_postings(post)
+
+
+def _prox_from_postings(post: DataFrame) -> DataFrame:
+    """The proximity algebra over a postings relation — shared by the
+    prepared and live plans so the slop evaluation cannot fork."""
     n_near = F.size(
         F.filter(
             F.flatten(
@@ -660,11 +669,26 @@ def proximity_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        _term_pair_positions(spark, sf_dir, *_PROX_TERMS)
+        _term_pair_positions(post, *_PROX_TERMS)
         .select("doc_id", n_near.alias("n_near"))
         .filter(F.col("n_near") > 0)
         .orderBy("doc_id")
     )
+
+
+@plan("proximity_search_live", oracle=_PROX_ORACLE)
+def proximity_search_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same proximity query over the LIVE postings view (base ∪
+    not-yet-merged streaming batches) — certifying that positional
+    queries served from the streaming read path degrade to the
+    prepared one on a quiescent corpus, exactly as ``bm25_topk_live``
+    does for ranked retrieval; the with-pending half (a streamed
+    document matching the slop window pre-merge) is covered by the
+    full-topology streaming test."""
+    from venus_spark.prepared import documents_postings_live
+
+    post, _dfreq, _stats = documents_postings_live(spark, sf_dir)
+    return _prox_from_postings(post)
 
 
 # --------------------------------------------------------------------------
@@ -706,19 +730,28 @@ def phrase_search_kterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.prepared import documents_postings
 
     post, _dfreq, _stats = documents_postings(spark, sf_dir)
-    fetched = post.filter(F.col("term").isin(*_KPHRASE)).select(
+    return _kphrase_from_postings(post)
+
+
+def _kphrase_from_postings(
+    post: DataFrame, phrase: tuple[str, ...] = _KPHRASE
+) -> DataFrame:
+    """The chained k-term position intersection over a postings
+    relation — shared by the prepared and live plans (and the
+    streaming tests, which query a streamed phrase through it)."""
+    fetched = post.filter(F.col("term").isin(*phrase)).select(
         "term", "doc_id", "pos"
     )
 
     def plist(i: int) -> DataFrame:
         # positions of term i re-based to the phrase START position
-        return fetched.filter(F.col("term") == _KPHRASE[i]).select(
+        return fetched.filter(F.col("term") == phrase[i]).select(
             "doc_id",
             F.transform("pos", lambda x: x - i).alias(f"p{i}"),
         )
 
     cand = plist(0).withColumnRenamed("p0", "starts")
-    for i in range(1, len(_KPHRASE)):
+    for i in range(1, len(phrase)):
         cand = cand.join(plist(i), "doc_id").select(
             "doc_id",
             F.array_intersect("starts", f"p{i}").alias("starts"),
@@ -728,3 +761,17 @@ def phrase_search_kterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") > 0)
         .orderBy("doc_id")
     )
+
+
+@plan("phrase_search_kterm_live", oracle=_KPHRASE_ORACLE)
+def phrase_search_kterm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-term phrase over the LIVE postings view (base ∪
+    not-yet-merged streaming batches) — the streaming read path of
+    positional retrieval, degrading to the prepared plan on a
+    quiescent corpus under the same raw-token oracle; a streamed
+    document whose phrase must surface pre-merge is asserted in the
+    full-topology streaming test."""
+    from venus_spark.prepared import documents_postings_live
+
+    post, _dfreq, _stats = documents_postings_live(spark, sf_dir)
+    return _kphrase_from_postings(post)
