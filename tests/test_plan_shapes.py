@@ -673,3 +673,13 @@ def test_vocab_coverage_oov_tokenizes_once(spark):
     plan = formatted_plan(all_plans()["vocab_coverage_oov"].fn(spark, SF))
     assert "Scan parquet" not in plan, plan[:1500]
     assert "Scan ExistingRDD" in plan  # the checkpointed tokens relation
+
+
+def test_kv_postings_pushes_containment_fetch(spark):
+    """The jsonb-GIN analog must fetch a containment query's kv entries
+    as ONE pushed parquet filter over the kv-sorted postings (the GIN
+    bitmap-scan shape), never scan the postings unfiltered."""
+    from venus_spark.plans import all_plans
+
+    plan = formatted_plan(all_plans()["json_containment_indexed"].fn(spark, SF))
+    assert re.search(r"PushedFilters: \[.*In\(kv, \[", plan), plan[:2000]

@@ -1486,3 +1486,114 @@ def test_trgm_candidate_gate_robust_to_duplicate_posting_rows(
     assert got_fuzzy == expect_fuzzy
     got_sim = plans["similar_docs_trgm"].fn(spark, sf).collect()
     assert got_sim == expect_sim
+
+
+def test_kv_postings_append_equals_rebuild_and_guard(
+    spark, tmp_path, monkeypatch
+):
+    """The jsonb-GIN analog joins the append_events artifact family:
+    (a) appending a batch yields row-for-row the same postings as a
+    full rebuild over the union; (b) a retry of the same batch id is a
+    no-op (manifested); (c) once the layout holds appended batches a
+    constant-drift rebuild refuses rather than silently dropping them
+    (the rows exist only in the layouts, not the base parquet)."""
+    import json as _j
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    sf = str(tmp_path / "sf")
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    batch = ev.filter(F.col("event_id") % 5 == 0)
+    base.write.parquet(os.path.join(sf, "events.parquet"))
+    # append_events touches every artifact family; build them all first
+    for fn in (
+        prepared.events_hourly_rollup,
+        prepared.events_daily_hll,
+        prepared.events_by_date,
+        prepared.events_by_user,
+        prepared.events_zorder,
+        prepared.events_kv_postings,
+    ):
+        fn(spark, sf)
+    prepared.append_events(spark, sf, batch, batch_id=1)
+    prepared.append_events(spark, sf, batch, batch_id=1)  # retry: no-op
+
+    full_sf = str(tmp_path / "full_sf")
+    ev.write.parquet(os.path.join(full_sf, "events.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in prepared.events_kv_postings(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in prepared.events_kv_postings(spark, full_sf).collect()
+    )
+    assert got == want
+
+    path = prepared.prepared_path(sf, "events_kv_postings.parquet")
+    stamp = os.path.join(path, "_prep_meta.json")
+    meta = _j.load(open(stamp))
+    meta["rows"] = "other"
+    _j.dump(meta, open(stamp, "w"))
+    with pytest.raises(RuntimeError, match="appended/streamed"):
+        prepared.events_kv_postings(spark, sf)
+
+
+def test_compact_kv_postings_preserves_rows_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE for the kv postings: row set identical after
+    compaction (manifest/stamp carried — a post-compaction retry of an
+    absorbed batch stays a no-op), and an interrupted swap completes on
+    the next read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    sf = str(tmp_path / "sf")
+    ev.filter(F.col("event_id") % 5 != 0).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    for fn in (
+        prepared.events_hourly_rollup,
+        prepared.events_daily_hll,
+        prepared.events_by_date,
+        prepared.events_by_user,
+        prepared.events_zorder,
+        prepared.events_kv_postings,
+    ):
+        fn(spark, sf)
+    batch = ev.filter(F.col("event_id") % 5 == 0)
+    prepared.append_events(spark, sf, batch, batch_id=3)
+    before = sorted(
+        tuple(r) for r in prepared.events_kv_postings(spark, sf).collect()
+    )
+    prepared.compact_events_kv_postings(spark, sf)
+    path = prepared.prepared_path(sf, "events_kv_postings.parquet")
+    assert 3 in prepared._read_abatch_manifest(path)  # manifest carried
+    after = sorted(
+        tuple(r) for r in prepared.events_kv_postings(spark, sf).collect()
+    )
+    assert after == before
+    prepared.append_events(spark, sf, batch, batch_id=3)  # retry: no-op
+    assert sorted(
+        tuple(r) for r in prepared.events_kv_postings(spark, sf).collect()
+    ) == before
+
+    # crash mid-swap: tmp complete, base renamed away -> read recovers
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    os.rename(path, tmp)  # a COMPLETE tmp (has _SUCCESS)
+    assert sorted(
+        tuple(r) for r in prepared.events_kv_postings(spark, sf).collect()
+    ) == before

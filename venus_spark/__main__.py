@@ -198,10 +198,14 @@ def cmd_maintain(args) -> int:
     elif args.op == "compact-postings":
         spark = _spark()
         prepared.compact_documents_postings(spark, args.sf)
-        # the trigram postings degrade the same way under appends; one
-        # OPTIMIZE op restores both term- and trigram-sorted layouts
+        # the trigram and kv postings degrade the same way under
+        # appends; one OPTIMIZE op restores all three sorted layouts
         prepared.compact_documents_trgm_postings(spark, args.sf)
-        print(f"documents_postings + documents_trgm_postings compacted for {args.sf}")
+        prepared.compact_events_kv_postings(spark, args.sf)
+        print(
+            "documents_postings + documents_trgm_postings + "
+            f"events_kv_postings compacted for {args.sf}"
+        )
     return 0
 
 

@@ -595,6 +595,12 @@ def boolean_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.prepared import documents_postings
 
     post, _dfreq, _stats = documents_postings(spark, sf_dir)
+    return _bool_from_postings(post)
+
+
+def _bool_from_postings(post: DataFrame) -> DataFrame:
+    """The AND/NOT posting algebra over a postings relation — shared by
+    the prepared and live plans."""
     fetched = post.filter(
         F.col("term").isin(*_BOOL_MUST, _BOOL_NOT)
     ).select("term", "doc_id")
@@ -608,6 +614,22 @@ def boolean_search_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(plist(_BOOL_NOT), "doc_id", "left_anti")
         .orderBy("doc_id")
     )
+
+
+@plan("boolean_search_live", oracle=_BOOL_ORACLE)
+def boolean_search_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval over the LIVE postings view — with the live
+    twins for BM25, k-term phrase, and proximity this completes the
+    set: every retrieval mode the inverted index serves is also served
+    from base ∪ pending, so a streaming deployment never trades query
+    capability for freshness. NOT semantics are exact on the union: a
+    streamed document containing the excluded term is anti-joined out
+    the moment its batch commits. Degrades to the prepared plan on a
+    quiescent corpus under the same raw-token oracle."""
+    from venus_spark.prepared import documents_postings_live
+
+    post, _dfreq, _stats = documents_postings_live(spark, sf_dir)
+    return _bool_from_postings(post)
 
 
 # --------------------------------------------------------------------------

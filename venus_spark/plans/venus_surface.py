@@ -776,6 +776,51 @@ def json_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
 
 
+@plan("json_containment_indexed", oracle=_CONTAIN_ORACLE)
+def json_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same B11 containment query served by the INDEX access path
+    the reference actually relies on (migration :37 builds a
+    ``jsonb_path_ops`` GIN on ``logs.data`` precisely so ``@>`` never
+    scans; README.rst:105-107): the prepared ``events_kv_postings``
+    table stores one (kv, event_id) row per present key — value pairs
+    (``k=7``) for ``@>``, key-presence rows (``?uid``) for ``?`` — so
+    the query's three conjuncts fetch as ONE pushed ``In(kv, ...)``
+    filter over the kv-sorted layout, candidates are the events
+    containing all three entries (at-least-distinct count, immune to
+    duplicated posting rows), and only candidates are semi-joined back
+    to the table for the recheck + projection — GIN bitmap scan →
+    heap recheck, work proportional to the queried pairs' posting
+    lists. Same oracle as the scan twin: the index changes the access
+    path, never the answer."""
+    from venus_spark.prepared import events_kv_postings
+
+    need = ["k=7", "type=click", "?uid"]
+    post = events_kv_postings(spark, sf_dir)
+    cand = (
+        post.filter(F.col("kv").isin(need))
+        .groupBy("event_id")
+        .agg(F.countDistinct("kv").alias("n_hit"))
+        .filter(F.col("n_hit") == len(need))
+        .select("event_id")
+    )
+    ev = load_table(spark, sf_dir, "events").join(
+        F.broadcast(cand), "event_id", "left_semi"
+    )
+    data = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.col("event_type").alias("type"),
+            F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uid"),
+        )
+    )
+    logs = ev.withColumn("data", data)
+    return logs.filter(
+        (F.get_json_object("data", "$.k").cast("int") == 7)
+        & (F.get_json_object("data", "$.type") == "click")
+        & F.get_json_object("data", "$.uid").isNotNull()
+    ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
+
+
 # --------------------------------------------------------------------------
 # The SQL front door: the reference's user interface IS SQL text
 # (README.rst:82-107 documents the query surface as literal SQL to run

@@ -394,6 +394,66 @@ def events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_KV_POST_META = {
+    "doc": ["k", "type", "uid"],
+    "rows": "pair+key",
+    "layout": "range(kv)",
+}
+
+
+def _events_kv_rows(events: DataFrame) -> DataFrame:
+    """(kv, event_id) postings for the reference-shaped JSON document —
+    the write side of the jsonb GIN analog: for every PRESENT top-level
+    key the document gets one value-pair row (``key=value``, what
+    ``jsonb_path_ops`` hashes to serve ``@>``) and one key-presence row
+    (``?key``, what the default ``jsonb_ops`` class adds to serve the
+    ``?`` existence operator). Absent keys (here ``uid`` on ~1/3 of
+    rows) contribute nothing — exactly the missing-key semantics the
+    containment conjunction relies on. Derived per-row (a document's
+    entries depend only on that document), so batches append O(batch)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    typ = F.col("event_type")
+    uid = F.when(F.col("user_id") % 3 != 0, F.col("user_id"))
+    entries = F.array(
+        F.when(k.isNotNull(), F.concat(F.lit("k="), k.cast("string"))),
+        F.when(typ.isNotNull(), F.concat(F.lit("type="), typ)),
+        F.when(uid.isNotNull(), F.concat(F.lit("uid="), uid.cast("string"))),
+        F.when(k.isNotNull(), F.lit("?k")),
+        F.when(typ.isNotNull(), F.lit("?type")),
+        F.when(uid.isNotNull(), F.lit("?uid")),
+    )
+    return events.select(
+        F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("kv"),
+        "event_id",
+    )
+
+
+def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``jsonb_path_ops`` GIN analog (migration :37,52,73 builds
+    one on every JSONB column; README.rst:105-107 tells users to phrase
+    WHERE clauses so it is used): a (kv, event_id) postings table over
+    the composed JSON document, globally kv-range-partitioned and
+    kv-sorted so a containment query's pairs fetch as a pushed
+    ``In(kv, ...)`` parquet filter with row-group pruning — the GIN
+    bitmap-scan shape, work proportional to the queried pairs' posting
+    lists, never the table. Built once at ingest time like every
+    reference index; ``append_events`` maintains it per batch."""
+    path = prepared_path(sf_dir, "events_kv_postings.parquet")
+    _recover_swap(path, ".compact")  # finish any interrupted compaction
+    if not _is_built(path, _KV_POST_META):
+        _refuse_rebuild_with_absorbed_batches(path, "kv postings")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        (
+            _events_kv_rows(load_table(spark, sf_dir, "events"))
+            .repartitionByRange("kv")
+            .sortWithinPartitions("kv", "event_id")
+            .write.parquet(path)
+        )
+        _stamp(path, _KV_POST_META)
+    return spark.read.parquet(path)
+
+
 def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with the JSON payload stored as Spark 4 ``VARIANT``
     (SURVEY §1.4's primary JSONB mapping): ``props_v`` is the raw
@@ -657,6 +717,17 @@ def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> None:
     post = documents_trgm_postings(spark, sf_dir)
     path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
     _compact_sorted_swap(post, path, _TRGM_POST_META, ("trg", "doc_id"))
+
+
+def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> None:
+    """The OPTIMIZE job for the jsonb-GIN analog — appended batches
+    land their own kv-sorted file sets, diluting the pushed In(kv)
+    pruning; the compaction rewrites one globally kv-range-partitioned
+    sorted set through the crash-safe swap (stamp/manifest/marker
+    carried)."""
+    post = events_kv_postings(spark, sf_dir)
+    path = prepared_path(sf_dir, "events_kv_postings.parquet")
+    _compact_sorted_swap(post, path, _KV_POST_META, ("kv", "event_id"))
 
 
 def _compact_sorted_swap(
@@ -991,6 +1062,18 @@ def append_events(
     z_path = prepared_path(sf_dir, "events_zorder.parquet")
     min_hour = int(_read_meta(z_path)["min_hour"])
     _append_batch_files(_z_sorted(new_events, min_hour, 4), z_path, batch_id)
+
+    events_kv_postings(spark, sf_dir)
+    # the jsonb-GIN analog: the batch's own kv-sorted posting rows
+    # append under the same manifest (per-file row-group stats stay
+    # tight; appended rows exist only here and in the other layouts,
+    # so the refuse-rebuild guard protects them from a from-base drop)
+    _append_batch_files(
+        _events_kv_rows(new_events).repartitionByRange(4, "kv")
+        .sortWithinPartitions("kv", "event_id"),
+        prepared_path(sf_dir, "events_kv_postings.parquet"),
+        batch_id,
+    )
 
 
 def _recover_swap(path: str, tag: str) -> None:
