@@ -1597,3 +1597,157 @@ def test_compact_kv_postings_preserves_rows_and_recovers(
     assert sorted(
         tuple(r) for r in prepared.events_kv_postings(spark, sf).collect()
     ) == before
+
+
+def test_delete_adj_sidecar_survives_plain_append(
+    spark, tmp_path, monkeypatch
+):
+    """Review r7 #1: the ``_delete_adj.json`` exactly-once marker lives
+    inside the stats directory, and plain append_documents' stats
+    overwrite used to wipe it — reopening the double-subtraction
+    window for an UNCOMMITTED delete whose retry runs after the
+    append. Sequence under test: scrub-path delete crashes after its
+    stats adjustment commits but before the tombstone manifest; a
+    plain append runs; the delete is retried. Stats must equal a full
+    rebuild over (base + both appends) minus the deleted doc —
+    subtracted exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 40).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_trgm(spark, sf)
+    prepared.documents_trgm_postings(spark, sf)
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_postings(spark, sf)
+    app1 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 48)).withColumn(
+        "doc_id", F.col("doc_id") + 960
+    )
+    app2 = docs.filter((F.col("doc_id") >= 48) & (F.col("doc_id") < 56)).withColumn(
+        "doc_id", F.col("doc_id") + 2000
+    )
+    prepared.append_documents(spark, sf, app1)  # index now absorbed
+
+    # crash window: adjustment + scrub committed, tombstone manifest NOT
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    prepared._scrub_postings_delete(spark, sf, ids, batch_id=9)
+    stats_path = prepared.prepared_path(sf, "documents_stats.parquet")
+    assert prepared._read_delete_adj_applied(stats_path) == {9}
+
+    prepared.append_documents(spark, sf, app2)
+    assert prepared._read_delete_adj_applied(stats_path) == {9}, (
+        "plain append must carry the delete-adjustment sidecar"
+    )
+
+    # the retry completes the delete without subtracting doc 3 again
+    prepared.tombstone_documents(spark, sf, [3], batch_id=9)
+    full_sf = str(tmp_path / "full_sf")
+    (
+        docs.filter(F.col("doc_id") < 40)
+        .unionByName(app1)
+        .unionByName(app2)
+        .filter(F.col("doc_id") != 3)
+        .write.parquet(os.path.join(full_sf, "documents.parquet"))
+    )
+    _p, _d, exp_stats = prepared.documents_postings(spark, full_sf)
+    _p, _d, got_stats = prepared.documents_postings(spark, sf)
+    assert got_stats.first().asDict() == exp_stats.first().asDict()
+
+
+def test_kv_postings_fresh_build_refused_when_siblings_absorbed(
+    spark, tmp_path, monkeypatch
+):
+    """Review r7 #2: a layout added AFTER sibling event layouts
+    absorbed appended batches cannot be built from the base parquet —
+    those batches' rows exist only in the siblings. The fresh build
+    must refuse loudly (its own manifest is empty, so the standard
+    guard passes; the rollup's manifest is the authoritative absorbed
+    set)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    sf = str(tmp_path / "sf")
+    ev.filter(F.col("event_id") % 5 != 0).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    for fn in (
+        prepared.events_hourly_rollup,
+        prepared.events_daily_hll,
+        prepared.events_by_date,
+        prepared.events_by_user,
+        prepared.events_zorder,
+        prepared.events_kv_postings,
+    ):
+        fn(spark, sf)
+    prepared.append_events(
+        spark, sf, ev.filter(F.col("event_id") % 5 == 0), batch_id=1
+    )
+    # simulate "layout did not exist when the batches were appended"
+    shutil.rmtree(prepared.prepared_path(sf, "events_kv_postings.parquet"))
+    with pytest.raises(RuntimeError, match="sibling event layouts"):
+        prepared.events_kv_postings(spark, sf)
+
+
+def test_gated_minhash_merge_keeps_band_layout(spark, tmp_path, monkeypatch):
+    """Review r7 #3: a cadence tick whose below_bid gate folds nothing
+    leaves the MinHash base byte-identical — it must NOT invalidate the
+    bucketed LSH band table (that would force a needless corpus-sized
+    rebuild on the next near-dup screen). A tick that DOES fold must
+    still invalidate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)
+    table = prepared.lsh_bands_bucketed(spark, sf)
+    assert spark.catalog.tableExists(table)
+    new = docs.filter(F.col("doc_id") >= 30).limit(8).withColumn(
+        "doc_id", F.col("doc_id") + 970
+    )
+    prepared.write_minhash_pending(sf, new, 0)
+    assert prepared.merge_minhash_pending(spark, sf, below_bid=0) == 0
+    assert spark.catalog.tableExists(table), "no-op merge dropped the bands"
+    assert prepared.merge_minhash_pending(spark, sf, below_bid=1) > 0
+    assert not spark.catalog.tableExists(table)  # real fold invalidates
+
+
+def test_compact_kv_postings_noop_without_layout(spark, tmp_path, monkeypatch):
+    """Review r7 #4: the OPTIMIZE op must compact only what exists — on
+    an sf_dir that never built the kv layout it returns False instead
+    of building one (or crashing on a dir with no events table) as a
+    maintenance side effect."""
+    import os
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "docs_only_sf")
+    os.makedirs(sf)
+    assert prepared.compact_events_kv_postings(spark, sf) is False
+    assert not os.path.exists(
+        prepared.prepared_path(sf, "events_kv_postings.parquet")
+    )

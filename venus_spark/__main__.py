@@ -201,10 +201,11 @@ def cmd_maintain(args) -> int:
         # the trigram and kv postings degrade the same way under
         # appends; one OPTIMIZE op restores all three sorted layouts
         prepared.compact_documents_trgm_postings(spark, args.sf)
-        prepared.compact_events_kv_postings(spark, args.sf)
+        kv = prepared.compact_events_kv_postings(spark, args.sf)
         print(
-            "documents_postings + documents_trgm_postings + "
-            f"events_kv_postings compacted for {args.sf}"
+            "documents_postings + documents_trgm_postings"
+            + (" + events_kv_postings" if kv else "")
+            + f" compacted for {args.sf}"
         )
     return 0
 

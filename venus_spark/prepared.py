@@ -442,6 +442,24 @@ def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     _recover_swap(path, ".compact")  # finish any interrupted compaction
     if not _is_built(path, _KV_POST_META):
         _refuse_rebuild_with_absorbed_batches(path, "kv postings")
+        # A layout added AFTER other event layouts absorbed appended
+        # batches cannot be built from the base parquet alone — those
+        # batches' rows exist only in the sibling layouts (review r7
+        # #2: the guard above sees this path's own empty manifest and
+        # passes). The rollup is append_events' always-maintained
+        # sibling, so its manifest is the authoritative absorbed set.
+        sibling = _read_abatch_manifest(
+            prepared_path(sf_dir, "events_hourly_rollup.parquet")
+        )
+        if sibling and not os.path.exists(path):
+            raise RuntimeError(
+                f"events_kv_postings for {sf_dir} cannot be freshly built: "
+                f"sibling event layouts hold appended batches {sorted(sibling)} "
+                "whose rows the base events parquet does not contain — a "
+                "from-base build would silently omit them. Re-land those "
+                "batches in the base table first, or append them to the kv "
+                "postings explicitly after building."
+            )
         if os.path.exists(path):
             shutil.rmtree(path)
         (
@@ -719,15 +737,22 @@ def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> None:
     _compact_sorted_swap(post, path, _TRGM_POST_META, ("trg", "doc_id"))
 
 
-def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> None:
+def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> bool:
     """The OPTIMIZE job for the jsonb-GIN analog — appended batches
     land their own kv-sorted file sets, diluting the pushed In(kv)
     pruning; the compaction rewrites one globally kv-range-partitioned
     sorted set through the crash-safe swap (stamp/manifest/marker
-    carried)."""
-    post = events_kv_postings(spark, sf_dir)
+    carried). Compacts only what EXISTS: on an sf_dir that never built
+    the layout (e.g. a documents-serving dir with no events table) it
+    returns False instead of building a layout as a maintenance
+    side effect (review r7 #4)."""
     path = prepared_path(sf_dir, "events_kv_postings.parquet")
+    _recover_swap(path, ".compact")
+    if not os.path.exists(path):
+        return False
+    post = events_kv_postings(spark, sf_dir)
     _compact_sorted_swap(post, path, _KV_POST_META, ("kv", "event_id"))
+    return True
 
 
 def _compact_sorted_swap(
@@ -1270,6 +1295,12 @@ def append_documents(
     )
     _mark_appended(post_path)
     old = spark.read.parquet(stats_path).first()
+    # The delete-adjustment sidecar is the exactly-once marker of
+    # _scrub_postings_delete; _write_stats' overwrite wipes the
+    # directory, so carry it like manifests are carried across every
+    # row-set-preserving rewrite — losing it would let an uncommitted
+    # delete's retry subtract the same docs twice (review r7 #1).
+    adj_applied = _read_delete_adj_applied(stats_path)
     b_n, b_sum = _doclen_counters(new_docs)
     _write_dfreq(spark, post_path, dfreq_path)
     _write_stats(
@@ -1277,6 +1308,9 @@ def append_documents(
     )
     _stamp(dfreq_path, _POSTINGS_META)
     _stamp(stats_path, _POSTINGS_META)
+    if adj_applied:
+        with open(os.path.join(stats_path, _DELETE_ADJ_SIDECAR), "w") as f:
+            json.dump(sorted(adj_applied), f)
     _drop_lsh_bands(spark, sf_dir)
 
 
@@ -1729,9 +1763,14 @@ def merge_minhash_pending(
         spark, sf_dir, _MINHASH_INDEX, mark_appended=False,
         below_bid=below_bid,
     )  # rebuild-refusal rides the merged manifest itself for this index
-    # Band-key layout derives from the base index contents; invalidate
-    # so the colocated dedup plan rebuilds over the merged corpus.
-    _drop_lsh_bands(spark, sf_dir)
+    if n > 0:
+        # Band-key layout derives from the base index contents;
+        # invalidate so the colocated dedup plan rebuilds over the
+        # merged corpus. Gated on files actually moved: a below_bid
+        # cadence tick that folded nothing leaves the base byte-
+        # identical, and dropping the bands would force a needless
+        # corpus-sized rebuild on the next near-dup screen.
+        _drop_lsh_bands(spark, sf_dir)
     return n
 
 
