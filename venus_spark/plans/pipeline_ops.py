@@ -366,6 +366,24 @@ def dedup_minhash_lsh_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("dedup_minhash_lsh_live", oracle=_minhash_oracle())
+def dedup_minhash_lsh_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide near-dup pass over the LIVE MinHash view (base ∪
+    not-yet-merged streaming batches) — so a scheduled dedup run sees
+    documents the ingest service landed minutes ago without waiting for
+    the next VACUUM merge, completing the live read-path family (BM25 /
+    phrase / proximity / boolean / fuzzy-trigram / near-dup all serve
+    from base-plus-pending). Degrades to the prepared plan on a
+    quiescent corpus under the same oracle; the with-pending half is
+    covered by the streaming dedup tests' screen over the same view."""
+    from venus_spark.operators.dedup import lsh_near_dup_pairs_from_index
+    from venus_spark.prepared import documents_minhash_live
+
+    return lsh_near_dup_pairs_from_index(
+        documents_minhash_live(spark, sf_dir), threshold=_JACCARD_T
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash per-document values
 # --------------------------------------------------------------------------

@@ -947,3 +947,74 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "pos_in_stage")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility: characters consumed per produced token, by language
+# --------------------------------------------------------------------------
+
+# BIGINT/BIGINT promotes to double identically in both engines; shared
+# strings so neither ratio can fork between Spark and the oracle.
+_CHARS_PER_TOKEN = (
+    "ROUND(CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
+)
+_TOKENS_PER_DOC = (
+    "ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+)
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         LENGTH(text) AS n_chars,
+         LEN({tokens_sql('LOWER(text)')}) AS n_toks
+  FROM documents
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_tokens,
+       {_CHARS_PER_TOKEN} AS chars_per_token,
+       {_TOKENS_PER_DOC} AS tokens_per_doc
+FROM agg ORDER BY lang
+"""
+
+
+@plan("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — characters consumed per produced
+    token and tokens per document, by language: the compression-rate
+    report a tokenizer-fitting run reads next to the OOV table
+    (``vocab_coverage_oov``). A language whose chars-per-token runs hot
+    is being fragmented (each token carries little text — the fertility
+    problem multilingual BPE vocabularies are tuned against); one whose
+    tokens-per-doc collapses signals truncated or boilerplate content.
+
+    Scale shape: one narrow scan computing two per-row integers, one
+    partial-aggregating languages-keyed groupBy, integer sums with two
+    closing divisions — nothing here grows with corpus size except the
+    single scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(tokens(F.lower(F.col("text")))).alias("n_toks"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.expr(_CHARS_PER_TOKEN).alias("chars_per_token"),
+            F.expr(_TOKENS_PER_DOC).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
