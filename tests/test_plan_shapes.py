@@ -676,10 +676,67 @@ def test_vocab_coverage_oov_tokenizes_once(spark):
 
 
 def test_kv_postings_pushes_containment_fetch(spark):
-    """The jsonb-GIN analog must fetch a containment query's kv entries
-    as ONE pushed parquet filter over the kv-sorted postings (the GIN
-    bitmap-scan shape), never scan the postings unfiltered."""
+    """The jsonb-GIN analog's two access-path halves both push: the
+    candidate fetch reads the kv-sorted postings with the selective
+    entries as a pushed parquet filter (the GIN bitmap-scan shape,
+    never an unfiltered postings scan), and the returned recheck plan
+    reads the events table with the candidate ids inlined as a pushed
+    In(event_id, ...) literal filter (a join column never pushes — the
+    keyset-pagination lesson)."""
     from venus_spark.plans import all_plans
+    from venus_spark.plans.venus_surface import _CONTAIN_NEEDLES
+    from venus_spark.prepared import events_kv_postings
+
+    fetch = events_kv_postings(spark, SF).filter(
+        F.col("kv").isin(list(_CONTAIN_NEEDLES))
+    )
+    assert re.search(
+        r"PushedFilters: \[.*In\(kv, \[", formatted_plan(fetch)
+    ), formatted_plan(fetch)[:2000]
 
     plan = formatted_plan(all_plans()["json_containment_indexed"].fn(spark, SF))
-    assert re.search(r"PushedFilters: \[.*In\(kv, \[", plan), plan[:2000]
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(event_id", plan) or (
+        # sf with zero candidates: the statistics/candidate proof
+        # collapses the whole plan to an empty local relation
+        "LocalTableScan" in plan
+        or "LocalLimit" in plan
+    ), plan[:2000]
+
+
+def test_kv_containment_planner_fallback_and_empty_proof(
+    spark, monkeypatch
+):
+    """The gincostestimate-style planning of json_containment_indexed:
+    (a) when no entry is selective (df cap forced to 0) the plan falls
+    back to the scan twin and still returns the identical rows — the
+    planner choosing a seqscan over a useless index; (b) a required
+    entry with NO postings proves the containment empty without
+    touching the events table; (c) the normal plan, the fallback, and
+    the scan twin all agree."""
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+
+    plans = all_plans()
+    want = sorted(
+        map(tuple, plans["json_containment"].fn(spark, SF).collect())
+    )
+    got = sorted(
+        map(tuple, plans["json_containment_indexed"].fn(spark, SF).collect())
+    )
+    assert got == want
+
+    monkeypatch.setattr(vs, "_KV_DF_CAP", 0)
+    fallback = sorted(
+        map(tuple, plans["json_containment_indexed"].fn(spark, SF).collect())
+    )
+    assert fallback == want
+    monkeypatch.undo()
+
+    monkeypatch.setattr(
+        vs, "_CONTAIN_NEEDLES", ("k=7", "type=click", "?no_such_key")
+    )
+    empty = plans["json_containment_indexed"].fn(spark, SF)
+    assert empty.count() == 0
+    # the empty proof comes from the statistics alone: a LocalLimit(0)
+    # plan, no posting fetch, no candidate job
+    assert "In(kv" not in formatted_plan(empty)

@@ -428,6 +428,33 @@ def _events_kv_rows(events: DataFrame) -> DataFrame:
     )
 
 
+def events_kv_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry posting-list lengths ``(kv, df)`` for the kv postings
+    — the statistics a GIN cost estimate keys on: the containment plan
+    reads its needles' dfs (a tiny pushed-In lookup) and generates
+    candidates from only the SELECTIVE entries, rechecking the common
+    ones on the fetched rows instead of hauling their huge posting
+    lists through an aggregation. Derived from the postings (rebuilt
+    alongside them; refreshed after every append like the documents
+    dfreq)."""
+    events_kv_postings(spark, sf_dir)  # ensure source + dfreq built
+    return spark.read.parquet(
+        prepared_path(sf_dir, "events_kv_dfreq.parquet")
+    )
+
+
+def _write_kv_dfreq(spark: SparkSession, post_path: str, dfreq_path: str) -> None:
+    (
+        spark.read.parquet(post_path)
+        .groupBy("kv")
+        .agg(F.count("*").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dfreq_path)
+    )
+    _stamp(dfreq_path, _KV_POST_META)
+
+
 def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``jsonb_path_ops`` GIN analog (migration :37,52,73 builds
     one on every JSONB column; README.rst:105-107 tells users to phrase
@@ -469,6 +496,14 @@ def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.parquet(path)
         )
         _stamp(path, _KV_POST_META)
+        _write_kv_dfreq(
+            spark, path, prepared_path(sf_dir, "events_kv_dfreq.parquet")
+        )
+    dfreq_path = prepared_path(sf_dir, "events_kv_dfreq.parquet")
+    if not _is_built(dfreq_path, _KV_POST_META):
+        # dfreq lost or stale (crash mid-refresh) — re-derive from the
+        # postings, which are the source of truth
+        _write_kv_dfreq(spark, path, dfreq_path)
     return spark.read.parquet(path)
 
 
@@ -1098,6 +1133,19 @@ def append_events(
         .sortWithinPartitions("kv", "event_id"),
         prepared_path(sf_dir, "events_kv_postings.parquet"),
         batch_id,
+    )
+    # df is a corpus-wide aggregate, so the append invalidates it —
+    # refresh from the postings (vocabulary-sized), same discipline as
+    # the documents dfreq. These are PLANNING statistics only (entry
+    # selection; the recheck keeps answers exact regardless), so a
+    # crash between the append and this refresh merely leaves them one
+    # batch stale — pg's stale-pg_statistic posture — until the next
+    # refresh; a torn overwrite loses the stamp and the ensure-read
+    # re-derives.
+    _write_kv_dfreq(
+        spark,
+        prepared_path(sf_dir, "events_kv_postings.parquet"),
+        prepared_path(sf_dir, "events_kv_dfreq.parquet"),
     )
 
 
