@@ -1751,3 +1751,54 @@ def test_compact_kv_postings_noop_without_layout(spark, tmp_path, monkeypatch):
     assert not os.path.exists(
         prepared.prepared_path(sf, "events_kv_postings.parquet")
     )
+
+
+def test_band_drop_precedes_minhash_fold_crash_window(
+    spark, tmp_path, monkeypatch
+):
+    """Review r7 pass-2 #2: the band-table invalidation must happen
+    BEFORE the fold — a crash after the fold's manifest commit but
+    before a post-fold drop would leave the bucketed band table
+    permanently stale (the retry folds nothing, so an after-the-fact
+    drop never fires) and silently lose near-dup candidates. Simulate
+    the crash by making the fold raise after completing: the band
+    table must already be gone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)
+    table = prepared.lsh_bands_bucketed(spark, sf)
+    assert spark.catalog.tableExists(table)
+    new = docs.filter(F.col("doc_id") >= 30).limit(8).withColumn(
+        "doc_id", F.col("doc_id") + 970
+    )
+    prepared.write_minhash_pending(sf, new, 0)
+
+    real = prepared._merge_pending
+
+    def crash_after_fold(*a, **kw):
+        real(*a, **kw)
+        raise RuntimeError("crash between fold and any post-fold step")
+
+    monkeypatch.setattr(prepared, "_merge_pending", crash_after_fold)
+    with pytest.raises(RuntimeError, match="crash between"):
+        prepared.merge_minhash_pending(spark, sf)
+    assert not spark.catalog.tableExists(table), (
+        "bands must be invalidated BEFORE the fold"
+    )
+    monkeypatch.setattr(prepared, "_merge_pending", real)
+    # retry converges; the band table rebuilds lazily over the merged set
+    prepared.merge_minhash_pending(spark, sf)
+    rebuilt = prepared.lsh_bands_bucketed(spark, sf)
+    n_rows = spark.table(rebuilt).select("doc_id").distinct().count()
+    assert n_rows == prepared.documents_minhash(spark, sf).count()

@@ -197,16 +197,25 @@ def cmd_maintain(args) -> int:
         print(f"vacuumed {n} index row(s) for tombstoned documents/vectors")
     elif args.op == "compact-postings":
         spark = _spark()
-        prepared.compact_documents_postings(spark, args.sf)
-        # the trigram and kv postings degrade the same way under
-        # appends; one OPTIMIZE op restores all three sorted layouts
-        prepared.compact_documents_trgm_postings(spark, args.sf)
-        kv = prepared.compact_events_kv_postings(spark, args.sf)
-        print(
-            "documents_postings + documents_trgm_postings"
-            + (" + events_kv_postings" if kv else "")
-            + f" compacted for {args.sf}"
-        )
+        # one OPTIMIZE op restores every sorted postings layout that
+        # EXISTS on this sf_dir (term, trigram, kv) — a layout the dir
+        # never built is skipped, never built as a side effect
+        done = [
+            name
+            for name, fn in (
+                ("documents_postings", prepared.compact_documents_postings),
+                (
+                    "documents_trgm_postings",
+                    prepared.compact_documents_trgm_postings,
+                ),
+                ("events_kv_postings", prepared.compact_events_kv_postings),
+            )
+            if fn(spark, args.sf)
+        ]
+        if done:
+            print(" + ".join(done) + f" compacted for {args.sf}")
+        else:
+            print(f"no postings layouts found for {args.sf}")
     return 0
 
 

@@ -807,13 +807,18 @@ def _kv_needle_dfs(
 
     path = prepared_path(sf_dir, "events_kv_dfreq.parquet")
     dfreq = events_kv_dfreq(spark, sf_dir)  # ensures built
-    key = (path, os.path.getmtime(path), tuple(need))
-    if key not in _KV_DF_CACHE:
-        _KV_DF_CACHE[key] = {
+    # One entry per artifact path, replaced when the artifact or the
+    # needle set changes — a refresh-per-batch service must not grow
+    # one dead cache row per refresh forever.
+    stamp = (os.path.getmtime(path), tuple(need))
+    hit = _KV_DF_CACHE.get(path)
+    if hit is None or hit[0] != stamp:
+        dfs = {
             r["kv"]: int(r["df"])
             for r in dfreq.filter(F.col("kv").isin(need)).collect()
         }
-    return _KV_DF_CACHE[key]
+        _KV_DF_CACHE[path] = (stamp, dfs)
+    return _KV_DF_CACHE[path][1]
 
 
 @plan("json_containment_indexed", oracle=_CONTAIN_ORACLE)

@@ -444,14 +444,11 @@ def events_kv_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _write_kv_dfreq(spark: SparkSession, post_path: str, dfreq_path: str) -> None:
-    (
-        spark.read.parquet(post_path)
-        .groupBy("kv")
-        .agg(F.count("*").alias("df"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(dfreq_path)
-    )
+    """The kv instance of the shared df derivation (:func:`_write_dfreq`
+    parameterized by key column), stamped here because every kv call
+    site wants the stamp immediately — the term-postings call sites
+    stamp themselves after batching other writes."""
+    _write_dfreq(spark, post_path, dfreq_path, key="kv")
     _stamp(dfreq_path, _KV_POST_META)
 
 
@@ -743,7 +740,7 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     )
 
 
-def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
+def compact_documents_postings(spark: SparkSession, sf_dir: str) -> bool:
     """The OPTIMIZE job for the inverted index — the text-side twin of
     ``recluster_events_zorder``: appended batches land as their own
     term-sorted file sets, so over time a query term's postings spread
@@ -754,22 +751,34 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> None:
     (stamp and any batch manifest carried; ``documents_postings`` reads
     complete an interrupted swap). Queries stay correct while it is
     due, only less pruned — dfreq/stats are row-set invariants and are
-    untouched."""
-    post, _dfreq, _stats = _postings_tables(spark, sf_dir)
+    untouched. Compacts only what EXISTS (returns False on an sf_dir
+    that never built the layout): a maintenance op must not build an
+    index — or crash on a dir serving a different table family — as a
+    side effect."""
     path = prepared_path(sf_dir, "documents_postings.parquet")
+    _recover_swap(path, ".compact")
+    if not os.path.exists(path):
+        return False
+    post, _dfreq, _stats = _postings_tables(spark, sf_dir)
     _compact_sorted_swap(post, path, _POSTINGS_META, ("term", "doc_id"))
+    return True
 
 
-def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> None:
+def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> bool:
     """The OPTIMIZE job for the trigram postings — same degradation,
-    same cure as ``compact_documents_postings``: appends land their own
-    file sets, diluting the trg-sorted pruning the pushed In(trg)
-    fetch relies on; the compaction rewrites one globally
-    trg-range-partitioned, trg-sorted file set through the crash-safe
-    swap (stamp/manifests/marker carried)."""
-    post = documents_trgm_postings(spark, sf_dir)
+    same cure, and same compact-only-what-exists posture as
+    ``compact_documents_postings``: appends land their own file sets,
+    diluting the trg-sorted pruning the pushed In(trg) fetch relies
+    on; the compaction rewrites one globally trg-range-partitioned,
+    trg-sorted file set through the crash-safe swap
+    (stamp/manifests/marker carried)."""
     path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
+    _recover_swap(path, ".compact")
+    if not os.path.exists(path):
+        return False
+    post = documents_trgm_postings(spark, sf_dir)
     _compact_sorted_swap(post, path, _TRGM_POST_META, ("trg", "doc_id"))
+    return True
 
 
 def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> bool:
@@ -1087,21 +1096,31 @@ def append_events(
 
     Layouts must already be built for ``sf_dir`` (the ensure calls are
     no-ops after the first build)."""
+    # ALL ensures run BEFORE any append (review r7 pass-2 #1): the kv
+    # postings' sibling-manifest guard reads the rollup's batch
+    # manifest, so an ensure interleaved after this batch's first
+    # append would see its own in-flight batch id and refuse — and an
+    # ensure that triggers a fresh build mid-append must never observe
+    # a half-appended sibling state anyway.
     events_hourly_rollup(spark, sf_dir)
+    events_daily_hll(spark, sf_dir)
+    events_by_date(spark, sf_dir)
+    events_by_user(spark, sf_dir)
+    events_zorder(spark, sf_dir)
+    events_kv_postings(spark, sf_dir)
+
     _append_batch_files(
         _hourly_partial_rows(new_events),
         prepared_path(sf_dir, "events_hourly_rollup.parquet"),
         batch_id,
     )
 
-    events_daily_hll(spark, sf_dir)
     _append_batch_files(
         _daily_hll_rows(new_events),
         prepared_path(sf_dir, "events_daily_hll.parquet"),
         batch_id,
     )
 
-    events_by_date(spark, sf_dir)
     _append_batch_files(
         new_events.withColumn("date", F.to_date("ts")),
         prepared_path(sf_dir, "events_by_date.parquet"),
@@ -1109,7 +1128,6 @@ def append_events(
         partition_by=("date",),
     )
 
-    events_by_user(spark, sf_dir)
     _append_batch_files(
         new_events.repartitionByRange(4, "user_id").sortWithinPartitions(
             "user_id", "ts"
@@ -1118,12 +1136,10 @@ def append_events(
         batch_id,
     )
 
-    events_zorder(spark, sf_dir)
     z_path = prepared_path(sf_dir, "events_zorder.parquet")
     min_hour = int(_read_meta(z_path)["min_hour"])
     _append_batch_files(_z_sorted(new_events, min_hour, 4), z_path, batch_id)
 
-    events_kv_postings(spark, sf_dir)
     # the jsonb-GIN analog: the batch's own kv-sorted posting rows
     # append under the same manifest (per-file row-group stats stay
     # tight; appended rows exist only here and in the other layouts,
@@ -1355,10 +1371,16 @@ def append_documents(
         spark, stats_path, int(old["n_docs"]) + b_n, int(old["dl_sum"]) + b_sum
     )
     _stamp(dfreq_path, _POSTINGS_META)
-    _stamp(stats_path, _POSTINGS_META)
+    # Sidecar BEFORE the stamp (review r7 pass-2 #3): a crash after the
+    # overwrite but before the sidecar lands must leave the stats dir
+    # UNSTAMPED — _is_built then fails and the ensure path refuses
+    # loudly (absorbed batches block the rebuild) instead of serving a
+    # stamped-valid stats dir whose missing sidecar would let an
+    # uncommitted delete's retry subtract the same docs twice.
     if adj_applied:
         with open(os.path.join(stats_path, _DELETE_ADJ_SIDECAR), "w") as f:
             json.dump(sorted(adj_applied), f)
+    _stamp(stats_path, _POSTINGS_META)
     _drop_lsh_bands(spark, sf_dir)
 
 
@@ -1522,15 +1544,19 @@ def _doclen_counters(docs: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"] or 0)
 
 
-def _write_dfreq(spark: SparkSession, post_path: str, dfreq_path: str) -> None:
-    """(Re)derive the vocabulary df table from the postings — run at
+def _write_dfreq(
+    spark: SparkSession, post_path: str, dfreq_path: str, key: str = "term"
+) -> None:
+    """(Re)derive a per-entry df table from a postings layout — run at
     build time and after every append (df is a corpus-wide aggregate,
-    so an insert invalidates it; the table is vocabulary-sized). A
-    crash mid-overwrite leaves no _SUCCESS/_prep_meta, so the next
-    documents_postings() call falls back to a full rebuild."""
+    so an insert invalidates it; the table is vocabulary-sized). One
+    derivation for both postings families (``key="term"`` for the
+    inverted index, ``key="kv"`` for the jsonb-GIN analog). A crash
+    mid-overwrite leaves no _SUCCESS/_prep_meta, so the next ensure
+    call falls back to a re-derivation/rebuild."""
     (
         spark.read.parquet(post_path)
-        .groupBy("term")
+        .groupBy(key)
         .agg(F.count("*").alias("df"))
         .coalesce(1)
         .write.mode("overwrite")
@@ -1804,22 +1830,31 @@ def merge_minhash_pending(
     here and excluded by documents_minhash_live — no duplicates, no
     loss, in any interleaving (the shared discipline lives in
     :func:`_merge_pending`). Returns the number of data files merged."""
-    if not os.path.exists(_pending_path(sf_dir, _MINHASH_INDEX)):
+    pend = _pending_path(sf_dir, _MINHASH_INDEX)
+    if not os.path.exists(pend):
         return 0
     documents_minhash(spark, sf_dir)  # base must exist to receive files
-    n = _merge_pending(
+    base = prepared_path(sf_dir, _MINHASH_INDEX)
+    # Band-key layout derives from the base index contents; a fold
+    # changes the base, so the bucketed band table must be invalidated.
+    # Two disciplines at once (review r7 #3 + pass-2 #2): gate on a
+    # batch actually being ELIGIBLE to fold (a below_bid cadence tick
+    # that can fold nothing leaves the base byte-identical — dropping
+    # the bands would force a needless corpus-sized rebuild), and drop
+    # BEFORE the fold, not after: a crash between the fold's manifest
+    # commit and a post-fold drop would leave the band table
+    # permanently stale (the retry folds nothing, so an after-the-fact
+    # drop never fires), silently losing near-dup candidates. Dropping
+    # first is merely a wasted rebuild if the fold then crashes.
+    eligible = _pending_bids_with_data(pend) - _read_merged(base)
+    if below_bid is not None:
+        eligible = {b for b in eligible if b < below_bid}
+    if eligible:
+        _drop_lsh_bands(spark, sf_dir)
+    return _merge_pending(
         spark, sf_dir, _MINHASH_INDEX, mark_appended=False,
         below_bid=below_bid,
     )  # rebuild-refusal rides the merged manifest itself for this index
-    if n > 0:
-        # Band-key layout derives from the base index contents;
-        # invalidate so the colocated dedup plan rebuilds over the
-        # merged corpus. Gated on files actually moved: a below_bid
-        # cadence tick that folded nothing leaves the base byte-
-        # identical, and dropping the bands would force a needless
-        # corpus-sized rebuild on the next near-dup screen.
-        _drop_lsh_bands(spark, sf_dir)
-    return n
 
 
 def append_embeddings(
