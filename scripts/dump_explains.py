@@ -51,6 +51,11 @@ SHOWCASE = {
     "retrieval_eval_mrr": "retrieval eval: one pushed In(term) fetch covers every query; windows partition per query",
     "winnowing_pairs": "winnowing pairing: fingerprint-keyed self-join with df-capped buckets, never all-pairs",
     "fuzzy_trgm_postings_live": "live trigram postings: pending-union read path, same pushed In(trg) candidate fetch",
+    "json_containment_indexed": "jsonb-GIN analog: statistics-chosen selective entries, candidate ids inlined as a pushed In(event_id) recheck filter",
+    "curriculum_order": "exact NTILE without a global window: histogram-boundary broadcast join + dl-partitioned tie-break rank",
+    "phrase_search_kterm_live": "live positional retrieval: pending-union postings serve the chained phrase intersection",
+    "vocab_coverage_oov": "one tokenize scan: checkpointed tokens feed both the vocabulary cut and the flagging join (zero parquet scans in the query plan)",
+    "tokenizer_fertility": "fertility audit: one narrow scan, partial-aggregated languages-keyed rollup, two closing divisions",
 }
 
 

@@ -896,8 +896,14 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is the final output ordering, which IS the deliverable (the
     data-loader's read order) and shuffles by range, not to one task."""
     k = _CURRICULUM_STAGES
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl")
+    # localCheckpoint: the (doc_id, dl) relation feeds the histogram
+    # AND the ranked output — without it the corpus is tokenized twice
+    # (the vocab_coverage_oov lesson); the checkpoint is two narrow
+    # columns per document.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl"))
+        .localCheckpoint(eager=True)
     )
     hist = sorted(
         (int(r["dl"]), int(r["n"]))
