@@ -1802,3 +1802,39 @@ def test_band_drop_precedes_minhash_fold_crash_window(
     rebuilt = prepared.lsh_bands_bucketed(spark, sf)
     n_rows = spark.table(rebuilt).select("doc_id").distinct().count()
     assert n_rows == prepared.documents_minhash(spark, sf).count()
+
+
+def test_compact_trgm_recovers_interrupted_vacuum_before_gate(
+    spark, tmp_path, monkeypatch
+):
+    """Review r7 pass-3 #1: the trigram postings are also rewritten by
+    the tombstone vacuum — a crash mid-vacuum-swap (layout renamed
+    away, complete tmp present) must not make the compaction op
+    misread the layout as never built and skip it; the gate recovers
+    the .vacuum swap first and compacts the recovered rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    before = sorted(
+        tuple(r)
+        for r in prepared.documents_trgm_postings(spark, sf).collect()
+    )
+    path = prepared.prepared_path(sf, "documents_trgm_postings.parquet")
+    # crash state: swap started, base renamed to tmp (tmp has _SUCCESS)
+    os.rename(path, path + ".vacuum.tmp")
+    assert prepared.compact_documents_trgm_postings(spark, sf) is True
+    after = sorted(
+        tuple(r)
+        for r in prepared.documents_trgm_postings(spark, sf).collect()
+    )
+    assert after == before

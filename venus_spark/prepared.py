@@ -740,6 +740,36 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     )
 
 
+def _compact_existing_sorted(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ensure,
+    meta: dict,
+    sort_cols: tuple[str, ...],
+    recover_tags: tuple[str, ...] = (".compact",),
+) -> bool:
+    """Shared gate + body for every sorted-postings OPTIMIZE job
+    (review r7 pass-3 #4 — the gate was hand-copied three times and
+    immediately diverged on recovery tags): finish any interrupted
+    swaps FIRST (``recover_tags`` names every swap family that can
+    displace this layout — missing one makes an interrupted rewrite
+    look like a never-built layout and silently skips it), compact only
+    what then EXISTS (a maintenance op must not build an index for a
+    dir serving a different table family), and rewrite through the
+    crash-safe sorted swap. A TORN-but-present directory (crashed
+    build, no _SUCCESS) is deliberately repaired by the ensure before
+    compacting — OPTIMIZE finishing an interrupted build is repair, not
+    a side-effect build."""
+    path = prepared_path(sf_dir, name)
+    for tag in recover_tags:
+        _recover_swap(path, tag)
+    if not os.path.exists(path):
+        return False
+    _compact_sorted_swap(ensure(), path, meta, sort_cols)
+    return True
+
+
 def compact_documents_postings(spark: SparkSession, sf_dir: str) -> bool:
     """The OPTIMIZE job for the inverted index — the text-side twin of
     ``recluster_events_zorder``: appended batches land as their own
@@ -751,17 +781,16 @@ def compact_documents_postings(spark: SparkSession, sf_dir: str) -> bool:
     (stamp and any batch manifest carried; ``documents_postings`` reads
     complete an interrupted swap). Queries stay correct while it is
     due, only less pruned — dfreq/stats are row-set invariants and are
-    untouched. Compacts only what EXISTS (returns False on an sf_dir
-    that never built the layout): a maintenance op must not build an
-    index — or crash on a dir serving a different table family — as a
-    side effect."""
-    path = prepared_path(sf_dir, "documents_postings.parquet")
-    _recover_swap(path, ".compact")
-    if not os.path.exists(path):
-        return False
-    post, _dfreq, _stats = _postings_tables(spark, sf_dir)
-    _compact_sorted_swap(post, path, _POSTINGS_META, ("term", "doc_id"))
-    return True
+    untouched. Compacts only what EXISTS (see
+    :func:`_compact_existing_sorted`)."""
+    return _compact_existing_sorted(
+        spark,
+        sf_dir,
+        "documents_postings.parquet",
+        lambda: _postings_tables(spark, sf_dir)[0],
+        _POSTINGS_META,
+        ("term", "doc_id"),
+    )
 
 
 def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> bool:
@@ -771,14 +800,19 @@ def compact_documents_trgm_postings(spark: SparkSession, sf_dir: str) -> bool:
     diluting the trg-sorted pruning the pushed In(trg) fetch relies
     on; the compaction rewrites one globally trg-range-partitioned,
     trg-sorted file set through the crash-safe swap
-    (stamp/manifests/marker carried)."""
-    path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
-    _recover_swap(path, ".compact")
-    if not os.path.exists(path):
-        return False
-    post = documents_trgm_postings(spark, sf_dir)
-    _compact_sorted_swap(post, path, _TRGM_POST_META, ("trg", "doc_id"))
-    return True
+    (stamp/manifests/marker carried). This layout is ALSO rewritten by
+    the tombstone vacuum, so the ``.vacuum`` swap is recovered before
+    the existence gate — a crash mid-vacuum must not make the layout
+    look never-built to maintenance."""
+    return _compact_existing_sorted(
+        spark,
+        sf_dir,
+        "documents_trgm_postings.parquet",
+        lambda: documents_trgm_postings(spark, sf_dir),
+        _TRGM_POST_META,
+        ("trg", "doc_id"),
+        recover_tags=(".compact", ".vacuum"),
+    )
 
 
 def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> bool:
@@ -786,17 +820,16 @@ def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> bool:
     land their own kv-sorted file sets, diluting the pushed In(kv)
     pruning; the compaction rewrites one globally kv-range-partitioned
     sorted set through the crash-safe swap (stamp/manifest/marker
-    carried). Compacts only what EXISTS: on an sf_dir that never built
-    the layout (e.g. a documents-serving dir with no events table) it
-    returns False instead of building a layout as a maintenance
-    side effect (review r7 #4)."""
-    path = prepared_path(sf_dir, "events_kv_postings.parquet")
-    _recover_swap(path, ".compact")
-    if not os.path.exists(path):
-        return False
-    post = events_kv_postings(spark, sf_dir)
-    _compact_sorted_swap(post, path, _KV_POST_META, ("kv", "event_id"))
-    return True
+    carried). Compacts only what EXISTS (review r7 #4; see
+    :func:`_compact_existing_sorted`)."""
+    return _compact_existing_sorted(
+        spark,
+        sf_dir,
+        "events_kv_postings.parquet",
+        lambda: events_kv_postings(spark, sf_dir),
+        _KV_POST_META,
+        ("kv", "event_id"),
+    )
 
 
 def _compact_sorted_swap(
@@ -1851,10 +1884,22 @@ def merge_minhash_pending(
         eligible = {b for b in eligible if b < below_bid}
     if eligible:
         _drop_lsh_bands(spark, sf_dir)
-    return _merge_pending(
+    n = _merge_pending(
         spark, sf_dir, _MINHASH_INDEX, mark_appended=False,
         below_bid=below_bid,
     )  # rebuild-refusal rides the merged manifest itself for this index
+    if n > 0:
+        # Drop AGAIN after a fold that moved files (review r7 pass-3
+        # #2): a concurrent reader thread calling lsh_bands_bucketed in
+        # the drop→fold window rebuilds the bands from the PRE-fold
+        # base, and without this second drop nothing would ever
+        # invalidate them. The before-drop covers the crash-stale
+        # window; the after-drop covers the mid-window rebuild. (The
+        # residual double race — crash before this line AND a reader in
+        # the window — needs a crash and a concurrent read inside one
+        # sub-second span; the next eligible fold heals it.)
+        _drop_lsh_bands(spark, sf_dir)
+    return n
 
 
 def append_embeddings(
