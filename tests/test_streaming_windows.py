@@ -464,3 +464,84 @@ def test_rollup_stream_restart_is_exactly_once(spark, tmp_path):
     }
     assert got == want
     assert got[next(iter(got))][0] == 15  # one bucket, all 15 rows, once
+
+
+def test_streaming_kv_postings_maintained_and_serve_containment(
+    spark, tmp_path
+):
+    """Round 7: the events ingest maintains the jsonb-GIN analog per
+    micro-batch — the streamed sink's kv postings equal the derivation
+    over everything streamed, a verbatim replay adds nothing, and a
+    containment intersection over the postings returns exactly the
+    events whose composed document contains the queried entries. Also
+    exercises the props-less tolerance: this stream's schema carries
+    no props column, so no ``k=``/``?k`` entries exist — absent-key
+    semantics, not an error."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark.prepared import _events_kv_rows
+    from venus_spark.streaming import (
+        _write_idempotent,
+        read_kv_postings,
+        read_sink_table,
+        start_events_rollup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_jsonl(
+        landing / "b0.jsonl",
+        [
+            event(1, "2024-01-01 10:10:00", user=3, etype="click"),
+            event(2, "2024-01-01 10:40:00", user=4, etype="view"),
+        ],
+    )
+    write_jsonl(
+        landing / "b1.jsonl",
+        [
+            event(3, "2024-01-01 11:05:00", user=5, etype="click"),
+            event(4, "2024-01-01 11:06:00", user=7, etype="click"),
+        ],
+    )
+    sink = str(tmp_path / "sink")
+    q = start_events_rollup_ingest(
+        read_event_stream(spark, landing),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+
+    def rows():
+        return sorted(
+            tuple(r) for r in read_kv_postings(spark, sink).collect()
+        )
+
+    events = read_sink_table(spark, sink, "events")
+    want = sorted(tuple(r) for r in _events_kv_rows(events).collect())
+    got = rows()
+    assert got == want
+    assert not any(kv.startswith(("k=", "?k")) for kv, _ in got)  # props-less
+
+    # verbatim replay of batch 1's kv write: no duplication
+    replay = events.filter(F.col("event_id") >= 3)
+    _write_idempotent(
+        _events_kv_rows(replay).sortWithinPartitions("kv", "event_id"),
+        os.path.join(sink, "events_kv_postings"),
+        1,
+    )
+    assert rows() == want
+
+    # containment over the streamed sink: type=click AND ?uid — user 3
+    # is uid-absent (user_id % 3 == 0), so only events 3 and 4 qualify
+    post = read_kv_postings(spark, sink)
+    need = ["type=click", "?uid"]
+    cand = (
+        post.filter(F.col("kv").isin(need))
+        .groupBy("event_id")
+        .agg(F.countDistinct("kv").alias("n"))
+        .filter(F.col("n") == len(need))
+    )
+    assert sorted(int(r["event_id"]) for r in cand.collect()) == [3, 4]

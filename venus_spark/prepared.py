@@ -410,8 +410,16 @@ def _events_kv_rows(events: DataFrame) -> DataFrame:
     ``?`` existence operator). Absent keys (here ``uid`` on ~1/3 of
     rows) contribute nothing — exactly the missing-key semantics the
     containment conjunction relies on. Derived per-row (a document's
-    entries depend only on that document), so batches append O(batch)."""
-    k = F.get_json_object("props", "$.k").cast("int")
+    entries depend only on that document), so batches append O(batch).
+    Tolerates an events relation without a ``props`` column (streamed
+    schemas may carry only the promoted fields): the ``k`` entries are
+    then simply absent — the same semantics as a document without the
+    key."""
+    k = (
+        F.get_json_object("props", "$.k").cast("int")
+        if "props" in events.columns
+        else F.lit(None).cast("int")
+    )
     typ = F.col("event_type")
     uid = F.when(F.col("user_id") % 3 != 0, F.col("user_id"))
     entries = F.array(

@@ -647,17 +647,32 @@ def start_events_rollup_ingest(
     table and its rollup cannot diverge under retry, same discipline as
     the documents/index pair. Readers merge partials with
     :func:`read_hourly_rollup` at O(buckets) cost; the fact table is
-    never re-scanned for the dashboard."""
+    never re-scanned for the dashboard.
+
+    The batch's kv-postings rows (the jsonb-GIN analog,
+    ``prepared._events_kv_rows``) land the same way — every INSERT
+    maintains the containment index, streaming included; readers get
+    them through :func:`read_kv_postings`. The index rows are
+    per-event-derived, so the idempotent partition write is the whole
+    maintenance story (no corpus-level aggregate to repair; df
+    statistics for planning over the streamed sink are derived at read
+    time if needed)."""
     ev_dir = os.path.join(sink_dir, "events")
     roll_dir = os.path.join(sink_dir, "events_hourly_rollup")
+    kv_dir = os.path.join(sink_dir, "events_kv_postings")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        from venus_spark.prepared import _hourly_partial_rows
+        from venus_spark.prepared import _events_kv_rows, _hourly_partial_rows
 
         batch = batch.persist()
         try:
             _write_idempotent(batch, ev_dir, batch_id)
             _write_idempotent(_hourly_partial_rows(batch), roll_dir, batch_id)
+            _write_idempotent(
+                _events_kv_rows(batch).sortWithinPartitions("kv", "event_id"),
+                kv_dir,
+                batch_id,
+            )
         finally:
             batch.unpersist()
 
@@ -671,6 +686,15 @@ def start_events_rollup_ingest(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def read_kv_postings(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The streamed sink's kv containment postings (kv, event_id) —
+    maintained per micro-batch by :func:`start_events_rollup_ingest`;
+    a containment query over the streamed table intersects the queried
+    entries' posting lists here exactly as the batch-side plan does
+    over ``prepared.events_kv_postings``."""
+    return read_sink_table(spark, sink_dir, "events_kv_postings")
 
 
 def read_hourly_rollup(spark: SparkSession, sink_dir: str) -> DataFrame:
