@@ -520,7 +520,10 @@ def test_streaming_kv_postings_maintained_and_serve_containment(
         )
 
     events = read_sink_table(spark, sink, "events")
-    want = sorted(tuple(r) for r in _events_kv_rows(events).collect())
+    want = sorted(
+        tuple(r)
+        for r in _events_kv_rows(events, allow_missing_props=True).collect()
+    )
     got = rows()
     assert got == want
     assert not any(kv.startswith(("k=", "?k")) for kv, _ in got)  # props-less
@@ -528,7 +531,8 @@ def test_streaming_kv_postings_maintained_and_serve_containment(
     # verbatim replay of batch 1's kv write: no duplication
     replay = events.filter(F.col("event_id") >= 3)
     _write_idempotent(
-        _events_kv_rows(replay).sortWithinPartitions("kv", "event_id"),
+        _events_kv_rows(replay, allow_missing_props=True)
+        .sortWithinPartitions("kv", "event_id"),
         os.path.join(sink, "events_kv_postings"),
         1,
     )
@@ -545,3 +549,62 @@ def test_streaming_kv_postings_maintained_and_serve_containment(
         .filter(F.col("n") == len(need))
     )
     assert sorted(int(r["event_id"]) for r in cand.collect()) == [3, 4]
+
+
+def test_streaming_kv_postings_empty_batch_and_reader_fallback(
+    spark, tmp_path
+):
+    """Review r7 pass-4 #1: a NON-empty batch can derive ZERO kv rows
+    (every key absent: null event_type, uid-absent users, no props) —
+    the kv write must be skipped (an empty dynamic-overwrite write
+    lands no data files and breaks schema inference), the reader must
+    serve an empty TYPED relation in the meantime, and the fact table
+    and rollup must land normally."""
+    import json as _json
+
+    from venus_spark.streaming import (
+        read_kv_postings,
+        read_sink_table,
+        start_events_rollup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # null event_type + user_id % 3 == 0 -> no entries at all
+    (landing / "b0.jsonl").write_text(
+        _json.dumps(
+            {"event_id": 1, "ts": "2024-01-01 10:10:00", "user_id": 3,
+             "event_type": None, "value": 1.0}
+        )
+        + "\n"
+    )
+    sink = str(tmp_path / "sink")
+    q = start_events_rollup_ingest(
+        read_event_stream(spark, landing),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+    assert read_sink_table(spark, sink, "events").count() == 1
+    post = read_kv_postings(spark, sink)  # must not raise
+    assert post.count() == 0
+    assert [f.name for f in post.schema.fields] == ["kv", "event_id"]
+
+    # the next batch's postings land and the reader switches over
+    (landing / "b1.jsonl").write_text(
+        _json.dumps(
+            {"event_id": 2, "ts": "2024-01-01 10:20:00", "user_id": 4,
+             "event_type": "click", "value": 1.0}
+        )
+        + "\n"
+    )
+    q = start_events_rollup_ingest(
+        read_event_stream(spark, landing),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+    got = sorted(tuple(r) for r in read_kv_postings(spark, sink).collect())
+    assert got == [("?type", 2), ("?uid", 2), ("type=click", 2), ("uid=4", 2)]

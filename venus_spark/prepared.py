@@ -401,7 +401,9 @@ _KV_POST_META = {
 }
 
 
-def _events_kv_rows(events: DataFrame) -> DataFrame:
+def _events_kv_rows(
+    events: DataFrame, allow_missing_props: bool = False
+) -> DataFrame:
     """(kv, event_id) postings for the reference-shaped JSON document —
     the write side of the jsonb GIN analog: for every PRESENT top-level
     key the document gets one value-pair row (``key=value``, what
@@ -411,15 +413,18 @@ def _events_kv_rows(events: DataFrame) -> DataFrame:
     rows) contribute nothing — exactly the missing-key semantics the
     containment conjunction relies on. Derived per-row (a document's
     entries depend only on that document), so batches append O(batch).
-    Tolerates an events relation without a ``props`` column (streamed
-    schemas may carry only the promoted fields): the ``k`` entries are
-    then simply absent — the same semantics as a document without the
-    key."""
-    k = (
-        F.get_json_object("props", "$.k").cast("int")
-        if "props" in events.columns
-        else F.lit(None).cast("int")
-    )
+
+    ``allow_missing_props`` is an EXPLICIT opt-in for streamed schemas
+    that carry only the promoted fields: the ``k`` entries are then
+    simply absent (the same semantics as a document without the key).
+    It is an opt-in, not schema sniffing, so a batch caller that
+    accidentally passes a projected relation still fails loudly on
+    column resolution instead of silently building an index with zero
+    ``k=``/``?k`` entries (review r7 pass-4 #2)."""
+    if allow_missing_props and "props" not in events.columns:
+        k = F.lit(None).cast("int")
+    else:
+        k = F.get_json_object("props", "$.k").cast("int")
     typ = F.col("event_type")
     uid = F.when(F.col("user_id") % 3 != 0, F.col("user_id"))
     entries = F.array(

@@ -666,13 +666,33 @@ def start_events_rollup_ingest(
 
         batch = batch.persist()
         try:
+            # kv postings FIRST, fact table LAST: a crash between the
+            # writes that is never replayed (checkpoint lost, operator
+            # restarts fresh) then leaves ORPHAN posting rows for
+            # events that never landed — harmless, a containment
+            # intersection's ids simply find no fact row — instead of
+            # landed events with silently missing postings, which no
+            # query could detect (review r7 pass-4 #3).
+            kv = _events_kv_rows(batch, allow_missing_props=True).persist()
+            # A non-empty batch can legitimately derive ZERO kv rows
+            # (all keys absent); an empty dynamic-overwrite write lands
+            # no data files and would break schema inference for
+            # readers — skip it, exactly like the dup_verdicts sink
+            # (read_kv_postings serves an empty typed relation until
+            # the first real posting lands).
+            if kv.limit(1).count() > 0:
+                _write_idempotent(
+                    kv.sortWithinPartitions("kv", "event_id"),
+                    kv_dir,
+                    batch_id,
+                )
+            kv.unpersist()
+            # fact table then rollup keeps the pre-existing pair
+            # semantics (the replay is their healer; orphan PARTIALS
+            # would actively overcount dashboards, unlike orphan
+            # postings, so the rollup must not precede the facts)
             _write_idempotent(batch, ev_dir, batch_id)
             _write_idempotent(_hourly_partial_rows(batch), roll_dir, batch_id)
-            _write_idempotent(
-                _events_kv_rows(batch).sortWithinPartitions("kv", "event_id"),
-                kv_dir,
-                batch_id,
-            )
         finally:
             batch.unpersist()
 
@@ -693,7 +713,18 @@ def read_kv_postings(spark: SparkSession, sink_dir: str) -> DataFrame:
     maintained per micro-batch by :func:`start_events_rollup_ingest`;
     a containment query over the streamed table intersects the queried
     entries' posting lists here exactly as the batch-side plan does
-    over ``prepared.events_kv_postings``."""
+    over ``prepared.events_kv_postings``. Before the first posting row
+    lands (batches can legitimately derive zero entries, and the empty
+    write is skipped), this serves an empty TYPED relation instead of
+    failing schema inference."""
+    p = os.path.join(sink_dir, "events_kv_postings")
+    has_data = os.path.isdir(p) and any(
+        f.endswith(".parquet")
+        for root, _dirs, files in os.walk(p)
+        for f in files
+    )
+    if not has_data:
+        return spark.createDataFrame([], "kv string, event_id long")
     return read_sink_table(spark, sink_dir, "events_kv_postings")
 
 
