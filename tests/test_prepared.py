@@ -1838,3 +1838,72 @@ def test_compact_trgm_recovers_interrupted_vacuum_before_gate(
         for r in prepared.documents_trgm_postings(spark, sf).collect()
     )
     assert after == before
+
+
+def test_kv_rows_candidate_intersection_equals_direct_predicate(spark):
+    """Soundness + completeness of the kv-postings derivation on
+    adversarial rows (null event_type, uid-absent users, null/missing
+    k, negative user ids): for any needle set, the candidate
+    intersection over _events_kv_rows must equal direct evaluation of
+    the containment predicate on the composed document — a missing
+    posting loses a match (incomplete), a phantom posting admits a
+    false candidate that the recheck would scan for nothing."""
+    from pyspark.sql import functions as F
+
+    from venus_spark.prepared import _events_kv_rows
+
+    rows = [
+        # event_id, ts, user_id, event_type, props
+        (1, "2024-01-01 10:00:00", 1, "click", '{"k": 7}'),
+        (2, "2024-01-01 10:01:00", 3, "click", '{"k": 7}'),   # uid absent
+        (3, "2024-01-01 10:02:00", 4, None, '{"k": 7}'),       # type absent
+        (4, "2024-01-01 10:03:00", 5, "click", '{"k": 8}'),
+        (5, "2024-01-01 10:04:00", 7, "click", "{}"),          # k absent
+        (6, "2024-01-01 10:05:00", -5, "click", '{"k": 7}'),   # negative uid
+        (7, "2024-01-01 10:06:00", -6, "view", '{"k": 7}'),    # -6 % 3 == 0
+        (8, "2024-01-01 10:07:00", 8, "view", None),           # null props
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, props string"
+    )
+    post = _events_kv_rows(ev)
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    uid = F.when(F.col("user_id") % 3 != 0, F.col("user_id"))
+    direct = {
+        "k=7": k == 7,
+        "k=8": k == 8,
+        "type=click": F.col("event_type") == "click",
+        "type=view": F.col("event_type") == "view",
+        "?k": k.isNotNull(),
+        "?type": F.col("event_type").isNotNull(),
+        "?uid": uid.isNotNull(),
+        "uid=-5": uid == -5,
+    }
+    needle_sets = [
+        ["k=7", "type=click", "?uid"],
+        ["k=7"],
+        ["?k", "?type", "?uid"],
+        ["type=view", "?uid"],
+        ["uid=-5", "k=7"],
+        ["k=8", "type=click"],
+    ]
+    for need in needle_sets:
+        cand = sorted(
+            int(r["event_id"])
+            for r in post.filter(F.col("kv").isin(need))
+            .groupBy("event_id")
+            .agg(F.countDistinct("kv").alias("n"))
+            .filter(F.col("n") == len(need))
+            .collect()
+        )
+        import functools
+        import operator
+
+        pred = functools.reduce(
+            operator.and_, (direct[kv] for kv in need)
+        )
+        want = sorted(
+            int(r["event_id"]) for r in ev.filter(pred).collect()
+        )
+        assert cand == want, (need, cand, want)
