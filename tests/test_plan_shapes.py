@@ -710,9 +710,12 @@ def test_kv_containment_planner_fallback_and_empty_proof(
     (a) when no entry is selective (df cap forced to 0) the plan falls
     back to the scan twin and still returns the identical rows — the
     planner choosing a seqscan over a useless index; (b) a required
-    entry with NO postings proves the containment empty without
-    touching the events table; (c) the normal plan, the fallback, and
-    the scan twin all agree."""
+    entry with NO postings yields an empty result proven by the
+    candidate intersection over the POSTINGS (a stats-absent needle is
+    treated as df=0 and joins the chosen set — ADVICE r8: statistics
+    may mis-plan, never mis-answer, so emptiness is never derived from
+    dfreq alone); (c) the normal plan, the fallback, and the scan twin
+    all agree."""
     from venus_spark.plans import all_plans
     from venus_spark.plans import venus_surface as vs
 
@@ -737,6 +740,111 @@ def test_kv_containment_planner_fallback_and_empty_proof(
     )
     empty = plans["json_containment_indexed"].fn(spark, SF)
     assert empty.count() == 0
-    # the empty proof comes from the statistics alone: a LocalLimit(0)
-    # plan, no posting fetch, no candidate job
+    # the posting fetch + candidate intersection ran EAGERLY during
+    # planning (that is the proof of emptiness); the returned residual
+    # is the limit-0 relation, so no index fetch remains in it
     assert "In(kv" not in formatted_plan(empty)
+
+
+def test_kv_containment_live_planner_mirrors_prepared(
+    spark, monkeypatch
+):
+    """json_containment_indexed_live must carry the three pinned
+    planner behaviors of its prepared twin on a never-streamed corpus
+    (sink absent → pure degraded path): (a) agrees with the scan twin;
+    (b) df-cap 0 → seqscan fallback, identical rows; (c) a needle with
+    no postings → empty, proven from the index. The streamed half is
+    pinned by tests/test_streaming_windows.py's live e2e."""
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+
+    plans = all_plans()
+    want = sorted(
+        map(tuple, plans["json_containment"].fn(spark, SF).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            plans["json_containment_indexed_live"].fn(spark, SF).collect(),
+        )
+    )
+    assert got == want
+
+    monkeypatch.setattr(vs, "_KV_DF_CAP", 0)
+    fallback = sorted(
+        map(
+            tuple,
+            plans["json_containment_indexed_live"].fn(spark, SF).collect(),
+        )
+    )
+    assert fallback == want
+    monkeypatch.undo()
+
+    monkeypatch.setattr(
+        vs, "_CONTAIN_NEEDLES", ("k=7", "type=click", "?no_such_key")
+    )
+    empty = plans["json_containment_indexed_live"].fn(spark, SF)
+    assert empty.count() == 0
+
+
+def test_kv_containment_stale_stats_never_lose_rows(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (medium): ``events_kv_dfreq`` is PLANNING statistics
+    that the crash-window docs allow to be one batch stale — a kv entry
+    first introduced by a postings-appended-but-dfreq-unrefreshed batch
+    is ABSENT from the stats while matching rows exist. The pre-fix
+    plan proved emptiness from the stats and answered empty; now a
+    stats-missing needle is planned as df=0 (maximally selective) and
+    the candidate intersection over the postings — which every write
+    path maintains before/with the fact rows — produces the answer.
+    This test manufactures exactly that staleness: a corpus whose
+    containment query HAS matches, with the ``k=7`` row surgically
+    removed from the stamped dfreq artifact."""
+    import os
+    import shutil
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src_ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # graft three rows that satisfy the containment conjunction (k=7,
+    # type=click, uid present) onto the sf0.001 events (which contain
+    # none — verified: the scan twin is empty there)
+    match = (
+        src_ev.limit(3)
+        .withColumn("event_id", F.col("event_id") + 1_000_000)
+        .withColumn("user_id", F.lit(7).cast("long"))
+        .withColumn("event_type", F.lit("click"))
+        .withColumn("props", F.lit('{"k": 7}'))
+    )
+    sf = str(tmp_path / "sf")
+    src_ev.unionByName(match).write.parquet(os.path.join(sf, "events.parquet"))
+
+    plans = all_plans()
+    want = sorted(map(tuple, plans["json_containment"].fn(spark, sf).collect()))
+    assert len(want) == 3  # non-vacuous: the matches exist
+
+    prepared.events_kv_postings(spark, sf)  # builds postings + dfreq
+    dpath = prepared.prepared_path(sf, "events_kv_dfreq.parquet")
+    stale = spark.read.parquet(dpath).filter(F.col("kv") != "k=7")
+    tmp_out = dpath + ".stale_rewrite"
+    stale.write.parquet(tmp_out)
+    for f in os.listdir(dpath):  # keep _SUCCESS + _prep_meta stamp
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(dpath, f))
+    for f in os.listdir(tmp_out):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmp_out, f), os.path.join(dpath, f))
+    shutil.rmtree(tmp_out)
+    vs._KV_DF_CACHE.clear()
+
+    dfs = vs._kv_needle_dfs(spark, sf, list(vs._CONTAIN_NEEDLES))
+    assert "k=7" not in dfs  # the staleness is in force, not rebuilt away
+    got = sorted(
+        map(tuple, plans["json_containment_indexed"].fn(spark, sf).collect())
+    )
+    assert got == want  # the index answered; the stats only mis-planned
+    vs._KV_DF_CACHE.clear()

@@ -551,6 +551,269 @@ def test_streaming_kv_postings_maintained_and_serve_containment(
     assert sorted(int(r["event_id"]) for r in cand.collect()) == [3, 4]
 
 
+def test_streamed_containment_is_index_served_live(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 #1 end-to-end: with the PROPS-BEARING stream schema,
+    streamed events are visible to ``json_containment_indexed_live``
+    the moment their batch commits — k= and ?k entries land in the
+    sink postings, per-batch dfreq partials land beside them (summed
+    by read_kv_dfreq; a verbatim replay adds nothing), and the live
+    plan returns base ∪ streamed matches while the prepared plan
+    (cold path) still returns only the base — the same pre-merge
+    visibility split every other live read path pins."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        _write_idempotent,
+        events_stream_sink_dir,
+        read_kv_dfreq,
+        read_kv_postings,
+        start_events_rollup_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    # base corpus: sf0.001 events, whose containment answer is known
+    # from the scan twin (empty there — all matches will be streamed)
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    base_ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    base_ev.write.parquet(os.path.join(sf, "events.parquet"))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def sev(i, ts, user, etype, props):
+        return {
+            "event_id": 2_000_000 + i,
+            "ts": ts,
+            "user_id": user,
+            "event_type": etype,
+            "value": 1.0,
+            "props": props,
+        }
+
+    (landing / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                # matches: k=7, click, uid present (user % 3 != 0)
+                sev(1, "2024-01-01 10:00:00", 7, "click", '{"k": 7}'),
+                sev(2, "2024-01-01 10:01:00", 8, "click", '{"k": 7}'),
+                # non-matches on each conjunct
+                sev(3, "2024-01-01 10:02:00", 9, "click", '{"k": 7}'),  # uid absent
+                sev(4, "2024-01-01 10:03:00", 7, "view", '{"k": 7}'),
+                sev(5, "2024-01-01 10:04:00", 7, "click", '{"k": 8}'),
+            ]
+        )
+    )
+    sink = events_stream_sink_dir(sf)
+    q = start_events_rollup_ingest(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing)),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+
+    # props-bearing maintenance: value-pair AND key-presence entries
+    post_rows = {tuple(r) for r in read_kv_postings(spark, sink).collect()}
+    assert ("k=7", 2_000_001) in post_rows
+    assert ("?k", 2_000_001) in post_rows
+    # dfreq partials: summed df equals the postings' own counts
+    dfs = {r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()}
+    assert dfs["k=7"] == 4 and dfs["type=click"] == 4 and dfs["?uid"] == 4
+
+    plans = all_plans()
+    vs._KV_DF_CACHE.clear()
+    live = sorted(
+        map(
+            tuple,
+            plans["json_containment_indexed_live"].fn(spark, sf).collect(),
+        )
+    )
+    assert [r[0] for r in live] == [2_000_001, 2_000_002]
+    # the cold (prepared) plan cannot see the streamed rows pre-merge
+    assert plans["json_containment_indexed"].fn(spark, sf).count() == 0
+    # and the live plan equals the exact-scan twin over base ∪ sink
+    want = sorted(
+        map(
+            tuple,
+            vs._containment_recheck(
+                base_ev.unionByName(
+                    spark.read.parquet(os.path.join(sink, "events")).drop(
+                        "_batch_id"
+                    ),
+                    allowMissingColumns=True,
+                )
+            ).collect(),
+        )
+    )
+    assert live == want
+
+    # verbatim replay of the batch's dfreq partials: no double count
+    streamed = spark.read.parquet(os.path.join(sink, "events")).drop(
+        "_batch_id"
+    )
+    kv = prepared._events_kv_rows(streamed, allow_missing_props=True)
+    _write_idempotent(
+        kv.groupBy("kv").agg(F.count("*").alias("df")),
+        os.path.join(sink, "events_kv_dfreq"),
+        0,
+    )
+    assert {
+        r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()
+    } == dfs
+
+
+def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
+    """VERDICT r7 "What's wrong" #3: a crash between the facts write
+    and the rollup write whose checkpoint is NEVER replayed leaves
+    landed facts with silently missing rollup partials — an undercount
+    no query detects (and, symmetrically, missing kv postings/dfreq
+    make streamed events invisible to the containment index). The
+    audit must name every divergence and the repair must re-derive it
+    from the facts — and remove orphan derived partitions whose facts
+    never landed."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from venus_spark.functions import dsum
+    from venus_spark.prepared import _events_kv_rows
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        _write_idempotent,
+        audit_events_sink,
+        read_hourly_rollup,
+        read_kv_dfreq,
+        read_kv_postings,
+        repair_events_sink,
+        start_events_rollup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def sev(i, ts, user, etype):
+        return {
+            "event_id": i,
+            "ts": ts,
+            "user_id": user,
+            "event_type": etype,
+            "value": float(i),
+            "props": '{"k": 7}',
+        }
+
+    (landing / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                sev(1, "2024-01-01 10:05:00", 4, "click"),
+                sev(2, "2024-01-01 10:15:00", 5, "view"),
+                sev(3, "2024-01-01 11:05:00", 6, "click"),
+            ]
+        )
+    )
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                sev(4, "2024-01-01 10:25:00", 7, "click"),
+                sev(5, "2024-01-01 10:35:00", 8, "buy"),
+            ]
+        )
+    )
+    sink = str(tmp_path / "sink")
+    q = start_events_rollup_ingest(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing)),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+
+    facts = spark.read.parquet(os.path.join(sink, "events")).drop("_batch_id")
+
+    def one_shot():
+        return {
+            r["bucket_ts"]: (r["n"], r["total_value"])
+            for r in facts.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+            )
+            .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+            .collect()
+        }
+
+    def rollup_now():
+        return {
+            r["bucket_ts"]: (r["n"], r["total_value"])
+            for r in read_hourly_rollup(spark, sink).collect()
+        }
+
+    want_roll = one_shot()
+    want_post = sorted(
+        tuple(r)
+        for r in _events_kv_rows(facts, allow_missing_props=True).collect()
+    )
+    want_dfs = {r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()}
+    assert rollup_now() == want_roll  # healthy before the "crash"
+
+    # the never-replayed crash: batch 1's derived writes are gone while
+    # its facts remain; plus an orphan kv partition (facts never landed)
+    for t in ("events_hourly_rollup", "events_kv_postings", "events_kv_dfreq"):
+        shutil.rmtree(os.path.join(sink, t, "_batch_id=1"))
+    _write_idempotent(
+        spark.createDataFrame([("k=99", 999)], "kv string, event_id long"),
+        os.path.join(sink, "events_kv_postings"),
+        7,
+    )
+
+    assert rollup_now() != want_roll  # the silent undercount, visible here
+    report = audit_events_sink(sink)
+    assert report["rollup_missing"] == [1]
+    assert report["kv_missing"] == [1]
+    assert report["dfreq_missing"] == [1]
+    assert report["orphans"] == {"events_kv_postings": [7]}
+
+    out = repair_events_sink(spark, sink)
+    assert out["rollup_repaired"] == [1]
+    assert out["kv_repaired"] == [1]
+    assert out["dfreq_repaired"] == [1]
+    assert out["orphans_removed"] == {"events_kv_postings": [7]}
+
+    assert rollup_now() == want_roll
+    assert (
+        sorted(tuple(r) for r in read_kv_postings(spark, sink).collect())
+        == want_post
+    )
+    assert {
+        r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()
+    } == want_dfs
+
+    # a completed repair is a no-op
+    again = repair_events_sink(spark, sink)
+    assert again == {
+        "rollup_repaired": [],
+        "kv_repaired": [],
+        "dfreq_repaired": [],
+        "orphans_removed": {},
+    }
+
+
 def test_streaming_kv_postings_empty_batch_and_reader_fallback(
     spark, tmp_path
 ):

@@ -760,7 +760,78 @@ def json_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the reference's GIN-index role is played by materializing
     hot keys as ingest-time columns (venus_spark.prepared) so the
     conjunction pushes into the parquet scan as ordinary predicates."""
-    ev = load_table(spark, sf_dir, "events")
+    return _containment_recheck(load_table(spark, sf_dir, "events"))
+
+
+# Entries whose posting list exceeds this are not worth fetching for
+# candidate generation — recheck them on the candidate rows instead
+# (pg's gincostestimate makes the same index-vs-recheck call from the
+# entry-frequency statistics). Also bounds the driver-side candidate
+# materialization: candidates ⊆ the smallest fetched posting list.
+_KV_DF_CAP = 4096
+
+# The containment query's index entries: two value pairs (@>) and one
+# key-presence probe (?).
+_CONTAIN_NEEDLES = ("k=7", "type=click", "?uid")
+
+# Planning-statistics cache, keyed by the dfreq artifact's identity:
+# the reference engine keeps its planner statistics in backend memory
+# the same way (relcache/pg_statistic), and re-paying a cluster
+# roundtrip per query to read three counter rows would be pure fixed
+# cost. Invalidated automatically when a refresh rewrites the artifact;
+# statistics are planning-only — a stale hit can mis-plan, never
+# mis-answer (entry SELECTION only; emptiness is always proven from the
+# postings themselves, see json_containment_indexed).
+_KV_DF_CACHE: dict = {}
+
+
+def _kv_artifact_stamp(path: str) -> tuple:
+    """Refresh-unique identity of a dfreq artifact: the part-file name
+    set plus each file's nanosecond mtime. Directory mtime alone has
+    one-second granularity on several filesystems, so a refresh landing
+    within the same second as the cached stamp would serve stale
+    statistics (ADVICE r7 #4); part files get fresh uuid names per
+    write, so the name set alone already changes on every rewrite."""
+    import os
+
+    try:
+        return tuple(
+            sorted(
+                (f, os.stat(os.path.join(path, f)).st_mtime_ns)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return ("missing",)
+
+
+def _kv_needle_dfs(
+    spark: SparkSession, sf_dir: str, need: list[str]
+) -> dict[str, int]:
+    from venus_spark.prepared import events_kv_dfreq, prepared_path
+
+    path = prepared_path(sf_dir, "events_kv_dfreq.parquet")
+    dfreq = events_kv_dfreq(spark, sf_dir)  # ensures built
+    # One entry per artifact path, replaced when the artifact or the
+    # needle set changes — a refresh-per-batch service must not grow
+    # one dead cache row per refresh forever.
+    stamp = (_kv_artifact_stamp(path), tuple(need))
+    hit = _KV_DF_CACHE.get(path)
+    if hit is None or hit[0] != stamp:
+        dfs = {
+            r["kv"]: int(r["df"])
+            for r in dfreq.filter(F.col("kv").isin(need)).collect()
+        }
+        _KV_DF_CACHE[path] = (stamp, dfs)
+    return _KV_DF_CACHE[path][1]
+
+
+def _containment_recheck(ev: DataFrame) -> DataFrame:
+    """The EXACT containment predicate + projection, shared verbatim by
+    the scan twin, the indexed plan's recheck, and the live plan's
+    recheck — index access paths must funnel through the same predicate
+    so they can change the access path, never the answer."""
     data = F.to_json(
         F.struct(
             F.get_json_object("props", "$.k").cast("int").alias("k"),
@@ -776,49 +847,39 @@ def json_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
 
 
-# Entries whose posting list exceeds this are not worth fetching for
-# candidate generation — recheck them on the candidate rows instead
-# (pg's gincostestimate makes the same index-vs-recheck call from the
-# entry-frequency statistics). Also bounds the driver-side candidate
-# materialization: candidates ⊆ the smallest fetched posting list.
-_KV_DF_CAP = 4096
+def _containment_candidate_ids(
+    post: DataFrame, need: list[str], dfs: dict[str, int]
+) -> list[int] | None:
+    """gincostestimate-style candidate generation, shared by the
+    prepared and live containment plans: pick the SELECTIVE entries
+    (stored df ≤ cap), intersect their posting lists, return the
+    candidate event ids — ``None`` means no entry is selective and the
+    caller must fall back to the scan twin (the planner choosing a
+    seqscan over a useless index).
 
-# The containment query's index entries: two value pairs (@>) and one
-# key-presence probe (?).
-_CONTAIN_NEEDLES = ("k=7", "type=click", "?uid")
-
-# Planning-statistics cache, keyed by the dfreq artifact's identity
-# (path + mtime): the reference engine keeps its planner statistics in
-# backend memory the same way (relcache/pg_statistic), and re-paying a
-# cluster roundtrip per query to read three counter rows would be pure
-# fixed cost. Invalidated automatically when a refresh rewrites the
-# artifact (mtime changes); statistics are planning-only — a stale hit
-# can mis-plan, never mis-answer (the recheck applies the exact
-# predicate).
-_KV_DF_CACHE: dict = {}
-
-
-def _kv_needle_dfs(
-    spark: SparkSession, sf_dir: str, need: list[str]
-) -> dict[str, int]:
-    import os
-
-    from venus_spark.prepared import events_kv_dfreq, prepared_path
-
-    path = prepared_path(sf_dir, "events_kv_dfreq.parquet")
-    dfreq = events_kv_dfreq(spark, sf_dir)  # ensures built
-    # One entry per artifact path, replaced when the artifact or the
-    # needle set changes — a refresh-per-batch service must not grow
-    # one dead cache row per refresh forever.
-    stamp = (os.path.getmtime(path), tuple(need))
-    hit = _KV_DF_CACHE.get(path)
-    if hit is None or hit[0] != stamp:
-        dfs = {
-            r["kv"]: int(r["df"])
-            for r in dfreq.filter(F.col("kv").isin(need)).collect()
-        }
-        _KV_DF_CACHE[path] = (stamp, dfs)
-    return _KV_DF_CACHE[path][1]
+    A needle ABSENT from the statistics is treated as df = 0 — maximally
+    selective, so it joins ``chosen`` and the candidate intersection
+    proves any emptiness FROM THE POSTINGS THEMSELVES. The pre-r8 code
+    answered empty from the statistics alone, but dfreq is legitimately
+    stale in documented crash windows (a batch appended to the postings
+    whose dfreq refresh never ran introduces brand-new kv entries the
+    stats have never seen), so a stats-derived empty could contradict
+    the index — the one path where statistics leaked into ANSWERS
+    (ADVICE r8 medium). Now statistics only ever choose entries; the
+    postings are the proof. The postings themselves can never miss a
+    landed event: every write path lands index rows before or atomically
+    with the fact rows (append_events; the streaming sink writes kv
+    first)."""
+    chosen = [kv for kv in need if dfs.get(kv, 0) <= _KV_DF_CAP]
+    if not chosen:
+        return None
+    cand = (
+        post.filter(F.col("kv").isin(chosen))
+        .groupBy("event_id")
+        .agg(F.countDistinct("kv").alias("n_hit"))
+        .filter(F.col("n_hit") == len(chosen))
+    )
+    return sorted(int(r["event_id"]) for r in cand.collect())
 
 
 @plan("json_containment_indexed", oracle=_CONTAIN_ORACLE)
@@ -833,61 +894,98 @@ def json_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Planned the way PostgreSQL's gincostestimate plans it, from stored
     entry statistics: (1) the needles' posting-list lengths come from
     the tiny ``events_kv_dfreq`` table (pushed In(kv), three rows to
-    the driver — the bounded two-phase class of B14); a needle with NO
-    postings proves the containment empty with zero table work. (2)
-    Only SELECTIVE entries (df ≤ cap) generate candidates — fetching a
-    low-selectivity entry's huge posting list through an aggregation
-    costs more than rechecking it on the candidates, which is exactly
-    why the first cut of this plan LOST to the scan twin at sf0.1
-    (3.0 s vs 2.0 s; measured in PERF.md). (3) Candidate ids are
-    inlined as a pushed ``In(event_id, ...)`` literal filter (the
-    keyset-pagination lesson: a join column never pushes; bounded by
-    the smallest posting list ≤ cap), so the recheck reads only the
-    candidates' row groups and applies the EXACT predicate — answers
-    can never depend on the statistics. (4) With no selective entry at
-    all the plan falls back to the scan twin — the planner choosing a
-    seqscan over a useless index. Same oracle as the scan twin: the
+    the driver — the bounded two-phase class of B14). (2) Only
+    SELECTIVE entries (df ≤ cap; a stats-missing entry counts as df=0)
+    generate candidates — fetching a low-selectivity entry's huge
+    posting list through an aggregation costs more than rechecking it
+    on the candidates, which is exactly why the first cut of this plan
+    LOST to the scan twin at sf0.1 (3.0 s vs 2.0 s; measured in
+    PERF.md). (3) Candidate ids are inlined as a pushed
+    ``In(event_id, ...)`` literal filter (the keyset-pagination lesson:
+    a join column never pushes; bounded by the smallest posting list ≤
+    cap), so the recheck reads only the candidates' row groups and
+    applies the EXACT predicate. (4) With no selective entry at all the
+    plan falls back to the scan twin. Statistics are PLANNING-ONLY in
+    the strict sense: an empty result is only ever proven by the
+    candidate intersection over the postings (see
+    :func:`_containment_candidate_ids`), never from dfreq, which is
+    allowed to be one batch stale. Same oracle as the scan twin: the
     index changes the access path, never the answer."""
     from venus_spark.prepared import events_kv_postings
 
     need = list(_CONTAIN_NEEDLES)
     dfs = _kv_needle_dfs(spark, sf_dir, need)
-    if any(kv not in dfs for kv in need):
-        # a required entry occurs nowhere: containment is provably empty
-        return (
-            load_table(spark, sf_dir, "events")
-            .select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
-            .limit(0)
-        )
-    chosen = [kv for kv in need if dfs[kv] <= _KV_DF_CAP]
     ev = load_table(spark, sf_dir, "events")
-    if chosen:
-        post = events_kv_postings(spark, sf_dir)
-        cand = (
-            post.filter(F.col("kv").isin(chosen))
-            .groupBy("event_id")
-            .agg(F.countDistinct("kv").alias("n_hit"))
-            .filter(F.col("n_hit") == len(chosen))
-        )
-        ids = sorted(int(r["event_id"]) for r in cand.collect())
-        if not ids:
-            return ev.select(
-                "event_id", "user_id", fmt_ts("ts").alias("ts_str")
-            ).limit(0)
-        ev = ev.filter(F.col("event_id").isin(ids))
-    data = F.to_json(
-        F.struct(
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
-            F.col("event_type").alias("type"),
-            F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uid"),
-        )
+    ids = _containment_candidate_ids(
+        events_kv_postings(spark, sf_dir), need, dfs
     )
-    logs = ev.withColumn("data", data)
-    return logs.filter(
-        (F.get_json_object("data", "$.k").cast("int") == 7)
-        & (F.get_json_object("data", "$.type") == "click")
-        & F.get_json_object("data", "$.uid").isNotNull()
-    ).select("event_id", "user_id", fmt_ts("ts").alias("ts_str"))
+    if ids is None:
+        return _containment_recheck(ev)  # seqscan fallback
+    if not ids:
+        # emptiness proven from the index itself (candidate
+        # intersection over the postings), never from statistics
+        return _containment_recheck(ev.limit(0))
+    return _containment_recheck(ev.filter(F.col("event_id").isin(ids)))
+
+
+@plan("json_containment_indexed_live", oracle=_CONTAIN_ORACLE)
+def json_containment_indexed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE twin of ``json_containment_indexed`` (VERDICT r7 #1):
+    the same gincostestimate-planned containment over base ∪ the
+    STREAMED hot region. The reference builds its jsonb GIN on every
+    continuously-inserted JSONB column (migration :37,52,73) — inserts
+    are index-served the moment they commit, so the Spark expression
+    must be too. Here the 'pending list' is the events streaming sink
+    at the conventional location
+    (:func:`venus_spark.streaming.events_stream_sink_dir`), whose every
+    micro-batch already lands kv postings AND per-batch dfreq partials
+    idempotently (``start_events_rollup_ingest``):
+
+    - postings  = prepared ``events_kv_postings`` ∪ sink postings
+    - statistics = prepared dfreq + sink partial sums (needles only,
+      pushed In(kv) on both sides — statistics stay planning-only; the
+      candidate intersection over the union postings is the proof)
+    - recheck    = base events ∪ sink events (``unionByName`` with
+      missing columns allowed: a legacy props-less sink contributes
+      NULL props — absent-key semantics, matching its entry-less
+      postings), candidate ids inlined as a pushed In(event_id) filter
+      on BOTH scans.
+
+    On a corpus that never streamed (every mirror/driver sf dir) the
+    sink is absent and this degrades to exactly the prepared plan —
+    same oracle; the streamed half is pinned by the streaming e2e
+    tests, the same split as every other live read path."""
+    from venus_spark.prepared import events_kv_postings
+    from venus_spark.streaming import (
+        _sink_table_has_data,
+        events_stream_sink_dir,
+        read_kv_dfreq,
+        read_kv_postings,
+        read_sink_table,
+    )
+
+    need = list(_CONTAIN_NEEDLES)
+    dfs = dict(_kv_needle_dfs(spark, sf_dir, need))
+    post = events_kv_postings(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    sink = events_stream_sink_dir(sf_dir)
+    if _sink_table_has_data(sink, "events"):
+        ev = ev.unionByName(
+            read_sink_table(spark, sink, "events"), allowMissingColumns=True
+        )
+        post = post.unionByName(read_kv_postings(spark, sink))
+        for r in (
+            read_kv_dfreq(spark, sink)
+            .filter(F.col("kv").isin(need))
+            .collect()
+        ):
+            dfs[r["kv"]] = dfs.get(r["kv"], 0) + int(r["df"])
+    ids = _containment_candidate_ids(post, need, dfs)
+    if ids is None:
+        return _containment_recheck(ev)  # seqscan fallback over the union
+    if not ids:
+        return _containment_recheck(ev.limit(0))
+    return _containment_recheck(ev.filter(F.col("event_id").isin(ids)))
 
 
 # --------------------------------------------------------------------------

