@@ -102,7 +102,30 @@ def main() -> None:
                 "failed": failed,
                 "repeat": REPEAT,
                 "sf": sf_from_dir(SF_DIR),
-            }
+            },
+            separators=(",", ":"),
+        )
+    )
+    # The per-plan line above has outgrown any fixed-size tail capture
+    # (183+ plans ≈ 6 KB); a reader that keeps only the LAST ~2000
+    # characters of stdout would see an unparseable fragment. Emit a
+    # compact totals-only summary as the FINAL line so a tail capture
+    # always ends with complete, parseable JSON; the full per-plan
+    # breakdown stays on the first line (and in the committed
+    # BENCH_SELF_r* artifacts).
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "n_plans": len(timings),
+                "failed": failed,
+                "repeat": REPEAT,
+                "sf": sf_from_dir(SF_DIR),
+                "summary_of": "per-plan timings on the first output line",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -52,10 +52,23 @@ SHOWCASE = {
     "winnowing_pairs": "winnowing pairing: fingerprint-keyed self-join with df-capped buckets, never all-pairs",
     "fuzzy_trgm_postings_live": "live trigram postings: pending-union read path, same pushed In(trg) candidate fetch",
     "json_containment_indexed": "jsonb-GIN analog: statistics-chosen selective entries, candidate ids inlined as a pushed In(event_id) recheck filter",
+    "json_containment_indexed_live": "live jsonb-GIN analog: base-∪-sink postings drive the same candidate intersection; pushed In(event_id) recheck on the union",
     "curriculum_order": "exact NTILE without a global window: histogram-boundary broadcast join + dl-partitioned tie-break rank",
     "phrase_search_kterm_live": "live positional retrieval: pending-union postings serve the chained phrase intersection",
     "vocab_coverage_oov": "one tokenize scan: checkpointed tokens feed both the vocabulary cut and the flagging join (zero parquet scans in the query plan)",
     "tokenizer_fertility": "fertility audit: one narrow scan, partial-aggregated languages-keyed rollup, two closing divisions",
+}
+
+# Plans whose showcased access path only ENGAGES at a bigger scale than
+# the default sf: the containment needles match nothing at sf0.001, so
+# the candidate intersection correctly proves emptiness and the whole
+# plan collapses to a limit-0 local relation — true, but not the plan
+# shape the claim advertises (VERDICT r7 "What's wrong" #1). Captured
+# at sf0.01, where the needles match 15 events and the pushed
+# In(event_id) recheck shows.
+SF_OVERRIDE = {
+    "json_containment_indexed": "/root/testdata/sf0.01",
+    "json_containment_indexed_live": "/root/testdata/sf0.01",
 }
 
 
@@ -82,7 +95,8 @@ def main() -> int:
         "",
     ]
     for name, claim in SHOWCASE.items():
-        df = plans[name].fn(spark, args.sf)
+        sf = SF_OVERRIDE.get(name, args.sf)
+        df = plans[name].fn(spark, sf)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -95,7 +109,10 @@ def main() -> int:
             if re.search(r"PartitionFilters|PushedFilters|ReadSchema", seg)
             and "Scan" in seg
         ]
-        lines += [f"## {name}", "", f"**Claim:** {claim}", "", "```"]
+        hdr = f"## {name}" + (
+            f" (captured at {sf})" if name in SF_OVERRIDE else ""
+        )
+        lines += [hdr, "", f"**Claim:** {claim}", "", "```"]
         lines += [tree.rstrip()]
         for seg in keep:
             lines += ["", seg.rstrip()]

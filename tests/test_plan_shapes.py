@@ -703,6 +703,25 @@ def test_kv_postings_pushes_containment_fetch(spark):
     ), plan[:2000]
 
 
+def test_kv_containment_engaged_index_pushes_recheck(spark):
+    """VERDICT r7 #3: the escape hatch above (the proven-empty local
+    relation at sf0.001, where the needles genuinely match nothing)
+    must not be the only evidence. At sf0.01 the needles match 15
+    events, so the index path ENGAGES — the returned plan must show the
+    candidate ids as a pushed In(event_id) recheck filter, for both the
+    prepared plan and its live twin (sink absent → degraded path, same
+    planner)."""
+    from venus_spark.plans import all_plans
+
+    sf_med = "/root/testdata/sf0.01"
+    for name in ("json_containment_indexed", "json_containment_indexed_live"):
+        plan = formatted_plan(all_plans()[name].fn(spark, sf_med))
+        assert re.search(
+            r"PushedFilters: \[.*[Ii]n\(event_id", plan
+        ), (name, plan[:2000])
+        assert "LocalTableScan" not in plan, name  # genuinely engaged
+
+
 def test_kv_containment_planner_fallback_and_empty_proof(
     spark, monkeypatch
 ):

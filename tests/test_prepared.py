@@ -1805,6 +1805,96 @@ def test_gated_minhash_merge_keeps_band_layout(spark, tmp_path, monkeypatch):
     assert not spark.catalog.tableExists(table)  # real fold invalidates
 
 
+def test_vector_retrain_on_delete_drift(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #6: IVF centroids and the PQ codebook are
+    corpus-trained; deletes tombstone rows but the artifacts retain the
+    deleted vectors' influence. (a) Below the drift threshold the
+    retrain is a no-op and the artifacts are untouched (the documented
+    FAISS remove_ids posture). (b) Past it, retrain recomputes all
+    three from the LIVE rows and equals a FROM-SCRATCH build over the
+    corpus minus the deleted vectors — row-for-row on centroids (exact
+    decimal means), codebook, and codes. (c) The baseline resets, so a
+    repeat call is a no-op. (d) A crash after the commit marker is
+    completed by the next PQ ensure."""
+    import json as _j
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    sf = str(tmp_path / "sf")
+    emb.write.parquet(os.path.join(sf, "embeddings.parquet"))
+    prepared.embeddings_ivf(spark, sf)
+    prepared.embeddings_pq(spark, sf)
+    cent_path = prepared.prepared_path(
+        sf, "embeddings_ivf_centroids.parquet"
+    )
+
+    def snap(path):
+        return sorted(
+            (r[0], tuple(round(float(x), 9) for x in r[1]))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    cent0 = snap(cent_path)
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+    # (a) 2% deleted: drift below the 10% default -> no-op
+    prepared.tombstone_embeddings(spark, sf, ids[:10], batch_id=1)
+    assert prepared.retrain_vector_artifacts_if_drifted(spark, sf) is False
+    assert snap(cent_path) == cent0
+
+    # (b) 15% deleted in total -> retrain, equal to a fresh build over
+    # the live corpus
+    prepared.tombstone_embeddings(spark, sf, ids[10:75], batch_id=2)
+    assert prepared.retrain_vector_artifacts_if_drifted(spark, sf) is True
+    live_sf = str(tmp_path / "live_sf")
+    emb.filter(~F.col("vec_id").isin(ids[:75])).write.parquet(
+        os.path.join(live_sf, "embeddings.parquet")
+    )
+    prepared.embeddings_ivf(spark, live_sf)
+    prepared.embeddings_pq(spark, live_sf)
+
+    def tbl(sfd, name):
+        return prepared.prepared_path(sfd, name)
+
+    assert snap(cent_path) == snap(
+        tbl(live_sf, "embeddings_ivf_centroids.parquet")
+    )
+    assert snap(tbl(sf, "embeddings_pq_codebook.parquet")) == snap(
+        tbl(live_sf, "embeddings_pq_codebook.parquet")
+    )
+    codes = lambda sfd: sorted(  # noqa: E731
+        (r["vec_id"], r["label"], tuple(r["codes"]))
+        for r in spark.read.parquet(
+            tbl(sfd, "embeddings_pq_codes.parquet")
+        ).collect()
+    )
+    assert codes(sf) == codes(live_sf)
+
+    # (c) drift baseline reset
+    assert prepared.retrain_vector_artifacts_if_drifted(spark, sf) is False
+
+    # (d) crash after the commit marker: the next ensure completes the
+    # staged swap
+    cb_path = tbl(sf, "embeddings_pq_codebook.parquet")
+    cb_tmp = cb_path + ".retrain.tmp"
+    sh.copytree(cb_path, cb_tmp)
+    with open(os.path.join(cb_tmp, "_probe"), "w") as f:
+        f.write("x")
+    marker = prepared.prepared_path(sf, prepared._VEC_RETRAIN_MARKER)
+    with open(marker, "w") as f:
+        _j.dump(["codebook"], f)
+    prepared.embeddings_pq(spark, sf)
+    assert os.path.exists(os.path.join(cb_path, "_probe"))
+    assert not os.path.exists(marker) and not os.path.exists(cb_tmp)
+
+
 def test_compact_kv_postings_noop_without_layout(spark, tmp_path, monkeypatch):
     """Review r7 #4: the OPTIMIZE op must compact only what exists — on
     an sf_dir that never built the kv layout it returns False instead

@@ -17,6 +17,7 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark maintain delete-docs --ids 1,2,3 --batch-id N [--sf DIR]
     python -m venus_spark maintain vacuum-deletes [--sf DIR]
     python -m venus_spark maintain compact-postings [--sf DIR]
+    python -m venus_spark maintain retrain-vectors [--max-deleted-frac F] [--sf DIR]
     python -m venus_spark export OUT_DIR [--shards N] [--sf DIR]
                                                     # scheduled maintenance:
                                                     # OPTIMIZE / retention /
@@ -216,6 +217,21 @@ def cmd_maintain(args) -> int:
             print(" + ".join(done) + f" compacted for {args.sf}")
         else:
             print(f"no postings layouts found for {args.sf}")
+    elif args.op == "retrain-vectors":
+        spark = _spark()
+        drift = prepared.vector_artifact_drift(spark, args.sf)
+        if prepared.retrain_vector_artifacts_if_drifted(
+            spark, args.sf, max_deleted_frac=args.max_deleted_frac
+        ):
+            print(
+                f"vector artifacts retrained (drift {drift:.3f} > "
+                f"{args.max_deleted_frac}) for {args.sf}"
+            )
+        else:
+            print(
+                f"vector artifacts within drift bound ({drift:.3f} <= "
+                f"{args.max_deleted_frac}); no retrain"
+            )
     return 0
 
 
@@ -270,10 +286,17 @@ def main(argv: list[str] | None = None) -> int:
             "delete-docs",
             "vacuum-deletes",
             "compact-postings",
+            "retrain-vectors",
         ],
     )
     mt.add_argument("--sf", default=DEFAULT_SF)
     mt.add_argument("--before", help="retention cutoff date (drop-chunks)")
+    mt.add_argument(
+        "--max-deleted-frac",
+        type=float,
+        default=0.10,
+        help="drift threshold for retrain-vectors",
+    )
     mt.add_argument(
         "--drop-aggregates",
         action="store_true",

@@ -752,6 +752,7 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
     _recover_swap(vec_path, ".vacuum")  # finish any interrupted vacuum
+    _recover_vector_retrain(sf_dir)  # finish any committed retrain swap
     if not (_is_built(vec_path) and _is_built(cent_path)):
         _refuse_rebuild_with_absorbed_batches(vec_path, "IVF vector layout")
         for p in (vec_path, cent_path):
@@ -764,6 +765,15 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         )
         emb.write.partitionBy("label").parquet(vec_path)
         centroid_arrays(emb).write.parquet(cent_path)
+        # drift baseline for retrain_vector_artifacts_if_drifted: the
+        # build trained on the live set, so outstanding tombstones are
+        # already reflected
+        tb = embedding_tombstones(spark, sf_dir)
+        _write_train_meta(
+            cent_path,
+            0 if tb is None else tb.count(),
+            spark.read.parquet(vec_path).count(),
+        )
     # outstanding (not yet vacuumed) vector deletes filter at read
     return (
         _anti_vec_tombstones(spark, sf_dir, spark.read.parquet(vec_path)),
@@ -797,6 +807,7 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
     _recover_swap(codes_path, ".vacuum")  # finish any interrupted vacuum
+    _recover_vector_retrain(sf_dir)  # finish any committed retrain swap
     if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)):
         _refuse_rebuild_with_absorbed_batches(codes_path, "PQ codes layout")
         for p in (codes_path, cb_path):
@@ -2613,6 +2624,171 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
         shutil.rmtree(old)
         removed += n_dead
     return removed
+
+
+# --------------------------------------------------------------------------
+# Vector-artifact re-training (VERDICT r7 #6): DELETE deliberately keeps
+# the IVF centroid table and the PQ codebook untouched (the FAISS
+# remove_ids posture — approximate routing degrades gracefully), but the
+# trained artifacts retain the deleted vectors' influence FOREVER. Past
+# a drift threshold the honest move is the offline re-train every ANN
+# deployment schedules — the vector-side mirror of the postings-scrub
+# discipline that keeps text-index statistics exact under deletes.
+# --------------------------------------------------------------------------
+
+_VEC_TRAIN_META = "_vec_train_meta.json"
+_VEC_RETRAIN_MARKER = "_vec_retrain_commit.json"
+
+
+def _read_train_meta(cent_path: str) -> dict | None:
+    try:
+        with open(os.path.join(cent_path, _VEC_TRAIN_META)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_train_meta(cent_path: str, tb_at_train: int, trained_n: int) -> None:
+    p = os.path.join(cent_path, _VEC_TRAIN_META)
+    with open(p + ".tmp", "w") as f:
+        json.dump({"tb_at_train": tb_at_train, "trained_n": trained_n}, f)
+    os.replace(p + ".tmp", p)
+
+
+def _recover_vector_retrain(sf_dir: str) -> None:
+    """Finish an interrupted codebook+codes retrain swap. The two PQ
+    artifacts must change TOGETHER (codes encoded against one codebook,
+    ADC-decoded against the other would compute wrong distances), so
+    the retrain stages BOTH tmps completely, writes a commit marker,
+    then swaps — and this recovery, called from every PQ ensure path,
+    force-completes both swaps whenever the marker exists. Without the
+    marker, leftover tmps are an UNcommitted retrain and are discarded."""
+    marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
+    names = (
+        "embeddings_pq_codebook.parquet",
+        "embeddings_pq_codes.parquet",
+        "embeddings_ivf_centroids.parquet",
+    )
+    if os.path.exists(marker):
+        for name in names:
+            path = prepared_path(sf_dir, name)
+            tmp = path + ".retrain.tmp"
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+        os.remove(marker)
+    for name in names:  # uncommitted or already-swapped leftovers
+        tmp = prepared_path(sf_dir, name) + ".retrain.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:
+    """Fraction of the trained corpus deleted since the vector
+    artifacts were (re)trained: tombstones added since the training
+    baseline over the trained corpus size. Pure statistics — reading it
+    never rebuilds anything. A pre-baseline deployment (sidecar absent)
+    initializes conservatively: every outstanding tombstone counts as
+    post-training drift."""
+    _recover_vector_retrain(sf_dir)
+    vecs, _cent = embeddings_ivf(spark, sf_dir)
+    cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
+    tb = embedding_tombstones(spark, sf_dir)
+    n_tb = 0 if tb is None else tb.count()
+    meta = _read_train_meta(cent_path)
+    if meta is None:
+        meta = {"tb_at_train": 0, "trained_n": vecs.count() + n_tb}
+        _write_train_meta(cent_path, meta["tb_at_train"], meta["trained_n"])
+    return (n_tb - meta["tb_at_train"]) / max(meta["trained_n"], 1)
+
+
+def retrain_vector_artifacts_if_drifted(
+    spark: SparkSession, sf_dir: str, max_deleted_frac: float = 0.10
+) -> bool:
+    """Re-train the corpus-derived vector artifacts when deletes have
+    drifted them past ``max_deleted_frac`` — the `.deladj` analog for
+    the embeddings side (VERDICT r7 #6). Below the threshold this is a
+    no-op returning False (graceful degradation is the designed steady
+    state); above it:
+
+    - IVF centroids are recomputed from the LIVE vector rows (current
+      layout minus tombstones — appends included, so the refuse-rebuild
+      guard's concern never arises: nothing is rebuilt from base);
+    - the PQ codebook is re-sampled from the live rows and EVERY live
+      vector re-encoded (the deterministic coreset contract: same live
+      corpus ⇒ same codebook, so retrain == a from-scratch build over
+      the live corpus, regression-tested);
+    - all three artifacts rewrite through staged tmps with a commit
+      marker (:func:`_recover_vector_retrain`): codes and codebook flip
+      together or not at all — mixed generations would ADC against the
+      wrong codeword table;
+    - the drift baseline resets, so a repeat call is a no-op.
+
+    Maintenance op (``maintain retrain-vectors``): run it beside vacuum
+    on the delete path, not per query."""
+    from venus_spark.operators import similarity as sim
+    from venus_spark.operators.similarity import centroid_arrays
+
+    drift = vector_artifact_drift(spark, sf_dir)
+    if drift <= max_deleted_frac:
+        return False
+    vecs, _ = embeddings_ivf(spark, sf_dir)  # live (anti-tombstoned) rows
+    embeddings_pq(spark, sf_dir)  # ensure built before rewriting
+    codebook = sim.pq_codebook_rows(vecs)
+    if len(codebook) < sim.PQ_KS:
+        raise ValueError(
+            f"retrain would leave {len(codebook)} < PQ_KS={sim.PQ_KS} "
+            "codewords: the live corpus no longer saturates the "
+            "deterministic sample; PQ cannot be retrained incrementally "
+            "on a corpus this small."
+        )
+    cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
+    cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
+    codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
+    pq_meta = _read_meta(cb_path)
+    tb = embedding_tombstones(spark, sf_dir)
+    n_tb = 0 if tb is None else tb.count()
+    trained_n = vecs.count()
+
+    # stage all three COMPLETELY before the commit marker
+    for p in (cent_path, cb_path, codes_path):
+        tmp = p + ".retrain.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+    centroid_arrays(vecs).write.parquet(cent_path + ".retrain.tmp")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codebook)],
+        "cb_id int, cv array<double>",
+    ).coalesce(1).write.parquet(cb_path + ".retrain.tmp")
+    _stamp(cb_path + ".retrain.tmp", pq_meta)
+    codes_tmp = codes_path + ".retrain.tmp"
+    (
+        _pq_code_rows(vecs.select("vec_id", "label", "embedding"), codebook)
+        .write.partitionBy("label")
+        .parquet(codes_tmp)
+    )
+    _stamp(codes_tmp, pq_meta)
+    # the re-encode absorbs every appended batch read from the vector
+    # layout — carry the union manifest + markers so absorbed-batch
+    # retries stay no-ops (the recluster/vacuum invariant)
+    manifest = _read_abatch_manifest(codes_path) | _read_abatch_manifest(
+        prepared_path(sf_dir, "embeddings_ivf.parquet")
+    )
+    if manifest:
+        _write_abatch_manifest(codes_tmp, manifest)
+    if _has_append_marker(codes_path) or _has_append_marker(
+        prepared_path(sf_dir, "embeddings_ivf.parquet")
+    ):
+        _mark_appended(codes_tmp)
+
+    marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(["centroids", "codebook", "codes"], f)
+    os.replace(marker + ".tmp", marker)  # COMMIT: recovery completes it
+    _recover_vector_retrain(sf_dir)  # the swap IS the recovery procedure
+    _write_train_meta(cent_path, n_tb, trained_n)
+    return True
 
 
 # --------------------------------------------------------------------------
