@@ -765,6 +765,22 @@ def test_kv_containment_planner_fallback_and_empty_proof(
     assert "In(kv" not in formatted_plan(empty)
 
 
+def test_kv_key_plans_are_index_only(spark):
+    """json_key_discovery_indexed / json_key_frequency answer from the
+    presence postings alone: the '?' prefix predicate pushes into the
+    kv-sorted postings scan and the events table is never read (zero
+    JSON parsing — the jsonb_ops key-entry role of the GIN)."""
+    from venus_spark.plans import all_plans
+
+    for name in ("json_key_discovery_indexed", "json_key_frequency"):
+        plan = formatted_plan(all_plans()[name].fn(spark, SF))
+        assert re.search(
+            r"PushedFilters: \[.*StringStartsWith\(kv,\s*\?", plan
+        ), (name, plan[:2000])
+        assert "events.parquet" not in plan, name
+        assert "events_kv_postings" in plan, name
+
+
 def test_kv_containment_live_planner_mirrors_prepared(
     spark, monkeypatch
 ):

@@ -352,6 +352,82 @@ def json_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+# The composed reference-shaped document's key-presence truth, in SQL —
+# the oracle side of the two index-served key plans below. One branch
+# per key mirrors _events_kv_rows' presence conditions exactly.
+_COMPOSED_KEYS_SQL = """
+  SELECT event_id,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+              IS NOT NULL THEN 'k' END AS key FROM events
+  UNION ALL
+  SELECT event_id,
+         CASE WHEN event_type IS NOT NULL THEN 'type' END FROM events
+  UNION ALL
+  SELECT event_id,
+         CASE WHEN user_id % 3 != 0 THEN 'uid' END FROM events
+"""
+
+_KEYS_INDEXED_ORACLE = f"""
+SELECT DISTINCT key FROM ({_COMPOSED_KEYS_SQL})
+WHERE key IS NOT NULL
+"""
+
+
+@plan("json_key_discovery_indexed", oracle=_KEYS_INDEXED_ORACLE)
+def json_key_discovery_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 served by the jsonb-GIN analog: the default ``jsonb_ops``
+    opclass stores KEY entries precisely so key-existence questions
+    never parse documents — key discovery over the composed document is
+    a DISTINCT over the index's ``?key`` presence rows (substring off
+    the marker), no JSON parsing, no events scan. The prefix predicate
+    pushes into the kv-sorted postings (StringStartsWith row-group
+    pruning: presence entries cluster together), so the work is
+    O(presence postings), and — unlike a statistics read — the postings
+    are maintained with every batch, so the answer is exact in every
+    crash window (the stats-vs-index lesson of
+    :func:`json_containment_indexed`). The key universe here is the
+    composed document's (k/type/uid); ``json_key_discovery`` remains
+    the raw-payload twin."""
+    from venus_spark.prepared import events_kv_postings
+
+    post = events_kv_postings(spark, sf_dir)
+    return (
+        post.filter(F.col("kv").startswith("?"))
+        .select(F.substring("kv", 2, 1000).alias("key"))
+        .distinct()
+    )
+
+
+_KEY_FREQ_ORACLE = f"""
+SELECT key, COUNT(*) AS n_docs FROM ({_COMPOSED_KEYS_SQL})
+WHERE key IS NOT NULL
+GROUP BY key ORDER BY key
+"""
+
+
+@plan("json_key_frequency", oracle=_KEY_FREQ_ORACLE)
+def json_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key document counts over the composed JSON document — the
+    schema-profiling report (pg_stats' most_common_... for JSONB keys)
+    a 100 TB semi-structured corpus wants before anyone writes a
+    containment query: which keys exist, and how sparse is each.
+    Served EXACTLY from the presence postings (one count per ``?key``
+    group, partial-aggregated) — never from the dfreq statistics table,
+    which is planning-only and allowed to be one batch stale. Zero JSON
+    parsing, zero events scan; O(presence postings) with map-side
+    combine."""
+    from venus_spark.prepared import events_kv_postings
+
+    post = events_kv_postings(spark, sf_dir)
+    return (
+        post.filter(F.col("kv").startswith("?"))
+        .select(F.substring("kv", 2, 1000).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("key")
+    )
+
+
 # --------------------------------------------------------------------------
 # B14 — dynamic projection two-step (discover keys -> project each;
 #  absent keys yield NULL; doc/json_tricks.rst:77-99)
