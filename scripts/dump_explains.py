@@ -64,12 +64,18 @@ SHOWCASE = {
 # the candidate intersection correctly proves emptiness and the whole
 # plan collapses to a limit-0 local relation — true, but not the plan
 # shape the claim advertises (VERDICT r7 "What's wrong" #1). Captured
-# at sf0.01, where the needles match 15 events and the pushed
-# In(event_id) recheck shows.
+# at the named SIBLING of --sf (sf0.01, where the needles match 15
+# events and the pushed In(event_id) recheck shows), falling back to
+# --sf when that sibling does not exist on this machine.
 SF_OVERRIDE = {
-    "json_containment_indexed": "/root/testdata/sf0.01",
-    "json_containment_indexed_live": "/root/testdata/sf0.01",
+    "json_containment_indexed": "sf0.01",
+    "json_containment_indexed_live": "sf0.01",
 }
+
+
+def _override_sf(base_sf: str, sibling: str) -> str:
+    cand = os.path.join(os.path.dirname(os.path.normpath(base_sf)), sibling)
+    return cand if os.path.isdir(cand) else base_sf
 
 
 def main() -> int:
@@ -95,7 +101,9 @@ def main() -> int:
         "",
     ]
     for name, claim in SHOWCASE.items():
-        sf = SF_OVERRIDE.get(name, args.sf)
+        sf = args.sf
+        if name in SF_OVERRIDE:
+            sf = _override_sf(args.sf, SF_OVERRIDE[name])
         df = plans[name].fn(spark, sf)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

@@ -1772,6 +1772,18 @@ def test_kv_postings_backfill_heals_upgraded_dir(
     n_new = prepared._events_kv_rows(b3).count()
     assert prepared.events_kv_postings(spark, sf).count() == len(want) + n_new
 
+    # (e) review r8 #3: an absorbed batch whose abatch files retention
+    # deleted is unrecoverable — the backfill must refuse loudly, not
+    # read an empty path or silently manifest the batch as absorbed
+    bydate = prepared.prepared_path(sf, "events_by_date.parquet")
+    for root, _dirs, files in os.walk(bydate):
+        for f in files:
+            if f.startswith("abatch-2-"):
+                os.remove(os.path.join(root, f))
+    shutil.rmtree(path)  # back to the upgraded-deployment state
+    with pytest.raises(RuntimeError, match="no surviving abatch files"):
+        prepared.backfill_events_kv_postings(spark, sf)
+
 
 def test_gated_minhash_merge_keeps_band_layout(spark, tmp_path, monkeypatch):
     """Review r7 #3: a cadence tick whose below_bid gate folds nothing
@@ -1884,15 +1896,30 @@ def test_vector_retrain_on_delete_drift(spark, tmp_path, monkeypatch):
     # staged swap
     cb_path = tbl(sf, "embeddings_pq_codebook.parquet")
     cb_tmp = cb_path + ".retrain.tmp"
+    # (e) review r8 #1: a READER must never touch UNcommitted staging —
+    # without the marker, a concurrent maintenance process may still be
+    # mid-stage, and a reader-side cleanup could yield a
+    # mixed-generation commit
     sh.copytree(cb_path, cb_tmp)
+    prepared.embeddings_pq(spark, sf)
+    assert os.path.exists(cb_tmp), "reader destroyed in-flight staging"
     with open(os.path.join(cb_tmp, "_probe"), "w") as f:
         f.write("x")
+    # review r8 #2: the drift baseline travels inside the staged
+    # centroids dir, so a crash between marker and swap delivers it
+    cent_tmp = cent_path + ".retrain.tmp"
+    sh.copytree(cent_path, cent_tmp)
+    prepared._write_train_meta(cent_tmp, 99, 12345)
     marker = prepared.prepared_path(sf, prepared._VEC_RETRAIN_MARKER)
     with open(marker, "w") as f:
         _j.dump(["codebook"], f)
     prepared.embeddings_pq(spark, sf)
     assert os.path.exists(os.path.join(cb_path, "_probe"))
     assert not os.path.exists(marker) and not os.path.exists(cb_tmp)
+    assert prepared._read_train_meta(cent_path) == {
+        "tb_at_train": 99,
+        "trained_n": 12345,
+    }
 
 
 def test_compact_kv_postings_noop_without_layout(spark, tmp_path, monkeypatch):

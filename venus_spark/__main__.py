@@ -221,7 +221,8 @@ def cmd_maintain(args) -> int:
         spark = _spark()
         drift = prepared.vector_artifact_drift(spark, args.sf)
         if prepared.retrain_vector_artifacts_if_drifted(
-            spark, args.sf, max_deleted_frac=args.max_deleted_frac
+            spark, args.sf, max_deleted_frac=args.max_deleted_frac,
+            drift=drift,
         ):
             print(
                 f"vector artifacts retrained (drift {drift:.3f} > "

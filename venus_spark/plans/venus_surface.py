@@ -958,6 +958,24 @@ def _containment_candidate_ids(
     return sorted(int(r["event_id"]) for r in cand.collect())
 
 
+def _serve_containment(
+    ev: DataFrame, post: DataFrame, need: list[str], dfs: dict[str, int]
+) -> DataFrame:
+    """The ONE serve tail shared by the prepared and live containment
+    plans (they must never diverge — the index changes the access path,
+    never the answer): plan candidates from the postings+stats, then
+    seqscan fallback / index-proven empty / pushed In(event_id)
+    recheck."""
+    ids = _containment_candidate_ids(post, need, dfs)
+    if ids is None:
+        return _containment_recheck(ev)  # seqscan fallback
+    if not ids:
+        # emptiness proven from the index itself (candidate
+        # intersection over the postings), never from statistics
+        return _containment_recheck(ev.limit(0))
+    return _containment_recheck(ev.filter(F.col("event_id").isin(ids)))
+
+
 @plan("json_containment_indexed", oracle=_CONTAIN_ORACLE)
 def json_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same B11 containment query served by the INDEX access path
@@ -992,16 +1010,7 @@ def json_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     need = list(_CONTAIN_NEEDLES)
     dfs = _kv_needle_dfs(spark, sf_dir, need)
     ev = load_table(spark, sf_dir, "events")
-    ids = _containment_candidate_ids(
-        events_kv_postings(spark, sf_dir), need, dfs
-    )
-    if ids is None:
-        return _containment_recheck(ev)  # seqscan fallback
-    if not ids:
-        # emptiness proven from the index itself (candidate
-        # intersection over the postings), never from statistics
-        return _containment_recheck(ev.limit(0))
-    return _containment_recheck(ev.filter(F.col("event_id").isin(ids)))
+    return _serve_containment(ev, events_kv_postings(spark, sf_dir), need, dfs)
 
 
 @plan("json_containment_indexed_live", oracle=_CONTAIN_ORACLE)
@@ -1056,12 +1065,7 @@ def json_containment_indexed_live(spark: SparkSession, sf_dir: str) -> DataFrame
             .collect()
         ):
             dfs[r["kv"]] = dfs.get(r["kv"], 0) + int(r["df"])
-    ids = _containment_candidate_ids(post, need, dfs)
-    if ids is None:
-        return _containment_recheck(ev)  # seqscan fallback over the union
-    if not ids:
-        return _containment_recheck(ev.limit(0))
-    return _containment_recheck(ev.filter(F.col("event_id").isin(ids)))
+    return _serve_containment(ev, post, need, dfs)
 
 
 # --------------------------------------------------------------------------

@@ -572,6 +572,26 @@ def backfill_events_kv_postings(spark: SparkSession, sf_dir: str) -> int:
         for f in files
         if f.startswith("abatch-") and f.endswith(".parquet")
     ]
+    # A batch the manifest lists but whose files are GONE (retention's
+    # drop_event_chunks deletes whole date directories, abatch files
+    # included, while manifests survive rewrites by design) cannot be
+    # recovered here — raise the designed error instead of letting an
+    # empty-path read fail opaquely or a rebuilt index silently omit
+    # the batch while manifesting it as absorbed (review r8 #3). A
+    # retention-PARTIAL batch (some of its dates dropped, others kept)
+    # backfills its surviving rows — which is exactly the by_date
+    # layout's own post-retention view of that batch.
+    ids_with_files = {
+        int(os.path.basename(f).split("-")[1]) for f in batch_files
+    }
+    gone = absorbed - ids_with_files
+    if gone:
+        raise RuntimeError(
+            f"cannot backfill events_kv_postings for {sf_dir}: absorbed "
+            f"batches {sorted(gone)} have no surviving abatch files in "
+            "events_by_date (retention dropped their chunks); their rows "
+            "are unrecoverable from this layout."
+        )
     ev = load_table(spark, sf_dir, "events")
     recovered = spark.read.parquet(*batch_files).select(*ev.columns)
     tmp = path + ".backfill.tmp"
@@ -2655,33 +2675,40 @@ def _write_train_meta(cent_path: str, tb_at_train: int, trained_n: int) -> None:
     os.replace(p + ".tmp", p)
 
 
+_VEC_RETRAIN_NAMES = (
+    "embeddings_pq_codebook.parquet",
+    "embeddings_pq_codes.parquet",
+    "embeddings_ivf_centroids.parquet",
+)
+
+
 def _recover_vector_retrain(sf_dir: str) -> None:
     """Finish an interrupted codebook+codes retrain swap. The two PQ
     artifacts must change TOGETHER (codes encoded against one codebook,
     ADC-decoded against the other would compute wrong distances), so
     the retrain stages BOTH tmps completely, writes a commit marker,
     then swaps — and this recovery, called from every PQ ensure path,
-    force-completes both swaps whenever the marker exists. Without the
-    marker, leftover tmps are an UNcommitted retrain and are discarded."""
+    force-completes both swaps whenever the marker exists.
+
+    STRICTLY marker-driven: without the marker this touches NOTHING.
+    Read paths call it concurrently with a maintenance process that may
+    be mid-staging, and an eager "clean up stale tmps" here would
+    destroy the in-flight stage (review r8 #1: a reader-side rmtree
+    racing the codes write could yield a mixed-generation commit).
+    Uncommitted leftovers from a crashed retrain are cleaned by the
+    next retrain itself — the single-maintenance-writer discipline all
+    the swap families share."""
     marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
-    names = (
-        "embeddings_pq_codebook.parquet",
-        "embeddings_pq_codes.parquet",
-        "embeddings_ivf_centroids.parquet",
-    )
-    if os.path.exists(marker):
-        for name in names:
-            path = prepared_path(sf_dir, name)
-            tmp = path + ".retrain.tmp"
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                if os.path.exists(path):
-                    shutil.rmtree(path)
-                os.rename(tmp, path)
-        os.remove(marker)
-    for name in names:  # uncommitted or already-swapped leftovers
-        tmp = prepared_path(sf_dir, name) + ".retrain.tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+    if not os.path.exists(marker):
+        return
+    for name in _VEC_RETRAIN_NAMES:
+        path = prepared_path(sf_dir, name)
+        tmp = path + ".retrain.tmp"
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+    os.remove(marker)
 
 
 def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:
@@ -2704,7 +2731,10 @@ def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:
 
 
 def retrain_vector_artifacts_if_drifted(
-    spark: SparkSession, sf_dir: str, max_deleted_frac: float = 0.10
+    spark: SparkSession,
+    sf_dir: str,
+    max_deleted_frac: float = 0.10,
+    drift: float | None = None,
 ) -> bool:
     """Re-train the corpus-derived vector artifacts when deletes have
     drifted them past ``max_deleted_frac`` — the `.deladj` analog for
@@ -2726,11 +2756,15 @@ def retrain_vector_artifacts_if_drifted(
     - the drift baseline resets, so a repeat call is a no-op.
 
     Maintenance op (``maintain retrain-vectors``): run it beside vacuum
-    on the delete path, not per query."""
+    on the delete path, not per query — the swap families all assume a
+    single maintenance writer. ``drift`` lets a caller that already
+    measured :func:`vector_artifact_drift` skip the second measurement
+    pass."""
     from venus_spark.operators import similarity as sim
     from venus_spark.operators.similarity import centroid_arrays
 
-    drift = vector_artifact_drift(spark, sf_dir)
+    if drift is None:
+        drift = vector_artifact_drift(spark, sf_dir)
     if drift <= max_deleted_frac:
         return False
     vecs, _ = embeddings_ivf(spark, sf_dir)  # live (anti-tombstoned) rows
@@ -2751,12 +2785,19 @@ def retrain_vector_artifacts_if_drifted(
     n_tb = 0 if tb is None else tb.count()
     trained_n = vecs.count()
 
-    # stage all three COMPLETELY before the commit marker
+    # stage all three COMPLETELY before the commit marker (leftover
+    # tmps here are this op's own crashed prior attempt — only the
+    # single maintenance writer ever reaches this line)
     for p in (cent_path, cb_path, codes_path):
         tmp = p + ".retrain.tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
     centroid_arrays(vecs).write.parquet(cent_path + ".retrain.tmp")
+    # the drift baseline travels INSIDE the staged centroids dir: a
+    # crash between the marker and the swap then still delivers it with
+    # the recovery, instead of leaving fresh artifacts that read as
+    # 100%-drifted and trigger a spurious full retrain (review r8 #2)
+    _write_train_meta(cent_path + ".retrain.tmp", n_tb, trained_n)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(codebook)],
         "cb_id int, cv array<double>",
@@ -2787,7 +2828,6 @@ def retrain_vector_artifacts_if_drifted(
         json.dump(["centroids", "codebook", "codes"], f)
     os.replace(marker + ".tmp", marker)  # COMMIT: recovery completes it
     _recover_vector_retrain(sf_dir)  # the swap IS the recovery procedure
-    _write_train_meta(cent_path, n_tb, trained_n)
     return True
 
 
