@@ -660,10 +660,14 @@ def test_streamed_containment_is_index_served_live(
     )
     assert live == want
 
-    # verbatim replay of the batch's dfreq partials: no double count
+    # the sink's ts column is NTZ like the base table — an LTZ column
+    # would silently coerce the whole base-∪-sink union
     streamed = spark.read.parquet(os.path.join(sink, "events")).drop(
         "_batch_id"
     )
+    assert dict(streamed.dtypes)["ts"] == "timestamp_ntz"
+
+    # verbatim replay of the batch's dfreq partials: no double count
     kv = prepared._events_kv_rows(streamed, allow_missing_props=True)
     _write_idempotent(
         kv.groupBy("kv").agg(F.count("*").alias("df")),
@@ -673,6 +677,17 @@ def test_streamed_containment_is_index_served_live(
     assert {
         r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()
     } == dfs
+
+    # overlap safety net (review r8 pass-2 #2): an operator re-lands a
+    # streamed event into the base table without dropping its sink
+    # partition — the live plan's indexed recheck dedups by event_id,
+    # so the violated contract cannot double a result row
+    streamed.filter(F.col("event_id") == 2_000_001).write.mode(
+        "append"
+    ).parquet(os.path.join(sf, "events.parquet"))
+    vs._KV_DF_CACHE.clear()
+    live2 = plans["json_containment_indexed_live"].fn(spark, sf).collect()
+    assert sorted(r[0] for r in live2) == [2_000_001, 2_000_002]
 
 
 def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
@@ -735,6 +750,14 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
             ]
         )
     )
+    # batch 2 derives ZERO kv entries (null type, uid-absent user, null
+    # props): its kv/dfreq partitions are legitimately absent
+    (landing / "b2.jsonl").write_text(
+        _json.dumps(
+            {"event_id": 6, "ts": "2024-01-01 10:45:00", "user_id": 3,
+             "event_type": None, "value": 6.0, "props": None}
+        )
+    )
     sink = str(tmp_path / "sink")
     q = start_events_rollup_ingest(
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -785,8 +808,10 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     assert rollup_now() != want_roll  # the silent undercount, visible here
     report = audit_events_sink(sink)
     assert report["rollup_missing"] == [1]
-    assert report["kv_missing"] == [1]
-    assert report["dfreq_missing"] == [1]
+    # batch 2 (zero-entry) also reads as missing until a repair
+    # CONFIRMS it derives nothing
+    assert report["kv_missing"] == [1, 2]
+    assert report["dfreq_missing"] == [1, 2]
     assert report["orphans"] == {"events_kv_postings": [7]}
 
     out = repair_events_sink(spark, sink)
@@ -794,6 +819,10 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     assert out["kv_repaired"] == [1]
     assert out["dfreq_repaired"] == [1]
     assert out["orphans_removed"] == {"events_kv_postings": [7]}
+    # the confirmed-zero batch is recorded: later audits stop listing
+    # it and later repairs stop re-deriving it
+    assert audit_events_sink(sink)["kv_missing"] == []
+    assert audit_events_sink(sink)["dfreq_missing"] == []
 
     assert rollup_now() == want_roll
     assert (

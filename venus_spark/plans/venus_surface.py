@@ -959,13 +959,27 @@ def _containment_candidate_ids(
 
 
 def _serve_containment(
-    ev: DataFrame, post: DataFrame, need: list[str], dfs: dict[str, int]
+    ev: DataFrame,
+    post: DataFrame,
+    need: list[str],
+    dfs: dict[str, int],
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """The ONE serve tail shared by the prepared and live containment
     plans (they must never diverge — the index changes the access path,
     never the answer): plan candidates from the postings+stats, then
     seqscan fallback / index-proven empty / pushed In(event_id)
-    recheck."""
+    recheck.
+
+    ``dedup_ids`` is the live plan's overlap guard: if an operator
+    re-lands streamed batches into the base table without dropping the
+    sink's partitions, the base-∪-sink union holds each overlapped
+    event twice. The candidate intersection already tolerates duplicate
+    postings (countDistinct); this dedups the RECHECK output — cheap
+    here because the In(event_id) filter has already cut the relation
+    to ≤ candidate-cap rows. The seqscan fallback does NOT pay a
+    corpus-wide dedup shuffle: the no-overlap contract is documented on
+    :func:`venus_spark.streaming.events_stream_sink_dir`."""
     ids = _containment_candidate_ids(post, need, dfs)
     if ids is None:
         return _containment_recheck(ev)  # seqscan fallback
@@ -973,7 +987,10 @@ def _serve_containment(
         # emptiness proven from the index itself (candidate
         # intersection over the postings), never from statistics
         return _containment_recheck(ev.limit(0))
-    return _containment_recheck(ev.filter(F.col("event_id").isin(ids)))
+    hit = ev.filter(F.col("event_id").isin(ids))
+    if dedup_ids:
+        hit = hit.dropDuplicates(["event_id"])
+    return _containment_recheck(hit)
 
 
 @plan("json_containment_indexed", oracle=_CONTAIN_ORACLE)
@@ -1065,7 +1082,7 @@ def json_containment_indexed_live(spark: SparkSession, sf_dir: str) -> DataFrame
             .collect()
         ):
             dfs[r["kv"]] = dfs.get(r["kv"], 0) + int(r["df"])
-    return _serve_containment(ev, post, need, dfs)
+    return _serve_containment(ev, post, need, dfs, dedup_ids=True)
 
 
 # --------------------------------------------------------------------------

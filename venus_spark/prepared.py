@@ -2697,18 +2697,36 @@ def _recover_vector_retrain(sf_dir: str) -> None:
     racing the codes write could yield a mixed-generation commit).
     Uncommitted leftovers from a crashed retrain are cleaned by the
     next retrain itself — the single-maintenance-writer discipline all
-    the swap families share."""
+    the swap families share.
+
+    RACE-TOLERANT under concurrent recoverers (review r8 pass-2 #1:
+    several read paths can observe the marker at once): the live
+    artifact is renamed ASIDE (never rmtree'd in place, so a loser
+    cannot delete what the winner just swapped in), every rename is
+    try/except'd — exactly one process wins each swap, the others fall
+    through — and the marker removal tolerates already-removed. A crash
+    between the aside-rename and the tmp swap re-resolves on the next
+    call: marker still present, tmp still complete."""
     marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
     if not os.path.exists(marker):
         return
     for name in _VEC_RETRAIN_NAMES:
         path = prepared_path(sf_dir, name)
         tmp = path + ".retrain.tmp"
+        old = path + ".retrain.old"
         if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(tmp, path)
-    os.remove(marker)
+            try:
+                if os.path.exists(path):
+                    os.rename(path, old)  # aside, never a live rmtree
+                os.rename(tmp, path)
+            except OSError:
+                continue  # another recoverer won this swap
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass
 
 
 def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:

@@ -68,7 +68,12 @@ DEFAULT_MAX_FILES_PER_TRIGGER = 128  # queue-bound analog (venus/main.py:36)
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        # NTZ, not TimestampType: the base events parquet reads as
+        # TIMESTAMP_NTZ (session inferTimestampNTZ) and every plan
+        # compares ts against timestamp_ntz literals — an LTZ sink
+        # column would silently coerce the whole base-∪-sink union to
+        # LTZ (review r8 pass-2 #3).
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -87,7 +92,16 @@ def events_stream_sink_dir(sf_dir: str) -> str:
     dfreq statistics partials). Deployments point
     ``start_events_rollup_ingest(sink_dir=...)`` here; sf dirs that
     never streamed simply have no directory and the live plans degrade
-    to the prepared-only path."""
+    to the prepared-only path.
+
+    CONTRACT (review r8 pass-2 #2): the sink and the base table are
+    DISJOINT by event_id. An operator who re-lands streamed batches
+    into the base table must drop the sink's corresponding
+    ``_batch_id`` partitions in the same maintenance window — the
+    partition directory IS the sink's merge manifest. The live plans'
+    indexed recheck dedups by event_id as a safety net, but the
+    seqscan-fallback path deliberately does not pay a corpus-wide
+    dedup shuffle for a contract violation."""
     from venus_spark.prepared import prepared_path
 
     return prepared_path(sf_dir, "events_stream")
@@ -841,6 +855,29 @@ def _sink_batch_ids(table_dir: str) -> set[int]:
     return out
 
 
+_ZERO_KV_SENTINEL = "_zero_entry_batches.json"
+
+
+def _read_zero_kv_batches(sink_dir: str) -> set[int]:
+    """Batch ids CONFIRMED (by a prior repair's recompute) to derive
+    zero kv entries — legitimately absent from the kv/dfreq sinks. The
+    stream skips empty writes by design, so without this record every
+    audit would list such batches as missing forever and every repair
+    would re-derive them (review r8 pass-2 #4)."""
+    try:
+        with open(os.path.join(sink_dir, _ZERO_KV_SENTINEL)) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _write_zero_kv_batches(sink_dir: str, ids: set[int]) -> None:
+    p = os.path.join(sink_dir, _ZERO_KV_SENTINEL)
+    with open(p + ".tmp", "w") as f:
+        json.dump(sorted(ids), f)
+    os.replace(p + ".tmp", p)
+
+
 def audit_events_sink(sink_dir: str) -> dict:
     """Anti-entropy audit of the events streaming sink's derived
     artifacts (VERDICT r7 "What's wrong" #3 — the sink-side companion
@@ -858,7 +895,9 @@ def audit_events_sink(sink_dir: str) -> dict:
     written last so a rollup orphan implies manual surgery. The audit
     only REPORTS; ``kv_missing`` batches may be legitimate (a batch
     whose events derive zero entries is skipped by design), which is
-    why the repair recomputes instead of trusting the listing.
+    why the repair recomputes instead of trusting the listing — and,
+    once confirmed zero-entry, records the batch in the sentinel so
+    later audits/repairs skip it.
 
     Returns ``{"events": ids, "rollup_missing": ids, "kv_missing":
     ids, "dfreq_missing": ids, "orphans": {table: ids}}``."""
@@ -866,11 +905,12 @@ def audit_events_sink(sink_dir: str) -> dict:
     roll = _sink_batch_ids(os.path.join(sink_dir, "events_hourly_rollup"))
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
     dfq = _sink_batch_ids(os.path.join(sink_dir, "events_kv_dfreq"))
+    zero = _read_zero_kv_batches(sink_dir)
     return {
         "events": sorted(ev),
         "rollup_missing": sorted(ev - roll),
-        "kv_missing": sorted(ev - kv),
-        "dfreq_missing": sorted(ev - dfq),
+        "kv_missing": sorted(ev - kv - zero),
+        "dfreq_missing": sorted(ev - dfq - zero),
         "orphans": {
             t: sorted(ids - ev)
             for t, ids in (
@@ -937,6 +977,7 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
             bid,
         )
         out["rollup_repaired"].append(bid)
+    confirmed_zero = set()
     for bid in report["kv_missing"]:
         kv = _events_kv_rows(
             batch_facts(bid), allow_missing_props=True
@@ -949,21 +990,28 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
                     bid,
                 )
                 out["kv_repaired"].append(bid)
+            else:
+                confirmed_zero.add(bid)
         finally:
             kv.unpersist()
-    # dfreq derives from the NOW-PRESENT postings partition (exact by
-    # construction, and cheaper than re-deriving from the facts);
-    # batches with no postings partition legitimately have no dfreq
-    for bid in report["dfreq_missing"]:
-        part = os.path.join(
-            sink_dir, "events_kv_postings", f"_batch_id={bid}"
+    if confirmed_zero:
+        # record the confirmation so the batch stops reading as missing
+        # — otherwise every future audit lists it and every repair pays
+        # this recompute again (review r8 pass-2 #4)
+        _write_zero_kv_batches(
+            sink_dir, _read_zero_kv_batches(sink_dir) | confirmed_zero
         )
-        if not os.path.isdir(part) or not any(
-            f.endswith(".parquet") for f in os.listdir(part)
-        ):
+    # dfreq derives from the NOW-PRESENT postings partitions (exact by
+    # construction, and cheaper than re-deriving from the facts);
+    # batches with no postings partition are the confirmed-zero set
+    kv_present = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
+    for bid in report["dfreq_missing"]:
+        if bid not in kv_present:
             continue  # zero-entry batch: consistent as-is
         _write_idempotent(
-            spark.read.parquet(part)
+            spark.read.parquet(
+                os.path.join(sink_dir, "events_kv_postings", f"_batch_id={bid}")
+            )
             .groupBy("kv")
             .agg(F.count("*").alias("df")),
             os.path.join(sink_dir, "events_kv_dfreq"),
