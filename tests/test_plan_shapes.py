@@ -720,6 +720,10 @@ def test_kv_containment_engaged_index_pushes_recheck(spark):
             r"PushedFilters: \[.*[Ii]n\(event_id", plan
         ), (name, plan[:2000])
         assert "LocalTableScan" not in plan, name  # genuinely engaged
+        # sink absent -> the live plan is shape-identical to the
+        # prepared one: no overlap-dedup aggregate, no exchange
+        # (review r8 pass-3 #8)
+        assert "Exchange" not in plan, (name, plan[:2000])
 
 
 def test_kv_containment_planner_fallback_and_empty_proof(

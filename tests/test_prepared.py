@@ -1921,6 +1921,25 @@ def test_vector_retrain_on_delete_drift(spark, tmp_path, monkeypatch):
         "trained_n": 12345,
     }
 
+    # (f) review r8 pass-3 #1: a raced swap can strand the live
+    # artifact at .retrain.old with the path missing and no marker —
+    # the strand-heal prologue of ANY ensure must restore it
+    os.rename(cb_path, cb_path + ".retrain.old")
+    prepared.embeddings_pq(spark, sf)
+    assert os.path.exists(os.path.join(cb_path, "_probe"))
+    assert not os.path.exists(cb_path + ".retrain.old")
+
+    # (g) review r8 pass-3 #4: the embeddings vacuum must resolve a
+    # COMMITTED retrain before rewriting the codes table
+    sh.copytree(cb_path, cb_tmp)
+    with open(os.path.join(cb_tmp, "_probe2"), "w") as f:
+        f.write("x")
+    with open(marker, "w") as f:
+        _j.dump(["codebook"], f)
+    prepared.vacuum_embedding_tombstones(spark, sf)
+    assert os.path.exists(os.path.join(cb_path, "_probe2"))
+    assert not os.path.exists(marker)
+
 
 def test_compact_kv_postings_noop_without_layout(spark, tmp_path, monkeypatch):
     """Review r7 #4: the OPTIMIZE op must compact only what exists — on

@@ -842,6 +842,24 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
         "orphans_removed": {},
     }
 
+    # review r8 pass-3 #5: a reused batch id (checkpoint loss) that
+    # re-lands WITH kv entries must invalidate its zero-entry sentinel
+    # — the audit sees its missing dfreq again and the repair heals it
+    # and scrubs the sentinel
+    from venus_spark.streaming import _read_zero_kv_batches
+
+    assert _read_zero_kv_batches(sink) == {2}
+    reused = spark.createDataFrame(
+        [("type=buy", 6), ("?type", 6)], "kv string, event_id long"
+    )
+    _write_idempotent(reused, os.path.join(sink, "events_kv_postings"), 2)
+    assert audit_events_sink(sink)["dfreq_missing"] == [2]
+    out3 = repair_events_sink(spark, sink)
+    assert out3["dfreq_repaired"] == [2]
+    assert _read_zero_kv_batches(sink) == set()
+    dfs3 = {r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()}
+    assert dfs3["type=buy"] == want_dfs.get("type=buy", 0) + 1
+
 
 def test_streaming_kv_postings_empty_batch_and_reader_fallback(
     spark, tmp_path

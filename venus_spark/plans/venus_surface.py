@@ -1071,7 +1071,8 @@ def json_containment_indexed_live(spark: SparkSession, sf_dir: str) -> DataFrame
     post = events_kv_postings(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     sink = events_stream_sink_dir(sf_dir)
-    if _sink_table_has_data(sink, "events"):
+    sink_live = _sink_table_has_data(sink, "events")
+    if sink_live:
         ev = ev.unionByName(
             read_sink_table(spark, sink, "events"), allowMissingColumns=True
         )
@@ -1082,7 +1083,10 @@ def json_containment_indexed_live(spark: SparkSession, sf_dir: str) -> DataFrame
             .collect()
         ):
             dfs[r["kv"]] = dfs.get(r["kv"], 0) + int(r["df"])
-    return _serve_containment(ev, post, need, dfs, dedup_ids=True)
+    # dedup only when a sink actually contributes: without one, overlap
+    # is impossible and the degraded path must be byte-identical in
+    # shape to the prepared plan (review r8 pass-3 #8)
+    return _serve_containment(ev, post, need, dfs, dedup_ids=sink_live)
 
 
 # --------------------------------------------------------------------------

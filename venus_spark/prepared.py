@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import threading
 import zlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -582,7 +584,9 @@ def backfill_events_kv_postings(spark: SparkSession, sf_dir: str) -> int:
     # backfills its surviving rows — which is exactly the by_date
     # layout's own post-retention view of that batch.
     ids_with_files = {
-        int(os.path.basename(f).split("-")[1]) for f in batch_files
+        int(m.group(1))
+        for f in batch_files
+        if (m := re.match(r"abatch-(-?\d+)-", os.path.basename(f)))
     }
     gone = absorbed - ids_with_files
     if gone:
@@ -2601,6 +2605,11 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
     and the PQ codes table (label-partitioned writes preserved, stamps
     carried, same crash-safe swap + retained-tombstone semantics as the
     document vacuum). Returns rows removed."""
+    # resolve any COMMITTED retrain first (review r8 pass-3 #4): this
+    # vacuum rewrites the codes table, and racing a reader's marker
+    # recovery could reinstall pre-retrain codes over the retrained
+    # generation while the retrained codebook stays live
+    _recover_vector_retrain(sf_dir)
     tb = embedding_tombstones(spark, sf_dir)
     if tb is None:
         return 0
@@ -2658,6 +2667,7 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
 
 _VEC_TRAIN_META = "_vec_train_meta.json"
 _VEC_RETRAIN_MARKER = "_vec_retrain_commit.json"
+_VEC_RETRAIN_LOCK = threading.Lock()
 
 
 def _read_train_meta(cent_path: str) -> dict | None:
@@ -2690,7 +2700,7 @@ def _recover_vector_retrain(sf_dir: str) -> None:
     then swaps — and this recovery, called from every PQ ensure path,
     force-completes both swaps whenever the marker exists.
 
-    STRICTLY marker-driven: without the marker this touches NOTHING.
+    STRICTLY marker-driven: without the marker this performs no swap.
     Read paths call it concurrently with a maintenance process that may
     be mid-staging, and an eager "clean up stale tmps" here would
     destroy the in-flight stage (review r8 #1: a reader-side rmtree
@@ -2699,34 +2709,63 @@ def _recover_vector_retrain(sf_dir: str) -> None:
     next retrain itself — the single-maintenance-writer discipline all
     the swap families share.
 
-    RACE-TOLERANT under concurrent recoverers (review r8 pass-2 #1:
-    several read paths can observe the marker at once): the live
-    artifact is renamed ASIDE (never rmtree'd in place, so a loser
-    cannot delete what the winner just swapped in), every rename is
-    try/except'd — exactly one process wins each swap, the others fall
-    through — and the marker removal tolerates already-removed. A crash
-    between the aside-rename and the tmp swap re-resolves on the next
-    call: marker still present, tmp still complete."""
+    RACE POSTURE (review r8 pass-2 #1, pass-3 #1/#2/#7): the live
+    artifact is renamed ASIDE (never rmtree'd in place), a module lock
+    serializes recoverers within the driver process — the realistic
+    concurrency, since every query thread shares one SparkSession —
+    and the marker is re-checked per artifact so a recoverer cannot act
+    on a marker another epoch already consumed. Cross-PROCESS races
+    (CLI maintenance beside a long-lived service) are mitigated rather
+    than excluded: a displaced-but-complete artifact whose live path is
+    missing is restored by the strand-heal prologue on every call, so
+    no interleaving loses data; a stale ``.retrain.old`` is cleared
+    before the aside-rename (ENOTEMPTY cannot wedge the swap); and the
+    marker is removed ONLY after a pass with no failed swap — a
+    genuinely failed rename leaves the commit pending for the next
+    call instead of abandoning a half-swapped generation."""
     marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
-    if not os.path.exists(marker):
-        return
+    # strand-heal prologue (marker-independent): a complete artifact
+    # displaced to .retrain.old while the live path is missing is a
+    # crashed/raced swap — restore it; never delete it
     for name in _VEC_RETRAIN_NAMES:
         path = prepared_path(sf_dir, name)
-        tmp = path + ".retrain.tmp"
         old = path + ".retrain.old"
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        if not os.path.exists(path) and os.path.exists(
+            os.path.join(old, "_SUCCESS")
+        ):
             try:
-                if os.path.exists(path):
-                    os.rename(path, old)  # aside, never a live rmtree
-                os.rename(tmp, path)
+                os.rename(old, path)
             except OSError:
-                continue  # another recoverer won this swap
-        if os.path.exists(path):
-            shutil.rmtree(old, ignore_errors=True)
-    try:
-        os.remove(marker)
-    except FileNotFoundError:
-        pass
+                pass
+    if not os.path.exists(marker):
+        return
+    with _VEC_RETRAIN_LOCK:
+        if not os.path.exists(marker):
+            return  # another thread finished the recovery meanwhile
+        failed = False
+        for name in _VEC_RETRAIN_NAMES:
+            if not os.path.exists(marker):
+                return  # consumed mid-loop by another process
+            path = prepared_path(sf_dir, name)
+            tmp = path + ".retrain.tmp"
+            old = path + ".retrain.old"
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                try:
+                    if os.path.exists(path):
+                        if os.path.exists(old):
+                            shutil.rmtree(old)  # stale: clear or ENOTEMPTY
+                        os.rename(path, old)  # aside, never a live rmtree
+                    os.rename(tmp, path)
+                except OSError:
+                    failed = True
+                    continue
+            if os.path.exists(path):
+                shutil.rmtree(old, ignore_errors=True)
+        if not failed:
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
 
 
 def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:
@@ -2804,12 +2843,18 @@ def retrain_vector_artifacts_if_drifted(
     trained_n = vecs.count()
 
     # stage all three COMPLETELY before the commit marker (leftover
-    # tmps here are this op's own crashed prior attempt — only the
-    # single maintenance writer ever reaches this line)
+    # tmps/olds here are this op's own crashed prior attempts — only
+    # the single maintenance writer ever reaches this line, and the
+    # drift check above already strand-healed any displaced artifact,
+    # so a surviving .retrain.old beside a live path is garbage that
+    # would ENOTEMPTY-wedge the coming swap)
     for p in (cent_path, cb_path, codes_path):
         tmp = p + ".retrain.tmp"
         if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+            shutil.rmtree(tmp)  # our own crashed staging
+        old = p + ".retrain.old"
+        if os.path.exists(old) and os.path.exists(p):
+            shutil.rmtree(old)  # displaced garbage beside a live path
     centroid_arrays(vecs).write.parquet(cent_path + ".retrain.tmp")
     # the drift baseline travels INSIDE the staged centroids dir: a
     # crash between the marker and the swap then still delivers it with

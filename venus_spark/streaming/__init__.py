@@ -65,6 +65,11 @@ DEFAULT_MAX_FILES_PER_TRIGGER = 128  # queue-bound analog (venus/main.py:36)
 # Props-less streams remain legal (absent-key semantics via
 # ``_events_kv_rows(allow_missing_props=True)``), they just get no
 # ``k=``/``?k`` entries.
+#
+# A sink's schema is FIXED at its first write: parquet directories must
+# not mix timestamp annotations, so never restart an existing sink
+# (written with a caller-supplied LTZ schema) under this one — land a
+# new sink, or rewrite the old one once, instead.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -905,7 +910,11 @@ def audit_events_sink(sink_dir: str) -> dict:
     roll = _sink_batch_ids(os.path.join(sink_dir, "events_hourly_rollup"))
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
     dfq = _sink_batch_ids(os.path.join(sink_dir, "events_kv_dfreq"))
-    zero = _read_zero_kv_batches(sink_dir)
+    # A sentinel id that now HAS a kv partition is stale — a reused
+    # batch id after checkpoint loss re-landed with real entries
+    # (review r8 pass-3 #5) — and must not suppress its dfreq check;
+    # the repair persists the cleanup, the audit just ignores it.
+    zero = _read_zero_kv_batches(sink_dir) - kv
     return {
         "events": sorted(ev),
         "rollup_missing": sorted(ev - roll),
@@ -994,17 +1003,20 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
                 confirmed_zero.add(bid)
         finally:
             kv.unpersist()
-    if confirmed_zero:
-        # record the confirmation so the batch stops reading as missing
-        # — otherwise every future audit lists it and every repair pays
-        # this recompute again (review r8 pass-2 #4)
-        _write_zero_kv_batches(
-            sink_dir, _read_zero_kv_batches(sink_dir) | confirmed_zero
-        )
     # dfreq derives from the NOW-PRESENT postings partitions (exact by
     # construction, and cheaper than re-deriving from the facts);
     # batches with no postings partition are the confirmed-zero set
     kv_present = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
+    stale_zero = _read_zero_kv_batches(sink_dir) & kv_present
+    if confirmed_zero or stale_zero:
+        # record confirmations so the batch stops reading as missing —
+        # otherwise every future audit lists it and every repair pays
+        # the recompute again (review r8 pass-2 #4) — and scrub ids a
+        # reused batch id has since re-landed WITH entries (pass-3 #5)
+        _write_zero_kv_batches(
+            sink_dir,
+            (_read_zero_kv_batches(sink_dir) | confirmed_zero) - kv_present,
+        )
     for bid in report["dfreq_missing"]:
         if bid not in kv_present:
             continue  # zero-entry batch: consistent as-is
