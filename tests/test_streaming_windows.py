@@ -848,7 +848,7 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     # and scrubs the sentinel
     from venus_spark.streaming import _read_zero_kv_batches
 
-    assert _read_zero_kv_batches(sink) == {2}
+    assert set(_read_zero_kv_batches(sink)) == {2}
     reused = spark.createDataFrame(
         [("type=buy", 6), ("?type", 6)], "kv string, event_id long"
     )
@@ -856,9 +856,34 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     assert audit_events_sink(sink)["dfreq_missing"] == [2]
     out3 = repair_events_sink(spark, sink)
     assert out3["dfreq_repaired"] == [2]
-    assert _read_zero_kv_batches(sink) == set()
+    assert _read_zero_kv_batches(sink) == {}
     dfs3 = {r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()}
     assert dfs3["type=buy"] == want_dfs.get("type=buy", 0) + 1
+
+    # review r8 pass-4 #1: a reused batch id that re-lands DIFFERENT
+    # facts but crashes BEFORE its kv write must void the zero
+    # confirmation via the facts fingerprint — without it, the one
+    # crash window this machinery exists to close becomes undetectable
+    zero_facts = spark.createDataFrame(
+        [(9, None, 3, None, 9.0, None)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    _write_idempotent(zero_facts, os.path.join(sink, "events"), 9)
+    assert repair_events_sink(spark, sink)["kv_repaired"] == []
+    assert 9 in _read_zero_kv_batches(sink)  # confirmed zero
+    real_facts = spark.createDataFrame(
+        [(9, None, 4, "click", 9.0, None)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    _write_idempotent(real_facts, os.path.join(sink, "events"), 9)
+    # facts rewritten, kv never landed (the crash): the audit must see
+    # batch 9 as missing again
+    assert 9 in audit_events_sink(sink)["kv_missing"]
+    out4 = repair_events_sink(spark, sink)
+    assert out4["kv_repaired"] == [9] and out4["dfreq_repaired"] == [9]
+    assert 9 not in _read_zero_kv_batches(sink)
 
 
 def test_streaming_kv_postings_empty_batch_and_reader_fallback(

@@ -29,6 +29,7 @@ import re
 import shutil
 import threading
 import zlib
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2648,9 +2649,14 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
             _write_abatch_manifest(tmp, manifest)
         if marked:
             _mark_appended(tmp)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        # the swap holds the shared vector-swap lock (review r8 pass-4
+        # #3): this aside window is exactly where a concurrent
+        # recovery's strand-heal could resurrect a stale .retrain.old
+        # into the briefly-missing path
+        with _vec_swap_flock(sf_dir):
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
         removed += n_dead
     return removed
 
@@ -2668,6 +2674,34 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
 _VEC_TRAIN_META = "_vec_train_meta.json"
 _VEC_RETRAIN_MARKER = "_vec_retrain_commit.json"
 _VEC_RETRAIN_LOCK = threading.Lock()
+_VEC_RETRAIN_LOCKFILE = "_vec_retrain.lock"
+
+
+@contextmanager
+def _vec_swap_flock(sf_dir: str):
+    """Mutual exclusion for every swap that can displace a vector
+    artifact (retrain recovery AND the embeddings vacuum): an OS-level
+    ``flock`` serializes across processes on this single-host
+    deployment and is released by the kernel on crash, and the module
+    lock serializes threads sharing the process (flock is per-file,
+    not per-fd-holder, within one process). Review r8 pass-4 #1/#3/#4:
+    bare-rename protocols between unsynchronized swappers kept leaving
+    one interleaving that stranded or resurrected a generation; under
+    the lock a swap either completes or fails LOUDLY with no racer to
+    blame. (A real cluster filesystem would use a lakehouse table
+    format's commit log here instead — the documented production
+    seam.)"""
+    import fcntl
+
+    root = os.path.dirname(prepared_path(sf_dir, _VEC_RETRAIN_LOCKFILE))
+    os.makedirs(root, exist_ok=True)
+    with _VEC_RETRAIN_LOCK:
+        with open(prepared_path(sf_dir, _VEC_RETRAIN_LOCKFILE), "w") as fd:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
 
 
 def _read_train_meta(cent_path: str) -> dict | None:
@@ -2709,63 +2743,52 @@ def _recover_vector_retrain(sf_dir: str) -> None:
     next retrain itself — the single-maintenance-writer discipline all
     the swap families share.
 
-    RACE POSTURE (review r8 pass-2 #1, pass-3 #1/#2/#7): the live
-    artifact is renamed ASIDE (never rmtree'd in place), a module lock
-    serializes recoverers within the driver process — the realistic
-    concurrency, since every query thread shares one SparkSession —
-    and the marker is re-checked per artifact so a recoverer cannot act
-    on a marker another epoch already consumed. Cross-PROCESS races
-    (CLI maintenance beside a long-lived service) are mitigated rather
-    than excluded: a displaced-but-complete artifact whose live path is
-    missing is restored by the strand-heal prologue on every call, so
-    no interleaving loses data; a stale ``.retrain.old`` is cleared
-    before the aside-rename (ENOTEMPTY cannot wedge the swap); and the
-    marker is removed ONLY after a pass with no failed swap — a
-    genuinely failed rename leaves the commit pending for the next
-    call instead of abandoning a half-swapped generation."""
+    RACE POSTURE (review r8 pass-2 #1, pass-3 #1/#2/#7, pass-4
+    #1-#4): every swap that can displace a vector artifact — this
+    recovery AND the embeddings vacuum — runs under ONE exclusive lock
+    (:func:`_vec_swap_flock`: flock across processes, module lock
+    across threads), so there is no concurrent swapper to race: the
+    bare-rename protocols of the earlier passes each left one
+    interleaving that stranded or resurrected a generation. Under the
+    lock, the strand-heal prologue (restore a complete artifact
+    displaced to ``.retrain.old`` while its live path is missing — a
+    crashed swap) cannot fire inside another swap's aside window, a
+    stale ``.retrain.old`` is cleared before the aside-rename so
+    ENOTEMPTY cannot wedge a committed swap, and any rename failure is
+    now a REAL filesystem failure — raised loudly with the marker left
+    in place, never a half-swapped generation silently committed."""
     marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
-    # strand-heal prologue (marker-independent): a complete artifact
-    # displaced to .retrain.old while the live path is missing is a
-    # crashed/raced swap — restore it; never delete it
-    for name in _VEC_RETRAIN_NAMES:
-        path = prepared_path(sf_dir, name)
-        old = path + ".retrain.old"
-        if not os.path.exists(path) and os.path.exists(
-            os.path.join(old, "_SUCCESS")
-        ):
-            try:
-                os.rename(old, path)
-            except OSError:
-                pass
-    if not os.path.exists(marker):
+    # lock-free fast path: nothing pending, nothing stranded
+    if not os.path.exists(marker) and not any(
+        os.path.exists(prepared_path(sf_dir, n) + ".retrain.old")
+        for n in _VEC_RETRAIN_NAMES
+    ):
         return
-    with _VEC_RETRAIN_LOCK:
-        if not os.path.exists(marker):
-            return  # another thread finished the recovery meanwhile
-        failed = False
+    with _vec_swap_flock(sf_dir):
+        # strand-heal first: a complete artifact displaced while the
+        # live path is missing is a crashed swap — restore, never delete
         for name in _VEC_RETRAIN_NAMES:
-            if not os.path.exists(marker):
-                return  # consumed mid-loop by another process
+            path = prepared_path(sf_dir, name)
+            old = path + ".retrain.old"
+            if not os.path.exists(path) and os.path.exists(
+                os.path.join(old, "_SUCCESS")
+            ):
+                os.rename(old, path)
+        if not os.path.exists(marker):
+            return  # another locker finished the recovery meanwhile
+        for name in _VEC_RETRAIN_NAMES:
             path = prepared_path(sf_dir, name)
             tmp = path + ".retrain.tmp"
             old = path + ".retrain.old"
             if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                try:
-                    if os.path.exists(path):
-                        if os.path.exists(old):
-                            shutil.rmtree(old)  # stale: clear or ENOTEMPTY
-                        os.rename(path, old)  # aside, never a live rmtree
-                    os.rename(tmp, path)
-                except OSError:
-                    failed = True
-                    continue
+                if os.path.exists(path):
+                    if os.path.exists(old):
+                        shutil.rmtree(old)  # stale: clear or ENOTEMPTY
+                    os.rename(path, old)  # aside, never a live rmtree
+                os.rename(tmp, path)  # a failure here RAISES: marker stays
             if os.path.exists(path):
                 shutil.rmtree(old, ignore_errors=True)
-        if not failed:
-            try:
-                os.remove(marker)
-            except FileNotFoundError:
-                pass
+        os.remove(marker)
 
 
 def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:
@@ -2837,6 +2860,16 @@ def retrain_vector_artifacts_if_drifted(
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
+    marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
+    if os.path.exists(marker):
+        # unreachable when the drift check's recovery succeeded (it
+        # raises on failure), but staging fresh tmps under a LIVE
+        # marker would hand a concurrent recovery a half-generation to
+        # commit (review r8 pass-4 #2) — refuse outright
+        raise RuntimeError(
+            f"pending retrain commit at {marker} was not resolved; "
+            "refusing to stage a new retrain over it."
+        )
     pq_meta = _read_meta(cb_path)
     tb = embedding_tombstones(spark, sf_dir)
     n_tb = 0 if tb is None else tb.count()

@@ -863,24 +863,52 @@ def _sink_batch_ids(table_dir: str) -> set[int]:
 _ZERO_KV_SENTINEL = "_zero_entry_batches.json"
 
 
-def _read_zero_kv_batches(sink_dir: str) -> set[int]:
-    """Batch ids CONFIRMED (by a prior repair's recompute) to derive
-    zero kv entries — legitimately absent from the kv/dfreq sinks. The
-    stream skips empty writes by design, so without this record every
-    audit would list such batches as missing forever and every repair
-    would re-derive them (review r8 pass-2 #4)."""
+def _facts_partition_fp(sink_dir: str, bid: int) -> list[str]:
+    """Fingerprint of a facts batch partition: its sorted data-file
+    name set (parquet writers uuid their part files, so ANY rewrite —
+    including a reused batch id re-landing different rows after
+    checkpoint loss — changes it)."""
+    p = os.path.join(sink_dir, "events", f"_batch_id={bid}")
+    if not os.path.isdir(p):
+        return []
+    return sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+
+
+def _read_zero_kv_batches(sink_dir: str) -> dict[int, list[str]]:
+    """Batches CONFIRMED (by a prior repair's recompute) to derive zero
+    kv entries — legitimately absent from the kv/dfreq sinks — mapped
+    to the facts-partition fingerprint the confirmation saw. The stream
+    skips empty writes by design, so without this record every audit
+    would list such batches as missing forever and every repair would
+    re-derive them (review r8 pass-2 #4); the fingerprint makes a
+    confirmation void when a reused batch id re-lands DIFFERENT facts
+    (review r8 pass-4 #1 — a crash before the new kv write would
+    otherwise hide behind the stale confirmation forever)."""
     try:
         with open(os.path.join(sink_dir, _ZERO_KV_SENTINEL)) as f:
-            return set(json.load(f))
+            return {int(k): v for k, v in json.load(f).items()}
     except (OSError, ValueError):
-        return set()
+        return {}
 
 
-def _write_zero_kv_batches(sink_dir: str, ids: set[int]) -> None:
+def _write_zero_kv_batches(
+    sink_dir: str, entries: dict[int, list[str]]
+) -> None:
     p = os.path.join(sink_dir, _ZERO_KV_SENTINEL)
     with open(p + ".tmp", "w") as f:
-        json.dump(sorted(ids), f)
+        json.dump({str(k): v for k, v in sorted(entries.items())}, f)
     os.replace(p + ".tmp", p)
+
+
+def _valid_zero_kv_ids(sink_dir: str, kv_ids: set[int]) -> set[int]:
+    """Sentinel ids whose confirmation still stands: no kv partition
+    has since landed for the id AND the facts partition is the one the
+    confirmation fingerprinted."""
+    return {
+        bid
+        for bid, fp in _read_zero_kv_batches(sink_dir).items()
+        if bid not in kv_ids and _facts_partition_fp(sink_dir, bid) == fp
+    }
 
 
 def audit_events_sink(sink_dir: str) -> dict:
@@ -910,11 +938,13 @@ def audit_events_sink(sink_dir: str) -> dict:
     roll = _sink_batch_ids(os.path.join(sink_dir, "events_hourly_rollup"))
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
     dfq = _sink_batch_ids(os.path.join(sink_dir, "events_kv_dfreq"))
-    # A sentinel id that now HAS a kv partition is stale — a reused
-    # batch id after checkpoint loss re-landed with real entries
-    # (review r8 pass-3 #5) — and must not suppress its dfreq check;
-    # the repair persists the cleanup, the audit just ignores it.
-    zero = _read_zero_kv_batches(sink_dir) - kv
+    # A sentinel confirmation is honored only while it still describes
+    # reality: no kv partition has since landed for the id (review r8
+    # pass-3 #5) AND the facts partition matches the fingerprint the
+    # confirmation saw (pass-4 #1 — a reused batch id re-landing
+    # different facts voids it). The repair persists the cleanup; the
+    # audit just ignores stale entries.
+    zero = _valid_zero_kv_ids(sink_dir, kv)
     return {
         "events": sorted(ev),
         "rollup_missing": sorted(ev - roll),
@@ -986,8 +1016,11 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
             bid,
         )
         out["rollup_repaired"].append(bid)
-    confirmed_zero = set()
+    confirmed_zero: dict[int, list[str]] = {}
     for bid in report["kv_missing"]:
+        # fingerprint BEFORE deriving: if the partition is rewritten
+        # mid-repair the stale fingerprint voids this confirmation
+        fp = _facts_partition_fp(sink_dir, bid)
         kv = _events_kv_rows(
             batch_facts(bid), allow_missing_props=True
         ).persist()
@@ -1000,23 +1033,27 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
                 )
                 out["kv_repaired"].append(bid)
             else:
-                confirmed_zero.add(bid)
+                confirmed_zero[bid] = fp
         finally:
             kv.unpersist()
     # dfreq derives from the NOW-PRESENT postings partitions (exact by
     # construction, and cheaper than re-deriving from the facts);
     # batches with no postings partition are the confirmed-zero set
     kv_present = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
-    stale_zero = _read_zero_kv_batches(sink_dir) & kv_present
-    if confirmed_zero or stale_zero:
-        # record confirmations so the batch stops reading as missing —
-        # otherwise every future audit lists it and every repair pays
-        # the recompute again (review r8 pass-2 #4) — and scrub ids a
-        # reused batch id has since re-landed WITH entries (pass-3 #5)
-        _write_zero_kv_batches(
-            sink_dir,
-            (_read_zero_kv_batches(sink_dir) | confirmed_zero) - kv_present,
-        )
+    sentinel = _read_zero_kv_batches(sink_dir)  # one read, reused below
+    kept = {
+        bid: fp
+        for bid, fp in sentinel.items()
+        if bid not in kv_present and _facts_partition_fp(sink_dir, bid) == fp
+    }
+    kept.update(confirmed_zero)
+    if kept != sentinel:
+        # record new confirmations so the batch stops reading as
+        # missing — otherwise every future audit lists it and every
+        # repair pays the recompute again (review r8 pass-2 #4) — and
+        # scrub entries voided by a reused batch id (pass-3 #5) or a
+        # changed facts fingerprint (pass-4 #1)
+        _write_zero_kv_batches(sink_dir, kept)
     for bid in report["dfreq_missing"]:
         if bid not in kv_present:
             continue  # zero-entry batch: consistent as-is
