@@ -776,7 +776,12 @@ def test_kv_key_plans_are_index_only(spark):
     JSON parsing — the jsonb_ops key-entry role of the GIN)."""
     from venus_spark.plans import all_plans
 
-    for name in ("json_key_discovery_indexed", "json_key_frequency"):
+    for name in (
+        "json_key_discovery_indexed",
+        "json_key_frequency",
+        "json_key_discovery_live",
+        "json_key_frequency_live",
+    ):
         plan = formatted_plan(all_plans()[name].fn(spark, SF))
         assert re.search(
             r"PushedFilters: \[.*StringStartsWith\(kv,\s*\?", plan

@@ -689,6 +689,24 @@ def test_streamed_containment_is_index_served_live(
     live2 = plans["json_containment_indexed_live"].fn(spark, sf).collect()
     assert sorted(r[0] for r in live2) == [2_000_001, 2_000_002]
 
+    # the live KEY plans see the streamed entries pre-merge too: the
+    # frequency report gains the 5 streamed type-bearing docs (4 with
+    # uid), while the prepared twin still reports only the base corpus
+    def freqs(name):
+        return {
+            r["key"]: r["n_docs"]
+            for r in plans[name].fn(spark, sf).collect()
+        }
+
+    cold, live_f = freqs("json_key_frequency"), freqs("json_key_frequency_live")
+    assert live_f["type"] == cold["type"] + 5
+    assert live_f["uid"] == cold["uid"] + 4
+    disc = {
+        r["key"]
+        for r in plans["json_key_discovery_live"].fn(spark, sf).collect()
+    }
+    assert {"k", "type", "uid"} <= disc
+
 
 def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     """VERDICT r7 "What's wrong" #3: a crash between the facts write

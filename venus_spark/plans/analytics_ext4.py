@@ -229,7 +229,14 @@ def layout_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same query runs with the maintained fact table as the pin —
     and after retention, against the post-cutoff window. Each branch
     is one column-pruned scan + a 1-row aggregate, so the audit costs
-    one pass over each layout's (event_id) column, nothing more."""
+    one pass over each layout's (event_id) column, nothing more.
+
+    The STREAMING-SINK companion (VERDICT r7 #2) lives in
+    :func:`venus_spark.streaming.audit_events_sink` /
+    ``repair_events_sink``: it compares ``_batch_id`` partition sets
+    across the sink's fact/rollup/kv/dfreq tables — the
+    lost-checkpoint divergence this value-level audit cannot see — and
+    re-derives missing partitions from the facts."""
     from venus_spark.prepared import (
         events_by_date,
         events_by_user,

@@ -398,11 +398,63 @@ def json_key_discovery_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kv_presence_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base ∪ streamed-sink kv postings, filtered to the ``?key``
+    presence entries — the shared read relation of the two live key
+    plans. The prefix filter applies to BOTH sides before the union so
+    each parquet scan gets the pushed StringStartsWith."""
+    from venus_spark.prepared import events_kv_postings
+    from venus_spark.streaming import (
+        _sink_table_has_data,
+        events_stream_sink_dir,
+        read_kv_postings,
+    )
+
+    post = events_kv_postings(spark, sf_dir)
+    sink = events_stream_sink_dir(sf_dir)
+    if _sink_table_has_data(sink, "events_kv_postings"):
+        post = post.unionByName(read_kv_postings(spark, sink))
+    return post.filter(F.col("kv").startswith("?")).select(
+        F.substring("kv", 2, 1000).alias("key"), "event_id"
+    )
+
+
+@plan("json_key_discovery_live", oracle=_KEYS_INDEXED_ORACLE)
+def json_key_discovery_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live twin of ``json_key_discovery_indexed``: key enumeration
+    over base ∪ the streamed sink's presence postings — a key first
+    introduced by a streamed batch is discoverable the moment its
+    micro-batch commits, the same pre-merge visibility contract as
+    every other live read path. DISTINCT is set-semantics, so the
+    union needs no overlap handling at all. Quiescent corpus ⇒
+    identical to the prepared twin (same oracle); the streamed half is
+    pinned by the streaming e2e."""
+    return _kv_presence_postings_live(spark, sf_dir).select("key").distinct()
+
+
 _KEY_FREQ_ORACLE = f"""
 SELECT key, COUNT(*) AS n_docs FROM ({_COMPOSED_KEYS_SQL})
 WHERE key IS NOT NULL
 GROUP BY key ORDER BY key
 """
+
+
+@plan("json_key_frequency_live", oracle=_KEY_FREQ_ORACLE)
+def json_key_frequency_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live twin of ``json_key_frequency``: per-key document counts
+    over base ∪ sink presence postings. Counts are per (key, event)
+    and the sink is event_id-disjoint from the base by contract
+    (:func:`venus_spark.streaming.events_stream_sink_dir`), but this
+    plan counts DISTINCT event_id per key anyway — the duplicate-
+    robust gate discipline of the trigram plans (r7), making the
+    report exact even under a violated overlap contract or a
+    crash-retried mode-append's duplicated posting row."""
+    return (
+        _kv_presence_postings_live(spark, sf_dir)
+        .groupBy("key")
+        .agg(F.countDistinct("event_id").alias("n_docs"))
+        .orderBy("key")
+    )
 
 
 @plan("json_key_frequency", oracle=_KEY_FREQ_ORACLE)
@@ -411,19 +463,20 @@ def json_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-profiling report (pg_stats' most_common_... for JSONB keys)
     a 100 TB semi-structured corpus wants before anyone writes a
     containment query: which keys exist, and how sparse is each.
-    Served EXACTLY from the presence postings (one count per ``?key``
-    group, partial-aggregated) — never from the dfreq statistics table,
-    which is planning-only and allowed to be one batch stale. Zero JSON
-    parsing, zero events scan; O(presence postings) with map-side
-    combine."""
+    Served EXACTLY from the presence postings — never from the dfreq
+    statistics table, which is planning-only and allowed to be one
+    batch stale. Zero JSON parsing, zero events scan; O(presence
+    postings). Counts DISTINCT event_id per key (the r7
+    duplicate-robust gate discipline): a posting row duplicated by a
+    crash-retried mode-append cannot inflate the report."""
     from venus_spark.prepared import events_kv_postings
 
     post = events_kv_postings(spark, sf_dir)
     return (
         post.filter(F.col("kv").startswith("?"))
-        .select(F.substring("kv", 2, 1000).alias("key"))
+        .select(F.substring("kv", 2, 1000).alias("key"), "event_id")
         .groupBy("key")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.countDistinct("event_id").alias("n_docs"))
         .orderBy("key")
     )
 
