@@ -706,6 +706,18 @@ def test_streamed_containment_is_index_served_live(
         for r in plans["json_key_discovery_live"].fn(spark, sf).collect()
     }
     assert {"k", "type", "uid"} <= disc
+    # with a sink contributing, BOTH parquet scans of the live key plan
+    # carry the pushed prefix filter (review r8 pass-5 #5: the
+    # sink-less shape test cannot see the union branch)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans["json_key_frequency_live"].fn(spark, sf).explain("formatted")
+    assert buf.getvalue().count("StringStartsWith(kv") >= 2, buf.getvalue()[
+        :2000
+    ]
 
 
 def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
@@ -902,6 +914,50 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     out4 = repair_events_sink(spark, sink)
     assert out4["kv_repaired"] == [9] and out4["dfreq_repaired"] == [9]
     assert 9 not in _read_zero_kv_batches(sink)
+
+    # review r8 pass-5 #3: a reused batch id whose facts were rewritten
+    # AFTER its entry-bearing derived writes leaves PRESENT-but-stale
+    # partitions the partition-set audit cannot see — only deep
+    # (value-level) repair converges them
+    rewritten = spark.createDataFrame(
+        [(7, None, 7, "scroll", 7.0, None)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    _write_idempotent(rewritten, os.path.join(sink, "events"), 0)
+    shallow = repair_events_sink(spark, sink)
+    assert shallow["kv_repaired"] == []  # the blind spot, by design
+    assert ("type=scroll", 7) not in {
+        tuple(r) for r in read_kv_postings(spark, sink).collect()
+    }
+    deep = repair_events_sink(spark, sink, deep=True)
+    assert sorted(deep["deep_rewritten"]) == audit_events_sink(sink)["events"]
+    facts_now = spark.read.parquet(os.path.join(sink, "events")).drop(
+        "_batch_id"
+    )
+    assert sorted(
+        tuple(r) for r in read_kv_postings(spark, sink).collect()
+    ) == sorted(
+        tuple(r)
+        for r in _events_kv_rows(
+            facts_now, allow_missing_props=True
+        ).collect()
+    )
+    got_roll = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in read_hourly_rollup(spark, sink).collect()
+    }
+    from venus_spark.functions import dsum as _dsum
+
+    want_roll2 = {
+        r["bucket_ts"]: (r["n"], r["total_value"])
+        for r in facts_now.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count("*").alias("n"), _dsum("value").alias("total_value"))
+        .collect()
+    }
+    assert got_roll == want_roll2
 
 
 def test_streaming_kv_postings_empty_batch_and_reader_fallback(

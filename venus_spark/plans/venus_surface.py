@@ -410,13 +410,16 @@ def _kv_presence_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_kv_postings,
     )
 
-    post = events_kv_postings(spark, sf_dir)
+    def presence(post: DataFrame) -> DataFrame:
+        return post.filter(F.col("kv").startswith("?")).select(
+            F.substring("kv", 2, 1000).alias("key"), "event_id"
+        )
+
+    out = presence(events_kv_postings(spark, sf_dir))
     sink = events_stream_sink_dir(sf_dir)
     if _sink_table_has_data(sink, "events_kv_postings"):
-        post = post.unionByName(read_kv_postings(spark, sink))
-    return post.filter(F.col("kv").startswith("?")).select(
-        F.substring("kv", 2, 1000).alias("key"), "event_id"
-    )
+        out = out.unionByName(presence(read_kv_postings(spark, sink)))
+    return out
 
 
 @plan("json_key_discovery_live", oracle=_KEYS_INDEXED_ORACLE)

@@ -776,8 +776,8 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     centroid aggregation on every search."""
     vec_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
-    _recover_swap(vec_path, ".vacuum")  # finish any interrupted vacuum
-    _recover_vector_retrain(sf_dir)  # finish any committed retrain swap
+    # finish any interrupted vacuum swap + committed retrain, locked
+    _recover_vector_layouts(sf_dir, (vec_path,))
     if not (_is_built(vec_path) and _is_built(cent_path)):
         _refuse_rebuild_with_absorbed_batches(vec_path, "IVF vector layout")
         for p in (vec_path, cent_path):
@@ -831,8 +831,8 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     }
     codes_path = prepared_path(sf_dir, "embeddings_pq_codes.parquet")
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
-    _recover_swap(codes_path, ".vacuum")  # finish any interrupted vacuum
-    _recover_vector_retrain(sf_dir)  # finish any committed retrain swap
+    # finish any interrupted vacuum swap + committed retrain, locked
+    _recover_vector_layouts(sf_dir, (codes_path,))
     if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)):
         _refuse_rebuild_with_absorbed_batches(codes_path, "PQ codes layout")
         for p in (codes_path, cb_path):
@@ -2606,18 +2606,21 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
     and the PQ codes table (label-partitioned writes preserved, stamps
     carried, same crash-safe swap + retained-tombstone semantics as the
     document vacuum). Returns rows removed."""
-    # resolve any COMMITTED retrain first (review r8 pass-3 #4): this
-    # vacuum rewrites the codes table, and racing a reader's marker
-    # recovery could reinstall pre-retrain codes over the retrained
-    # generation while the retrained codebook stays live
-    _recover_vector_retrain(sf_dir)
+    # resolve any COMMITTED retrain and interrupted vacuum swaps first
+    # (review r8 pass-3 #4): this vacuum rewrites the codes table, and
+    # racing a reader's marker recovery could reinstall pre-retrain
+    # codes over the retrained generation while the retrained codebook
+    # stays live
+    paths = tuple(
+        prepared_path(sf_dir, n)
+        for n in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet")
+    )
+    _recover_vector_layouts(sf_dir, paths)
     tb = embedding_tombstones(spark, sf_dir)
     if tb is None:
         return 0
     removed = 0
-    for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet"):
-        path = prepared_path(sf_dir, name)
-        _recover_swap(path, ".vacuum")
+    for path in paths:
         if not os.path.exists(path):
             continue
         cur = spark.read.parquet(path)
@@ -2631,32 +2634,48 @@ def vacuum_embedding_tombstones(spark: SparkSession, sf_dir: str) -> int:
         manifest = _read_abatch_manifest(path)
         marked = _has_append_marker(path)
         tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
-        for stale in (tmp, old):
+        # STAGE under a name no recovery path ever touches (review r8
+        # pass-5 #1): this Spark rewrite runs OUTSIDE the lock (it can
+        # take seconds and must not block readers), and a reader's
+        # locked recovery observing path+.vacuum.tmp both present would
+        # rmtree the freshly staged tmp mid-write. The staged dir
+        # becomes the real tmp atomically INSIDE the lock, so the tmp
+        # never exists outside a locked section.
+        staging = path + ".vacuum_staging"
+        for stale in (tmp, old, staging):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
         (
             cur.join(F.broadcast(tb), "vec_id", "left_anti")
             .write.partitionBy("label")
-            .parquet(tmp)
+            .parquet(staging)
         )
         if meta:
-            _stamp(tmp, meta)
+            _stamp(staging, meta)
         # carry the batch manifest: the rewrite absorbs appended
         # abatch files, and a post-vacuum retry of an absorbed
         # append_embeddings_batch must stay a no-op (same invariant
         # as the recluster/retention rewrites)
         if manifest:
-            _write_abatch_manifest(tmp, manifest)
+            _write_abatch_manifest(staging, manifest)
         if marked:
-            _mark_appended(tmp)
+            _mark_appended(staging)
         # the swap holds the shared vector-swap lock (review r8 pass-4
         # #3): this aside window is exactly where a concurrent
         # recovery's strand-heal could resurrect a stale .retrain.old
         # into the briefly-missing path
         with _vec_swap_flock(sf_dir):
+            os.rename(staging, tmp)
             os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # an unlocked reader's _recover_swap completed the swap
+                # inside our aside window — the end state is the one we
+                # wanted; anything else is a real failure
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise
+            shutil.rmtree(old, ignore_errors=True)
         removed += n_dead
     return removed
 
@@ -2679,17 +2698,20 @@ _VEC_RETRAIN_LOCKFILE = "_vec_retrain.lock"
 
 @contextmanager
 def _vec_swap_flock(sf_dir: str):
-    """Mutual exclusion for every swap that can displace a vector
-    artifact (retrain recovery AND the embeddings vacuum): an OS-level
-    ``flock`` serializes across processes on this single-host
-    deployment and is released by the kernel on crash, and the module
-    lock serializes threads sharing the process (flock is per-file,
-    not per-fd-holder, within one process). Review r8 pass-4 #1/#3/#4:
+    """Mutual exclusion for every swap OR swap-recovery that can
+    displace a vector artifact (retrain recovery, vacuum recovery, and
+    the vacuum's own swap): an OS-level ``flock`` — exclusive across
+    processes AND across threads here, since each acquisition opens its
+    own descriptor and flock locks conflict between open file
+    descriptions — released by the kernel on crash. The module lock in
+    front keeps a process's threads queueing in user space instead of
+    the kernel and makes the critical section explicit; it is NOT
+    reentrant, so locked helpers must never nest. Review r8 passes 4-5:
     bare-rename protocols between unsynchronized swappers kept leaving
     one interleaving that stranded or resurrected a generation; under
-    the lock a swap either completes or fails LOUDLY with no racer to
-    blame. (A real cluster filesystem would use a lakehouse table
-    format's commit log here instead — the documented production
+    one shared lock a swap either completes or fails LOUDLY with no
+    racer to blame. (A real cluster filesystem would use a lakehouse
+    table format's commit log here instead — the documented production
     seam.)"""
     import fcntl
 
@@ -2702,6 +2724,32 @@ def _vec_swap_flock(sf_dir: str):
                 yield
             finally:
                 fcntl.flock(fd, fcntl.LOCK_UN)
+
+
+def _recover_vector_layouts(sf_dir: str, vacuum_paths: tuple[str, ...]) -> None:
+    """ONE locked recovery entry point for the vector layouts' ensure
+    paths: finish any interrupted ``.vacuum`` swap AND any committed
+    retrain, under the shared lock (review r8 pass-5 #1: a reader
+    running ``_recover_swap('.vacuum')`` unlocked could rmtree a
+    vacuum's freshly staged tmp or complete its swap mid-aside).
+    Lock-free fast path when nothing is pending anywhere — the common
+    case for every query."""
+    pending = os.path.exists(
+        prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
+    ) or any(
+        os.path.exists(prepared_path(sf_dir, n) + ".retrain.old")
+        for n in _VEC_RETRAIN_NAMES
+    ) or any(
+        os.path.exists(p + tag)
+        for p in vacuum_paths
+        for tag in (".vacuum.tmp", ".vacuum.old")
+    )
+    if not pending:
+        return
+    with _vec_swap_flock(sf_dir):
+        for p in vacuum_paths:
+            _recover_swap(p, ".vacuum")
+        _recover_vector_retrain_locked(sf_dir)
 
 
 def _read_train_meta(cent_path: str) -> dict | None:
@@ -2765,30 +2813,43 @@ def _recover_vector_retrain(sf_dir: str) -> None:
     ):
         return
     with _vec_swap_flock(sf_dir):
-        # strand-heal first: a complete artifact displaced while the
-        # live path is missing is a crashed swap — restore, never delete
-        for name in _VEC_RETRAIN_NAMES:
-            path = prepared_path(sf_dir, name)
-            old = path + ".retrain.old"
-            if not os.path.exists(path) and os.path.exists(
-                os.path.join(old, "_SUCCESS")
-            ):
-                os.rename(old, path)
-        if not os.path.exists(marker):
-            return  # another locker finished the recovery meanwhile
-        for name in _VEC_RETRAIN_NAMES:
-            path = prepared_path(sf_dir, name)
-            tmp = path + ".retrain.tmp"
-            old = path + ".retrain.old"
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                if os.path.exists(path):
-                    if os.path.exists(old):
-                        shutil.rmtree(old)  # stale: clear or ENOTEMPTY
-                    os.rename(path, old)  # aside, never a live rmtree
-                os.rename(tmp, path)  # a failure here RAISES: marker stays
+        _recover_vector_retrain_locked(sf_dir)
+
+
+def _recover_vector_retrain_locked(sf_dir: str) -> None:
+    """Body of :func:`_recover_vector_retrain`; caller MUST hold
+    :func:`_vec_swap_flock` (the lock is not reentrant)."""
+    marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)
+    # strand-heal first: a complete artifact displaced while the
+    # live path is missing is a crashed swap — restore, never delete
+    for name in _VEC_RETRAIN_NAMES:
+        path = prepared_path(sf_dir, name)
+        old = path + ".retrain.old"
+        if not os.path.exists(path) and os.path.exists(
+            os.path.join(old, "_SUCCESS")
+        ):
+            os.rename(old, path)
+        elif os.path.exists(path) and os.path.exists(old):
+            # a lingering .retrain.old beside a LIVE path is garbage —
+            # clearing it here keeps the lock-free fast path usable
+            # (review r8 pass-5 #4: otherwise every future query pays
+            # this lock round-trip forever)
+            shutil.rmtree(old, ignore_errors=True)
+    if not os.path.exists(marker):
+        return  # another locker finished the recovery meanwhile
+    for name in _VEC_RETRAIN_NAMES:
+        path = prepared_path(sf_dir, name)
+        tmp = path + ".retrain.tmp"
+        old = path + ".retrain.old"
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
             if os.path.exists(path):
-                shutil.rmtree(old, ignore_errors=True)
-        os.remove(marker)
+                if os.path.exists(old):
+                    shutil.rmtree(old)  # stale: clear or ENOTEMPTY
+                os.rename(path, old)  # aside, never a live rmtree
+            os.rename(tmp, path)  # a failure here RAISES: marker stays
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
 
 
 def vector_artifact_drift(spark: SparkSession, sf_dir: str) -> float:

@@ -886,7 +886,15 @@ def _read_zero_kv_batches(sink_dir: str) -> dict[int, list[str]]:
     otherwise hide behind the stale confirmation forever)."""
     try:
         with open(os.path.join(sink_dir, _ZERO_KV_SENTINEL)) as f:
-            return {int(k): v for k, v in json.load(f).items()}
+            data = json.load(f)
+        if not isinstance(data, dict):
+            # pre-fingerprint format (a bare id list): discard — the
+            # batches re-read as missing and the next repair re-derives
+            # and re-confirms them with fingerprints (review r8 pass-5
+            # #2: crashing on the old format would take audit AND
+            # repair down on upgraded sinks)
+            return {}
+        return {int(k): v for k, v in data.items()}
     except (OSError, ValueError):
         return {}
 
@@ -962,7 +970,9 @@ def audit_events_sink(sink_dir: str) -> dict:
     }
 
 
-def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
+def repair_events_sink(
+    spark: SparkSession, sink_dir: str, deep: bool = False
+) -> dict:
     """Heal every divergence :func:`audit_events_sink` can report, by
     RE-DERIVING from the fact table — the facts' ``_batch_id``
     partition is the authoritative row set for its batch, and every
@@ -986,7 +996,18 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
     batch's kv-first ordering looks like an orphan mid-write. Safe to
     re-run; a completed repair is a no-op. Returns
     ``{"rollup_repaired": [...], "kv_repaired": [...],
-    "dfreq_repaired": [...], "orphans_removed": {table: [...]}}``."""
+    "dfreq_repaired": [...], "orphans_removed": {table: [...]}}``.
+
+    ``deep=True`` adds VALUE-level reconciliation (review r8 pass-5
+    #3): the partition-set audit cannot see a PRESENT-but-stale derived
+    partition — a reused batch id (checkpoint loss) whose facts were
+    rewritten after the original derived writes. Deep mode re-derives
+    EVERY batch's rollup/kv/dfreq from the facts; the idempotent
+    partition overwrite converges stale partitions, a batch now
+    deriving zero entries gets its stale kv/dfreq partitions REMOVED,
+    and the zero-confirmation sentinel is rebuilt at current
+    fingerprints. Cost O(sink) — the offline paranoid pass; the default
+    partition-set repair stays O(divergence)."""
     import shutil
 
     import pyspark.sql.functions as F
@@ -1071,4 +1092,51 @@ def repair_events_sink(spark: SparkSession, sink_dir: str) -> dict:
         for bid in ids:
             shutil.rmtree(os.path.join(sink_dir, table, f"_batch_id={bid}"))
         out["orphans_removed"][table] = ids
+    if deep:
+        kv_dir = os.path.join(sink_dir, "events_kv_postings")
+        dfq_dir = os.path.join(sink_dir, "events_kv_dfreq")
+        for bid in report["events"]:
+            facts = batch_facts(bid).persist()
+            try:
+                _write_idempotent(
+                    _hourly_partial_rows(facts),
+                    os.path.join(sink_dir, "events_hourly_rollup"),
+                    bid,
+                )
+                kv = _events_kv_rows(
+                    facts, allow_missing_props=True
+                ).persist()
+                try:
+                    if kv.limit(1).count() > 0:
+                        _write_idempotent(
+                            kv.sortWithinPartitions("kv", "event_id"),
+                            kv_dir,
+                            bid,
+                        )
+                        _write_idempotent(
+                            kv.groupBy("kv").agg(F.count("*").alias("df")),
+                            dfq_dir,
+                            bid,
+                        )
+                    else:
+                        # stale partitions from a reused id's earlier
+                        # entry-bearing generation
+                        for d in (kv_dir, dfq_dir):
+                            part = os.path.join(d, f"_batch_id={bid}")
+                            if os.path.isdir(part):
+                                shutil.rmtree(part)
+                finally:
+                    kv.unpersist()
+            finally:
+                facts.unpersist()
+        out["deep_rewritten"] = list(report["events"])
+        kv_now = _sink_batch_ids(kv_dir)
+        _write_zero_kv_batches(
+            sink_dir,
+            {
+                bid: _facts_partition_fp(sink_dir, bid)
+                for bid in report["events"]
+                if bid not in kv_now
+            },
+        )
     return out
