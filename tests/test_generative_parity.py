@@ -233,3 +233,71 @@ def test_winnowing_and_trigram_kernels_agree(spark, con, texts):
         assert s["n_grams"] == n_grams, texts[doc_id]
         assert set(s["fps"]) == set(fps), texts[doc_id]
         assert set(s["trg"]) == set(trg), texts[doc_id]
+
+
+# --------------------------------------------------------------------------
+# jsonb-GIN analog: the kv-postings derivation vs the oracle's
+# composed-keys branches (round 8 — the containment/key plans all ride
+# on _events_kv_rows, so its presence semantics must match the SQL the
+# driver executes on arbitrary inputs, not just the testdata shapes).
+# k values are integers-or-absent: the established parity contract
+# (CAST to INTEGER diverges on non-numeric strings — Spark yields NULL,
+# DuckDB raises — and no plan feeds it those).
+# --------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.text("abcXYZ_ ", max_size=5)),  # event_type
+        st.integers(min_value=-20, max_value=20),  # user_id
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=99)),  # k
+        st.booleans(),  # props column NULL entirely
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@FUZZ_SETTINGS
+@given(rows=events_strategy)
+def test_kv_postings_rows_agree_with_oracle_branches(spark, con, rows):
+    import json as _json
+
+    from venus_spark.prepared import _events_kv_rows
+
+    data = []
+    for i, (etype, user, k, null_props) in enumerate(rows):
+        props = (
+            None
+            if null_props
+            else _json.dumps({"k": k} if k is not None else {})
+        )
+        data.append((i, etype, user, props))
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, user_id long, props string"
+    )
+    got = sorted(tuple(r) for r in _events_kv_rows(df).collect())
+    con.register("gen_ev", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            WITH k AS (
+              SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv_k,
+                     event_type, user_id
+              FROM gen_ev
+            )
+            SELECT 'k=' || CAST(kv_k AS VARCHAR) AS kv, event_id FROM k
+              WHERE kv_k IS NOT NULL
+            UNION ALL SELECT 'type=' || event_type, event_id FROM k
+              WHERE event_type IS NOT NULL
+            UNION ALL SELECT 'uid=' || CAST(user_id AS VARCHAR), event_id
+              FROM k WHERE user_id % 3 != 0
+            UNION ALL SELECT '?k', event_id FROM k WHERE kv_k IS NOT NULL
+            UNION ALL SELECT '?type', event_id FROM k
+              WHERE event_type IS NOT NULL
+            UNION ALL SELECT '?uid', event_id FROM k WHERE user_id % 3 != 0
+            """
+        ).fetchall()
+    )
+    assert got == want

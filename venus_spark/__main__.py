@@ -18,6 +18,7 @@ this exposes subcommands for each long-running/maintenance role:
     python -m venus_spark maintain vacuum-deletes [--sf DIR]
     python -m venus_spark maintain compact-postings [--sf DIR]
     python -m venus_spark maintain retrain-vectors [--max-deleted-frac F] [--sf DIR]
+    python -m venus_spark maintain auto [--sf DIR]   # the whole nightly, ordered
     python -m venus_spark export OUT_DIR [--shards N] [--sf DIR]
                                                     # scheduled maintenance:
                                                     # OPTIMIZE / retention /
@@ -233,6 +234,59 @@ def cmd_maintain(args) -> int:
                 f"vector artifacts within drift bound ({drift:.3f} <= "
                 f"{args.max_deleted_frac}); no retrain"
             )
+    elif args.op == "auto":
+        # The whole nightly in one invocation, ordered so each step
+        # feeds the next: fold pending index lists (autovacuum), make
+        # deletes physical, retrain the vector artifacts if the deletes
+        # drifted them, restore sorted-pruning on the postings layouts,
+        # re-ZORDER the events table. Every step is a guarded no-op on
+        # layouts this sf_dir never built — one cron entry serves any
+        # deployment shape.
+        import os as _os
+
+        spark = _spark()
+        steps: list[str] = []
+        n = (
+            prepared.merge_minhash_pending(spark, args.sf)
+            + prepared.merge_postings_pending(spark, args.sf)
+            + prepared.merge_trgm_postings_pending(spark, args.sf)
+        )
+        steps.append(f"merge-index {n} file(s)")
+        n = prepared.vacuum_document_tombstones(spark, args.sf)
+        n += prepared.vacuum_embedding_tombstones(spark, args.sf)
+        steps.append(f"vacuum-deletes {n} row(s)")
+        if _os.path.exists(
+            _os.path.join(args.sf, "embeddings.parquet")
+        ) or _os.path.exists(
+            prepared.prepared_path(args.sf, "embeddings_ivf.parquet")
+        ):
+            did = prepared.retrain_vector_artifacts_if_drifted(
+                spark, args.sf, max_deleted_frac=args.max_deleted_frac
+            )
+            steps.append(
+                "retrain-vectors " + ("retrained" if did else "within bound")
+            )
+        done = [
+            name
+            for name, fn in (
+                ("documents_postings", prepared.compact_documents_postings),
+                (
+                    "documents_trgm_postings",
+                    prepared.compact_documents_trgm_postings,
+                ),
+                ("events_kv_postings", prepared.compact_events_kv_postings),
+            )
+            if fn(spark, args.sf)
+        ]
+        steps.append(
+            "compact-postings " + ("+".join(done) if done else "none")
+        )
+        if _os.path.exists(
+            prepared.prepared_path(args.sf, "events_zorder.parquet")
+        ):
+            prepared.recluster_events_zorder(spark, args.sf)
+            steps.append("recluster events_zorder")
+        print("maintain auto: " + "; ".join(steps))
     return 0
 
 
@@ -288,6 +342,7 @@ def main(argv: list[str] | None = None) -> int:
             "vacuum-deletes",
             "compact-postings",
             "retrain-vectors",
+            "auto",
         ],
     )
     mt.add_argument("--sf", default=DEFAULT_SF)
