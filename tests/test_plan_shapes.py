@@ -791,34 +791,54 @@ def test_kv_key_plans_are_index_only(spark):
 
 
 def test_kv_containment_live_planner_mirrors_prepared(
-    spark, monkeypatch
+    spark, tmp_path, monkeypatch
 ):
     """json_containment_indexed_live must carry the three pinned
     planner behaviors of its prepared twin on a never-streamed corpus
     (sink absent → pure degraded path): (a) agrees with the scan twin;
     (b) df-cap 0 → seqscan fallback, identical rows; (c) a needle with
-    no postings → empty, proven from the index. The streamed half is
-    pinned by tests/test_streaming_windows.py's live e2e."""
+    no postings → empty, proven from the index. Runs on a corpus WITH
+    matches (review r8 pass-6 #5: at sf0.001 the conjunction matches
+    nothing, so every compare reduced to empty-equals-empty and a live
+    plan that unconditionally returned nothing passed). The streamed
+    half is pinned by tests/test_streaming_windows.py's live e2e."""
+    import os
+
+    from venus_spark import prepared
     from venus_spark.plans import all_plans
     from venus_spark.plans import venus_surface as vs
 
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src_ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    match = (
+        src_ev.limit(4)
+        .withColumn("event_id", F.col("event_id") + 2_000_000)
+        .withColumn("user_id", F.lit(8).cast("long"))
+        .withColumn("event_type", F.lit("click"))
+        .withColumn("props", F.lit('{"k": 7}'))
+    )
+    sf = str(tmp_path / "sf")
+    src_ev.unionByName(match).write.parquet(os.path.join(sf, "events.parquet"))
+
     plans = all_plans()
     want = sorted(
-        map(tuple, plans["json_containment"].fn(spark, SF).collect())
+        map(tuple, plans["json_containment"].fn(spark, sf).collect())
     )
+    assert len(want) == 4  # non-vacuous
     got = sorted(
         map(
             tuple,
-            plans["json_containment_indexed_live"].fn(spark, SF).collect(),
+            plans["json_containment_indexed_live"].fn(spark, sf).collect(),
         )
     )
     assert got == want
 
     monkeypatch.setattr(vs, "_KV_DF_CAP", 0)
+    vs._KV_DF_CACHE.clear()
     fallback = sorted(
         map(
             tuple,
-            plans["json_containment_indexed_live"].fn(spark, SF).collect(),
+            plans["json_containment_indexed_live"].fn(spark, sf).collect(),
         )
     )
     assert fallback == want
@@ -827,8 +847,10 @@ def test_kv_containment_live_planner_mirrors_prepared(
     monkeypatch.setattr(
         vs, "_CONTAIN_NEEDLES", ("k=7", "type=click", "?no_such_key")
     )
-    empty = plans["json_containment_indexed_live"].fn(spark, SF)
+    vs._KV_DF_CACHE.clear()
+    empty = plans["json_containment_indexed_live"].fn(spark, sf)
     assert empty.count() == 0
+    vs._KV_DF_CACHE.clear()
 
 
 def test_kv_containment_stale_stats_never_lose_rows(
@@ -891,4 +913,15 @@ def test_kv_containment_stale_stats_never_lose_rows(
         map(tuple, plans["json_containment_indexed"].fn(spark, sf).collect())
     )
     assert got == want  # the index answered; the stats only mis-planned
+
+    # review r8 pass-6 #4: a stats-ABSENT entry whose true posting list
+    # exceeds the cap must not collect an unbounded id list — with the
+    # cap forced to 1, the intersection (k=7's real postings, >1)
+    # exceeds it and the plan falls back to the bounded seqscan, still
+    # returning the exact rows
+    monkeypatch.setattr(vs, "_KV_DF_CAP", 1)
+    vs._KV_DF_CACHE.clear()
+    bounded = plans["json_containment_indexed"].fn(spark, sf)
+    assert sorted(map(tuple, bounded.collect())) == want
+    assert "In(event_id" not in formatted_plan(bounded)  # seqscan, bounded
     vs._KV_DF_CACHE.clear()

@@ -130,6 +130,42 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def _merge_all_pending(spark, sf: str) -> int:
+    """Fold every pending index list into its base — ONE definition
+    shared by `maintain merge-index` and `maintain auto` (review r8
+    pass-6 #7: duplicated op bodies diverge when the next index is
+    added to only one of them)."""
+    from venus_spark import prepared
+
+    return (
+        prepared.merge_minhash_pending(spark, sf)
+        + prepared.merge_postings_pending(spark, sf)
+        + prepared.merge_trgm_postings_pending(spark, sf)
+    )
+
+
+def _vacuum_all_deletes(spark, sf: str) -> int:
+    from venus_spark import prepared
+
+    return prepared.vacuum_document_tombstones(
+        spark, sf
+    ) + prepared.vacuum_embedding_tombstones(spark, sf)
+
+
+def _compact_all_postings(spark, sf: str) -> list[str]:
+    from venus_spark import prepared
+
+    return [
+        name
+        for name, fn in (
+            ("documents_postings", prepared.compact_documents_postings),
+            ("documents_trgm_postings", prepared.compact_documents_trgm_postings),
+            ("events_kv_postings", prepared.compact_events_kv_postings),
+        )
+        if fn(spark, sf)
+    ]
+
+
 def cmd_maintain(args) -> int:
     """Scheduled-maintenance roles: the OPTIMIZE (re-ZORDER) rewrite,
     chunk-drop retention, and the index pending-list VACUUM — the jobs
@@ -158,10 +194,7 @@ def cmd_maintain(args) -> int:
         # Both streaming-maintained indexes get their VACUUM here: the
         # MinHash pending list and the postings pending list (file
         # counts, not batch counts — each batch may span several files).
-        spark = _spark()
-        n = prepared.merge_minhash_pending(spark, args.sf)
-        n += prepared.merge_postings_pending(spark, args.sf)
-        n += prepared.merge_trgm_postings_pending(spark, args.sf)
+        n = _merge_all_pending(_spark(), args.sf)
         print(f"merged {n} pending index file(s)")
     elif args.op == "delete-docs":
         if not args.ids:
@@ -193,27 +226,13 @@ def cmd_maintain(args) -> int:
             f"(batch {args.batch_id})"
         )
     elif args.op == "vacuum-deletes":
-        spark = _spark()
-        n = prepared.vacuum_document_tombstones(spark, args.sf)
-        n += prepared.vacuum_embedding_tombstones(spark, args.sf)
+        n = _vacuum_all_deletes(_spark(), args.sf)
         print(f"vacuumed {n} index row(s) for tombstoned documents/vectors")
     elif args.op == "compact-postings":
-        spark = _spark()
         # one OPTIMIZE op restores every sorted postings layout that
         # EXISTS on this sf_dir (term, trigram, kv) — a layout the dir
         # never built is skipped, never built as a side effect
-        done = [
-            name
-            for name, fn in (
-                ("documents_postings", prepared.compact_documents_postings),
-                (
-                    "documents_trgm_postings",
-                    prepared.compact_documents_trgm_postings,
-                ),
-                ("events_kv_postings", prepared.compact_events_kv_postings),
-            )
-            if fn(spark, args.sf)
-        ]
+        done = _compact_all_postings(_spark(), args.sf)
         if done:
             print(" + ".join(done) + f" compacted for {args.sf}")
         else:
@@ -240,44 +259,35 @@ def cmd_maintain(args) -> int:
         # deletes physical, retrain the vector artifacts if the deletes
         # drifted them, restore sorted-pruning on the postings layouts,
         # re-ZORDER the events table. Every step is a guarded no-op on
-        # layouts this sf_dir never built — one cron entry serves any
-        # deployment shape.
+        # layouts this sf_dir never built (the retrain guard keys on
+        # the PREPARED layout, never the raw embeddings table — a
+        # nightly must not side-effect-build an index the deployment
+        # chose not to have, review r8 pass-6 #3), and a step's failure
+        # is recorded without starving the later steps (pass-6 #2: a
+        # permanently-unsaturable PQ corpus must not turn the nightly
+        # into a crash loop that never compacts or reclusters).
         import os as _os
 
         spark = _spark()
         steps: list[str] = []
-        n = (
-            prepared.merge_minhash_pending(spark, args.sf)
-            + prepared.merge_postings_pending(spark, args.sf)
-            + prepared.merge_trgm_postings_pending(spark, args.sf)
-        )
-        steps.append(f"merge-index {n} file(s)")
-        n = prepared.vacuum_document_tombstones(spark, args.sf)
-        n += prepared.vacuum_embedding_tombstones(spark, args.sf)
-        steps.append(f"vacuum-deletes {n} row(s)")
+        failed = False
+        steps.append(f"merge-index {_merge_all_pending(spark, args.sf)} file(s)")
+        steps.append(f"vacuum-deletes {_vacuum_all_deletes(spark, args.sf)} row(s)")
         if _os.path.exists(
-            _os.path.join(args.sf, "embeddings.parquet")
-        ) or _os.path.exists(
             prepared.prepared_path(args.sf, "embeddings_ivf.parquet")
         ):
-            did = prepared.retrain_vector_artifacts_if_drifted(
-                spark, args.sf, max_deleted_frac=args.max_deleted_frac
-            )
-            steps.append(
-                "retrain-vectors " + ("retrained" if did else "within bound")
-            )
-        done = [
-            name
-            for name, fn in (
-                ("documents_postings", prepared.compact_documents_postings),
-                (
-                    "documents_trgm_postings",
-                    prepared.compact_documents_trgm_postings,
-                ),
-                ("events_kv_postings", prepared.compact_events_kv_postings),
-            )
-            if fn(spark, args.sf)
-        ]
+            try:
+                did = prepared.retrain_vector_artifacts_if_drifted(
+                    spark, args.sf, max_deleted_frac=args.max_deleted_frac
+                )
+                steps.append(
+                    "retrain-vectors "
+                    + ("retrained" if did else "within bound")
+                )
+            except (ValueError, RuntimeError) as exc:
+                failed = True
+                steps.append(f"retrain-vectors FAILED ({exc})")
+        done = _compact_all_postings(spark, args.sf)
         steps.append(
             "compact-postings " + ("+".join(done) if done else "none")
         )
@@ -287,6 +297,7 @@ def cmd_maintain(args) -> int:
             prepared.recluster_events_zorder(spark, args.sf)
             steps.append("recluster events_zorder")
         print("maintain auto: " + "; ".join(steps))
+        return 1 if failed else 0
     return 0
 
 

@@ -383,11 +383,21 @@ def json_key_discovery_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes into the kv-sorted postings (StringStartsWith row-group
     pruning: presence entries cluster together), so the work is
     O(presence postings), and — unlike a statistics read — the postings
-    are maintained with every batch, so the answer is exact in every
-    crash window (the stats-vs-index lesson of
-    :func:`json_containment_indexed`). The key universe here is the
-    composed document's (k/type/uid); ``json_key_discovery`` remains
-    the raw-payload twin."""
+    are an INDEX maintained with every batch, not planner estimates
+    (the stats-vs-index lesson of :func:`json_containment_indexed`).
+
+    Crash-window honesty (review r8 pass-6 #1): unlike the containment
+    plans, the key plans have no fact-table recheck, so they trust the
+    postings as-is. The streaming sink's kv-FIRST write ordering —
+    load-bearing for the containment plans' index-proven emptiness —
+    means a crash between the kv and facts writes whose checkpoint is
+    never replayed leaves ORPHAN presence rows: this report can then
+    include a key/count from events that never landed, until
+    ``repair_events_sink`` removes the orphan partition (the audit
+    names it). Duplicated rows, by contrast, can never inflate it
+    (countDistinct in the frequency twin; DISTINCT here). The key
+    universe here is the composed document's (k/type/uid);
+    ``json_key_discovery`` remains the raw-payload twin."""
     from venus_spark.prepared import events_kv_postings
 
     post = events_kv_postings(spark, sf_dir)
@@ -998,10 +1008,18 @@ def _containment_candidate_ids(
     stats have never seen), so a stats-derived empty could contradict
     the index — the one path where statistics leaked into ANSWERS
     (ADVICE r8 medium). Now statistics only ever choose entries; the
-    postings are the proof. The postings themselves can never miss a
-    landed event: every write path lands index rows before or atomically
-    with the fact rows (append_events; the streaming sink writes kv
-    first)."""
+    postings are the proof. The streaming sink writes kv postings
+    BEFORE the fact rows (and append_events retries heal its torn
+    window), so the postings never durably miss a landed event and an
+    index-proven empty is sound.
+
+    The driver-side materialization stays bounded even when the stats
+    LIE (review r8 pass-6 #4): a stats-absent entry's true posting
+    list can be huge, so the candidate fetch is capped at
+    ``_KV_DF_CAP`` ids — if the intersection exceeds it, the plan
+    falls back to the seqscan twin instead of collecting an unbounded
+    id list into an In() literal, exactly the over-cap call fresh
+    statistics would have made up front."""
     chosen = [kv for kv in need if dfs.get(kv, 0) <= _KV_DF_CAP]
     if not chosen:
         return None
@@ -1011,7 +1029,10 @@ def _containment_candidate_ids(
         .agg(F.countDistinct("kv").alias("n_hit"))
         .filter(F.col("n_hit") == len(chosen))
     )
-    return sorted(int(r["event_id"]) for r in cand.collect())
+    rows = cand.limit(_KV_DF_CAP + 1).collect()
+    if len(rows) > _KV_DF_CAP:
+        return None  # stale stats under-estimated: seqscan, stay bounded
+    return sorted(int(r["event_id"]) for r in rows)
 
 
 def _serve_containment(

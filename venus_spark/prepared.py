@@ -2898,9 +2898,13 @@ def retrain_vector_artifacts_if_drifted(
 
     Maintenance op (``maintain retrain-vectors``): run it beside vacuum
     on the delete path, not per query — the swap families all assume a
-    single maintenance writer. ``drift`` lets a caller that already
-    measured :func:`vector_artifact_drift` skip the second measurement
-    pass."""
+    single maintenance writer, and like ``repair_events_sink`` it MUST
+    run with the embeddings ingest stream stopped: the re-encode scans
+    a point-in-time file set and carries a pre-staging manifest
+    snapshot, so a batch appended mid-retrain would be either absent
+    from the staged codes or double-landed by its retry. ``drift`` lets
+    a caller that already measured :func:`vector_artifact_drift` skip
+    the second measurement pass."""
     from venus_spark.operators import similarity as sim
     from venus_spark.operators.similarity import centroid_arrays
 
@@ -2935,6 +2939,19 @@ def retrain_vector_artifacts_if_drifted(
     tb = embedding_tombstones(spark, sf_dir)
     n_tb = 0 if tb is None else tb.count()
     trained_n = vecs.count()
+    # Manifest/marker snapshot BEFORE the staging writes (review r8
+    # pass-6 #6, the vacuum's own ordering): a batch appended DURING
+    # the re-encode is not in the staged rows, so carrying its id
+    # would make the retry a no-op and silently drop its codes — a
+    # pre-staging snapshot leaves such a batch un-manifested and the
+    # retry re-lands it.
+    ivf_path = prepared_path(sf_dir, "embeddings_ivf.parquet")
+    carry_manifest = _read_abatch_manifest(codes_path) | _read_abatch_manifest(
+        ivf_path
+    )
+    carry_marker = _has_append_marker(codes_path) or _has_append_marker(
+        ivf_path
+    )
 
     # stage all three COMPLETELY before the commit marker (leftover
     # tmps/olds here are this op's own crashed prior attempts — only
@@ -2967,17 +2984,13 @@ def retrain_vector_artifacts_if_drifted(
         .parquet(codes_tmp)
     )
     _stamp(codes_tmp, pq_meta)
-    # the re-encode absorbs every appended batch read from the vector
-    # layout — carry the union manifest + markers so absorbed-batch
-    # retries stay no-ops (the recluster/vacuum invariant)
-    manifest = _read_abatch_manifest(codes_path) | _read_abatch_manifest(
-        prepared_path(sf_dir, "embeddings_ivf.parquet")
-    )
-    if manifest:
-        _write_abatch_manifest(codes_tmp, manifest)
-    if _has_append_marker(codes_path) or _has_append_marker(
-        prepared_path(sf_dir, "embeddings_ivf.parquet")
-    ):
+    # the re-encode absorbs every appended batch its vecs snapshot saw
+    # — carry the PRE-STAGING manifest/marker snapshot so absorbed-batch
+    # retries stay no-ops while a mid-staging append stays re-landable
+    # (the recluster/vacuum invariant)
+    if carry_manifest:
+        _write_abatch_manifest(codes_tmp, carry_manifest)
+    if carry_marker:
         _mark_appended(codes_tmp)
 
     marker = prepared_path(sf_dir, _VEC_RETRAIN_MARKER)

@@ -747,10 +747,16 @@ def start_events_rollup_ingest(
             # kv postings FIRST, fact table LAST: a crash between the
             # writes that is never replayed (checkpoint lost, operator
             # restarts fresh) then leaves ORPHAN posting rows for
-            # events that never landed — harmless, a containment
-            # intersection's ids simply find no fact row — instead of
-            # landed events with silently missing postings, which no
-            # query could detect (review r7 pass-4 #3).
+            # events that never landed — harmless to the CONTAINMENT
+            # plans (the recheck finds no fact row, and index-proven
+            # emptiness stays sound because postings ⊇ landed facts) —
+            # instead of landed events with silently missing postings,
+            # which would make a containment "empty" proof WRONG with
+            # no query able to detect it (review r7 pass-4 #3). The
+            # trade (review r8 pass-6 #1): the recheck-less KEY plans
+            # can over-report presence from an orphan partition until
+            # repair_events_sink removes it; that bounded, audit-visible
+            # over-report is the lesser evil than an unsound empty.
             kv = _events_kv_rows(batch, allow_missing_props=True).persist()
             # A non-empty batch can legitimately derive ZERO kv rows
             # (all keys absent); an empty dynamic-overwrite write lands
