@@ -14,8 +14,77 @@ byte-comparable.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+EXPORT_MANIFEST = "_export_manifest.json"
+
+
+def _shard_digests(spark: SparkSession, out_dir: str) -> dict:
+    """Per-shard (rows, order-independent xxhash64 XOR) recomputed from
+    the written text files — one narrow pass; partition discovery
+    recovers the ``_shard`` column from the directory layout. XOR (not
+    SUM) folds the line hashes: order-independent like the export's
+    byte-determinism demands, and overflow-free under Spark 4's default
+    ANSI mode (a long SUM would raise on wrap). The path's cached file
+    statuses are refreshed first: a verifier exists precisely because
+    files may have changed since the session last listed them, and a
+    stale size in the shared FileStatusCache would fail the read
+    instead of failing the comparison."""
+    spark.catalog.refreshByPath(out_dir)
+    rows = (
+        spark.read.text(out_dir)
+        .groupBy("_shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.expr("bit_xor(xxhash64(value))").alias("xxh_xor"),
+        )
+        .collect()
+    )
+    return {
+        int(r["_shard"]): {"rows": int(r["rows"]), "xxh_xor": int(r["xxh_xor"])}
+        for r in rows
+    }
+
+
+def write_export_manifest(spark: SparkSession, out_dir: str) -> dict:
+    """Make an export SELF-CERTIFYING: record per-shard row counts and
+    content digests next to the data (the artifact a training loader
+    checks before a run — a truncated shard, a lost file, or a partial
+    copy fails loudly at load time instead of silently training on a
+    damaged corpus). Written via tmp + atomic rename; byte-deterministic
+    because the export itself is."""
+    per_shard = _shard_digests(spark, out_dir)
+    manifest = {
+        "format": "jsonl/_shard=<k>",
+        "n_rows": sum(s["rows"] for s in per_shard.values()),
+        "n_shards": len(per_shard),
+        "per_shard": {str(k): v for k, v in sorted(per_shard.items())},
+    }
+    p = os.path.join(out_dir, EXPORT_MANIFEST)
+    with open(p + ".tmp", "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    os.replace(p + ".tmp", p)
+    return manifest
+
+
+def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
+    """Recompute the shard digests and compare against the manifest.
+    Returns the list of discrepancies (empty = verified) — per-shard,
+    so a damaged copy names exactly which files to re-fetch rather
+    than failing the whole hand-off opaquely."""
+    with open(os.path.join(out_dir, EXPORT_MANIFEST)) as f:
+        manifest = json.load(f)
+    actual = {str(k): v for k, v in _shard_digests(spark, out_dir).items()}
+    problems = []
+    for k in sorted(set(manifest["per_shard"]) | set(actual), key=int):
+        want, got = manifest["per_shard"].get(k), actual.get(k)
+        if want != got:
+            problems.append(f"_shard={k}: manifest {want} != actual {got}")
+    return problems
 
 
 def export_jsonl(
@@ -66,10 +135,12 @@ def export_curated_jsonl(
     would ride straight into the training hand-off) as sharded JSONL.
     Returns the number of documents exported.
 
-    The returned count deliberately re-reads the written artifact (a
-    line count over the text files, one narrow pass) so the number
-    certifies the EXPORT, not the plan; at very large scale pass the
-    certification cost on to the loader's own manifest check instead."""
+    The returned count comes from the export MANIFEST, which is itself
+    recomputed from the written artifact (per-shard row counts +
+    content digests, one narrow pass) — the number certifies the
+    EXPORT, not the plan, and the manifest ships with the shards so the
+    loader side re-certifies with :func:`verify_export` before
+    training."""
     from venus_spark.plans.registry import all_plans
     from venus_spark.prepared import _anti_tombstones
 
@@ -77,5 +148,4 @@ def export_curated_jsonl(
         spark, sf_dir, all_plans()["curated_corpus"].fn(spark, sf_dir)
     )
     export_jsonl(curated, out_dir, shards)
-    # count from the written artifact, certifying the export itself
-    return spark.read.text(out_dir).count()
+    return write_export_manifest(spark, out_dir)["n_rows"]
