@@ -87,6 +87,24 @@ def main() -> None:
     else:
         total = round(time.perf_counter() - total0, 3)
 
+    print_result_lines(timings, total, REPEAT, sf_from_dir(SF_DIR))
+
+
+def print_result_lines(
+    timings: dict[str, float], total: float, repeat: int, sf: float
+) -> None:
+    """Emit the two output lines (factored so the tail contract is
+    unit-testable without running plans):
+
+    1. the full contract line — headline + per-plan map;
+    2. a compact totals-only summary as the FINAL line. The per-plan
+       line has outgrown any fixed-size tail capture (183+ plans ≈
+       6 KB), so a reader that keeps only the LAST ~2000 characters of
+       stdout would otherwise see an unparseable fragment; the final
+       line guarantees every tail capture ends with complete JSON
+       (VERDICT r7 #8). The full breakdown stays on line 1 and in the
+       committed BENCH_SELF_r* artifacts.
+    """
     failed = sorted(k for k, v in timings.items() if v < 0)
     print(
         json.dumps(
@@ -100,19 +118,12 @@ def main() -> None:
                 # is -1.0); the explicit list keeps the headline number
                 # honest when cross-checking against the breakdown.
                 "failed": failed,
-                "repeat": REPEAT,
-                "sf": sf_from_dir(SF_DIR),
+                "repeat": repeat,
+                "sf": sf,
             },
             separators=(",", ":"),
         )
     )
-    # The per-plan line above has outgrown any fixed-size tail capture
-    # (183+ plans ≈ 6 KB); a reader that keeps only the LAST ~2000
-    # characters of stdout would see an unparseable fragment. Emit a
-    # compact totals-only summary as the FINAL line so a tail capture
-    # always ends with complete, parseable JSON; the full per-plan
-    # breakdown stays on the first line (and in the committed
-    # BENCH_SELF_r* artifacts).
     print(
         json.dumps(
             {
@@ -121,8 +132,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_plans": len(timings),
                 "failed": failed,
-                "repeat": REPEAT,
-                "sf": sf_from_dir(SF_DIR),
+                "repeat": repeat,
+                "sf": sf,
                 "summary_of": "per-plan timings on the first output line",
             },
             separators=(",", ":"),

@@ -191,3 +191,34 @@ def test_export_manifest_certifies_and_detects_damage(spark, tmp_path):
     with open(os.path.join(out, EXPORT_MANIFEST)) as f:
         raw = json.load(f)
     assert raw["n_shards"] == 3 and set(raw["per_shard"]) == {"0", "1", "2"}
+
+
+def test_bench_tail_contract_parses_from_2000_char_capture():
+    """VERDICT r7 #8: the driver records only the LAST 2000 characters
+    of bench.py's stdout and tries to parse JSON from them. With 188
+    long-named plans the per-plan line alone is ~6 KB, so the tail
+    must end with a complete, parseable totals line — pinned here
+    against a realistic fake registry without running any plan."""
+    import contextlib
+    import io
+    import json
+
+    import bench
+
+    timings = {f"some_rather_long_plan_name_{i:03d}": 0.123 for i in range(188)}
+    timings["a_failed_plan"] = -1.0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.print_result_lines(timings, 120.9, repeat=3, sf=0.1)
+    out = buf.getvalue()
+    lines = out.strip().split("\n")
+    assert len(lines) == 2
+    full = json.loads(lines[0])
+    assert len(full["queries"]) == 189 and full["failed"] == ["a_failed_plan"]
+    tail = out[-2000:]
+    last_line = tail.strip().split("\n")[-1]
+    summary = json.loads(last_line)  # the driver's view must parse
+    assert summary["metric"] == "total_wall_sec"
+    assert summary["value"] == 120.9 and summary["n_plans"] == 189
+    assert summary["failed"] == ["a_failed_plan"]
+    assert len(last_line) < 1900  # headroom inside any 2000-char capture
