@@ -131,7 +131,13 @@ def print_result_lines(
                 "value": total,
                 "unit": "sec",
                 "n_plans": len(timings),
-                "failed": failed,
+                # the final line must stay under any fixed-size tail
+                # capture even in a systemic-failure run (review r8
+                # pass-7 #2: an unbounded name list breaks the tail
+                # contract exactly when the tail matters most) — the
+                # full failed list stays on line 1
+                "n_failed": len(failed),
+                "failed": failed[:10],
                 "repeat": repeat,
                 "sf": sf,
                 "summary_of": "per-plan timings on the first output line",

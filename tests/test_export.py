@@ -187,6 +187,22 @@ def test_export_manifest_certifies_and_detects_damage(spark, tmp_path):
     assert len(problems2) == 1 and "_shard=1" in problems2[0]
     assert "actual None" in problems2[0]
 
+    # damage 3 (review r8 pass-7 #1): a copy that lost EVERY shard —
+    # partition discovery finds no _shard column; the verifier must
+    # name all three missing shards, not crash
+    for d in list(os.listdir(out2)):
+        if d.startswith("_shard="):
+            shutil.rmtree(os.path.join(out2, d))
+    problems3 = verify_export(spark, out2)
+    assert len(problems3) == 3 and all("actual None" in p for p in problems3)
+
+    # an EMPTY export (zero rows) manifests and verifies cleanly
+    out3 = str(tmp_path / "exp3")
+    export_jsonl(docs.limit(0), out3, shards=3)
+    m3 = write_export_manifest(spark, out3)
+    assert m3["n_rows"] == 0 and m3["per_shard"] == {}
+    assert verify_export(spark, out3) == []
+
     # the manifest file itself is well-formed JSON with sorted keys
     with open(os.path.join(out, EXPORT_MANIFEST)) as f:
         raw = json.load(f)
@@ -206,7 +222,11 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
     import bench
 
     timings = {f"some_rather_long_plan_name_{i:03d}": 0.123 for i in range(188)}
-    timings["a_failed_plan"] = -1.0
+    # a SYSTEMIC failure run (review r8 pass-7 #2): 60 failed plans —
+    # the tail line must stay bounded via n_failed + a truncated list,
+    # with the full failed list on line 1
+    for i in range(60):
+        timings[f"some_rather_long_plan_name_{i:03d}"] = -1.0
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench.print_result_lines(timings, 120.9, repeat=3, sf=0.1)
@@ -214,11 +234,11 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
     lines = out.strip().split("\n")
     assert len(lines) == 2
     full = json.loads(lines[0])
-    assert len(full["queries"]) == 189 and full["failed"] == ["a_failed_plan"]
+    assert len(full["queries"]) == 188 and len(full["failed"]) == 60
     tail = out[-2000:]
     last_line = tail.strip().split("\n")[-1]
     summary = json.loads(last_line)  # the driver's view must parse
     assert summary["metric"] == "total_wall_sec"
-    assert summary["value"] == 120.9 and summary["n_plans"] == 189
-    assert summary["failed"] == ["a_failed_plan"]
+    assert summary["value"] == 120.9 and summary["n_plans"] == 188
+    assert summary["n_failed"] == 60 and len(summary["failed"]) == 10
     assert len(last_line) < 1900  # headroom inside any 2000-char capture

@@ -29,15 +29,25 @@ def _shard_digests(spark: SparkSession, out_dir: str) -> dict:
     recovers the ``_shard`` column from the directory layout. XOR (not
     SUM) folds the line hashes: order-independent like the export's
     byte-determinism demands, and overflow-free under Spark 4's default
-    ANSI mode (a long SUM would raise on wrap). The path's cached file
-    statuses are refreshed first: a verifier exists precisely because
-    files may have changed since the session last listed them, and a
-    stale size in the shared FileStatusCache would fail the read
-    instead of failing the comparison."""
+    ANSI mode (a long SUM would raise on wrap). Digest posture (review
+    r8 pass-7 #3): XOR cancels EVEN multiplicities, so the manifest
+    certifies against accidental damage (truncation, loss, partial
+    copies — the rsync/object-store threat it exists for), not against
+    an adversary forging equal-XOR line sets; a paranoid hand-off adds
+    a cryptographic whole-file digest downstream. The path's cached
+    plan/file state is refreshed first — purely defensive (fresh reads
+    list fresh), it only matters if a cached plan over this path exists
+    in the session."""
     spark.catalog.refreshByPath(out_dir)
+    df = spark.read.text(out_dir)
+    if "_shard" not in df.columns:
+        # zero shard directories (an empty export, or a copy that lost
+        # every shard): partition discovery finds no _shard column —
+        # report no shards instead of crashing, so verify_export can
+        # name every missing one (review r8 pass-7 #1)
+        return {}
     rows = (
-        spark.read.text(out_dir)
-        .groupBy("_shard")
+        df.groupBy("_shard")
         .agg(
             F.count("*").alias("rows"),
             F.expr("bit_xor(xxhash64(value))").alias("xxh_xor"),
@@ -62,7 +72,8 @@ def write_export_manifest(spark: SparkSession, out_dir: str) -> dict:
         "format": "jsonl/_shard=<k>",
         "n_rows": sum(s["rows"] for s in per_shard.values()),
         "n_shards": len(per_shard),
-        "per_shard": {str(k): v for k, v in sorted(per_shard.items())},
+        # sort_keys=True below orders the serialized keys; no pre-sort
+        "per_shard": {str(k): v for k, v in per_shard.items()},
     }
     p = os.path.join(out_dir, EXPORT_MANIFEST)
     with open(p + ".tmp", "w") as f:
