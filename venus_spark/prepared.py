@@ -2237,6 +2237,7 @@ def prepare_all(spark: SparkSession, sf_dir: str) -> None:
     events_hourly_rollup(spark, sf_dir)
     events_daily_hll(spark, sf_dir)
     events_variant(spark, sf_dir)
+    events_kv_postings(spark, sf_dir)  # + its dfreq statistics
     embeddings_ivf(spark, sf_dir)
     embeddings_pq(spark, sf_dir)
     documents_postings(spark, sf_dir)
