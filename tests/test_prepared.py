@@ -1940,6 +1940,16 @@ def test_vector_retrain_on_delete_drift(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(cb_path, "_probe2"))
     assert not os.path.exists(marker)
 
+    # (h) review r8 pass-5 #4: a lingering .retrain.old beside a LIVE
+    # path (failed cleanup, no marker) must be cleared by the next
+    # recovery — otherwise the lock-free fast path is defeated forever
+    # and every query pays the lock round-trip
+    cb_old = cb_path + ".retrain.old"
+    sh.copytree(cb_path, cb_old)
+    prepared.embeddings_pq(spark, sf)
+    assert not os.path.exists(cb_old)
+    assert os.path.exists(os.path.join(cb_path, "_probe2"))  # live intact
+
 
 def test_compact_kv_postings_noop_without_layout(spark, tmp_path, monkeypatch):
     """Review r7 #4: the OPTIMIZE op must compact only what exists — on
