@@ -2123,3 +2123,188 @@ def test_kv_rows_candidate_intersection_equals_direct_predicate(spark):
             int(r["event_id"]) for r in ev.filter(pred).collect()
         )
         assert cand == want, (need, cand, want)
+
+
+def test_vector_ensure_aside_window_does_not_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 #4 (TOCTOU in the lock-free fast path): a reader whose
+    unlocked pending check passed just before a vacuum's locked swap
+    can observe the ASIDE WINDOW — the live path briefly absent between
+    the two renames — and its unlocked _is_built then concludes the
+    layout is unbuilt, starting a destructive from-base rebuild
+    (rmtree of the sibling centroids) that races the swap. The rebuild
+    decision must be re-confirmed under the swap lock, where no swap
+    can be mid-aside. Simulated deterministically: the fast-path
+    recovery is no-opped (= it ran before the swap began), the layout
+    is put exactly into the aside state, and the ensure must RESTORE
+    the displaced generation instead of rebuilding."""
+    import os
+    import shutil
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "embeddings.parquet")).write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    prepared.embeddings_ivf(spark, sf)
+    vec_path = prepared.prepared_path(sf, "embeddings_ivf.parquet")
+    cent_path = prepared.prepared_path(sf, "embeddings_ivf_centroids.parquet")
+    # generation markers: a rebuild rmtrees both dirs and loses them
+    with open(os.path.join(cent_path, "_gen_probe"), "w") as f:
+        f.write("g1")
+    # the aside window of a vacuum swap: staging already promoted to
+    # tmp, live path moved to old, tmp not yet renamed in
+    shutil.copytree(vec_path, vec_path + ".vacuum.tmp")
+    with open(os.path.join(vec_path + ".vacuum.tmp", "_gen_probe"), "w") as f:
+        f.write("g1")
+    os.rename(vec_path, vec_path + ".vacuum.old")
+    # the reader's fast-path recovery already ran (before the swap):
+    monkeypatch.setattr(
+        prepared, "_recover_vector_layouts", lambda *a, **k: None
+    )
+    vecs, cents = prepared.embeddings_ivf(spark, sf)
+    assert vecs.count() > 0 and cents.count() > 0
+    # recovery, not rebuild: the staged generation (with its probe) is
+    # live and the centroids were never rmtree'd
+    assert os.path.exists(os.path.join(vec_path, "_gen_probe"))
+    assert os.path.exists(os.path.join(cent_path, "_gen_probe"))
+    assert not os.path.exists(vec_path + ".vacuum.tmp")
+    assert not os.path.exists(vec_path + ".vacuum.old")
+
+
+def test_doc_ensure_aside_window_does_not_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """The document-family twin of the vector TOCTOU fix: an unlocked
+    _is_built observing a vacuum swap's aside window must not trigger a
+    from-base rebuild of a document index (which would silently drop
+    mode-appended/merged-streamed rows the refuse-rebuild guard exists
+    to protect — here it would refuse loudly, still a spurious
+    failure). The locked re-check restores the displaced generation."""
+    import os
+    import shutil
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_minhash(spark, sf)
+    mh_path = prepared.prepared_path(sf, "documents_minhash.parquet")
+    shutil.copytree(mh_path, mh_path + ".vacuum.tmp")
+    with open(os.path.join(mh_path + ".vacuum.tmp", "_gen_probe"), "w") as f:
+        f.write("g1")
+    os.rename(mh_path, mh_path + ".vacuum.old")
+    monkeypatch.setattr(
+        prepared, "_recover_prepared_swaps", lambda *a, **k: None
+    )
+    got = prepared.documents_minhash(spark, sf)
+    assert got.count() > 0
+    assert os.path.exists(os.path.join(mh_path, "_gen_probe"))
+    assert not os.path.exists(mh_path + ".vacuum.tmp")
+    assert not os.path.exists(mh_path + ".vacuum.old")
+
+
+def test_doc_vacuum_stages_invisibly_to_reader_recovery(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 #1: the document vacuum used to stage its rewrite
+    directly at path+'.vacuum.tmp' unlocked, while every reader ensure
+    runs a '.vacuum' recovery — a reader could rmtree the in-flight
+    stage mid-write. The rewrite now stages at a recovery-invisible
+    '.vacuum_staging' name: (a) a reader's recovery leaves an in-flight
+    staging dir untouched; (b) a crashed prior staging is replaced by
+    the next vacuum, which still makes the delete physical."""
+    import os
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_minhash(spark, sf)
+    prepared.documents_trgm(spark, sf)
+    mh_path = prepared.prepared_path(sf, "documents_minhash.parquet")
+
+    # (a) an in-flight staging dir (no _SUCCESS yet — mid-write) must
+    # survive every reader ensure's recovery pass
+    staging = mh_path + ".vacuum_staging"
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-inflight"), "w") as f:
+        f.write("half-written")
+    prepared.documents_minhash(spark, sf).count()
+    assert os.path.exists(os.path.join(staging, "part-inflight")), (
+        "reader recovery destroyed an in-flight vacuum staging dir"
+    )
+
+    # (b) the next vacuum replaces the crashed staging and completes
+    dead = [1, 2]
+    prepared.tombstone_documents(spark, sf, dead, batch_id=0)
+    removed = prepared.vacuum_document_tombstones(spark, sf)
+    assert removed == 2 * len(dead)
+    assert not os.path.exists(staging)
+    raw_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(mh_path).select("doc_id").collect()
+    }
+    assert not (set(dead) & raw_ids)
+    # no swap debris
+    for suffix in (".vacuum.tmp", ".vacuum.old", ".vacuum_staging"):
+        assert not os.path.exists(mh_path + suffix)
+
+
+def test_cli_retrain_vectors_skips_unbuilt_layout(
+    tmp_path, monkeypatch, capsys
+):
+    """ADVICE r8 #3: `maintain retrain-vectors` must not side-effect-
+    build the IVF layout (via vector_artifact_drift's ensure) on an
+    sf_dir that never built it — the same prepared-layout existence
+    guard `maintain auto` applies."""
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.__main__ import main
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    os.symlink(
+        os.path.join(src, "embeddings.parquet"),
+        os.path.join(sf, "embeddings.parquet"),
+    )
+    rc = main(["maintain", "retrain-vectors", "--sf", sf])
+    assert rc == 0
+    assert "skipped" in capsys.readouterr().out
+    assert not os.path.exists(
+        prepared.prepared_path(sf, "embeddings_ivf.parquet")
+    ), "retrain-vectors side-effect-built the IVF layout"
+
+
+def test_cli_maintain_auto_isolates_step_failures(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """ADVICE r8 #2: `maintain auto` claimed step-failure isolation but
+    only guarded the retrain step — an exception in merge-index (here:
+    a poisoned pending layout) must be RECORDED while every later step
+    still runs, and the nightly exits nonzero."""
+    from venus_spark import prepared
+    from venus_spark import __main__ as cli
+    from venus_spark.__main__ import main
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_minhash(spark, sf)
+
+    def boom(*_a, **_k):
+        raise RuntimeError("poisoned pending list")
+
+    monkeypatch.setattr(cli, "_merge_all_pending", boom)
+    rc = main(["maintain", "auto", "--sf", sf])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "merge-index FAILED" in out
+    # later steps still ran
+    assert "vacuum-deletes" in out and "compact-postings" in out

