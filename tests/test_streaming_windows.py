@@ -869,6 +869,7 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
         "rollup_repaired": [],
         "kv_repaired": [],
         "dfreq_repaired": [],
+        "stale_repaired": [],
         "orphans_removed": {},
     }
 
@@ -884,11 +885,19 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     )
     _write_idempotent(reused, os.path.join(sink, "events_kv_postings"), 2)
     assert audit_events_sink(sink)["dfreq_missing"] == [2]
+    # VERDICT r8 #1 upgraded this resolution: the batch's commit
+    # receipt (recorded kv fingerprint = absent) exposes the injected
+    # postings as STALE, and the default repair re-derives the batch
+    # from its FACTS — which derive zero entries — so the phantom
+    # postings are REMOVED and the zero sentinel re-confirmed at the
+    # current fingerprint (previously the repair trusted the present
+    # partition and only recounted dfreq from it).
+    assert audit_events_sink(sink)["stale"] == [2]
     out3 = repair_events_sink(spark, sink)
-    assert out3["dfreq_repaired"] == [2]
-    assert _read_zero_kv_batches(sink) == {}
+    assert out3["stale_repaired"] == [2]
+    assert set(_read_zero_kv_batches(sink)) == {2}
     dfs3 = {r["kv"]: r["df"] for r in read_kv_dfreq(spark, sink).collect()}
-    assert dfs3["type=buy"] == want_dfs.get("type=buy", 0) + 1
+    assert dfs3.get("type=buy", 0) == want_dfs.get("type=buy", 0)
 
     # review r8 pass-4 #1: a reused batch id that re-lands DIFFERENT
     # facts but crashes BEFORE its kv write must void the zero
@@ -924,9 +933,15 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, "
         "event_type string, value double, props string",
     )
+    # a PRE-UPGRADE sink: no commit receipts, so the partition-set
+    # audit (and the receipt-driven stale pass) cannot see the rewrite
+    # — deep repair remains the only cure there. The receipt-present
+    # path is pinned by test_sink_fingerprint_guard_excludes_orphans.
+    os.remove(os.path.join(sink, "_batch_fingerprints.json"))
     _write_idempotent(rewritten, os.path.join(sink, "events"), 0)
     shallow = repair_events_sink(spark, sink)
     assert shallow["kv_repaired"] == []  # the blind spot, by design
+    assert shallow["stale_repaired"] == []  # no receipts -> no claim
     assert ("type=scroll", 7) not in {
         tuple(r) for r in read_kv_postings(spark, sink).collect()
     }
@@ -1017,3 +1032,219 @@ def test_streaming_kv_postings_empty_batch_and_reader_fallback(
     assert q.awaitTermination(180)
     got = sorted(tuple(r) for r in read_kv_postings(spark, sink).collect())
     assert got == [("?type", 2), ("?uid", 2), ("type=click", 2), ("uid=4", 2)]
+
+
+def test_sink_fingerprint_guard_excludes_orphans(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #1 (the always-on orphan/stale guard): the key plans
+    answer from the postings with no fact-table recheck, and the sink's
+    kv-FIRST write ordering means a crash between the kv and facts
+    writes whose checkpoint is never replayed leaves ORPHAN presence
+    rows — which used to inflate json_key_discovery_live /
+    json_key_frequency_live until an explicit repair ran. The per-batch
+    commit receipt + partition listing now detect orphan AND stale kv
+    partitions at read time and exclude them; the repair heals both
+    permanently. The containment plan stays on the UNguarded read by
+    design (its recheck needs postings ⊇ landed facts)."""
+    import json as _json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        _write_idempotent,
+        audit_events_sink,
+        events_stream_sink_dir,
+        read_kv_postings,
+        read_kv_postings_guarded,
+        repair_events_sink,
+        sink_kv_exclusions,
+        start_events_rollup_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "events.parquet")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "event_id": 2_000_000 + i,
+                    "ts": f"2024-01-01 10:0{i}:00",
+                    "user_id": 7,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": '{"k": 7}',
+                }
+            )
+            for i in (1, 2)
+        )
+    )
+    sink = events_stream_sink_dir(sf)
+    q = start_events_rollup_ingest(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(landing)),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+    # the stream recorded the batch's commit receipt
+    assert os.path.exists(os.path.join(sink, "_batch_fingerprints.json"))
+
+    plans = all_plans()
+    vs._KV_DF_CACHE.clear()
+
+    def freqs():
+        return {
+            r["key"]: r["n_docs"]
+            for r in plans["json_key_frequency_live"].fn(spark, sf).collect()
+        }
+
+    def keys():
+        return {
+            r["key"]
+            for r in plans["json_key_discovery_live"].fn(spark, sf).collect()
+        }
+
+    healthy = freqs()
+    assert sink_kv_exclusions(sink) == set()
+
+    # THE CRASH: a batch's kv postings landed (kv-first), its facts
+    # never did, and the checkpoint that would replay them is lost —
+    # orphan presence rows for events that do not exist
+    _write_idempotent(
+        spark.createDataFrame(
+            [("?phantom", 9_000_001), ("phantom=1", 9_000_001)],
+            "kv string, event_id long",
+        ),
+        os.path.join(sink, "events_kv_postings"),
+        77,
+    )
+    # the raw (unguarded) postings DO contain the orphan rows — this is
+    # what used to inflate the key plans
+    assert ("?phantom", 9_000_001) in {
+        tuple(r) for r in read_kv_postings(spark, sink).collect()
+    }
+    # ...but the guard names the orphan batch and the guarded read and
+    # both live key plans exclude it
+    assert sink_kv_exclusions(sink) == {77}
+    assert ("?phantom", 9_000_001) not in {
+        tuple(r) for r in read_kv_postings_guarded(spark, sink).collect()
+    }
+    assert "phantom" not in keys()
+    assert freqs() == healthy
+    assert audit_events_sink(sink)["orphans"] == {
+        "events_kv_postings": [77]
+    }
+    # containment soundness is unaffected: the phantom needle rechecks
+    # against the facts and returns empty (never an invented row)
+    vs._KV_DF_CACHE.clear()
+    assert (
+        plans["json_containment_indexed_live"].fn(spark, sf).count() >= 0
+    )
+
+    # THE STALE REWRITE: a reused batch id (checkpoint loss) rewrites
+    # the streamed batch's kv partition — new file set ≠ the commit
+    # receipt — while its facts stay the landed generation
+    _write_idempotent(
+        spark.createDataFrame(
+            [("?phantom2", 9_000_002)], "kv string, event_id long"
+        ),
+        os.path.join(sink, "events_kv_postings"),
+        0,
+    )
+    excl = sink_kv_exclusions(sink)
+    assert excl == {0, 77}
+    assert "phantom2" not in keys()
+    # snapshot semantics: the stale batch's (legitimate) contributions
+    # drop out too until the repair — bounded under-report, never an
+    # invented key
+    assert freqs()["k"] <= healthy["k"]
+    assert audit_events_sink(sink)["stale"] == [0]
+
+    # the repair heals both permanently: orphan removed, stale batch
+    # re-derived from its facts, receipts refreshed
+    rep = repair_events_sink(spark, sink)
+    assert rep["orphans_removed"] == {"events_kv_postings": [77]}
+    assert rep["stale_repaired"] == [0]
+    assert sink_kv_exclusions(sink) == set()
+    vs._KV_DF_CACHE.clear()
+    assert freqs() == healthy
+    assert "phantom" not in keys() and "phantom2" not in keys()
+
+
+def test_maintain_auto_heals_sink_divergence(spark, tmp_path, monkeypatch, capsys):
+    """VERDICT r8 #5: the nightly (`maintain auto`) runs the sink
+    audit+repair step — it heals the lost-checkpoint orphan end-to-end
+    and reports 'consistent' on the healthy re-run."""
+    import json as _json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.__main__ import main
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        _write_idempotent,
+        events_stream_sink_dir,
+        sink_kv_exclusions,
+        start_events_rollup_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("events", "documents", "embeddings"):
+        os.symlink(
+            os.path.join(src, f"{t}.parquet"),
+            os.path.join(sf, f"{t}.parquet"),
+        )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.jsonl").write_text(
+        _json.dumps(
+            {
+                "event_id": 2_000_001,
+                "ts": "2024-01-01 10:01:00",
+                "user_id": 7,
+                "event_type": "click",
+                "value": 1.0,
+                "props": '{"k": 7}',
+            }
+        )
+    )
+    sink = events_stream_sink_dir(sf)
+    q = start_events_rollup_ingest(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(landing)),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+    # the crash-window orphan
+    _write_idempotent(
+        spark.createDataFrame(
+            [("?phantom", 9_000_001)], "kv string, event_id long"
+        ),
+        os.path.join(sink, "events_kv_postings"),
+        55,
+    )
+    assert sink_kv_exclusions(sink) == {55}
+    rc = main(["maintain", "auto", "--sf", sf])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "sink-repair repaired" in out and "orphans=1" in out
+    assert sink_kv_exclusions(sink) == set()
+    assert not os.path.isdir(
+        os.path.join(sink, "events_kv_postings", "_batch_id=55")
+    )
+    # healthy re-run: the step reports consistency, nothing to do
+    rc2 = main(["maintain", "auto", "--sf", sf])
+    assert "sink-repair consistent" in capsys.readouterr().out
+    assert rc2 == 0

@@ -386,15 +386,19 @@ def json_key_discovery_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are an INDEX maintained with every batch, not planner estimates
     (the stats-vs-index lesson of :func:`json_containment_indexed`).
 
-    Crash-window honesty (review r8 pass-6 #1): unlike the containment
-    plans, the key plans have no fact-table recheck, so they trust the
-    postings as-is. The streaming sink's kv-FIRST write ordering —
-    load-bearing for the containment plans' index-proven emptiness —
-    means a crash between the kv and facts writes whose checkpoint is
-    never replayed leaves ORPHAN presence rows: this report can then
-    include a key/count from events that never landed, until
-    ``repair_events_sink`` removes the orphan partition (the audit
-    names it). Duplicated rows, by contrast, can never inflate it
+    Crash-window honesty (review r8 pass-6 #1, closed r9): unlike the
+    containment plans, the key plans have no fact-table recheck, so
+    they trust the postings as-is. The streaming sink's kv-FIRST write
+    ordering — load-bearing for the containment plans' index-proven
+    emptiness — can leave ORPHAN presence rows for events that never
+    landed (crash between the kv and facts writes, checkpoint never
+    replayed); the LIVE twins therefore read the sink through the
+    always-on orphan/stale guard
+    (:func:`venus_spark.streaming.read_kv_postings_guarded`), which
+    excludes exactly those partitions, and ``repair_events_sink``
+    removes them permanently. This prepared-only plan reads the base
+    layout, whose append path lands kv rows and fact rows under ONE
+    batch manifest. Duplicated rows can never inflate the report
     (countDistinct in the frequency twin; DISTINCT here). The key
     universe here is the composed document's (k/type/uid);
     ``json_key_discovery`` remains the raw-payload twin."""
@@ -412,12 +416,23 @@ def _kv_presence_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Base ∪ streamed-sink kv postings, filtered to the ``?key``
     presence entries — the shared read relation of the two live key
     plans. The prefix filter applies to BOTH sides before the union so
-    each parquet scan gets the pushed StringStartsWith."""
+    each parquet scan gets the pushed StringStartsWith.
+
+    The sink side reads through the GUARDED postings view
+    (:func:`venus_spark.streaming.read_kv_postings_guarded`, VERDICT r8
+    #1): these plans have no fact-table recheck, so an ORPHAN kv
+    partition (kv landed, facts never did — the kv-first ordering's
+    never-replayed crash window) or a STALE one (reused batch id's
+    partial rewrite, caught by the per-batch commit receipt) would
+    report keys/counts for events that never landed. The guard excludes
+    exactly those partitions at O(listdir) cost — healthy sinks add no
+    filter at all — closing what was the repo's one
+    wrong-data-under-failure read path."""
     from venus_spark.prepared import events_kv_postings
     from venus_spark.streaming import (
         _sink_table_has_data,
         events_stream_sink_dir,
-        read_kv_postings,
+        read_kv_postings_guarded,
     )
 
     def presence(post: DataFrame) -> DataFrame:
@@ -428,7 +443,7 @@ def _kv_presence_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = presence(events_kv_postings(spark, sf_dir))
     sink = events_stream_sink_dir(sf_dir)
     if _sink_table_has_data(sink, "events_kv_postings"):
-        out = out.unionByName(presence(read_kv_postings(spark, sink)))
+        out = out.unionByName(presence(read_kv_postings_guarded(spark, sink)))
     return out
 
 

@@ -788,6 +788,15 @@ def start_events_rollup_ingest(
             # postings, so the rollup must not precede the facts)
             _write_idempotent(batch, ev_dir, batch_id)
             _write_idempotent(_hourly_partial_rows(batch), roll_dir, batch_id)
+            # the batch's COMMIT RECEIPT, written last (VERDICT r8 #1):
+            # records every partition's file-set fingerprint so the
+            # always-on guard (sink_kv_exclusions) and the audit can
+            # see a reused batch id's partial rewrite without the
+            # O(sink) deep repair. Advisory — a crash before this line
+            # leaves the previous receipt (all four mismatch → the
+            # batch reads as stale until repaired) or none (first
+            # generation: the orphan rule covers the kv-first window).
+            _record_batch_fps(sink_dir, batch_id)
         finally:
             batch.unpersist()
 
@@ -869,15 +878,154 @@ def _sink_batch_ids(table_dir: str) -> set[int]:
 _ZERO_KV_SENTINEL = "_zero_entry_batches.json"
 
 
-def _facts_partition_fp(sink_dir: str, bid: int) -> list[str]:
-    """Fingerprint of a facts batch partition: its sorted data-file
-    name set (parquet writers uuid their part files, so ANY rewrite —
-    including a reused batch id re-landing different rows after
-    checkpoint loss — changes it)."""
-    p = os.path.join(sink_dir, "events", f"_batch_id={bid}")
+def _table_partition_fp(sink_dir: str, table: str, bid: int) -> list[str]:
+    """Fingerprint of one batch partition of a sink table: its sorted
+    data-file name set (parquet writers uuid their part files, so ANY
+    rewrite — including a reused batch id re-landing different rows
+    after checkpoint loss — changes it). ``[]`` = partition absent."""
+    p = os.path.join(sink_dir, table, f"_batch_id={bid}")
     if not os.path.isdir(p):
         return []
     return sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+
+
+def _facts_partition_fp(sink_dir: str, bid: int) -> list[str]:
+    """Fingerprint of a facts batch partition (see
+    :func:`_table_partition_fp`)."""
+    return _table_partition_fp(sink_dir, "events", bid)
+
+
+# ---------------------------------------------------------------------------
+# The facts-fingerprint record (VERDICT r8 #1): the per-batch commit
+# receipt that extends the zero-entry sentinel's fingerprint discipline
+# to EVERY derived sink partition, so orphan/stale derived partitions
+# are detectable in O(listdir) — always-on at read time for the
+# recheck-less key plans, and by the audit without the O(sink) deep
+# repair.
+# ---------------------------------------------------------------------------
+
+_SINK_FP_RECORD = "_batch_fingerprints.json"
+_FP_TABLES = (
+    "events",
+    "events_hourly_rollup",
+    "events_kv_postings",
+    "events_kv_dfreq",
+)
+
+
+def _read_batch_fp_record(sink_dir: str) -> dict[int, dict[str, list[str]]]:
+    """Per-batch fingerprint receipts ``{bid: {table: sorted file
+    names}}`` written by the stream after each fully-landed batch (and
+    by the repair after healing one). ADVISORY by construction: a
+    missing/torn record makes no claim (pre-upgrade sinks, a crash
+    before the receipt), so its absence can never false-positive — it
+    only ever ADDS detection."""
+    try:
+        with open(os.path.join(sink_dir, _SINK_FP_RECORD)) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            return {}
+        return {int(k): v for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_batch_fps(sink_dir: str, bid: int) -> None:
+    """Record the CURRENT partition fingerprints of every sink table
+    for ``bid`` — called by the stream's ``write_batch`` after its last
+    write (the batch's commit receipt: everything the receipt names was
+    derived from the facts generation it names) and by the repair after
+    re-deriving a batch. Entries whose partitions have all vanished
+    (orphan removal, manual surgery) are pruned so the record stays
+    O(live batches). Single-writer discipline (one streaming query per
+    sink; repair runs with the stream stopped) makes the
+    read-modify-write safe; the write is tmp + atomic rename."""
+    record = _read_batch_fp_record(sink_dir)
+    record[bid] = {t: _table_partition_fp(sink_dir, t, bid) for t in _FP_TABLES}
+    record = {
+        b: fps
+        for b, fps in record.items()
+        if b == bid or any(_table_partition_fp(sink_dir, t, b) for t in _FP_TABLES)
+    }
+    p = os.path.join(sink_dir, _SINK_FP_RECORD)
+    with open(p + ".tmp", "w") as f:
+        json.dump({str(k): v for k, v in sorted(record.items())}, f)
+    os.replace(p + ".tmp", p)
+
+
+def _stale_sink_ids(sink_dir: str) -> set[int]:
+    """Batches whose receipt no longer describes reality: some table's
+    partition is PRESENT with a different file set than the receipt
+    recorded — a reused batch id's partial rewrite (checkpoint loss)
+    or out-of-band surgery. A partition that is present-in-receipt but
+    absent-on-disk is NOT stale — that is the *missing* divergence the
+    audit already classifies (and the orphan rule covers derived rows
+    whose facts vanished)."""
+    out = set()
+    for bid, fps in _read_batch_fp_record(sink_dir).items():
+        for t in _FP_TABLES:
+            cur = _table_partition_fp(sink_dir, t, bid)
+            if cur and cur != fps.get(t, []):
+                out.add(bid)
+                break
+    return out
+
+
+def sink_kv_exclusions(sink_dir: str) -> set[int]:
+    """Batch ids the recheck-less KEY plans must exclude from the
+    sink's kv postings (VERDICT r8 #1 — the always-on guard that closes
+    their documented over-report window):
+
+    - ORPHANS: kv partitions whose facts partition never landed (the
+      kv-FIRST write ordering's never-replayed crash window — presence
+      rows for events that do not exist);
+    - STALE (kv-affecting): batches whose facts or kv partition was
+      rewritten after the commit receipt (reused batch id after
+      checkpoint loss) — the kv rows were derived from a facts
+      generation that is no longer (or never became) the landed one.
+
+    Cost: two listdirs + one small JSON read per query — O(batches)
+    driver-side metadata, the same class as the sink read's own
+    partition discovery. The CONTAINMENT plans deliberately do NOT use
+    this guard: their exact fact-table recheck makes orphans harmless,
+    and filtering their postings by facts presence would break the
+    postings ⊇ landed-facts superset that makes index-proven emptiness
+    sound under a landing race."""
+    kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
+    ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
+    orphans = kv - ev
+    record = _read_batch_fp_record(sink_dir)
+    stale = set()
+    for bid, fps in record.items():
+        for t in ("events", "events_kv_postings"):
+            cur = _table_partition_fp(sink_dir, t, bid)
+            if cur and cur != fps.get(t, []):
+                stale.add(bid)
+                break
+    return orphans | stale
+
+
+def read_kv_postings_guarded(
+    spark: SparkSession, sink_dir: str
+) -> DataFrame:
+    """The sink's kv postings with orphan/stale batch partitions
+    EXCLUDED (:func:`sink_kv_exclusions`) — the read relation for the
+    recheck-less key plans. The exclusion set is empty in every healthy
+    state, so the common case adds no filter at all; when a crash
+    window did leave orphans, the filter is a partition-column
+    predicate (static partition pruning — the poisoned directories are
+    never read). Snapshot semantics: a batch mid-landing (kv written,
+    facts not yet) is excluded exactly as if the query had run a moment
+    earlier."""
+    import pyspark.sql.functions as F
+
+    if not _sink_table_has_data(sink_dir, "events_kv_postings"):
+        return spark.createDataFrame([], "kv string, event_id long")
+    excluded = sink_kv_exclusions(sink_dir)
+    df = spark.read.parquet(os.path.join(sink_dir, "events_kv_postings"))
+    if excluded:
+        df = df.filter(~F.col("_batch_id").isin([int(b) for b in excluded]))
+    return df.drop("_batch_id")
 
 
 def _read_zero_kv_batches(sink_dir: str) -> dict[int, list[str]]:
@@ -946,8 +1094,15 @@ def audit_events_sink(sink_dir: str) -> dict:
     once confirmed zero-entry, records the batch in the sentinel so
     later audits/repairs skip it.
 
+    ``stale`` (VERDICT r8 #1) lists batches whose commit receipt
+    (:func:`_record_batch_fps`) no longer matches some PRESENT
+    partition's file set — a reused batch id's partial rewrite after
+    checkpoint loss, previously visible only to the O(sink) deep
+    repair; the default repair now re-derives exactly those batches.
+
     Returns ``{"events": ids, "rollup_missing": ids, "kv_missing":
-    ids, "dfreq_missing": ids, "orphans": {table: ids}}``."""
+    ids, "dfreq_missing": ids, "stale": ids,
+    "orphans": {table: ids}}``."""
     ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
     roll = _sink_batch_ids(os.path.join(sink_dir, "events_hourly_rollup"))
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
@@ -964,6 +1119,7 @@ def audit_events_sink(sink_dir: str) -> dict:
         "rollup_missing": sorted(ev - roll),
         "kv_missing": sorted(ev - kv - zero),
         "dfreq_missing": sorted(ev - dfq - zero),
+        "stale": sorted(_stale_sink_ids(sink_dir) & ev),
         "orphans": {
             t: sorted(ids - ev)
             for t, ids in (
@@ -1026,6 +1182,7 @@ def repair_events_sink(
         "rollup_repaired": [],
         "kv_repaired": [],
         "dfreq_repaired": [],
+        "stale_repaired": [],
         "orphans_removed": {},
     }
 
@@ -1098,6 +1255,65 @@ def repair_events_sink(
         for bid in ids:
             shutil.rmtree(os.path.join(sink_dir, table, f"_batch_id={bid}"))
         out["orphans_removed"][table] = ids
+    # STALE batches (VERDICT r8 #1): the commit receipt names a
+    # different file set than some present partition — a reused batch
+    # id's partial rewrite. The facts' partition is the authoritative
+    # row set, so every derived artifact is re-derived from it (the
+    # deep pass's per-batch body, but targeted: O(divergence)); a batch
+    # now deriving zero entries gets its stale kv/dfreq removed and the
+    # zero sentinel re-confirmed at the current fingerprint.
+    stale_zero: dict[int, list[str]] = {}
+    for bid in report["stale"]:
+        fp = _facts_partition_fp(sink_dir, bid)
+        facts = batch_facts(bid).persist()
+        try:
+            _write_idempotent(
+                _hourly_partial_rows(facts),
+                os.path.join(sink_dir, "events_hourly_rollup"),
+                bid,
+            )
+            kv = _events_kv_rows(facts, allow_missing_props=True).persist()
+            try:
+                if kv.limit(1).count() > 0:
+                    _write_idempotent(
+                        kv.sortWithinPartitions("kv", "event_id"),
+                        os.path.join(sink_dir, "events_kv_postings"),
+                        bid,
+                    )
+                    _write_idempotent(
+                        kv.groupBy("kv").agg(F.count("*").alias("df")),
+                        os.path.join(sink_dir, "events_kv_dfreq"),
+                        bid,
+                    )
+                else:
+                    for t in ("events_kv_postings", "events_kv_dfreq"):
+                        part = os.path.join(sink_dir, t, f"_batch_id={bid}")
+                        if os.path.isdir(part):
+                            shutil.rmtree(part)
+                    stale_zero[bid] = fp
+            finally:
+                kv.unpersist()
+        finally:
+            facts.unpersist()
+        out["stale_repaired"].append(bid)
+    if stale_zero:
+        kept2 = _read_zero_kv_batches(sink_dir)
+        kept2.update(stale_zero)
+        _write_zero_kv_batches(sink_dir, kept2)
+    # refresh the commit receipts for every batch this repair touched
+    # (new part-file names) — and establish one where none existed, so
+    # the always-on guard covers repaired batches going forward; the
+    # helper also prunes receipts whose partitions all vanished
+    # (removed orphans)
+    for bid in sorted(
+        set(out["rollup_repaired"])
+        | set(out["kv_repaired"])
+        | set(out["dfreq_repaired"])
+        | set(out["stale_repaired"])
+        | set(confirmed_zero)
+        | {b for ids in out["orphans_removed"].values() for b in ids}
+    ):
+        _record_batch_fps(sink_dir, bid)
     if deep:
         kv_dir = os.path.join(sink_dir, "events_kv_postings")
         dfq_dir = os.path.join(sink_dir, "events_kv_dfreq")
@@ -1145,4 +1361,6 @@ def repair_events_sink(
                 if bid not in kv_now
             },
         )
+        for bid in report["events"]:
+            _record_batch_fps(sink_dir, bid)
     return out
