@@ -634,3 +634,77 @@ def test_ndcg_drops_below_one_when_bm25_misorders_grades(spark, tmp_path, monkey
     con = duckdb_connect(sf_dir)
     res = compare("ndcg_edge", p.fn(spark, sf_dir), con, p.oracle)
     assert res.ok, res.detail
+
+
+def test_exact_dedup_positive_path_cross_engine(spark, tmp_path):
+    """VERDICT r8 #2: the synthetic corpus holds no byte-identical
+    duplicates, so dedup_exact's green oracle rows were vacuous (empty
+    vs empty — no-false-positives only). Plant REAL duplicates and pin
+    the positive path cross-engine: groups found, n_copies exact,
+    keeper = min doc_id, whitespace/case canonicalization applied, and
+    the oracle comparison non-vacuous (≥ 1 row) — the field-fidelity
+    oracle style of the reference's test_sender superset assertions
+    (/root/reference/tests/test_sender.py:97-136)."""
+    from venus_spark.plans.pipeline_ops import _DEDUP_EXACT_ORACLE, dedup_exact
+
+    rows = [
+        # trio of byte-identical texts -> one group, keeper 1
+        (1, "the quick brown fox", "en", "web", 19),
+        (5, "the quick brown fox", "en", "web", 19),
+        (9, "the quick brown fox", "en", "cc", 19),
+        # canonicalization pair: case + whitespace collapse + trim
+        (2, "Hello   World ", "en", "web", 14),
+        (7, "hello world", "en", "web", 11),
+        # singletons: never reported
+        (3, "unique text one", "en", "web", 15),
+        (4, "unique text two", "en", "web", 15),
+    ]
+    sf_dir = str(tmp_path)
+    _write_documents(spark, sf_dir, rows)
+    r = compare(
+        "dedup_exact_positive",
+        dedup_exact(spark, sf_dir),
+        duckdb_connect(sf_dir),
+        _DEDUP_EXACT_ORACLE,
+    )
+    assert r, r.detail
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup_exact(spark, sf_dir).collect()
+    }
+    assert got == {1: 3, 2: 2}, got  # non-vacuous, keeper = min id
+
+
+def test_mm_payload_dedup_positive_path_cross_engine(spark, tmp_path):
+    """The binary-payload twin of the exact-dedup positive path: RAW
+    byte hashing (no text canonicalization — 'Hello' and 'hello' are
+    DIFFERENT payloads), duplicate groups found with keeper = min
+    doc_id, cross-engine agreement non-vacuous."""
+    from venus_spark.plans.pipeline_ops2 import _MM_DEDUP_ORACLE, mm_payload_dedup
+
+    rows = [
+        (1, "same payload bytes", "en", "web", 18),
+        (6, "same payload bytes", "en", "cc", 18),
+        (8, "same payload bytes", "en", "web", 18),
+        # near-miss: differs only by case -> NOT a payload duplicate
+        (2, "Same payload bytes", "en", "web", 18),
+        (3, "other bytes", "en", "web", 11),
+        (4, "other bytes", "en", "web", 11),
+    ]
+    sf_dir = str(tmp_path)
+    _write_documents(spark, sf_dir, rows)
+    r = compare(
+        "mm_payload_dedup_positive",
+        mm_payload_dedup(spark, sf_dir),
+        duckdb_connect(sf_dir),
+        _MM_DEDUP_ORACLE,
+    )
+    assert r, r.detail
+    got = {
+        r["keeper_doc"]: r["n_payloads"]
+        for r in mm_payload_dedup(spark, sf_dir).collect()
+    }
+    assert got == {1: 3, 3: 2}, got
+    # case-variant payload stayed out of group 1 (raw bytes, no
+    # canonicalization — deliberately different from doc_fingerprint)
+    assert 2 not in got
