@@ -242,3 +242,120 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
     assert summary["value"] == 120.9 and summary["n_plans"] == 188
     assert summary["n_failed"] == 60 and len(summary["failed"]) == 10
     assert len(last_line) < 1900  # headroom inside any 2000-char capture
+
+
+def _snap_corpus_rows():
+    """Ten quality-gate-passing documents with deliberate doc_id GAPS
+    (so an appended near-dup can take a SMALLER id than its base twin
+    and flip the cluster keeper). >=20 whitespace tokens each, all
+    distinct (TTR 1.0), no stopword saturation."""
+    def words(seed):
+        return " ".join(f"w{seed}x{k}" for k in range(24))
+
+    return [
+        (30 + 10 * i, words(i), "en", "web", 24 * 6)
+        for i in range(10)  # ids 30,40,...,120
+    ]
+
+
+def test_export_snapshot_reexport_byte_identical_after_append(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 #3 (reproducible exports): every export pins its
+    corpus file sets in the manifest; a re-export with that snapshot
+    after later APPENDS is byte-identical, while the unpinned re-export
+    sees the appended rows' funnel effects. Here the appended document
+    is a near-dup of a base document with a SMALLER id, so unpinned
+    curation flips the cluster keeper and DROPS the base doc — the
+    exact drift the snapshot exists to freeze out."""
+    import json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.export import EXPORT_MANIFEST, export_curated_jsonl
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    rows = _snap_corpus_rows()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out1 = str(tmp_path / "exp1")
+    n1 = export_curated_jsonl(spark, sf, out1, shards=4)
+    assert n1 == len(rows)
+    with open(os.path.join(out1, EXPORT_MANIFEST)) as f:
+        m1 = json.load(f)
+    assert set(m1["snapshot"]) == {"documents", "documents_minhash"}
+
+    # the append: byte-identical text of doc 40, id 35 (< 40) — the
+    # unpinned funnel now clusters {35, 40} with keeper 35 and drops 40
+    dup_of_40 = spark.createDataFrame(
+        [(35, rows[1][1], "en", "web", rows[1][4])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    prepared.append_documents_batch(spark, sf, dup_of_40, batch_id=1)
+
+    out_unpinned = str(tmp_path / "exp_unpinned")
+    export_curated_jsonl(spark, sf, out_unpinned, shards=4)
+    unpinned_ids = {r["doc_id"] for r in spark.read.json(out_unpinned).collect()}
+    assert 40 not in unpinned_ids  # the append really changed the funnel
+
+    # pinned re-export: byte-identical to the original
+    out2 = str(tmp_path / "exp2")
+    export_curated_jsonl(spark, sf, out2, shards=4, snapshot=m1["snapshot"])
+    with open(os.path.join(out2, EXPORT_MANIFEST)) as f:
+        m2 = json.load(f)
+    assert m2["per_shard"] == m1["per_shard"]
+    assert m2["snapshot"] == m1["snapshot"]
+    assert _shard_digests(out2) == _shard_digests(out1)
+
+
+def test_export_snapshot_tombstone_overrides_reproducibility(
+    spark, tmp_path, monkeypatch
+):
+    """The stated contract: CURRENT tombstones always apply on top of a
+    pinned snapshot — a right-to-be-forgotten delete wins over
+    reproducibility, so the pinned re-export differs by exactly the
+    deleted document. And a snapshot whose files a rewrite removed
+    refuses LOUDLY instead of silently exporting a different corpus."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from venus_spark import prepared
+    from venus_spark.export import EXPORT_MANIFEST, export_curated_jsonl
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        _snap_corpus_rows(),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out1 = str(tmp_path / "exp1")
+    export_curated_jsonl(spark, sf, out1, shards=2)
+    with open(os.path.join(out1, EXPORT_MANIFEST)) as f:
+        snap = json.load(f)["snapshot"]
+    ids1 = {r["doc_id"] for r in spark.read.json(out1).collect()}
+    assert 50 in ids1
+
+    prepared.tombstone_documents(spark, sf, [50], batch_id=0)
+    out2 = str(tmp_path / "exp2")
+    export_curated_jsonl(spark, sf, out2, shards=2, snapshot=snap)
+    ids2 = {r["doc_id"] for r in spark.read.json(out2).collect()}
+    assert ids2 == ids1 - {50}  # RTBF overrides reproducibility
+
+    # a rewrite that replaced the snapshot's files (here: the vacuum
+    # rewriting the MinHash index) expires the snapshot — loudly
+    assert prepared.vacuum_document_tombstones(spark, sf) > 0
+    with pytest.raises(ValueError, match="no longer materializable"):
+        export_curated_jsonl(
+            spark, sf, str(tmp_path / "exp3"), shards=2, snapshot=snap
+        )
+    # ...and a fresh unpinned export works and re-pins
+    out4 = str(tmp_path / "exp4")
+    export_curated_jsonl(spark, sf, out4, shards=2)
+    assert {r["doc_id"] for r in spark.read.json(out4).collect()} == ids2

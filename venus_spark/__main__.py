@@ -364,10 +364,37 @@ def cmd_maintain(args) -> int:
 
 def cmd_export(args) -> int:
     """Materialize the curated corpus as sharded JSONL — the hand-off
-    artifact from the engine to a training run."""
-    from venus_spark.export import export_curated_jsonl
+    artifact from the engine to a training run. ``--snapshot-from``
+    re-exports a PRIOR export's pinned corpus (byte-identical under
+    later appends; current tombstones still apply — RTBF overrides
+    reproducibility)."""
+    from venus_spark.export import EXPORT_MANIFEST, export_curated_jsonl
 
-    n = export_curated_jsonl(_spark(), args.sf, args.out_dir, shards=args.shards)
+    snapshot = None
+    if args.snapshot_from:
+        manifest_path = (
+            args.snapshot_from
+            if args.snapshot_from.endswith(".json")
+            else os.path.join(args.snapshot_from, EXPORT_MANIFEST)
+        )
+        with open(manifest_path) as f:
+            prior = json.load(f)
+        if "snapshot" not in prior:
+            print(
+                f"{manifest_path} carries no corpus snapshot "
+                "(pre-snapshot export); re-export unpinned instead",
+                file=sys.stderr,
+            )
+            return 2
+        snapshot = prior["snapshot"]
+    try:
+        n = export_curated_jsonl(
+            _spark(), args.sf, args.out_dir, shards=args.shards,
+            snapshot=snapshot,
+        )
+    except ValueError as exc:
+        print(f"export: {exc}", file=sys.stderr)
+        return 2
     print(f"exported {n} curated document(s) to {args.out_dir} ({args.shards} shards)")
     return 0
 
@@ -436,6 +463,11 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("out_dir")
     ex.add_argument("--sf", default=DEFAULT_SF)
     ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument(
+        "--snapshot-from",
+        help="prior export dir (or manifest path) whose pinned corpus "
+        "snapshot to re-export byte-identically",
+    )
 
     mt.add_argument("--ids", help="comma-separated doc ids (delete-docs)")
     mt.add_argument(

@@ -60,13 +60,17 @@ def _shard_digests(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
-def write_export_manifest(spark: SparkSession, out_dir: str) -> dict:
+def write_export_manifest(
+    spark: SparkSession, out_dir: str, snapshot: dict | None = None
+) -> dict:
     """Make an export SELF-CERTIFYING: record per-shard row counts and
     content digests next to the data (the artifact a training loader
     checks before a run — a truncated shard, a lost file, or a partial
     copy fails loudly at load time instead of silently training on a
-    damaged corpus). Written via tmp + atomic rename; byte-deterministic
-    because the export itself is."""
+    damaged corpus). ``snapshot`` (the pinned source file sets, see
+    :func:`corpus_snapshot`) ships inside the manifest so a re-export
+    can reproduce the exact corpus. Written via tmp + atomic rename;
+    byte-deterministic because the export itself is."""
     per_shard = _shard_digests(spark, out_dir)
     manifest = {
         "format": "jsonl/_shard=<k>",
@@ -75,6 +79,8 @@ def write_export_manifest(spark: SparkSession, out_dir: str) -> dict:
         # sort_keys=True below orders the serialized keys; no pre-sort
         "per_shard": {str(k): v for k, v in per_shard.items()},
     }
+    if snapshot is not None:
+        manifest["snapshot"] = snapshot
     p = os.path.join(out_dir, EXPORT_MANIFEST)
     with open(p + ".tmp", "w") as f:
         json.dump(manifest, f, sort_keys=True, indent=1)
@@ -136,8 +142,92 @@ def export_jsonl(
     )
 
 
+_SNAP_SELF = "__self__"
+
+
+def _snapshot_files(root: str) -> list[str]:
+    """Sorted relative paths of every data file under a table/index
+    directory — the snapshot unit. File names are immutable once
+    written (parquet writers uuid part files; appends only ADD files),
+    so a name list pins an exact row set for as long as no rewrite
+    (compaction/vacuum/recluster) has replaced the files — the same
+    time-travel contract a lakehouse snapshot has until VACUUM removes
+    the old generation's files. A SINGLE-FILE table (the driver ships
+    ``documents.parquet`` as one file at small SFs) pins as
+    ``__self__:<size>`` — the size check catches an in-place
+    replacement that a bare name cannot."""
+    if os.path.isfile(root):
+        return [f"{_SNAP_SELF}:{os.path.getsize(root)}"]
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, f), root)
+                )
+    return sorted(out)
+
+
+def corpus_snapshot(spark: SparkSession, sf_dir: str) -> dict:
+    """Pin the curated-export corpus AS OF NOW (VERDICT r8 #3): the
+    exact data-file sets of the two relations the curation funnel
+    reads — the base ``documents`` table and the MinHash index
+    (ensured built first, so the listing names a complete
+    generation). A later re-export with this snapshot reads exactly
+    these files, so appends landed in between change nothing —
+    byte-identical shards — while CURRENT tombstones still apply on
+    top (RTBF overrides reproducibility; that is the contract, stated
+    in :func:`export_curated_jsonl`). A rewrite that replaced the
+    files (compaction, vacuum, index rebuild) makes the snapshot
+    unmaterializable and the re-export refuses LOUDLY, naming the
+    missing files — exactly a lakehouse snapshot expiring when VACUUM
+    drops its files."""
+    from venus_spark.prepared import documents_minhash, prepared_path
+
+    documents_minhash(spark, sf_dir)  # ensure built + recovered
+    return {
+        "documents": _snapshot_files(
+            os.path.join(sf_dir, "documents.parquet")
+        ),
+        "documents_minhash": _snapshot_files(
+            prepared_path(sf_dir, "documents_minhash.parquet")
+        ),
+    }
+
+
+def _read_snapshot_relation(
+    spark: SparkSession, root: str, rel_files: list[str], what: str
+):
+    def ok(f: str) -> bool:
+        if f.startswith(_SNAP_SELF + ":"):
+            return os.path.isfile(root) and os.path.getsize(root) == int(
+                f.split(":", 1)[1]
+            )
+        return os.path.exists(os.path.join(root, f))
+
+    missing = [f for f in rel_files if not ok(f)]
+    if missing:
+        raise ValueError(
+            f"snapshot no longer materializable: {len(missing)} {what} "
+            f"file(s) were rewritten or removed since the snapshot "
+            f"(compaction/vacuum/rebuild), e.g. {missing[:3]}; re-export "
+            "unpinned to produce a fresh snapshot."
+        )
+    if not rel_files:
+        raise ValueError(f"snapshot lists no {what} files")
+    paths = [
+        root if f.startswith(_SNAP_SELF + ":") else os.path.join(root, f)
+        for f in rel_files
+    ]
+    return spark.read.parquet(*paths)
+
+
 def export_curated_jsonl(
-    spark: SparkSession, sf_dir: str, out_dir: str, shards: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    shards: int = 8,
+    snapshot: dict | None = None,
 ) -> int:
     """Export the CURATED corpus (the ``curated_corpus`` funnel:
     quality gate ∧ not-near-dup ∧ not-benchmark-contaminated, MINUS any
@@ -146,17 +236,48 @@ def export_curated_jsonl(
     would ride straight into the training hand-off) as sharded JSONL.
     Returns the number of documents exported.
 
+    REPRODUCIBILITY CONTRACT (VERDICT r8 #3): every export pins its
+    corpus — the exact source file sets (:func:`corpus_snapshot`) ship
+    in the manifest, and the export itself reads THROUGH the snapshot,
+    so the manifest names precisely what was read. Re-exporting with
+    ``snapshot=manifest['snapshot']`` after later appends is
+    byte-identical — with ONE override: the CURRENT tombstone set
+    always applies on top, because a right-to-be-forgotten delete must
+    win over reproducibility; a re-export after a delete differs by
+    exactly the deleted documents, by design.
+
     The returned count comes from the export MANIFEST, which is itself
     recomputed from the written artifact (per-shard row counts +
     content digests, one narrow pass) — the number certifies the
     EXPORT, not the plan, and the manifest ships with the shards so the
     loader side re-certifies with :func:`verify_export` before
     training."""
-    from venus_spark.plans.registry import all_plans
-    from venus_spark.prepared import _anti_tombstones
+    from venus_spark.plans.pipeline_ops4 import curated_funnel
+    from venus_spark.prepared import _anti_tombstones, prepared_path
 
+    if snapshot is None:
+        snapshot = corpus_snapshot(spark, sf_dir)
+    docs = _read_snapshot_relation(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        snapshot["documents"],
+        "documents",
+    )
+    # current tombstones apply to the index read exactly as the live
+    # ensure applies them — the funnel sees the pinned rows minus
+    # every document deleted since
+    mh = _anti_tombstones(
+        spark,
+        sf_dir,
+        _read_snapshot_relation(
+            spark,
+            prepared_path(sf_dir, "documents_minhash.parquet"),
+            snapshot["documents_minhash"],
+            "documents_minhash",
+        ),
+    )
     curated = _anti_tombstones(
-        spark, sf_dir, all_plans()["curated_corpus"].fn(spark, sf_dir)
+        spark, sf_dir, curated_funnel(spark, docs, mh)
     )
     export_jsonl(curated, out_dir, shards)
-    return write_export_manifest(spark, out_dir)["n_rows"]
+    return write_export_manifest(spark, out_dir, snapshot=snapshot)["n_rows"]

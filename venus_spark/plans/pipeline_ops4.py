@@ -465,19 +465,35 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the uniform doc_id at scale) — the funnel shape a production
     curation run has, with every stage's constants imported from its
     standalone plan."""
+    from venus_spark.prepared import documents_minhash
+
+    return curated_funnel(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        documents_minhash(spark, sf_dir),
+    )
+
+
+def curated_funnel(
+    spark: SparkSession, docs: DataFrame, mh: DataFrame
+) -> DataFrame:
+    """The curation funnel over INJECTED relations — shared by the
+    ``curated_corpus`` plan (current tables) and the snapshot-pinned
+    export (:func:`venus_spark.export.export_curated_jsonl` with a
+    recorded file-set snapshot), so the two can never drift. ``docs``
+    is the documents relation, ``mh`` the MinHash index relation (both
+    already delete-filtered by their providers)."""
     from venus_spark.operators.dedup import (
         connected_components,
         lsh_near_dup_pairs_from_index,
     )
     from venus_spark.plans.pipeline_ops import _JACCARD_T
     from venus_spark.plans.pipeline_ops3 import _BENCH_MAX_ID, _DECON_N
-    from venus_spark.prepared import documents_minhash
 
-    docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID)
 
     labels = connected_components(
-        lsh_near_dup_pairs_from_index(documents_minhash(spark, sf_dir), threshold=_JACCARD_T)
+        lsh_near_dup_pairs_from_index(mh, threshold=_JACCARD_T)
     )
     dup_drop = labels.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
