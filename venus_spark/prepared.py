@@ -728,19 +728,26 @@ def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     calculation and the same write job."""
     meta = {"bits": _Z_BITS, "files": _Z_FILES, "dims": ["user_id", "hour"]}
     path = prepared_path(sf_dir, "events_zorder.parquet")
-    _recover_recluster_swap(path)
+    _recover_prepared_swaps(sf_dir, path, ".recluster")
+
     # The stamp also records the curve's hour ORIGIN (append_events
     # needs it to keep batch z-values on the same curve), which is only
     # known after the build — so built-ness checks the static geometry
     # keys plus the origin's presence rather than exact dict equality.
-    built = False
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _z_built() -> bool:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
         try:
             m = _read_meta(path)
-            built = "min_hour" in m and all(m.get(k) == v for k, v in meta.items())
+            return "min_hour" in m and all(
+                m.get(k) == v for k, v in meta.items()
+            )
         except (OSError, ValueError):
-            built = False
-    if not built:
+            return False
+
+    if not _z_built() and not _prepared_built_under_lock(
+        sf_dir, path, (".recluster",), _z_built
+    ):
         if os.path.exists(path):
             shutil.rmtree(path)
         ev = load_table(spark, sf_dir, "events")
@@ -1062,8 +1069,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a dashboard query re-scanning the fact table and reading a
     few thousand pre-aggregated rows."""
     path = prepared_path(sf_dir, "events_hourly_rollup.parquet")
-    _recover_swap(path, ".retention")
-    if not _is_built(path, _ROLLUP_META):
+    _recover_prepared_swaps(sf_dir, path, ".retention")
+    if not _is_built(path, _ROLLUP_META) and not _prepared_built_under_lock(
+        sf_dir, path, (".retention",), lambda: _is_built(path, _ROLLUP_META)
+    ):
         if os.path.exists(path):
             shutil.rmtree(path)
         _hourly_partial_rows(load_table(spark, sf_dir, "events")).write.parquet(
@@ -1098,8 +1107,10 @@ def events_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     for). ``append_events`` appends the batch's tiles; overlapping days
     merge at read."""
     path = prepared_path(sf_dir, "events_daily_hll.parquet")
-    _recover_swap(path, ".retention")
-    if not _is_built(path, _HLL_META):
+    _recover_prepared_swaps(sf_dir, path, ".retention")
+    if not _is_built(path, _HLL_META) and not _prepared_built_under_lock(
+        sf_dir, path, (".retention",), lambda: _is_built(path, _HLL_META)
+    ):
         if os.path.exists(path):
             shutil.rmtree(path)
         _daily_hll_rows(load_table(spark, sf_dir, "events")).write.parquet(path)
@@ -1454,34 +1465,35 @@ def _recover_swap(path: str, tag: str) -> None:
             shutil.rmtree(leftover)
 
 
-def _recover_recluster_swap(path: str) -> None:
-    _recover_swap(path, ".recluster")
-
-
 def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
     """The OPTIMIZE / re-ZORDER maintenance job: rewrite the Z-order
     layout from its own CURRENT contents (base build plus every
     appended batch) back into one globally z-sorted file set, restoring
     the per-file rectangle tightness that appends gradually dilute.
     Reuses the stamped hour origin so the curve is identical across
-    recluster generations. The swap is crash-safe: the rewrite lands in
-    a tmp directory first, the live directory is moved aside, tmp is
-    renamed in, and only then is the old copy deleted —
-    :func:`_recover_recluster_swap` (run by every ``events_zorder``
-    read) completes or rolls back any interruption. At 100 TB this is
-    the scheduled compaction every lakehouse table runs; queries never
-    stop being correct while it is due, only less pruned."""
+    recluster generations. The swap is crash-safe AND reader-safe: the
+    rewrite stages under a recovery-invisible name, the three-rename
+    swap runs under the shared prepared-swap lock, and every
+    ``events_zorder`` read runs a locked-when-pending ``.recluster``
+    recovery that completes or rolls back any interruption. At 100 TB
+    this is the scheduled compaction every lakehouse table runs;
+    queries never stop being correct while it is due, only less
+    pruned."""
     events_zorder(spark, sf_dir)  # ensures built + completes any prior swap
     path = prepared_path(sf_dir, "events_zorder.parquet")
     meta = _read_meta(path)
     min_hour = int(meta["min_hour"])
+    # stage OUTSIDE the lock under a recovery-invisible name, swap
+    # inside it — the family recipe (ADVICE r8 #1), so a reader's
+    # locked recovery can never rmtree the in-flight stage or
+    # interleave the aside window
     tmp, old = path + ".recluster.tmp", path + ".recluster.old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    staging = path + ".recluster_staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # our own crashed prior staging
     cur = spark.read.parquet(path)
-    _z_sorted(cur, min_hour, _Z_FILES).write.parquet(tmp)
-    _stamp(tmp, meta)
+    _z_sorted(cur, min_hour, _Z_FILES).write.parquet(staging)
+    _stamp(staging, meta)
     # Carry the batch manifest across the rewrite (same as the retention
     # rewrite below): the recluster absorbs appended abatch files into
     # unprefixed ones, so a post-recluster retry of an absorbed batch
@@ -1489,10 +1501,13 @@ def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
     # and double-counts, violating _append_batch_files' invariant.
     manifest = _read_abatch_manifest(path)
     if manifest:
-        _write_abatch_manifest(tmp, manifest)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+        _write_abatch_manifest(staging, manifest)
+    with _prep_swap_flock(sf_dir):
+        _recover_swap(path, ".recluster")  # resolve any crashed prior swap
+        os.rename(staging, tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
 
 
 def drop_event_chunks(
@@ -1552,22 +1567,25 @@ def drop_event_chunks(
         )
         for name, keep in targets:
             path = prepared_path(sf_dir, name)
-            _recover_swap(path, ".retention")
+            _recover_prepared_swaps(sf_dir, path, ".retention")
             if not os.path.exists(path):
                 continue
             meta = _read_meta(path)
             manifest = _read_abatch_manifest(path)
             tmp, old = path + ".retention.tmp", path + ".retention.old"
-            for stale in (tmp, old):
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)
-            spark.read.parquet(path).filter(keep).write.parquet(tmp)
-            _stamp(tmp, meta)
+            staging = path + ".retention_staging"
+            if os.path.exists(staging):
+                shutil.rmtree(staging)  # our own crashed prior staging
+            spark.read.parquet(path).filter(keep).write.parquet(staging)
+            _stamp(staging, meta)
             if manifest:
-                _write_abatch_manifest(tmp, manifest)
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
+                _write_abatch_manifest(staging, manifest)
+            with _prep_swap_flock(sf_dir):
+                _recover_swap(path, ".retention")
+                os.rename(staging, tmp)
+                os.rename(path, old)
+                os.rename(tmp, path)
+                shutil.rmtree(old)
     return dropped
 
 
@@ -1750,8 +1768,8 @@ def _postings_tables(
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
     _recover_prepared_swaps(sf_dir, post_path, ".compact")  # locked when pending
-    _recover_swap(stats_path, ".deladj")  # finish an interrupted delete's
-    # stats adjustment (see _scrub_postings_delete)
+    _recover_prepared_swaps(sf_dir, stats_path, ".deladj")  # ditto: an
+    # interrupted delete's stats adjustment (see _scrub_postings_delete)
     if not all(
         _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
     ) and not _prepared_built_under_lock(
@@ -2464,7 +2482,7 @@ def _scrub_postings_delete(
     post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
-    _recover_swap(stats_path, ".deladj")
+    _recover_prepared_swaps(sf_dir, stats_path, ".deladj")
     applied = _read_delete_adj_applied(stats_path)
     if batch_id not in applied:
         base_post = spark.read.parquet(post_path)
@@ -2498,21 +2516,24 @@ def _scrub_postings_delete(
         adj_ids.unpersist()
         old = spark.read.parquet(stats_path).first()
         tmp, oldd = stats_path + ".deladj.tmp", stats_path + ".deladj.old"
-        for stale in (tmp, oldd):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        staging = stats_path + ".deladj_staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # our own crashed prior staging
         _write_stats(
             spark,
-            tmp,
+            staging,
             int(old["n_docs"]) - n1 - n2,
             int(old["dl_sum"]) - dl1 - dl2,
         )
-        _stamp(tmp, _POSTINGS_META)
-        with open(os.path.join(tmp, _DELETE_ADJ_SIDECAR), "w") as f:
+        _stamp(staging, _POSTINGS_META)
+        with open(os.path.join(staging, _DELETE_ADJ_SIDECAR), "w") as f:
             json.dump(sorted(applied | {batch_id}), f)
-        os.rename(stats_path, oldd)
-        os.rename(tmp, stats_path)
-        shutil.rmtree(oldd)
+        with _prep_swap_flock(sf_dir):
+            _recover_swap(stats_path, ".deladj")
+            os.rename(staging, tmp)
+            os.rename(stats_path, oldd)
+            os.rename(tmp, stats_path)
+            shutil.rmtree(oldd)
     # Scrub the postings rows (idempotent: a retry removes nothing) and
     # re-derive df from the survivors. The join moves its key column
     # first — re-select the stored column order so the rewritten layout
