@@ -377,8 +377,12 @@ def cmd_export(args) -> int:
             if args.snapshot_from.endswith(".json")
             else os.path.join(args.snapshot_from, EXPORT_MANIFEST)
         )
-        with open(manifest_path) as f:
-            prior = json.load(f)
+        try:
+            with open(manifest_path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError) as exc:
+            print(f"export: cannot read {manifest_path}: {exc}", file=sys.stderr)
+            return 2
         if "snapshot" not in prior:
             print(
                 f"{manifest_path} carries no corpus snapshot "

@@ -481,8 +481,10 @@ def curated_funnel(
     ``curated_corpus`` plan (current tables) and the snapshot-pinned
     export (:func:`venus_spark.export.export_curated_jsonl` with a
     recorded file-set snapshot), so the two can never drift. ``docs``
-    is the documents relation, ``mh`` the MinHash index relation (both
-    already delete-filtered by their providers)."""
+    is the RAW documents relation (neither caller delete-filters it —
+    the funnel's output is anti-joined against tombstones by the
+    caller that needs RTBF, e.g. the export); ``mh`` is the MinHash
+    index relation, delete-filtered by its provider."""
     from venus_spark.operators.dedup import (
         connected_components,
         lsh_near_dup_pairs_from_index,

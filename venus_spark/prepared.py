@@ -2706,11 +2706,14 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         # the swap holds the shared prepared-swap lock: every reader
         # recovery of this family is locked too, so nothing can
         # interleave the aside window (path briefly absent between the
-        # two renames) or resurrect the displaced old generation
+        # two renames) or resurrect the displaced old generation.
+        # Resolve any crashed prior swap FIRST — the family recipe is
+        # restore-never-delete (review r9 #1: a blind rmtree of
+        # tmp/old here would discard a crashed swapper's displaced
+        # live generation instead of restoring it, then crash on the
+        # missing path)
         with _prep_swap_flock(sf_dir):
-            for stale in (tmp, old):
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)  # crashed prior swap leftovers
+            _recover_swap(path, ".vacuum")
             os.rename(staging, tmp)
             os.rename(path, old)
             os.rename(tmp, path)

@@ -930,40 +930,74 @@ def _read_batch_fp_record(sink_dir: str) -> dict[int, dict[str, list[str]]]:
         return {}
 
 
-def _record_batch_fps(sink_dir: str, bid: int) -> None:
-    """Record the CURRENT partition fingerprints of every sink table
-    for ``bid`` — called by the stream's ``write_batch`` after its last
-    write (the batch's commit receipt: everything the receipt names was
-    derived from the facts generation it names) and by the repair after
-    re-deriving a batch. Entries whose partitions have all vanished
-    (orphan removal, manual surgery) are pruned so the record stays
-    O(live batches). Single-writer discipline (one streaming query per
-    sink; repair runs with the stream stopped) makes the
-    read-modify-write safe; the write is tmp + atomic rename."""
-    record = _read_batch_fp_record(sink_dir)
-    record[bid] = {t: _table_partition_fp(sink_dir, t, bid) for t in _FP_TABLES}
-    record = {
-        b: fps
-        for b, fps in record.items()
-        if b == bid or any(_table_partition_fp(sink_dir, t, b) for t in _FP_TABLES)
-    }
+def _write_batch_fp_record(
+    sink_dir: str, record: dict[int, dict[str, list[str]]]
+) -> None:
     p = os.path.join(sink_dir, _SINK_FP_RECORD)
     with open(p + ".tmp", "w") as f:
         json.dump({str(k): v for k, v in sorted(record.items())}, f)
     os.replace(p + ".tmp", p)
 
 
-def _stale_sink_ids(sink_dir: str) -> set[int]:
-    """Batches whose receipt no longer describes reality: some table's
-    partition is PRESENT with a different file set than the receipt
-    recorded — a reused batch id's partial rewrite (checkpoint loss)
-    or out-of-band surgery. A partition that is present-in-receipt but
-    absent-on-disk is NOT stale — that is the *missing* divergence the
-    audit already classifies (and the orphan rule covers derived rows
-    whose facts vanished)."""
+def _record_batch_fps(sink_dir: str, bid: int) -> None:
+    """Record the CURRENT partition fingerprints of every sink table
+    for ``bid`` — called by the stream's ``write_batch`` after its last
+    write (the batch's commit receipt: everything the receipt names was
+    derived from the facts generation it names) and by the repair after
+    re-deriving a batch. A bid whose partitions have ALL vanished
+    (a removed orphan) has its entry DROPPED, never re-added as an
+    all-empty receipt (review r9 #2). Deliberately touches only this
+    bid's partitions — O(4 listdirs) on the per-batch hot path; the
+    full vanished-entry prune is maintenance-time work
+    (:func:`_prune_batch_fp_record`, run by the repair). The record
+    therefore stays O(sink batch partitions) — the same cardinality the
+    ``_batch_id`` directory layout itself carries, bounded in a
+    deployment by the sink compaction cadence. Single-writer discipline
+    (one streaming query per sink; repair runs with the stream stopped)
+    makes the read-modify-write safe; the write is tmp + atomic
+    rename."""
+    record = _read_batch_fp_record(sink_dir)
+    fps = {t: _table_partition_fp(sink_dir, t, bid) for t in _FP_TABLES}
+    if any(fps.values()):
+        record[bid] = fps
+    else:
+        record.pop(bid, None)
+    _write_batch_fp_record(sink_dir, record)
+
+
+def _prune_batch_fp_record(sink_dir: str) -> None:
+    """Drop receipts whose partitions have all vanished (removed
+    orphans, retention, manual surgery) — maintenance-time only (the
+    repair calls it once), never on the per-batch hot path (review r9
+    #3: re-fingerprinting every recorded batch per micro-batch is
+    O(batches × listdir) work for a condition only maintenance events
+    can create)."""
+    record = _read_batch_fp_record(sink_dir)
+    kept = {
+        b: fps
+        for b, fps in record.items()
+        if any(_table_partition_fp(sink_dir, t, b) for t in _FP_TABLES)
+    }
+    if kept != record:
+        _write_batch_fp_record(sink_dir, kept)
+
+
+def _stale_sink_ids(
+    sink_dir: str, tables: tuple[str, ...] = _FP_TABLES
+) -> set[int]:
+    """Batches whose receipt no longer describes reality: some listed
+    table's partition is PRESENT with a different file set than the
+    receipt recorded — a reused batch id's partial rewrite (checkpoint
+    loss) or out-of-band surgery. A partition that is
+    present-in-receipt but absent-on-disk is NOT stale — that is the
+    *missing* divergence the audit already classifies (and the orphan
+    rule covers derived rows whose facts vanished). ``tables`` narrows
+    the check (the kv read guard cares only about facts + kv); ONE
+    implementation so the audit's 'stale' and the guard's exclusions
+    cannot drift (review r9 #4)."""
     out = set()
     for bid, fps in _read_batch_fp_record(sink_dir).items():
-        for t in _FP_TABLES:
+        for t in tables:
             cur = _table_partition_fp(sink_dir, t, bid)
             if cur and cur != fps.get(t, []):
                 out.add(bid)
@@ -993,16 +1027,9 @@ def sink_kv_exclusions(sink_dir: str) -> set[int]:
     sound under a landing race."""
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
     ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
-    orphans = kv - ev
-    record = _read_batch_fp_record(sink_dir)
-    stale = set()
-    for bid, fps in record.items():
-        for t in ("events", "events_kv_postings"):
-            cur = _table_partition_fp(sink_dir, t, bid)
-            if cur and cur != fps.get(t, []):
-                stale.add(bid)
-                break
-    return orphans | stale
+    return (kv - ev) | _stale_sink_ids(
+        sink_dir, tables=("events", "events_kv_postings")
+    )
 
 
 def read_kv_postings_guarded(
@@ -1363,4 +1390,7 @@ def repair_events_sink(
         )
         for bid in report["events"]:
             _record_batch_fps(sink_dir, bid)
+    # maintenance-time receipt hygiene: drop entries whose partitions
+    # have all vanished (removed orphans above, retention, surgery)
+    _prune_batch_fp_record(sink_dir)
     return out
