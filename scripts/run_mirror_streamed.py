@@ -93,10 +93,15 @@ def main() -> int:
     spark = get_spark(cpus=args.cpus)
     t0 = time.time()
 
-    # workspace sf dir: base tables symlinked; unique basename gives it
-    # a fresh prepared-artifact namespace under PREPARED_ROOT
+    # workspace sf dir: base tables symlinked. The sf BASENAME must be
+    # unique per run — prepared_path namespaces artifacts by basename
+    # alone, so a constant name would silently reuse (or concurrently
+    # clobber) a crashed prior run's prepared layouts, certifying
+    # against the wrong corpus (review r9 pass-2 #2). The mkdtemp
+    # suffix provides the uniqueness.
     work = tempfile.mkdtemp(prefix="streamed_mirror_")
-    sf = os.path.join(work, "sf_streamed")
+    sf_name = f"sf_{os.path.basename(work)}"
+    sf = os.path.join(work, sf_name)
     os.makedirs(sf)
     for t in TABLES:
         src = os.path.join(args.sf, f"{t}.parquet")
@@ -185,7 +190,7 @@ def main() -> int:
         from venus_spark.prepared import PREPARED_ROOT
 
         shutil.rmtree(
-            os.path.join(PREPARED_ROOT, "sf_streamed"), ignore_errors=True
+            os.path.join(PREPARED_ROOT, sf_name), ignore_errors=True
         )
 
 

@@ -987,8 +987,12 @@ def _kv_needle_dfs(
             r["kv"]: int(r["df"])
             for r in dfreq.filter(F.col("kv").isin(need)).collect()
         }
-        while len(_KV_DF_CACHE) >= _KV_DF_CACHE_MAX:
-            _KV_DF_CACHE.pop(next(iter(_KV_DF_CACHE)))
+        # evict only when INSERTING a new key — an in-place replace
+        # (the refresh-per-batch primary case) must not evict an
+        # unrelated live entry at the cap (review r9 pass-2 #6)
+        if path not in _KV_DF_CACHE:
+            while len(_KV_DF_CACHE) >= _KV_DF_CACHE_MAX:
+                _KV_DF_CACHE.pop(next(iter(_KV_DF_CACHE)))
         _KV_DF_CACHE[path] = (stamp, dfs)
     return _KV_DF_CACHE[path][1]
 

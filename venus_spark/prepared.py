@@ -193,7 +193,7 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "documents_trgm.parquet")
     _recover_prepared_swaps(sf_dir, path, ".vacuum")  # locked when pending
     if not _is_built(path, meta) and not _prepared_built_under_lock(
-        sf_dir, path, (".vacuum",), lambda: _is_built(path, meta)
+        sf_dir, ((path, ".vacuum"),), lambda: _is_built(path, meta)
     ):
         # mode-appended documents may exist only in this index + the
         # sink table — a from-base rebuild would silently drop them
@@ -242,8 +242,7 @@ def documents_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     _recover_prepared_swaps(sf_dir, path, ".vacuum", ".compact")
     if not _is_built(path, _TRGM_POST_META) and not _prepared_built_under_lock(
         sf_dir,
-        path,
-        (".vacuum", ".compact"),
+        ((path, ".vacuum"), (path, ".compact")),
         lambda: _is_built(path, _TRGM_POST_META),
     ):
         _refuse_rebuild_with_absorbed_batches(path, "trigram postings")
@@ -338,7 +337,7 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "documents_minhash.parquet")
     _recover_prepared_swaps(sf_dir, path, ".vacuum")  # locked when pending
     if not _is_built(path, meta) and not _prepared_built_under_lock(
-        sf_dir, path, (".vacuum",), lambda: _is_built(path, meta)
+        sf_dir, ((path, ".vacuum"),), lambda: _is_built(path, meta)
     ):
         # merged streamed batches may exist only in this index + the
         # sink table, never in the base parquet — do not drop them
@@ -489,7 +488,7 @@ def events_kv_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "events_kv_postings.parquet")
     _recover_prepared_swaps(sf_dir, path, ".compact")  # locked when pending
     if not _is_built(path, _KV_POST_META) and not _prepared_built_under_lock(
-        sf_dir, path, (".compact",), lambda: _is_built(path, _KV_POST_META)
+        sf_dir, ((path, ".compact"),), lambda: _is_built(path, _KV_POST_META)
     ):
         _refuse_rebuild_with_absorbed_batches(path, "kv postings")
         # A layout added AFTER other event layouts absorbed appended
@@ -746,7 +745,7 @@ def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             return False
 
     if not _z_built() and not _prepared_built_under_lock(
-        sf_dir, path, (".recluster",), _z_built
+        sf_dir, ((path, ".recluster"),), _z_built
     ):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -1010,7 +1009,6 @@ def _compact_sorted_swap(
     manifest = _read_abatch_manifest(path)
     merged = _read_merged(path)
     marked = _has_append_marker(path)
-    tmp, old = path + ".compact.tmp", path + ".compact.old"
     staging = path + ".compact_staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)  # our own crashed prior staging
@@ -1026,15 +1024,7 @@ def _compact_sorted_swap(
         _write_merged(staging, merged)
     if marked:
         _mark_appended(staging)
-    with _prep_swap_flock(sf_dir):
-        # resolve any crashed prior swap first (completes a committed
-        # tmp / restores a stranded old, clears leftovers) so the
-        # renames below start from a clean live path
-        _recover_swap(path, ".compact")
-        os.rename(staging, tmp)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+    _swap_in_locked(sf_dir, path, ".compact", staging)
 
 
 _ROLLUP_META = {"bucket": "hour", "partials": ["n", "sum_dec"]}
@@ -1071,7 +1061,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "events_hourly_rollup.parquet")
     _recover_prepared_swaps(sf_dir, path, ".retention")
     if not _is_built(path, _ROLLUP_META) and not _prepared_built_under_lock(
-        sf_dir, path, (".retention",), lambda: _is_built(path, _ROLLUP_META)
+        sf_dir, ((path, ".retention"),), lambda: _is_built(path, _ROLLUP_META)
     ):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -1109,7 +1099,7 @@ def events_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = prepared_path(sf_dir, "events_daily_hll.parquet")
     _recover_prepared_swaps(sf_dir, path, ".retention")
     if not _is_built(path, _HLL_META) and not _prepared_built_under_lock(
-        sf_dir, path, (".retention",), lambda: _is_built(path, _HLL_META)
+        sf_dir, ((path, ".retention"),), lambda: _is_built(path, _HLL_META)
     ):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -1427,10 +1417,10 @@ def _recover_prepared_swaps(sf_dir: str, path: str, *tags: str) -> None:
 
 
 def _prepared_built_under_lock(
-    sf_dir: str, path: str, tags: tuple[str, ...], probe
+    sf_dir: str, recoveries: tuple[tuple[str, str], ...], probe
 ) -> bool:
-    """Authoritative built-check for a prepared layout that vacuum or
-    compaction can rewrite (the document-family twin of
+    """Authoritative built-check for a prepared layout that a rewrite
+    swap can displace (the document-family twin of
     :func:`_vector_built_under_lock`, ADVICE r8 #4's TOCTOU): an
     unlocked ``_is_built`` returning False can be a concurrent swap's
     aside window — the path briefly absent between the two renames —
@@ -1439,11 +1429,39 @@ def _prepared_built_under_lock(
     where no swap of this family can be mid-aside: a False here means
     genuinely unbuilt/stale, so the caller's rebuild is safe (rewrites
     only ever operate on BUILT layouts, so none can start against the
-    rebuild after the lock is released)."""
+    rebuild after the lock is released). ``recoveries`` lists EVERY
+    (path, tag) swap that can displace an artifact the probe reads —
+    a multi-artifact probe (postings + stats) must name each family
+    (review r9 pass-2 #1: recovering only the postings' ``.compact``
+    left the stats' ``.deladj`` aside window open)."""
     with _prep_swap_flock(sf_dir):
-        for tag in tags:
+        for path, tag in recoveries:
             _recover_swap(path, tag)
         return probe()
+
+
+def _swap_in_locked(sf_dir: str, path: str, tag: str, staging: str) -> None:
+    """The commit tail shared by every prepared-family rewrite
+    (compaction, document vacuum, recluster, retention, deladj):
+    resolve any crashed prior swap (restore-never-delete), promote the
+    recovery-invisible staged dir through the three-rename swap, and
+    move the displaced generation to a ``{tag}.trash`` name INSIDE the
+    lock but delete it OUTSIDE — rmtree of a large displaced layout can
+    take minutes, and holding the process-wide swap lock for it would
+    block every other family's recovery and locked built-check (review
+    r9 pass-2 #5). The trash name is recovery-invisible; a crash
+    leftover is cleared by the next rewrite's own prologue here."""
+    tmp, old = f"{path}{tag}.tmp", f"{path}{tag}.old"
+    trash = f"{path}{tag}.trash"
+    if os.path.exists(trash):
+        shutil.rmtree(trash)  # prior run's crash leftover (single writer)
+    with _prep_swap_flock(sf_dir):
+        _recover_swap(path, tag)
+        os.rename(staging, tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        os.rename(old, trash)
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def _recover_swap(path: str, tag: str) -> None:
@@ -1487,7 +1505,6 @@ def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
     # inside it — the family recipe (ADVICE r8 #1), so a reader's
     # locked recovery can never rmtree the in-flight stage or
     # interleave the aside window
-    tmp, old = path + ".recluster.tmp", path + ".recluster.old"
     staging = path + ".recluster_staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)  # our own crashed prior staging
@@ -1502,12 +1519,7 @@ def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
     manifest = _read_abatch_manifest(path)
     if manifest:
         _write_abatch_manifest(staging, manifest)
-    with _prep_swap_flock(sf_dir):
-        _recover_swap(path, ".recluster")  # resolve any crashed prior swap
-        os.rename(staging, tmp)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+    _swap_in_locked(sf_dir, path, ".recluster", staging)
 
 
 def drop_event_chunks(
@@ -1572,7 +1584,6 @@ def drop_event_chunks(
                 continue
             meta = _read_meta(path)
             manifest = _read_abatch_manifest(path)
-            tmp, old = path + ".retention.tmp", path + ".retention.old"
             staging = path + ".retention_staging"
             if os.path.exists(staging):
                 shutil.rmtree(staging)  # our own crashed prior staging
@@ -1580,12 +1591,7 @@ def drop_event_chunks(
             _stamp(staging, meta)
             if manifest:
                 _write_abatch_manifest(staging, manifest)
-            with _prep_swap_flock(sf_dir):
-                _recover_swap(path, ".retention")
-                os.rename(staging, tmp)
-                os.rename(path, old)
-                os.rename(tmp, path)
-                shutil.rmtree(old)
+            _swap_in_locked(sf_dir, path, ".retention", staging)
     return dropped
 
 
@@ -1774,8 +1780,7 @@ def _postings_tables(
         _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
     ) and not _prepared_built_under_lock(
         sf_dir,
-        post_path,
-        (".compact",),
+        ((post_path, ".compact"), (stats_path, ".deladj")),
         lambda: all(
             _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
         ),
@@ -2515,7 +2520,6 @@ def _scrub_postings_delete(
         n2, dl2 = _doclen_counters(base_rest)
         adj_ids.unpersist()
         old = spark.read.parquet(stats_path).first()
-        tmp, oldd = stats_path + ".deladj.tmp", stats_path + ".deladj.old"
         staging = stats_path + ".deladj_staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)  # our own crashed prior staging
@@ -2528,12 +2532,7 @@ def _scrub_postings_delete(
         _stamp(staging, _POSTINGS_META)
         with open(os.path.join(staging, _DELETE_ADJ_SIDECAR), "w") as f:
             json.dump(sorted(applied | {batch_id}), f)
-        with _prep_swap_flock(sf_dir):
-            _recover_swap(stats_path, ".deladj")
-            os.rename(staging, tmp)
-            os.rename(stats_path, oldd)
-            os.rename(tmp, stats_path)
-            shutil.rmtree(oldd)
+        _swap_in_locked(sf_dir, stats_path, ".deladj", staging)
     # Scrub the postings rows (idempotent: a retry removes nothing) and
     # re-derive df from the survivors. The join moves its key column
     # first — re-select the stored column order so the rewritten layout
@@ -2674,7 +2673,6 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         manifest = _read_abatch_manifest(path)
         merged = _read_merged(path)
         marked = _has_append_marker(path)
-        tmp, old = path + ".vacuum.tmp", path + ".vacuum.old"
         # STAGE under a name no recovery path ever touches (ADVICE r8
         # #1 — the same recipe as vacuum_embedding_tombstones): the
         # Spark rewrite runs OUTSIDE the lock (it can take seconds and
@@ -2706,18 +2704,10 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         # the swap holds the shared prepared-swap lock: every reader
         # recovery of this family is locked too, so nothing can
         # interleave the aside window (path briefly absent between the
-        # two renames) or resurrect the displaced old generation.
-        # Resolve any crashed prior swap FIRST — the family recipe is
-        # restore-never-delete (review r9 #1: a blind rmtree of
-        # tmp/old here would discard a crashed swapper's displaced
-        # live generation instead of restoring it, then crash on the
-        # missing path)
-        with _prep_swap_flock(sf_dir):
-            _recover_swap(path, ".vacuum")
-            os.rename(staging, tmp)
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
+        # two renames) or resurrect the displaced old generation; the
+        # shared tail resolves any crashed prior swap first
+        # (restore-never-delete, review r9 #1)
+        _swap_in_locked(sf_dir, path, ".vacuum", staging)
         removed += n_dead
     return removed
 

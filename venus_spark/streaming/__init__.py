@@ -982,6 +982,24 @@ def _prune_batch_fp_record(sink_dir: str) -> None:
         _write_batch_fp_record(sink_dir, kept)
 
 
+def _record_batch_fps_many(sink_dir: str, bids) -> None:
+    """Batched receipt refresh: one read-modify-write for many bids
+    (review r9 pass-2 #3 — per-bid calls re-read and rewrite the whole
+    record each time, O(n²) on a deep repair). Same drop-if-vanished
+    rule as :func:`_record_batch_fps`."""
+    bids = sorted(set(bids))
+    if not bids:
+        return
+    record = _read_batch_fp_record(sink_dir)
+    for bid in bids:
+        fps = {t: _table_partition_fp(sink_dir, t, bid) for t in _FP_TABLES}
+        if any(fps.values()):
+            record[bid] = fps
+        else:
+            record.pop(bid, None)
+    _write_batch_fp_record(sink_dir, record)
+
+
 def _stale_sink_ids(
     sink_dir: str, tables: tuple[str, ...] = _FP_TABLES
 ) -> set[int]:
@@ -1289,9 +1307,14 @@ def repair_events_sink(
     # deep pass's per-batch body, but targeted: O(divergence)); a batch
     # now deriving zero entries gets its stale kv/dfreq removed and the
     # zero sentinel re-confirmed at the current fingerprint.
-    stale_zero: dict[int, list[str]] = {}
-    for bid in report["stale"]:
-        fp = _facts_partition_fp(sink_dir, bid)
+    def rederive_batch(bid: int) -> bool:
+        """Rewrite ALL of a batch's derived artifacts from its facts —
+        ONE body shared by the stale pass and the deep pass (review r9
+        pass-2 #4: three drifting copies of the derive-from-facts
+        recipe). Returns True when the batch derives kv entries; a
+        zero-entry batch gets any stale kv/dfreq partitions REMOVED
+        (leftovers of a reused id's earlier entry-bearing
+        generation)."""
         facts = batch_facts(bid).persist()
         try:
             _write_idempotent(
@@ -1312,16 +1335,23 @@ def repair_events_sink(
                         os.path.join(sink_dir, "events_kv_dfreq"),
                         bid,
                     )
-                else:
-                    for t in ("events_kv_postings", "events_kv_dfreq"):
-                        part = os.path.join(sink_dir, t, f"_batch_id={bid}")
-                        if os.path.isdir(part):
-                            shutil.rmtree(part)
-                    stale_zero[bid] = fp
+                    return True
+                for t in ("events_kv_postings", "events_kv_dfreq"):
+                    part = os.path.join(sink_dir, t, f"_batch_id={bid}")
+                    if os.path.isdir(part):
+                        shutil.rmtree(part)
+                return False
             finally:
                 kv.unpersist()
         finally:
             facts.unpersist()
+
+    stale_zero: dict[int, list[str]] = {}
+    for bid in report["stale"]:
+        # fingerprint BEFORE deriving, like the kv_missing pass
+        fp = _facts_partition_fp(sink_dir, bid)
+        if not rederive_batch(bid):
+            stale_zero[bid] = fp
         out["stale_repaired"].append(bid)
     if stale_zero:
         kept2 = _read_zero_kv_batches(sink_dir)
@@ -1332,54 +1362,20 @@ def repair_events_sink(
     # the always-on guard covers repaired batches going forward; the
     # helper also prunes receipts whose partitions all vanished
     # (removed orphans)
-    for bid in sorted(
+    _record_batch_fps_many(
+        sink_dir,
         set(out["rollup_repaired"])
         | set(out["kv_repaired"])
         | set(out["dfreq_repaired"])
         | set(out["stale_repaired"])
         | set(confirmed_zero)
-        | {b for ids in out["orphans_removed"].values() for b in ids}
-    ):
-        _record_batch_fps(sink_dir, bid)
+        | {b for ids in out["orphans_removed"].values() for b in ids},
+    )
     if deep:
-        kv_dir = os.path.join(sink_dir, "events_kv_postings")
-        dfq_dir = os.path.join(sink_dir, "events_kv_dfreq")
         for bid in report["events"]:
-            facts = batch_facts(bid).persist()
-            try:
-                _write_idempotent(
-                    _hourly_partial_rows(facts),
-                    os.path.join(sink_dir, "events_hourly_rollup"),
-                    bid,
-                )
-                kv = _events_kv_rows(
-                    facts, allow_missing_props=True
-                ).persist()
-                try:
-                    if kv.limit(1).count() > 0:
-                        _write_idempotent(
-                            kv.sortWithinPartitions("kv", "event_id"),
-                            kv_dir,
-                            bid,
-                        )
-                        _write_idempotent(
-                            kv.groupBy("kv").agg(F.count("*").alias("df")),
-                            dfq_dir,
-                            bid,
-                        )
-                    else:
-                        # stale partitions from a reused id's earlier
-                        # entry-bearing generation
-                        for d in (kv_dir, dfq_dir):
-                            part = os.path.join(d, f"_batch_id={bid}")
-                            if os.path.isdir(part):
-                                shutil.rmtree(part)
-                finally:
-                    kv.unpersist()
-            finally:
-                facts.unpersist()
+            rederive_batch(bid)
         out["deep_rewritten"] = list(report["events"])
-        kv_now = _sink_batch_ids(kv_dir)
+        kv_now = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
         _write_zero_kv_batches(
             sink_dir,
             {
@@ -1388,8 +1384,7 @@ def repair_events_sink(
                 if bid not in kv_now
             },
         )
-        for bid in report["events"]:
-            _record_batch_fps(sink_dir, bid)
+        _record_batch_fps_many(sink_dir, report["events"])
     # maintenance-time receipt hygiene: drop entries whose partitions
     # have all vanished (removed orphans above, retention, surgery)
     _prune_batch_fp_record(sink_dir)
