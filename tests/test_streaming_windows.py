@@ -918,11 +918,19 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
     )
     _write_idempotent(real_facts, os.path.join(sink, "events"), 9)
     # facts rewritten, kv never landed (the crash): the audit must see
-    # batch 9 as missing again
-    assert 9 in audit_events_sink(sink)["kv_missing"]
+    # batch 9 as missing again — AND, because the first repair recorded
+    # batch 9's commit receipt, the facts rewrite also flags it STALE,
+    # so the stale pass (which re-derives everything from the current
+    # facts) is the one that heals it; the per-table missing passes
+    # skip stale batches to avoid double work (review r9 pass-3 #3)
+    audit4 = audit_events_sink(sink)
+    assert 9 in audit4["kv_missing"] and 9 in audit4["stale"]
     out4 = repair_events_sink(spark, sink)
-    assert out4["kv_repaired"] == [9] and out4["dfreq_repaired"] == [9]
+    assert out4["stale_repaired"] == [9] and out4["kv_repaired"] == []
     assert 9 not in _read_zero_kv_batches(sink)
+    assert ("type=click", 9) in {
+        tuple(r) for r in read_kv_postings(spark, sink).collect()
+    }
 
     # review r8 pass-5 #3: a reused batch id whose facts were rewritten
     # AFTER its entry-bearing derived writes leaves PRESENT-but-stale

@@ -257,6 +257,13 @@ def export_curated_jsonl(
 
     if snapshot is None:
         snapshot = corpus_snapshot(spark, sf_dir)
+    missing_keys = {"documents", "documents_minhash"} - set(snapshot)
+    if missing_keys:
+        raise ValueError(
+            f"snapshot is missing {sorted(missing_keys)} — not a corpus "
+            "snapshot this engine wrote (foreign or hand-edited "
+            "manifest?); re-export unpinned to produce a fresh one."
+        )
     docs = _read_snapshot_relation(
         spark,
         os.path.join(sf_dir, "documents.parquet"),

@@ -1508,15 +1508,20 @@ def recluster_events_zorder(spark: SparkSession, sf_dir: str) -> None:
     staging = path + ".recluster_staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)  # our own crashed prior staging
-    cur = spark.read.parquet(path)
-    _z_sorted(cur, min_hour, _Z_FILES).write.parquet(staging)
-    _stamp(staging, meta)
     # Carry the batch manifest across the rewrite (same as the retention
     # rewrite below): the recluster absorbs appended abatch files into
     # unprefixed ones, so a post-recluster retry of an absorbed batch
     # must still see its id committed — otherwise it re-lands the rows
     # and double-counts, violating _append_batch_files' invariant.
+    # Snapshot it BEFORE the staging write (review r9 pass-3 #1, the
+    # family invariant): a batch appended DURING the staging scan is
+    # absent from the staged rows, so carrying its id would no-op the
+    # retry and silently lose the rows — the pre-staging snapshot
+    # leaves it un-manifested and re-landable.
     manifest = _read_abatch_manifest(path)
+    cur = spark.read.parquet(path)
+    _z_sorted(cur, min_hour, _Z_FILES).write.parquet(staging)
+    _stamp(staging, meta)
     if manifest:
         _write_abatch_manifest(staging, manifest)
     _swap_in_locked(sf_dir, path, ".recluster", staging)

@@ -956,13 +956,7 @@ def _record_batch_fps(sink_dir: str, bid: int) -> None:
     (one streaming query per sink; repair runs with the stream stopped)
     makes the read-modify-write safe; the write is tmp + atomic
     rename."""
-    record = _read_batch_fp_record(sink_dir)
-    fps = {t: _table_partition_fp(sink_dir, t, bid) for t in _FP_TABLES}
-    if any(fps.values()):
-        record[bid] = fps
-    else:
-        record.pop(bid, None)
-    _write_batch_fp_record(sink_dir, record)
+    _record_batch_fps_many(sink_dir, [bid])
 
 
 def _prune_batch_fp_record(sink_dir: str) -> None:
@@ -1042,7 +1036,19 @@ def sink_kv_exclusions(sink_dir: str) -> set[int]:
     this guard: their exact fact-table recheck makes orphans harmless,
     and filtering their postings by facts presence would break the
     postings ⊇ landed-facts superset that makes index-proven emptiness
-    sound under a landing race."""
+    sound under a landing race.
+
+    KNOWN CONSERVATIVE WINDOW (review r9 pass-3 #2): a checkpoint
+    REPLAY of a fully-landed batch rewrites its partitions with fresh
+    uuid file names, so between the replay's first rewrite and its
+    end-of-batch receipt refresh the batch reads as stale and its
+    (legitimate, byte-identical) contributions drop out of the key
+    plans — a bounded UNDER-report that self-heals when the replay
+    completes (or at the nightly repair if the replay crashes before
+    its receipt). This direction is chosen deliberately: fingerprints
+    cannot distinguish a byte-identical replay rewrite from a reused
+    id's phantom injection, and over-reporting keys for events that
+    never landed is the failure mode this guard exists to close."""
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
     ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
     return (kv - ev) | _stale_sink_ids(
@@ -1238,7 +1244,15 @@ def repair_events_sink(
             .drop("_batch_id")
         )
 
+    # batches the STALE pass will fully re-derive below are skipped by
+    # the per-table missing passes — deriving dfreq from a phantom
+    # postings partition (or rollup from facts about to be re-read) is
+    # a Spark job the stale re-derive immediately discards (review r9
+    # pass-3 #3)
+    stale_set = set(report["stale"])
     for bid in report["rollup_missing"]:
+        if bid in stale_set:
+            continue
         _write_idempotent(
             _hourly_partial_rows(batch_facts(bid)),
             os.path.join(sink_dir, "events_hourly_rollup"),
@@ -1247,6 +1261,8 @@ def repair_events_sink(
         out["rollup_repaired"].append(bid)
     confirmed_zero: dict[int, list[str]] = {}
     for bid in report["kv_missing"]:
+        if bid in stale_set:
+            continue
         # fingerprint BEFORE deriving: if the partition is rewritten
         # mid-repair the stale fingerprint voids this confirmation
         fp = _facts_partition_fp(sink_dir, bid)
@@ -1284,6 +1300,8 @@ def repair_events_sink(
         # changed facts fingerprint (pass-4 #1)
         _write_zero_kv_batches(sink_dir, kept)
     for bid in report["dfreq_missing"]:
+        if bid in stale_set:
+            continue  # the stale pass re-derives it from the facts
         if bid not in kv_present:
             continue  # zero-entry batch: consistent as-is
         _write_idempotent(
@@ -1373,7 +1391,8 @@ def repair_events_sink(
     )
     if deep:
         for bid in report["events"]:
-            rederive_batch(bid)
+            if bid not in stale_set:  # stale pass just re-derived these
+                rederive_batch(bid)
         out["deep_rewritten"] = list(report["events"])
         kv_now = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
         _write_zero_kv_batches(
