@@ -1256,3 +1256,103 @@ def test_maintain_auto_heals_sink_divergence(spark, tmp_path, monkeypatch, capsy
     rc2 = main(["maintain", "auto", "--sf", sf])
     assert "sink-repair consistent" in capsys.readouterr().out
     assert rc2 == 0
+
+
+def test_zero_entry_replay_clears_prior_generation_kv(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9 pass-4 #1: a REUSED batch id (checkpoint loss) whose
+    new generation derives ZERO kv entries used to skip the kv write
+    and leave the prior generation's kv/dfreq partitions behind — and
+    the end-of-batch commit receipt then fingerprinted those stale
+    files as current, certifying phantom postings invisibly to the
+    guard, the audit, AND the default repair. The zero-entry branch
+    now removes its own bid's leftover partitions before the receipt."""
+    import json as _json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        audit_events_sink,
+        events_stream_sink_dir,
+        sink_kv_exclusions,
+        start_events_rollup_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "events.parquet")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+
+    def run_stream(landing, ckpt):
+        q = start_events_rollup_ingest(
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(landing)),
+            sink_dir=sink,
+            checkpoint_dir=str(ckpt),
+            trigger_seconds=None,
+        )
+        assert q.awaitTermination(180)
+
+    # generation 1 of batch id 0: entry-bearing (phantom-to-be)
+    landing1 = tmp_path / "landing1"
+    landing1.mkdir()
+    (landing1 / "b0.jsonl").write_text(
+        _json.dumps(
+            {
+                "event_id": 9_000_001,
+                "ts": "2024-01-01 10:01:00",
+                "user_id": 7,
+                "event_type": "click",
+                "value": 1.0,
+                "props": '{"k": 7}',
+            }
+        )
+    )
+    sink = events_stream_sink_dir(sf)
+    run_stream(landing1, tmp_path / "ckpt1")
+    assert os.path.isdir(os.path.join(sink, "events_kv_postings", "_batch_id=0"))
+
+    # THE CRASH: checkpoint lost; the restarted stream reuses batch id
+    # 0 for DIFFERENT rows that derive zero kv entries (null type,
+    # uid-absent user, null props)
+    landing2 = tmp_path / "landing2"
+    landing2.mkdir()
+    (landing2 / "b0.jsonl").write_text(
+        _json.dumps(
+            {
+                "event_id": 9_000_009,
+                "ts": "2024-01-01 11:01:00",
+                "user_id": 3,
+                "event_type": None,
+                "value": 2.0,
+                "props": None,
+            }
+        )
+    )
+    run_stream(landing2, tmp_path / "ckpt2")
+
+    # the prior generation's kv/dfreq partitions are GONE — no phantom
+    # postings for event 9_000_001 (whose facts no longer exist)
+    for t in ("events_kv_postings", "events_kv_dfreq"):
+        assert not os.path.isdir(os.path.join(sink, t, "_batch_id=0")), t
+    # and therefore: nothing for the guard or the audit to flag, and
+    # the live key plans report base-only keys
+    assert sink_kv_exclusions(sink) == set()
+    audit = audit_events_sink(sink)
+    assert audit["stale"] == [] and audit["orphans"] == {}
+    plans = all_plans()
+    vs._KV_DF_CACHE.clear()
+    live = {
+        r["key"]: r["n_docs"]
+        for r in plans["json_key_frequency_live"].fn(spark, sf).collect()
+    }
+    cold = {
+        r["key"]: r["n_docs"]
+        for r in plans["json_key_frequency"].fn(spark, sf).collect()
+    }
+    assert live == cold  # the streamed generation-2 batch derives nothing

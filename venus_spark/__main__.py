@@ -238,15 +238,23 @@ def cmd_maintain(args) -> int:
         else:
             print(f"no postings layouts found for {args.sf}")
     elif args.op == "retrain-vectors":
-        # Same prepared-layout existence guard as `maintain auto`
-        # (ADVICE r8 #3): vector_artifact_drift's ensure would
-        # side-effect-build the IVF layout (and centroids) on an sf_dir
-        # that never built it — a maintenance op must never build an
-        # index the deployment chose not to have.
-        if not os.path.exists(
-            prepared.prepared_path(args.sf, "embeddings_ivf.parquet")
-        ):
-            print(f"no vector layout prepared for {args.sf}; skipped")
+        # Prepared-layout existence guard (ADVICE r8 #3, sharpened by
+        # review r9 pass-4 #4): the retrain recomputes IVF centroids,
+        # the PQ codebook, and every code AS A UNIT, and its ensures
+        # would side-effect-build whichever layout is missing — a
+        # maintenance op must never build an index the deployment chose
+        # not to have. Require BOTH vector layouts; a partial
+        # deployment gets a loud skip naming what is absent.
+        have = {
+            name: os.path.exists(prepared.prepared_path(args.sf, name))
+            for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet")
+        }
+        if not all(have.values()):
+            absent = ", ".join(n for n, ok in have.items() if not ok)
+            print(
+                f"vector retrain needs both prepared layouts; missing "
+                f"{absent} for {args.sf}; skipped"
+            )
             return 0
         spark = _spark()
         drift = prepared.vector_artifact_drift(spark, args.sf)
@@ -330,8 +338,9 @@ def cmd_maintain(args) -> int:
             "vacuum-deletes",
             lambda: f"{_vacuum_all_deletes(spark, args.sf)} row(s)",
         )
-        if _os.path.exists(
-            prepared.prepared_path(args.sf, "embeddings_ivf.parquet")
+        if all(
+            _os.path.exists(prepared.prepared_path(args.sf, name))
+            for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet")
         ):
             step(
                 "retrain-vectors",

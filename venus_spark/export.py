@@ -283,8 +283,6 @@ def export_curated_jsonl(
             "documents_minhash",
         ),
     )
-    curated = _anti_tombstones(
-        spark, sf_dir, curated_funnel(spark, docs, mh)
-    )
+    curated = _anti_tombstones(spark, sf_dir, curated_funnel(docs, mh))
     export_jsonl(curated, out_dir, shards)
     return write_export_manifest(spark, out_dir, snapshot=snapshot)["n_rows"]

@@ -468,15 +468,12 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.prepared import documents_minhash
 
     return curated_funnel(
-        spark,
         load_table(spark, sf_dir, "documents"),
         documents_minhash(spark, sf_dir),
     )
 
 
-def curated_funnel(
-    spark: SparkSession, docs: DataFrame, mh: DataFrame
-) -> DataFrame:
+def curated_funnel(docs: DataFrame, mh: DataFrame) -> DataFrame:
     """The curation funnel over INJECTED relations — shared by the
     ``curated_corpus`` plan (current tables) and the snapshot-pinned
     export (:func:`venus_spark.export.export_curated_jsonl` with a

@@ -917,7 +917,7 @@ def _compact_existing_sorted(
     _recover_prepared_swaps(sf_dir, path, *recover_tags)
     if not os.path.exists(path):
         return False
-    _compact_sorted_swap(sf_dir, ensure(), path, meta, sort_cols)
+    _compact_sorted_swap(sf_dir, ensure, path, meta, sort_cols)
     return True
 
 
@@ -985,7 +985,7 @@ def compact_events_kv_postings(spark: SparkSession, sf_dir: str) -> bool:
 
 def _compact_sorted_swap(
     sf_dir: str,
-    rows: DataFrame,
+    rows_fn,
     path: str,
     meta: dict,
     sort_cols: tuple[str, ...],
@@ -1002,10 +1002,16 @@ def _compact_sorted_swap(
     append-batch manifest, the merged-batch manifest (a crash-replayed
     pending write after forgetting it would double count), and the
     mode-append marker (appended rows are still base-absent after
-    absorption) all survive the rewrite — snapshotted BEFORE staging so
-    a mid-staging append stays re-landable. Row-set invariants
-    (dfreq/stats) are untouched — queries stay correct while compaction
-    is due, only less pruned."""
+    absorption) all survive the rewrite. ``rows_fn`` is a FACTORY, not
+    a DataFrame: a parquet relation pins its file listing at creation,
+    and the manifest snapshot must happen BEFORE that pin (review r9
+    pass-4 #2) — snapshot-then-list means a batch landed in the window
+    is at worst double-landed by its retry (absorbed rows + re-landed
+    abatch files under a contract-violating concurrent append), never
+    silently LOST the way list-then-snapshot loses it (id carried,
+    rows absent, retry no-ops). Row-set invariants (dfreq/stats) are
+    untouched — queries stay correct while compaction is due, only
+    less pruned."""
     manifest = _read_abatch_manifest(path)
     merged = _read_merged(path)
     marked = _has_append_marker(path)
@@ -1013,7 +1019,8 @@ def _compact_sorted_swap(
     if os.path.exists(staging):
         shutil.rmtree(staging)  # our own crashed prior staging
     (
-        rows.repartitionByRange(sort_cols[0])
+        rows_fn()
+        .repartitionByRange(sort_cols[0])
         .sortWithinPartitions(*sort_cols)
         .write.parquet(staging)
     )
@@ -1401,19 +1408,27 @@ def _prep_swap_flock(sf_dir: str):
 
 def _recover_prepared_swaps(sf_dir: str, path: str, *tags: str) -> None:
     """Locked-when-pending recovery for a prepared layout's rewrite
-    swaps: the lock-free fast path (no ``.tmp``/``.old`` leftover for
-    any tag — the common case for every query) costs a few listdir
-    stats; when anything IS pending, the recovery runs under
-    :func:`_prep_swap_flock` so it cannot race a rewrite's swap."""
+    swaps: the lock-free fast path (no ``.tmp``/``.old``/``.trash``
+    leftover for any tag — the common case for every query) costs a
+    few listdir stats; when anything IS pending, the recovery runs
+    under :func:`_prep_swap_flock` so it cannot race a rewrite's swap.
+    A ``.trash`` leftover (a swap's displaced generation whose
+    out-of-lock delete was killed mid-rmtree, review r9 pass-4 #3) is
+    unconditional garbage — removed here so it cannot leak a full old
+    generation of the layout until the next rewrite."""
     if not any(
         os.path.exists(f"{path}{tag}{suffix}")
         for tag in tags
-        for suffix in (".tmp", ".old")
+        for suffix in (".tmp", ".old", ".trash")
     ):
         return
     with _prep_swap_flock(sf_dir):
         for tag in tags:
             _recover_swap(path, tag)
+        for tag in tags:
+            # ignore_errors: _swap_in_locked deletes its own trash
+            # OUTSIDE the lock, so a concurrent delete is expected
+            shutil.rmtree(f"{path}{tag}.trash", ignore_errors=True)
 
 
 def _prepared_built_under_lock(
@@ -1453,8 +1468,9 @@ def _swap_in_locked(sf_dir: str, path: str, tag: str, staging: str) -> None:
     leftover is cleared by the next rewrite's own prologue here."""
     tmp, old = f"{path}{tag}.tmp", f"{path}{tag}.old"
     trash = f"{path}{tag}.trash"
-    if os.path.exists(trash):
-        shutil.rmtree(trash)  # prior run's crash leftover (single writer)
+    # ignore_errors: a reader's locked recovery may be deleting the
+    # same crash-leftover trash concurrently
+    shutil.rmtree(trash, ignore_errors=True)
     with _prep_swap_flock(sf_dir):
         _recover_swap(path, tag)
         os.rename(staging, tmp)
@@ -2542,10 +2558,13 @@ def _scrub_postings_delete(
     # re-derive df from the survivors. The join moves its key column
     # first — re-select the stored column order so the rewritten layout
     # is schema-identical to a build.
-    cur = spark.read.parquet(post_path)
-    survivors = cur.join(F.broadcast(new_ids), "doc_id", "left_anti").select(
-        *cur.columns
-    )
+    def survivors():
+        cur = spark.read.parquet(post_path)  # listing pins at creation:
+        # created inside the factory, AFTER the manifest snapshot
+        return cur.join(F.broadcast(new_ids), "doc_id", "left_anti").select(
+            *cur.columns
+        )
+
     _compact_sorted_swap(
         sf_dir, survivors, post_path, _POSTINGS_META, ("term", "doc_id")
     )
@@ -2670,14 +2689,18 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
         _recover_prepared_swaps(sf_dir, path, ".vacuum")
         if not os.path.exists(path):
             continue
-        cur = spark.read.parquet(path)
-        n_dead = cur.join(F.broadcast(tb), "doc_id", "left_semi").count()
-        if n_dead == 0:
-            continue  # already physical for this index
+        # snapshot the carried bookkeeping BEFORE the parquet listing
+        # pins (review r9 pass-4 #2): under a contract-violating
+        # concurrent append, snapshot-then-list double-lands the
+        # batch's retry instead of silently losing its rows
         meta = _read_meta(path)
         manifest = _read_abatch_manifest(path)
         merged = _read_merged(path)
         marked = _has_append_marker(path)
+        cur = spark.read.parquet(path)
+        n_dead = cur.join(F.broadcast(tb), "doc_id", "left_semi").count()
+        if n_dead == 0:
+            continue  # already physical for this index
         # STAGE under a name no recovery path ever touches (ADVICE r8
         # #1 — the same recipe as vacuum_embedding_tombstones): the
         # Spark rewrite runs OUTSIDE the lock (it can take seconds and

@@ -781,6 +781,20 @@ def start_events_rollup_ingest(
                     dfq_dir,
                     batch_id,
                 )
+            else:
+                # a REUSED batch id (checkpoint loss) whose new
+                # generation derives zero entries must not leave the
+                # prior generation's kv/dfreq partitions behind — the
+                # receipt below would fingerprint those stale files as
+                # current, certifying phantom postings invisibly to the
+                # guard, the audit, and the default repair (review r9
+                # pass-4 #1). Mirrors the repair's rederive_batch.
+                import shutil as _shutil
+
+                for d in (kv_dir, dfq_dir):
+                    part = os.path.join(d, f"_batch_id={batch_id}")
+                    if os.path.isdir(part):
+                        _shutil.rmtree(part)
             kv.unpersist()
             # fact table then rollup keeps the pre-existing pair
             # semantics (the replay is their healer; orphan PARTIALS
