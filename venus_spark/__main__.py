@@ -144,6 +144,24 @@ def _merge_all_pending(spark, sf: str) -> int:
     )
 
 
+def _missing_vector_layouts(sf: str) -> list[str]:
+    """Prepared vector layouts the retrain needs but this sf_dir never
+    built — ONE guard shared by `maintain retrain-vectors` and the
+    nightly (review r9 pass-5 #4: the hand-duplicated copies had
+    already diverged, and the nightly's skip was silent). The retrain
+    recomputes IVF centroids, the PQ codebook, and every code AS A
+    UNIT, and its ensures would side-effect-build whichever layout is
+    missing — a maintenance op must never build an index the
+    deployment chose not to have."""
+    from venus_spark import prepared
+
+    return [
+        name
+        for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet")
+        if not os.path.exists(prepared.prepared_path(sf, name))
+    ]
+
+
 def _vacuum_all_deletes(spark, sf: str) -> int:
     from venus_spark import prepared
 
@@ -245,15 +263,11 @@ def cmd_maintain(args) -> int:
         # maintenance op must never build an index the deployment chose
         # not to have. Require BOTH vector layouts; a partial
         # deployment gets a loud skip naming what is absent.
-        have = {
-            name: os.path.exists(prepared.prepared_path(args.sf, name))
-            for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet")
-        }
-        if not all(have.values()):
-            absent = ", ".join(n for n, ok in have.items() if not ok)
+        absent = _missing_vector_layouts(args.sf)
+        if absent:
             print(
                 f"vector retrain needs both prepared layouts; missing "
-                f"{absent} for {args.sf}; skipped"
+                f"{', '.join(absent)} for {args.sf}; skipped"
             )
             return 0
         spark = _spark()
@@ -338,10 +352,8 @@ def cmd_maintain(args) -> int:
             "vacuum-deletes",
             lambda: f"{_vacuum_all_deletes(spark, args.sf)} row(s)",
         )
-        if all(
-            _os.path.exists(prepared.prepared_path(args.sf, name))
-            for name in ("embeddings_ivf.parquet", "embeddings_pq_codes.parquet")
-        ):
+        absent = _missing_vector_layouts(args.sf)
+        if not absent:
             step(
                 "retrain-vectors",
                 lambda: (
@@ -351,6 +363,12 @@ def cmd_maintain(args) -> int:
                     )
                     else "within bound"
                 ),
+            )
+        else:
+            # loud skip: a partial vector deployment must be visible in
+            # the nightly output, not silently dropped
+            steps.append(
+                "retrain-vectors skipped (missing " + ", ".join(absent) + ")"
             )
         step(
             "compact-postings",

@@ -917,6 +917,12 @@ def _compact_existing_sorted(
     _recover_prepared_swaps(sf_dir, path, *recover_tags)
     if not os.path.exists(path):
         return False
+    # NOTE (review r9 pass-5 #2): a torn-but-present directory here is
+    # treated as a CRASHED build for the ensure to repair; the gate
+    # cannot distinguish it from a rebuild IN PROGRESS in another
+    # process. OPTIMIZE is a maintenance op — the documented window
+    # (single maintenance writer, no concurrent query-path rebuilds)
+    # is what excludes that collision, same contract as repair/vacuum.
     _compact_sorted_swap(sf_dir, ensure, path, meta, sort_cols)
     return True
 
@@ -1425,10 +1431,13 @@ def _recover_prepared_swaps(sf_dir: str, path: str, *tags: str) -> None:
     with _prep_swap_flock(sf_dir):
         for tag in tags:
             _recover_swap(path, tag)
-        for tag in tags:
-            # ignore_errors: _swap_in_locked deletes its own trash
-            # OUTSIDE the lock, so a concurrent delete is expected
-            shutil.rmtree(f"{path}{tag}.trash", ignore_errors=True)
+    # trash is recovery-invisible garbage: delete it OUTSIDE the lock
+    # (review r9 pass-5 #3 — a multi-GB displaced generation's rmtree
+    # under the process-wide lock would stall every swap/recovery);
+    # ignore_errors because _swap_in_locked and concurrent readers may
+    # be deleting the same leftover
+    for tag in tags:
+        shutil.rmtree(f"{path}{tag}.trash", ignore_errors=True)
 
 
 def _prepared_built_under_lock(

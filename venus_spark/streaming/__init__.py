@@ -1086,8 +1086,14 @@ def read_kv_postings_guarded(
 
     if not _sink_table_has_data(sink_dir, "events_kv_postings"):
         return spark.createDataFrame([], "kv string, event_id long")
-    excluded = sink_kv_exclusions(sink_dir)
+    # Pin the parquet listing FIRST, then compute the exclusions
+    # (review r9 pass-5 #1): a kv partition landing between an
+    # exclusions-first listdir and a later listing pin would be served
+    # unguarded mid-crash-window. With the listing pinned first, every
+    # partition the relation can see landed BEFORE the exclusion
+    # listdirs ran — so any orphan among them is guaranteed flagged.
     df = spark.read.parquet(os.path.join(sink_dir, "events_kv_postings"))
+    excluded = sink_kv_exclusions(sink_dir)
     if excluded:
         df = df.filter(~F.col("_batch_id").isin([int(b) for b in excluded]))
     return df.drop("_batch_id")
