@@ -1356,3 +1356,42 @@ def test_zero_entry_replay_clears_prior_generation_kv(
         for r in plans["json_key_frequency"].fn(spark, sf).collect()
     }
     assert live == cold  # the streamed generation-2 batch derives nothing
+
+
+def test_maintain_auto_heals_orphan_only_sink(spark, tmp_path, monkeypatch, capsys):
+    """Review r9 pass-6 #2: a first-ever batch that crashed between the
+    kv-first write and the facts write (checkpoint lost) leaves a sink
+    holding ONLY orphan kv partitions — no events table at all. The
+    nightly's sink-repair gate must still fire and heal it."""
+    import json as _json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.__main__ import main
+    from venus_spark.streaming import _write_idempotent, events_stream_sink_dir
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("events", "documents", "embeddings"):
+        os.symlink(
+            os.path.join(src, f"{t}.parquet"),
+            os.path.join(sf, f"{t}.parquet"),
+        )
+    sink = events_stream_sink_dir(sf)
+    _write_idempotent(
+        spark.createDataFrame(
+            [("?phantom", 9_000_001)], "kv string, event_id long"
+        ),
+        os.path.join(sink, "events_kv_postings"),
+        0,
+    )
+    assert not os.path.isdir(os.path.join(sink, "events"))
+    rc = main(["maintain", "auto", "--sf", sf])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "sink-repair repaired" in out and "orphans=1" in out
+    assert not os.path.isdir(
+        os.path.join(sink, "events_kv_postings", "_batch_id=0")
+    )

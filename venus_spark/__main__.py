@@ -326,7 +326,20 @@ def cmd_maintain(args) -> int:
             )
 
             sink = events_stream_sink_dir(args.sf)
-            if not _os.path.isdir(_os.path.join(sink, "events")):
+            # gate on ANY sink table, not just facts: a first-ever
+            # batch that crashed between the kv-first write and the
+            # facts write (checkpoint lost) leaves a sink with ONLY
+            # orphan kv/dfreq partitions — exactly a state the repair
+            # heals (review r9 pass-6 #2)
+            if not any(
+                _os.path.isdir(_os.path.join(sink, t))
+                for t in (
+                    "events",
+                    "events_hourly_rollup",
+                    "events_kv_postings",
+                    "events_kv_dfreq",
+                )
+            ):
                 return "no sink"
             audit = audit_events_sink(sink)
             diverged = (

@@ -1451,7 +1451,11 @@ def _prepared_built_under_lock(
     and a rebuild decision taken on it would rmtree a live generation.
     Re-run the recovery and the probe under :func:`_prep_swap_flock`,
     where no swap of this family can be mid-aside: a False here means
-    genuinely unbuilt/stale, so the caller's rebuild is safe (rewrites
+    genuinely unbuilt/stale — OR mid-overwrite by a maintenance writer
+    (the dfreq/stats refreshes are plain ``mode("overwrite")`` with a
+    documented re-derive-on-crash contract, not staged swaps; the
+    maintenance window, not this lock, excludes a query racing them,
+    review r9 pass-6 #1) — so the caller's rebuild is safe (rewrites
     only ever operate on BUILT layouts, so none can start against the
     rebuild after the lock is released). ``recoveries`` lists EVERY
     (path, tag) swap that can displace an artifact the probe reads —

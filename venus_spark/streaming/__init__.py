@@ -1400,15 +1400,20 @@ def repair_events_sink(
     # the always-on guard covers repaired batches going forward; the
     # helper also prunes receipts whose partitions all vanished
     # (removed orphans)
-    _record_batch_fps_many(
-        sink_dir,
-        set(out["rollup_repaired"])
-        | set(out["kv_repaired"])
-        | set(out["dfreq_repaired"])
-        | set(out["stale_repaired"])
-        | set(confirmed_zero)
-        | {b for ids in out["orphans_removed"].values() for b in ids},
-    )
+    if not deep:
+        # deep mode re-refreshes every batch's receipt below (a
+        # superset) and the final prune drops removed orphans — the
+        # targeted refresh would be a redundant third pass over the
+        # record (review r9 pass-6 #3)
+        _record_batch_fps_many(
+            sink_dir,
+            set(out["rollup_repaired"])
+            | set(out["kv_repaired"])
+            | set(out["dfreq_repaired"])
+            | set(out["stale_repaired"])
+            | set(confirmed_zero)
+            | {b for ids in out["orphans_removed"].values() for b in ids},
+        )
     if deep:
         for bid in report["events"]:
             if bid not in stale_set:  # stale pass just re-derived these
