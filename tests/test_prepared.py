@@ -2308,3 +2308,72 @@ def test_cli_maintain_auto_isolates_step_failures(
     assert "merge-index FAILED" in out
     # later steps still ran
     assert "vacuum-deletes" in out and "compact-postings" in out
+
+
+def test_dfreq_staged_refresh_invisible_and_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9 pass-6 #1: the documents dfreq/stats refreshes used to
+    be plain mode('overwrite') — torn/unstamped for the duration of a
+    Spark job on the LIVE merge cadence, where a racing query's ensure
+    would spuriously refuse (absorbed batches) or rebuild. They now
+    stage + swap: (a) an in-flight .refresh_staging survives reader
+    recovery and never makes the live dir look unbuilt; (b) a crashed
+    .refresh swap heals on the next read; (c) the merge cadence leaves
+    a stamped dfreq whose rows match a from-scratch derivation."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    dfreq_path = prepared.prepared_path(sf, "documents_dfreq.parquet")
+
+    # (a) in-flight staging is recovery-invisible; live dir stays built
+    staging = dfreq_path + ".refresh_staging"
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-inflight"), "w") as f:
+        f.write("half-written")
+    before = sorted(os.listdir(dfreq_path))
+    prepared.documents_postings(spark, sf)  # reader ensure
+    assert os.path.exists(os.path.join(staging, "part-inflight"))
+    assert sorted(os.listdir(dfreq_path)) == before  # no rebuild
+    import shutil as _sh
+
+    _sh.rmtree(staging)
+
+    # (b) crashed swap (tmp staged complete, live displaced) heals
+    _sh.copytree(dfreq_path, dfreq_path + ".refresh.tmp")
+    with open(os.path.join(dfreq_path + ".refresh.tmp", "_gen"), "w") as f:
+        f.write("g2")
+    os.rename(dfreq_path, dfreq_path + ".refresh.old")
+    prepared.documents_postings(spark, sf)
+    assert os.path.exists(os.path.join(dfreq_path, "_gen"))
+    assert not os.path.exists(dfreq_path + ".refresh.tmp")
+    assert not os.path.exists(dfreq_path + ".refresh.old")
+
+    # (c) live-cadence merge: staged refresh ends stamped + exact
+    new = spark.createDataFrame(
+        [(900, "zanzibar quux corge grault", "en", "web", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    prepared.write_postings_pending(sf, new, 5)
+    assert prepared.merge_postings_pending(spark, sf) > 0
+    assert prepared._is_built(dfreq_path, prepared._POSTINGS_META)
+    got = {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(dfreq_path).collect()
+    }
+    post_path = prepared.prepared_path(sf, "documents_postings.parquet")
+    want = {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(post_path)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    assert got == want and ("zanzibar", 1) in got

@@ -1451,13 +1451,14 @@ def _prepared_built_under_lock(
     and a rebuild decision taken on it would rmtree a live generation.
     Re-run the recovery and the probe under :func:`_prep_swap_flock`,
     where no swap of this family can be mid-aside: a False here means
-    genuinely unbuilt/stale — OR mid-overwrite by a maintenance writer
-    (the dfreq/stats refreshes are plain ``mode("overwrite")`` with a
-    documented re-derive-on-crash contract, not staged swaps; the
-    maintenance window, not this lock, excludes a query racing them,
-    review r9 pass-6 #1) — so the caller's rebuild is safe (rewrites
+    genuinely unbuilt/stale, so the caller's rebuild is safe (rewrites
     only ever operate on BUILT layouts, so none can start against the
-    rebuild after the lock is released). ``recoveries`` lists EVERY
+    rebuild after the lock is released). The documents-family
+    dfreq/stats refreshes go through :func:`_staged_refresh` for
+    exactly this reason (review r9 pass-6 #1 — they run on the live
+    merge cadence); the EVENTS kv dfreq keeps its documented plain
+    overwrite because its ensure re-derives from the postings without
+    any refuse/rebuild hazard and its statistics are planning-only. ``recoveries`` lists EVERY
     (path, tag) swap that can displace an artifact the probe reads —
     a multi-artifact probe (postings + stats) must name each family
     (review r9 pass-2 #1: recovering only the postings' ``.compact``
@@ -1466,6 +1467,32 @@ def _prepared_built_under_lock(
         for path, tag in recoveries:
             _recover_swap(path, tag)
         return probe()
+
+
+def _staged_refresh(sf_dir: str, path: str, write_fn) -> None:
+    """Reader-safe replacement for a small derived artifact's
+    ``mode("overwrite")`` refresh (the documents dfreq/stats tables —
+    review r9 pass-6 #1): the plain overwrite left the directory
+    torn/unstamped for the duration of a Spark job, and a query racing
+    the LIVE merge cadence (``start_documents_ingest(merge_every=...)``
+    runs :func:`merge_postings_pending`, which refreshes df, while
+    queries serve) would see ``_is_built`` False and spuriously refuse
+    (absorbed batches present) or start a racing rebuild.
+    ``write_fn(target)`` must write the COMPLETE new generation — rows,
+    stamp, sidecars — into ``target``. A fresh build (live path absent)
+    writes directly (ensure-owned); otherwise the generation stages
+    under a recovery-invisible name and commits through
+    :func:`_swap_in_locked` (``.refresh`` tag, recovered by
+    ``_postings_tables``' locked-when-pending reader recovery), so a
+    reader only ever observes a complete stamped generation."""
+    if not os.path.exists(path):
+        write_fn(path)
+        return
+    staging = path + ".refresh_staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    write_fn(staging)
+    _swap_in_locked(sf_dir, path, ".refresh", staging)
 
 
 def _swap_in_locked(sf_dir: str, path: str, tag: str, staging: str) -> None:
@@ -1688,27 +1715,32 @@ def append_documents(
     _mark_appended(post_path)
     old = spark.read.parquet(stats_path).first()
     # The delete-adjustment sidecar is the exactly-once marker of
-    # _scrub_postings_delete; _write_stats' overwrite wipes the
+    # _scrub_postings_delete; the stats refresh replaces the whole
     # directory, so carry it like manifests are carried across every
     # row-set-preserving rewrite — losing it would let an uncommitted
-    # delete's retry subtract the same docs twice (review r7 #1).
+    # delete's retry subtract the same docs twice (review r7 #1). With
+    # the staged refresh (r9) the sidecar, rows, and stamp land in the
+    # staging dir and flip ATOMICALLY, which subsumes the old
+    # sidecar-before-stamp crash ordering: a crash anywhere leaves the
+    # previous complete generation live.
     adj_applied = _read_delete_adj_applied(stats_path)
     b_n, b_sum = _doclen_counters(new_docs)
-    _write_dfreq(spark, post_path, dfreq_path)
-    _write_stats(
-        spark, stats_path, int(old["n_docs"]) + b_n, int(old["dl_sum"]) + b_sum
-    )
-    _stamp(dfreq_path, _POSTINGS_META)
-    # Sidecar BEFORE the stamp (review r7 pass-2 #3): a crash after the
-    # overwrite but before the sidecar lands must leave the stats dir
-    # UNSTAMPED — _is_built then fails and the ensure path refuses
-    # loudly (absorbed batches block the rebuild) instead of serving a
-    # stamped-valid stats dir whose missing sidecar would let an
-    # uncommitted delete's retry subtract the same docs twice.
-    if adj_applied:
-        with open(os.path.join(stats_path, _DELETE_ADJ_SIDECAR), "w") as f:
-            json.dump(sorted(adj_applied), f)
-    _stamp(stats_path, _POSTINGS_META)
+
+    def _refresh_dfreq(target: str) -> None:
+        _write_dfreq(spark, post_path, target)
+        _stamp(target, _POSTINGS_META)
+
+    def _refresh_stats(target: str) -> None:
+        _write_stats(
+            spark, target, int(old["n_docs"]) + b_n, int(old["dl_sum"]) + b_sum
+        )
+        if adj_applied:
+            with open(os.path.join(target, _DELETE_ADJ_SIDECAR), "w") as f:
+                json.dump(sorted(adj_applied), f)
+        _stamp(target, _POSTINGS_META)
+
+    _staged_refresh(sf_dir, dfreq_path, _refresh_dfreq)
+    _staged_refresh(sf_dir, stats_path, _refresh_stats)
     _drop_lsh_bands(spark, sf_dir)
 
 
@@ -1808,13 +1840,19 @@ def _postings_tables(
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
     _recover_prepared_swaps(sf_dir, post_path, ".compact")  # locked when pending
-    _recover_prepared_swaps(sf_dir, stats_path, ".deladj")  # ditto: an
-    # interrupted delete's stats adjustment (see _scrub_postings_delete)
+    _recover_prepared_swaps(sf_dir, dfreq_path, ".refresh")  # df refresh swap
+    _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
+    # (an interrupted delete's stats adjustment / append's stats refresh)
     if not all(
         _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
     ) and not _prepared_built_under_lock(
         sf_dir,
-        ((post_path, ".compact"), (stats_path, ".deladj")),
+        (
+            (post_path, ".compact"),
+            (dfreq_path, ".refresh"),
+            (stats_path, ".deladj"),
+            (stats_path, ".refresh"),
+        ),
         lambda: all(
             _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
         ),
@@ -2581,8 +2619,12 @@ def _scrub_postings_delete(
     _compact_sorted_swap(
         sf_dir, survivors, post_path, _POSTINGS_META, ("term", "doc_id")
     )
-    _write_dfreq(spark, post_path, dfreq_path)
-    _stamp(dfreq_path, _POSTINGS_META)
+
+    def _refresh_dfreq(target: str) -> None:
+        _write_dfreq(spark, post_path, target)
+        _stamp(target, _POSTINGS_META)
+
+    _staged_refresh(sf_dir, dfreq_path, _refresh_dfreq)
 
 
 def tombstone_documents(
@@ -3499,9 +3541,15 @@ def merge_postings_pending(
 
     def refresh_dfreq() -> None:
         # ONCE per merge call (not per batch): the vocabulary-sized
-        # aggregate over the whole base is the merge's expensive step
-        _write_dfreq(spark, base, dfreq_path)
-        _stamp(dfreq_path, _POSTINGS_META)
+        # aggregate over the whole base is the merge's expensive step.
+        # Staged + locked swap: this refresh runs on the LIVE ingest
+        # cadence (merge_every), and a concurrent query must never see
+        # a torn df directory (review r9 pass-6 #1).
+        def write_fn(target: str) -> None:
+            _write_dfreq(spark, base, target)
+            _stamp(target, _POSTINGS_META)
+
+        _staged_refresh(sf_dir, dfreq_path, write_fn)
 
     return _merge_pending(
         spark,
