@@ -2377,3 +2377,96 @@ def test_dfreq_staged_refresh_invisible_and_recoverable(
         .collect()
     }
     assert got == want and ("zanzibar", 1) in got
+
+
+def test_append_intent_marker_restores_loud_crash_contract(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9 pass-7 #3: with atomic staged refreshes, a plain
+    append_documents crash between the postings append and the stats
+    refresh would leave the PREVIOUS stamped stats generation live —
+    a silent, permanent undercount (this legacy path has no batch
+    record to replay). The intent marker restores the old loud
+    contract: reads refuse while it exists, and
+    repair_docs_append_intent recomputes the statistics from the
+    postings and clears it."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    new = spark.createDataFrame(
+        [(901, "xylophone quartz vortex", "en", "web", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    # simulate the crash: postings land, refreshes never run (the
+    # marker is written before the append, cleared only at the end)
+    real_refresh = prepared._staged_refresh
+    calls = {"n": 0}
+
+    def crash_on_refresh(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before the stats refresh")
+
+    monkeypatch.setattr(prepared, "_staged_refresh", crash_on_refresh)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        prepared.append_documents(spark, sf, new)
+    monkeypatch.setattr(prepared, "_staged_refresh", real_refresh)
+
+    # the loud contract: every stats-bearing read refuses and names the
+    # remediation
+    with pytest.raises(RuntimeError, match="repair_docs_append_intent"):
+        prepared.documents_postings(spark, sf)
+
+    # the repair recomputes stats from the postings (which hold the
+    # appended rows) and clears the marker
+    prepared.repair_docs_append_intent(spark, sf)
+    post, dfreq, stats = prepared.documents_postings(spark, sf)
+    srow = stats.first()
+    n_docs = post.select("doc_id").distinct().count()
+    assert int(srow["n_docs"]) == n_docs  # includes doc 901
+    assert post.filter(F.col("doc_id") == 901).count() > 0
+    got_df = {(r["term"], r["df"]) for r in dfreq.collect()}
+    want_df = {
+        (r["term"], r["df"])
+        for r in post.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    assert got_df == want_df
+    assert not os.path.exists(prepared._append_intent_path(sf))
+    # a completed append leaves no marker
+    new2 = spark.createDataFrame(
+        [(902, "quibble zephyr marmot", "en", "web", 21)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    prepared.append_documents(spark, sf, new2)
+    assert not os.path.exists(prepared._append_intent_path(sf))
+
+
+def test_nightly_sweeps_stale_stagings(spark, tmp_path, monkeypatch, capsys):
+    """Review r9 pass-7 #5: a crashed writer's *_staging dir is
+    recovery-invisible to readers by design, so only the maintenance
+    window can reclaim it — the nightly's first step sweeps them."""
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.__main__ import main
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_minhash(spark, sf)
+    mh_path = prepared.prepared_path(sf, "documents_minhash.parquet")
+    stale = mh_path + ".vacuum_staging"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "leftover"), "w") as f:
+        f.write("x")
+    rc = main(["maintain", "auto", "--sf", sf])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "sweep-stagings 1 dir(s)" in out
+    assert not os.path.exists(stale)

@@ -316,6 +316,13 @@ def cmd_maintain(args) -> int:
                 failed = True
                 steps.append(f"{label} FAILED ({exc})")
 
+        # first: sweep crash-leftover staging dirs — recovery-invisible
+        # to readers by design, so only the maintenance window (no
+        # in-flight writers by contract) can safely reclaim them
+        step(
+            "sweep-stagings",
+            lambda: f"{prepared.sweep_stale_stagings(args.sf)} dir(s)",
+        )
         step("merge-index", lambda: f"{_merge_all_pending(spark, args.sf)} file(s)")
 
         def sink_repair() -> str:

@@ -1469,7 +1469,30 @@ def _prepared_built_under_lock(
         return probe()
 
 
-def _staged_refresh(sf_dir: str, path: str, write_fn) -> None:
+def sweep_stale_stagings(sf_dir: str) -> int:
+    """Remove crash-leftover ``*_staging`` directories under the
+    prepared dir — MAINTENANCE-WINDOW ONLY (the nightly's first step):
+    staging names are recovery-invisible precisely so readers can
+    never rmtree an in-flight stage, which means a crashed writer's
+    staging (potentially a full generation of a large layout) leaks
+    until the next rewrite of that same artifact (review r9 pass-7
+    #5). In the maintenance window there is no in-flight writer by
+    contract, so anything staged is garbage. Returns directories
+    removed."""
+    root = os.path.dirname(prepared_path(sf_dir, "_probe"))
+    if not os.path.isdir(root):
+        return 0
+    n = 0
+    for d in os.listdir(root):
+        if d.endswith("_staging"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            n += 1
+    return n
+
+
+def _staged_refresh(
+    sf_dir: str, path: str, write_fn, tag: str = ".refresh"
+) -> None:
     """Reader-safe replacement for a small derived artifact's
     ``mode("overwrite")`` refresh (the documents dfreq/stats tables —
     review r9 pass-6 #1): the plain overwrite left the directory
@@ -1485,14 +1508,21 @@ def _staged_refresh(sf_dir: str, path: str, write_fn) -> None:
     :func:`_swap_in_locked` (``.refresh`` tag, recovered by
     ``_postings_tables``' locked-when-pending reader recovery), so a
     reader only ever observes a complete stamped generation."""
+    # recover OUR OWN pending swap before the exists probe (review r9
+    # pass-7 #1): a crash inside the prior refresh's aside window
+    # leaves the path absent with a complete tmp — deciding
+    # "fresh build" on that state would plain-overwrite the live dir
+    # (torn for the whole Spark job) and race the recovery that
+    # restores the tmp.
+    _recover_prepared_swaps(sf_dir, path, tag)
     if not os.path.exists(path):
         write_fn(path)
         return
-    staging = path + ".refresh_staging"
+    staging = f"{path}{tag}_staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
     write_fn(staging)
-    _swap_in_locked(sf_dir, path, ".refresh", staging)
+    _swap_in_locked(sf_dir, path, tag, staging)
 
 
 def _swap_in_locked(sf_dir: str, path: str, tag: str, staging: str) -> None:
@@ -1511,6 +1541,17 @@ def _swap_in_locked(sf_dir: str, path: str, tag: str, staging: str) -> None:
     # ignore_errors: a reader's locked recovery may be deleting the
     # same crash-leftover trash concurrently
     shutil.rmtree(trash, ignore_errors=True)
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        # the complete-generation-wins rule _recover_swap enforces for
+        # tmps, applied at the source (review r9 pass-7 #4): a torn
+        # staging — a writer bug or a contract-violating concurrent
+        # writer clobbering the shared staging name — must fail LOUDLY
+        # here, never be renamed in as the live generation
+        raise RuntimeError(
+            f"staged rewrite at {staging} is incomplete (no _SUCCESS); "
+            "refusing to swap it in. A concurrent writer may have "
+            "violated the single-maintenance-writer contract."
+        )
     with _prep_swap_flock(sf_dir):
         _recover_swap(path, tag)
         os.rename(staging, tmp)
@@ -1656,6 +1697,61 @@ def drop_event_chunks(
     return dropped
 
 
+_APPEND_INTENT = "_docs_append_intent.json"
+
+
+def _append_intent_path(sf_dir: str) -> str:
+    return prepared_path(sf_dir, _APPEND_INTENT)
+
+
+def repair_docs_append_intent(spark: SparkSession, sf_dir: str) -> None:
+    """Clear a crashed plain ``append_documents``' intent marker by
+    recomputing the postings statistics from the CURRENT postings (the
+    batch's rows landed there before the refreshes): dfreq is an exact
+    re-derivation; stats recompute as (docs present in the postings,
+    their dl = Σ positions) plus zero-token documents from the
+    tombstone-filtered base. Caveat, stated loudly: a zero-token
+    document that existed ONLY in the crashed append (never in the
+    base) cannot be recovered from the postings and is dropped from the
+    counters — the legacy mode-append path has no batch record to
+    replay; callers that need exactness use
+    :func:`append_documents_batch`."""
+    post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
+    dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
+    stats_path = prepared_path(sf_dir, "documents_stats.parquet")
+
+    def _refresh_dfreq(target: str) -> None:
+        _write_dfreq(spark, post_path, target)
+        _stamp(target, _POSTINGS_META)
+
+    _staged_refresh(sf_dir, dfreq_path, _refresh_dfreq)
+    post = spark.read.parquet(post_path)
+    row = post.groupBy("doc_id").agg(
+        F.sum(F.size("pos")).cast("long").alias("dl")
+    ).agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).first()
+    n1, dl1 = int(row["n"] or 0), int(row["s"] or 0)
+    zero_docs = _anti_tombstones(
+        spark, sf_dir, load_table(spark, sf_dir, "documents")
+    ).join(post.select("doc_id").distinct(), "doc_id", "left_anti")
+    n2, dl2 = _doclen_counters(zero_docs)
+    adj_applied = _read_delete_adj_applied(stats_path)
+
+    def _refresh_stats(target: str) -> None:
+        _write_stats(spark, target, n1 + n2, dl1 + dl2)
+        if adj_applied:
+            with open(os.path.join(target, _DELETE_ADJ_SIDECAR), "w") as f:
+                json.dump(sorted(adj_applied), f)
+        _stamp(target, _POSTINGS_META)
+
+    _staged_refresh(sf_dir, stats_path, _refresh_stats)
+    try:
+        os.remove(_append_intent_path(sf_dir))
+    except FileNotFoundError:
+        pass
+
+
 def append_documents(
     spark: SparkSession,
     sf_dir: str,
@@ -1705,6 +1801,18 @@ def append_documents(
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
+    # INTENT marker before the postings append (review r9 pass-7 #3):
+    # the staged refreshes below flip atomically, so a crash between
+    # the postings append and the stats refresh would otherwise leave
+    # the PREVIOUS stamped generation live — stats silently excluding
+    # the appended rows forever (this legacy path has no batch record
+    # to replay). While the marker exists, _postings_tables refuses
+    # loudly and names repair_docs_append_intent as the remediation.
+    with open(_append_intent_path(sf_dir) + ".tmp", "w") as f:
+        json.dump({"reason": "plain append_documents in flight"}, f)
+    os.replace(
+        _append_intent_path(sf_dir) + ".tmp", _append_intent_path(sf_dir)
+    )
     (
         _postings_rows(new_docs)
         .repartitionByRange("term")
@@ -1741,6 +1849,7 @@ def append_documents(
 
     _staged_refresh(sf_dir, dfreq_path, _refresh_dfreq)
     _staged_refresh(sf_dir, stats_path, _refresh_stats)
+    os.remove(_append_intent_path(sf_dir))  # the append is complete
     _drop_lsh_bands(spark, sf_dir)
 
 
@@ -1843,6 +1952,17 @@ def _postings_tables(
     _recover_prepared_swaps(sf_dir, dfreq_path, ".refresh")  # df refresh swap
     _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
     # (an interrupted delete's stats adjustment / append's stats refresh)
+    if os.path.exists(_append_intent_path(sf_dir)):
+        raise RuntimeError(
+            f"a plain append_documents for {sf_dir!r} crashed mid-flight: "
+            "its postings rows may have landed while dfreq/stats still "
+            "describe the previous generation. Run "
+            "repair_docs_append_intent(spark, sf_dir) to recompute the "
+            "statistics from the postings and clear this marker (or "
+            "re-run the interrupted append to completion). Prefer "
+            "append_documents_batch with a batch_id — its counters "
+            "machinery replays exactly."
+        )
     if not all(
         _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
     ) and not _prepared_built_under_lock(
@@ -2559,7 +2679,12 @@ def _scrub_postings_delete(
     post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
-    _recover_prepared_swaps(sf_dir, stats_path, ".deladj")
+    # every swap family that can displace an artifact this path reads
+    # (review r9 pass-7 #2: an append's crashed stats .refresh swap
+    # would otherwise leave the sidecar read below seeing a missing
+    # dir — DELETE down until an unrelated query recovered it)
+    _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
+    _recover_prepared_swaps(sf_dir, dfreq_path, ".refresh")
     applied = _read_delete_adj_applied(stats_path)
     if batch_id not in applied:
         base_post = spark.read.parquet(post_path)
@@ -2592,19 +2717,19 @@ def _scrub_postings_delete(
         n2, dl2 = _doclen_counters(base_rest)
         adj_ids.unpersist()
         old = spark.read.parquet(stats_path).first()
-        staging = stats_path + ".deladj_staging"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)  # our own crashed prior staging
-        _write_stats(
-            spark,
-            staging,
-            int(old["n_docs"]) - n1 - n2,
-            int(old["dl_sum"]) - dl1 - dl2,
-        )
-        _stamp(staging, _POSTINGS_META)
-        with open(os.path.join(staging, _DELETE_ADJ_SIDECAR), "w") as f:
-            json.dump(sorted(applied | {batch_id}), f)
-        _swap_in_locked(sf_dir, stats_path, ".deladj", staging)
+
+        def _adjusted_stats(target: str) -> None:
+            _write_stats(
+                spark,
+                target,
+                int(old["n_docs"]) - n1 - n2,
+                int(old["dl_sum"]) - dl1 - dl2,
+            )
+            _stamp(target, _POSTINGS_META)
+            with open(os.path.join(target, _DELETE_ADJ_SIDECAR), "w") as f:
+                json.dump(sorted(applied | {batch_id}), f)
+
+        _staged_refresh(sf_dir, stats_path, _adjusted_stats, tag=".deladj")
     # Scrub the postings rows (idempotent: a retry removes nothing) and
     # re-derive df from the survivors. The join moves its key column
     # first — re-select the stored column order so the rewritten layout
