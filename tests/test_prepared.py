@@ -2382,15 +2382,18 @@ def test_dfreq_staged_refresh_invisible_and_recoverable(
 def test_append_intent_marker_restores_loud_crash_contract(
     spark, tmp_path, monkeypatch
 ):
-    """Review r9 pass-7 #3: with atomic staged refreshes, a plain
-    append_documents crash between the postings append and the stats
-    refresh would leave the PREVIOUS stamped stats generation live —
-    a silent, permanent undercount (this legacy path has no batch
-    record to replay). The intent marker restores the old loud
-    contract: reads refuse while it exists, and
-    repair_docs_append_intent recomputes the statistics from the
-    postings and clears it."""
+    """Review r9 pass-7 #3 / pass-8: a plain append_documents mutates
+    four indexes non-atomically with no batch record to replay, so a
+    crash anywhere inside it must read as LOUD refusal on EVERY
+    document-index ensure (a cross-index tear — minhash finding
+    documents BM25 never will — is otherwise silent forever). There is
+    deliberately NO automatic repair (recomputing stored stats from the
+    physical postings would violate the merged-batch exclusion, the
+    delete sidecar accounting, and the zero-token counter history);
+    the remediation is the one the message names: restore from a
+    source of truth and re-land via append_documents_batch."""
     import os
+    import shutil as _sh
 
     import pytest
     from pyspark.sql import functions as F
@@ -2400,18 +2403,16 @@ def test_append_intent_marker_restores_loud_crash_contract(
     monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
     sf = _mk_doc_sf(spark, tmp_path)
     prepared.documents_postings(spark, sf)
+    prepared.documents_minhash(spark, sf)
     new = spark.createDataFrame(
         [(901, "xylophone quartz vortex", "en", "web", 23)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
 
-    # simulate the crash: postings land, refreshes never run (the
-    # marker is written before the append, cleared only at the end)
+    # simulate the crash mid-append: some indexes mutated, marker live
     real_refresh = prepared._staged_refresh
-    calls = {"n": 0}
 
     def crash_on_refresh(*a, **k):
-        calls["n"] += 1
         raise RuntimeError("simulated crash before the stats refresh")
 
     monkeypatch.setattr(prepared, "_staged_refresh", crash_on_refresh)
@@ -2419,33 +2420,39 @@ def test_append_intent_marker_restores_loud_crash_contract(
         prepared.append_documents(spark, sf, new)
     monkeypatch.setattr(prepared, "_staged_refresh", real_refresh)
 
-    # the loud contract: every stats-bearing read refuses and names the
-    # remediation
-    with pytest.raises(RuntimeError, match="repair_docs_append_intent"):
-        prepared.documents_postings(spark, sf)
+    # EVERY document-index ensure refuses loudly, naming the remediation
+    for ensure in (
+        prepared.documents_postings,
+        prepared.documents_minhash,
+        prepared.documents_trgm,
+        prepared.documents_trgm_postings,
+    ):
+        with pytest.raises(RuntimeError, match="append_documents_batch"):
+            ensure(spark, sf)
 
-    # the repair recomputes stats from the postings (which hold the
-    # appended rows) and clears the marker
-    prepared.repair_docs_append_intent(spark, sf)
+    # the documented remediation: remove the marker + index artifacts,
+    # rebuild from the base table, re-land the batch via the replayable
+    # path — the final state equals a never-crashed deployment
+    os.remove(prepared._append_intent_path(sf))
+    prep_root = os.path.dirname(prepared.prepared_path(sf, "_x"))
+    for d in list(os.listdir(prep_root)):
+        if d.startswith("documents_"):
+            _sh.rmtree(os.path.join(prep_root, d))
+    prepared.documents_postings(spark, sf)  # rebuilds from base
+    prepared.append_documents_batch(spark, sf, new, batch_id=11)
     post, dfreq, stats = prepared.documents_postings(spark, sf)
-    srow = stats.first()
-    n_docs = post.select("doc_id").distinct().count()
-    assert int(srow["n_docs"]) == n_docs  # includes doc 901
     assert post.filter(F.col("doc_id") == 901).count() > 0
-    got_df = {(r["term"], r["df"]) for r in dfreq.collect()}
-    want_df = {
-        (r["term"], r["df"])
-        for r in post.groupBy("term").agg(F.count("*").alias("df")).collect()
-    }
-    assert got_df == want_df
-    assert not os.path.exists(prepared._append_intent_path(sf))
-    # a completed append leaves no marker
+    srow = stats.first()
+    assert int(srow["n_docs"]) == post.select("doc_id").distinct().count()
+
+    # a COMPLETED plain append leaves no marker and serves normally
     new2 = spark.createDataFrame(
         [(902, "quibble zephyr marmot", "en", "web", 21)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     prepared.append_documents(spark, sf, new2)
     assert not os.path.exists(prepared._append_intent_path(sf))
+    prepared.documents_postings(spark, sf)
 
 
 def test_nightly_sweeps_stale_stagings(spark, tmp_path, monkeypatch, capsys):

@@ -191,6 +191,7 @@ def documents_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = {"bloom_bits": _BLOOM_BITS, "hash": "crc32", "k": 2,
             "salt": _BLOOM_SALT, "gram": 3, "layout": "array"}
     path = prepared_path(sf_dir, "documents_trgm.parquet")
+    _refuse_if_append_intent(sf_dir)
     _recover_prepared_swaps(sf_dir, path, ".vacuum")  # locked when pending
     if not _is_built(path, meta) and not _prepared_built_under_lock(
         sf_dir, ((path, ".vacuum"),), lambda: _is_built(path, meta)
@@ -239,6 +240,7 @@ def documents_trgm_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     read like every row-local index; appends land batch rows via the
     standard append paths."""
     path = prepared_path(sf_dir, "documents_trgm_postings.parquet")
+    _refuse_if_append_intent(sf_dir)
     _recover_prepared_swaps(sf_dir, path, ".vacuum", ".compact")
     if not _is_built(path, _TRGM_POST_META) and not _prepared_built_under_lock(
         sf_dir,
@@ -335,6 +337,7 @@ def documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh_hash": "hash31",
     }
     path = prepared_path(sf_dir, "documents_minhash.parquet")
+    _refuse_if_append_intent(sf_dir)
     _recover_prepared_swaps(sf_dir, path, ".vacuum")  # locked when pending
     if not _is_built(path, meta) and not _prepared_built_under_lock(
         sf_dir, ((path, ".vacuum"),), lambda: _is_built(path, meta)
@@ -1485,13 +1488,19 @@ def sweep_stale_stagings(sf_dir: str) -> int:
     n = 0
     for d in os.listdir(root):
         if d.endswith("_staging"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-            n += 1
+            p = os.path.join(root, d)
+            shutil.rmtree(p, ignore_errors=True)
+            if not os.path.exists(p):  # count only what actually went
+                n += 1
     return n
 
 
 def _staged_refresh(
-    sf_dir: str, path: str, write_fn, tag: str = ".refresh"
+    sf_dir: str,
+    path: str,
+    write_fn,
+    tag: str = ".refresh",
+    recover_tags: tuple[str, ...] | None = None,
 ) -> None:
     """Reader-safe replacement for a small derived artifact's
     ``mode("overwrite")`` refresh (the documents dfreq/stats tables —
@@ -1508,13 +1517,14 @@ def _staged_refresh(
     :func:`_swap_in_locked` (``.refresh`` tag, recovered by
     ``_postings_tables``' locked-when-pending reader recovery), so a
     reader only ever observes a complete stamped generation."""
-    # recover OUR OWN pending swap before the exists probe (review r9
-    # pass-7 #1): a crash inside the prior refresh's aside window
-    # leaves the path absent with a complete tmp — deciding
-    # "fresh build" on that state would plain-overwrite the live dir
-    # (torn for the whole Spark job) and race the recovery that
-    # restores the tmp.
-    _recover_prepared_swaps(sf_dir, path, tag)
+    # recover EVERY swap family that can displace this artifact before
+    # the exists probe (review r9 pass-7 #1, widened by pass-8 #6 for
+    # two-family artifacts like stats — .deladj AND .refresh): a crash
+    # inside a prior swap's aside window leaves the path absent with a
+    # complete tmp — deciding "fresh build" on that state would
+    # plain-overwrite the live dir (torn for the whole Spark job) and
+    # race the recovery that restores the tmp.
+    _recover_prepared_swaps(sf_dir, path, *(recover_tags or (tag,)))
     if not os.path.exists(path):
         write_fn(path)
         return
@@ -1704,52 +1714,30 @@ def _append_intent_path(sf_dir: str) -> str:
     return prepared_path(sf_dir, _APPEND_INTENT)
 
 
-def repair_docs_append_intent(spark: SparkSession, sf_dir: str) -> None:
-    """Clear a crashed plain ``append_documents``' intent marker by
-    recomputing the postings statistics from the CURRENT postings (the
-    batch's rows landed there before the refreshes): dfreq is an exact
-    re-derivation; stats recompute as (docs present in the postings,
-    their dl = Σ positions) plus zero-token documents from the
-    tombstone-filtered base. Caveat, stated loudly: a zero-token
-    document that existed ONLY in the crashed append (never in the
-    base) cannot be recovered from the postings and is dropped from the
-    counters — the legacy mode-append path has no batch record to
-    replay; callers that need exactness use
-    :func:`append_documents_batch`."""
-    post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
-    dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
-    stats_path = prepared_path(sf_dir, "documents_stats.parquet")
-
-    def _refresh_dfreq(target: str) -> None:
-        _write_dfreq(spark, post_path, target)
-        _stamp(target, _POSTINGS_META)
-
-    _staged_refresh(sf_dir, dfreq_path, _refresh_dfreq)
-    post = spark.read.parquet(post_path)
-    row = post.groupBy("doc_id").agg(
-        F.sum(F.size("pos")).cast("long").alias("dl")
-    ).agg(
-        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
-    ).first()
-    n1, dl1 = int(row["n"] or 0), int(row["s"] or 0)
-    zero_docs = _anti_tombstones(
-        spark, sf_dir, load_table(spark, sf_dir, "documents")
-    ).join(post.select("doc_id").distinct(), "doc_id", "left_anti")
-    n2, dl2 = _doclen_counters(zero_docs)
-    adj_applied = _read_delete_adj_applied(stats_path)
-
-    def _refresh_stats(target: str) -> None:
-        _write_stats(spark, target, n1 + n2, dl1 + dl2)
-        if adj_applied:
-            with open(os.path.join(target, _DELETE_ADJ_SIDECAR), "w") as f:
-                json.dump(sorted(adj_applied), f)
-        _stamp(target, _POSTINGS_META)
-
-    _staged_refresh(sf_dir, stats_path, _refresh_stats)
-    try:
-        os.remove(_append_intent_path(sf_dir))
-    except FileNotFoundError:
-        pass
+def _refuse_if_append_intent(sf_dir: str) -> None:
+    """Loud refusal while a plain ``append_documents`` is in flight or
+    crashed mid-flight — checked by EVERY document-index ensure so a
+    partial multi-index append can never serve a cross-index tear
+    (review r9 pass-7 #4: minhash finding documents BM25 never will).
+    There is deliberately NO automatic repair (pass-8 killed one: any
+    recompute of the stored stats from the physical postings violates
+    the stored-stats-excludes-merged invariant, the delete-sidecar
+    exactly-once accounting, and the zero-token counter history) — the
+    legacy mode-append path has no batch record to replay, so the only
+    sound remediations are the ones the message names."""
+    if os.path.exists(_append_intent_path(sf_dir)):
+        raise RuntimeError(
+            f"a plain append_documents for {sf_dir!r} is in flight or "
+            "crashed mid-flight: the document indexes may disagree "
+            "about the appended batch and the legacy mode-append path "
+            "has no batch record to replay. Remediation: restore the "
+            "indexes from a source of truth — if the base table plus "
+            "re-landable batches cover the corpus, remove the marker "
+            "and the document index artifacts, rebuild, and re-land "
+            "every post-base batch via append_documents_batch (which "
+            "replays exactly). On a streaming/merged deployment avoid "
+            "plain append_documents entirely."
+        )
 
 
 def append_documents(
@@ -1789,6 +1777,20 @@ def append_documents(
     documents_trgm_postings(spark, sf_dir)
     documents_minhash(spark, sf_dir)
     documents_postings(spark, sf_dir)
+    # INTENT marker around the WHOLE multi-index append (review r9
+    # pass-7 #3 + pass-8 #4): this legacy path mutates four indexes
+    # non-atomically with no batch record to replay, so a crash
+    # anywhere inside it must read as LOUD refusal on every
+    # document-index ensure (cross-index tears — minhash finding
+    # documents BM25 never will — are otherwise silent forever), and
+    # the marker is removed only after the last side effect
+    # (_drop_lsh_bands). Callers that need online/crash-safe appends
+    # use append_documents_batch.
+    with open(_append_intent_path(sf_dir) + ".tmp", "w") as f:
+        json.dump({"reason": "plain append_documents in flight"}, f)
+    os.replace(
+        _append_intent_path(sf_dir) + ".tmp", _append_intent_path(sf_dir)
+    )
     trgm_path = prepared_path(sf_dir, "documents_trgm.parquet")
     _trgm_rows(new_docs).write.mode("append").parquet(trgm_path)
     _mark_appended(trgm_path)
@@ -1801,18 +1803,6 @@ def append_documents(
     post_path = prepared_path(sf_dir, "documents_postings.parquet")
     dfreq_path = prepared_path(sf_dir, "documents_dfreq.parquet")
     stats_path = prepared_path(sf_dir, "documents_stats.parquet")
-    # INTENT marker before the postings append (review r9 pass-7 #3):
-    # the staged refreshes below flip atomically, so a crash between
-    # the postings append and the stats refresh would otherwise leave
-    # the PREVIOUS stamped generation live — stats silently excluding
-    # the appended rows forever (this legacy path has no batch record
-    # to replay). While the marker exists, _postings_tables refuses
-    # loudly and names repair_docs_append_intent as the remediation.
-    with open(_append_intent_path(sf_dir) + ".tmp", "w") as f:
-        json.dump({"reason": "plain append_documents in flight"}, f)
-    os.replace(
-        _append_intent_path(sf_dir) + ".tmp", _append_intent_path(sf_dir)
-    )
     (
         _postings_rows(new_docs)
         .repartitionByRange("term")
@@ -1848,9 +1838,14 @@ def append_documents(
         _stamp(target, _POSTINGS_META)
 
     _staged_refresh(sf_dir, dfreq_path, _refresh_dfreq)
-    _staged_refresh(sf_dir, stats_path, _refresh_stats)
-    os.remove(_append_intent_path(sf_dir))  # the append is complete
+    _staged_refresh(
+        sf_dir,
+        stats_path,
+        _refresh_stats,
+        recover_tags=(".refresh", ".deladj"),
+    )
     _drop_lsh_bands(spark, sf_dir)
+    os.remove(_append_intent_path(sf_dir))  # LAST: the append is complete
 
 
 def append_documents_batch(
@@ -1952,17 +1947,7 @@ def _postings_tables(
     _recover_prepared_swaps(sf_dir, dfreq_path, ".refresh")  # df refresh swap
     _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
     # (an interrupted delete's stats adjustment / append's stats refresh)
-    if os.path.exists(_append_intent_path(sf_dir)):
-        raise RuntimeError(
-            f"a plain append_documents for {sf_dir!r} crashed mid-flight: "
-            "its postings rows may have landed while dfreq/stats still "
-            "describe the previous generation. Run "
-            "repair_docs_append_intent(spark, sf_dir) to recompute the "
-            "statistics from the postings and clear this marker (or "
-            "re-run the interrupted append to completion). Prefer "
-            "append_documents_batch with a batch_id — its counters "
-            "machinery replays exactly."
-        )
+    _refuse_if_append_intent(sf_dir)
     if not all(
         _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
     ) and not _prepared_built_under_lock(
@@ -2729,7 +2714,13 @@ def _scrub_postings_delete(
             with open(os.path.join(target, _DELETE_ADJ_SIDECAR), "w") as f:
                 json.dump(sorted(applied | {batch_id}), f)
 
-        _staged_refresh(sf_dir, stats_path, _adjusted_stats, tag=".deladj")
+        _staged_refresh(
+            sf_dir,
+            stats_path,
+            _adjusted_stats,
+            tag=".deladj",
+            recover_tags=(".deladj", ".refresh"),
+        )
     # Scrub the postings rows (idempotent: a retry removes nothing) and
     # re-derive df from the survivors. The join moves its key column
     # first — re-select the stored column order so the rewritten layout
