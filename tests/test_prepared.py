@@ -2477,3 +2477,58 @@ def test_nightly_sweeps_stale_stagings(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0, out
     assert "sweep-stagings 1 dir(s)" in out
     assert not os.path.exists(stale)
+
+
+def test_swap_in_locked_refuses_torn_staging(spark, tmp_path, monkeypatch):
+    """Review r9 pass-9 #4 pins pass-7's guard: a staging directory
+    without _SUCCESS (writer bug, or a contract-violating concurrent
+    writer clobbering the shared staging name) must fail LOUDLY instead
+    of being renamed in as the live generation — the
+    complete-generation-wins rule applied at the swap source."""
+    import os
+
+    import pytest
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    dfreq = prepared.prepared_path(sf, "documents_dfreq.parquet")
+    torn = dfreq + ".refresh_staging"
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn"), "w") as f:
+        f.write("half")
+    before = sorted(os.listdir(dfreq))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        prepared._swap_in_locked(sf, dfreq, ".refresh", torn)
+    # the live generation is untouched and still served
+    assert sorted(os.listdir(dfreq)) == before
+    prepared.documents_postings(spark, sf)
+
+
+def test_delete_paths_refuse_during_crashed_plain_append(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9 pass-9 #1/#3: the append-intent contract applies to
+    WRITERS too — a delete's exactly-once stats accounting or the
+    nightly vacuum rewriting indexes over a torn mid-append state would
+    bake the tear in silently."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_postings(spark, sf)
+    with open(prepared._append_intent_path(sf), "w") as f:
+        _json.dump({"reason": "test"}, f)
+    with pytest.raises(RuntimeError, match="append_documents"):
+        prepared.tombstone_documents(spark, sf, [1], batch_id=0)
+    with pytest.raises(RuntimeError, match="append_documents"):
+        prepared.vacuum_document_tombstones(spark, sf)
+    os.remove(prepared._append_intent_path(sf))
+    prepared.tombstone_documents(spark, sf, [1], batch_id=0)  # now fine

@@ -2667,7 +2667,9 @@ def _scrub_postings_delete(
     # every swap family that can displace an artifact this path reads
     # (review r9 pass-7 #2: an append's crashed stats .refresh swap
     # would otherwise leave the sidecar read below seeing a missing
-    # dir — DELETE down until an unrelated query recovered it)
+    # dir — DELETE down until an unrelated query recovered it;
+    # pass-9 #2 added the postings' own .compact family)
+    _recover_prepared_swaps(sf_dir, post_path, ".compact")
     _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
     _recover_prepared_swaps(sf_dir, dfreq_path, ".refresh")
     applied = _read_delete_adj_applied(stats_path)
@@ -2772,6 +2774,10 @@ def tombstone_documents(
 
     ``batch_id`` makes retries idempotent, exactly like the append
     paths (same-id-same-ids contract)."""
+    # the append-intent contract applies to WRITERS too (review r9
+    # pass-9 #1): committing a delete's exactly-once stats accounting
+    # on top of a torn mid-append state would bake the tear in
+    _refuse_if_append_intent(sf_dir)
     if batch_id in _read_abatch_manifest(_tombstones_path(sf_dir)):
         return  # delete batch fully committed earlier — retry is a no-op
     ids = doc_ids if isinstance(doc_ids, DataFrame) else spark.createDataFrame(
@@ -2779,6 +2785,11 @@ def tombstone_documents(
     )
     ids = ids.select("doc_id").distinct()
     post_path = prepared_path(sf_dir, _POSTINGS_INDEX)
+    # a compaction crashed in its aside window makes the postings look
+    # absent — the probe below would then take the drop-branch and rm
+    # dfreq/stats while the recovered postings still carry absorbed
+    # batches, wedging the ensure forever (review r9 pass-9 #2)
+    _recover_prepared_swaps(sf_dir, post_path, ".compact")
     absorbed = os.path.exists(post_path) and (
         _read_abatch_manifest(post_path)
         or _read_merged(post_path)
@@ -2835,6 +2846,9 @@ def vacuum_document_tombstones(spark: SparkSession, sf_dir: str) -> int:
     resurrect. The set stays broadcast-small (deletes are the rare
     exception), and the read-side anti-join over an already-vacuumed
     index filters nothing but costs one small broadcast."""
+    _refuse_if_append_intent(sf_dir)  # same writer contract as the
+    # tombstone commit (review r9 pass-9 #3): the nightly must not
+    # rewrite indexes over a torn mid-append state and report success
     tb = document_tombstones(spark, sf_dir)
     if tb is None:
         return 0
