@@ -45,7 +45,22 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_load() -> list[float]:
+    """1/5/15-minute load averages, rounded for the artifact; [-1]*3
+    where the platform lacks getloadavg (keeps the contract total)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (AttributeError, OSError):
+        return [-1.0, -1.0, -1.0]
+
+
 def main() -> None:
+    # Host-state stamps (VERDICT r9 #3): the r9 driver-vs-self bench
+    # conflict (a uniform 1.27x elevation on untouched plans vs 0.93x
+    # on a settled host) was adjudicable only by pattern-reading —
+    # load averages at start/end make "was the host busy?" a one-field
+    # check on every future artifact.
+    load_start = _host_load()
     spark = get_spark(app_name="venus_spark_bench")
     plans = all_plans()
     timings: dict[str, float] = {}
@@ -87,11 +102,25 @@ def main() -> None:
     else:
         total = round(time.perf_counter() - total0, 3)
 
-    print_result_lines(timings, total, REPEAT, sf_from_dir(SF_DIR))
+    print_result_lines(
+        timings,
+        total,
+        REPEAT,
+        sf_from_dir(SF_DIR),
+        load={
+            "start": load_start,
+            "end": _host_load(),
+            "cpus": os.cpu_count() or -1,
+        },
+    )
 
 
 def print_result_lines(
-    timings: dict[str, float], total: float, repeat: int, sf: float
+    timings: dict[str, float],
+    total: float,
+    repeat: int,
+    sf: float,
+    load: dict | None = None,
 ) -> None:
     """Emit the two output lines (factored so the tail contract is
     unit-testable without running plans):
@@ -106,12 +135,19 @@ def print_result_lines(
        committed BENCH_SELF_r* artifacts.
     """
     failed = sorted(k for k, v in timings.items() if v < 0)
+    # host-state stamp on BOTH lines (VERDICT r9 #3): bounded — three
+    # rounded floats each end plus a cpu count — so the tail contract's
+    # size headroom holds; "load" absent means a pre-r10 artifact.
+    load = load or {}
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "load_start": load.get("start"),
+                "load_end": load.get("end"),
+                "host_cpus": load.get("cpus"),
                 "queries": timings,
                 # total_wall_sec spans the whole loop INCLUDING time a
                 # failed plan burned before throwing (its queries entry
@@ -140,6 +176,9 @@ def print_result_lines(
                 "failed": failed[:10],
                 "repeat": repeat,
                 "sf": sf,
+                "load_start": load.get("start"),
+                "load_end": load.get("end"),
+                "host_cpus": load.get("cpus"),
                 "summary_of": "per-plan timings on the first output line",
             },
             separators=(",", ":"),

@@ -229,7 +229,11 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
         timings[f"some_rather_long_plan_name_{i:03d}"] = -1.0
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        bench.print_result_lines(timings, 120.9, repeat=3, sf=0.1)
+        bench.print_result_lines(
+            timings, 120.9, repeat=3, sf=0.1,
+            load={"start": [1.23, 4.56, 7.89], "end": [0.12, 3.45, 6.78],
+                  "cpus": 32},
+        )
     out = buf.getvalue()
     lines = out.strip().split("\n")
     assert len(lines) == 2
@@ -241,7 +245,22 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
     assert summary["metric"] == "total_wall_sec"
     assert summary["value"] == 120.9 and summary["n_plans"] == 188
     assert summary["n_failed"] == 60 and len(summary["failed"]) == 10
+    # host-state stamp (VERDICT r9 #3): both lines carry the load
+    # averages + cpu count, making host contamination a one-field check
+    for rec in (full, summary):
+        assert rec["load_start"] == [1.23, 4.56, 7.89]
+        assert rec["load_end"] == [0.12, 3.45, 6.78]
+        assert rec["host_cpus"] == 32
     assert len(last_line) < 1900  # headroom inside any 2000-char capture
+    # omitted load (an old caller) keeps the contract parseable
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        bench.print_result_lines(timings, 120.9, repeat=3, sf=0.1)
+    assert json.loads(
+        buf2.getvalue().strip().split("\n")[-1]
+    )["load_start"] is None
+    # the real stamp helper returns three floats on this platform
+    assert len(bench._host_load()) == 3
 
 
 def _snap_corpus_rows():

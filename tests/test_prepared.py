@@ -2310,6 +2310,58 @@ def test_cli_maintain_auto_isolates_step_failures(
     assert "vacuum-deletes" in out and "compact-postings" in out
 
 
+def test_cli_maintain_auto_reports_append_intent_wedge(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """VERDICT r9 #4: a crashed plain ``append_documents`` wedges every
+    document-index ensure behind the intent marker's loud refusal —
+    previously the nightly just died at its first document step with a
+    generic FAILED line. It must instead REPORT the wedge as a named
+    first-class finding (marker age, since-when, the sound
+    remediations), skip the document-family steps loudly, run every
+    non-document step, exit nonzero, and perform NO auto-repair (review
+    r9 pass-8: recompute-from-postings violates the stored-stats /
+    delete-sidecar / zero-token invariants)."""
+    import json as _json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.__main__ import main
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path)
+    prepared.documents_postings(spark, sf)  # a built document layout
+
+    # a clean dir reports no wedge
+    assert prepared.append_intent_status(sf) is None
+
+    # THE WEDGE: the crashed plain append's marker is still present
+    marker = prepared._append_intent_path(sf)
+    with open(marker, "w") as f:
+        _json.dump({"reason": "plain append_documents in flight"}, f)
+
+    rc = main(["maintain", "auto", "--sf", sf])
+    out = capsys.readouterr().out
+    assert rc == 1
+    # the named finding, with the remediation in the nightly output
+    assert "append-intent FAILED" in out
+    assert "append_documents_batch" in out
+    # document-family steps skipped LOUDLY (no generic refusal crash)
+    assert "merge-index skipped (append-intent marker)" in out
+    assert "documents skipped: append-intent marker" in out
+    # the refusal's generic traceback text must NOT be the story
+    assert "crashed mid-flight" not in out
+    # non-document steps still ran
+    assert "sweep-stagings" in out and "sink-repair" in out
+    assert "vacuum-deletes" in out and "compact-postings" in out
+    # NO auto-repair: the marker is exactly where it was
+    assert os.path.exists(marker)
+    st = prepared.append_intent_status(sf)
+    assert st is not None
+    assert st["path"] == marker and st["age_seconds"] >= 0
+    assert "since" in st and "remediation" in st
+
+
 def test_dfreq_staged_refresh_invisible_and_recoverable(
     spark, tmp_path, monkeypatch
 ):

@@ -1187,6 +1187,145 @@ def test_sink_fingerprint_guard_excludes_orphans(spark, tmp_path, monkeypatch):
     assert "phantom" not in keys() and "phantom2" not in keys()
 
 
+def test_replay_rewrite_same_rows_not_stale_phantom_excluded(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #1 (content-digest receipts close the r9 KNOWN
+    CONSERVATIVE WINDOW): a checkpoint REPLAY of a fully-landed batch
+    rewrites its partitions with fresh uuid file names but byte-
+    identical rows — a query running MID-replay (receipt not yet
+    refreshed) must KEEP the replayed batch's keys, because the
+    receipt's row-content digest distinguishes the replay from a
+    reused id's phantom injection, which must STAY excluded. Legacy
+    names-only receipts (pre-digest sinks) keep the conservative r9
+    behavior. Reference intent: GIN entries are MVCC-consistent with
+    their heap rows — a re-landed identical row serves identically
+    (migration 37716151a213 :37,52,73)."""
+    import json as _json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        _read_batch_fp_record,
+        _table_partition_fp,
+        _write_batch_fp_record,
+        _write_idempotent,
+        events_stream_sink_dir,
+        sink_kv_exclusions,
+        start_events_rollup_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "events.parquet")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "event_id": 2_000_000 + i,
+                    "ts": f"2024-01-01 10:0{i}:00",
+                    "user_id": 7,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": '{"k": 7}',
+                }
+            )
+            for i in (1, 2)
+        )
+    )
+    sink = events_stream_sink_dir(sf)
+    q = start_events_rollup_ingest(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(landing)),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+
+    plans = all_plans()
+
+    def freqs():
+        vs._KV_DF_CACHE.clear()
+        return {
+            r["key"]: r["n_docs"]
+            for r in plans["json_key_frequency_live"].fn(spark, sf).collect()
+        }
+
+    healthy = freqs()
+    assert sink_kv_exclusions(sink) == set()
+    rec0 = _read_batch_fp_record(sink)[0]
+    assert isinstance(rec0["events_kv_postings"], dict)  # digest-bearing
+
+    # THE MID-REPLAY STATE: both the kv and facts partitions rewritten
+    # with the SAME rows under fresh names (and a different file
+    # layout), the end-of-batch receipt refresh not yet run
+    for table in ("events_kv_postings", "events"):
+        part = os.path.join(sink, table, "_batch_id=0")
+        rows = spark.read.parquet(part)
+        _write_idempotent(
+            rows.repartition(2), os.path.join(sink, table), 0
+        )
+    assert (
+        _table_partition_fp(sink, "events_kv_postings", 0)
+        != rec0["events_kv_postings"]["files"]
+    )  # names DID change — only the digest can clear the batch
+    # NOT stale: the digest matches, the batch's keys stay served
+    assert sink_kv_exclusions(sink) == set()
+    assert freqs() == healthy
+
+    # THE PHANTOM: the same reused id re-lands DIFFERENT kv rows —
+    # digest mismatch, excluded exactly as before
+    _write_idempotent(
+        spark.createDataFrame(
+            [("?phantom", 9_000_009)], "kv string, event_id long"
+        ),
+        os.path.join(sink, "events_kv_postings"),
+        0,
+    )
+    assert sink_kv_exclusions(sink) == {0}
+    assert "phantom" not in freqs()
+
+    # LEGACY receipt (names-only, pre-digest sink): restore the real
+    # rows + receipt, then downgrade the receipt format — a same-rows
+    # fresh-name rewrite now reads as stale (the conservative r9 rule;
+    # absent a digest the record cannot clear it)
+    from venus_spark.streaming import _record_batch_fps
+
+    facts0 = spark.read.parquet(os.path.join(sink, "events", "_batch_id=0"))
+    from venus_spark.prepared import _events_kv_rows
+
+    _write_idempotent(
+        _events_kv_rows(facts0, allow_missing_props=True),
+        os.path.join(sink, "events_kv_postings"),
+        0,
+    )
+    _record_batch_fps(sink, 0)
+    assert sink_kv_exclusions(sink) == set()
+    legacy = {
+        bid: {
+            t: (rec["files"] if isinstance(rec, dict) else rec)
+            for t, rec in fps.items()
+        }
+        for bid, fps in _read_batch_fp_record(sink).items()
+    }
+    _write_batch_fp_record(sink, legacy)
+    part = os.path.join(sink, "events_kv_postings", "_batch_id=0")
+    _write_idempotent(
+        spark.read.parquet(part).repartition(2),
+        os.path.join(sink, "events_kv_postings"),
+        0,
+    )
+    assert sink_kv_exclusions(sink) == {0}
+
+
 def test_maintain_auto_heals_sink_divergence(spark, tmp_path, monkeypatch, capsys):
     """VERDICT r8 #5: the nightly (`maintain auto`) runs the sink
     audit+repair step — it heals the lost-checkpoint orphan end-to-end

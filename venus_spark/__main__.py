@@ -316,14 +316,38 @@ def cmd_maintain(args) -> int:
                 failed = True
                 steps.append(f"{label} FAILED ({exc})")
 
-        # first: sweep crash-leftover staging dirs — recovery-invisible
+        # FIRST: surface a wedged plain-append state as a NAMED finding
+        # (VERDICT r9 #4). Without this, the nightly died at the first
+        # document-index ensure's refusal with a generic FAILED line;
+        # now the marker is reported once — age, since-when, the sound
+        # remediations — the document-family steps are skipped loudly
+        # (they would each refuse on the same marker), and every
+        # non-document step still runs. Deliberately NO auto-repair
+        # (review r9 pass-8: recompute-from-postings violates the
+        # stored-stats / delete-sidecar / zero-token invariants).
+        wedge = prepared.append_intent_status(args.sf)
+        if wedge:
+            failed = True
+            steps.append(
+                "append-intent FAILED (plain append_documents marker "
+                f"present since {wedge['since']}, age "
+                f"{wedge['age_seconds']}s; remediation: "
+                f"{wedge['remediation']})"
+            )
+        # sweep crash-leftover staging dirs — recovery-invisible
         # to readers by design, so only the maintenance window (no
         # in-flight writers by contract) can safely reclaim them
         step(
             "sweep-stagings",
             lambda: f"{prepared.sweep_stale_stagings(args.sf)} dir(s)",
         )
-        step("merge-index", lambda: f"{_merge_all_pending(spark, args.sf)} file(s)")
+        if wedge:
+            steps.append("merge-index skipped (append-intent marker)")
+        else:
+            step(
+                "merge-index",
+                lambda: f"{_merge_all_pending(spark, args.sf)} file(s)",
+            )
 
         def sink_repair() -> str:
             from venus_spark.streaming import (
@@ -368,10 +392,22 @@ def cmd_maintain(args) -> int:
             )
 
         step("sink-repair", sink_repair)
-        step(
-            "vacuum-deletes",
-            lambda: f"{_vacuum_all_deletes(spark, args.sf)} row(s)",
-        )
+        if wedge:
+            # the embeddings half has no document-index dependency;
+            # only the documents vacuum would hit the marker's refusal
+            step(
+                "vacuum-deletes",
+                lambda: (
+                    f"{prepared.vacuum_embedding_tombstones(spark, args.sf)}"
+                    " row(s) (embeddings only; documents skipped: "
+                    "append-intent marker)"
+                ),
+            )
+        else:
+            step(
+                "vacuum-deletes",
+                lambda: f"{_vacuum_all_deletes(spark, args.sf)} row(s)",
+            )
         absent = _missing_vector_layouts(args.sf)
         if not absent:
             step(
@@ -390,10 +426,24 @@ def cmd_maintain(args) -> int:
             steps.append(
                 "retrain-vectors skipped (missing " + ", ".join(absent) + ")"
             )
-        step(
-            "compact-postings",
-            lambda: "+".join(_compact_all_postings(spark, args.sf)) or "none",
-        )
+        if wedge:
+            step(
+                "compact-postings",
+                lambda: (
+                    (
+                        "events_kv_postings"
+                        if prepared.compact_events_kv_postings(spark, args.sf)
+                        else "none"
+                    )
+                    + " (documents skipped: append-intent marker)"
+                ),
+            )
+        else:
+            step(
+                "compact-postings",
+                lambda: "+".join(_compact_all_postings(spark, args.sf))
+                or "none",
+            )
         if _os.path.exists(
             prepared.prepared_path(args.sf, "events_zorder.parquet")
         ):

@@ -28,6 +28,7 @@ import os
 import re
 import shutil
 import threading
+import time
 import zlib
 from contextlib import contextmanager
 
@@ -1712,6 +1713,40 @@ _APPEND_INTENT = "_docs_append_intent.json"
 
 def _append_intent_path(sf_dir: str) -> str:
     return prepared_path(sf_dir, _APPEND_INTENT)
+
+
+def append_intent_status(sf_dir: str) -> dict | None:
+    """Surface a live plain-append intent marker as DATA (VERDICT r9
+    #4): the nightly and one-shot audits report the wedged state as a
+    named finding — marker age, path, and the sound remediations —
+    instead of dying at the first document-index ensure's refusal.
+    There is deliberately no auto-repair (see
+    :func:`_refuse_if_append_intent`); this helper only makes the
+    wedge VISIBLE. Returns None when no marker is present."""
+    p = _append_intent_path(sf_dir)
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    import datetime as _dt
+
+    return {
+        "path": p,
+        "sf_dir": sf_dir,
+        "age_seconds": max(0.0, round(time.time() - st.st_mtime, 1)),
+        "since": _dt.datetime.fromtimestamp(
+            st.st_mtime, _dt.timezone.utc
+        ).isoformat(timespec="seconds"),
+        "remediation": (
+            "restore the document indexes from a source of truth: if "
+            "the base table plus re-landable batches cover the corpus, "
+            "remove the marker and the document index artifacts, "
+            "rebuild, and re-land every post-base batch via "
+            "append_documents_batch (no auto-repair is sound — a "
+            "recompute from physical postings violates the stored-stats"
+            "/delete-sidecar/zero-token invariants)"
+        ),
+    }
 
 
 def _refuse_if_append_intent(sf_dir: str) -> None:

@@ -909,6 +909,59 @@ def _facts_partition_fp(sink_dir: str, bid: int) -> list[str]:
     return _table_partition_fp(sink_dir, "events", bid)
 
 
+def _partition_content_digest(
+    sink_dir: str, table: str, bid: int, files: list[str]
+) -> dict | None:
+    """Order-independent ROW-CONTENT digest of a batch partition
+    (VERDICT r9 #1): ``{"rows": n, "xor": folded per-row hash}`` over
+    exactly ``files``. File names are write-generation identity
+    (every rewrite mints fresh uuids); this digest is row-set identity
+    — it distinguishes a byte-identical checkpoint REPLAY rewrite
+    (same rows, new names → same digest) from a reused batch id's
+    PHANTOM rewrite (different rows → different digest), which file
+    names alone cannot.
+
+    Discipline mirrors the export manifest's shard digests
+    (``export._shard_digests``): hash each row independently, fold
+    with XOR so the digest is independent of row order AND of how the
+    rewrite redistributed rows across files; the row count rides along
+    because XOR alone cancels even multiplicities. Same threat model
+    as the export: accidental divergence (replay, partial rewrite,
+    surgery), not an adversary forging equal-XOR row sets.
+
+    Computed DRIVER-side with pyarrow — a ``_batch_id`` partition is
+    micro-batch-sized by construction (the trigger caps it), so the
+    read-back is O(batch rows) against page-cache-warm files, and the
+    check side (:func:`_stale_sink_ids`) only ever pays it for
+    partitions whose file names already mismatch (a replay or phantom
+    in progress — never the healthy path). Rows canonicalize by sorted
+    column name, so column order across rewrites is immaterial.
+    Returns None when a file vanished mid-read (a rewrite's commit
+    instant): the caller treats the batch conservatively."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    part = os.path.join(sink_dir, table, f"_batch_id={bid}")
+    acc = 0
+    n = 0
+    try:
+        for fname in files:
+            tbl = pq.read_table(os.path.join(part, fname))
+            cols = sorted(tbl.column_names)
+            for row in tbl.select(cols).to_pylist():
+                payload = repr([row[c] for c in cols]).encode(
+                    "utf-8", "backslashreplace"
+                )
+                acc ^= int.from_bytes(
+                    hashlib.blake2b(payload, digest_size=8).digest(), "big"
+                )
+                n += 1
+    except OSError:
+        return None
+    return {"rows": n, "xor": acc}
+
+
 # ---------------------------------------------------------------------------
 # The facts-fingerprint record (VERDICT r8 #1): the per-batch commit
 # receipt that extends the zero-entry sentinel's fingerprint discipline
@@ -927,13 +980,16 @@ _FP_TABLES = (
 )
 
 
-def _read_batch_fp_record(sink_dir: str) -> dict[int, dict[str, list[str]]]:
-    """Per-batch fingerprint receipts ``{bid: {table: sorted file
-    names}}`` written by the stream after each fully-landed batch (and
-    by the repair after healing one). ADVISORY by construction: a
-    missing/torn record makes no claim (pre-upgrade sinks, a crash
-    before the receipt), so its absence can never false-positive — it
-    only ever ADDS detection."""
+def _read_batch_fp_record(sink_dir: str) -> dict[int, dict]:
+    """Per-batch fingerprint receipts ``{bid: {table: fingerprint}}``
+    written by the stream after each fully-landed batch (and by the
+    repair after healing one). A fingerprint is ``{"files": sorted
+    names, "rows": n, "xor": content digest}`` (VERDICT r9 #1); legacy
+    receipts (bare sorted-name lists, pre-digest format) stay readable
+    and compare by name only — conservative, exactly the r9 behavior.
+    ADVISORY by construction: a missing/torn record makes no claim
+    (pre-upgrade sinks, a crash before the receipt), so its absence can
+    never false-positive — it only ever ADDS detection."""
     try:
         with open(os.path.join(sink_dir, _SINK_FP_RECORD)) as f:
             data = json.load(f)
@@ -944,9 +1000,13 @@ def _read_batch_fp_record(sink_dir: str) -> dict[int, dict[str, list[str]]]:
         return {}
 
 
-def _write_batch_fp_record(
-    sink_dir: str, record: dict[int, dict[str, list[str]]]
-) -> None:
+def _record_fingerprint(rec) -> list[str]:
+    """The file-name component of a receipt entry — handles both the
+    digest-bearing dict format and the legacy bare-list format."""
+    return rec["files"] if isinstance(rec, dict) else (rec or [])
+
+
+def _write_batch_fp_record(sink_dir: str, record: dict[int, dict]) -> None:
     p = os.path.join(sink_dir, _SINK_FP_RECORD)
     with open(p + ".tmp", "w") as f:
         json.dump({str(k): v for k, v in sorted(record.items())}, f)
@@ -1000,8 +1060,22 @@ def _record_batch_fps_many(sink_dir: str, bids) -> None:
         return
     record = _read_batch_fp_record(sink_dir)
     for bid in bids:
-        fps = {t: _table_partition_fp(sink_dir, t, bid) for t in _FP_TABLES}
-        if any(fps.values()):
+        fps: dict = {}
+        for t in _FP_TABLES:
+            files = _table_partition_fp(sink_dir, t, bid)
+            if not files:
+                fps[t] = []
+                continue
+            # content digest next to the names (VERDICT r9 #1): the
+            # read-back is exactly this batch's own just-written
+            # partitions — O(batch rows), page-cache-warm. A vanished
+            # file mid-read (only a concurrent rewrite could cause it;
+            # none exists under the single-writer contract) degrades to
+            # the names-only legacy entry, which the checker treats
+            # conservatively.
+            digest = _partition_content_digest(sink_dir, t, bid, files)
+            fps[t] = {"files": files, **digest} if digest else files
+        if any(_record_fingerprint(v) for v in fps.values()):
             record[bid] = fps
         else:
             record.pop(bid, None)
@@ -1012,7 +1086,7 @@ def _stale_sink_ids(
     sink_dir: str, tables: tuple[str, ...] = _FP_TABLES
 ) -> set[int]:
     """Batches whose receipt no longer describes reality: some listed
-    table's partition is PRESENT with a different file set than the
+    table's partition is PRESENT with a different ROW SET than the
     receipt recorded — a reused batch id's partial rewrite (checkpoint
     loss) or out-of-band surgery. A partition that is
     present-in-receipt but absent-on-disk is NOT stale — that is the
@@ -1020,14 +1094,41 @@ def _stale_sink_ids(
     rule covers derived rows whose facts vanished). ``tables`` narrows
     the check (the kv read guard cares only about facts + kv); ONE
     implementation so the audit's 'stale' and the guard's exclusions
-    cannot drift (review r9 #4)."""
+    cannot drift (review r9 #4).
+
+    Name-mismatch alone is NOT staleness (VERDICT r9 #1 — this closes
+    the r9 KNOWN CONSERVATIVE WINDOW): a checkpoint REPLAY of a
+    fully-landed batch rewrites its partitions with fresh uuid file
+    names but byte-identical rows, so a digest-bearing receipt gets a
+    content recompute — digest match (rows AND xor) means the rewrite
+    is the replay's legitimate re-land and the batch is NOT excluded;
+    digest mismatch means a phantom injection and it is. The digest
+    recompute runs ONLY on name-mismatched partitions (never the
+    healthy path) and is O(that batch's rows). Residual conservative
+    window, deliberately kept: the commit INSTANT of a rewrite (files
+    half-moved → subset digest or a vanished-file read) and legacy
+    names-only receipts still read as stale until the receipt refresh
+    — an instant, not the whole replay."""
     out = set()
     for bid, fps in _read_batch_fp_record(sink_dir).items():
         for t in tables:
             cur = _table_partition_fp(sink_dir, t, bid)
-            if cur and cur != fps.get(t, []):
-                out.add(bid)
-                break
+            rec = fps.get(t, [])
+            if not cur or cur == _record_fingerprint(rec):
+                continue
+            if isinstance(rec, dict):
+                got = _partition_content_digest(sink_dir, t, bid, cur)
+                if (
+                    got is not None
+                    and got["rows"] == rec["rows"]
+                    and got["xor"] == rec["xor"]
+                ):
+                    # byte-identical replay rewrite: fresh names, same
+                    # rows — the replay's own end-of-batch receipt
+                    # refresh makes the next check name-clean again
+                    continue
+            out.add(bid)
+            break
     return out
 
 
@@ -1052,17 +1153,14 @@ def sink_kv_exclusions(sink_dir: str) -> set[int]:
     postings ⊇ landed-facts superset that makes index-proven emptiness
     sound under a landing race.
 
-    KNOWN CONSERVATIVE WINDOW (review r9 pass-3 #2): a checkpoint
-    REPLAY of a fully-landed batch rewrites its partitions with fresh
-    uuid file names, so between the replay's first rewrite and its
-    end-of-batch receipt refresh the batch reads as stale and its
-    (legitimate, byte-identical) contributions drop out of the key
-    plans — a bounded UNDER-report that self-heals when the replay
-    completes (or at the nightly repair if the replay crashes before
-    its receipt). This direction is chosen deliberately: fingerprints
-    cannot distinguish a byte-identical replay rewrite from a reused
-    id's phantom injection, and over-reporting keys for events that
-    never landed is the failure mode this guard exists to close."""
+    A mid-replay rewrite is NOT excluded (VERDICT r9 #1, closing the
+    r9 KNOWN CONSERVATIVE WINDOW): receipts carry an order-independent
+    row-content digest next to the file names, so a checkpoint replay's
+    fresh-uuid rewrite of byte-identical rows digest-matches and the
+    batch's (legitimate) keys stay served throughout the replay, while
+    a reused id's phantom injection digest-mismatches and stays
+    excluded — see :func:`_stale_sink_ids` for the exact rule and the
+    residual instant-of-commit window."""
     kv = _sink_batch_ids(os.path.join(sink_dir, "events_kv_postings"))
     ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
     return (kv - ev) | _stale_sink_ids(
