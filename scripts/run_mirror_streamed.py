@@ -1,29 +1,40 @@
-"""Streamed-sink oracle mirror (VERDICT r8 #6): certify the live events
-plans on the UNION path, not the degraded one.
+"""Streamed-sink oracle mirror (VERDICT r8 #6 + r9 #2): certify EVERY
+live plan family on the UNION path, not the degraded one.
 
 The plain mirror (``run_mirror.py``) runs every plan on quiescent sf
-dirs, where the live plans (``json_containment_indexed_live``,
-``json_key_discovery_live``, ``json_key_frequency_live``) degrade to
-the prepared-only branch — their green rows certify the degraded path
-and the streamed half lives only in pytest. This script builds a
-workspace sf dir (base tables symlinked), LANDS REAL STREAMED BATCHES
-through ``start_events_rollup_ingest`` (the same foreachBatch writer a
-deployment runs — kv postings, dfreq partials, rollup, facts, commit
-receipt), then compares each live plan against its own registered
-oracle SQL evaluated over ``events = base UNION ALL sink facts`` in
-DuckDB — so the committed artifact hash-certifies the base-∪-sink
-serve path end to end.
+dirs, where the live plans degrade to the prepared-only branch — their
+green rows certify the degraded path and the streamed half lives only
+in pytest. This script builds a workspace sf dir (base tables
+symlinked), LANDS REAL STREAMED BATCHES through the same foreachBatch
+writers a deployment runs, then compares each live plan against its own
+registered oracle SQL evaluated over the UNION corpus in DuckDB — so
+the committed artifact hash-certifies the base-∪-sink serve path end to
+end.
 
-The streamed batches are constructed so the union path is PROVABLY the
-one exercised: two of the streamed events satisfy the containment
-predicate (k=7 ∧ type=click ∧ uid present) while every batch also
-carries non-matching rows, and the artifact records the prepared
-(cold) twin's count next to the live count — the live result must be
-strictly larger or the run fails.
+Two legs:
+
+- EVENTS (VERDICT r8 #6, landed r9): ``start_events_rollup_ingest``
+  lands kv postings, dfreq partials, rollup, facts, commit receipt;
+  the oracle's ``events`` view becomes base UNION ALL sink facts; the
+  three events live plans are hash-certified with a cold-vs-live
+  containment row-count proof that the union path answered.
+- DOCUMENTS (VERDICT r9 #2, this round): ``start_documents_ingest``
+  lands document batches with write-time index maintenance (MinHash +
+  positional postings + trigram postings pending lists, NO merge — the
+  pending union IS the certified path); the oracle's ``documents`` view
+  becomes base UNION ALL sink documents; the six documents-family live
+  twins are hash-certified, each with its own union-path proof: a
+  streamed needle document that the PREPARED twin provably cannot see
+  (it is absent from the cold result and present in the live one).
+  Reference analog: the GIN index serves freshly-inserted rows
+  identically (alembic migration 37716151a213 :21,36).
+
+The artifact fails unless every hash matches AND every union proof
+engaged.
 
 Usage::
 
-    python scripts/run_mirror_streamed.py MIRROR_STREAMED_r9.json \
+    python scripts/run_mirror_streamed.py MIRROR_STREAMED_r10.json \
         [--sf /root/testdata/sf0.01]
 """
 
@@ -41,7 +52,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from run_mirror import to_record  # noqa: E402  (same dir at runtime)
 
-LIVE_PLANS = (
+EVENT_LIVE_PLANS = (
     "json_containment_indexed_live",
     "json_key_discovery_live",
     "json_key_frequency_live",
@@ -51,7 +62,7 @@ LIVE_PLANS = (
 # (events_stream_sink_dir docstring); two containment MATCHES, one miss
 # per conjunct, spread over two micro-batches so multi-batch union +
 # dfreq partial summing is on the certified path
-_BATCHES = [
+_EVENT_BATCHES = [
     [
         dict(event_id=9_000_001, ts="2024-06-01 10:01:00", user_id=7,
              event_type="click", value=1.0, props='{"k": 7}'),
@@ -67,12 +78,84 @@ _BATCHES = [
              event_type="click", value=2.0, props='{"k": 8}'),
     ],
 ]
-_EXPECT_NEW_MATCHES = 2  # 9_000_001 and 9_000_004
+_EXPECT_NEW_EVENT_MATCHES = 2  # 9_000_001 and 9_000_004
+
+# streamed documents: ids disjoint from every base corpus; each batch
+# mixes needle documents (one per live plan family, built against the
+# plans' registered query constants) with needle-free filler, spread
+# over two micro-batches so the multi-batch pending union is certified.
+# d6's text is filled in at runtime: a VERBATIM copy of base doc 0
+# (jaccard 1.0 — a guaranteed LSH candidate + verified pair).
+_DOC_NEEDLES = {
+    # bm25_topk_live: saturated in all three _BM25_TERMS -> must rank
+    "bm25": dict(doc_id=9_100_001, text=(
+        "vector stream merge vector stream merge vector merge stream "
+        "vector merge stream vector stream merge"
+    )),
+    # boolean_search_live: both _BOOL_MUST, never _BOOL_NOT ("stream")
+    "bool": dict(doc_id=9_100_002, text=(
+        "vector merge pipeline vector merge compaction units nightly"
+    )),
+    # needle-free filler (both batches carry some)
+    "filler1": dict(doc_id=9_100_005, text=(
+        "gardening tomatoes thrive with afternoon light and patience"
+    )),
+    # proximity_search_live + fuzzy_trgm_postings_live: "hash join"
+    # adjacent (slop 0 <= 3) and substring-matches '%hash join%'
+    "prox_fuzzy": dict(doc_id=9_100_003, text=(
+        "the planner picked a hash join for the probe side build"
+    )),
+    # phrase_search_kterm_live: the 3-token phrase "big order scan"
+    "kphrase": dict(doc_id=9_100_004, text=(
+        "we ran one big order scan over the cold tier yesterday"
+    )),
+    # dedup_minhash_lsh_live: text assigned at runtime = base doc 0
+    "neardup": dict(doc_id=9_100_006, text=None),
+    "filler2": dict(doc_id=9_100_007, text=(
+        "sourdough starter needs regular feeding and a warm shelf"
+    )),
+}
+
+# live plan -> (cold PREPARED twin, id column, streamed needle doc_id):
+# the proof that the union path answered — the needle is in the live
+# result and absent from the cold twin's. fuzzy_trgm_postings_live
+# aggregates to (lang, n_docs), so its proof is count-based instead
+# (handled separately below): live 'en' count == cold + 1 (the
+# streamed 'hash join' document).
+_DOC_PROOFS = {
+    "bm25_topk_live": ("bm25_topk_prepared", "doc_id", 9_100_001),
+    "boolean_search_live": ("boolean_search_prepared", "doc_id", 9_100_002),
+    "proximity_search_live": ("proximity_search_prepared", "doc_id", 9_100_003),
+    "phrase_search_kterm_live": ("phrase_search_kterm", "doc_id", 9_100_004),
+    "dedup_minhash_lsh_live": ("dedup_minhash_lsh_prepared", "id_b", 9_100_006),
+}
+_FUZZY_LIVE = ("fuzzy_trgm_postings_live", "fuzzy_trgm_postings")
+
+
+def _doc_rows(spark, sf: str) -> list[dict]:
+    base0 = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .filter("doc_id = 0")
+        .first()
+    )
+    rows = []
+    for key, spec in _DOC_NEEDLES.items():
+        text = spec["text"] if spec["text"] is not None else base0["text"]
+        rows.append(
+            dict(
+                doc_id=spec["doc_id"],
+                text=text,
+                lang="en",
+                source="stream",
+                n_chars=len(text),
+            )
+        )
+    return rows
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("out", help="output JSON path, e.g. MIRROR_STREAMED_r9.json")
+    ap.add_argument("out", help="output JSON path, e.g. MIRROR_STREAMED_r10.json")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--cpus", type=int,
@@ -80,6 +163,7 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    from venus_spark import prepared
     from venus_spark.oracle import compare, duckdb_connect
     from venus_spark.plans import all_plans
     from venus_spark.session import get_spark
@@ -87,6 +171,7 @@ def main() -> int:
     from venus_spark.streaming import (
         EVENTS_STREAM_SCHEMA,
         events_stream_sink_dir,
+        start_documents_ingest,
         start_events_rollup_ingest,
     )
 
@@ -109,9 +194,14 @@ def main() -> int:
             os.symlink(src, os.path.join(sf, f"{t}.parquet"))
 
     try:
+        plans = all_plans()
+        results = {}
+        ok = True
+
+        # ------------------------------------------------------ events leg
         landing = os.path.join(work, "landing")
         os.makedirs(landing)
-        for i, batch in enumerate(_BATCHES):
+        for i, batch in enumerate(_EVENT_BATCHES):
             with open(os.path.join(landing, f"b{i}.jsonl"), "w") as f:
                 f.write("\n".join(json.dumps(e) for e in batch))
         sink = events_stream_sink_dir(sf)
@@ -124,12 +214,47 @@ def main() -> int:
             trigger_seconds=None,  # availableNow: drain and stop
         )
         if not q.awaitTermination(300):
-            print(json.dumps({"error": "ingest did not drain in 300 s"}))
+            print(json.dumps({"error": "events ingest did not drain in 300 s"}))
             return 1
 
-        # the oracle's world: events = base UNION ALL the sink's facts
-        # (the _batch_id partition dirs are layout, not data — the
-        # non-hive read keeps them out)
+        # -------------------------------------------------- documents leg
+        # base document indexes FIRST (the pending lists append to
+        # them; a deployment prepares before it streams)
+        prepared.documents_postings(spark, sf)
+        prepared.documents_trgm_postings(spark, sf)
+        prepared.documents_minhash(spark, sf)
+        doc_rows = _doc_rows(spark, sf)
+        doc_landing = os.path.join(work, "doc_landing")
+        os.makedirs(doc_landing)
+        halves = (doc_rows[: len(doc_rows) // 2], doc_rows[len(doc_rows) // 2:])
+        for i, chunk in enumerate(halves):
+            with open(os.path.join(doc_landing, f"d{i}.jsonl"), "w") as f:
+                f.write("\n".join(json.dumps(r) for r in chunk))
+        from venus_spark.streaming import documents_stream_sink_dir
+
+        # the CONVENTIONAL sink location: the live fuzzy plan's verify
+        # unions this sink's documents with the base corpus
+        doc_sink = documents_stream_sink_dir(sf)
+        doc_schema = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")
+        ).schema
+        q2 = start_documents_ingest(
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(doc_landing),
+            sink_dir=doc_sink,
+            checkpoint_dir=os.path.join(work, "doc_ckpt"),
+            index_sf_dir=sf,
+            trigger_seconds=None,  # availableNow; NO merge — the pending
+            # union is exactly the path this artifact certifies
+        )
+        if not q2.awaitTermination(300):
+            print(json.dumps({"error": "docs ingest did not drain in 300 s"}))
+            return 1
+
+        # the oracle's world: base UNION ALL each sink's rows (the
+        # _batch_id partition dirs are layout, not data — the non-hive
+        # read keeps them out)
         con = duckdb_connect(sf)
         cols = "event_id, ts, user_id, event_type, value, props"
         con.execute(
@@ -141,30 +266,80 @@ def main() -> int:
                 '{os.path.join(sink, "events")}/*/*.parquet')
             """
         )
+        dcols = "doc_id, text, lang, source, n_chars"
+        con.execute(
+            f"""
+            CREATE OR REPLACE VIEW documents AS
+            SELECT {dcols} FROM '{os.path.join(sf, "documents.parquet")}'
+            UNION ALL
+            SELECT {dcols} FROM read_parquet(
+                '{os.path.join(doc_sink, "documents")}/*/*.parquet')
+            """
+        )
 
-        plans = all_plans()
-        results = {}
-        ok = True
-        for name in LIVE_PLANS:
+        for name in EVENT_LIVE_PLANS + tuple(_DOC_PROOFS) + _FUZZY_LIVE[:1]:
             r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
             results[name] = to_record(r)
             ok = ok and r.ok
 
-        # prove the UNION path (not the degraded branch) answered: the
-        # prepared twin cannot see the streamed matches pre-merge
+        # prove the UNION path (not the degraded branch) answered.
+        # events: the prepared twin cannot see the streamed matches
         cold = plans["json_containment_indexed"].fn(spark, sf).count()
         live = plans["json_containment_indexed_live"].fn(spark, sf).count()
-        union_engaged = live == cold + _EXPECT_NEW_MATCHES
+        union_engaged = live == cold + _EXPECT_NEW_EVENT_MATCHES
         ok = ok and union_engaged
 
+        # documents: per live plan, its streamed needle doc is in the
+        # live result and ABSENT from the prepared twin's
+        doc_proofs = {}
+        for name, (cold_name, id_col, needle) in _DOC_PROOFS.items():
+            cold_ids = {
+                int(r[id_col])
+                for r in plans[cold_name].fn(spark, sf).collect()
+            }
+            live_ids = {
+                int(r[id_col])
+                for r in plans[name].fn(spark, sf).collect()
+            }
+            engaged = needle in live_ids and needle not in cold_ids
+            doc_proofs[name] = {
+                "cold_plan": cold_name,
+                "needle_doc_id": needle,
+                "cold_rows": len(cold_ids),
+                "live_rows": len(live_ids),
+                "union_path_engaged": engaged,
+            }
+            ok = ok and engaged
+        # fuzzy aggregates to (lang, n_docs): the streamed 'hash join'
+        # document adds exactly one 'en' match over the cold twin
+        fz_live, fz_cold = (
+            {
+                r["lang"]: int(r["n_docs"])
+                for r in plans[n].fn(spark, sf).collect()
+            }
+            for n in _FUZZY_LIVE
+        )
+        fz_engaged = fz_live.get("en", 0) == fz_cold.get("en", 0) + 1
+        doc_proofs[_FUZZY_LIVE[0]] = {
+            "cold_plan": _FUZZY_LIVE[1],
+            "proof": "en n_docs == cold + 1 (streamed 'hash join' doc)",
+            "cold_en": fz_cold.get("en", 0),
+            "live_en": fz_live.get("en", 0),
+            "union_path_engaged": fz_engaged,
+        }
+        ok = ok and fz_engaged
+
         out = {
-            "mode": "streamed-sink union (VERDICT r8 #6)",
+            "mode": "streamed-sink union (VERDICT r8 #6 events, r9 #2 documents)",
             "base_sf": args.sf,
-            "streamed_batches": len(_BATCHES),
-            "streamed_events": sum(len(b) for b in _BATCHES),
+            "streamed_event_batches": len(_EVENT_BATCHES),
+            "streamed_events": sum(len(b) for b in _EVENT_BATCHES),
+            "streamed_doc_batches": len(halves),
+            "streamed_documents": len(doc_rows),
             "containment_cold_rows": cold,
             "containment_live_rows": live,
             "union_path_engaged": union_engaged,
+            "doc_union_proofs": doc_proofs,
             "plans": results,
         }
         with open(args.out, "w") as f:
@@ -175,9 +350,16 @@ def main() -> int:
                 {
                     "plans": len(results),
                     "failures": sum(
-                        1 for n in LIVE_PLANS if not results[n]["hash_match"]
+                        1
+                        for n in results
+                        if not results[n]["hash_match"]
                     ),
                     "union_path_engaged": union_engaged,
+                    "doc_proofs_engaged": sum(
+                        1
+                        for p in doc_proofs.values()
+                        if p["union_path_engaged"]
+                    ),
                     "elapsed_sec": round(time.time() - t0, 1),
                     "out": args.out,
                 }

@@ -398,6 +398,73 @@ def test_trgm_postings_stream_maintenance_and_in_service_merge(
     assert rows(prepared.documents_trgm_postings_live, sf2) == expect
 
 
+def test_fuzzy_live_plan_returns_streamed_document_pre_merge(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #2 follow-through: ``fuzzy_trgm_postings_live`` is
+    the one live plan whose answer needs document TEXT — its exact
+    ILIKE verify used to read only the BASE corpus, so a streamed
+    document could become a candidate (its trigrams are in the live
+    postings) yet silently vanish from the result. With the
+    conventional streamed sink (``documents_stream_sink_dir``) and the
+    ``live_documents`` union it must surface pre-merge; a dir with no
+    sink degrades to exactly the base plan."""
+    from venus_spark.plans import all_plans
+    from venus_spark.streaming import (
+        documents_stream_sink_dir,
+        live_documents,
+        start_documents_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, _new = _split_docs(spark, tmp_path)
+    prepared.documents_trgm_postings(spark, sf)
+    plans = all_plans()
+
+    # quiescent dir: no sink -> live == prepared, corpus == base
+    assert live_documents(spark, sf).count() == 30
+    cold = {
+        r["lang"]: r["n_docs"]
+        for r in plans["fuzzy_trgm_postings_live"].fn(spark, sf).collect()
+    }
+    assert cold == {
+        r["lang"]: r["n_docs"]
+        for r in plans["fuzzy_trgm_postings"].fn(spark, sf).collect()
+    }
+
+    # stream one matching document into the CONVENTIONAL sink
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    needle = dict(
+        doc_id=990_001,
+        text="the planner picked a hash join for the probe side",
+        lang="en",
+        source="stream",
+        n_chars=50,
+    )
+    (landing / "b0.json").write_text(json.dumps(needle) + "\n")
+    q = start_documents_ingest(
+        spark.readStream.schema(docs.schema).json(str(landing)),
+        sink_dir=documents_stream_sink_dir(sf),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_sf_dir=sf,
+        trigger_seconds=None,
+    )
+    q.awaitTermination()
+
+    assert live_documents(spark, sf).count() == 31
+    live = {
+        r["lang"]: r["n_docs"]
+        for r in plans["fuzzy_trgm_postings_live"].fn(spark, sf).collect()
+    }
+    assert live.get("en", 0) == cold.get("en", 0) + 1
+    # the BASE plan remains blind to the sink until a re-land/merge
+    assert cold == {
+        r["lang"]: r["n_docs"]
+        for r in plans["fuzzy_trgm_postings"].fn(spark, sf).collect()
+    }
+
+
 def test_streamed_docs_surface_in_live_bm25_before_any_merge(
     spark, tmp_path, monkeypatch
 ):

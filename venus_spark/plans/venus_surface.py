@@ -745,23 +745,37 @@ def fuzzy_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``prepared.documents_trgm_postings_live``: base ∪ not-yet-merged
     streaming batches) — certifying that the streaming read path of the
     trigram index degrades to the prepared one on a quiescent corpus,
-    exactly like ``bm25_topk_live`` does for the term postings; the
-    with-pending half of the contract is stream-tested."""
+    exactly like ``bm25_topk_live`` does for the term postings. The
+    exact-ILIKE verify reads the LIVE corpus (base ∪ the conventional
+    streamed-documents sink, :func:`venus_spark.streaming
+    .live_documents`) — this is the one live plan whose answer needs
+    document TEXT, and verifying against the base table alone silently
+    excluded every streamed document (VERDICT r9 #2, closed this
+    round; the streamed mirror's documents leg union-certifies it)."""
     from venus_spark.prepared import documents_trgm_postings_live
+    from venus_spark.streaming import live_documents
 
     return _fuzzy_from_trgm_postings(
-        spark, sf_dir, documents_trgm_postings_live(spark, sf_dir)
+        spark,
+        sf_dir,
+        documents_trgm_postings_live(spark, sf_dir),
+        docs=live_documents(spark, sf_dir),
     )
 
 
 def _fuzzy_from_trgm_postings(
-    spark: SparkSession, sf_dir: str, post: DataFrame
+    spark: SparkSession, sf_dir: str, post: DataFrame,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation + verify shared by the prepared and live
-    trigram-postings plans — one copy so the access path cannot fork."""
+    trigram-postings plans — one copy so the access path cannot fork.
+    ``docs`` is the corpus relation the verify runs over (default: the
+    base table; the live plan passes base ∪ streamed sink so streamed
+    candidates can actually be verified and returned)."""
     from venus_spark.operators.text import trigrams_of
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     cands = []
     unpruned = []  # patterns with no trigrams verify everywhere
     for pattern in _PATTERNS:
