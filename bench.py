@@ -33,6 +33,15 @@ from venus_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
+# comma-separated plan names: restrict the run (targeted re-measures
+# with the exact harness — same warmup, same noop sink, same stamps).
+# A restricted run is for PERF.md mover adjudication, never a BENCH
+# artifact: the headline is only comparable across FULL-registry runs.
+ONLY = {
+    n.strip()
+    for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+    if n.strip()
+}
 
 
 def sf_from_dir(path: str) -> float:
@@ -77,6 +86,13 @@ def main() -> None:
     from venus_spark.prepared import prepare_all
 
     prepare_all(spark, SF_DIR)
+
+    if ONLY:
+        missing = ONLY - set(plans)
+        if missing:
+            print(f"bench: unknown plan(s) {sorted(missing)}", file=sys.stderr)
+            raise SystemExit(2)
+        plans = {n: p for n, p in plans.items() if n in ONLY}
 
     total0 = time.perf_counter()
     for name, p in sorted(plans.items()):
