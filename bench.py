@@ -70,8 +70,18 @@ def main() -> None:
     # load averages at start/end make "was the host busy?" a one-field
     # check on every future artifact.
     load_start = _host_load()
-    spark = get_spark(app_name="venus_spark_bench")
     plans = all_plans()
+    # validate the restriction BEFORE paying Spark startup + warmup +
+    # prepare_all — a typo'd name must fail in milliseconds, and a
+    # restricted run must be visible in the artifact itself ("only"
+    # field below), not just in the invoker's shell history.
+    if ONLY:
+        missing = ONLY - set(plans)
+        if missing:
+            print(f"bench: unknown plan(s) {sorted(missing)}", file=sys.stderr)
+            raise SystemExit(2)
+        plans = {n: p for n, p in plans.items() if n in ONLY}
+    spark = get_spark(app_name="venus_spark_bench")
     timings: dict[str, float] = {}
 
     # Warm the JVM + parquet footers once so q1 doesn't pay startup cost.
@@ -86,13 +96,6 @@ def main() -> None:
     from venus_spark.prepared import prepare_all
 
     prepare_all(spark, SF_DIR)
-
-    if ONLY:
-        missing = ONLY - set(plans)
-        if missing:
-            print(f"bench: unknown plan(s) {sorted(missing)}", file=sys.stderr)
-            raise SystemExit(2)
-        plans = {n: p for n, p in plans.items() if n in ONLY}
 
     total0 = time.perf_counter()
     for name, p in sorted(plans.items()):
@@ -128,6 +131,7 @@ def main() -> None:
             "end": _host_load(),
             "cpus": os.cpu_count() or -1,
         },
+        only=sorted(ONLY) if ONLY else None,
     )
 
 
@@ -137,6 +141,7 @@ def print_result_lines(
     repeat: int,
     sf: float,
     load: dict | None = None,
+    only: list[str] | None = None,
 ) -> None:
     """Emit the two output lines (factored so the tail contract is
     unit-testable without running plans):
@@ -164,6 +169,11 @@ def print_result_lines(
                 "load_start": load.get("start"),
                 "load_end": load.get("end"),
                 "host_cpus": load.get("cpus"),
+                # non-null ONLY marks a RESTRICTED re-measure run: its
+                # headline covers just these plans and must never be
+                # compared against a full-registry artifact (review
+                # r10 #4 — provenance is a one-field check, like load)
+                "only": only,
                 "queries": timings,
                 # total_wall_sec spans the whole loop INCLUDING time a
                 # failed plan burned before throwing (its queries entry
@@ -195,6 +205,9 @@ def print_result_lines(
                 "load_start": load.get("start"),
                 "load_end": load.get("end"),
                 "host_cpus": load.get("cpus"),
+                # bounded like the failed list: a count plus a prefix
+                "n_only": len(only) if only else 0,
+                "only": (only or [])[:10] or None,
                 "summary_of": "per-plan timings on the first output line",
             },
             separators=(",", ":"),

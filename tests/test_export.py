@@ -251,6 +251,10 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
         assert rec["load_start"] == [1.23, 4.56, 7.89]
         assert rec["load_end"] == [0.12, 3.45, 6.78]
         assert rec["host_cpus"] == 32
+    # a FULL run stamps only=None — a restricted (SPARK_GRAFT_ONLY)
+    # re-measure stamps the plan list, so the two are distinguishable
+    # from the artifact alone (review r10 #4)
+    assert full["only"] is None and summary["only"] is None
     assert len(last_line) < 1900  # headroom inside any 2000-char capture
     # omitted load (an old caller) keeps the contract parseable
     buf2 = io.StringIO()

@@ -871,6 +871,7 @@ def test_sink_repair_heals_lost_checkpoint_divergence(spark, tmp_path):
         "dfreq_repaired": [],
         "stale_repaired": [],
         "orphans_removed": {},
+        "receipts_refreshed": [],
     }
 
     # review r8 pass-3 #5: a reused batch id (checkpoint loss) that
@@ -1278,6 +1279,21 @@ def test_replay_rewrite_same_rows_not_stale_phantom_excluded(
         != rec0["events_kv_postings"]["files"]
     )  # names DID change — only the digest can clear the batch
     # NOT stale: the digest matches, the batch's keys stay served
+    assert sink_kv_exclusions(sink) == set()
+    assert freqs() == healthy
+
+    # ...but the audit names the drift and the repair refreshes the
+    # receipt (review r10 #2: without this, a replay that crashed
+    # before its own receipt refresh would leave every future check
+    # re-paying the digest read forever)
+    from venus_spark.streaming import audit_events_sink, repair_events_sink
+
+    audit = audit_events_sink(sink)
+    assert audit["receipt_drift"] == [0] and audit["stale"] == []
+    rep0 = repair_events_sink(spark, sink)
+    assert rep0["receipts_refreshed"] == [0]
+    audit = audit_events_sink(sink)
+    assert audit["receipt_drift"] == [] and audit["stale"] == []
     assert sink_kv_exclusions(sink) == set()
     assert freqs() == healthy
 

@@ -162,26 +162,36 @@ def _missing_vector_layouts(sf: str) -> list[str]:
     ]
 
 
-def _vacuum_all_deletes(spark, sf: str) -> int:
+def _vacuum_all_deletes(spark, sf: str, include_documents: bool = True) -> int:
+    """``include_documents=False`` is the append-intent-wedge mode: the
+    document vacuum would refuse on the marker; the embeddings half has
+    no document-index dependency. ONE definition so a future index
+    family lands in both the healthy and the wedged nightly (review
+    r10 #3 — the hand-inlined wedge halves were re-creating the
+    duplicated-op-body divergence r8 pass-6 #7 closed)."""
     from venus_spark import prepared
 
-    return prepared.vacuum_document_tombstones(
-        spark, sf
-    ) + prepared.vacuum_embedding_tombstones(spark, sf)
+    n = prepared.vacuum_embedding_tombstones(spark, sf)
+    if include_documents:
+        n += prepared.vacuum_document_tombstones(spark, sf)
+    return n
 
 
-def _compact_all_postings(spark, sf: str) -> list[str]:
+def _compact_all_postings(
+    spark, sf: str, include_documents: bool = True
+) -> list[str]:
+    """Same wedge-mode contract as :func:`_vacuum_all_deletes`."""
     from venus_spark import prepared
 
-    return [
-        name
-        for name, fn in (
+    families = [
+        ("events_kv_postings", prepared.compact_events_kv_postings),
+    ]
+    if include_documents:
+        families = [
             ("documents_postings", prepared.compact_documents_postings),
             ("documents_trgm_postings", prepared.compact_documents_trgm_postings),
-            ("events_kv_postings", prepared.compact_events_kv_postings),
-        )
-        if fn(spark, sf)
-    ]
+        ] + families
+    return [name for name, fn in families if fn(spark, sf)]
 
 
 def cmd_maintain(args) -> int:
@@ -379,6 +389,7 @@ def cmd_maintain(args) -> int:
                 or audit["dfreq_missing"]
                 or audit["orphans"]
                 or audit.get("stale")
+                or audit.get("receipt_drift")
             )
             if not diverged:
                 return "consistent"
@@ -387,27 +398,22 @@ def cmd_maintain(args) -> int:
                 f"repaired rollup={len(rep['rollup_repaired'])} "
                 f"kv={len(rep['kv_repaired'])} "
                 f"dfreq={len(rep['dfreq_repaired'])} "
-                f"stale={len(rep.get('stale_repaired', []))} orphans="
+                f"stale={len(rep.get('stale_repaired', []))} "
+                f"receipts={len(rep.get('receipts_refreshed', []))} "
+                "orphans="
                 + str(sum(len(v) for v in rep["orphans_removed"].values()))
             )
 
         step("sink-repair", sink_repair)
-        if wedge:
-            # the embeddings half has no document-index dependency;
-            # only the documents vacuum would hit the marker's refusal
-            step(
-                "vacuum-deletes",
-                lambda: (
-                    f"{prepared.vacuum_embedding_tombstones(spark, args.sf)}"
-                    " row(s) (embeddings only; documents skipped: "
-                    "append-intent marker)"
-                ),
-            )
-        else:
-            step(
-                "vacuum-deletes",
-                lambda: f"{_vacuum_all_deletes(spark, args.sf)} row(s)",
-            )
+        step(
+            "vacuum-deletes",
+            lambda: f"{_vacuum_all_deletes(spark, args.sf, include_documents=not wedge)} row(s)"
+            + (
+                " (embeddings only; documents skipped: append-intent marker)"
+                if wedge
+                else ""
+            ),
+        )
         absent = _missing_vector_layouts(args.sf)
         if not absent:
             step(
@@ -426,24 +432,18 @@ def cmd_maintain(args) -> int:
             steps.append(
                 "retrain-vectors skipped (missing " + ", ".join(absent) + ")"
             )
-        if wedge:
-            step(
-                "compact-postings",
-                lambda: (
-                    (
-                        "events_kv_postings"
-                        if prepared.compact_events_kv_postings(spark, args.sf)
-                        else "none"
+        step(
+            "compact-postings",
+            lambda: (
+                "+".join(
+                    _compact_all_postings(
+                        spark, args.sf, include_documents=not wedge
                     )
-                    + " (documents skipped: append-intent marker)"
-                ),
+                )
+                or "none"
             )
-        else:
-            step(
-                "compact-postings",
-                lambda: "+".join(_compact_all_postings(spark, args.sf))
-                or "none",
-            )
+            + (" (documents skipped: append-intent marker)" if wedge else ""),
+        )
         if _os.path.exists(
             prepared.prepared_path(args.sf, "events_zorder.parquet")
         ):

@@ -1710,6 +1710,19 @@ def drop_event_chunks(
 
 _APPEND_INTENT = "_docs_append_intent.json"
 
+# ONE remediation text shared by the ensure-time refusal and the
+# nightly/audit finding (review r10 #6: two prose copies had already
+# drifted; conflicting recovery instructions are worse than none).
+_APPEND_INTENT_REMEDIATION = (
+    "restore the document indexes from a source of truth: if the base "
+    "table plus re-landable batches cover the corpus, remove the marker "
+    "and the document index artifacts, rebuild, and re-land every "
+    "post-base batch via append_documents_batch (which replays exactly). "
+    "No auto-repair is sound — a recompute from physical postings "
+    "violates the stored-stats/delete-sidecar/zero-token invariants. On "
+    "a streaming/merged deployment avoid plain append_documents entirely."
+)
+
 
 def _append_intent_path(sf_dir: str) -> str:
     return prepared_path(sf_dir, _APPEND_INTENT)
@@ -1737,15 +1750,7 @@ def append_intent_status(sf_dir: str) -> dict | None:
         "since": _dt.datetime.fromtimestamp(
             st.st_mtime, _dt.timezone.utc
         ).isoformat(timespec="seconds"),
-        "remediation": (
-            "restore the document indexes from a source of truth: if "
-            "the base table plus re-landable batches cover the corpus, "
-            "remove the marker and the document index artifacts, "
-            "rebuild, and re-land every post-base batch via "
-            "append_documents_batch (no auto-repair is sound — a "
-            "recompute from physical postings violates the stored-stats"
-            "/delete-sidecar/zero-token invariants)"
-        ),
+        "remediation": _APPEND_INTENT_REMEDIATION,
     }
 
 
@@ -1765,13 +1770,8 @@ def _refuse_if_append_intent(sf_dir: str) -> None:
             f"a plain append_documents for {sf_dir!r} is in flight or "
             "crashed mid-flight: the document indexes may disagree "
             "about the appended batch and the legacy mode-append path "
-            "has no batch record to replay. Remediation: restore the "
-            "indexes from a source of truth — if the base table plus "
-            "re-landable batches cover the corpus, remove the marker "
-            "and the document index artifacts, rebuild, and re-land "
-            "every post-base batch via append_documents_batch (which "
-            "replays exactly). On a streaming/merged deployment avoid "
-            "plain append_documents entirely."
+            "has no batch record to replay. Remediation: "
+            + _APPEND_INTENT_REMEDIATION
         )
 
 

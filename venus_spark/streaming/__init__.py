@@ -1006,7 +1006,14 @@ def _partition_content_digest(
                     hashlib.blake2b(payload, digest_size=8).digest(), "big"
                 )
                 n += 1
-    except OSError:
+    except Exception:
+        # conservative on ANY unreadable/undigestable partition, not
+        # just a vanished file: pyarrow raises ArrowInvalid (a
+        # ValueError) for truncated/corrupt parquet and per-file schema
+        # drift raises KeyError — exactly the out-of-band-surgery states
+        # this digest exists to flag, so they must degrade to "no
+        # claim" (caller treats the batch as stale / names-only), never
+        # crash the query path or the nightly audit (review r10 #1).
         return None
     return {"rows": n, "xor": acc}
 
@@ -1158,8 +1165,28 @@ def _stale_sink_ids(
     half-moved → subset digest or a vanished-file read) and legacy
     names-only receipts still read as stale until the receipt refresh
     — an instant, not the whole replay."""
-    out = set()
+    return _sink_receipt_divergence(sink_dir, tables)[0]
+
+
+def _sink_receipt_divergence(
+    sink_dir: str, tables: tuple[str, ...] = _FP_TABLES
+) -> tuple[set[int], set[int]]:
+    """One walk over the receipts classifying every name-mismatched
+    batch: ``(stale, drift)``. ``stale`` = some present partition's
+    ROWS differ from the receipt (phantom rewrite / surgery / legacy
+    names-only receipt — no digest to clear it). ``drift`` = every
+    name-mismatched partition digest-matched (a byte-identical replay
+    rewrite whose end-of-batch receipt refresh never ran — the replay
+    crashed after the rewrite, or surgery copied the partition
+    byte-identically). Drift batches are SERVED (their rows are the
+    landed rows) but each check re-pays the digest read until the
+    receipt is refreshed — the audit reports them and the repair
+    refreshes their receipts, restoring the r9 nightly self-heal the
+    digest rule would otherwise have removed (review r10 #2)."""
+    stale: set[int] = set()
+    drift: set[int] = set()
     for bid, fps in _read_batch_fp_record(sink_dir).items():
+        drifted = False
         for t in tables:
             cur = _table_partition_fp(sink_dir, t, bid)
             rec = fps.get(t, [])
@@ -1173,12 +1200,14 @@ def _stale_sink_ids(
                     and got["xor"] == rec["xor"]
                 ):
                     # byte-identical replay rewrite: fresh names, same
-                    # rows — the replay's own end-of-batch receipt
-                    # refresh makes the next check name-clean again
+                    # rows — not stale, but flag for a receipt refresh
+                    drifted = True
                     continue
-            out.add(bid)
+            stale.add(bid)
             break
-    return out
+        if drifted and bid not in stale:
+            drift.add(bid)
+    return stale, drift
 
 
 def sink_kv_exclusions(sink_dir: str) -> set[int]:
@@ -1319,7 +1348,7 @@ def audit_events_sink(sink_dir: str) -> dict:
     repair; the default repair now re-derives exactly those batches.
 
     Returns ``{"events": ids, "rollup_missing": ids, "kv_missing":
-    ids, "dfreq_missing": ids, "stale": ids,
+    ids, "dfreq_missing": ids, "stale": ids, "receipt_drift": ids,
     "orphans": {table: ids}}``."""
     ev = _sink_batch_ids(os.path.join(sink_dir, "events"))
     roll = _sink_batch_ids(os.path.join(sink_dir, "events_hourly_rollup"))
@@ -1332,12 +1361,18 @@ def audit_events_sink(sink_dir: str) -> dict:
     # different facts voids it). The repair persists the cleanup; the
     # audit just ignores stale entries.
     zero = _valid_zero_kv_ids(sink_dir, kv)
+    stale, drift = _sink_receipt_divergence(sink_dir)
     return {
         "events": sorted(ev),
         "rollup_missing": sorted(ev - roll),
         "kv_missing": sorted(ev - kv - zero),
         "dfreq_missing": sorted(ev - dfq - zero),
-        "stale": sorted(_stale_sink_ids(sink_dir) & ev),
+        "stale": sorted(stale & ev),
+        # name-drifted but digest-matched receipts (a replay that
+        # crashed after its rewrite, before its receipt refresh): the
+        # rows are served, but every guard/audit check re-pays the
+        # digest read until the repair refreshes the receipt
+        "receipt_drift": sorted(drift),
         "orphans": {
             t: sorted(ids - ev)
             for t, ids in (
@@ -1547,6 +1582,12 @@ def repair_events_sink(
     # the always-on guard covers repaired batches going forward; the
     # helper also prunes receipts whose partitions all vanished
     # (removed orphans)
+    # receipt-drift batches (review r10 #2): names drifted but the
+    # digest matched — the rows ARE the landed rows, so the only cure
+    # needed is a receipt refresh at the current file names (no
+    # re-derive), which stops every subsequent guard/audit check from
+    # re-paying the digest read
+    out["receipts_refreshed"] = list(report.get("receipt_drift", []))
     if not deep:
         # deep mode re-refreshes every batch's receipt below (a
         # superset) and the final prune drops removed orphans — the
@@ -1558,6 +1599,7 @@ def repair_events_sink(
             | set(out["kv_repaired"])
             | set(out["dfreq_repaired"])
             | set(out["stale_repaired"])
+            | set(out["receipts_refreshed"])
             | set(confirmed_zero)
             | {b for ids in out["orphans_removed"].values() for b in ids},
         )
