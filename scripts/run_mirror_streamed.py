@@ -109,7 +109,10 @@ _DOC_NEEDLES = {
     "kphrase": dict(doc_id=9_100_004, text=(
         "we ran one big order scan over the cold tier yesterday"
     )),
-    # dedup_minhash_lsh_live: text assigned at runtime = base doc 0
+    # dedup_minhash_lsh_live: text assigned at runtime — a VERBATIM
+    # copy of the first base doc containing NO fuzzy pattern (screened
+    # against the plan's own _PATTERNS so the copy cannot perturb the
+    # fuzzy +1 proof on an arbitrary --sf corpus)
     "neardup": dict(doc_id=9_100_006, text=None),
     "filler2": dict(doc_id=9_100_007, text=(
         "sourdough starter needs regular feeding and a warm shelf"
@@ -133,14 +136,24 @@ _FUZZY_LIVE = ("fuzzy_trgm_postings_live", "fuzzy_trgm_postings")
 
 
 def _doc_rows(spark, sf: str) -> list[dict]:
-    base0 = (
-        spark.read.parquet(os.path.join(sf, "documents.parquet"))
-        .filter("doc_id = 0")
-        .first()
-    )
+    from pyspark.sql import functions as F
+
+    from venus_spark.plans.venus_surface import _PATTERNS
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    # near-dup base: the first document matching NO fuzzy pattern, so
+    # its verbatim streamed copy cannot add a second fuzzy match and
+    # break the exact +1 proof (review r10 pass-2 #4 — doc 0 happens
+    # to be clean at the default sf, but that was data luck)
+    clean = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    for p in _PATTERNS:
+        clean = clean.filter(~F.col("text").ilike(p))
+    base = clean.orderBy("doc_id").first()
+    if base is None:
+        raise SystemExit("no pattern-free base document to copy")
     rows = []
     for key, spec in _DOC_NEEDLES.items():
-        text = spec["text"] if spec["text"] is not None else base0["text"]
+        text = spec["text"] if spec["text"] is not None else base["text"]
         rows.append(
             dict(
                 doc_id=spec["doc_id"],

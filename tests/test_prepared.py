@@ -2351,9 +2351,18 @@ def test_cli_maintain_auto_reports_append_intent_wedge(
     assert "documents skipped: append-intent marker" in out
     # the refusal's generic traceback text must NOT be the story
     assert "crashed mid-flight" not in out
-    # non-document steps still ran
-    assert "sweep-stagings" in out and "sink-repair" in out
-    assert "vacuum-deletes" in out and "compact-postings" in out
+    # non-document steps still ran AND succeeded (substring presence
+    # alone would also match a 'X FAILED (...)' line — review r10
+    # pass-2 #5: a non-document step growing a marker refusal must
+    # fail this test, not hide inside the wedge's expected rc=1)
+    for label in (
+        "sweep-stagings",
+        "sink-repair",
+        "vacuum-deletes",
+        "compact-postings",
+    ):
+        assert label in out
+        assert f"{label} FAILED" not in out
     # NO auto-repair: the marker is exactly where it was
     assert os.path.exists(marker)
     st = prepared.append_intent_status(sf)

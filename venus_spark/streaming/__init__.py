@@ -118,10 +118,15 @@ def documents_stream_sink_dir(sf_dir: str) -> str:
     :func:`events_stream_sink_dir`: the hot region whose ``documents``
     table any live read path that needs the CORPUS TEXT (today: the
     trigram fuzzy plan's exact-ILIKE verify; the index-only live plans
-    never need it) unions with the cold base table. Deployments point
-    ``start_documents_ingest(sink_dir=...)`` here; sf dirs that never
-    streamed simply have no directory and :func:`live_documents`
-    degrades to the base table alone.
+    never need it) unions with the cold base table. The default; a
+    deployment streaming to a CUSTOM ``sink_dir`` is covered too —
+    ``start_documents_ingest`` records its sink location in a pointer
+    next to the index artifacts (:data:`_DOC_SINK_POINTER`) and
+    :func:`live_documents` prefers the pointer, so the live verify can
+    never silently diverge from wherever the text actually lands
+    (review r10 pass-2 #2). sf dirs that never streamed simply have no
+    pointer/directory and :func:`live_documents` degrades to the base
+    table alone.
 
     Same contract as the events sink: base and sink are DISJOINT by
     doc_id, and an operator who re-lands streamed batches into the base
@@ -132,9 +137,43 @@ def documents_stream_sink_dir(sf_dir: str) -> str:
     return prepared_path(sf_dir, "documents_stream")
 
 
+_DOC_SINK_POINTER = "_documents_stream_sink.json"
+
+
+def _record_doc_sink_pointer(index_sf_dir: str, sink_dir: str) -> None:
+    """Written by ``start_documents_ingest`` at stream start: the sink
+    location the live corpus union must read. Last-start-wins under
+    the single-writer contract (one documents stream per index dir);
+    tmp + atomic rename."""
+    from venus_spark.prepared import prepared_path
+
+    os.makedirs(prepared_path(index_sf_dir, ""), exist_ok=True)
+    p = prepared_path(index_sf_dir, _DOC_SINK_POINTER)
+    with open(p + ".tmp", "w") as f:
+        json.dump({"sink_dir": os.path.abspath(sink_dir)}, f)
+    os.replace(p + ".tmp", p)
+
+
+def _doc_sink_dir(sf_dir: str) -> str:
+    """The streamed-documents sink for ``sf_dir``: the recorded
+    pointer when one exists (a deployment's actual sink), else the
+    conventional location. A torn/malformed pointer falls back to the
+    convention — absence of a claim, never a crash."""
+    from venus_spark.prepared import prepared_path
+
+    try:
+        with open(prepared_path(sf_dir, _DOC_SINK_POINTER)) as f:
+            recorded = json.load(f).get("sink_dir")
+        if isinstance(recorded, str) and recorded:
+            return recorded
+    except (OSError, ValueError, AttributeError):
+        pass
+    return documents_stream_sink_dir(sf_dir)
+
+
 def live_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LIVE document corpus: base table ∪ the conventional
-    streamed sink's documents (:func:`documents_stream_sink_dir`) —
+    """The LIVE document corpus: base table ∪ the streamed sink's
+    documents (the recorded pointer, else the conventional location) —
     the corpus relation behind live plans that must touch document
     TEXT, exactly as the ``documents_*_live`` index views are base ∪
     pending for index rows. Without this union a live plan's exact
@@ -145,14 +184,10 @@ def live_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.sources import load_table
 
     base = load_table(spark, sf_dir, "documents")
-    sink = documents_stream_sink_dir(sf_dir)
+    sink = _doc_sink_dir(sf_dir)
     if not _sink_table_has_data(sink, "documents"):
         return base
-    streamed = (
-        spark.read.parquet(os.path.join(sink, "documents"))
-        .drop("_batch_id")
-        .select(*base.columns)
-    )
+    streamed = read_sink_table(spark, sink, "documents").select(*base.columns)
     return base.unionByName(streamed)
 
 
@@ -569,6 +604,10 @@ def start_documents_ingest(
         finally:
             batch.unpersist()
 
+    # record where this stream lands document TEXT so the live corpus
+    # union (live_documents) follows the deployment's actual sink, not
+    # just the conventional default (review r10 pass-2 #2)
+    _record_doc_sink_pointer(index_sf_dir, sink_dir)
     writer = (
         source.writeStream.queryName("documents_ingest")
         .foreachBatch(write_batch)
@@ -957,21 +996,28 @@ def _partition_content_digest(
     sink_dir: str, table: str, bid: int, files: list[str]
 ) -> dict | None:
     """Order-independent ROW-CONTENT digest of a batch partition
-    (VERDICT r9 #1): ``{"rows": n, "xor": folded per-row hash}`` over
+    (VERDICT r9 #1): ``{"rows": n, "sum": folded per-row hash}`` over
     exactly ``files``. File names are write-generation identity
-    (every rewrite mints fresh uuids); this digest is row-set identity
-    — it distinguishes a byte-identical checkpoint REPLAY rewrite
-    (same rows, new names → same digest) from a reused batch id's
-    PHANTOM rewrite (different rows → different digest), which file
-    names alone cannot.
+    (every rewrite mints fresh uuids); this digest is row-MULTISET
+    identity — it distinguishes a byte-identical checkpoint REPLAY
+    rewrite (same rows, new names → same digest) from a reused batch
+    id's PHANTOM rewrite (different rows → different digest), which
+    file names alone cannot.
 
-    Discipline mirrors the export manifest's shard digests
+    Discipline adapted from the export manifest's shard digests
     (``export._shard_digests``): hash each row independently, fold
-    with XOR so the digest is independent of row order AND of how the
-    rewrite redistributed rows across files; the row count rides along
-    because XOR alone cancels even multiplicities. Same threat model
-    as the export: accidental divergence (replay, partial rewrite,
-    surgery), not an adversary forging equal-XOR row sets.
+    order-independently so the digest ignores row order AND how the
+    rewrite redistributed rows across files. The fold is a modular SUM
+    (2^64), NOT the export's XOR (review r10 pass-2 #1): XOR cancels
+    even multiplicities, so a phantom differing only in a duplicated
+    row pair ([X,X,Y] → [Z,Z,Y]) would digest-equal and be BLESSED as
+    a benign replay — under SUM, multiplicity changes move the value.
+    (The export tolerates that residue because its rows are unique
+    JSONL lines; receipts certify arbitrary row multisets.) Python
+    ints make the modular sum exact where Spark's ANSI long SUM would
+    raise on wrap. Threat model unchanged: accidental divergence
+    (replay, partial rewrite, surgery), not an adversary forging
+    equal-sum row sets.
 
     Computed DRIVER-side with pyarrow — a ``_batch_id`` partition is
     micro-batch-sized by construction (the trigger caps it), so the
@@ -981,20 +1027,24 @@ def _partition_content_digest(
     in progress — never the healthy path). Measured ~270k rows/s on
     this host (ms for typical micro-batches, ~2 s for a 500k-row kv
     partition); a deployment with much larger triggers would compute
-    the write-side digest as a distributed ``bit_xor(xxhash64(...))``
+    the write-side digest as a distributed ``sum(xxhash64(...))``-mod-2^64
     aggregate instead — the record format already carries everything
     that needs. Rows canonicalize by sorted column name, so column
     order across rewrites is immaterial. Returns None when a file
     vanished mid-read (a rewrite's commit instant): the caller treats
     the batch conservatively."""
-    import hashlib
-
-    import pyarrow.parquet as pq
-
     part = os.path.join(sink_dir, table, f"_batch_id={bid}")
     acc = 0
     n = 0
     try:
+        # imports INSIDE the no-claim envelope (review r10 pass-2 #3):
+        # the digest is an enhancement over the names-only receipt, so
+        # even a missing pyarrow must degrade, never crash the ingest
+        # receipt write or the key-plan query guard
+        import hashlib
+
+        import pyarrow.parquet as pq
+
         for fname in files:
             tbl = pq.read_table(os.path.join(part, fname))
             cols = sorted(tbl.column_names)
@@ -1002,9 +1052,10 @@ def _partition_content_digest(
                 payload = repr([row[c] for c in cols]).encode(
                     "utf-8", "backslashreplace"
                 )
-                acc ^= int.from_bytes(
+                h = int.from_bytes(
                     hashlib.blake2b(payload, digest_size=8).digest(), "big"
                 )
+                acc = (acc + h) % (1 << 64)
                 n += 1
     except Exception:
         # conservative on ANY unreadable/undigestable partition, not
@@ -1015,7 +1066,7 @@ def _partition_content_digest(
         # claim" (caller treats the batch as stale / names-only), never
         # crash the query path or the nightly audit (review r10 #1).
         return None
-    return {"rows": n, "xor": acc}
+    return {"rows": n, "sum": acc}
 
 
 # ---------------------------------------------------------------------------
@@ -1040,7 +1091,7 @@ def _read_batch_fp_record(sink_dir: str) -> dict[int, dict]:
     """Per-batch fingerprint receipts ``{bid: {table: fingerprint}}``
     written by the stream after each fully-landed batch (and by the
     repair after healing one). A fingerprint is ``{"files": sorted
-    names, "rows": n, "xor": content digest}`` (VERDICT r9 #1); legacy
+    names, "rows": n, "sum": content digest}`` (VERDICT r9 #1); legacy
     receipts (bare sorted-name lists, pre-digest format) stay readable
     and compare by name only — conservative, exactly the r9 behavior.
     ADVISORY by construction: a missing/torn record makes no claim
@@ -1156,7 +1207,7 @@ def _stale_sink_ids(
     the r9 KNOWN CONSERVATIVE WINDOW): a checkpoint REPLAY of a
     fully-landed batch rewrites its partitions with fresh uuid file
     names but byte-identical rows, so a digest-bearing receipt gets a
-    content recompute — digest match (rows AND xor) means the rewrite
+    content recompute — digest match (rows AND sum) means the rewrite
     is the replay's legitimate re-land and the batch is NOT excluded;
     digest mismatch means a phantom injection and it is. The digest
     recompute runs ONLY on name-mismatched partitions (never the
@@ -1192,12 +1243,15 @@ def _sink_receipt_divergence(
             rec = fps.get(t, [])
             if not cur or cur == _record_fingerprint(rec):
                 continue
-            if isinstance(rec, dict):
+            if isinstance(rec, dict) and "sum" in rec:
+                # (a digest-bearing dict missing "sum" — e.g. the
+                # pre-pass-2 "xor" field — is treated as names-only:
+                # conservative, like a legacy receipt)
                 got = _partition_content_digest(sink_dir, t, bid, cur)
                 if (
                     got is not None
                     and got["rows"] == rec["rows"]
-                    and got["xor"] == rec["xor"]
+                    and got["sum"] == rec["sum"]
                 ):
                     # byte-identical replay rewrite: fresh names, same
                     # rows — not stale, but flag for a receipt refresh
