@@ -1188,6 +1188,58 @@ def test_sink_fingerprint_guard_excludes_orphans(spark, tmp_path, monkeypatch):
     assert "phantom" not in keys() and "phantom2" not in keys()
 
 
+def test_malformed_receipt_entries_degrade_never_crash(tmp_path):
+    """Review r10 pass-3 #1: receipts are ADVISORY — a foreign or
+    hand-repaired entry shape (dict missing 'rows'/'files', non-list
+    files, the short-lived 'xor' field) must degrade to names-only /
+    conservative-stale, never raise into the query path or the
+    nightly audit. Pure-metadata test: no Spark session needed."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from venus_spark.streaming import (
+        _sink_receipt_divergence,
+        sink_kv_exclusions,
+    )
+
+    sink = str(tmp_path / "sink")
+    for table, bid in (("events", 0), ("events_kv_postings", 0)):
+        part = os.path.join(sink, table, f"_batch_id={bid}")
+        os.makedirs(part)
+        pq.write_table(
+            pa.table({"kv": ["k=1"], "event_id": [1]}),
+            os.path.join(part, "data.parquet"),
+        )
+
+    def write_record(entry):
+        with open(os.path.join(sink, "_batch_fingerprints.json"), "w") as f:
+            _json.dump({"0": {"events_kv_postings": entry}}, f)
+
+    # every malformed shape: no crash, batch reads as stale
+    # (name-mismatch with no usable digest = conservative)
+    for entry in (
+        {"sum": 1},                               # missing files + rows
+        {"files": ["other.parquet"], "sum": 2},   # missing rows
+        {"files": ["other.parquet"], "rows": 1, "xor": 3},  # old field
+        {"files": "not-a-list", "rows": 1, "sum": 4},
+        None,
+        "garbage",
+    ):
+        write_record(entry)
+        stale, drift = _sink_receipt_divergence(sink)
+        assert stale == {0} and drift == set()
+        assert 0 in sink_kv_exclusions(sink)
+
+    # and a well-formed digest entry at WRONG row count short-circuits
+    # to stale via the footer gate (no hashing needed to prove it)
+    write_record({"files": ["other.parquet"], "rows": 99, "sum": 5})
+    stale, drift = _sink_receipt_divergence(sink)
+    assert stale == {0} and drift == set()
+
+
 def test_replay_rewrite_same_rows_not_stale_phantom_excluded(
     spark, tmp_path, monkeypatch
 ):

@@ -992,6 +992,29 @@ def _facts_partition_fp(sink_dir: str, bid: int) -> list[str]:
     return _table_partition_fp(sink_dir, "events", bid)
 
 
+def _partition_footer_rows(
+    sink_dir: str, table: str, bid: int, files: list[str]
+) -> int | None:
+    """Total row count of a batch partition from the parquet FOOTERS
+    alone — the metadata-only first gate of the staleness check
+    (review r10 pass-3 #3): a phantom rewrite usually changes the row
+    count, and footers prove that in O(files) without reading a single
+    data page, so the per-row digest pass is reserved for partitions
+    whose counts agree. Same no-claim envelope as the digest: any
+    failure returns None and the caller falls through to the full
+    read (which itself degrades conservatively)."""
+    part = os.path.join(sink_dir, table, f"_batch_id={bid}")
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(part, f)).metadata.num_rows
+            for f in files
+        )
+    except Exception:
+        return None
+
+
 def _partition_content_digest(
     sink_dir: str, table: str, bid: int, files: list[str]
 ) -> dict | None:
@@ -1108,9 +1131,16 @@ def _read_batch_fp_record(sink_dir: str) -> dict[int, dict]:
 
 
 def _record_fingerprint(rec) -> list[str]:
-    """The file-name component of a receipt entry — handles both the
-    digest-bearing dict format and the legacy bare-list format."""
-    return rec["files"] if isinstance(rec, dict) else (rec or [])
+    """The file-name component of a receipt entry — handles the
+    digest-bearing dict format, the legacy bare-list format, and any
+    foreign/hand-repaired dict shape (receipts are ADVISORY: a
+    malformed entry must degrade to no-names — which reads as a
+    mismatch wherever files exist, i.e. conservative — never raise
+    into the query path, review r10 pass-3 #1)."""
+    if isinstance(rec, dict):
+        files = rec.get("files")
+        return files if isinstance(files, list) else []
+    return rec if isinstance(rec, list) else []
 
 
 def _write_batch_fp_record(sink_dir: str, record: dict[int, dict]) -> None:
@@ -1243,20 +1273,35 @@ def _sink_receipt_divergence(
             rec = fps.get(t, [])
             if not cur or cur == _record_fingerprint(rec):
                 continue
-            if isinstance(rec, dict) and "sum" in rec:
-                # (a digest-bearing dict missing "sum" — e.g. the
-                # pre-pass-2 "xor" field — is treated as names-only:
+            want_rows, want_sum = (
+                (rec.get("rows"), rec.get("sum"))
+                if isinstance(rec, dict)
+                else (None, None)
+            )
+            if isinstance(want_rows, int) and isinstance(want_sum, int):
+                # (a dict missing either field — the short-lived "xor"
+                # format, a hand-repaired record — is names-only:
                 # conservative, like a legacy receipt)
-                got = _partition_content_digest(sink_dir, t, bid, cur)
-                if (
-                    got is not None
-                    and got["rows"] == rec["rows"]
-                    and got["sum"] == rec["sum"]
-                ):
-                    # byte-identical replay rewrite: fresh names, same
-                    # rows — not stale, but flag for a receipt refresh
-                    drifted = True
-                    continue
+                #
+                # metadata short-circuit (review r10 pass-3 #3): a
+                # PHANTOM rewrite usually changes the row count, which
+                # the parquet footers give without reading data — a
+                # mismatched count proves stale in O(footers), so the
+                # per-row hashing pass is paid only when the counts
+                # agree (a replay, or a same-count phantom).
+                got_rows = _partition_footer_rows(sink_dir, t, bid, cur)
+                if got_rows is None or got_rows == want_rows:
+                    got = _partition_content_digest(sink_dir, t, bid, cur)
+                    if (
+                        got is not None
+                        and got["rows"] == want_rows
+                        and got["sum"] == want_sum
+                    ):
+                        # byte-identical replay rewrite: fresh names,
+                        # same rows — not stale, but flag for a
+                        # receipt refresh
+                        drifted = True
+                        continue
             stale.add(bid)
             break
         if drifted and bid not in stale:
