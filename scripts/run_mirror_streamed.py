@@ -342,6 +342,33 @@ def main() -> int:
         }
         ok = ok and fz_engaged
 
+        # POST-MERGE leg: fold the pending lists (the VACUUM the
+        # deployment's cadence runs), then hash-certify the PREPARED
+        # twins against the SAME union oracle — the merged base index
+        # must serve the streamed documents exactly. Every index-
+        # complete family participates; fuzzy_trgm_postings (prepared)
+        # does not: its exact-ILIKE verify reads the base table by
+        # definition (streamed TEXT enters the base only when the
+        # operator re-lands the sink), so post-merge it still answers
+        # over the base corpus — the live twin above stays the serve
+        # path for streamed text, certified by its own row.
+        assert prepared.merge_minhash_pending(spark, sf) > 0
+        assert prepared.merge_postings_pending(spark, sf) > 0
+        assert prepared.merge_trgm_postings_pending(spark, sf) > 0
+        post_merge = {}
+        for name in (
+            "bm25_topk_prepared",
+            "boolean_search_prepared",
+            "proximity_search_prepared",
+            "phrase_search_kterm",
+            "dedup_minhash_lsh_prepared",
+        ):
+            r = compare(
+                name, plans[name].fn(spark, sf), con, plans[name].oracle
+            )
+            post_merge[name] = to_record(r)
+            ok = ok and r.ok
+
         out = {
             "mode": "streamed-sink union (VERDICT r8 #6 events, r9 #2 documents)",
             "base_sf": args.sf,
@@ -354,6 +381,7 @@ def main() -> int:
             "union_path_engaged": union_engaged,
             "doc_union_proofs": doc_proofs,
             "plans": results,
+            "post_merge_plans": post_merge,
         }
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
@@ -372,6 +400,9 @@ def main() -> int:
                         1
                         for p in doc_proofs.values()
                         if p["union_path_engaged"]
+                    ),
+                    "post_merge_green": sum(
+                        1 for r in post_merge.values() if r["hash_match"]
                     ),
                     "elapsed_sec": round(time.time() - t0, 1),
                     "out": args.out,
