@@ -352,9 +352,16 @@ def main() -> int:
         # operator re-lands the sink), so post-merge it still answers
         # over the base corpus — the live twin above stays the serve
         # path for streamed text, certified by its own row.
-        assert prepared.merge_minhash_pending(spark, sf) > 0
-        assert prepared.merge_postings_pending(spark, sf) > 0
-        assert prepared.merge_trgm_postings_pending(spark, sf) > 0
+        # merges bound to names (NOT bare asserts — python -O would
+        # strip the calls themselves, review r10 pass-4 #4)
+        moved = (
+            prepared.merge_minhash_pending(spark, sf),
+            prepared.merge_postings_pending(spark, sf),
+            prepared.merge_trgm_postings_pending(spark, sf),
+        )
+        if not all(m > 0 for m in moved):
+            print(json.dumps({"error": f"merge folded nothing: {moved}"}))
+            return 1
         post_merge = {}
         for name in (
             "bm25_topk_prepared",

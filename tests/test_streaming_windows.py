@@ -1214,11 +1214,27 @@ def test_malformed_receipt_entries_degrade_never_crash(tmp_path):
             os.path.join(part, "data.parquet"),
         )
 
-    def write_record(entry):
+    def write_record(entry, batch_level=None):
         with open(os.path.join(sink, "_batch_fingerprints.json"), "w") as f:
-            _json.dump({"0": {"events_kv_postings": entry}}, f)
+            # the events entry NAME-MATCHES the on-disk partition so
+            # the malformed kv entry is what drives classification —
+            # without it every case short-circuits to stale on the
+            # missing events claim and the code under test never runs
+            # (review r10 pass-4 #2: the first version of this test
+            # was vacuous exactly that way)
+            _json.dump(
+                {
+                    "0": batch_level
+                    if batch_level is not None
+                    else {
+                        "events": ["data.parquet"],
+                        "events_kv_postings": entry,
+                    }
+                },
+                f,
+            )
 
-    # every malformed shape: no crash, batch reads as stale
+    # every malformed ENTRY shape: no crash, batch reads as stale
     # (name-mismatch with no usable digest = conservative)
     for entry in (
         {"sum": 1},                               # missing files + rows
@@ -1233,11 +1249,35 @@ def test_malformed_receipt_entries_degrade_never_crash(tmp_path):
         assert stale == {0} and drift == set()
         assert 0 in sink_kv_exclusions(sink)
 
-    # and a well-formed digest entry at WRONG row count short-circuits
-    # to stale via the footer gate (no hashing needed to prove it)
+    # malformed BATCH-level values (bid mapped to a non-dict) degrade
+    # the same way (review r10 pass-4 #1)
+    for batch_level in (["data.parquet"], None, "garbage", 7):
+        write_record(None, batch_level=batch_level)
+        stale, drift = _sink_receipt_divergence(sink)
+        assert stale == {0} and drift == set()
+        assert 0 in sink_kv_exclusions(sink)
+
+    # a well-formed digest entry at WRONG row count short-circuits to
+    # stale via the footer gate (no data pages read to prove it)
     write_record({"files": ["other.parquet"], "rows": 99, "sum": 5})
     stale, drift = _sink_receipt_divergence(sink)
     assert stale == {0} and drift == set()
+
+    # and a well-formed entry whose names + digest MATCH reality is
+    # healthy — proving the loop really reaches the kv entry (the
+    # non-vacuity check for everything above)
+    from venus_spark.streaming import _partition_content_digest
+
+    good = _partition_content_digest(
+        sink, "events_kv_postings", 0, ["data.parquet"]
+    )
+    write_record({"files": ["data.parquet"], **good})
+    stale, drift = _sink_receipt_divergence(sink)
+    assert stale == set() and drift == set()
+    # same rows recorded under DIFFERENT names -> drift (digest clears)
+    write_record({"files": ["old-name.parquet"], **good})
+    stale, drift = _sink_receipt_divergence(sink)
+    assert stale == set() and drift == {0}
 
 
 def test_replay_rewrite_same_rows_not_stale_phantom_excluded(

@@ -158,7 +158,15 @@ def _doc_sink_dir(sf_dir: str) -> str:
     """The streamed-documents sink for ``sf_dir``: the recorded
     pointer when one exists (a deployment's actual sink), else the
     conventional location. A torn/malformed pointer falls back to the
-    convention — absence of a claim, never a crash."""
+    convention — absence of a claim, never a crash.
+
+    UPGRADE CAVEAT (review r10 pass-4 #3): the pointer is written by
+    ``start_documents_ingest`` (at start and re-healed per batch), so
+    a custom-sink stream still running PRE-pointer code has no record
+    — the live fuzzy verify sees only the base corpus until that
+    stream restarts once under current code. A process restart is how
+    new code reaches the stream anyway; restart it once after
+    upgrading."""
     from venus_spark.prepared import prepared_path
 
     try:
@@ -522,6 +530,14 @@ def start_documents_ingest(
 
         batch = batch.persist()
         try:
+            # re-heal the sink pointer if it vanished out-of-band (the
+            # start-time write is the normal path; this is O(1 stat)
+            # per batch and keeps the live corpus union aligned with
+            # where this stream actually lands text)
+            from venus_spark.prepared import prepared_path as _ppath
+
+            if not os.path.exists(_ppath(index_sf_dir, _DOC_SINK_POINTER)):
+                _record_doc_sink_pointer(index_sf_dir, sink_dir)
             batch_idx = None
             if screen_near_dups:
                 batch_idx = prepared._minhash_rows(batch).persist()
@@ -1267,6 +1283,15 @@ def _sink_receipt_divergence(
     stale: set[int] = set()
     drift: set[int] = set()
     for bid, fps in _read_batch_fp_record(sink_dir).items():
+        if not isinstance(fps, dict):
+            # batch-level malformed entry (hand-repaired/foreign
+            # record): advisory means degrade, never raise — with no
+            # usable per-table claims the batch is conservatively
+            # stale wherever any of its partitions exist (review r10
+            # pass-4 #1)
+            if any(_table_partition_fp(sink_dir, t, bid) for t in tables):
+                stale.add(bid)
+            continue
         drifted = False
         for t in tables:
             cur = _table_partition_fp(sink_dir, t, bid)
