@@ -397,10 +397,14 @@ def main() -> int:
             json.dumps(
                 {
                     "plans": len(results),
+                    # failures spans BOTH legs — a post-merge mismatch
+                    # must not print failures: 0 beside rc 1 (review
+                    # r10 pass-5 #3)
                     "failures": sum(
                         1
-                        for n in results
-                        if not results[n]["hash_match"]
+                        for recs in (results, post_merge)
+                        for n in recs
+                        if not recs[n]["hash_match"]
                     ),
                     "union_path_engaged": union_engaged,
                     "doc_proofs_engaged": sum(

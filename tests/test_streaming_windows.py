@@ -1214,7 +1214,9 @@ def test_malformed_receipt_entries_degrade_never_crash(tmp_path):
             os.path.join(part, "data.parquet"),
         )
 
-    def write_record(entry, batch_level=None):
+    _UNSET = object()
+
+    def write_record(entry, batch_level=_UNSET):
         with open(os.path.join(sink, "_batch_fingerprints.json"), "w") as f:
             # the events entry NAME-MATCHES the on-disk partition so
             # the malformed kv entry is what drives classification —
@@ -1225,7 +1227,7 @@ def test_malformed_receipt_entries_degrade_never_crash(tmp_path):
             _json.dump(
                 {
                     "0": batch_level
-                    if batch_level is not None
+                    if batch_level is not _UNSET
                     else {
                         "events": ["data.parquet"],
                         "events_kv_postings": entry,

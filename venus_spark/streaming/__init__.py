@@ -530,13 +530,13 @@ def start_documents_ingest(
 
         batch = batch.persist()
         try:
-            # re-heal the sink pointer if it vanished out-of-band (the
-            # start-time write is the normal path; this is O(1 stat)
-            # per batch and keeps the live corpus union aligned with
-            # where this stream actually lands text)
-            from venus_spark.prepared import prepared_path as _ppath
-
-            if not os.path.exists(_ppath(index_sf_dir, _DOC_SINK_POINTER)):
+            # re-heal the sink pointer if it vanished OR no longer
+            # records this stream's sink (out-of-band deletion,
+            # truncation, garbage overwrite — existence alone would
+            # miss the present-but-torn states, review r10 pass-5 #1);
+            # O(1 small read) per batch, keeps the live corpus union
+            # aligned with where this stream actually lands text
+            if _doc_sink_dir(index_sf_dir) != os.path.abspath(sink_dir):
                 _record_doc_sink_pointer(index_sf_dir, sink_dir)
             batch_idx = None
             if screen_near_dups:
