@@ -463,6 +463,27 @@ def test_fuzzy_live_plan_returns_streamed_document_pre_merge(
         r["lang"]: r["n_docs"]
         for r in plans["fuzzy_trgm_postings"].fn(spark, sf).collect()
     }
+    # streamed-state shape: the candidate id set is BUILT ONCE and
+    # scanned as an ExistingRDD by both union branches — without the
+    # checkpoint, the semi-join pushed below the corpus union rebuilt
+    # the whole candidate aggregation per branch (Catalyst does not
+    # share subplans; observed as a doubled 20-scan plan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans["fuzzy_trgm_postings_live"].fn(spark, sf).explain("formatted")
+    # count scan NODES via their detail headings ("(N) Scan parquet"),
+    # not raw substrings — each node prints once in the tree and once
+    # in the detail section, and an AQE-finalized explain would add an
+    # "Initial Plan" duplicate of the tree
+    import re
+
+    streamed_plan = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in streamed_plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", streamed_plan, re.M))
+    assert n_scans == 2  # base corpus + sink corpus, nothing rebuilt
 
 
 def test_streamed_docs_surface_in_live_bm25_before_any_merge(

@@ -753,25 +753,37 @@ def fuzzy_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded every streamed document (VERDICT r9 #2, closed this
     round; the streamed mirror's documents leg union-certifies it)."""
     from venus_spark.prepared import documents_trgm_postings_live
-    from venus_spark.streaming import live_documents
+    from venus_spark.streaming import documents_stream_has_data, live_documents
 
+    # checkpoint the candidate ids exactly when the corpus is a UNION:
+    # Catalyst does not share subplans, so the semi-join pushed below
+    # the two corpus branches would otherwise rebuild the whole
+    # candidate aggregation (postings-union scans + per-pattern
+    # intersections) once PER BRANCH — observed as a doubled plan in
+    # the streamed state. The quiescent path (no sink) has one branch
+    # and keeps its checkpoint-free plan.
     return _fuzzy_from_trgm_postings(
         spark,
         sf_dir,
         documents_trgm_postings_live(spark, sf_dir),
         docs=live_documents(spark, sf_dir),
+        share_candidates=documents_stream_has_data(sf_dir),
     )
 
 
 def _fuzzy_from_trgm_postings(
     spark: SparkSession, sf_dir: str, post: DataFrame,
     docs: DataFrame | None = None,
+    share_candidates: bool = False,
 ) -> DataFrame:
     """Candidate generation + verify shared by the prepared and live
     trigram-postings plans — one copy so the access path cannot fork.
     ``docs`` is the corpus relation the verify runs over (default: the
     base table; the live plan passes base ∪ streamed sink so streamed
-    candidates can actually be verified and returned)."""
+    candidates can actually be verified and returned);
+    ``share_candidates`` localCheckpoints the (tiny, df-bounded)
+    candidate id set so a multi-branch corpus scans it as one
+    ExistingRDD instead of rebuilding the aggregation per branch."""
     from venus_spark.operators.text import trigrams_of
 
     if docs is None:
@@ -800,7 +812,10 @@ def _fuzzy_from_trgm_postings(
         cand = cands[0]
         for c in cands[1:]:
             cand = cand.unionByName(c)
-        docs = docs.join(F.broadcast(cand.distinct()), "doc_id", "left_semi")
+        cand = cand.distinct()
+        if share_candidates:
+            cand = cand.localCheckpoint()
+        docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
     # verify over ALL patterns via reduce — stays in lockstep with the
     # candidate loop if _PATTERNS ever grows
     verify = reduce(

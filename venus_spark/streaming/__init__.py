@@ -179,6 +179,14 @@ def _doc_sink_dir(sf_dir: str) -> str:
     return documents_stream_sink_dir(sf_dir)
 
 
+def documents_stream_has_data(sf_dir: str) -> bool:
+    """True when the streamed-documents sink holds at least one data
+    file — i.e. :func:`live_documents` will be a UNION (plans use this
+    to pay union-only costs, e.g. sharing a subplan both branches
+    consume, exactly when a second branch exists)."""
+    return _sink_table_has_data(_doc_sink_dir(sf_dir), "documents")
+
+
 def live_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE document corpus: base table ∪ the streamed sink's
     documents (the recorded pointer, else the conventional location) —
