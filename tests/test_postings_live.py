@@ -474,15 +474,18 @@ def test_fuzzy_live_plan_returns_streamed_document_pre_merge(
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         plans["fuzzy_trgm_postings_live"].fn(spark, sf).explain("formatted")
-    # count scan NODES via their detail headings ("(N) Scan parquet"),
-    # not raw substrings — each node prints once in the tree and once
-    # in the detail section, and an AQE-finalized explain would add an
-    # "Initial Plan" duplicate of the tree
+    # count scan NODES in the (final) plan TREE — tree lines read
+    # "Scan parquet  (N)". The detail headings "(N) Scan parquet"
+    # print AFTER an AQE-finalized explain's "== Initial Plan =="
+    # section (review r10 pass-6 #1: splitting and counting headings
+    # would read 0 on an executed plan), so the tree before that
+    # marker is the only section that counts nodes exactly once in
+    # BOTH the unexecuted and the finalized layout.
     import re
 
     streamed_plan = buf.getvalue().split("== Initial Plan ==")[0]
     assert "Scan ExistingRDD" in streamed_plan
-    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", streamed_plan, re.M))
+    n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", streamed_plan))
     assert n_scans == 2  # base corpus + sink corpus, nothing rebuilt
 
 

@@ -89,6 +89,24 @@ def test_digest_invariant_under_replay_shapes(tmp_path_factory, rows, data):
     assert again == base
     assert again["rows"] == len(rows)
 
+    # column-ORDER invariance (review r10 pass-6 #3): a rewrite that
+    # stores columns in a different physical order digests equal —
+    # the canonicalization sorts by column name
+    part = os.path.join(root, "t", "_batch_id=0")
+    for f in os.listdir(part):
+        os.remove(os.path.join(part, f))
+    tbl = pa.table(
+        {
+            "value": [r[2] for r in rows],
+            "kv": [r[0] for r in rows],
+            "event_id": [r[1] for r in rows],
+        }
+    )
+    pq.write_table(tbl, os.path.join(part, "permuted.parquet"))
+    assert (
+        _partition_content_digest(root, "t", 0, ["permuted.parquet"]) == base
+    )
+
 
 @settings(max_examples=40, deadline=None)
 @given(rows=st.lists(_ROW, min_size=1, max_size=16), data=st.data())

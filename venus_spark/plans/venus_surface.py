@@ -762,12 +762,16 @@ def fuzzy_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersections) once PER BRANCH — observed as a doubled plan in
     # the streamed state. The quiescent path (no sink) has one branch
     # and keeps its checkpoint-free plan.
+    # ONE sink probe drives both the union decision and the
+    # union-conditional checkpoint (two independent probes could race
+    # a landing batch and pay the checkpoint on a single-branch plan)
+    streamed = documents_stream_has_data(sf_dir)
     return _fuzzy_from_trgm_postings(
         spark,
         sf_dir,
         documents_trgm_postings_live(spark, sf_dir),
-        docs=live_documents(spark, sf_dir),
-        share_candidates=documents_stream_has_data(sf_dir),
+        docs=live_documents(spark, sf_dir, has_data=streamed),
+        share_candidates=streamed,
     )
 
 

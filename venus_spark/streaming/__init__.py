@@ -187,7 +187,9 @@ def documents_stream_has_data(sf_dir: str) -> bool:
     return _sink_table_has_data(_doc_sink_dir(sf_dir), "documents")
 
 
-def live_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def live_documents(
+    spark: SparkSession, sf_dir: str, has_data: bool | None = None
+) -> DataFrame:
     """The LIVE document corpus: base table ∪ the streamed sink's
     documents (the recorded pointer, else the conventional location) —
     the corpus relation behind live plans that must touch document
@@ -196,12 +198,20 @@ def live_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage silently excluded every streamed document: its
     candidates came from the live postings but its text lookup read
     only the base table (closed this round — the streamed mirror's
-    documents leg now certifies the union end to end)."""
+    documents leg now certifies the union end to end).
+
+    ``has_data`` lets a caller that already probed the sink
+    (:func:`documents_stream_has_data`) pass its snapshot in, so a
+    plan's union decision and any union-conditional costs it pays
+    derive from ONE filesystem probe instead of two racing ones
+    (review r10 pass-6 #2)."""
     from venus_spark.sources import load_table
 
     base = load_table(spark, sf_dir, "documents")
     sink = _doc_sink_dir(sf_dir)
-    if not _sink_table_has_data(sink, "documents"):
+    if has_data is None:
+        has_data = _sink_table_has_data(sink, "documents")
+    if not has_data:
         return base
     streamed = read_sink_table(spark, sink, "documents").select(*base.columns)
     return base.unionByName(streamed)
