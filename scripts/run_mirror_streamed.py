@@ -135,11 +135,48 @@ _DOC_PROOFS = {
 _FUZZY_LIVE = ("fuzzy_trgm_postings_live", "fuzzy_trgm_postings")
 
 
+def _ilike(text: str, pattern: str) -> bool:
+    """Python evaluation of a SQL ILIKE pattern (the screen below must
+    apply the plans' own pattern constants to the static needles)."""
+    import re
+
+    rx = "".join(
+        ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+        for ch in pattern
+    )
+    return re.fullmatch(rx, text, flags=re.IGNORECASE) is not None
+
+
+def _screen_static_needles() -> None:
+    """Build-time screen (ADVICE r10 #5): every static needle EXCEPT
+    prox_fuzzy (which matches '%hash join%' by design — that IS the
+    fuzzy +1 proof) must match NO pattern in the fuzzy plans'
+    _PATTERNS, mirroring the runtime screen applied to the copied
+    near-dup document. Without this, a future pattern addition that
+    happens to match a static needle (e.g. a 'merge' phrase) would
+    break the exact +1 proof as a confusing mirror failure instead of
+    this targeted error."""
+    from venus_spark.plans.venus_surface import _PATTERNS
+
+    for key, spec in _DOC_NEEDLES.items():
+        if key == "prox_fuzzy" or spec["text"] is None:
+            continue
+        hits = [p for p in _PATTERNS if _ilike(spec["text"], p)]
+        if hits:
+            raise SystemExit(
+                f"static needle {key!r} (doc_id {spec['doc_id']}) matches "
+                f"fuzzy pattern(s) {hits} — it would add extra fuzzy "
+                "matches and break the exact +1 union proof; reword the "
+                "needle text"
+            )
+
+
 def _doc_rows(spark, sf: str) -> list[dict]:
     from pyspark.sql import functions as F
 
     from venus_spark.plans.venus_surface import _PATTERNS
 
+    _screen_static_needles()
     docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
     # near-dup base: the first document matching NO fuzzy pattern, so
     # its verbatim streamed copy cannot add a second fuzzy match and

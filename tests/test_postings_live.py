@@ -767,3 +767,74 @@ def test_in_service_merge_gate_excludes_current_epoch(
         for r in prepared.documents_minhash(spark, full_sf).collect()
     )
     assert got_mh == want_mh
+
+
+def test_live_documents_schema_widened_base_null_fills(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 #4: if the base documents table gains a column the
+    already-landed sink batches lack, the live corpus union must
+    NULL-fill the missing column on the streamed side (exactly what
+    those rows hold for a post-landing column) instead of raising
+    AnalysisException per query — the module's degrade-never-crash
+    posture for the live path. Also pins ADVICE r10 #1's plumbing: an
+    explicit ``sink_dir`` makes probe and read target one directory."""
+    from venus_spark.streaming import (
+        documents_stream_sink_dir,
+        documents_stream_state,
+        live_documents,
+        start_documents_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    docs, sf, _new = _split_docs(spark, tmp_path)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.json").write_text(
+        json.dumps(
+            dict(
+                doc_id=990_001,
+                text="streamed before the schema widened",
+                lang="en",
+                source="stream",
+                n_chars=34,
+            )
+        )
+        + "\n"
+    )
+    q = start_documents_ingest(
+        spark.readStream.schema(docs.schema).json(str(landing)),
+        sink_dir=documents_stream_sink_dir(sf),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_sf_dir=sf,
+        trigger_seconds=None,
+    )
+    q.awaitTermination()
+    assert live_documents(spark, sf).count() == 31
+
+    # the base table EVOLVES: a promoted quality column appears
+    base_path = os.path.join(sf, "documents.parquet")
+    widened = (
+        spark.read.parquet(base_path)
+        .withColumn("quality", F.length("text").cast("double"))
+    )
+    tmp_out = os.path.join(sf, "documents_widened.parquet")
+    widened.write.parquet(tmp_out)
+    import shutil as _sh
+
+    _sh.rmtree(base_path)
+    os.rename(tmp_out, base_path)
+
+    sink_dir, has = documents_stream_state(sf)
+    assert has
+    live = live_documents(spark, sf, has_data=has, sink_dir=sink_dir)
+    assert live.columns == spark.read.parquet(base_path).columns
+    assert live.count() == 31
+    streamed_row = live.filter(F.col("doc_id") == 990_001).first()
+    assert streamed_row["quality"] is None  # NULL-filled, not crashed
+    assert (
+        live.filter(F.col("doc_id") < 990_000)
+        .filter(F.col("quality").isNull())
+        .count()
+        == 0
+    )

@@ -1644,3 +1644,121 @@ def test_maintain_auto_heals_orphan_only_sink(spark, tmp_path, monkeypatch, caps
     assert not os.path.isdir(
         os.path.join(sink, "events_kv_postings", "_batch_id=0")
     )
+
+
+def test_drift_digest_verdict_memoized_per_process(tmp_path, monkeypatch):
+    """ADVICE r10 #3: a drift batch (replay crashed before its receipt
+    refresh) used to re-pay the full partition row read on EVERY
+    guard/audit check until the nightly repair. The digest-compare
+    verdict now memoizes on the exact (partition, file set, claim)
+    key — landed parquet files are write-once, so the cache can never
+    go stale — and each drift generation costs one read per process.
+    A None digest (unreadable partition) must NOT cache: it can be a
+    transient commit instant."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from venus_spark import streaming as st
+
+    sink = str(tmp_path / "sink")
+    for table in ("events", "events_kv_postings"):
+        part = os.path.join(sink, table, "_batch_id=0")
+        os.makedirs(part)
+        pq.write_table(
+            pa.table({"kv": ["k=1"], "event_id": [1]}),
+            os.path.join(part, "data.parquet"),
+        )
+    good = st._partition_content_digest(
+        sink, "events_kv_postings", 0, ["data.parquet"]
+    )
+    with open(os.path.join(sink, "_batch_fingerprints.json"), "w") as f:
+        _json.dump(
+            {
+                "0": {
+                    "events": ["data.parquet"],
+                    # drifted names, matching digest: the replay state
+                    "events_kv_postings": {
+                        "files": ["old-name.parquet"],
+                        **good,
+                    },
+                }
+            },
+            f,
+        )
+
+    st._DIGEST_VERDICT_MEMO.clear()
+    calls = []
+    real = st._partition_content_digest
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(st, "_partition_content_digest", counting)
+
+    for _ in range(3):
+        stale, drift = st._sink_receipt_divergence(sink)
+        assert stale == set() and drift == {0}
+    assert len(calls) == 1  # paid once per process, not per check
+
+    # unreadable partition -> None digest -> conservative AND uncached
+    st._DIGEST_VERDICT_MEMO.clear()
+    calls.clear()
+    monkeypatch.setattr(
+        st, "_partition_content_digest", lambda *a, **kw: calls.append(a)
+    )
+    for _ in range(2):
+        stale, drift = st._sink_receipt_divergence(sink)
+        assert stale == {0} and drift == set()
+    assert len(calls) == 2  # re-probed every check until it reads clean
+    st._DIGEST_VERDICT_MEMO.clear()
+
+
+def test_audit_receipt_drift_excludes_orphaned_batches(tmp_path):
+    """ADVICE r10 #2: a drift batch whose EVENTS partition vanished is
+    an orphan — it must be reported in the orphans class only, not
+    also in receipt_drift (one batch, one audit class; the repair's
+    orphan removal + receipt prune handles it)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from venus_spark import streaming as st
+
+    sink = str(tmp_path / "sink")
+    # kv partition exists; events partition does NOT -> orphan
+    part = os.path.join(sink, "events_kv_postings", "_batch_id=0")
+    os.makedirs(part)
+    pq.write_table(
+        pa.table({"kv": ["k=1"], "event_id": [1]}),
+        os.path.join(part, "data.parquet"),
+    )
+    good = st._partition_content_digest(
+        sink, "events_kv_postings", 0, ["data.parquet"]
+    )
+    with open(os.path.join(sink, "_batch_fingerprints.json"), "w") as f:
+        _json.dump(
+            {
+                "0": {
+                    "events": [],
+                    # drifted names, digest-matched: would classify as
+                    # drift — but the facts are gone, so it's an orphan
+                    "events_kv_postings": {
+                        "files": ["old-name.parquet"],
+                        **good,
+                    },
+                }
+            },
+            f,
+        )
+    st._DIGEST_VERDICT_MEMO.clear()
+    audit = st.audit_events_sink(sink)
+    assert audit["receipt_drift"] == []
+    assert audit["stale"] == []
+    assert audit["orphans"] == {"events_kv_postings": [0]}
+    st._DIGEST_VERDICT_MEMO.clear()

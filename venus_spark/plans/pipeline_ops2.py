@@ -215,6 +215,110 @@ def sim_ivf_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(pruned, query, k=_TOPK)
 
 
+# cap on the driver-side pending-id fetch of the live vector plans —
+# the same bounded-collect discipline as venus_surface._KV_DF_CAP: the
+# pending window is micro-batch-sized by construction (it exists only
+# between a batch's sink write and its index append), so the inline
+# NOT-IN literal keeps the healthy plan shuffle-free; a pathological
+# backlog past the cap falls back to a vec_id dedup shuffle instead of
+# an unbounded driver collect.
+_PENDING_ID_CAP = 100_000
+
+
+def _live_vector_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_rows: DataFrame,
+    layout_file: str,
+    probed_labels: list,
+    project,
+) -> DataFrame:
+    """Shared live-union tail of the ``sim_*_live`` plans: the prepared
+    layout's rows for the probed clusters ∪ the streamed sink's PENDING
+    batches (landed in the sink, not yet committed to ``layout_file``'s
+    abatch manifest — the crash window of ``start_embeddings_ingest``).
+    ``project`` maps raw pending vector rows (vec_id, embedding, label)
+    onto the layout's row shape (the PQ plan encodes codes here).
+
+    Quiescent / drained dirs return ``layout_rows`` untouched — the
+    live plans degrade to their prepared twins at zero cost beyond one
+    listdir + manifest read. When pending batches exist, the union
+    dedups by vec_id (a batch torn mid-append sits partially in BOTH
+    relations): the pending ids are inlined as a literal anti-filter on
+    the layout side — pending rows win, the healthy plan stays
+    shuffle-free — with a dedup-shuffle fallback past ``_PENDING_ID_CAP``."""
+    from venus_spark.prepared import _anti_vec_tombstones
+    from venus_spark.streaming import (
+        pending_vector_batches,
+        read_pending_vectors,
+    )
+
+    sink, pending = pending_vector_batches(sf_dir, layout_file)
+    if not pending:
+        return layout_rows
+    pend = _anti_vec_tombstones(
+        spark, sf_dir, read_pending_vectors(spark, sink, pending)
+    )
+    if probed_labels is not None:  # PQ routes by codebook, probes nothing
+        pend = pend.filter(F.col("label").isin(probed_labels))
+    pend = project(pend)
+    ids = [
+        r["vec_id"]
+        for r in pend.select("vec_id").limit(_PENDING_ID_CAP + 1).collect()
+    ]
+    if len(ids) <= _PENDING_ID_CAP:
+        return layout_rows.filter(~F.col("vec_id").isin(ids)).unionByName(
+            pend
+        )
+    return layout_rows.unionByName(pend).dropDuplicates(["vec_id"])
+
+
+@plan("sim_ivf_topk_live", oracle=_ivf_topk_oracle())
+def sim_ivf_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_topk over the LIVE vector set (VERDICT r10 #1): the
+    prepared IVF layout ∪ the streamed sink's pending batches, so a
+    vector ingested this minute is searchable even inside the
+    sink-landed-but-not-yet-appended crash window that the checkpoint
+    replay has not healed yet. The probe runs on the FROZEN prepared
+    centroids (the standard IVF posture — centroids refresh by offline
+    retrain, not per insert; streamed vectors arrive pre-assigned via
+    their ``label``), so the quiescent plan is byte-identical to
+    ``sim_ivf_topk_prepared``: static partition pruning on the probed
+    cluster directories, one TakeOrderedAndProject, no shuffle. The
+    pending union engages exactly when pending batches exist —
+    detected in O(listdir + manifest read) — and stays micro-batch-
+    sized. Reference analog: freshly-INSERTed rows are served by every
+    index identically (migration 37716151a213 :35-37)."""
+    from venus_spark.operators.similarity import brute_force_topk, cosine
+
+    from venus_spark.prepared import embeddings_ivf
+
+    vecs, cents = embeddings_ivf(spark, sf_dir)
+    qrow = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    probed = (
+        cents.select(
+            "cluster",
+            F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
+        )
+        .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
+        .limit(_NPROBE)
+        .collect()
+    )
+    labels = [r["cluster"] for r in probed]
+    pruned = _live_vector_candidates(
+        spark,
+        sf_dir,
+        vecs.filter(F.col("label").isin(labels)).select(
+            "vec_id", "embedding", "label"
+        ),
+        "embeddings_ivf.parquet",
+        labels,
+        project=lambda pend: pend,
+    )
+    return brute_force_topk(pruned, query, k=_TOPK)
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH-bucketed ANN (the non-IVF bucketing variant)
 # --------------------------------------------------------------------------

@@ -182,6 +182,45 @@ def sim_pq_adc_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("sim_pq_adc_live", oracle=_pq_prepared_oracle())
+def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pq_adc_prepared over the LIVE vector set (VERDICT r10 #1,
+    the PQ twin of ``sim_ivf_topk_live``): the prepared codes table ∪
+    the streamed sink's PENDING batches (landed, not yet committed to
+    the codes layout's abatch manifest — the crash window the
+    checkpoint replay heals), the pending side encoded on the fly
+    against the SAME immutable saturated codebook the write-time
+    maintenance uses, so live encode == appended encode by
+    construction. Quiescent dirs degrade to exactly the prepared
+    codes-column scan; the pending union is micro-batch-sized and
+    engages only when the manifest says a batch is in flight."""
+    from venus_spark.plans.pipeline_ops2 import _live_vector_candidates
+    from venus_spark.prepared import _pq_code_rows, embeddings_pq
+
+    codes_df, cb_df = embeddings_pq(spark, sf_dir)
+    codebook = [
+        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
+    ]
+    q = _query_vec(load_table(spark, sf_dir, "embeddings"))
+    lut = sim.pq_lut(q, codebook)
+    live_codes = _live_vector_candidates(
+        spark,
+        sf_dir,
+        codes_df.select("vec_id", "label", "codes"),
+        "embeddings_pq_codes.parquet",
+        probed_labels=None,
+        project=lambda pend: _pq_code_rows(pend, codebook),
+    )
+    return (
+        live_codes.select(
+            "vec_id", sim.pq_adc_dist("codes", lut).alias("adist")
+        )
+        .orderBy("adist", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Semantic dedup keep-set (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
 # cluster the embedding space (the given `label` column plays the k-means

@@ -753,7 +753,7 @@ def fuzzy_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded every streamed document (VERDICT r9 #2, closed this
     round; the streamed mirror's documents leg union-certifies it)."""
     from venus_spark.prepared import documents_trgm_postings_live
-    from venus_spark.streaming import documents_stream_has_data, live_documents
+    from venus_spark.streaming import documents_stream_state, live_documents
 
     # checkpoint the candidate ids exactly when the corpus is a UNION:
     # Catalyst does not share subplans, so the semi-join pushed below
@@ -762,15 +762,20 @@ def fuzzy_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersections) once PER BRANCH — observed as a doubled plan in
     # the streamed state. The quiescent path (no sink) has one branch
     # and keeps its checkpoint-free plan.
-    # ONE sink probe drives both the union decision and the
-    # union-conditional checkpoint (two independent probes could race
-    # a landing batch and pay the checkpoint on a single-branch plan)
-    streamed = documents_stream_has_data(sf_dir)
+    # ONE sink-pointer resolution + ONE probe drive the union decision,
+    # the union-conditional checkpoint, AND the sink read (two
+    # independent probes could race a landing batch and pay the
+    # checkpoint on a single-branch plan; a pointer re-resolution could
+    # race a stream restart and read a different sink than the one
+    # probed — ADVICE r10 #1)
+    sink_dir, streamed = documents_stream_state(sf_dir)
     return _fuzzy_from_trgm_postings(
         spark,
         sf_dir,
         documents_trgm_postings_live(spark, sf_dir),
-        docs=live_documents(spark, sf_dir, has_data=streamed),
+        docs=live_documents(
+            spark, sf_dir, has_data=streamed, sink_dir=sink_dir
+        ),
         share_candidates=streamed,
     )
 

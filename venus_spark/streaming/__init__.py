@@ -179,6 +179,101 @@ def _doc_sink_dir(sf_dir: str) -> str:
     return documents_stream_sink_dir(sf_dir)
 
 
+def embeddings_stream_sink_dir(sf_dir: str) -> str:
+    """The CONVENTIONAL streamed-embeddings sink location for a corpus
+    (VERDICT r10 #1) — the vector twin of
+    :func:`documents_stream_sink_dir`: the hot region whose
+    ``embeddings`` table the ``sim_*_live`` plans union with the
+    prepared vector layouts for the crash-window batches the write-time
+    index maintenance has not yet absorbed. Unlike the documents
+    family, the embeddings ingest appends index rows DIRECTLY into the
+    IVF/PQ layouts per micro-batch (no pending lists), so the prepared
+    plans already serve a drained stream's vectors; the live twins add
+    only the sink-landed-but-not-yet-appended window (a crash between
+    the sink write and the index append, or mid-append) — detected in
+    O(listdir + one manifest read) from the layouts' ``abatch``
+    manifests, no data read.
+
+    Same contract as the other sinks: base and sink are DISJOINT by
+    vec_id, and an operator who re-lands streamed batches into the
+    base table drops the sink's corresponding ``_batch_id`` partitions
+    (and rebuilds the vector layouts) in the same maintenance window."""
+    from venus_spark.prepared import prepared_path
+
+    return prepared_path(sf_dir, "embeddings_stream")
+
+
+_EMB_SINK_POINTER = "_embeddings_stream_sink.json"
+
+
+def _record_emb_sink_pointer(index_sf_dir: str, sink_dir: str) -> None:
+    """Written by ``start_embeddings_ingest`` at stream start and
+    re-healed per batch: the sink location the live vector union must
+    read. Last-start-wins under the single-writer contract (one
+    embeddings stream per index dir); tmp + atomic rename."""
+    from venus_spark.prepared import prepared_path
+
+    os.makedirs(prepared_path(index_sf_dir, ""), exist_ok=True)
+    p = prepared_path(index_sf_dir, _EMB_SINK_POINTER)
+    with open(p + ".tmp", "w") as f:
+        json.dump({"sink_dir": os.path.abspath(sink_dir)}, f)
+    os.replace(p + ".tmp", p)
+
+
+def _emb_sink_dir(sf_dir: str) -> str:
+    """The streamed-embeddings sink for ``sf_dir``: the recorded
+    pointer when one exists (a deployment's actual sink), else the
+    conventional location. A torn/malformed pointer falls back to the
+    convention — absence of a claim, never a crash."""
+    from venus_spark.prepared import prepared_path
+
+    try:
+        with open(prepared_path(sf_dir, _EMB_SINK_POINTER)) as f:
+            recorded = json.load(f).get("sink_dir")
+        if isinstance(recorded, str) and recorded:
+            return recorded
+    except (OSError, ValueError, AttributeError):
+        pass
+    return embeddings_stream_sink_dir(sf_dir)
+
+
+def pending_vector_batches(sf_dir: str, layout_file: str) -> tuple[str, list[int]]:
+    """``(sink_dir, pending batch ids)`` for one prepared vector
+    layout: sink batches whose rows the layout's ``abatch`` manifest
+    has NOT committed — the sink-landed-but-not-yet-appended crash
+    window of ``start_embeddings_ingest`` (sink write first, index
+    append second; the checkpoint replay heals it, these ids serve the
+    gap until it does). One pointer resolution + one listdir + one
+    manifest read, no data touched. A batch mid-append (files moved,
+    manifest not yet written) shows as pending AND partially in the
+    layout — the live plans dedup by vec_id exactly when pending is
+    non-empty, so the torn window over-serves nothing. Quiescent dirs
+    return an empty list and the live plans degrade to the prepared
+    path."""
+    from venus_spark.prepared import _read_abatch_manifest, prepared_path
+
+    sink = _emb_sink_dir(sf_dir)
+    sink_ids = _sink_batch_ids(os.path.join(sink, "embeddings"))
+    if not sink_ids:
+        return sink, []
+    committed = _read_abatch_manifest(prepared_path(sf_dir, layout_file))
+    return sink, sorted(sink_ids - committed)
+
+
+def read_pending_vectors(
+    spark: SparkSession, sink_dir: str, pending: list[int]
+) -> DataFrame:
+    """The pending batches' vector rows (vec_id, embedding, label) —
+    leaf-directory reads of exactly the pending ``_batch_id``
+    partitions, micro-batch-sized by construction."""
+    return spark.read.parquet(
+        *[
+            os.path.join(sink_dir, "embeddings", f"_batch_id={b}")
+            for b in pending
+        ]
+    ).select("vec_id", "embedding", "label")
+
+
 def documents_stream_has_data(sf_dir: str) -> bool:
     """True when the streamed-documents sink holds at least one data
     file — i.e. :func:`live_documents` will be a UNION (plans use this
@@ -187,8 +282,24 @@ def documents_stream_has_data(sf_dir: str) -> bool:
     return _sink_table_has_data(_doc_sink_dir(sf_dir), "documents")
 
 
+def documents_stream_state(sf_dir: str) -> tuple[str, bool]:
+    """ONE-probe snapshot ``(sink_dir, has_data)`` of the streamed-
+    documents sink: callers that both decide union-conditional costs
+    AND read the sink (the live fuzzy plan) must resolve the sink
+    pointer ONCE and pass both values down — two independent
+    ``_doc_sink_dir`` resolutions can straddle a pointer rewrite
+    (stream restarted onto a new custom sink) and probe one directory
+    while reading another, turning a degrade into an AnalysisException
+    (ADVICE r10 #1)."""
+    sink = _doc_sink_dir(sf_dir)
+    return sink, _sink_table_has_data(sink, "documents")
+
+
 def live_documents(
-    spark: SparkSession, sf_dir: str, has_data: bool | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    has_data: bool | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """The LIVE document corpus: base table ∪ the streamed sink's
     documents (the recorded pointer, else the conventional location) —
@@ -200,20 +311,38 @@ def live_documents(
     only the base table (closed this round — the streamed mirror's
     documents leg now certifies the union end to end).
 
-    ``has_data`` lets a caller that already probed the sink
-    (:func:`documents_stream_has_data`) pass its snapshot in, so a
-    plan's union decision and any union-conditional costs it pays
-    derive from ONE filesystem probe instead of two racing ones
-    (review r10 pass-6 #2)."""
+    ``has_data``/``sink_dir`` let a caller that already probed the sink
+    (:func:`documents_stream_state`) pass its snapshot in, so a plan's
+    union decision, any union-conditional costs it pays, and the sink
+    READ all derive from ONE pointer resolution + filesystem probe
+    instead of racing ones (review r10 pass-6 #2; ADVICE r10 #1 — a
+    pointer rewrite between probe and read must not surface as an
+    AnalysisException on the query path)."""
+    from pyspark.sql import functions as F
+
     from venus_spark.sources import load_table
 
     base = load_table(spark, sf_dir, "documents")
-    sink = _doc_sink_dir(sf_dir)
+    sink = _doc_sink_dir(sf_dir) if sink_dir is None else sink_dir
     if has_data is None:
         has_data = _sink_table_has_data(sink, "documents")
     if not has_data:
         return base
-    streamed = read_sink_table(spark, sink, "documents").select(*base.columns)
+    streamed = read_sink_table(spark, sink, "documents")
+    # degrade-never-crash under base-table schema evolution (ADVICE r10
+    # #4): a base column the already-landed sink batches lack is
+    # NULL-filled (exactly what the old rows hold for a column added
+    # after they landed — the same posture as the logs sink's
+    # mergeSchema contract); a select of base.columns would instead
+    # raise AnalysisException per query until the sink is re-landed.
+    have = set(streamed.columns)
+    streamed = streamed.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in base.schema.fields
+        ]
+    )
     return base.unionByName(streamed)
 
 
@@ -685,6 +814,11 @@ def start_embeddings_ingest(
     )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # re-heal the sink pointer if it vanished or no longer records
+        # this stream's sink (same posture as the documents ingest) —
+        # the live vector plans' pending-window union follows it
+        if _emb_sink_dir(index_sf_dir) != os.path.abspath(sink_dir):
+            _record_emb_sink_pointer(index_sf_dir, sink_dir)
         batch = batch.persist()
         try:
             _write_idempotent(batch, vec_dir, batch_id)
@@ -695,6 +829,9 @@ def start_embeddings_ingest(
         finally:
             batch.unpersist()
 
+    # record where this stream lands vectors so the live plans'
+    # pending-window union follows the deployment's actual sink
+    _record_emb_sink_pointer(index_sf_dir, sink_dir)
     writer = (
         source.writeStream.queryName("embeddings_ingest")
         .foreachBatch(write_batch)
@@ -927,7 +1064,9 @@ def start_events_rollup_ingest(
             # leaves the previous receipt (all four mismatch → the
             # batch reads as stale until repaired) or none (first
             # generation: the orphan rule covers the kv-first window).
-            _record_batch_fps(sink_dir, batch_id)
+            # The batch's session enables the distributed digest leg
+            # for backfill-sized batches (VERDICT r10 #2).
+            _record_batch_fps(sink_dir, batch_id, spark=batch.sparkSession)
         finally:
             batch.unpersist()
 
@@ -1049,8 +1188,104 @@ def _partition_footer_rows(
         return None
 
 
+def _file_rows_digest(path: str, row_group: int | None = None) -> tuple[int, int]:
+    """(row count, modular-SUM 2^64 of per-row blake2b) over one
+    parquet file (or one of its row groups) — THE canonicalization,
+    shared verbatim by the driver loop and the distributed leg's
+    executor tasks so the two implementations cannot drift: rows
+    canonicalize by sorted column name through pyarrow's to_pylist
+    (both paths read the file with pyarrow directly — never through
+    Spark's parquet reader, whose Arrow conversion can re-type
+    timestamps), hash independently, fold order-independently.
+    Raises on any unreadable state; callers own the no-claim
+    envelope."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    if row_group is None:
+        tbl = pq.read_table(path)
+    else:
+        tbl = pq.ParquetFile(path).read_row_group(row_group)
+    cols = sorted(tbl.column_names)
+    acc = 0
+    n = 0
+    for row in tbl.select(cols).to_pylist():
+        payload = repr([row[c] for c in cols]).encode(
+            "utf-8", "backslashreplace"
+        )
+        h = int.from_bytes(
+            hashlib.blake2b(payload, digest_size=8).digest(), "big"
+        )
+        acc = (acc + h) % (1 << 64)
+        n += 1
+    return n, acc
+
+
+# Write-side digest dispatch (VERDICT r10 #2): below this many rows
+# (parquet-footer count, free) the driver loop wins — measured ~270k
+# rows/s against page-cache-warm micro-batch files, so a typical
+# trigger's digest is milliseconds while a distributed job pays ~0.5 s
+# of scheduling floor. Above it (a backfill trigger, a 500k-row kv
+# partition) the digest runs as a Spark job over (file, row group)
+# units with the SAME per-row canonicalization, and the driver folds
+# the per-task (rows, sum) partials — the modular SUM is associative
+# and commutative, so any partitioning of the row multiset folds to
+# the identical digest. Crossover measured in PERF.md: driver 0.9 s vs
+# distributed 1.25 s at 200k rows, 2.5 s vs 1.3 s at 500k, 5.6 s vs
+# 1.5 s at 1M (32 local cores; the distributed floor is ~1.3 s of job
+# scheduling, flat in n until tasks saturate the cores).
+_DIGEST_DISTRIBUTED_MIN_ROWS = 300_000
+
+
+def _partition_digest_distributed(
+    spark: SparkSession, part: str, files: list[str]
+) -> dict:
+    """Distributed content digest: one task per (file, row group),
+    each running :func:`_file_rows_digest`, partials folded mod 2^64
+    on the driver. Raises on any failure; the dispatcher owns the
+    fallback."""
+    import pyarrow.parquet as pq
+
+    units = []
+    for f in files:
+        p = os.path.join(part, f)
+        for rg in range(pq.ParquetFile(p).metadata.num_row_groups):
+            units.append((p, rg))
+    if not units:
+        return {"rows": 0, "sum": 0}
+
+    def digest_units(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, rg in zip(pdf["path"], pdf["rg"]):
+                n, acc = _file_rows_digest(path, int(rg))
+                # the 64-bit partial exceeds LongType: ship as string
+                yield pd.DataFrame({"n": [n], "acc": [str(acc)]})
+
+    partials = (
+        spark.createDataFrame(units, "path string, rg int")
+        .repartition(len(units))
+        .mapInPandas(digest_units, "n long, acc string")
+        .collect()
+    )
+    if len(partials) != len(units):
+        raise ValueError(
+            f"digest partials missing: {len(partials)}/{len(units)}"
+        )
+    return {
+        "rows": sum(r["n"] for r in partials),
+        "sum": sum(int(r["acc"]) for r in partials) % (1 << 64),
+    }
+
+
 def _partition_content_digest(
-    sink_dir: str, table: str, bid: int, files: list[str]
+    sink_dir: str,
+    table: str,
+    bid: int,
+    files: list[str],
+    spark: SparkSession | None = None,
 ) -> dict | None:
     """Order-independent ROW-CONTENT digest of a batch partition
     (VERDICT r9 #1): ``{"rows": n, "sum": folded per-row hash}`` over
@@ -1076,44 +1311,47 @@ def _partition_content_digest(
     (replay, partial rewrite, surgery), not an adversary forging
     equal-sum row sets.
 
-    Computed DRIVER-side with pyarrow — a ``_batch_id`` partition is
-    micro-batch-sized by construction (the trigger caps it), so the
-    read-back is O(batch rows) against page-cache-warm files, and the
-    check side (:func:`_stale_sink_ids`) only ever pays it for
-    partitions whose file names already mismatch (a replay or phantom
-    in progress — never the healthy path). Measured ~270k rows/s on
-    this host (ms for typical micro-batches, ~2 s for a 500k-row kv
-    partition); a deployment with much larger triggers would compute
-    the write-side digest as a distributed ``sum(xxhash64(...))``-mod-2^64
-    aggregate instead — the record format already carries everything
-    that needs. Rows canonicalize by sorted column name, so column
-    order across rewrites is immaterial. Returns None when a file
-    vanished mid-read (a rewrite's commit instant): the caller treats
-    the batch conservatively."""
+    Computed DRIVER-side with pyarrow for micro-batch-sized partitions
+    (the trigger caps them) — the read-back is O(batch rows) against
+    page-cache-warm files, and the check side (:func:`_stale_sink_ids`)
+    only ever pays it for partitions whose file names already mismatch
+    (a replay or phantom in progress — never the healthy path).
+    Measured ~270k rows/s on this host (ms for typical micro-batches).
+    For LARGE batches (a backfill trigger) with a ``spark`` session
+    passed in (the write side has one), the digest runs DISTRIBUTED
+    (VERDICT r10 #2): one task per (file, row group) through the SAME
+    per-row canonicalization (:func:`_file_rows_digest`), partials
+    folded mod 2^64 on the driver — exact because the modular SUM is
+    associative/commutative over any partitioning of the row multiset.
+    The dispatch keys off the parquet FOOTER row count (free), at
+    ``_DIGEST_DISTRIBUTED_MIN_ROWS``; a distributed-leg failure falls
+    back to the driver loop (strictly more availability, same value).
+    Rows canonicalize by sorted column name, so column order across
+    rewrites is immaterial. Returns None when a file vanished mid-read
+    (a rewrite's commit instant) or is otherwise undigestable: the
+    caller treats the batch conservatively."""
     part = os.path.join(sink_dir, table, f"_batch_id={bid}")
-    acc = 0
-    n = 0
     try:
         # imports INSIDE the no-claim envelope (review r10 pass-2 #3):
         # the digest is an enhancement over the names-only receipt, so
         # even a missing pyarrow must degrade, never crash the ingest
         # receipt write or the key-plan query guard
-        import hashlib
-
-        import pyarrow.parquet as pq
-
+        if spark is not None:
+            footer_rows = _partition_footer_rows(sink_dir, table, bid, files)
+            if (
+                footer_rows is not None
+                and footer_rows >= _DIGEST_DISTRIBUTED_MIN_ROWS
+            ):
+                try:
+                    return _partition_digest_distributed(spark, part, files)
+                except Exception:
+                    pass  # fall back to the driver loop below
+        acc = 0
+        n = 0
         for fname in files:
-            tbl = pq.read_table(os.path.join(part, fname))
-            cols = sorted(tbl.column_names)
-            for row in tbl.select(cols).to_pylist():
-                payload = repr([row[c] for c in cols]).encode(
-                    "utf-8", "backslashreplace"
-                )
-                h = int.from_bytes(
-                    hashlib.blake2b(payload, digest_size=8).digest(), "big"
-                )
-                acc = (acc + h) % (1 << 64)
-                n += 1
+            fn, facc = _file_rows_digest(os.path.join(part, fname))
+            acc = (acc + facc) % (1 << 64)
+            n += fn
     except Exception:
         # conservative on ANY unreadable/undigestable partition, not
         # just a vanished file: pyarrow raises ArrowInvalid (a
@@ -1184,7 +1422,9 @@ def _write_batch_fp_record(sink_dir: str, record: dict[int, dict]) -> None:
     os.replace(p + ".tmp", p)
 
 
-def _record_batch_fps(sink_dir: str, bid: int) -> None:
+def _record_batch_fps(
+    sink_dir: str, bid: int, spark: SparkSession | None = None
+) -> None:
     """Record the CURRENT partition fingerprints of every sink table
     for ``bid`` — called by the stream's ``write_batch`` after its last
     write (the batch's commit receipt: everything the receipt names was
@@ -1200,8 +1440,9 @@ def _record_batch_fps(sink_dir: str, bid: int) -> None:
     deployment by the sink compaction cadence. Single-writer discipline
     (one streaming query per sink; repair runs with the stream stopped)
     makes the read-modify-write safe; the write is tmp + atomic
-    rename."""
-    _record_batch_fps_many(sink_dir, [bid])
+    rename. ``spark`` (the write side passes its batch session)
+    enables the distributed digest leg for backfill-sized batches."""
+    _record_batch_fps_many(sink_dir, [bid], spark=spark)
 
 
 def _prune_batch_fp_record(sink_dir: str) -> None:
@@ -1221,7 +1462,9 @@ def _prune_batch_fp_record(sink_dir: str) -> None:
         _write_batch_fp_record(sink_dir, kept)
 
 
-def _record_batch_fps_many(sink_dir: str, bids) -> None:
+def _record_batch_fps_many(
+    sink_dir: str, bids, spark: SparkSession | None = None
+) -> None:
     """Batched receipt refresh: one read-modify-write for many bids
     (review r9 pass-2 #3 — per-bid calls re-read and rewrite the whole
     record each time, O(n²) on a deep repair). Same drop-if-vanished
@@ -1244,7 +1487,9 @@ def _record_batch_fps_many(sink_dir: str, bids) -> None:
             # none exists under the single-writer contract) degrades to
             # the names-only legacy entry, which the checker treats
             # conservatively.
-            digest = _partition_content_digest(sink_dir, t, bid, files)
+            digest = _partition_content_digest(
+                sink_dir, t, bid, files, spark=spark
+            )
             fps[t] = {"files": files, **digest} if digest else files
         if any(_record_fingerprint(v) for v in fps.values()):
             record[bid] = fps
@@ -1283,6 +1528,50 @@ def _stale_sink_ids(
     return _sink_receipt_divergence(sink_dir, tables)[0]
 
 
+# process-level digest-verdict memo (ADVICE r10 #3): a drift batch
+# (replay crashed before its receipt refresh) otherwise pays the full
+# partition row read on EVERY guard/audit check until the nightly
+# repair refreshes the receipt. Keyed by the exact partition path +
+# file-name set + receipt claim: parquet data files are write-once
+# (rewrites mint fresh uuid names), so a cached verdict can never
+# describe different bytes than the ones it read. A None digest
+# (vanished file mid-read, unreadable partition) is NEVER cached — it
+# can be a transient commit instant. Bounded: cleared wholesale past a
+# cap (drift generations per process are rare; this is a backstop, not
+# an LRU).
+_DIGEST_VERDICT_MEMO: dict[tuple, bool] = {}
+_DIGEST_MEMO_CAP = 4096
+
+
+def _digest_verdict_memo(
+    sink_dir: str,
+    table: str,
+    bid: int,
+    files: list[str],
+    want_rows: int,
+    want_sum: int,
+) -> bool:
+    """True iff the partition's row-content digest matches the receipt
+    claim — memoized per process (see module note above)."""
+    key = (
+        os.path.abspath(os.path.join(sink_dir, table, f"_batch_id={bid}")),
+        tuple(files),
+        want_rows,
+        want_sum,
+    )
+    hit = _DIGEST_VERDICT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    got = _partition_content_digest(sink_dir, table, bid, files)
+    if got is None:
+        return False  # no claim — conservative, and not cacheable
+    verdict = got["rows"] == want_rows and got["sum"] == want_sum
+    if len(_DIGEST_VERDICT_MEMO) >= _DIGEST_MEMO_CAP:
+        _DIGEST_VERDICT_MEMO.clear()
+    _DIGEST_VERDICT_MEMO[key] = verdict
+    return verdict
+
+
 def _sink_receipt_divergence(
     sink_dir: str, tables: tuple[str, ...] = _FP_TABLES
 ) -> tuple[set[int], set[int]]:
@@ -1297,7 +1586,13 @@ def _sink_receipt_divergence(
     landed rows) but each check re-pays the digest read until the
     receipt is refreshed — the audit reports them and the repair
     refreshes their receipts, restoring the r9 nightly self-heal the
-    digest rule would otherwise have removed (review r10 #2)."""
+    digest rule would otherwise have removed (review r10 #2). Between
+    repairs the re-pay is bounded per PROCESS (ADVICE r10 #3):
+    digest-compare verdicts memoize on the exact (partition, file set,
+    receipt claim) key — sound because landed parquet files are
+    immutable (every rewrite mints fresh uuid names, so any change
+    re-keys) — and each drift generation costs one read per process
+    instead of one per query."""
     stale: set[int] = set()
     drift: set[int] = set()
     for bid, fps in _read_batch_fp_record(sink_dir).items():
@@ -1334,11 +1629,8 @@ def _sink_receipt_divergence(
                 # agree (a replay, or a same-count phantom).
                 got_rows = _partition_footer_rows(sink_dir, t, bid, cur)
                 if got_rows is None or got_rows == want_rows:
-                    got = _partition_content_digest(sink_dir, t, bid, cur)
-                    if (
-                        got is not None
-                        and got["rows"] == want_rows
-                        and got["sum"] == want_sum
+                    if _digest_verdict_memo(
+                        sink_dir, t, bid, cur, want_rows, want_sum
                     ):
                         # byte-identical replay rewrite: fresh names,
                         # same rows — not stale, but flag for a
@@ -1513,8 +1805,13 @@ def audit_events_sink(sink_dir: str) -> dict:
         # name-drifted but digest-matched receipts (a replay that
         # crashed after its rewrite, before its receipt refresh): the
         # rows are served, but every guard/audit check re-pays the
-        # digest read until the repair refreshes the receipt
-        "receipt_drift": sorted(drift),
+        # digest read until the repair refreshes the receipt.
+        # Intersected with the facts batch set like `stale` (ADVICE r10
+        # #2): a drift batch whose events partition vanished is an
+        # ORPHAN (reported per-table below; the repair removes it and
+        # the receipt prune drops its entry) — reporting it here too
+        # would put one batch in two inconsistent audit classes.
+        "receipt_drift": sorted(drift & ev),
         "orphans": {
             t: sorted(ids - ev)
             for t, ids in (
@@ -1744,6 +2041,7 @@ def repair_events_sink(
             | set(out["receipts_refreshed"])
             | set(confirmed_zero)
             | {b for ids in out["orphans_removed"].values() for b in ids},
+            spark=spark,
         )
     if deep:
         for bid in report["events"]:
@@ -1759,7 +2057,7 @@ def repair_events_sink(
                 if bid not in kv_now
             },
         )
-        _record_batch_fps_many(sink_dir, report["events"])
+        _record_batch_fps_many(sink_dir, report["events"], spark=spark)
     # maintenance-time receipt hygiene: drop entries whose partitions
     # have all vanished (removed orphans above, retention, surgery)
     _prune_batch_fp_record(sink_dir)
