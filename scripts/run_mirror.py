@@ -51,14 +51,29 @@ def main() -> int:
     ap.add_argument("out", help="output JSON path, e.g. MIRROR_r4.json")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--names",
+        default=None,
+        help="comma-separated plan subset (VERDICT r10 #3: the rotating "
+        "never-driver-checked sample runs ~30 plans per round at sf0.1 — "
+        "scale-dependent parity bugs escape the sf0.01 full mirror; the "
+        "per-round slice is recorded in ROUND_NOTES)",
+    )
     args = ap.parse_args()
 
     from venus_spark.oracle import run_all
     from venus_spark.session import get_spark
 
+    names = None
+    if args.names:
+        names = [n.strip() for n in args.names.split(",") if n.strip()]
+
     spark = get_spark(cpus=args.cpus)
     t0 = time.time()
-    results = run_all(spark, args.sf)
+    results = run_all(spark, args.sf, names=names)
+    if names and {r.name for r in results} != set(names):
+        missing = sorted(set(names) - {r.name for r in results})
+        raise SystemExit(f"unknown plan names: {missing}")
     out = {r.name: to_record(r) for r in results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -11,7 +11,7 @@ registered oracle SQL evaluated over the UNION corpus in DuckDB — so
 the committed artifact hash-certifies the base-∪-sink serve path end to
 end.
 
-Two legs:
+Three legs:
 
 - EVENTS (VERDICT r8 #6, landed r9): ``start_events_rollup_ingest``
   lands kv postings, dfreq partials, rollup, facts, commit receipt;
@@ -28,6 +28,18 @@ Two legs:
   (it is absent from the cold result and present in the live one).
   Reference analog: the GIN index serves freshly-inserted rows
   identically (alembic migration 37716151a213 :21,36).
+- EMBEDDINGS (VERDICT r10 #1, this round): ``start_embeddings_ingest``
+  lands vector batches with write-time IVF/PQ maintenance (direct
+  layout appends — the vector family has no pending lists); the
+  oracle's ``embeddings`` view becomes base UNION ALL sink vectors;
+  the four vector plans are hash-certified post-append (an appended
+  needle ranks where the cold run could not have it), the two
+  ``sim_*_live`` twins are certified over a deliberately-withheld
+  crash-window batch the prepared twins provably cannot see, and the
+  replay's own append heals the window back to prepared/hash-green
+  (exactly-once convergence). Probe-set and codebook-sample screens
+  make the frozen-centroid-vs-union-oracle comparison sound (see the
+  vectors block comment).
 
 The artifact fails unless every hash matches AND every union proof
 engaged.
@@ -133,6 +145,101 @@ _DOC_PROOFS = {
     "dedup_minhash_lsh_live": ("dedup_minhash_lsh_prepared", "id_b", 9_100_006),
 }
 _FUZZY_LIVE = ("fuzzy_trgm_postings_live", "fuzzy_trgm_postings")
+
+# ------------------------------------------------------------------ vectors
+# (VERDICT r10 #1) streamed embeddings: the write-time IVF/PQ index
+# maintenance appends DIRECTLY into the prepared layouts (no pending
+# lists), so after a drained stream the PREPARED twins serve streamed
+# vectors — the post-append leg certifies exactly that against the
+# union oracle; the LIVE twins additionally serve the sink-landed-but-
+# not-yet-appended crash window, certified by landing one batch with
+# the index append deliberately withheld (the crash state the
+# checkpoint replay heals), then healing it via the replay's own
+# append and re-certifying the prepared twins (exactly-once
+# convergence).
+#
+# The IVF oracle recomputes centroids over the union view while the
+# plans probe the FROZEN base-trained centroid table (the standard IVF
+# posture: offline retrain); the certificate is sound only when both
+# probes choose the same clusters, so the leg SCREENS probe-set
+# equality (and PQ codebook-sample stability) and raises a targeted
+# error instead of a confusing hash mismatch if a corpus ever violates
+# it. Streamed vectors are few and near the query/cluster means, so
+# the top-nprobe ranking has macroscopic margins.
+_VEC_PLANS_PREPARED = ("sim_ivf_topk_prepared", "sim_pq_adc_prepared")
+_VEC_PLANS_LIVE = ("sim_ivf_topk_live", "sim_pq_adc_live")
+_VEC_NEEDLE_APPENDED = 9_200_001  # streamed batch 0, index-absorbed
+_VEC_NEEDLE_PENDING = 9_200_002   # crash-window batch, sink-only
+_VEC_CRASH_BID = 9
+
+
+def _vec_probe_labels(
+    spark, sf: str
+) -> tuple[list[int], list[float], list[int]]:
+    """The plans' frozen-centroid probe set, the query vector, and the
+    UNPROBED cluster ids (fillers land there — see _vec_rows)."""
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.operators.similarity import cosine
+    from venus_spark.plans.pipeline_ops2 import _NPROBE, _QUERY_VEC_ID
+
+    vecs, cents = prepared.embeddings_ivf(spark, sf)
+    qrow = (
+        vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    query = F.array(
+        *[F.lit(float(x)).cast("double") for x in qrow["embedding"]]
+    )
+    all_rows = (
+        cents.select(
+            "cluster",
+            F.round(cosine(F.col("centroid"), query), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("cluster"))
+        .collect()
+    )
+    probed = [int(r["cluster"]) for r in all_rows[:_NPROBE]]
+    unprobed = [int(r["cluster"]) for r in all_rows[_NPROBE:]]
+    return probed, [float(x) for x in qrow["embedding"]], unprobed
+
+
+def _vec_rows(
+    qvec: list[float], needle_label: int, filler_label: int
+) -> list[list[dict]]:
+    """Two streamed micro-batches, constructed so the union-recomputed
+    oracle centroids CANNOT flip the frozen probe set (the screen in
+    main verifies they did not):
+
+    - the appended needle is cosine-close to the query and lands in the
+      TOP probed cluster — it pulls that centroid further toward the
+      query, which can only promote an already-first cluster;
+    - fillers are negated-query vectors landing in an UNPROBED cluster —
+      they pull that centroid away from the query, which can only
+      demote a cluster that already lost the probe.
+    """
+
+    def near_query(vec_id: int, eps: float) -> dict:
+        return dict(
+            vec_id=vec_id,
+            embedding=[x + eps * (i % 2) for i, x in enumerate(qvec)],
+            label=needle_label,
+        )
+
+    def far(vec_id: int) -> dict:
+        # negated query: cosine ~ -1, guaranteed out of every top-k
+        return dict(
+            vec_id=vec_id,
+            embedding=[-x for x in qvec],
+            label=filler_label,
+        )
+
+    return [
+        [near_query(_VEC_NEEDLE_APPENDED, 1e-3), far(9_200_003)],
+        [far(9_200_004), far(9_200_005)],
+    ]
 
 
 def _ilike(text: str, pattern: str) -> bool:
@@ -302,6 +409,53 @@ def main() -> int:
             print(json.dumps({"error": "docs ingest did not drain in 300 s"}))
             return 1
 
+        # ------------------------------------------------- embeddings leg
+        # base vector layouts FIRST (a deployment prepares before it
+        # streams), cold captures BEFORE any vector lands
+        from venus_spark import prepared as prep
+
+        prep.embeddings_ivf(spark, sf)
+        prep.embeddings_pq(spark, sf)
+        vec_labels, qvec, vec_unprobed = _vec_probe_labels(spark, sf)
+        if not vec_unprobed:
+            print(json.dumps({"error": "no unprobed cluster for fillers"}))
+            return 1
+        vec_cold = {
+            n: [int(r["vec_id"]) for r in plans[n].fn(spark, sf).collect()]
+            for n in _VEC_PLANS_PREPARED + _VEC_PLANS_LIVE
+        }
+        for live, cold in zip(_VEC_PLANS_LIVE, _VEC_PLANS_PREPARED):
+            if vec_cold[live] != vec_cold[cold]:
+                print(json.dumps({"error": f"{live} != {cold} quiescent"}))
+                return 1
+        vec_batches = _vec_rows(qvec, vec_labels[0], vec_unprobed[-1])
+        vec_landing = os.path.join(work, "vec_landing")
+        os.makedirs(vec_landing)
+        for i, chunk in enumerate(vec_batches):
+            with open(os.path.join(vec_landing, f"v{i}.jsonl"), "w") as f:
+                f.write("\n".join(json.dumps(r) for r in chunk))
+        from venus_spark.streaming import (
+            embeddings_stream_sink_dir,
+            start_embeddings_ingest,
+        )
+
+        vec_sink = embeddings_stream_sink_dir(sf)
+        emb_schema = spark.read.parquet(
+            os.path.join(sf, "embeddings.parquet")
+        ).schema
+        q3 = start_embeddings_ingest(
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(vec_landing),
+            sink_dir=vec_sink,
+            checkpoint_dir=os.path.join(work, "vec_ckpt"),
+            index_sf_dir=sf,
+            trigger_seconds=None,  # availableNow: drain and stop
+        )
+        if not q3.awaitTermination(300):
+            print(json.dumps({"error": "embeddings ingest did not drain"}))
+            return 1
+
         # the oracle's world: base UNION ALL each sink's rows (the
         # _batch_id partition dirs are layout, not data — the non-hive
         # read keeps them out)
@@ -326,6 +480,89 @@ def main() -> int:
                 '{os.path.join(doc_sink, "documents")}/*/*.parquet')
             """
         )
+        vcols = "vec_id, embedding, label"
+        con.execute(
+            f"""
+            CREATE OR REPLACE VIEW embeddings AS
+            SELECT {vcols} FROM '{os.path.join(sf, "embeddings.parquet")}'
+            UNION ALL
+            SELECT {vcols} FROM read_parquet(
+                '{os.path.join(vec_sink, "embeddings")}/*/*.parquet')
+            """
+        )
+
+        # SCREENS (see the vectors block comment): the certificate is
+        # sound only if the oracle's union-recomputed probe picks the
+        # SAME clusters as the plans' frozen centroids, and the PQ
+        # codebook sample is unreachable by the streamed ids.
+        from venus_spark.functions.sqlgen import cosine_sql, davg_sql
+        from venus_spark.operators.similarity import PQ_CB_MOD, PQ_KS
+        from venus_spark.plans.pipeline_ops2 import _NPROBE, _QUERY_VEC_ID
+
+        _vd = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+        oracle_probe = [
+            int(r[0])
+            for r in con.execute(
+                f"""
+        WITH q AS (
+          SELECT {_vd.format('embedding')} AS qv FROM embeddings
+          WHERE vec_id = {_QUERY_VEC_ID}
+        ),
+        long_cent AS (
+          SELECT label AS cluster,
+                 GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+                 UNNEST({_vd.format('embedding')}) AS v
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+          FROM long_cent GROUP BY cluster, pos
+        ),
+        cent_arr AS (
+          SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+          FROM cent GROUP BY cluster
+        )
+        SELECT cluster,
+               ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS s
+        FROM cent_arr CROSS JOIN q
+        ORDER BY s DESC, cluster LIMIT {_NPROBE}
+        """
+            ).fetchall()
+        ]
+        if set(oracle_probe) != set(vec_labels):
+            print(
+                json.dumps(
+                    {
+                        "error": "IVF probe-set drift: the streamed "
+                        "vectors moved the union-recomputed centroids "
+                        "enough to change the top-nprobe clusters "
+                        f"(frozen {sorted(vec_labels)} vs union "
+                        f"{sorted(oracle_probe)}) — place needles "
+                        "nearer the cluster means or reduce their count"
+                    }
+                )
+            )
+            return 1
+        max_cb_id, n_cb = con.execute(
+            f"""
+            SELECT MAX(vec_id), COUNT(*) FROM (
+              SELECT vec_id FROM embeddings
+              WHERE vec_id % {PQ_CB_MOD} = 0 ORDER BY vec_id LIMIT {PQ_KS})
+            """
+        ).fetchone()
+        if n_cb < PQ_KS or max_cb_id >= min(
+            r["vec_id"] for b in vec_batches for r in b
+        ):
+            print(
+                json.dumps(
+                    {
+                        "error": "PQ codebook sample unstable under the "
+                        "streamed ids — the saturation contract does "
+                        f"not hold (n={n_cb}, max sample id={max_cb_id})"
+                    }
+                )
+            )
+            return 1
 
         for name in EVENT_LIVE_PLANS + tuple(_DOC_PROOFS) + _FUZZY_LIVE[:1]:
             r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
@@ -413,6 +650,97 @@ def main() -> int:
             post_merge[name] = to_record(r)
             ok = ok and r.ok
 
+        # ------------------------------------------- vector certifications
+        # POST-APPEND leg: the maintenance absorbed both streamed
+        # batches, so all four plans (prepared AND live — live degrades
+        # to prepared with nothing pending) must hash-match the union
+        # oracle, and the appended needle must rank where the cold run
+        # could not have it.
+        vec_post_append = {}
+        vec_ids_now = {}
+        for name in _VEC_PLANS_PREPARED + _VEC_PLANS_LIVE:
+            df = plans[name].fn(spark, sf)
+            vec_ids_now[name] = [int(r["vec_id"]) for r in df.collect()]
+            r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
+            vec_post_append[name] = to_record(r)
+            ok = ok and r.ok
+        vec_proofs = {}
+        for name in _VEC_PLANS_PREPARED + _VEC_PLANS_LIVE:
+            engaged = (
+                _VEC_NEEDLE_APPENDED in vec_ids_now[name]
+                and _VEC_NEEDLE_APPENDED not in vec_cold[name]
+            )
+            vec_proofs[name] = {
+                "needle_vec_id": _VEC_NEEDLE_APPENDED,
+                "cold_topk": vec_cold[name],
+                "post_append_topk": vec_ids_now[name],
+                "streamed_vector_ranked": engaged,
+            }
+            ok = ok and engaged
+
+        # CRASH-WINDOW leg: one more batch lands in the sink with the
+        # index append deliberately withheld — the state a crash
+        # between the sink write and the append leaves. The LIVE twins
+        # must serve it (hash-green against the union oracle, which
+        # sees the sink file the moment it lands); the prepared twins
+        # provably cannot.
+        from venus_spark.streaming import (
+            _write_idempotent,
+            pending_vector_batches,
+        )
+
+        n2 = dict(
+            vec_id=_VEC_NEEDLE_PENDING,
+            embedding=[x + 2e-3 * (i % 2) for i, x in enumerate(qvec)],
+            label=vec_labels[0],
+        )
+        _write_idempotent(
+            spark.createDataFrame([n2], emb_schema),
+            os.path.join(vec_sink, "embeddings"),
+            _VEC_CRASH_BID,
+        )
+        pend_ivf = pending_vector_batches(sf, "embeddings_ivf.parquet")[1]
+        pend_pq = pending_vector_batches(sf, "embeddings_pq_codes.parquet")[1]
+        if pend_ivf != [_VEC_CRASH_BID] or pend_pq != [_VEC_CRASH_BID]:
+            print(json.dumps({"error": f"pending not detected: {pend_ivf}"}))
+            return 1
+        vec_crash = {}
+        for name in _VEC_PLANS_LIVE:
+            df = plans[name].fn(spark, sf)
+            live_ids = [int(r["vec_id"]) for r in df.collect()]
+            r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
+            vec_crash[name] = to_record(r)
+            ok = ok and r.ok
+            cold_name = _VEC_PLANS_PREPARED[_VEC_PLANS_LIVE.index(name)]
+            prepared_ids = [
+                int(r2["vec_id"])
+                for r2 in plans[cold_name].fn(spark, sf).collect()
+            ]
+            engaged = (
+                _VEC_NEEDLE_PENDING in live_ids
+                and _VEC_NEEDLE_PENDING not in prepared_ids
+            )
+            vec_crash[name]["pending_window_engaged"] = engaged
+            ok = ok and engaged
+
+        # HEAL leg: the checkpoint replay's own append heals the
+        # window; pending empties and the PREPARED twins hash-match the
+        # full union — exactly-once convergence.
+        prep.append_embeddings_batch(
+            spark,
+            sf,
+            spark.createDataFrame([n2], emb_schema),
+            batch_id=_VEC_CRASH_BID,
+        )
+        if pending_vector_batches(sf, "embeddings_ivf.parquet")[1]:
+            print(json.dumps({"error": "heal left pending batches"}))
+            return 1
+        vec_healed = {}
+        for name in _VEC_PLANS_PREPARED:
+            r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
+            vec_healed[name] = to_record(r)
+            ok = ok and r.ok
+
         out = {
             "mode": "streamed-sink union (VERDICT r8 #6 events, r9 #2 documents)",
             "base_sf": args.sf,
@@ -426,6 +754,18 @@ def main() -> int:
             "doc_union_proofs": doc_proofs,
             "plans": results,
             "post_merge_plans": post_merge,
+            "vector_leg": {
+                "streamed_vec_batches": len(vec_batches),
+                "streamed_vectors": sum(len(b) for b in vec_batches),
+                "probe_screen": {
+                    "frozen_probe": sorted(vec_labels),
+                    "union_oracle_probe": sorted(oracle_probe),
+                },
+                "post_append_plans": vec_post_append,
+                "needle_proofs": vec_proofs,
+                "crash_window_live_plans": vec_crash,
+                "healed_prepared_plans": vec_healed,
+            },
         }
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
@@ -439,7 +779,13 @@ def main() -> int:
                     # r10 pass-5 #3)
                     "failures": sum(
                         1
-                        for recs in (results, post_merge)
+                        for recs in (
+                            results,
+                            post_merge,
+                            vec_post_append,
+                            vec_crash,
+                            vec_healed,
+                        )
                         for n in recs
                         if not recs[n]["hash_match"]
                     ),
@@ -451,6 +797,22 @@ def main() -> int:
                     ),
                     "post_merge_green": sum(
                         1 for r in post_merge.values() if r["hash_match"]
+                    ),
+                    "vector_green": sum(
+                        1
+                        for recs in (vec_post_append, vec_crash, vec_healed)
+                        for r in recs.values()
+                        if r["hash_match"]
+                    ),
+                    "vector_proofs_engaged": sum(
+                        1
+                        for p in vec_proofs.values()
+                        if p["streamed_vector_ranked"]
+                    )
+                    + sum(
+                        1
+                        for r in vec_crash.values()
+                        if r["pending_window_engaged"]
                     ),
                     "elapsed_sec": round(time.time() - t0, 1),
                     "out": args.out,

@@ -18,8 +18,14 @@ pyzmq is not installed in the build container, so the socket loop is
 import-gated; ``--stdin`` exercises the identical batching/landing path
 from standard input (one message per line) and is what the tests drive.
 
+Both reference wire topologies are supported: the PULL-bind collector
+(the main venus ingest edge) and the SUB-bind subscribe-all collector
+of the contrib demos (``--socket-type sub``,
+``contrib/zmqlog/stock_socket/collector_sub_bind.py:1-24``).
+
 Usage:
     python scripts/zmq_relay.py --landing /tmp/landing --port 5555
+    python scripts/zmq_relay.py --landing /tmp/landing --socket-type sub
     some-producer | python scripts/zmq_relay.py --landing /tmp/landing --stdin
 """
 
@@ -144,22 +150,50 @@ def run_stdin(batcher: MicroBatcher) -> None:
     batcher.flush()  # graceful EOF flush (A12)
 
 
-def run_zmq(batcher: MicroBatcher, port: int) -> None:
-    try:
-        import zmq
-    except ImportError:
-        sys.exit(
-            "pyzmq is not installed. Install it on the ingest edge host, or "
-            "use --stdin to exercise the landing path without a socket."
-        )
+def run_zmq(
+    batcher: MicroBatcher,
+    port: int,
+    socket_type: str = "pull",
+    zmq_module=None,
+) -> None:
+    """Socket loop for both reference wire topologies:
+
+    - ``pull`` (default): PULL-bind collector — the main venus ingest
+      edge (``venus/io/__init__.py:78-108``); producers PUSH-connect.
+    - ``sub``: SUB-bind, subscribe-all collector — the contrib demo
+      topology (``contrib/zmqlog/stock_socket/collector_sub_bind.py:
+      1-24``); producers PUB-connect (e.g. pyzmq's PUBHandler, whose
+      frames are the same 2-part (topic/level, message) shape, so
+      ``frame_to_line`` applies unchanged). PUB/SUB drops while no
+      subscriber is bound and on slow-subscriber HWM — strictly
+      at-most-once, exactly the wire contract the reference's
+      queue-overflow drop already accepts (A3).
+
+    ``zmq_module`` injects a stand-in for tests (pyzmq is absent in
+    the build container; the import gate below serves deployments)."""
+    zmq = zmq_module
+    if zmq is None:
+        try:
+            import zmq  # type: ignore[no-redef]
+        except ImportError:
+            sys.exit(
+                "pyzmq is not installed. Install it on the ingest edge host, "
+                "or use --stdin to exercise the landing path without a socket."
+            )
 
     ctx = zmq.Context.instance()
-    sock = ctx.socket(zmq.PULL)
+    sock = ctx.socket(zmq.PULL if socket_type == "pull" else zmq.SUB)
     sock.setsockopt(zmq.LINGER, 1)
     sock.bind(f"tcp://*:{port:d}")
+    if socket_type == "sub":
+        # subscribe-all, like the reference demo's sock.subscribe(b'')
+        sock.subscribe(b"")
     poller = zmq.Poller()
     poller.register(sock, zmq.POLLIN)
-    print(f"relay: PULL bound on tcp://*:{port}", file=sys.stderr)
+    print(
+        f"relay: {socket_type.upper()} bound on tcp://*:{port}",
+        file=sys.stderr,
+    )
     try:
         while True:
             # Poll with a short timeout so the age trigger fires even
@@ -188,13 +222,21 @@ def main() -> None:
     ap.add_argument(
         "--stdin", action="store_true", help="read lines from stdin instead of zmq"
     )
+    ap.add_argument(
+        "--socket-type",
+        choices=("pull", "sub"),
+        default="pull",
+        help="pull = PULL-bind collector (the main venus topology); "
+        "sub = SUB-bind subscribe-all collector (the contrib "
+        "PUB/SUB demo topology)",
+    )
     args = ap.parse_args()
     os.makedirs(args.landing, exist_ok=True)
     batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
     if args.stdin:
         run_stdin(batcher)
     else:
-        run_zmq(batcher, args.port)
+        run_zmq(batcher, args.port, socket_type=args.socket_type)
 
 
 if __name__ == "__main__":

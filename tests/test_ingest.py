@@ -606,3 +606,181 @@ def test_promoted_fields_always_popped_from_data(spark):
         assert promoted not in data
     # the override is still honored for the non-promoted fields
     assert "thread" not in data and "module" in data
+
+
+def test_logs_schema_evolution_promoted_column_across_boundary(
+    spark, tmp_path
+):
+    """VERDICT r10 #4 — the alembic-migration analog for the streamed
+    fact table: a deployment promotes a payload field (``levelname``)
+    to a real column by restarting the stream with ``promote=``. Old
+    date-partitioned batches keep their narrower files; the
+    ``read_logs_table`` contract (mergeSchema + schema-rev check)
+    NULL-fills them; the B1 (projection+filter), B5 (record-ize) and
+    B13 (key discovery) query shapes stay green across the boundary;
+    and the promoted field is popped from the new rows' payload exactly
+    like the built-in PROMOTED trio."""
+    from venus_spark.streaming import (
+        _LOGS_SCHEMA_REV,
+        read_logs_table,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+
+    def run(promote=()):
+        q = start_logs_ingest(
+            read_log_stream(spark, str(landing), max_files_per_trigger=1),
+            sink_dir=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_seconds=None,
+            promote=promote,
+        )
+        q.awaitTermination(120)
+
+    # generation 1: pre-evolution batches
+    old = [make_record(i) for i in range(4)]
+    (landing / "g1.jsonl").write_text("\n".join(json.dumps(r) for r in old))
+    run()
+
+    # THE MIGRATION: restart with levelname promoted; generation 2 lands
+    new = [make_record(100 + i) for i in range(3)]
+    (landing / "g2.jsonl").write_text("\n".join(json.dumps(r) for r in new))
+    run(promote=("levelname",))
+
+    logs = read_logs_table(spark, sink)
+    assert "levelname" in logs.columns
+    assert logs.count() == 7
+    # old rows NULL-fill; new rows carry the promoted value
+    assert logs.filter(F.col("levelname").isNull()).count() == 4
+    assert (
+        logs.filter(F.col("levelname") == "INFO").count() == 3
+    )
+    # B1-shape: projection + eq filter across the boundary
+    assert logs.filter(F.col("message") == "work 2").count() == 1
+    assert logs.filter(F.col("message") == "work 101").count() == 1
+    # B5-shape: record-ize the payload across both generations
+    lvl = logs.select(
+        "message",
+        F.get_json_object("data", "$.levelno").cast("int").alias("levelno"),
+        F.get_json_object("data", "$.levelname").alias("lvl_in_payload"),
+    )
+    assert lvl.filter(F.col("levelno") == 20).count() == 7
+    # the promoted field is POPPED from new payloads, kept in old ones
+    assert lvl.filter(F.col("lvl_in_payload").isNotNull()).count() == 4
+    # B13-shape: key discovery over the payload sees the key only where
+    # it still lives (old generation)
+    import json as _json
+
+    keys_new = set()
+    keys_old = set()
+    for r in logs.select("levelname", "data").collect():
+        (keys_old if r["levelname"] is None else keys_new).update(
+            _json.loads(r["data"]).keys()
+        )
+    assert "levelname" in keys_old and "levelname" not in keys_new
+
+    # schema-rev record: monotone across a promote-less restart
+    with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
+        rec = json.load(f)
+    assert rec["promoted_extra"] == ["levelname"] and rec["rev"] == 2
+    (landing / "g3.jsonl").write_text(json.dumps(make_record(200)))
+    run()  # restart WITHOUT promote: record must not shrink
+    with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
+        rec2 = json.load(f)
+    assert rec2["promoted_extra"] == ["levelname"]
+    logs2 = read_logs_table(spark, sink)
+    assert logs2.count() == 8 and "levelname" in logs2.columns
+
+    # a record claiming a column the merged read lacks fails LOUDLY
+    with open(os.path.join(sink, _LOGS_SCHEMA_REV), "w") as f:
+        json.dump({"rev": 9, "promoted_extra": ["levelname", "ghost"]}, f)
+    with pytest.raises(ValueError, match="ghost"):
+        read_logs_table(spark, sink)
+
+
+def test_promote_requires_declared_schema_field(spark):
+    """promote names must exist in the declared record schema — a typo
+    must fail at plan-build time, not land NULL columns forever."""
+    with pytest.raises(ValueError, match="not_a_field"):
+        parse_records(
+            raw_df(spark, ["{}"]), promote=("not_a_field",)
+        )
+
+
+def test_events_kv_guards_tolerate_novel_streamed_key(spark, tmp_path, monkeypatch):
+    """The events-sink half of the schema-evolution story (VERDICT r10
+    #4): a streamed batch whose props carries an UNDECLARED key must
+    flow through the kv-postings maintenance with the guards clean.
+    The kv index is over the COMPOSED document (declared keys k/type/
+    uid — the jsonb_to_record 'know which names you're looking for'
+    contract, reference README.rst:92-100), so the unknown payload key
+    derives no entry; what evolution must NOT do is wedge the
+    maintenance, trip sink_kv_exclusions, or corrupt the live
+    key plans' counts for the declared keys."""
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import venus_surface as vs
+    from venus_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        events_stream_sink_dir,
+        sink_kv_exclusions,
+        start_events_rollup_ingest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    spark.read.parquet(os.path.join(src, "events.parquet")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.jsonl").write_text(
+        json.dumps(
+            {
+                "event_id": 3_000_001,
+                "ts": "2024-01-01 10:01:00",
+                "user_id": 7,
+                "event_type": "click",
+                "value": 1.0,
+                "props": '{"brand_new_key_xyz": 1}',
+            }
+        )
+    )
+    sink = events_stream_sink_dir(sf)
+    q = start_events_rollup_ingest(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(landing)),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+    )
+    assert q.awaitTermination(180)
+    assert sink_kv_exclusions(sink) == set()
+    plans = all_plans()
+    vs._KV_DF_CACHE.clear()
+    # the undeclared key derives no posting (declared-universe
+    # contract) and the declared keys the event DOES carry (type, uid)
+    # count live exactly +1 over the prepared twin
+    from venus_spark.streaming import read_kv_postings_guarded
+
+    kv = {r["kv"] for r in read_kv_postings_guarded(spark, sink).collect()}
+    assert kv == {"?type", "?uid", "type=click", "uid=7"}
+    disc = {
+        r["key"]
+        for r in plans["json_key_discovery_live"].fn(spark, sf).collect()
+    }
+    assert "brand_new_key_xyz" not in disc and {"type", "uid"} <= disc
+
+    def freqs(name):
+        return {
+            r["key"]: r["n_docs"]
+            for r in plans[name].fn(spark, sf).collect()
+        }
+
+    cold, live = freqs("json_key_frequency"), freqs("json_key_frequency_live")
+    assert live["type"] == cold["type"] + 1
+    assert live["uid"] == cold["uid"] + 1
+    assert live.get("k", 0) == cold.get("k", 0)  # unknown key added none

@@ -407,3 +407,118 @@ def test_full_topology_streaming_retrieval(spark, tmp_path, monkeypatch):
         for r in prepared.documents_trgm_postings_live(spark, sf).collect()
     )
     assert got == want
+
+
+class _FakeZmq:
+    """Just enough of pyzmq's surface to drive run_zmq's loop for BOTH
+    socket types: yields scripted multiparts, then stops the loop with
+    KeyboardInterrupt from poll() (the relay's documented graceful-stop
+    path, which flushes the tail batch)."""
+
+    PULL = "PULL"
+    SUB = "SUB"
+    POLLIN = 1
+    LINGER = "LINGER"
+
+    def __init__(self, frames):
+        self.frames = list(frames)
+        self.ops = []
+
+    # context surface -----------------------------------------------
+    def Context_instance(self):
+        return self
+
+    @property
+    def Context(self):
+        fake = self
+
+        class _Ctx:
+            @staticmethod
+            def instance():
+                return fake
+
+        return _Ctx
+
+    def socket(self, stype):
+        self.ops.append(("socket", stype))
+        return self
+
+    def setsockopt(self, *a):
+        self.ops.append(("setsockopt", *a))
+
+    def bind(self, addr):
+        self.ops.append(("bind", addr))
+
+    def subscribe(self, topic):
+        self.ops.append(("subscribe", topic))
+
+    def recv_multipart(self):
+        return self.frames.pop(0)
+
+    def close(self, *a):
+        self.ops.append(("close",))
+
+    def term(self):
+        self.ops.append(("term",))
+
+    # poller surface --------------------------------------------------
+    def Poller(self):
+        fake = self
+
+        class _P:
+            def register(self, sock, flag):
+                pass
+
+            def poll(self, timeout=None):
+                if fake.frames:
+                    return [(fake, _FakeZmq.POLLIN)]
+                raise KeyboardInterrupt
+
+        return _P()
+
+
+@pytest.mark.parametrize("socket_type", ["pull", "sub"])
+def test_socket_loop_lands_frames_both_topologies(tmp_path, socket_type):
+    """The SUB-bind subscribe-all collector (reference contrib
+    collector_sub_bind.py:1-24) runs the IDENTICAL batch/land loop as
+    the PULL collector: 2-frame (topic/level, message) multiparts land
+    as JSON lines; subscribe-all is issued for sub and ONLY for sub;
+    the interrupt path flushes the tail."""
+    frames = [
+        [b"INFO", b'{"m": 1}'],
+        [b"INFO", b'{"m": 2}'],
+        [b"oops-single-frame"],  # logged and skipped, never lands
+        [b"WARNING", b'{"m": 3}'],
+    ]
+    fake = _FakeZmq(frames)
+    batcher = relay.MicroBatcher(str(tmp_path), max_size=2, max_age=999)
+    relay.run_zmq(batcher, 5555, socket_type=socket_type, zmq_module=fake)
+
+    landed = sorted(tmp_path.iterdir())
+    lines = [
+        ln for p in landed for ln in p.read_text().splitlines()
+    ]
+    assert lines == ['{"m": 1}', '{"m": 2}', '{"m": 3}']
+    assert ("bind", "tcp://*:5555") in fake.ops
+    stype = dict(pull=_FakeZmq.PULL, sub=_FakeZmq.SUB)[socket_type]
+    assert ("socket", stype) in fake.ops
+    subs = [op for op in fake.ops if op[0] == "subscribe"]
+    assert subs == ([("subscribe", b"")] if socket_type == "sub" else [])
+    assert ("close",) in fake.ops and ("term",) in fake.ops
+
+
+def test_sub_mode_without_pyzmq_exits_with_guidance(tmp_path):
+    if importlib.util.find_spec("zmq") is not None:
+        pytest.skip("pyzmq installed; the import gate is not reachable")
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(tmp_path),
+         "--socket-type", "sub"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "--stdin" in proc.stderr

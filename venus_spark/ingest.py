@@ -122,18 +122,31 @@ def parse_records(
     raw_col: str = "value",
     schema: T.StructType | None = None,
     drop_fields: tuple[str, ...] | None = None,
+    promote: tuple[str, ...] = (),
 ) -> DataFrame:
     """Raw JSON-line DataFrame -> parsed rows with an ``_ok`` marker.
 
-    Output columns: ``time, message, correlation_id, data, date, _ok,
-    _raw``. ``_ok = false`` rows (unparseable JSON or missing
-    ``created``) are the quarantine set — the reference logs-and-drops
-    them (venus/db/write.py:34-36,42-44); we keep the raw line.
+    Output columns: ``time, message, correlation_id, <promote...>,
+    data, date, _ok, _raw``. ``_ok = false`` rows (unparseable JSON or
+    missing ``created``) are the quarantine set — the reference
+    logs-and-drops them (venus/db/write.py:34-36,42-44); we keep the
+    raw line.
 
     ``drop_fields`` overrides the module-constant DROP_FIELDS — the
     streaming path passes the *live* value per micro-batch
     (venus_spark.live_config, the A14 analog), so a config change
     applies at the next trigger without restarting the query.
+
+    ``promote`` is the SCHEMA-EVOLUTION hook (VERDICT r10 #4 — the
+    alembic-migration analog: the reference promotes payload fields to
+    real columns by migration, e.g. migration 37716151a213:26-33 is rev
+    1 of that series): each named record field becomes a top-level
+    column AND is popped from the residual ``data`` payload, exactly
+    like the three built-in PROMOTED fields. Batches written before the
+    promotion simply lack the column — the read contract
+    (:func:`venus_spark.streaming.read_logs_table`, mergeSchema) NULL-
+    fills them, which is also what a warehouse ALTER TABLE ADD COLUMN
+    leaves in old rows.
     """
     schema = schema or log_record_schema()
     drop = DROP_FIELDS if drop_fields is None else tuple(drop_fields)
@@ -142,7 +155,15 @@ def parse_records(
     # unconditionally (reference extract_safe, venus/db/write.py:87-91)
     # — independent of the live drop_fields override, which would
     # otherwise leak `created` into data whenever a config omits it.
-    promoted = ("created", "message", "correlation_id")
+    promoted = PROMOTED + tuple(p for p in promote if p not in PROMOTED)
+    extra = [p for p in promoted if p not in PROMOTED]
+    known = {f.name for f in schema.fields}
+    missing = [p for p in extra if p not in known]
+    if missing:
+        raise ValueError(
+            f"promote names absent from the record schema: {missing} — "
+            "declare them (log_record_schema(extra_fields=...)) first"
+        )
     residual = [f.name for f in schema.fields if f.name not in drop + promoted]
     return (
         raw.withColumn("_rec", rec)
@@ -150,7 +171,8 @@ def parse_records(
             F.timestamp_seconds(F.col("_rec.created")).alias("time"),
             F.col("_rec.message").alias("message"),
             canonical_uuid(F.col("_rec.correlation_id")).alias("correlation_id"),
-            # A7+A8: the payload loses DROP_FIELDS (pruned) and the three
+            *[F.col(f"_rec.{c}").alias(c) for c in extra],
+            # A7+A8: the payload loses DROP_FIELDS (pruned) and the
             # promoted fields (the reference's extract_safe *pops* them,
             # venus/db/write.py:87-91); everything else re-serializes.
             F.to_json(F.struct(*[F.col(f"_rec.{c}").alias(c) for c in residual])).alias(
@@ -174,11 +196,16 @@ def good_records(parsed: DataFrame) -> DataFrame:
     row per query. The JSON string rides along because the DuckDB
     oracle (and any non-Spark reader) cannot decode Spark's variant
     encoding; a pure-Spark deployment at 100 TB stores only ``data_v``
-    (the reference likewise stores only JSONB, never the raw text)."""
+    (the reference likewise stores only JSONB, never the raw text).
+
+    Column list follows the parse output, so extra PROMOTED columns
+    (schema evolution, ``parse_records(promote=...)``) flow into the
+    table between ``correlation_id`` and ``data``."""
+    head = [
+        c for c in parsed.columns if c not in ("data", "_ok", "_raw", "date")
+    ]
     return parsed.filter(F.col("_ok")).select(
-        "time",
-        "message",
-        "correlation_id",
+        *head,
         "data",
         F.parse_json("data").alias("data_v"),
         "date",
