@@ -67,13 +67,17 @@ def main() -> int:
     names = None
     if args.names:
         names = [n.strip() for n in args.names.split(",") if n.strip()]
+        # validate BEFORE the (sf0.1: minutes-long) run, not after —
+        # a typo must not discard a finished sample (review r11 #2)
+        from venus_spark.plans import all_plans
+
+        unknown = sorted(set(names) - set(all_plans()))
+        if unknown:
+            raise SystemExit(f"unknown plan names: {unknown}")
 
     spark = get_spark(cpus=args.cpus)
     t0 = time.time()
     results = run_all(spark, args.sf, names=names)
-    if names and {r.name for r in results} != set(names):
-        missing = sorted(set(names) - {r.name for r in results})
-        raise SystemExit(f"unknown plan names: {missing}")
     out = {r.name: to_record(r) for r in results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -173,37 +173,13 @@ _VEC_NEEDLE_PENDING = 9_200_002   # crash-window batch, sink-only
 _VEC_CRASH_BID = 9
 
 
-def _vec_probe_labels(
-    spark, sf: str
-) -> tuple[list[int], list[float], list[int]]:
-    """The plans' frozen-centroid probe set, the query vector, and the
-    UNPROBED cluster ids (fillers land there — see _vec_rows)."""
-    from pyspark.sql import functions as F
+def _vec_probe_labels(spark, sf: str):
+    """(probed labels, query vector, unprobed labels) — the plans' own
+    frozen-centroid probe, via the SHARED helper the plans themselves
+    run (review r11 pass-1 #4: no hand-copied probe logic here)."""
+    from venus_spark.plans.pipeline_ops2 import frozen_ivf_probe
 
-    from venus_spark import prepared
-    from venus_spark.operators.similarity import cosine
-    from venus_spark.plans.pipeline_ops2 import _NPROBE, _QUERY_VEC_ID
-
-    vecs, cents = prepared.embeddings_ivf(spark, sf)
-    qrow = (
-        vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    query = F.array(
-        *[F.lit(float(x)).cast("double") for x in qrow["embedding"]]
-    )
-    all_rows = (
-        cents.select(
-            "cluster",
-            F.round(cosine(F.col("centroid"), query), 6).alias("s"),
-        )
-        .orderBy(F.col("s").desc(), F.col("cluster"))
-        .collect()
-    )
-    probed = [int(r["cluster"]) for r in all_rows[:_NPROBE]]
-    unprobed = [int(r["cluster"]) for r in all_rows[_NPROBE:]]
-    return probed, [float(x) for x in qrow["embedding"]], unprobed
+    return frozen_ivf_probe(spark, sf)
 
 
 def _vec_rows(
@@ -494,39 +470,18 @@ def main() -> int:
         # SCREENS (see the vectors block comment): the certificate is
         # sound only if the oracle's union-recomputed probe picks the
         # SAME clusters as the plans' frozen centroids, and the PQ
-        # codebook sample is unreachable by the streamed ids.
-        from venus_spark.functions.sqlgen import cosine_sql, davg_sql
+        # codebook sample is unreachable by the streamed ids. The
+        # oracle-side probe runs the oracle's OWN probe CTE
+        # (ivf_probe_cte — shared with _ivf_topk_oracle, review r11
+        # pass-1 #4: a hand copy here could desynchronize from the
+        # oracle it guards).
         from venus_spark.operators.similarity import PQ_CB_MOD, PQ_KS
-        from venus_spark.plans.pipeline_ops2 import _NPROBE, _QUERY_VEC_ID
+        from venus_spark.plans.pipeline_ops2 import ivf_probe_cte
 
-        _vd = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
         oracle_probe = [
             int(r[0])
             for r in con.execute(
-                f"""
-        WITH q AS (
-          SELECT {_vd.format('embedding')} AS qv FROM embeddings
-          WHERE vec_id = {_QUERY_VEC_ID}
-        ),
-        long_cent AS (
-          SELECT label AS cluster,
-                 GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
-                 UNNEST({_vd.format('embedding')}) AS v
-          FROM embeddings
-        ),
-        cent AS (
-          SELECT cluster, pos, {davg_sql('v')} AS centroid_v
-          FROM long_cent GROUP BY cluster, pos
-        ),
-        cent_arr AS (
-          SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
-          FROM cent GROUP BY cluster
-        )
-        SELECT cluster,
-               ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS s
-        FROM cent_arr CROSS JOIN q
-        ORDER BY s DESC, cluster LIMIT {_NPROBE}
-        """
+                f"{ivf_probe_cte()} SELECT cluster FROM probed"
             ).fetchall()
         ]
         if set(oracle_probe) != set(vec_labels):
@@ -659,9 +614,12 @@ def main() -> int:
         vec_post_append = {}
         vec_ids_now = {}
         for name in _VEC_PLANS_PREPARED + _VEC_PLANS_LIVE:
+            # build once, reuse for ids AND the compare (the plan fn
+            # re-pays driver-side probe/codebook collects per build,
+            # review r11 pass-1 #3)
             df = plans[name].fn(spark, sf)
             vec_ids_now[name] = [int(r["vec_id"]) for r in df.collect()]
-            r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
+            r = compare(name, df, con, plans[name].oracle)
             vec_post_append[name] = to_record(r)
             ok = ok and r.ok
         vec_proofs = {}
@@ -708,7 +666,7 @@ def main() -> int:
         for name in _VEC_PLANS_LIVE:
             df = plans[name].fn(spark, sf)
             live_ids = [int(r["vec_id"]) for r in df.collect()]
-            r = compare(name, plans[name].fn(spark, sf), con, plans[name].oracle)
+            r = compare(name, df, con, plans[name].oracle)
             vec_crash[name] = to_record(r)
             ok = ok and r.ok
             cold_name = _VEC_PLANS_PREPARED[_VEC_PLANS_LIVE.index(name)]

@@ -171,6 +171,11 @@ def run_zmq(
 
     ``zmq_module`` injects a stand-in for tests (pyzmq is absent in
     the build container; the import gate below serves deployments)."""
+    if socket_type not in ("pull", "sub"):
+        # argparse guards the CLI; this guards programmatic callers — a
+        # silent fallthrough to SUB would bind a socket PUSH producers
+        # cannot reach and drop 100% of traffic with no error
+        raise ValueError(f"socket_type must be 'pull' or 'sub', got {socket_type!r}")
     zmq = zmq_module
     if zmq is None:
         try:

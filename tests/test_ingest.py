@@ -685,7 +685,10 @@ def test_logs_schema_evolution_promoted_column_across_boundary(
     # schema-rev record: monotone across a promote-less restart
     with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
         rec = json.load(f)
-    assert rec["promoted_extra"] == ["levelname"] and rec["rev"] == 2
+    # rev 1: the record is written AFTER the first promoted batch
+    # lands (review r11 pass-1 #1 — recording at start() could poison
+    # read_logs_table if the stream died before landing anything)
+    assert rec["promoted_extra"] == ["levelname"] and rec["rev"] == 1
     (landing / "g3.jsonl").write_text(json.dumps(make_record(200)))
     run()  # restart WITHOUT promote: record must not shrink
     with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:

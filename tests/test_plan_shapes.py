@@ -925,3 +925,30 @@ def test_kv_containment_stale_stats_never_lose_rows(
     assert sorted(map(tuple, bounded.collect())) == want
     assert "In(event_id" not in formatted_plan(bounded)  # seqscan, bounded
     vs._KV_DF_CACHE.clear()
+
+
+def test_live_vector_plans_quiescent_shapes_match_prepared(spark):
+    """On a quiescent dir (no streamed sink — every bench/mirror run)
+    the live vector plans must produce the PREPARED access path
+    unchanged: sim_ivf_topk_live keeps the literal IN partition filter
+    (static directory pruning), sim_pq_adc_live keeps the codes-only
+    ReadSchema, and neither gains a shuffle, a union branch, or a
+    Python node — the degrade-to-prepared contract at the plan level
+    (the streamed/pending branch is certified by the streamed mirror
+    and tests/test_vector_live.py)."""
+    from venus_spark.plans import all_plans
+    from venus_spark.plans.pipeline_ops2 import _NPROBE
+
+    plans = all_plans()
+    ivf = formatted_plan(plans["sim_ivf_topk_live"].fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[label#\d+ IN \((\d+(?:,\d+)*)\)\]", ivf)
+    assert m and len(m.group(1).split(",")) == _NPROBE, ivf[:1500]
+    assert "Union" not in ivf and shuffle_exchanges(ivf) == 0, ivf[:1500]
+
+    pq = formatted_plan(plans["sim_pq_adc_live"].fn(spark, SF))
+    m = re.search(r"ReadSchema: (\S+)", pq)
+    assert m and "codes" in m.group(1) and "embedding" not in m.group(1), pq[:1500]
+    assert "Union" not in pq and shuffle_exchanges(pq) == 0, pq[:1500]
+    for plan_text in (ivf, pq):
+        assert "BatchEvalPython" not in plan_text
+        assert "MapInPandas" not in plan_text

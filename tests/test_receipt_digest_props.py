@@ -216,9 +216,9 @@ def test_digest_dispatch_threshold_and_fallback(spark, tmp_path, monkeypatch):
     calls = []
     real = st._partition_digest_distributed
 
-    def spy(s, part, fs):
+    def spy(s, part, fs, units=None):
         calls.append(part)
-        return real(s, part, fs)
+        return real(s, part, fs, units=units)
 
     monkeypatch.setattr(st, "_partition_digest_distributed", spy)
 
@@ -235,7 +235,7 @@ def test_digest_dispatch_threshold_and_fallback(spark, tmp_path, monkeypatch):
     assert len(calls) == 1
 
     # distributed-leg failure -> driver fallback, not no-claim
-    def boom(s, part, fs):
+    def boom(s, part, fs, units=None):
         raise RuntimeError("executor lost")
 
     monkeypatch.setattr(st, "_partition_digest_distributed", boom)

@@ -36,27 +36,12 @@ def _setup_base(spark, tmp_path, monkeypatch):
 
 
 def _probed_labels(spark, sf):
-    """The live/prepared plans' frozen-centroid probe set."""
-    from venus_spark.operators.similarity import cosine
-    from venus_spark.plans.pipeline_ops2 import _NPROBE, _QUERY_VEC_ID
+    """The live/prepared plans' frozen-centroid probe set — via the
+    SHARED helper the plans themselves run."""
+    from venus_spark.plans.pipeline_ops2 import frozen_ivf_probe
 
-    vecs, cents = prepared.embeddings_ivf(spark, sf)
-    qrow = (
-        vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
-    rows = (
-        cents.select(
-            "cluster",
-            F.round(cosine(F.col("centroid"), query), 6).alias("s"),
-        )
-        .orderBy(F.col("s").desc(), F.col("cluster"))
-        .limit(_NPROBE)
-        .collect()
-    )
-    return [r["cluster"] for r in rows], qrow["embedding"]
+    labels, qvec, _unprobed = frozen_ivf_probe(spark, sf)
+    return labels, qvec
 
 
 def _needle(qvec, vec_id, label, eps):
@@ -201,3 +186,49 @@ def test_pending_vectors_respect_tombstones_and_pointer(
     assert 9_000_005 not in [
         r["vec_id"] for r in plans["sim_ivf_topk_live"].fn(spark, sf).collect()
     ]
+
+
+def test_pending_cap_overflow_falls_back_to_dedup_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11 pass-1 #7: the _PENDING_ID_CAP overflow branch
+    (unionByName + dropDuplicates instead of the inline anti-filter)
+    must produce the same answer — it is the degraded-crash-backlog
+    path, exactly where a silent regression would hurt most. Cap
+    monkeypatched to -1 so ANY pending id overflows."""
+    from venus_spark.plans import all_plans
+    from venus_spark.plans import pipeline_ops2 as po2
+    from venus_spark.streaming import (
+        _write_idempotent,
+        embeddings_stream_sink_dir,
+        pending_vector_batches,
+    )
+
+    sf, base = _setup_base(spark, tmp_path, monkeypatch)
+    plans = all_plans()
+    labels, qvec = _probed_labels(spark, sf)
+    vecs_schema = spark.read.parquet(
+        os.path.join(SRC, "embeddings.parquet")
+    ).schema
+    sink = embeddings_stream_sink_dir(sf)
+    n = _needle(qvec, 9_000_008, labels[0], eps=1e-3)
+    batch = spark.createDataFrame([n], vecs_schema)
+    _write_idempotent(batch, os.path.join(sink, "embeddings"), 3)
+    # torn mid-append: the row is in BOTH relations
+    prepared.append_embeddings_batch(spark, sf, batch, batch_id=3)
+    ivf_path = prepared.prepared_path(sf, "embeddings_ivf.parquet")
+    manifest = prepared._read_abatch_manifest(ivf_path)
+    prepared._write_abatch_manifest(ivf_path, manifest - {3})
+    assert pending_vector_batches(sf, "embeddings_ivf.parquet") == (sink, [3])
+
+    fast = [r["vec_id"] for r in plans["sim_ivf_topk_live"].fn(spark, sf).collect()]
+    monkeypatch.setattr(po2, "_PENDING_ID_CAP", -1)
+    slow = [r["vec_id"] for r in plans["sim_ivf_topk_live"].fn(spark, sf).collect()]
+    assert slow == fast
+    assert 9_000_008 in slow and len(slow) == len(set(slow))
+    # PQ twin through the same fallback (codes layout also un-manifested)
+    pq_path = prepared.prepared_path(sf, "embeddings_pq_codes.parquet")
+    pq_manifest = prepared._read_abatch_manifest(pq_path)
+    prepared._write_abatch_manifest(pq_path, pq_manifest - {3})
+    got = [r["vec_id"] for r in plans["sim_pq_adc_live"].fn(spark, sf).collect()]
+    assert 9_000_008 in got and len(got) == len(set(got))

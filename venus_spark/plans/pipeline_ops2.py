@@ -127,10 +127,13 @@ _NPROBE = 2
 _VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
 
 
-def _ivf_topk_oracle() -> str:
-    # Mirrors operators/similarity.py: centroid = per-(cluster,pos)
-    # davg (round 6); probe = top-nprobe clusters by rounded cosine;
-    # final = exact top-k within probed clusters.
+def ivf_probe_cte() -> str:
+    """The oracle's probe pipeline as a reusable WITH-prefix ending in
+    the ``probed`` CTE (centroid = per-(cluster,pos) davg; probe =
+    top-nprobe clusters by rounded cosine) — ONE copy shared by the
+    full oracle below and the streamed mirror's probe-set screen, so
+    the screen can never desynchronize from the oracle it guards
+    (review r11 pass-1 #4)."""
     return f"""
 WITH q AS (
   SELECT {_VD.format('embedding')} AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
@@ -154,7 +157,13 @@ probed AS (
          ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_NPROBE}
-),
+)"""
+
+
+def _ivf_topk_oracle() -> str:
+    # Mirrors operators/similarity.py: probe CTE above; final = exact
+    # top-k within probed clusters.
+    return f"""{ivf_probe_cte()},
 scored AS (
   SELECT e.vec_id,
          ROUND({cosine_sql(_VD.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
@@ -164,6 +173,39 @@ scored AS (
 SELECT vec_id, cosine_sim FROM scored
 ORDER BY cosine_sim DESC, vec_id LIMIT {_TOPK}
 """
+
+
+def frozen_ivf_probe(spark: SparkSession, sf_dir: str):
+    """The PLANS' probe, driver-side: rank the prepared (frozen,
+    base-trained) centroid table by rounded cosine to the query vector
+    and split at nprobe. Returns ``(probed labels, query vector as
+    floats, unprobed labels)`` — ONE copy shared by
+    sim_ivf_topk_prepared / sim_ivf_topk_live, the streamed mirror's
+    screen, and the e2e tests (review r11 pass-1 #4)."""
+    from venus_spark.operators.similarity import cosine
+    from venus_spark.prepared import embeddings_ivf
+
+    vecs, cents = embeddings_ivf(spark, sf_dir)
+    qrow = (
+        vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    qvec = [float(x) for x in qrow["embedding"]]
+    query = F.array(*[F.lit(x).cast("double") for x in qvec])
+    rows = (
+        cents.select(
+            "cluster",
+            F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
+        )
+        .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
+        .collect()
+    )
+    return (
+        [int(r["cluster"]) for r in rows[:_NPROBE]],
+        qvec,
+        [int(r["cluster"]) for r in rows[_NPROBE:]],
+    )
 
 
 @plan("sim_ivf_topk", oracle=_ivf_topk_oracle())
@@ -189,29 +231,20 @@ def sim_ivf_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning) — the index-at-write-time shape a 100 TB ANN deployment
     actually runs. Same oracle as sim_ivf_topk: the layout changes the
     access path, not the answer."""
-    from venus_spark.operators.similarity import brute_force_topk, cosine
+    from venus_spark.operators.similarity import brute_force_topk
 
     from venus_spark.prepared import embeddings_ivf
 
-    vecs, cents = embeddings_ivf(spark, sf_dir)
-    qrow = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    vecs, _cents = embeddings_ivf(spark, sf_dir)
     # Two-phase like the query-vector fetch above: the probe result is
     # nprobe rows of a broadcast-sized table, so collecting the cluster
     # ids and planting them as a literal partition filter gives *static*
     # directory pruning (PartitionFilters: label IN (...)) — Spark's
     # dynamic-pruning rule declines this join because of the limit, and
     # at 100 TB a guaranteed static prune beats hoping for DPP.
-    probed = (
-        cents.select(
-            "cluster",
-            F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
-        )
-        .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
-        .limit(_NPROBE)
-        .collect()
-    )
-    pruned = vecs.filter(F.col("label").isin([r["cluster"] for r in probed]))
+    labels, qvec, _ = frozen_ivf_probe(spark, sf_dir)
+    query = F.array(*[F.lit(x).cast("double") for x in qvec])
+    pruned = vecs.filter(F.col("label").isin(labels))
     return brute_force_topk(pruned, query, k=_TOPK)
 
 
@@ -289,23 +322,13 @@ def sim_ivf_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected in O(listdir + manifest read) — and stays micro-batch-
     sized. Reference analog: freshly-INSERTed rows are served by every
     index identically (migration 37716151a213 :35-37)."""
-    from venus_spark.operators.similarity import brute_force_topk, cosine
+    from venus_spark.operators.similarity import brute_force_topk
 
     from venus_spark.prepared import embeddings_ivf
 
-    vecs, cents = embeddings_ivf(spark, sf_dir)
-    qrow = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
-    probed = (
-        cents.select(
-            "cluster",
-            F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
-        )
-        .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
-        .limit(_NPROBE)
-        .collect()
-    )
-    labels = [r["cluster"] for r in probed]
+    vecs, _cents = embeddings_ivf(spark, sf_dir)
+    labels, qvec, _ = frozen_ivf_probe(spark, sf_dir)
+    query = F.array(*[F.lit(x).cast("double") for x in qvec])
     pruned = _live_vector_candidates(
         spark,
         sf_dir,

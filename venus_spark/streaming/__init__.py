@@ -678,7 +678,15 @@ def start_logs_ingest(
     logs_dir = os.path.join(sink_dir, "logs")
     quarantine_dir = os.path.join(sink_dir, "quarantine")
     rec_schema = schema or log_record_schema()
-    _record_logs_schema_rev(sink_dir, promote)
+    # fail a typo'd promote at start(), not at the first trigger
+    unknown = [
+        p for p in promote if p not in {f.name for f in rec_schema.fields}
+    ]
+    if unknown:
+        raise ValueError(
+            f"promote names absent from the record schema: {unknown} — "
+            "declare them (log_record_schema(extra_fields=...)) first"
+        )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         drop = None
@@ -690,9 +698,20 @@ def start_logs_ingest(
             batch, schema=rec_schema, drop_fields=drop, promote=promote
         ).persist()
         try:
+            good = good_records(parsed)
             _write_idempotent(
-                good_records(parsed), logs_dir, batch_id, partition_cols=("date",)
+                good, logs_dir, batch_id, partition_cols=("date",)
             )
+            # record the promotion AFTER its first rows land (review
+            # r11 pass-1 #1): recording at start() would let a stream
+            # that dies before landing anything — or a quarantine-only
+            # prefix — poison read_logs_table with a recorded column no
+            # parquet file carries yet; once a promoted batch is on
+            # disk the merged schema carries the column forever, so
+            # record-after-land closes the reader-crash window. Heal
+            # posture per batch, like the sink pointers.
+            if promote and good.limit(1).count() > 0:
+                _record_logs_schema_rev(sink_dir, promote)
             _write_idempotent(quarantined_records(parsed), quarantine_dir, batch_id)
         finally:
             parsed.unpersist()
@@ -1325,19 +1344,25 @@ _DIGEST_DISTRIBUTED_MIN_ROWS = 300_000
 
 
 def _partition_digest_distributed(
-    spark: SparkSession, part: str, files: list[str]
+    spark: SparkSession,
+    part: str,
+    files: list[str],
+    units: list[tuple[str, int]] | None = None,
 ) -> dict:
     """Distributed content digest: one task per (file, row group),
     each running :func:`_file_rows_digest`, partials folded mod 2^64
-    on the driver. Raises on any failure; the dispatcher owns the
-    fallback."""
-    import pyarrow.parquet as pq
+    on the driver. ``units`` lets the dispatcher pass the (path, row
+    group) list its own footer pass already enumerated (one footer
+    open per file total, review r11 pass-1 #6). Raises on any failure;
+    the dispatcher owns the fallback."""
+    if units is None:
+        import pyarrow.parquet as pq
 
-    units = []
-    for f in files:
-        p = os.path.join(part, f)
-        for rg in range(pq.ParquetFile(p).metadata.num_row_groups):
-            units.append((p, rg))
+        units = []
+        for f in files:
+            p = os.path.join(part, f)
+            for rg in range(pq.ParquetFile(p).metadata.num_row_groups):
+                units.append((p, rg))
     if not units:
         return {"rows": 0, "sum": 0}
 
@@ -1423,13 +1448,26 @@ def _partition_content_digest(
         # even a missing pyarrow must degrade, never crash the ingest
         # receipt write or the key-plan query guard
         if spark is not None:
-            footer_rows = _partition_footer_rows(sink_dir, table, bid, files)
-            if (
-                footer_rows is not None
-                and footer_rows >= _DIGEST_DISTRIBUTED_MIN_ROWS
-            ):
+            # ONE footer pass feeds both the dispatch decision and the
+            # (file, row group) unit list (review r11 pass-1 #6)
+            import pyarrow.parquet as pq
+
+            footer_rows = 0
+            units: list[tuple[str, int]] = []
+            try:
+                for f in files:
+                    p = os.path.join(part, f)
+                    meta = pq.ParquetFile(p).metadata
+                    footer_rows += meta.num_rows
+                    units.extend((p, rg) for rg in range(meta.num_row_groups))
+            except Exception:
+                footer_rows = -1  # unreadable footer: let the driver
+                # loop below own the no-claim decision
+            if footer_rows >= _DIGEST_DISTRIBUTED_MIN_ROWS:
                 try:
-                    return _partition_digest_distributed(spark, part, files)
+                    return _partition_digest_distributed(
+                        spark, part, files, units=units
+                    )
                 except Exception:
                     pass  # fall back to the driver loop below
         acc = 0
