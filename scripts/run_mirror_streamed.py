@@ -478,25 +478,37 @@ def main() -> int:
         from venus_spark.operators.similarity import PQ_CB_MOD, PQ_KS
         from venus_spark.plans.pipeline_ops2 import ivf_probe_cte
 
-        oracle_probe = [
-            int(r[0])
-            for r in con.execute(
-                f"{ivf_probe_cte()} SELECT cluster FROM probed"
-            ).fetchall()
-        ]
-        if set(oracle_probe) != set(vec_labels):
-            print(
-                json.dumps(
-                    {
-                        "error": "IVF probe-set drift: the streamed "
-                        "vectors moved the union-recomputed centroids "
-                        "enough to change the top-nprobe clusters "
-                        f"(frozen {sorted(vec_labels)} vs union "
-                        f"{sorted(oracle_probe)}) — place needles "
-                        "nearer the cluster means or reduce their count"
-                    }
+        def probe_screen(stage: str):
+            """union-oracle probe set, or None (with a targeted error
+            printed) on drift — re-run after EVERY sink mutation the
+            oracle view sees (review r11 pass-2 #4: the crash-window
+            batch lands after the first screen, so the crash-leg
+            certification needs its own)."""
+            got = [
+                int(r[0])
+                for r in con.execute(
+                    f"{ivf_probe_cte()} SELECT cluster FROM probed"
+                ).fetchall()
+            ]
+            if set(got) != set(vec_labels):
+                print(
+                    json.dumps(
+                        {
+                            "error": "IVF probe-set drift at stage "
+                            f"{stage!r}: the streamed vectors moved the "
+                            "union-recomputed centroids enough to change "
+                            "the top-nprobe clusters (frozen "
+                            f"{sorted(vec_labels)} vs union {sorted(got)})"
+                            " — place needles nearer the cluster means "
+                            "or reduce their count"
+                        }
+                    )
                 )
-            )
+                return None
+            return got
+
+        oracle_probe = probe_screen("post-append")
+        if oracle_probe is None:
             return 1
         max_cb_id, n_cb = con.execute(
             f"""
@@ -657,6 +669,8 @@ def main() -> int:
             os.path.join(vec_sink, "embeddings"),
             _VEC_CRASH_BID,
         )
+        if probe_screen("crash-window") is None:
+            return 1
         pend_ivf = pending_vector_batches(sf, "embeddings_ivf.parquet")[1]
         pend_pq = pending_vector_batches(sf, "embeddings_pq_codes.parquet")[1]
         if pend_ivf != [_VEC_CRASH_BID] or pend_pq != [_VEC_CRASH_BID]:

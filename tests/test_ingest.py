@@ -787,3 +787,67 @@ def test_events_kv_guards_tolerate_novel_streamed_key(spark, tmp_path, monkeypat
     assert live["type"] == cold["type"] + 1
     assert live["uid"] == cold["uid"] + 1
     assert live.get("k", 0) == cold.get("k", 0)  # unknown key added none
+
+
+def test_compaction_preserves_promoted_column_across_boundary(
+    spark, tmp_path
+):
+    """Review r11 pass-2 #1 (data loss): a logs date partition spanning
+    a schema-evolution boundary holds mixed-generation batch dirs; the
+    compaction read must MERGE schemas — a plain read samples one
+    file's schema, so the compacted output could silently drop a
+    promoted column and then delete the only files that carried it.
+    Covers both compaction forms: fresh and re-compaction (the second
+    fold reads the committed output + a late batch)."""
+    from venus_spark.streaming import (
+        compact_closed_partition,
+        read_log_stream,
+        read_logs_table,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+
+    def run(promote=()):
+        q = start_logs_ingest(
+            read_log_stream(spark, str(landing), max_files_per_trigger=1),
+            sink_dir=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_seconds=None,
+            promote=promote,
+        )
+        q.awaitTermination(120)
+
+    # same created hour -> same date partition for both generations
+    old = [make_record(0, message="gen1")]
+    old[0]["message"] = "gen1"
+    (landing / "g1.jsonl").write_text(json.dumps(old[0]))
+    run()
+    new = make_record(0)
+    new["message"] = "gen2"
+    (landing / "g2.jsonl").write_text(json.dumps(new))
+    run(promote=("levelname",))
+
+    logs_dir = os.path.join(sink, "logs")
+    [date_part] = [d for d in os.listdir(logs_dir) if d.startswith("date=")]
+    # fresh compaction folds gen1 + gen2 batch dirs
+    moved = compact_closed_partition(spark, logs_dir, date_part)
+    assert moved >= 2
+    logs = read_logs_table(spark, sink)  # schema-rev check must hold
+    assert logs.count() == 2
+    got = {r["message"]: r["levelname"] for r in logs.collect()}
+    assert got == {"gen1": None, "gen2": "INFO"}
+
+    # re-compaction: a late narrow batch folds into the wide output
+    late = make_record(0)
+    late["message"] = "gen3"
+    (landing / "g3.jsonl").write_text(json.dumps(late))
+    run()  # promote-less restart: narrow generation again
+    moved = compact_closed_partition(spark, logs_dir, date_part)
+    assert moved >= 1
+    logs = read_logs_table(spark, sink)
+    assert logs.count() == 3
+    got = {r["message"]: r["levelname"] for r in logs.collect()}
+    assert got == {"gen1": None, "gen2": "INFO", "gen3": None}

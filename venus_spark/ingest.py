@@ -155,14 +155,25 @@ def parse_records(
     # unconditionally (reference extract_safe, venus/db/write.py:87-91)
     # — independent of the live drop_fields override, which would
     # otherwise leak `created` into data whenever a config omits it.
-    promoted = PROMOTED + tuple(p for p in promote if p not in PROMOTED)
-    extra = [p for p in promoted if p not in PROMOTED]
+    # dedup while keeping order — promote=('x','x') must not emit two
+    # 'x' columns (review r11 pass-2 #2)
+    extra = list(dict.fromkeys(p for p in promote if p not in PROMOTED))
+    promoted = PROMOTED + tuple(extra)
     known = {f.name for f in schema.fields}
     missing = [p for p in extra if p not in known]
     if missing:
         raise ValueError(
             f"promote names absent from the record schema: {missing} — "
             "declare them (log_record_schema(extra_fields=...)) first"
+        )
+    # fixed output columns this select already emits: a promoted field
+    # with one of these names would produce a duplicate column and fail
+    # downstream as an ambiguous-reference AnalysisException instead of
+    # a targeted error here (review r11 pass-2 #2)
+    reserved = [p for p in extra if p in ("time", "data", "date", "_ok", "_raw")]
+    if reserved:
+        raise ValueError(
+            f"promote names collide with fixed output columns: {reserved}"
         )
     residual = [f.name for f in schema.fields if f.name not in drop + promoted]
     return (

@@ -175,17 +175,24 @@ ORDER BY cosine_sim DESC, vec_id LIMIT {_TOPK}
 """
 
 
-def frozen_ivf_probe(spark: SparkSession, sf_dir: str):
+def frozen_ivf_probe(spark: SparkSession, sf_dir: str, layout=None):
     """The PLANS' probe, driver-side: rank the prepared (frozen,
     base-trained) centroid table by rounded cosine to the query vector
     and split at nprobe. Returns ``(probed labels, query vector as
     floats, unprobed labels)`` — ONE copy shared by
     sim_ivf_topk_prepared / sim_ivf_topk_live, the streamed mirror's
-    screen, and the e2e tests (review r11 pass-1 #4)."""
+    screen, and the e2e tests (review r11 pass-1 #4). ``layout`` lets
+    the plans pass the ``(vecs, cents)`` pair their own
+    ``embeddings_ivf`` call already ensured — one ensure per query,
+    and the probe reads the SAME layout generation the scan reads
+    (review r11 pass-2 #5)."""
     from venus_spark.operators.similarity import cosine
-    from venus_spark.prepared import embeddings_ivf
 
-    vecs, cents = embeddings_ivf(spark, sf_dir)
+    if layout is None:
+        from venus_spark.prepared import embeddings_ivf
+
+        layout = embeddings_ivf(spark, sf_dir)
+    vecs, cents = layout
     qrow = (
         vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select("embedding")
@@ -235,14 +242,15 @@ def sim_ivf_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from venus_spark.prepared import embeddings_ivf
 
-    vecs, _cents = embeddings_ivf(spark, sf_dir)
+    layout = embeddings_ivf(spark, sf_dir)
+    vecs = layout[0]
     # Two-phase like the query-vector fetch above: the probe result is
     # nprobe rows of a broadcast-sized table, so collecting the cluster
     # ids and planting them as a literal partition filter gives *static*
     # directory pruning (PartitionFilters: label IN (...)) — Spark's
     # dynamic-pruning rule declines this join because of the limit, and
     # at 100 TB a guaranteed static prune beats hoping for DPP.
-    labels, qvec, _ = frozen_ivf_probe(spark, sf_dir)
+    labels, qvec, _ = frozen_ivf_probe(spark, sf_dir, layout=layout)
     query = F.array(*[F.lit(x).cast("double") for x in qvec])
     pruned = vecs.filter(F.col("label").isin(labels))
     return brute_force_topk(pruned, query, k=_TOPK)
@@ -326,8 +334,9 @@ def sim_ivf_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from venus_spark.prepared import embeddings_ivf
 
-    vecs, _cents = embeddings_ivf(spark, sf_dir)
-    labels, qvec, _ = frozen_ivf_probe(spark, sf_dir)
+    layout = embeddings_ivf(spark, sf_dir)
+    vecs = layout[0]
+    labels, qvec, _ = frozen_ivf_probe(spark, sf_dir, layout=layout)
     query = F.array(*[F.lit(x).cast("double") for x in qvec])
     pruned = _live_vector_candidates(
         spark,

@@ -335,10 +335,13 @@ def live_documents(
     # after they landed — the same posture as the logs sink's
     # mergeSchema contract); a select of base.columns would instead
     # raise AnalysisException per query until the sink is re-landed.
+    # Present columns CAST to the base type (review r11 pass-2 #3): a
+    # re-landed base whose column type changed must also degrade, not
+    # raise a union-type AnalysisException per query.
     have = set(streamed.columns)
     streamed = streamed.select(
         *[
-            F.col(f.name) if f.name in have
+            F.col(f.name).cast(f.dataType).alias(f.name) if f.name in have
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in base.schema.fields
         ]
@@ -542,11 +545,20 @@ def compact_closed_partition(
         return n_cleaned
 
     sources = [os.path.join(part_dir, d) for d in batch_dirs]
+    # mergeSchema on BOTH compaction reads (review r11 pass-2 #1): a
+    # logs partition spanning a schema-evolution boundary
+    # (start_logs_ingest promote=...) holds mixed-generation batch
+    # dirs; a plain read samples ONE file's schema, so a compaction
+    # could silently write output missing a promoted column and then
+    # rmtree the only files that carried it — nondeterministic data
+    # loss. Merged, old rows NULL-fill exactly as read_logs_table
+    # serves them, and the compacted output carries the union schema.
     if os.path.exists(os.path.join(compacted, "_SUCCESS")):
         # Re-compaction: fold the committed output and the new batches
         # into staging, commit the widened manifest, then swap.
         (
-            spark.read.parquet(compacted, *sources)
+            spark.read.option("mergeSchema", "true")
+            .parquet(compacted, *sources)
             .coalesce(target_files)
             .write.parquet(staging)
         )
@@ -555,7 +567,8 @@ def compact_closed_partition(
         os.rename(staging, compacted)
     else:
         (
-            spark.read.parquet(*sources)
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sources)
             .coalesce(target_files)
             .write.parquet(compacted)
         )
@@ -597,6 +610,20 @@ def _record_logs_schema_rev(sink_dir: str, promote: tuple[str, ...]) -> None:
             {"rev": prev_rev + 1, "promoted_extra": sorted(cols)}, f
         )
     os.replace(p + ".tmp", p)
+
+
+def _logs_schema_rev_covers(sink_dir: str, promote: tuple[str, ...]) -> bool:
+    """True when the schema-rev record already names every column in
+    ``promote`` — the per-batch fast path (one small JSON read) that
+    lets the ingest skip the has-rows Spark action once the record is
+    final (review r11 pass-2 #6). A torn/absent record reads as
+    not-covering: the heal posture re-checks and re-records."""
+    try:
+        with open(os.path.join(sink_dir, _LOGS_SCHEMA_REV)) as f:
+            rec = json.load(f).get("promoted_extra", [])
+        return isinstance(rec, list) and set(promote) <= set(rec)
+    except (OSError, ValueError, TypeError, AttributeError):
+        return False
 
 
 def read_logs_table(spark: SparkSession, sink_dir: str) -> DataFrame:
@@ -678,7 +705,8 @@ def start_logs_ingest(
     logs_dir = os.path.join(sink_dir, "logs")
     quarantine_dir = os.path.join(sink_dir, "quarantine")
     rec_schema = schema or log_record_schema()
-    # fail a typo'd promote at start(), not at the first trigger
+    # fail a typo'd/colliding promote at start(), not at the first
+    # trigger — same rules parse_records enforces (review r11 pass-2 #2)
     unknown = [
         p for p in promote if p not in {f.name for f in rec_schema.fields}
     ]
@@ -686,6 +714,13 @@ def start_logs_ingest(
         raise ValueError(
             f"promote names absent from the record schema: {unknown} — "
             "declare them (log_record_schema(extra_fields=...)) first"
+        )
+    reserved = [
+        p for p in promote if p in ("time", "data", "date", "_ok", "_raw")
+    ]
+    if reserved:
+        raise ValueError(
+            f"promote names collide with fixed output columns: {reserved}"
         )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -709,8 +744,15 @@ def start_logs_ingest(
             # parquet file carries yet; once a promoted batch is on
             # disk the merged schema carries the column forever, so
             # record-after-land closes the reader-crash window. Heal
-            # posture per batch, like the sink pointers.
-            if promote and good.limit(1).count() > 0:
+            # posture per batch like the sink pointers, but the
+            # steady-state cost is one small JSON read — the has-rows
+            # Spark action runs only while the record does not yet
+            # cover the promotion (review r11 pass-2 #6).
+            if (
+                promote
+                and not _logs_schema_rev_covers(sink_dir, promote)
+                and good.limit(1).count() > 0
+            ):
                 _record_logs_schema_rev(sink_dir, promote)
             _write_idempotent(quarantined_records(parsed), quarantine_dir, batch_id)
         finally:
