@@ -65,8 +65,12 @@ def main() -> int:
     from venus_spark.session import get_spark
 
     names = None
-    if args.names:
+    if args.names is not None:
         names = [n.strip() for n in args.names.split(",") if n.strip()]
+        if not names:
+            # an all-separator --names must not silently become a full
+            # run — run_all treats [] as "no filter" (review r11 #5)
+            raise SystemExit("--names parsed to an empty plan list")
         # validate BEFORE the (sf0.1: minutes-long) run, not after —
         # a typo must not discard a finished sample (review r11 #2)
         from venus_spark.plans import all_plans

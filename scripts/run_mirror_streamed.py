@@ -227,7 +227,11 @@ def _ilike(text: str, pattern: str) -> bool:
         ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
         for ch in pattern
     )
-    return re.fullmatch(rx, text, flags=re.IGNORECASE) is not None
+    # DOTALL: SQL %/_ span newlines; without it the screen would pass
+    # a newline-bearing needle that really matches (review r11 pass-3 #4)
+    return (
+        re.fullmatch(rx, text, flags=re.IGNORECASE | re.DOTALL) is not None
+    )
 
 
 def _screen_static_needles() -> None:

@@ -851,3 +851,87 @@ def test_compaction_preserves_promoted_column_across_boundary(
     assert logs.count() == 3
     got = {r["message"]: r["levelname"] for r in logs.collect()}
     assert got == {"gen1": None, "gen2": "INFO", "gen3": None}
+
+
+def test_promote_reserved_and_malformed_record_hardening(spark, tmp_path):
+    """Review r11 pass-3: (#1) promoting '_batch_id' or 'data_v' must
+    fail with a targeted error (the sink writer would overwrite one,
+    good_records duplicates the other); (#2) a foreign/hand-edited
+    schema-rev record — non-dict top level, string promoted_extra —
+    degrades to a fresh chain instead of killing the ingest stream or
+    writing character-columns back; (#3) prune_logs_schema_rev heals
+    the record after retention removed a retired column's last files."""
+    import shutil as _sh
+
+    from venus_spark.streaming import (
+        _LOGS_SCHEMA_REV,
+        _record_logs_schema_rev,
+        prune_logs_schema_rev,
+        read_log_stream,
+        read_logs_table,
+        start_logs_ingest,
+    )
+
+    # (#1) reserved collisions refused at parse AND at stream start
+    schema = log_record_schema((("data_v", T.StringType()),))
+    with pytest.raises(ValueError, match="collide"):
+        parse_records(raw_df(spark, ["{}"]), schema=schema, promote=("data_v",))
+    with pytest.raises(ValueError, match="collide"):
+        start_logs_ingest(
+            read_log_stream(spark, str(tmp_path)),
+            sink_dir=str(tmp_path / "s"),
+            checkpoint_dir=str(tmp_path / "c"),
+            schema=log_record_schema((("_batch_id", T.LongType()),)),
+            promote=("_batch_id",),
+        )
+
+    # (#2) malformed records: every shape degrades to a fresh chain
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    rev_path = os.path.join(sink, _LOGS_SCHEMA_REV)
+    for bad in ('["levelname"]', '{"promoted_extra": "levelname"}',
+                '{"promoted_extra": [1, 2]}', "garbage{"):
+        with open(rev_path, "w") as f:
+            f.write(bad)
+        _record_logs_schema_rev(sink, ("levelname",))
+        with open(rev_path) as f:
+            rec = json.load(f)
+        assert rec["promoted_extra"] == ["levelname"], bad
+
+    # (#3) retention heal: land two generations, delete the promoted
+    # generation's files, prune — the record shrinks and reads recover
+    _sh.rmtree(sink)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def run(promote=()):
+        q = start_logs_ingest(
+            read_log_stream(spark, str(landing), max_files_per_trigger=1),
+            sink_dir=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_seconds=None,
+            promote=promote,
+        )
+        q.awaitTermination(120)
+
+    r_old = make_record(0)
+    (landing / "g1.jsonl").write_text(json.dumps(r_old))
+    run()
+    r_new = make_record(100)  # 100h later: its own date partition
+    (landing / "g2.jsonl").write_text(json.dumps(r_new))
+    run(promote=("levelname",))
+    assert "levelname" in read_logs_table(spark, sink).columns
+    # retention drops the promoted generation's date partition
+    logs_dir = os.path.join(sink, "logs")
+    new_date = [
+        d for d in os.listdir(logs_dir)
+        if d.startswith("date=") and d != "date=2023-11-14"
+    ]
+    for d in new_date:
+        _sh.rmtree(os.path.join(logs_dir, d))
+    with pytest.raises(ValueError, match="prune_logs_schema_rev"):
+        read_logs_table(spark, sink)
+    assert prune_logs_schema_rev(spark, sink) == ["levelname"]
+    assert prune_logs_schema_rev(spark, sink) == []  # idempotent
+    logs = read_logs_table(spark, sink)  # recovered
+    assert logs.count() == 1 and "levelname" not in logs.columns

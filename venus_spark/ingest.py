@@ -170,7 +170,15 @@ def parse_records(
     # with one of these names would produce a duplicate column and fail
     # downstream as an ambiguous-reference AnalysisException instead of
     # a targeted error here (review r11 pass-2 #2)
-    reserved = [p for p in extra if p in ("time", "data", "date", "_ok", "_raw")]
+    # "_batch_id" (the sink writer's bookkeeping column would silently
+    # OVERWRITE a promoted column of that name) and "data_v" (good_records
+    # adds it; a promoted twin would duplicate the column) included —
+    # review r11 pass-3 #1
+    reserved = [
+        p
+        for p in extra
+        if p in ("time", "data", "date", "_ok", "_raw", "_batch_id", "data_v")
+    ]
     if reserved:
         raise ValueError(
             f"promote names collide with fixed output columns: {reserved}"

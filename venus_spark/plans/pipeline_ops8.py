@@ -195,7 +195,11 @@ def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes-column scan; the pending union is micro-batch-sized and
     engages only when the manifest says a batch is in flight."""
     from venus_spark.plans.pipeline_ops2 import _live_vector_candidates
-    from venus_spark.prepared import _pq_code_rows, embeddings_pq
+    from venus_spark.prepared import (
+        _pq_code_rows,
+        _pq_saturated_codebook,
+        embeddings_pq,
+    )
 
     codes_df, cb_df = embeddings_pq(spark, sf_dir)
     codebook = [
@@ -203,13 +207,26 @@ def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     q = _query_vec(load_table(spark, sf_dir, "embeddings"))
     lut = sim.pq_lut(q, codebook)
+
+    def encode_pending(pend):
+        # the saturation gate runs exactly when this plan ENCODES
+        # (pending batches exist — review r11 pass-3 #6): an
+        # unsaturated sample would make the live encode diverge from
+        # what a rebuild would store, the same append != rebuild
+        # hazard the write-time maintenance refuses; quiescent dirs
+        # never reach here and keep the degrade-to-prepared contract
+        # even on a corpus too small to saturate.
+        if len(codebook) < sim.PQ_KS:
+            _pq_saturated_codebook(spark, sf_dir, cb_df=cb_df)  # raises
+        return _pq_code_rows(pend, codebook)
+
     live_codes = _live_vector_candidates(
         spark,
         sf_dir,
         codes_df.select("vec_id", "label", "codes"),
         "embeddings_pq_codes.parquet",
         probed_labels=None,
-        project=lambda pend: _pq_code_rows(pend, codebook),
+        project=encode_pending,
     )
     return (
         live_codes.select(

@@ -2440,13 +2440,19 @@ def _pq_code_rows(new_vecs: DataFrame, codebook: list) -> DataFrame:
     )
 
 
-def _pq_saturated_codebook(spark: SparkSession, sf_dir: str) -> list:
+def _pq_saturated_codebook(
+    spark: SparkSession, sf_dir: str, cb_df: DataFrame | None = None
+) -> list:
     """The stored PQ codebook, refusing the unsaturated case (same
     contract as append_embeddings: an unsaturated deterministic sample
-    would change under append, making append != rebuild)."""
+    would change under append, making append != rebuild). ``cb_df``
+    lets a caller that already ensured the layout (sim_pq_adc_live)
+    pass its codebook table in — one ensure per query, one saturation
+    gate for every encode site (review r11 pass-3 #6)."""
     from venus_spark.operators import similarity as sim
 
-    _, cb_df = embeddings_pq(spark, sf_dir)
+    if cb_df is None:
+        _, cb_df = embeddings_pq(spark, sf_dir)
     codebook = [
         [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
     ]

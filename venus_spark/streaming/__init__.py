@@ -597,10 +597,17 @@ def _record_logs_schema_rev(sink_dir: str, promote: tuple[str, ...]) -> None:
     try:
         with open(p) as f:
             rec = json.load(f)
-        prev_cols = set(rec.get("promoted_extra", []))
+        raw_cols = rec.get("promoted_extra", [])
+        # strict shape checks (review r11 pass-3 #2): a foreign/hand-
+        # edited record must degrade to a fresh chain, never kill the
+        # ingest stream (non-dict top level raised AttributeError past
+        # the old handler) or poison the record (a STRING value would
+        # iterate to its characters and write them back as columns)
+        if isinstance(raw_cols, list):
+            prev_cols = {c for c in raw_cols if isinstance(c, str)}
         prev_rev = int(rec.get("rev", 0))
-    except (OSError, ValueError, TypeError):
-        pass  # absent/torn record: start the chain fresh
+    except (OSError, ValueError, TypeError, AttributeError):
+        prev_cols, prev_rev = set(), 0  # absent/torn/foreign: fresh chain
     cols = prev_cols | set(promote)
     if cols == prev_cols and prev_rev > 0:
         return
@@ -624,6 +631,46 @@ def _logs_schema_rev_covers(sink_dir: str, promote: tuple[str, ...]) -> bool:
         return isinstance(rec, list) and set(promote) <= set(rec)
     except (OSError, ValueError, TypeError, AttributeError):
         return False
+
+
+def prune_logs_schema_rev(spark: SparkSession, sink_dir: str) -> list[str]:
+    """MAINTENANCE heal for the schema-rev record (review r11 pass-3
+    #3): retention / out-of-band surgery can delete the last files
+    carrying a retired promoted column, after which the monotone record
+    claims a column the merged read no longer serves and
+    :func:`read_logs_table` fails loudly forever. Run this after such
+    lifecycle operations (the logs twin of ``_prune_batch_fp_record``):
+    it intersects the recorded columns with the CURRENT merged parquet
+    schema, rewrites the record (rev bumped) when it shrank, and
+    returns the dropped column names. Must run with the logs stream
+    stopped, like every other maintenance op. A record that still
+    matches reality (or is absent) is untouched."""
+    p = os.path.join(sink_dir, _LOGS_SCHEMA_REV)
+    try:
+        with open(p) as f:
+            rec = json.load(f)
+        raw = rec.get("promoted_extra", [])
+        recorded = [c for c in raw if isinstance(c, str)] if isinstance(
+            raw, list
+        ) else []
+        prev_rev = int(rec.get("rev", 0))
+    except (OSError, ValueError, TypeError, AttributeError):
+        return []  # no record, nothing to heal
+    if not recorded:
+        return []
+    have = set(
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(sink_dir, "logs"))
+        .columns
+    )
+    dropped = [c for c in recorded if c not in have]
+    if not dropped:
+        return []
+    kept = [c for c in recorded if c in have]
+    with open(p + ".tmp", "w") as f:
+        json.dump({"rev": prev_rev + 1, "promoted_extra": sorted(kept)}, f)
+    os.replace(p + ".tmp", p)
+    return dropped
 
 
 def read_logs_table(spark: SparkSession, sink_dir: str) -> DataFrame:
@@ -655,7 +702,9 @@ def read_logs_table(spark: SparkSession, sink_dir: str) -> DataFrame:
             raise ValueError(
                 f"logs sink schema-rev records promoted columns {missing} "
                 "that the merged read does not carry — the sink layout "
-                "diverged from its schema record"
+                "diverged from its schema record (after retention/surgery "
+                "that legitimately removed a retired column's last files, "
+                "heal with prune_logs_schema_rev)"
             )
     return df
 
@@ -716,7 +765,9 @@ def start_logs_ingest(
             "declare them (log_record_schema(extra_fields=...)) first"
         )
     reserved = [
-        p for p in promote if p in ("time", "data", "date", "_ok", "_raw")
+        p
+        for p in promote
+        if p in ("time", "data", "date", "_ok", "_raw", "_batch_id", "data_v")
     ]
     if reserved:
         raise ValueError(
