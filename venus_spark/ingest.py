@@ -117,6 +117,40 @@ def canonical_uuid(col: Column) -> Column:
     return F.when(low.rlike(_UUID_RE), low)
 
 
+# Output columns parse_records/good_records emit besides the promoted
+# set — a promoted field reusing one of these names would be silently
+# overwritten (_batch_id, by the sink writer) or duplicated (the rest).
+RESERVED_OUTPUT_COLUMNS = (
+    "time", "data", "date", "_ok", "_raw", "_batch_id", "data_v"
+)
+
+
+def validate_promote(
+    schema: T.StructType, promote: tuple[str, ...]
+) -> list[str]:
+    """Shared promote validation (review r11 pass-4 #3 — ONE copy for
+    parse_records and start_logs_ingest so fail-at-start and
+    fail-at-parse can never drift): dedup-preserving-order, reject
+    names absent from the declared record schema, reject collisions
+    with the fixed output columns. Returns the deduped extra-promote
+    list (built-in PROMOTED names excluded — promoting those is a
+    no-op, they are always promoted)."""
+    extra = list(dict.fromkeys(p for p in promote if p not in PROMOTED))
+    known = {f.name for f in schema.fields}
+    missing = [p for p in extra if p not in known]
+    if missing:
+        raise ValueError(
+            f"promote names absent from the record schema: {missing} — "
+            "declare them (log_record_schema(extra_fields=...)) first"
+        )
+    reserved = [p for p in extra if p in RESERVED_OUTPUT_COLUMNS]
+    if reserved:
+        raise ValueError(
+            f"promote names collide with fixed output columns: {reserved}"
+        )
+    return extra
+
+
 def parse_records(
     raw: DataFrame,
     raw_col: str = "value",
@@ -155,34 +189,8 @@ def parse_records(
     # unconditionally (reference extract_safe, venus/db/write.py:87-91)
     # — independent of the live drop_fields override, which would
     # otherwise leak `created` into data whenever a config omits it.
-    # dedup while keeping order — promote=('x','x') must not emit two
-    # 'x' columns (review r11 pass-2 #2)
-    extra = list(dict.fromkeys(p for p in promote if p not in PROMOTED))
+    extra = validate_promote(schema, promote)
     promoted = PROMOTED + tuple(extra)
-    known = {f.name for f in schema.fields}
-    missing = [p for p in extra if p not in known]
-    if missing:
-        raise ValueError(
-            f"promote names absent from the record schema: {missing} — "
-            "declare them (log_record_schema(extra_fields=...)) first"
-        )
-    # fixed output columns this select already emits: a promoted field
-    # with one of these names would produce a duplicate column and fail
-    # downstream as an ambiguous-reference AnalysisException instead of
-    # a targeted error here (review r11 pass-2 #2)
-    # "_batch_id" (the sink writer's bookkeeping column would silently
-    # OVERWRITE a promoted column of that name) and "data_v" (good_records
-    # adds it; a promoted twin would duplicate the column) included —
-    # review r11 pass-3 #1
-    reserved = [
-        p
-        for p in extra
-        if p in ("time", "data", "date", "_ok", "_raw", "_batch_id", "data_v")
-    ]
-    if reserved:
-        raise ValueError(
-            f"promote names collide with fixed output columns: {reserved}"
-        )
     residual = [f.name for f in schema.fields if f.name not in drop + promoted]
     return (
         raw.withColumn("_rec", rec)

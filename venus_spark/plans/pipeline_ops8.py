@@ -107,6 +107,28 @@ FROM adc ORDER BY adist, vec_id LIMIT {_PQ_K}
 """
 
 
+def _collect_codebook(cb_df: DataFrame) -> list[list[float]]:
+    """Driver-side codebook fetch (PQ_KS rows, broadcast-sized) —
+    shared by the prepared and live ADC plans (review r11 pass-4 #4)."""
+    return [
+        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
+    ]
+
+
+def _adc_topk(codes_df: DataFrame, lut: list[list[float]]) -> DataFrame:
+    """The ADC scan + top-k tail over a codes relation — ONE copy so a
+    parity-relevant change (tie-break, rounding) cannot diverge between
+    the prepared plan and its live twin (review r11 pass-4 #4)."""
+    return (
+        codes_df.select(
+            "vec_id", sim.pq_adc_dist("codes", lut).alias("adist")
+        )
+        .orderBy("adist", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
+    )
+
+
 def _query_vec(df: DataFrame) -> list[float]:
     qrow = (
         df.filter(F.col("vec_id") == _PQ_QUERY_ID).select("embedding").first()
@@ -167,19 +189,9 @@ def sim_pq_adc_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.prepared import embeddings_pq
 
     codes_df, cb_df = embeddings_pq(spark, sf_dir)
-    codebook = [
-        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
-    ]
+    codebook = _collect_codebook(cb_df)
     q = _query_vec(load_table(spark, sf_dir, "embeddings"))
-    lut = sim.pq_lut(q, codebook)
-    return (
-        codes_df.select(
-            "vec_id", sim.pq_adc_dist("codes", lut).alias("adist")
-        )
-        .orderBy("adist", "vec_id")
-        .limit(_PQ_K)
-        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
-    )
+    return _adc_topk(codes_df, sim.pq_lut(q, codebook))
 
 
 @plan("sim_pq_adc_live", oracle=_pq_prepared_oracle())
@@ -202,9 +214,7 @@ def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     codes_df, cb_df = embeddings_pq(spark, sf_dir)
-    codebook = [
-        [float(x) for x in r["cv"]] for r in cb_df.orderBy("cb_id").collect()
-    ]
+    codebook = _collect_codebook(cb_df)
     q = _query_vec(load_table(spark, sf_dir, "embeddings"))
     lut = sim.pq_lut(q, codebook)
 
@@ -228,14 +238,7 @@ def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed_labels=None,
         project=encode_pending,
     )
-    return (
-        live_codes.select(
-            "vec_id", sim.pq_adc_dist("codes", lut).alias("adist")
-        )
-        .orderBy("adist", "vec_id")
-        .limit(_PQ_K)
-        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
-    )
+    return _adc_topk(live_codes, lut)
 
 
 # --------------------------------------------------------------------------

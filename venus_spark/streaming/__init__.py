@@ -658,11 +658,17 @@ def prune_logs_schema_rev(spark: SparkSession, sink_dir: str) -> list[str]:
         return []  # no record, nothing to heal
     if not recorded:
         return []
-    have = set(
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(sink_dir, "logs"))
-        .columns
-    )
+    try:
+        have = set(
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(sink_dir, "logs"))
+            .columns
+        )
+    except Exception:
+        # retention removed EVERY file (UNABLE_TO_INFER_SCHEMA): the
+        # record has outlived the whole table — shrink it to empty
+        # rather than failing the advertised heal (review r11 pass-4 #2)
+        have = set()
     dropped = [c for c in recorded if c not in have]
     if not dropped:
         return []
@@ -692,8 +698,12 @@ def read_logs_table(spark: SparkSession, sink_dir: str) -> DataFrame:
     try:
         with open(os.path.join(sink_dir, _LOGS_SCHEMA_REV)) as f:
             recorded = json.load(f).get("promoted_extra", [])
-    except (OSError, ValueError):
-        recorded = []  # pre-upgrade sink: no record, no claim
+    except (OSError, ValueError, TypeError, AttributeError):
+        # pre-upgrade sink (no record) or foreign/hand-edited shapes
+        # (non-dict top level raises AttributeError): no claim — the
+        # same degrade posture as every other record reader here
+        # (review r11 pass-4 #1)
+        recorded = []
     if isinstance(recorded, list):
         missing = [
             c for c in recorded if isinstance(c, str) and c not in df.columns
@@ -755,24 +765,11 @@ def start_logs_ingest(
     quarantine_dir = os.path.join(sink_dir, "quarantine")
     rec_schema = schema or log_record_schema()
     # fail a typo'd/colliding promote at start(), not at the first
-    # trigger — same rules parse_records enforces (review r11 pass-2 #2)
-    unknown = [
-        p for p in promote if p not in {f.name for f in rec_schema.fields}
-    ]
-    if unknown:
-        raise ValueError(
-            f"promote names absent from the record schema: {unknown} — "
-            "declare them (log_record_schema(extra_fields=...)) first"
-        )
-    reserved = [
-        p
-        for p in promote
-        if p in ("time", "data", "date", "_ok", "_raw", "_batch_id", "data_v")
-    ]
-    if reserved:
-        raise ValueError(
-            f"promote names collide with fixed output columns: {reserved}"
-        )
+    # trigger — the SAME shared validation parse_records runs, so the
+    # two sites cannot drift (review r11 pass-4 #3)
+    from venus_spark.ingest import validate_promote
+
+    validate_promote(rec_schema, promote)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         drop = None
