@@ -935,3 +935,76 @@ def test_promote_reserved_and_malformed_record_hardening(spark, tmp_path):
     assert prune_logs_schema_rev(spark, sink) == []  # idempotent
     logs = read_logs_table(spark, sink)  # recovered
     assert logs.count() == 1 and "levelname" not in logs.columns
+
+
+def test_promote_builtin_name_does_not_poison_schema_rev(spark, tmp_path):
+    """Review r11 pass-5 #1: a promote tuple containing a built-in
+    PROMOTED name is legal (validate_promote documents it as a no-op),
+    but ``created`` lands aliased as ``time`` — so the schema-rev
+    record must hold the VALIDATED extra list, not the raw tuple.
+    Recording the raw tuple would claim a ``created`` column no parquet
+    file ever carries, and read_logs_table would fail forever on a
+    perfectly legal stream start."""
+    from venus_spark.streaming import (
+        _LOGS_SCHEMA_REV,
+        read_logs_table,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    (landing / "g1.jsonl").write_text(json.dumps(make_record(0)))
+    q = start_logs_ingest(
+        read_log_stream(spark, str(landing), max_files_per_trigger=1),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+        promote=("created", "levelname"),
+    )
+    q.awaitTermination(120)
+    logs = read_logs_table(spark, sink)  # must not raise
+    assert "levelname" in logs.columns and "created" not in logs.columns
+    assert logs.count() == 1
+    with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
+        rec = json.load(f)
+    assert rec["promoted_extra"] == ["levelname"]
+
+
+def test_prune_logs_schema_rev_propagates_transient_failure(spark, tmp_path):
+    """Review r11 pass-5 #2: prune_logs_schema_rev may degrade to
+    'no columns' ONLY when retention removed every data file. A read
+    failure while data files still exist (torn parquet from a crashed
+    compaction, transient FS error) must propagate — rewriting the
+    record to empty on a transient error would silently drop
+    read_logs_table's verification of columns still on disk."""
+    from venus_spark.streaming import (
+        _LOGS_SCHEMA_REV,
+        prune_logs_schema_rev,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    (landing / "g1.jsonl").write_text(json.dumps(make_record(0)))
+    q = start_logs_ingest(
+        read_log_stream(spark, str(landing), max_files_per_trigger=1),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+        promote=("levelname",),
+    )
+    q.awaitTermination(120)
+    logs_dir = os.path.join(sink, "logs")
+    date_dir = next(
+        d for d in os.listdir(logs_dir) if d.startswith("date=")
+    )
+    torn = os.path.join(logs_dir, date_dir, "torn-compaction.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"PAR1 this is not a parquet footer")
+    with pytest.raises(Exception):
+        prune_logs_schema_rev(spark, sink)
+    with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
+        rec = json.load(f)
+    assert rec["promoted_extra"] == ["levelname"]  # record untouched

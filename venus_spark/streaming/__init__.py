@@ -658,16 +658,28 @@ def prune_logs_schema_rev(spark: SparkSession, sink_dir: str) -> list[str]:
         return []  # no record, nothing to heal
     if not recorded:
         return []
+    logs_dir = os.path.join(sink_dir, "logs")
     try:
         have = set(
             spark.read.option("mergeSchema", "true")
-            .parquet(os.path.join(sink_dir, "logs"))
+            .parquet(logs_dir)
             .columns
         )
     except Exception:
-        # retention removed EVERY file (UNABLE_TO_INFER_SCHEMA): the
-        # record has outlived the whole table — shrink it to empty
-        # rather than failing the advertised heal (review r11 pass-4 #2)
+        # Only the EMPTY table may degrade to "no columns" (retention
+        # removed every file — UNABLE_TO_INFER_SCHEMA; review r11
+        # pass-4 #2). Any failure while data files still exist (torn
+        # parquet from a crashed compaction, transient FS error) must
+        # PROPAGATE: shrinking the record on a transient error would
+        # silently drop read_logs_table's verification of columns that
+        # are still on disk — the exact divergence the record exists
+        # to catch (review r11 pass-5 #2).
+        if any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(logs_dir)
+            for f in files
+        ):
+            raise
         have = set()
     dropped = [c for c in recorded if c not in have]
     if not dropped:
@@ -766,10 +778,15 @@ def start_logs_ingest(
     rec_schema = schema or log_record_schema()
     # fail a typo'd/colliding promote at start(), not at the first
     # trigger — the SAME shared validation parse_records runs, so the
-    # two sites cannot drift (review r11 pass-4 #3)
+    # two sites cannot drift (review r11 pass-4 #3). The RECORDED set
+    # is the validated extra list, NOT the raw tuple (review r11
+    # pass-5 #1): validate_promote drops built-in PROMOTED names as
+    # no-ops, and `created` lands aliased as `time` — recording the
+    # raw tuple would claim a `created` column no parquet file ever
+    # carries, making read_logs_table fail forever on a legal promote.
     from venus_spark.ingest import validate_promote
 
-    validate_promote(rec_schema, promote)
+    record_extra = tuple(validate_promote(rec_schema, promote))
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         drop = None
@@ -797,11 +814,11 @@ def start_logs_ingest(
             # Spark action runs only while the record does not yet
             # cover the promotion (review r11 pass-2 #6).
             if (
-                promote
-                and not _logs_schema_rev_covers(sink_dir, promote)
+                record_extra
+                and not _logs_schema_rev_covers(sink_dir, record_extra)
                 and good.limit(1).count() > 0
             ):
-                _record_logs_schema_rev(sink_dir, promote)
+                _record_logs_schema_rev(sink_dir, record_extra)
             _write_idempotent(quarantined_records(parsed), quarantine_dir, batch_id)
         finally:
             parsed.unpersist()
