@@ -31,11 +31,35 @@ def dsum(col: Column | str) -> Column:
     return F.sum(c.cast(DECIMAL_ACC)).cast("double")
 
 
+def dround(col: Column | str, scale: int = 6) -> Column:
+    """Cross-engine-DETERMINISTIC fixed-point rounding:
+    ``FLOOR(x * 10^scale + 0.5) / 10^scale`` — three IEEE double ops
+    both engines implement identically, so identical input doubles
+    yield identical output doubles BY CONSTRUCTION (half-toward-+inf
+    at exact boundaries).
+
+    Built-in ROUND must never appear in a parity-hashed column: Spark
+    classifies the .5 boundary on the exact decimal expansion of the
+    double (BigDecimal HALF_UP) while DuckDB classifies it on the
+    already-rounded ``x*10^scale`` product — and exact-rational inputs
+    (a 6-dp decimal sum / count, integer ratios, percent ranks) land
+    EXACTLY on those boundaries routinely. Found at sf0.1 by the r11
+    rotation mirror: lm_quality's davg mean hit -3.4140895 and the
+    engines rounded it apart; the sf0.01 full mirror had never
+    populated a boundary. Domain: |x| < 2^63 / 10^scale (Spark FLOOR
+    yields BIGINT under ANSI overflow checking) — every rounded score,
+    ratio, or mean in the registry is orders of magnitude inside."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.lit(float(10**scale))
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
 def davg(col: Column | str) -> Column:
     """AVG via exact sum / count, rounded to 6 dp (both engines compute the
-    same double division on identical inputs)."""
+    same double division on identical inputs; :func:`dround` keeps the
+    boundary classification identical too)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(dsum(c) / F.count(c), 6)
+    return dround(dsum(c) / F.count(c))
 
 
 def fmt_ts(col: Column | str, micros: bool = True) -> Column:

@@ -12,8 +12,21 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS {DECIMAL_ACC.upper()})) AS DOUBLE)"
 
 
+def dround_sql(expr: str, scale: int = 6) -> str:
+    """SQL twin of :func:`venus_spark.functions.dround` — the
+    deterministic FLOOR-based rounding. Raw ROUND must never reach a
+    parity-hashed column (see dround's docstring for the boundary
+    divergence the r11 sf0.1 rotation caught)."""
+    # E-notation literals: both engines parse 1e6/5e-1 as DOUBLE,
+    # whereas 1000000.0/0.5 parse as DECIMAL (Spark SQL and DuckDB
+    # alike) — and FLOOR(bigint)/DECIMAL would type the Spark output
+    # column DECIMAL instead of the canonical DOUBLE.
+    m = f"1e{scale}"
+    return f"(FLOOR(({expr}) * {m} + 5e-1) / {m})"
+
+
 def davg_sql(expr: str) -> str:
-    return f"ROUND({dsum_sql(expr)} / COUNT({expr}), 6)"
+    return dround_sql(f"{dsum_sql(expr)} / COUNT({expr})")
 
 
 def fmt_ts_sql(expr: str, micros: bool = True) -> str:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import HASH_P31, shingles, token_hash31, tokens
+from venus_spark.functions import HASH_P31, shingles, token_hash31, tokens, dround
 from venus_spark.operators.text import fingerprint_col
 
 # MinHash permutation parameters: sig_i = min over tokens of
@@ -185,7 +185,7 @@ def incremental_near_dups(
         .select(
             "new_doc",
             "dup_doc",
-            F.round(jaccard(F.col("t_a"), F.col("t_b")), 6).alias("jaccard_sim"),
+            dround(jaccard(F.col("t_a"), F.col("t_b"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") > threshold)
     )
@@ -203,7 +203,7 @@ def _verify_candidates(
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard_sim"),
+            dround(jaccard(F.col("toks_a"), F.col("toks_b"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") > threshold)
     )
@@ -318,7 +318,7 @@ def jaccard_pairs_in_buckets(
     )
     sim = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return inter.select(
-        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
+        "id_a", "id_b", dround(sim).alias("jaccard_sim")
     ).filter(F.col("jaccard_sim") > threshold)
 
 
@@ -369,7 +369,7 @@ def containment_pairs_in_buckets(
     )
     c = F.try_divide(F.col("_inter"), F.col("_na"))
     return inter.select(
-        "id_a", "id_b", F.round(c, 6).alias("containment")
+        "id_a", "id_b", dround(c).alias("containment")
     ).filter(F.col("containment") > threshold)
 
 

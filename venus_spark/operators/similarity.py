@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, dot
+from venus_spark.functions import cosine, dot, dround
 
 
 def as_double(vec: Column) -> Column:
@@ -53,7 +53,7 @@ def brute_force_topk(
     """Exact cosine top-k of ``query_vec`` over all rows."""
     sim = cosine(as_double(F.col(vec_col)), query_vec)
     return (
-        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        df.select(F.col(id_col), dround(sim).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -99,7 +99,7 @@ def ivf_topk(
         centroid_arrays(df, cluster_col, vec_col)
         .select(
             "cluster",
-            F.round(cosine(F.col("centroid"), query_vec), 6).alias("centroid_sim"),
+            dround(cosine(F.col("centroid"), query_vec)).alias("centroid_sim"),
         )
         .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
         .limit(nprobe)
@@ -214,7 +214,7 @@ def rp_lsh_topk(
     )
     sim = cosine(F.col("v"), F.col("q_vec"))
     return (
-        in_bucket.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        in_bucket.select(F.col(id_col), dround(sim).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -363,7 +363,7 @@ def cosine_pairs_in_buckets(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("cosine_sim"),
+            dround(sim).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") > threshold)
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import tokens
+from venus_spark.functions import tokens, dround
 
 # Tiny per-language marker-word profiles for the heuristic language ID.
 # Order matters: ties resolve to the earlier entry (CASE chain), which the
@@ -53,9 +53,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # comparisons) drop such docs on both engines identically.
     n_tok = F.col("n_tokens")
     return (
-        df.withColumn("type_token_ratio", F.round(F.try_divide(n_distinct, n_tok), 6))
-        .withColumn("stopword_ratio", F.round(F.try_divide(n_stop, n_tok), 6))
-        .withColumn("mean_token_len", F.round(F.try_divide(total_len, n_tok), 6))
+        df.withColumn("type_token_ratio", dround(F.try_divide(n_distinct, n_tok)))
+        .withColumn("stopword_ratio", dround(F.try_divide(n_stop, n_tok)))
+        .withColumn("mean_token_len", dround(F.try_divide(total_len, n_tok)))
     )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import dsum, fmt_ts
+from venus_spark.functions import dsum, fmt_ts, dround
 from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -65,9 +65,9 @@ def window_topn_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_ORACLE = f"""
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id
+       (FLOOR((SUM(value) OVER (PARTITION BY user_id
                               ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+                              ROWS UNBOUNDED PRECEDING)) * 1e4 + 5e-1) / 1e4) AS running_value
 FROM events WHERE user_id <= 50 AND value IS NOT NULL
 """
 
@@ -87,7 +87,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter((F.col("user_id") <= 50) & F.col("value").isNotNull()).select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        dround(F.sum("value").over(w), 4).alias("running_value"),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import dsum, fmt_ts
+from venus_spark.functions import dsum, fmt_ts, dround
 from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -34,7 +34,7 @@ SELECT p.event_id AS purchase_id,
        {fmt_ts_sql('p.ts')} AS purchase_ts,
        c.event_id AS click_id,
        {fmt_ts_sql('c.ts')} AS click_ts,
-       ROUND(c.value, 6) AS click_value
+       (FLOOR((c.value) * 1e6 + 5e-1) / 1e6) AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -94,7 +94,7 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_ts("ts").alias("purchase_ts"),
             F.col("click.click_id").alias("click_id"),
             fmt_ts("click.click_ts").alias("click_ts"),
-            F.round("click.click_value", 6).alias("click_value"),
+            dround("click.click_value").alias("click_value"),
         )
         .orderBy("purchase_id")
     )
@@ -135,10 +135,10 @@ def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCT_ORACLE = """
 SELECT event_type,
-       ROUND(QUANTILE_CONT(value, 0.25), 6) AS p25,
-       ROUND(QUANTILE_CONT(value, 0.50), 6) AS p50,
-       ROUND(QUANTILE_CONT(value, 0.75), 6) AS p75,
-       ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95
+       (FLOOR((QUANTILE_CONT(value, 0.25)) * 1e6 + 5e-1) / 1e6) AS p25,
+       (FLOOR((QUANTILE_CONT(value, 0.50)) * 1e6 + 5e-1) / 1e6) AS p50,
+       (FLOOR((QUANTILE_CONT(value, 0.75)) * 1e6 + 5e-1) / 1e6) AS p75,
+       (FLOOR((QUANTILE_CONT(value, 0.95)) * 1e6 + 5e-1) / 1e6) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -153,7 +153,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             *[
-                F.round(F.percentile("value", F.lit(q)), 6).alias(f"p{int(q * 100)}")
+                dround(F.percentile("value", F.lit(q))).alias(f"p{int(q * 100)}")
                 for q in (0.25, 0.50, 0.75, 0.95)
             ]
         )
@@ -382,10 +382,10 @@ _M4_KEY_SQL = f"{fmt_ts_sql('ts')} || '|' || LPAD(CAST(event_id AS VARCHAR), 12,
 _M4_ORACLE = f"""
 SELECT {fmt_ts_sql("DATE_TRUNC('hour', ts)")} AS bucket,
        COUNT(*) AS n,
-       ROUND(MIN(value), 6) AS min_v,
-       ROUND(MAX(value), 6) AS max_v,
-       ROUND(MIN_BY(value, {_M4_KEY_SQL}), 6) AS first_v,
-       ROUND(MAX_BY(value, {_M4_KEY_SQL}), 6) AS last_v
+       (FLOOR((MIN(value)) * 1e6 + 5e-1) / 1e6) AS min_v,
+       (FLOOR((MAX(value)) * 1e6 + 5e-1) / 1e6) AS max_v,
+       (FLOOR((MIN_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) AS first_v,
+       (FLOOR((MAX_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) AS last_v
 FROM events
 GROUP BY DATE_TRUNC('hour', ts)
 ORDER BY bucket
@@ -407,10 +407,10 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("_b"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("value"), 6).alias("min_v"),
-            F.round(F.max("value"), 6).alias("max_v"),
-            F.round(F.min_by("value", key), 6).alias("first_v"),
-            F.round(F.max_by("value", key), 6).alias("last_v"),
+            dround(F.min("value")).alias("min_v"),
+            dround(F.max("value")).alias("max_v"),
+            dround(F.min_by("value", key)).alias("first_v"),
+            dround(F.max_by("value", key)).alias("last_v"),
         )
         .select(fmt_ts("_b").alias("bucket"), "n", "min_v", "max_v", "first_v", "last_v")
         .orderBy("bucket")

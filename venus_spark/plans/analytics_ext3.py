@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import dsum, fmt_ts
+from venus_spark.functions import dsum, fmt_ts, dround
 from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -64,7 +64,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Frame sum/count are exact BIGINTs; one shared double formula rounds
 # the quotient identically on both engines.
-_MAVG = "ROUND(CAST(s AS DOUBLE) / cnt, 6)"
+_MAVG = "(FLOOR((CAST(s AS DOUBLE) / cnt) * 1e6 + 5e-1) / 1e6)"
 
 _MAVG_ORACLE = f"""
 WITH hourly AS (
@@ -120,7 +120,7 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # c and day_total are exact BIGINTs; one shared double division.
-_SHARE = "ROUND(CAST(c AS DOUBLE) / day_total, 6)"
+_SHARE = "(FLOOR((CAST(c AS DOUBLE) / day_total) * 1e6 + 5e-1) / 1e6)"
 
 _SHARE_ORACLE = f"""
 WITH daily AS (
@@ -277,15 +277,15 @@ _RANK_K = 5
 
 _RANK_ORACLE = f"""
 WITH totals AS (
-  SELECT event_type, user_id, {dsum_sql('ROUND(value, 6)')} AS total_value
+  SELECT event_type, user_id, {dsum_sql('(FLOOR((value) * 1e6 + 5e-1) / 1e6)')} AS total_value
   FROM events GROUP BY event_type, user_id
 ),
 ranked AS (
   SELECT event_type, user_id, total_value,
          RANK() OVER w AS rnk,
          DENSE_RANK() OVER w AS drnk,
-         ROUND(PERCENT_RANK() OVER w, 6) AS prank,
-         ROUND(CUME_DIST() OVER w, 6) AS cdist
+         (FLOOR((PERCENT_RANK() OVER w) * 1e6 + 5e-1) / 1e6) AS prank,
+         (FLOOR((CUME_DIST() OVER w) * 1e6 + 5e-1) / 1e6) AS cdist
   FROM totals
   WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC)
 )
@@ -307,7 +307,7 @@ def rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     results — rounded to 6 dp."""
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
-        dsum(F.round("value", 6)).alias("total_value")
+        dsum(dround("value")).alias("total_value")
     )
     w = Window.partitionBy("event_type").orderBy(F.col("total_value").desc())
     return (
@@ -317,8 +317,8 @@ def rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
-            F.round(F.percent_rank().over(w), 6).alias("prank"),
-            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            dround(F.percent_rank().over(w)).alias("prank"),
+            dround(F.cume_dist().over(w)).alias("cdist"),
         )
         .filter(F.col("rnk") <= _RANK_K)
         .orderBy("event_type", "rnk", "user_id")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import fmt_ts
+from venus_spark.functions import fmt_ts, dround
 from venus_spark.functions.sqlgen import fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -302,9 +302,9 @@ pairs AS (
   GROUP BY a.event_type, b.event_type
 )
 SELECT type_a, type_b, n,
-       ROUND((n * sxy - sx * sy) /
+       (FLOOR(((n * sxy - sx * sy) /
              NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
-                    SQRT(GREATEST(0, n * syy - sy * sy)), 0), 6)
+                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) * 1e6 + 5e-1) / 1e6)
          AS pearson_r
 FROM pairs
 ORDER BY type_a, type_b
@@ -363,5 +363,5 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
         "n",
-        F.round(F.try_divide(num, den), 6).alias("pearson_r"),
+        dround(F.try_divide(num, den)).alias("pearson_r"),
     ).orderBy("type_a", "type_b")

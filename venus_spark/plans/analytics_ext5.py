@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
+from venus_spark.functions import dround
 
 # --------------------------------------------------------------------------
 # Event-type transition matrix (first-order Markov view of journeys)
@@ -30,7 +31,7 @@ trans AS (
   GROUP BY prev_type, event_type
 )
 SELECT prev_type, next_type, n,
-       ROUND(n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS share
+       (FLOOR((n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) * 1e6 + 5e-1) / 1e6) AS share
 FROM trans
 ORDER BY prev_type, next_type
 """
@@ -56,7 +57,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share = F.col("n") / F.sum("n").over(Window.partitionBy("prev_type"))
     return trans.select(
-        "prev_type", "next_type", "n", F.round(share, 6).alias("share")
+        "prev_type", "next_type", "n", dround(share).alias("share")
     ).orderBy("prev_type", "next_type")
 
 
@@ -162,7 +163,7 @@ def _rfm_tier(v: str, x: str) -> str:
 
 
 def _rfm_oracle() -> str:
-    from venus_spark.functions.sqlgen import dsum_sql
+    from venus_spark.functions.sqlgen import dround_sql, dsum_sql
 
     qs = "[0.25, 0.50, 0.75]"
     return f"""
@@ -171,7 +172,7 @@ WITH cust AS (
          DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '{_RFM_ASOF}')
            AS recency_days,
          COUNT(*) AS frequency,
-         ROUND({dsum_sql('ROUND(o_totalprice, 6)')}, 6) AS monetary
+         (FLOOR(({dsum_sql(dround_sql('o_totalprice'))}) * 1e6 + 5e-1) / 1e6) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 bp AS (
@@ -195,7 +196,7 @@ tiers AS (
 )
 SELECT r_tier, f_tier, m_tier,
        COUNT(*) AS n_customers,
-       ROUND({dsum_sql('monetary')}, 6) AS total_monetary
+       (FLOOR(({dsum_sql('monetary')}) * 1e6 + 5e-1) / 1e6) AS total_monetary
 FROM tiers GROUP BY r_tier, f_tier, m_tier
 ORDER BY r_tier, f_tier, m_tier
 """
@@ -222,7 +223,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop-in for the exact quartiles is approx_percentile, kept
     exact here so the oracle can hash values (same policy as
     value_percentiles)."""
-    from venus_spark.functions import dsum
+    from venus_spark.functions import dsum, dround
 
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -231,7 +232,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("o_orderdate").cast("date")),
         ).alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.round(dsum(F.round("o_totalprice", 6)), 6).alias("monetary"),
+        dround(dsum(dround("o_totalprice"))).alias("monetary"),
     )
     qs = [F.lit(x) for x in (0.25, 0.50, 0.75)]
     bp = cust.agg(
@@ -255,7 +256,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiers.groupBy("r_tier", "f_tier", "m_tier")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(dsum("monetary"), 6).alias("total_monetary"),
+            dround(dsum("monetary")).alias("total_monetary"),
         )
         .orderBy("r_tier", "f_tier", "m_tier")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import bigram_pairs, tokens
+from venus_spark.functions import bigram_pairs, tokens, dround
 from venus_spark.functions.sqlgen import (
     bigram_pairs_sql,
     double_lit_sql,
@@ -43,8 +43,8 @@ big_c AS (SELECT bg, COUNT(*) AS np FROM bigs GROUP BY bg),
 big_t AS (SELECT COUNT(*) AS b FROM bigs),
 scored AS (
   SELECT bg AS bigram, np AS n_pair,
-         ROUND((CAST(np AS DOUBLE) / b) /
-               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t)), 6)
+         (FLOOR(((CAST(np AS DOUBLE) / b) /
+               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) * 1e6 + 5e-1) / 1e6)
            AS lift
   FROM big_c
   CROSS JOIN big_t CROSS JOIN tok_t
@@ -94,7 +94,7 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("bg").alias("bigram"),
             F.col("np").alias("n_pair"),
-            F.round(lift, 6).alias("lift"),
+            dround(lift).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), "bigram")
         .limit(_COLL_K)
@@ -120,15 +120,15 @@ pairs AS (
   SELECT a.source AS source, COUNT(*) AS n_pairs
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))), 6)
+  WHERE (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
+              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6 + 5e-1) / 1e6)
         > {_NDR_T}
   GROUP BY a.source
 ),
 docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
 SELECT d.source, d.n_docs,
        COALESCE(p.n_pairs, 0) AS n_dup_pairs,
-       ROUND(COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs, 6) AS dup_pair_rate
+       (FLOOR((COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) * 1e6 + 5e-1) / 1e6) AS dup_pair_rate
 FROM docs d LEFT JOIN pairs p ON p.source = d.source
 ORDER BY d.source
 """
@@ -174,7 +174,7 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_dup_pairs"),
-            F.round(rate, 6).alias("dup_pair_rate"),
+            dround(rate).alias("dup_pair_rate"),
         )
         .orderBy("source")
     )
@@ -207,10 +207,10 @@ durations AS (
   FROM sess GROUP BY user_id, sid
 )
 SELECT COUNT(*) AS n_sessions,
-       ROUND(QUANTILE_CONT(dur_sec, 0.25), 6) AS p25,
-       ROUND(QUANTILE_CONT(dur_sec, 0.50), 6) AS p50,
-       ROUND(QUANTILE_CONT(dur_sec, 0.75), 6) AS p75,
-       ROUND(QUANTILE_CONT(dur_sec, 0.90), 6) AS p90
+       (FLOOR((QUANTILE_CONT(dur_sec, 0.25)) * 1e6 + 5e-1) / 1e6) AS p25,
+       (FLOOR((QUANTILE_CONT(dur_sec, 0.50)) * 1e6 + 5e-1) / 1e6) AS p50,
+       (FLOOR((QUANTILE_CONT(dur_sec, 0.75)) * 1e6 + 5e-1) / 1e6) AS p75,
+       (FLOOR((QUANTILE_CONT(dur_sec, 0.90)) * 1e6 + 5e-1) / 1e6) AS p90
 FROM durations
 """
 
@@ -242,7 +242,7 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return durations.agg(
         F.count("*").alias("n_sessions"),
         *[
-            F.round(F.percentile("dur_sec", F.lit(q)), 6).alias(
+            dround(F.percentile("dur_sec", F.lit(q))).alias(
                 f"p{int(q * 100)}"
             )
             for q in (0.25, 0.50, 0.75, 0.90)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, dsum
+from venus_spark.functions import davg, dsum, dround
 from venus_spark.functions.sqlgen import (
     davg_sql,
     dsum_sql,
@@ -46,8 +46,8 @@ _RRF_QUERY_VEC_ID = 0
 # double division in both engines, and the two-list sum is a two-term
 # add — no accumulation-order concerns.
 _RRF_SCORE = (
-    f"ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
-    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0), 6)"
+    f"(FLOOR((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) * 1e6 + 5e-1) / 1e6)"
 )
 
 _VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
@@ -94,7 +94,7 @@ vec AS (
       FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
     )
     SELECT e.vec_id AS doc_id,
-           ROUND({cosine_sql(_VD.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+           (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
     FROM embeddings e CROSS JOIN q
     ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_SIDE_K}
   )
@@ -220,8 +220,8 @@ hsets AS (
 ),
 verified AS (
   SELECT c.new_doc, c.dup_doc,
-         ROUND(LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t))), 6)
+         (FLOOR((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6 + 5e-1) / 1e6)
            AS jaccard_sim
   FROM cands c
   JOIN hsets x ON c.new_doc = x.doc_id
@@ -356,26 +356,26 @@ _US_PER_DAY = "86400000000.0"
 # ROUND(...,6) makes each term exactly representable for dsum.
 _TREND_XC = f"((CAST(x_us0 AS DOUBLE) - xbar_us) / {_US_PER_DAY})"
 _TREND_YC = "(y - ybar)"
-_TREND_T_XY = f"ROUND({_TREND_XC} * {_TREND_YC}, 6)"
-_TREND_T_XX = f"ROUND({_TREND_XC} * {_TREND_XC}, 6)"
-_TREND_T_YY = f"ROUND({_TREND_YC} * {_TREND_YC}, 6)"
+_TREND_T_XY = f"(FLOOR(({_TREND_XC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6)"
+_TREND_T_XX = f"(FLOOR(({_TREND_XC} * {_TREND_XC}) * 1e6 + 5e-1) / 1e6)"
+_TREND_T_YY = f"(FLOOR(({_TREND_YC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6)"
 
 # Final projections over the exact aggregates (sxy/sxx/syy canonical
 # doubles from dsum; xbar_us/ybar canonical from davg).
-_TREND_SLOPE = "CASE WHEN sxx > 0 THEN ROUND(sxy / sxx, 6) END"
+_TREND_SLOPE = "CASE WHEN sxx > 0 THEN (FLOOR((sxy / sxx) * 1e6 + 5e-1) / 1e6) END"
 _TREND_INTERCEPT = (
     f"CASE WHEN sxx > 0 THEN "
-    f"ROUND(ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY}), 6) END"
+    f"(FLOOR((ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) * 1e6 + 5e-1) / 1e6) END"
 )
 _TREND_R2 = (
-    "CASE WHEN sxx * syy > 0 THEN ROUND((sxy * sxy) / (sxx * syy), 6) END"
+    "CASE WHEN sxx * syy > 0 THEN (FLOOR(((sxy * sxy) / (sxx * syy)) * 1e6 + 5e-1) / 1e6) END"
 )
 
 _TREND_ORACLE = f"""
 WITH ev AS (
   SELECT event_type,
          EPOCH_US(ts) - {_TREND_T0_US} AS x_us0,
-         ROUND(value, 6) AS y
+         (FLOOR((value) * 1e6 + 5e-1) / 1e6) AS y
   FROM events
 ),
 stats AS (
@@ -429,7 +429,7 @@ def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_TREND_T0_US)
         ).alias("x_us0"),
-        F.round("value", 6).alias("y"),
+        dround("value").alias("y"),
     )
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -476,7 +476,7 @@ _DRIFT_BIN_W = "25.0"
 # side is non-empty (total mass moved), NULL when both are empty.
 _DRIFT_TV = (
     "CASE WHEN n_a > 0 AND n_b > 0 THEN "
-    "ROUND(CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE), 6) "
+    "(FLOOR((CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) * 1e6 + 5e-1) / 1e6) "
     "WHEN n_a > 0 OR n_b > 0 THEN CAST(1 AS DOUBLE) END"
 )
 

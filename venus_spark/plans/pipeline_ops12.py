@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, dsum, token_hash31, tokens
+from venus_spark.functions import cosine, dsum, token_hash31, tokens, dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
     dsum_sql,
@@ -51,7 +51,7 @@ pool AS (
 ),
 scored AS (
   SELECT q.query_id, pool.vec_id,
-         ROUND({cosine_sql('pool.v', 'q.qv')}, 6) AS cosine_sim
+         (FLOOR(({cosine_sql('pool.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
   FROM pool CROSS JOIN q
   WHERE pool.label <> q.qlabel
 ),
@@ -99,7 +99,7 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+            dround(cosine(F.col("v"), F.col("qv"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") < _HN_DUP_T)
     )
@@ -122,7 +122,7 @@ _VOCAB_SIZE = 256  # top-V terms by collection frequency form the vocabulary
 
 # BIGINT/BIGINT promotes to double identically in both engines; one
 # shared string so the division cannot fork.
-_OOV_RATE = "ROUND(CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
+_OOV_RATE = "(FLOOR((CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e6 + 5e-1) / 1e6)"
 
 _VOCAB_OOV_ORACLE = f"""
 WITH toks AS (
@@ -210,7 +210,7 @@ _SWEEP_QUERY_VEC_ID = 0
 _SWEEP_K = 10
 _SWEEP_NPROBES = (1, 2, 4)
 
-_SWEEP_RECALL = f"ROUND(CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE), 6)"
+_SWEEP_RECALL = f"(FLOOR((CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE)) * 1e6 + 5e-1) / 1e6)"
 
 _VDL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
 
@@ -261,12 +261,12 @@ cent_arr AS (
 ),
 cent_scored AS (
   SELECT cluster,
-         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+         (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS centroid_sim
   FROM cent_arr CROSS JOIN q
 ),
 scored_all AS (
   SELECT e.vec_id, e.label,
-         ROUND({cosine_sql(_VDL.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+         (FLOOR(({cosine_sql(_VDL.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
   FROM embeddings e CROSS JOIN q
 ),
 exact AS (
@@ -311,7 +311,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_all = emb.select(
         "vec_id",
         "label",
-        F.round(cosine(sim.as_double(F.col("embedding")), query), 6).alias(
+        dround(cosine(sim.as_double(F.col("embedding")), query)).alias(
             "cosine_sim"
         ),
     )
@@ -331,7 +331,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded collect-sort aggregate (n_clusters rows — no WindowExec).
     cent_scored = sim.centroid_arrays(emb).select(
         "cluster",
-        F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
+        dround(cosine(F.col("centroid"), query)).alias("centroid_sim"),
     )
     cluster_rank = (
         cent_scored.agg(
@@ -594,10 +594,10 @@ _EVAL_QTERMS_SQL = ", ".join(
 # CAST(1 AS DOUBLE), not the bare literal 1.0: Spark parses 1.0 as
 # DECIMAL and divides exactly while DuckDB divides doubles — the exact
 # literal class PARITY.md bans from hash-checked columns.
-_RR_SQL = "ROUND(CAST(1 AS DOUBLE) / first_rel_rank, 6)"  # NULL rank -> NULL rr
+_RR_SQL = "(FLOOR((CAST(1 AS DOUBLE) / first_rel_rank) * 1e6 + 5e-1) / 1e6)"  # NULL rank -> NULL rr
 _RECALL_SQL = (
     "CASE WHEN n_relevant = 0 THEN NULL ELSE "
-    "ROUND(CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) END"
+    "(FLOOR((CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE)) * 1e6 + 5e-1) / 1e6) END"
 )
 
 # The qterms→perdoc grading prefix — ONE copy shared by the MRR and
@@ -611,7 +611,7 @@ dl AS (
 ),
 stats AS (
   SELECT COUNT(*) AS n_docs,
-         ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+         (FLOOR((CAST(SUM(dl) AS DOUBLE) / COUNT(*)) * 1e6 + 5e-1) / 1e6) AS avgdl
   FROM dl
 ),
 hits AS (
@@ -635,7 +635,7 @@ scored AS (
 ),
 perdoc AS (
   SELECT query_id, doc_id,
-         ROUND({dsum_sql('s')}, 6) AS bm25,
+         (FLOOR(({dsum_sql('s')}) * 1e6 + 5e-1) / 1e6) AS bm25,
          COUNT(*) AS matched
   FROM scored GROUP BY query_id, doc_id
 )"""
@@ -659,7 +659,7 @@ def _eval_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", F.expr(_BM25_TERM_SCORE).alias("s"))
     )
     return scored.groupBy("query_id", "doc_id").agg(
-        F.round(dsum("s"), 6).alias("bm25"), F.count("*").alias("matched")
+        dround(dsum("s")).alias("bm25"), F.count("*").alias("matched")
     )
 
 
@@ -766,13 +766,13 @@ def _ndcg_term(rank_col: str) -> str:
     )
     return (
         f"CASE WHEN {rank_col} <= {_EVAL_K} "
-        f"THEN ROUND(matched * ({discount}), 6) END"
+        f"THEN (FLOOR((matched * ({discount})) * 1e6 + 5e-1) / 1e6) END"
     )
 
 
 _NDCG_RATIO = (
     "CASE WHEN idcg = 0 THEN NULL ELSE "
-    "ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END"
+    "(FLOOR((CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) * 1e6 + 5e-1) / 1e6) END"
 )
 
 _NDCG_ORACLE = f"""
@@ -789,8 +789,8 @@ ranked AS (
 ),
 agg AS (
   SELECT query_id,
-         ROUND({dsum_sql(_ndcg_term('rnk_sys'))}, 6) AS dcg,
-         ROUND({dsum_sql(_ndcg_term('rnk_ideal'))}, 6) AS idcg
+         (FLOOR(({dsum_sql(_ndcg_term('rnk_sys'))}) * 1e6 + 5e-1) / 1e6) AS dcg,
+         (FLOOR(({dsum_sql(_ndcg_term('rnk_ideal'))}) * 1e6 + 5e-1) / 1e6) AS idcg
   FROM ranked GROUP BY query_id
 )
 SELECT query_id, dcg, idcg, {_NDCG_RATIO} AS ndcg
@@ -837,8 +837,8 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.groupBy("query_id")
         .agg(
-            F.round(dsum(F.expr(_ndcg_term("rnk_sys"))), 6).alias("dcg"),
-            F.round(dsum(F.expr(_ndcg_term("rnk_ideal"))), 6).alias("idcg"),
+            dround(dsum(F.expr(_ndcg_term("rnk_sys")))).alias("dcg"),
+            dround(dsum(F.expr(_ndcg_term("rnk_ideal")))).alias("idcg"),
         )
         .select("query_id", "dcg", "idcg", F.expr(_NDCG_RATIO).alias("ndcg"))
         .orderBy("query_id")
@@ -962,10 +962,10 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT/BIGINT promotes to double identically in both engines; shared
 # strings so neither ratio can fork between Spark and the oracle.
 _CHARS_PER_TOKEN = (
-    "ROUND(CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
+    "(FLOOR((CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e6 + 5e-1) / 1e6)"
 )
 _TOKENS_PER_DOC = (
-    "ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+    "(FLOOR((CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6 + 5e-1) / 1e6)"
 )
 
 _FERTILITY_ORACLE = f"""

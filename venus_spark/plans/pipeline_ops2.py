@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from venus_spark.functions import dround
 from venus_spark.functions.sqlgen import cosine_sql, davg_sql
 from venus_spark.operators import multimodal as mm
 from venus_spark.plans.registry import plan
@@ -154,7 +155,7 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+         (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_NPROBE}
 )"""
@@ -166,7 +167,7 @@ def _ivf_topk_oracle() -> str:
     return f"""{ivf_probe_cte()},
 scored AS (
   SELECT e.vec_id,
-         ROUND({cosine_sql(_VD.format('e.embedding'), 'q.qv')}, 6) AS cosine_sim
+         (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
   FROM embeddings e CROSS JOIN q
   WHERE e.label IN (SELECT cluster FROM probed)
 )
@@ -203,7 +204,7 @@ def frozen_ivf_probe(spark: SparkSession, sf_dir: str, layout=None):
     rows = (
         cents.select(
             "cluster",
-            F.round(cosine(F.col("centroid"), query), 6).alias("centroid_sim"),
+            dround(cosine(F.col("centroid"), query)).alias("centroid_sim"),
         )
         .orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
         .collect()
@@ -373,7 +374,7 @@ q AS (
 ),
 scored AS (
   SELECT b.vec_id,
-         ROUND({cosine_sql('b.v', 'q.qv')}, 6) AS cosine_sim
+         (FLOOR(({cosine_sql('b.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
   FROM b JOIN q
     ON (XOR(b.bucket, q.q_bucket) & (XOR(b.bucket, q.q_bucket) - 1)) = 0
 )

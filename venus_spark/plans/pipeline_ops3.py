@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, shingles, token_hash31
+from venus_spark.functions import cosine, shingles, token_hash31, dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
     shingles_sql,
@@ -38,10 +38,10 @@ _TOKS = tokens_sql("text")
 _QF_ORACLE = f"""
 WITH feat AS (
   SELECT doc_id, lang, LEN({_TOKS}) AS n_tokens,
-         ROUND(LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS}), 6) AS ttr,
-         ROUND(LEN(LIST_FILTER({_TOKS},
+         (FLOOR((LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) AS ttr,
+         (FLOOR((LEN(LIST_FILTER({_TOKS},
                t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)
-               / LEN({_TOKS}), 6) AS stop_ratio
+               / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) AS stop_ratio
   FROM documents
 )
 SELECT doc_id, lang, n_tokens
@@ -169,7 +169,7 @@ base AS (
 ),
 scored AS (
   SELECT q.query_id, base.vec_id,
-         ROUND({cosine_sql('base.v', 'q.qv')}, 6) AS cosine_sim
+         (FLOOR(({cosine_sql('base.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
   FROM base CROSS JOIN q
 ),
 ranked AS (
@@ -202,7 +202,7 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        dround(cosine(F.col("v"), F.col("qv"))).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id")
@@ -242,9 +242,9 @@ b AS (
   SELECT vec_id, v, {_rp_bucket_sql('v')} AS bucket FROM v
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       ROUND({cosine_sql('a.v', 'c.v')}, 6) AS cosine_sim
+       (FLOOR(({cosine_sql('a.v', 'c.v')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE ROUND({cosine_sql('a.v', 'c.v')}, 6) > {_NEAR_THRESHOLD}
+WHERE (FLOOR(({cosine_sql('a.v', 'c.v')}) * 1e6 + 5e-1) / 1e6) > {_NEAR_THRESHOLD}
 """
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, shingles, tokens
+from venus_spark.functions import davg, shingles, tokens, dround
 from venus_spark.functions.sqlgen import davg_sql, shingles_sql, tokens_sql
 from venus_spark.operators import text as tx
 from venus_spark.plans.pipeline_ops import _minhash_oracle
@@ -154,14 +154,14 @@ _GRAMS = (
 _REP_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id,
-         ROUND(CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS}), 6)
+         (FLOOR((CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS})) * 1e6 + 5e-1) / 1e6)
            AS dup_3gram_frac
   FROM documents
 ),
 tok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
 cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
 mass AS (
-  SELECT doc_id, ROUND(MAX(c) * CAST(1 AS DOUBLE) / SUM(c), 6) AS top_token_mass
+  SELECT doc_id, (FLOOR((MAX(c) * CAST(1 AS DOUBLE) / SUM(c)) * 1e6 + 5e-1) / 1e6) AS top_token_mass
   FROM cnt GROUP BY doc_id
 )
 SELECT g.doc_id, g.dup_3gram_frac, m.top_token_mass
@@ -202,9 +202,8 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across the conditional).
     dup = docs.select("doc_id", _ngrams_keep_dups("text").alias("g")).select(
         "doc_id",
-        F.round(
-            F.lit(1).cast("double") - F.size(F.array_distinct("g")) * F.lit(1).cast("double") / F.size("g"), 6
-        ).alias("dup_3gram_frac"),
+        dround(
+            F.lit(1).cast("double") - F.size(F.array_distinct("g")) * F.lit(1).cast("double") / F.size("g")).alias("dup_3gram_frac"),
     )
     cnt = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -212,7 +211,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     mass = cnt.groupBy("doc_id").agg(
-        F.round(F.max("c") * F.lit(1).cast("double") / F.sum("c"), 6).alias("top_token_mass")
+        dround(F.max("c") * F.lit(1).cast("double") / F.sum("c")).alias("top_token_mass")
     )
     return dup.join(mass, "doc_id").orderBy("doc_id")
 
@@ -225,17 +224,17 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PASS_SQL = (
     f"LEN({_TOKS}) >= {_MIN_TOKENS}"
-    f" AND ROUND(LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS}), 6) >= {_MIN_TTR}"
-    f" AND ROUND(LEN(LIST_FILTER({_TOKS},"
+    f" AND (FLOOR((LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) >= {_MIN_TTR}"
+    f" AND (FLOOR((LEN(LIST_FILTER({_TOKS},"
     f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
-    f" / LEN({_TOKS}), 6) <= {_MAX_STOP_RATIO}"
+    f" / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) <= {_MAX_STOP_RATIO}"
 )
 
 _REPORT_ORACLE = f"""
 SELECT source, lang,
        COUNT(*) AS n_docs,
        {davg_sql('n_chars')} AS mean_chars,
-       ROUND(SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*), 6)
+       (FLOOR((SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) * 1e6 + 5e-1) / 1e6)
          AS pass_share
 FROM documents
 GROUP BY source, lang
@@ -261,9 +260,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             davg("n_chars").alias("mean_chars"),
-            F.round(
-                F.sum(F.when(passed, 1).otherwise(0)) * F.lit(1).cast("double") / F.count("*"), 6
-            ).alias("pass_share"),
+            dround(
+                F.sum(F.when(passed, 1).otherwise(0)) * F.lit(1).cast("double") / F.count("*")).alias("pass_share"),
         )
         .orderBy("source", "lang")
     )
@@ -331,7 +329,7 @@ WITH g AS (
 ),
 gf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
 SELECT g.doc_id,
-       ROUND(SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*), 6)
+       (FLOOR((SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) * 1e6 + 5e-1) / 1e6)
          AS novel_3gram_share
 FROM g JOIN gf USING (gram)
 GROUP BY g.doc_id
@@ -353,11 +351,10 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(gf, "gram")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            dround(
                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
                 * F.lit(1).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("novel_3gram_share")
         )
         .orderBy("doc_id")

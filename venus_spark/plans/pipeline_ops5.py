@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import bigram_pairs, token_hash31, tokens
+from venus_spark.functions import bigram_pairs, token_hash31, tokens, dround
 from venus_spark.functions.sqlgen import (
     bigram_pairs_sql,
     token_hash31_sql,
@@ -244,7 +244,7 @@ SELECT label,
        COUNT(*) AS n_vecs,
        CAST(SUM(CAST(LIST_REDUCE(codes, (a, b) -> a + b) AS BIGINT))
             AS BIGINT) AS code_sum_total,
-       ROUND(MAX(max_err), 9) AS max_abs_err
+       (FLOOR((MAX(max_err)) * 1e9 + 5e-1) / 1e9) AS max_abs_err
 FROM coded
 GROUP BY label
 ORDER BY label
@@ -289,7 +289,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vecs"),
             F.sum("code_sum").alias("code_sum_total"),
-            F.round(F.max("max_err"), 9).alias("max_abs_err"),
+            dround(F.max("max_err"), 9).alias("max_abs_err"),
         )
         .orderBy("label")
     )
@@ -330,11 +330,11 @@ dq AS (
 ),
 exact AS (
   SELECT vec_id FROM v CROSS JOIN q
-  ORDER BY ROUND({cosine_sql('v', 'qv')}, 6) DESC, vec_id LIMIT {_QR_K}
+  ORDER BY (FLOOR(({cosine_sql('v', 'qv')}) * 1e6 + 5e-1) / 1e6) DESC, vec_id LIMIT {_QR_K}
 ),
 quant AS (
   SELECT vec_id FROM dq CROSS JOIN q
-  ORDER BY ROUND({cosine_sql('vq', 'qv')}, 6) DESC, vec_id LIMIT {_QR_K}
+  ORDER BY (FLOOR(({cosine_sql('vq', 'qv')}) * 1e6 + 5e-1) / 1e6) DESC, vec_id LIMIT {_QR_K}
 )
 SELECT CAST({_QR_K} AS BIGINT) AS k,
        CAST((SELECT COUNT(*) FROM exact JOIN quant USING (vec_id)) AS BIGINT)
@@ -380,14 +380,14 @@ def quant_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     exact = (
-        prepared.select("vec_id", F.round(cosine(F.col("v"), q), 6).alias("sim"))
+        prepared.select("vec_id", dround(cosine(F.col("v"), q)).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(_QR_K)
         .select("vec_id")
     )
     quant = (
         scaled.filter(F.col("scale") > 0)
-        .select("vec_id", F.round(cosine(vq, q), 6).alias("sim"))
+        .select("vec_id", dround(cosine(vq, q)).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(_QR_K)
         .select("vec_id")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, dsum, tokens
+from venus_spark.functions import davg, dsum, tokens, dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
     davg_sql,
@@ -47,9 +47,9 @@ _BM25_TOPK = 20
 # arithmetic promotes identically and LN/div/mul associate identically.
 # Rounded to 6 dp so the per-doc sum can use the exact decimal accumulator.
 _BM25_TERM_SCORE = (
-    f"ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
+    f"(FLOOR((LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
     f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
-    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6)"
+    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) * 1e6 + 5e-1) / 1e6)"
 )
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
@@ -78,7 +78,7 @@ scored AS (
   SELECT tf.doc_id, {_BM25_TERM_SCORE} AS s
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 )
-SELECT doc_id, ROUND({dsum_sql('s')}, 6) AS bm25
+SELECT doc_id, (FLOOR(({dsum_sql('s')}) * 1e6 + 5e-1) / 1e6) AS bm25
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
 """
@@ -126,7 +126,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .agg(dround(dsum("s")).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
@@ -150,7 +150,7 @@ def _bm25_from_index(
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .agg(dround(dsum("s")).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
@@ -198,7 +198,7 @@ _TFIDF_TOP_PER_DOC = 3
 _TFIDF_DOC_LIMIT = 20  # report keywords for doc_id < this bound
 
 # Smoothed idf; tf BIGINT, df/n_docs BIGINT -> identical double promotion.
-_TFIDF_SCORE = "ROUND(tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE))), 6)"
+_TFIDF_SCORE = "(FLOOR((tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) * 1e6 + 5e-1) / 1e6)"
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (
@@ -422,7 +422,7 @@ cent_arr AS (
 ),
 scored AS (
   SELECT e.vec_id, e.label, c.cluster,
-         ROUND({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}, 6) AS sim
+         (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) * 1e6 + 5e-1) / 1e6) AS sim
   FROM embeddings e CROSS JOIN cent_arr c
 ),
 assigned AS (
@@ -465,9 +465,8 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.col("cluster"),
-        F.round(
-            cosine(as_double(F.col("embedding")), F.col("centroid")), 6
-        ).alias("sim"),
+        dround(
+            cosine(as_double(F.col("embedding")), F.col("centroid"))).alias("sim"),
     )
     assigned = (
         scored.groupBy("vec_id", "label")

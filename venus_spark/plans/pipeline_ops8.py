@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import l2sq
+from venus_spark.functions import l2sq, dround
 from venus_spark.functions.sqlgen import l2sq_sql
 from venus_spark.operators import similarity as sim
 from venus_spark.plans.registry import plan
@@ -93,8 +93,8 @@ exact AS (
   FROM (SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings)
 )
 SELECT vec_id,
-       ROUND(adist, 6) AS adc_l2sq,
-       ROUND(edist, 6) AS exact_l2sq
+       (FLOOR((adist) * 1e6 + 5e-1) / 1e6) AS adc_l2sq,
+       (FLOOR((edist) * 1e6 + 5e-1) / 1e6) AS exact_l2sq
 FROM adc JOIN exact USING (vec_id)
 ORDER BY adist, vec_id LIMIT {_PQ_K}
 """
@@ -102,7 +102,7 @@ ORDER BY adist, vec_id LIMIT {_PQ_K}
 
 def _pq_prepared_oracle() -> str:
     return f"""{_pq_cte_prefix()}
-SELECT vec_id, ROUND(adist, 6) AS adc_l2sq
+SELECT vec_id, (FLOOR((adist) * 1e6 + 5e-1) / 1e6) AS adc_l2sq
 FROM adc ORDER BY adist, vec_id LIMIT {_PQ_K}
 """
 
@@ -125,7 +125,7 @@ def _adc_topk(codes_df: DataFrame, lut: list[list[float]]) -> DataFrame:
         )
         .orderBy("adist", "vec_id")
         .limit(_PQ_K)
-        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
+        .select("vec_id", dround("adist").alias("adc_l2sq"))
     )
 
 
@@ -170,8 +170,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .select(
             "vec_id",
-            F.round("adist", 6).alias("adc_l2sq"),
-            F.round("edist", 6).alias("exact_l2sq"),
+            dround("adist").alias("adc_l2sq"),
+            dround("edist").alias("exact_l2sq"),
         )
     )
 
@@ -261,7 +261,7 @@ WITH e AS (
 p AS (
   SELECT b.vec_id AS id_b
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE ROUND({{cos}}, 6) > {_SEM_T}
+  WHERE (FLOOR(({{cos}}) * 1e6 + 5e-1) / 1e6) > {_SEM_T}
 )
 SELECT e.vec_id, e.label FROM e
 WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = e.vec_id)
@@ -340,11 +340,11 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+         (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_IVFPQ_NPROBE}
 )
-SELECT a.vec_id, ROUND(a.adist, 6) AS adc_l2sq
+SELECT a.vec_id, (FLOOR((a.adist) * 1e6 + 5e-1) / 1e6) AS adc_l2sq
 FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
 WHERE e.label IN (SELECT cluster FROM probed)
 ORDER BY a.adist, a.vec_id LIMIT {_PQ_K}
@@ -376,7 +376,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probed = (
         cents.select(
-            "cluster", F.round(cosine(F.col("centroid"), qlit), 6).alias("sim")
+            "cluster", dround(cosine(F.col("centroid"), qlit)).alias("sim")
         )
         .orderBy(F.col("sim").desc(), F.col("cluster"))
         .limit(_IVFPQ_NPROBE)
@@ -389,7 +389,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.select("vec_id", sim.pq_adc_dist("codes", lut).alias("adist"))
         .orderBy("adist", "vec_id")
         .limit(_PQ_K)
-        .select("vec_id", F.round("adist", 6).alias("adc_l2sq"))
+        .select("vec_id", dround("adist").alias("adc_l2sq"))
     )
 
 
@@ -421,7 +421,7 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         ROUND({cosine_sql('cent_arr.centroid', 'q.qv')}, 6) AS centroid_sim
+         (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_IVFPQ_NPROBE}
 ),

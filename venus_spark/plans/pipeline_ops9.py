@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, fmt_ts, l2sq
+from venus_spark.functions import davg, fmt_ts, l2sq, dround
 from venus_spark.functions.sqlgen import (
     davg_sql,
     double_lit_sql,
@@ -53,7 +53,7 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         ROUND(LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t), 6)
+         (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) * 1e6 + 5e-1) / 1e6)
            AS containment
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
@@ -103,7 +103,7 @@ shared AS (
   GROUP BY a.source, b.source
 )
 SELECT s.source_a, s.source_b, s.shared_ngrams,
-       ROUND(s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams), 6)
+       (FLOOR((s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) * 1e6 + 5e-1) / 1e6)
          AS ngram_jaccard
 FROM shared s
 JOIN sizes na ON na.source = s.source_a
@@ -154,7 +154,7 @@ def source_overlap_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "shared_ngrams",
-            F.round(jac, 6).alias("ngram_jaccard"),
+            dround(jac).alias("ngram_jaccard"),
         )
     )
 
@@ -185,7 +185,7 @@ e AS (
 ),
 d AS (
   SELECT e.vec_id, e.label,
-         ROUND({l2sq_sql('e.v', 'c.centroid')}, 6) AS centroid_l2sq
+         (FLOOR(({l2sq_sql('e.v', 'c.centroid')}) * 1e6 + 5e-1) / 1e6) AS centroid_l2sq
   FROM e JOIN cent_arr c ON c.cluster = e.label
 )
 SELECT vec_id, label, centroid_l2sq, rn FROM (
@@ -219,7 +219,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(l2sq(F.col("v"), F.col("centroid")), 6).alias(
+            dround(l2sq(F.col("v"), F.col("centroid"))).alias(
                 "centroid_l2sq"
             ),
         )
@@ -285,9 +285,9 @@ hsets AS (
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
-         ROUND(({matches}) / {double_lit_sql(dd.N_PERM)}, 6) AS mh_est,
-         ROUND(LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
-               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t))), 6)
+         (FLOOR((({matches}) / {double_lit_sql(dd.N_PERM)}) * 1e6 + 5e-1) / 1e6) AS mh_est,
+         (FLOOR((LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
+               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) * 1e6 + 5e-1) / 1e6)
            AS true_jac
   FROM cands c
   JOIN sig x ON c.id_a = x.doc_id
@@ -296,7 +296,7 @@ scored AS (
   JOIN hsets hy ON c.id_b = hy.doc_id
 )
 SELECT id_a, id_b, mh_est, true_jac,
-       ROUND(ABS(mh_est - true_jac), 6) AS abs_err
+       (FLOOR((ABS(mh_est - true_jac)) * 1e6 + 5e-1) / 1e6) AS abs_err
 FROM scored
 """
 
@@ -327,8 +327,8 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"x.mh_{i}") == F.col(f"y.mh_{i}"), 1).otherwise(0)
         for i in range(dd.N_PERM)
     )
-    est = F.round(matches / F.lit(float(dd.N_PERM)), 6)
-    true_jac = F.round(jaccard(F.col("x.t"), F.col("y.t")), 6)
+    est = dround(matches / F.lit(float(dd.N_PERM)))
+    true_jac = dround(jaccard(F.col("x.t"), F.col("y.t")))
     return (
         cands.join(x, F.col("id_a") == F.col("x.doc_id"))
         .join(y, F.col("id_b") == F.col("y.doc_id"))
@@ -338,7 +338,7 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("mh_est"),
             true_jac.alias("true_jac"),
         )
-        .withColumn("abs_err", F.round(F.abs(F.col("mh_est") - F.col("true_jac")), 6))
+        .withColumn("abs_err", dround(F.abs(F.col("mh_est") - F.col("true_jac"))))
     )
 
 
@@ -367,7 +367,7 @@ normed AS (
            AS nrm
   FROM buckets
 )
-SELECT doc_id, bucket, ROUND(CAST(v AS DOUBLE) / nrm, 6) AS w
+SELECT doc_id, bucket, (FLOOR((CAST(v AS DOUBLE) / nrm) * 1e6 + 5e-1) / 1e6) AS w
 FROM normed WHERE v <> 0
 """
 
@@ -413,7 +413,7 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "bucket",
-            F.round(F.col("v").cast("double") / F.col("nrm"), 6).alias("w"),
+            dround(F.col("v").cast("double") / F.col("nrm")).alias("w"),
         )
     )
 
@@ -517,7 +517,7 @@ series AS (
 )
 SELECT event_type, {fmt_ts_sql('h', micros=False)} AS hour,
        v AS hourly_avg,
-       ROUND({ewma_fold_sql('arr', _EWMA_A)}, 6) AS ewma
+       (FLOOR(({ewma_fold_sql('arr', _EWMA_A)}) * 1e6 + 5e-1) / 1e6) AS ewma
 FROM series
 """
 
@@ -553,5 +553,5 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         fmt_ts(F.col("h"), micros=False).alias("hour"),
         F.col("v").alias("hourly_avg"),
-        F.round(ewma, 6).alias("ewma"),
+        dround(ewma).alias("ewma"),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import dsum, fmt_ts
+from venus_spark.functions import dsum, fmt_ts, dround
 from venus_spark.functions.sqlgen import dsum_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -113,10 +113,9 @@ agg AS (
 SELECT sp.event_type,
        STRFTIME(sp.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        COALESCE(n, 0) AS n_events,
-       ROUND(LAST_VALUE(total IGNORE NULLS)
+       (FLOOR((LAST_VALUE(total IGNORE NULLS)
              OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             6) AS locf_value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 5e-1) / 1e6) AS locf_value
 FROM spine sp LEFT JOIN agg
   ON agg.event_type = sp.event_type AND agg.b = sp.bucket
 ORDER BY sp.event_type, bucket
@@ -168,7 +167,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             fmt_ts(F.col("bucket"), micros=False).alias("bucket_s"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            F.round(F.last("total", ignorenulls=True).over(w), 6).alias("locf_value"),
+            dround(F.last("total", ignorenulls=True).over(w)).alias("locf_value"),
             F.col("bucket"),
         )
         .orderBy("event_type", "bucket")

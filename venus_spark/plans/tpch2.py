@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, dsum
+from venus_spark.functions import davg, dsum, dround
 from venus_spark.functions.sqlgen import davg_sql, dsum_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -106,7 +106,7 @@ _Q8_TYPE = "ECONOMY"
 
 _Q8_ORACLE = f"""
 SELECT o_year,
-       ROUND({dsum_sql('nation_volume')} / {dsum_sql('volume')}, 6) AS mkt_share
+       (FLOOR(({dsum_sql('nation_volume')} / {dsum_sql('volume')}) * 1e6 + 5e-1) / 1e6) AS mkt_share
 FROM (
   SELECT YEAR(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -161,7 +161,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2_region") == F.col("r_regionkey"),
         )
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(dsum(nation_volume) / dsum(volume), 6).alias("mkt_share"))
+        .agg(dround(dsum(nation_volume) / dsum(volume)).alias("mkt_share"))
         .orderBy("o_year")
     )
 
@@ -318,8 +318,8 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14_T0, _Q14_T1 = "1997-06-01 00:00:00", "1997-07-01 00:00:00"
 
 _Q14_ORACLE = f"""
-SELECT ROUND(100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
-             / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}, 6)
+SELECT (FLOOR((100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}) * 1e6 + 5e-1) / 1e6)
          AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{_Q14_T0}'
@@ -340,7 +340,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * dsum(promo) / dsum(revenue), 6).alias("promo_revenue_pct")
+            dround(100.0 * dsum(promo) / dsum(revenue)).alias("promo_revenue_pct")
         )
     )
 
@@ -410,7 +410,7 @@ WITH avg_qty AS (
   SELECT l_partkey, {davg_sql('l_quantity')} AS part_avg
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND({dsum_sql('l.l_extendedprice')} / 7.0, 6) AS avg_yearly,
+SELECT (FLOOR(({dsum_sql('l.l_extendedprice')} / 7.0) * 1e6 + 5e-1) / 1e6) AS avg_yearly,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -439,7 +439,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < 0.2 * F.col("part_avg"))
         .agg(
-            F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            dround(dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from venus_spark.functions import davg, dsum, fmt_ts
+from venus_spark.functions import davg, dround, dsum, fmt_ts
 from venus_spark.functions.sqlgen import davg_sql, dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -864,7 +864,7 @@ scored AS (
   FROM d
 )
 SELECT doc_id,
-       ROUND(CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE), 6) AS sim
+       (FLOOR((CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) * 1e6 + 5e-1) / 1e6) AS sim
 FROM scored WHERE c > 0
 ORDER BY sim DESC, doc_id LIMIT {_TRGM_SIM_TOPK}
 """
@@ -900,10 +900,9 @@ def similar_docs_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = documents_trgm(spark, sf_dir).select(
         "doc_id", F.size("_trg").alias("nd")
     )
-    sim = F.round(
+    sim = dround(
         F.col("c").cast("double")
-        / (F.lit(nq) + F.col("nd") - F.col("c")).cast("double"),
-        6,
+        / (F.lit(nq) + F.col("nd") - F.col("c")).cast("double")
     )
     return (
         hits.join(sizes, "doc_id")

@@ -35,6 +35,7 @@ from contextlib import contextmanager
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from venus_spark.functions import dround
 from venus_spark.sources import load_table
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -1923,8 +1924,12 @@ def append_documents_batch(
     _drop_lsh_bands(spark, sf_dir)
 
 
+# "round" covers the stored avgdl: it is a ROUNDED value, so a change
+# to the parity rounding discipline (review r11 pass-6 — built-in ROUND
+# replaced by the deterministic FLOOR form) must rebuild stale stats.
 _POSTINGS_META = {"norm": "lower", "tokens": "ws", "layout": "range(term)",
-                  "stats": "counters", "positions": "0-based"}
+                  "stats": "counters", "positions": "0-based",
+                  "round": "floor-half-up-6"}
 
 
 def documents_postings(
@@ -2093,9 +2098,8 @@ def _write_stats(
         .select(
             "n_docs",
             "dl_sum",
-            F.round(
-                F.col("dl_sum").cast("double") / F.col("n_docs"), 6
-            ).alias("avgdl"),
+            dround(
+                F.col("dl_sum").cast("double") / F.col("n_docs")).alias("avgdl"),
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -3554,7 +3558,7 @@ def _stats_row(spark: SparkSession, n_docs: int, dl_sum: int) -> DataFrame:
     ).select(
         "n_docs",
         "dl_sum",
-        F.round(F.col("dl_sum").cast("double") / F.col("n_docs"), 6).alias(
+        dround(F.col("dl_sum").cast("double") / F.col("n_docs")).alias(
             "avgdl"
         ),
     )
