@@ -121,18 +121,147 @@ def test_dround_scales(spark, scale, mult):
 def test_no_raw_round_in_parity_source():
     """Lint: built-in ROUND / F.round must not reappear anywhere in
     venus_spark — the entire class of boundary divergences re-enters
-    through one site. Comments are exempt."""
+    through one site. Case-insensitive (both SQL dialects accept
+    'round('; review r11 pass-7 #4); comments are exempt.
+    ``dround(`` / ``dround_sql(`` survive the lookbehind by design."""
     import glob
     import os
     import re
 
+    import io
+    import tokenize
+
     root = os.path.join(os.path.dirname(__file__), "..", "venus_spark")
+    rx = re.compile(r"(?<![A-Za-z_.])ROUND\(", re.IGNORECASE)
     offenders = []
     for fn in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
-        for ln, line in enumerate(open(fn), 1):
-            code = line.split("#", 1)[0]
-            if re.search(r"F\.round\(", code) or re.search(
-                r"(?<![A-Za-z_.])ROUND\(", code
-            ):
+        src = open(fn).read()
+        prev_type = None
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type == tokenize.STRING:
+                # docstrings (prose) are exempt: they begin a statement,
+                # so the previous significant token is structural. SQL
+                # strings are always assigned or passed as arguments.
+                if prev_type in (
+                    tokenize.NEWLINE,
+                    tokenize.INDENT,
+                    tokenize.DEDENT,
+                    tokenize.NL,
+                    None,
+                ):
+                    prev_type = tok.type
+                    continue
+                if rx.search(tok.string):
+                    offenders.append(
+                        f"{fn}:{tok.start[0]}: {tok.string[:90]!r}"
+                    )
+            if tok.type not in (tokenize.NL, tokenize.COMMENT):
+                prev_type = tok.type
+        # code side: only F.round reaches an engine (Python's builtin
+        # round() is driver-side bookkeeping, never part of a plan)
+        for ln, line in enumerate(src.splitlines(), 1):
+            if re.search(r"F\.round\(", line.split("#", 1)[0]):
                 offenders.append(f"{fn}:{ln}: {line.strip()}")
     assert not offenders, offenders
+
+
+def _find_close(s, i):
+    depth = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parens")
+
+
+def test_inline_dround_copies_match_current_template():
+    """Lint (review r11 pass-7 #2): ~100 oracle SQL strings inline the
+    dround template textually (f-string conversion of every site would
+    be riskier than it is worth). This test re-derives each inline copy
+    from dround_sql, so a change to the canonical form flags EVERY
+    stale copy instead of silently leaving a divergent one behind. It
+    also requires the rounding idiom marker ('+ 5e-1') to appear only
+    inside validated template spans — a hand-written unguarded floor
+    form cannot slip in beside the guarded ones."""
+    import glob
+    import os
+    import re
+
+    from venus_spark.functions.sqlgen import dround_sql
+
+    root = os.path.join(os.path.dirname(__file__), "..", "venus_spark")
+    bad = []
+    for fn in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        if fn.endswith(os.path.join("functions", "sqlgen.py")):
+            continue  # the template definition itself
+        src = open(fn).read()
+        spans = []
+        pos = 0
+        while True:
+            i = src.find("(CASE WHEN ABS((", pos)
+            if i < 0:
+                break
+            xo = i + len("(CASE WHEN ABS(")
+            xc = _find_close(src, xo)
+            x = src[xo + 1 : xc]
+            m = re.match(r" \* 1e(\d+)\)", src[xc + 1 :])
+            if not m:
+                bad.append(f"{fn}: malformed template head at {i}")
+                pos = i + 1
+                continue
+            scale = int(m.group(1))
+            want = dround_sql(x, scale)
+            got = src[i : i + len(want)]
+            if got != want:
+                bad.append(
+                    f"{fn}: stale/divergent inline dround copy at char "
+                    f"{i}: {got[:120]!r} != {want[:120]!r}"
+                )
+            spans.append((i, i + len(want)))
+            pos = i + 1
+        for m in re.finditer(re.escape("+ 5e-1"), src):
+            if not any(a <= m.start() < b for a, b in spans):
+                bad.append(
+                    f"{fn}: rounding idiom outside a validated dround "
+                    f"template at char {m.start()}"
+                )
+    assert not bad, bad
+
+
+def test_dround_extreme_inputs_match_cross_engine(spark):
+    """Review r11 pass-7 #1/#3: NaN and ±inf pass through on BOTH
+    engines (they fail the ABS guard identically), and magnitudes past
+    the 2^63/10^scale clamp region are served unrounded instead of
+    Spark silently clamping to ±9223372036854.775807/1e6."""
+    vals = [
+        float("nan"), float("inf"), float("-inf"),
+        1e19, -1e19, 9.3e12, -9.3e12, 2.0**62, 123.4567894,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_s = [r["r"] for r in df.select(dround("x").alias("r")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INTEGER, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, v) for i, v in enumerate(vals)],
+    )
+    got_d = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {dround_sql('x')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    import math
+
+    for v, s, d in zip(vals, got_s, got_d):
+        if math.isnan(v):
+            assert math.isnan(s) and math.isnan(d), (v, s, d)
+        else:
+            assert s == d, (v, s, d)
+    # huge magnitudes: identity, not a clamp
+    assert got_s[3] == 1e19 and got_s[4] == -1e19
+    assert got_s[7] == 2.0**62

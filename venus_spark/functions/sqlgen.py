@@ -20,9 +20,19 @@ def dround_sql(expr: str, scale: int = 6) -> str:
     # E-notation literals: both engines parse 1e6/5e-1 as DOUBLE,
     # whereas 1000000.0/0.5 parse as DECIMAL (Spark SQL and DuckDB
     # alike) — and FLOOR(bigint)/DECIMAL would type the Spark output
-    # column DECIMAL instead of the canonical DOUBLE.
+    # column DECIMAL instead of the canonical DOUBLE. The ABS guard
+    # mirrors dround's (see its docstring): Spark FLOOR clamps at
+    # ±2^63 where DuckDB does not, so near-2^63 scaled products (and
+    # NaN/inf, which fail the comparison identically on both engines)
+    # pass through unrounded. This exact template is what the
+    # tests/test_round_parity.py lint validates every inline copy in
+    # plan oracle strings against — change it here and the lint flags
+    # every stale copy.
     m = f"1e{scale}"
-    return f"(FLOOR(({expr}) * {m} + 5e-1) / {m})"
+    return (
+        f"(CASE WHEN ABS(({expr}) * {m}) < 9e18 "
+        f"THEN (FLOOR(({expr}) * {m} + 5e-1) / {m}) ELSE ({expr}) END)"
+    )
 
 
 def davg_sql(expr: str) -> str:

@@ -65,9 +65,13 @@ def window_topn_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_ORACLE = f"""
 SELECT event_id, user_id,
-       (FLOOR((SUM(value) OVER (PARTITION BY user_id
+       (CASE WHEN ABS((SUM(value) OVER (PARTITION BY user_id
                               ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING)) * 1e4 + 5e-1) / 1e4) AS running_value
+                              ROWS UNBOUNDED PRECEDING)) * 1e4) < 9e18 THEN (FLOOR((SUM(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)) * 1e4 + 5e-1) / 1e4) ELSE (SUM(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)) END) AS running_value
 FROM events WHERE user_id <= 50 AND value IS NOT NULL
 """
 

@@ -34,7 +34,7 @@ SELECT p.event_id AS purchase_id,
        {fmt_ts_sql('p.ts')} AS purchase_ts,
        c.event_id AS click_id,
        {fmt_ts_sql('c.ts')} AS click_ts,
-       (FLOOR((c.value) * 1e6 + 5e-1) / 1e6) AS click_value
+       (CASE WHEN ABS((c.value) * 1e6) < 9e18 THEN (FLOOR((c.value) * 1e6 + 5e-1) / 1e6) ELSE (c.value) END) AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -135,10 +135,10 @@ def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCT_ORACLE = """
 SELECT event_type,
-       (FLOOR((QUANTILE_CONT(value, 0.25)) * 1e6 + 5e-1) / 1e6) AS p25,
-       (FLOOR((QUANTILE_CONT(value, 0.50)) * 1e6 + 5e-1) / 1e6) AS p50,
-       (FLOOR((QUANTILE_CONT(value, 0.75)) * 1e6 + 5e-1) / 1e6) AS p75,
-       (FLOOR((QUANTILE_CONT(value, 0.95)) * 1e6 + 5e-1) / 1e6) AS p95
+       (CASE WHEN ABS((QUANTILE_CONT(value, 0.25)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.25)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.25)) END) AS p25,
+       (CASE WHEN ABS((QUANTILE_CONT(value, 0.50)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.50)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.50)) END) AS p50,
+       (CASE WHEN ABS((QUANTILE_CONT(value, 0.75)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.75)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.75)) END) AS p75,
+       (CASE WHEN ABS((QUANTILE_CONT(value, 0.95)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.95)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.95)) END) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -382,10 +382,10 @@ _M4_KEY_SQL = f"{fmt_ts_sql('ts')} || '|' || LPAD(CAST(event_id AS VARCHAR), 12,
 _M4_ORACLE = f"""
 SELECT {fmt_ts_sql("DATE_TRUNC('hour', ts)")} AS bucket,
        COUNT(*) AS n,
-       (FLOOR((MIN(value)) * 1e6 + 5e-1) / 1e6) AS min_v,
-       (FLOOR((MAX(value)) * 1e6 + 5e-1) / 1e6) AS max_v,
-       (FLOOR((MIN_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) AS first_v,
-       (FLOOR((MAX_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) AS last_v
+       (CASE WHEN ABS((MIN(value)) * 1e6) < 9e18 THEN (FLOOR((MIN(value)) * 1e6 + 5e-1) / 1e6) ELSE (MIN(value)) END) AS min_v,
+       (CASE WHEN ABS((MAX(value)) * 1e6) < 9e18 THEN (FLOOR((MAX(value)) * 1e6 + 5e-1) / 1e6) ELSE (MAX(value)) END) AS max_v,
+       (CASE WHEN ABS((MIN_BY(value, {_M4_KEY_SQL})) * 1e6) < 9e18 THEN (FLOOR((MIN_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) ELSE (MIN_BY(value, {_M4_KEY_SQL})) END) AS first_v,
+       (CASE WHEN ABS((MAX_BY(value, {_M4_KEY_SQL})) * 1e6) < 9e18 THEN (FLOOR((MAX_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) ELSE (MAX_BY(value, {_M4_KEY_SQL})) END) AS last_v
 FROM events
 GROUP BY DATE_TRUNC('hour', ts)
 ORDER BY bucket

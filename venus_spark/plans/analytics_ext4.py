@@ -302,9 +302,13 @@ pairs AS (
   GROUP BY a.event_type, b.event_type
 )
 SELECT type_a, type_b, n,
-       (FLOOR(((n * sxy - sx * sy) /
+       (CASE WHEN ABS(((n * sxy - sx * sy) /
              NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
-                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) * 1e6 + 5e-1) / 1e6)
+                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) * 1e6) < 9e18 THEN (FLOOR(((n * sxy - sx * sy) /
+             NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
+                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) * 1e6 + 5e-1) / 1e6) ELSE ((n * sxy - sx * sy) /
+             NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
+                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) END)
          AS pearson_r
 FROM pairs
 ORDER BY type_a, type_b

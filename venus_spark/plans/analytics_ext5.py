@@ -31,7 +31,7 @@ trans AS (
   GROUP BY prev_type, event_type
 )
 SELECT prev_type, next_type, n,
-       (FLOOR((n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) * 1e6 + 5e-1) / 1e6) AS share
+       (CASE WHEN ABS((n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) * 1e6) < 9e18 THEN (FLOOR((n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) * 1e6 + 5e-1) / 1e6) ELSE (n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) END) AS share
 FROM trans
 ORDER BY prev_type, next_type
 """
@@ -172,7 +172,7 @@ WITH cust AS (
          DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '{_RFM_ASOF}')
            AS recency_days,
          COUNT(*) AS frequency,
-         (FLOOR(({dsum_sql(dround_sql('o_totalprice'))}) * 1e6 + 5e-1) / 1e6) AS monetary
+         (CASE WHEN ABS(({dsum_sql(dround_sql('o_totalprice'))}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql(dround_sql('o_totalprice'))}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql(dround_sql('o_totalprice'))}) END) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 bp AS (
@@ -196,7 +196,7 @@ tiers AS (
 )
 SELECT r_tier, f_tier, m_tier,
        COUNT(*) AS n_customers,
-       (FLOOR(({dsum_sql('monetary')}) * 1e6 + 5e-1) / 1e6) AS total_monetary
+       (CASE WHEN ABS(({dsum_sql('monetary')}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('monetary')}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('monetary')}) END) AS total_monetary
 FROM tiers GROUP BY r_tier, f_tier, m_tier
 ORDER BY r_tier, f_tier, m_tier
 """

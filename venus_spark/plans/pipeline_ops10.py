@@ -43,8 +43,10 @@ big_c AS (SELECT bg, COUNT(*) AS np FROM bigs GROUP BY bg),
 big_t AS (SELECT COUNT(*) AS b FROM bigs),
 scored AS (
   SELECT bg AS bigram, np AS n_pair,
-         (FLOOR(((CAST(np AS DOUBLE) / b) /
-               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) * 1e6 + 5e-1) / 1e6)
+         (CASE WHEN ABS(((CAST(np AS DOUBLE) / b) /
+               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) * 1e6) < 9e18 THEN (FLOOR(((CAST(np AS DOUBLE) / b) /
+               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) * 1e6 + 5e-1) / 1e6) ELSE ((CAST(np AS DOUBLE) / b) /
+               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) END)
            AS lift
   FROM big_c
   CROSS JOIN big_t CROSS JOIN tok_t
@@ -120,15 +122,17 @@ pairs AS (
   SELECT a.source AS source, COUNT(*) AS n_pairs
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6 + 5e-1) / 1e6)
+  WHERE (CASE WHEN ABS((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
+              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
+              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
+              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) END)
         > {_NDR_T}
   GROUP BY a.source
 ),
 docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
 SELECT d.source, d.n_docs,
        COALESCE(p.n_pairs, 0) AS n_dup_pairs,
-       (FLOOR((COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) * 1e6 + 5e-1) / 1e6) AS dup_pair_rate
+       (CASE WHEN ABS((COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) * 1e6) < 9e18 THEN (FLOOR((COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) * 1e6 + 5e-1) / 1e6) ELSE (COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) END) AS dup_pair_rate
 FROM docs d LEFT JOIN pairs p ON p.source = d.source
 ORDER BY d.source
 """
@@ -207,10 +211,10 @@ durations AS (
   FROM sess GROUP BY user_id, sid
 )
 SELECT COUNT(*) AS n_sessions,
-       (FLOOR((QUANTILE_CONT(dur_sec, 0.25)) * 1e6 + 5e-1) / 1e6) AS p25,
-       (FLOOR((QUANTILE_CONT(dur_sec, 0.50)) * 1e6 + 5e-1) / 1e6) AS p50,
-       (FLOOR((QUANTILE_CONT(dur_sec, 0.75)) * 1e6 + 5e-1) / 1e6) AS p75,
-       (FLOOR((QUANTILE_CONT(dur_sec, 0.90)) * 1e6 + 5e-1) / 1e6) AS p90
+       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.25)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.25)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.25)) END) AS p25,
+       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.50)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.50)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.50)) END) AS p50,
+       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.75)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.75)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.75)) END) AS p75,
+       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.90)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.90)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.90)) END) AS p90
 FROM durations
 """
 

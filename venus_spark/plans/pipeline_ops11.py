@@ -46,8 +46,10 @@ _RRF_QUERY_VEC_ID = 0
 # double division in both engines, and the two-list sum is a two-term
 # add — no accumulation-order concerns.
 _RRF_SCORE = (
-    f"(FLOOR((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
-    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) * 1e6 + 5e-1) / 1e6)"
+    f"(CASE WHEN ABS((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) * 1e6) < 9e18 THEN (FLOOR((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) * 1e6 + 5e-1) / 1e6) ELSE (COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) END)"
 )
 
 _VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
@@ -94,7 +96,7 @@ vec AS (
       FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
     )
     SELECT e.vec_id AS doc_id,
-           (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
+           (CASE WHEN ABS(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) END) AS cosine_sim
     FROM embeddings e CROSS JOIN q
     ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_SIDE_K}
   )
@@ -220,8 +222,10 @@ hsets AS (
 ),
 verified AS (
   SELECT c.new_doc, c.dup_doc,
-         (FLOOR((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6 + 5e-1) / 1e6)
+         (CASE WHEN ABS((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) END)
            AS jaccard_sim
   FROM cands c
   JOIN hsets x ON c.new_doc = x.doc_id
@@ -356,26 +360,26 @@ _US_PER_DAY = "86400000000.0"
 # ROUND(...,6) makes each term exactly representable for dsum.
 _TREND_XC = f"((CAST(x_us0 AS DOUBLE) - xbar_us) / {_US_PER_DAY})"
 _TREND_YC = "(y - ybar)"
-_TREND_T_XY = f"(FLOOR(({_TREND_XC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6)"
-_TREND_T_XX = f"(FLOOR(({_TREND_XC} * {_TREND_XC}) * 1e6 + 5e-1) / 1e6)"
-_TREND_T_YY = f"(FLOOR(({_TREND_YC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6)"
+_TREND_T_XY = f"(CASE WHEN ABS(({_TREND_XC} * {_TREND_YC}) * 1e6) < 9e18 THEN (FLOOR(({_TREND_XC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6) ELSE ({_TREND_XC} * {_TREND_YC}) END)"
+_TREND_T_XX = f"(CASE WHEN ABS(({_TREND_XC} * {_TREND_XC}) * 1e6) < 9e18 THEN (FLOOR(({_TREND_XC} * {_TREND_XC}) * 1e6 + 5e-1) / 1e6) ELSE ({_TREND_XC} * {_TREND_XC}) END)"
+_TREND_T_YY = f"(CASE WHEN ABS(({_TREND_YC} * {_TREND_YC}) * 1e6) < 9e18 THEN (FLOOR(({_TREND_YC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6) ELSE ({_TREND_YC} * {_TREND_YC}) END)"
 
 # Final projections over the exact aggregates (sxy/sxx/syy canonical
 # doubles from dsum; xbar_us/ybar canonical from davg).
-_TREND_SLOPE = "CASE WHEN sxx > 0 THEN (FLOOR((sxy / sxx) * 1e6 + 5e-1) / 1e6) END"
+_TREND_SLOPE = "CASE WHEN sxx > 0 THEN (CASE WHEN ABS((sxy / sxx) * 1e6) < 9e18 THEN (FLOOR((sxy / sxx) * 1e6 + 5e-1) / 1e6) ELSE (sxy / sxx) END) END"
 _TREND_INTERCEPT = (
     f"CASE WHEN sxx > 0 THEN "
-    f"(FLOOR((ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) * 1e6 + 5e-1) / 1e6) END"
+    f"(CASE WHEN ABS((ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) * 1e6) < 9e18 THEN (FLOOR((ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) * 1e6 + 5e-1) / 1e6) ELSE (ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) END) END"
 )
 _TREND_R2 = (
-    "CASE WHEN sxx * syy > 0 THEN (FLOOR(((sxy * sxy) / (sxx * syy)) * 1e6 + 5e-1) / 1e6) END"
+    "CASE WHEN sxx * syy > 0 THEN (CASE WHEN ABS(((sxy * sxy) / (sxx * syy)) * 1e6) < 9e18 THEN (FLOOR(((sxy * sxy) / (sxx * syy)) * 1e6 + 5e-1) / 1e6) ELSE ((sxy * sxy) / (sxx * syy)) END) END"
 )
 
 _TREND_ORACLE = f"""
 WITH ev AS (
   SELECT event_type,
          EPOCH_US(ts) - {_TREND_T0_US} AS x_us0,
-         (FLOOR((value) * 1e6 + 5e-1) / 1e6) AS y
+         (CASE WHEN ABS((value) * 1e6) < 9e18 THEN (FLOOR((value) * 1e6 + 5e-1) / 1e6) ELSE (value) END) AS y
   FROM events
 ),
 stats AS (
@@ -476,7 +480,7 @@ _DRIFT_BIN_W = "25.0"
 # side is non-empty (total mass moved), NULL when both are empty.
 _DRIFT_TV = (
     "CASE WHEN n_a > 0 AND n_b > 0 THEN "
-    "(FLOOR((CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) * 1e6 + 5e-1) / 1e6) "
+    "(CASE WHEN ABS((CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) END) "
     "WHEN n_a > 0 OR n_b > 0 THEN CAST(1 AS DOUBLE) END"
 )
 

@@ -155,7 +155,7 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS centroid_sim
+         (CASE WHEN ABS(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('cent_arr.centroid', 'q.qv')}) END) AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_NPROBE}
 )"""
@@ -167,7 +167,7 @@ def _ivf_topk_oracle() -> str:
     return f"""{ivf_probe_cte()},
 scored AS (
   SELECT e.vec_id,
-         (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
+         (CASE WHEN ABS(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) END) AS cosine_sim
   FROM embeddings e CROSS JOIN q
   WHERE e.label IN (SELECT cluster FROM probed)
 )
@@ -374,7 +374,7 @@ q AS (
 ),
 scored AS (
   SELECT b.vec_id,
-         (FLOOR(({cosine_sql('b.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) AS cosine_sim
+         (CASE WHEN ABS(({cosine_sql('b.v', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('b.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('b.v', 'q.qv')}) END) AS cosine_sim
   FROM b JOIN q
     ON (XOR(b.bucket, q.q_bucket) & (XOR(b.bucket, q.q_bucket) - 1)) = 0
 )

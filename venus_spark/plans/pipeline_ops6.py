@@ -47,9 +47,13 @@ _BM25_TOPK = 20
 # arithmetic promotes identically and LN/div/mul associate identically.
 # Rounded to 6 dp so the per-doc sum can use the exact decimal accumulator.
 _BM25_TERM_SCORE = (
-    f"(FLOOR((LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
+    f"(CASE WHEN ABS((LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
     f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
-    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) * 1e6 + 5e-1) / 1e6)"
+    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) * 1e6) < 9e18 THEN (FLOOR((LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
+    f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
+    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) * 1e6 + 5e-1) / 1e6) ELSE (LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
+    f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
+    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) END)"
 )
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
@@ -78,7 +82,7 @@ scored AS (
   SELECT tf.doc_id, {_BM25_TERM_SCORE} AS s
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 )
-SELECT doc_id, (FLOOR(({dsum_sql('s')}) * 1e6 + 5e-1) / 1e6) AS bm25
+SELECT doc_id, (CASE WHEN ABS(({dsum_sql('s')}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('s')}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('s')}) END) AS bm25
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
 """
@@ -198,7 +202,7 @@ _TFIDF_TOP_PER_DOC = 3
 _TFIDF_DOC_LIMIT = 20  # report keywords for doc_id < this bound
 
 # Smoothed idf; tf BIGINT, df/n_docs BIGINT -> identical double promotion.
-_TFIDF_SCORE = "(FLOOR((tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) * 1e6 + 5e-1) / 1e6)"
+_TFIDF_SCORE = "(CASE WHEN ABS((tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) * 1e6) < 9e18 THEN (FLOOR((tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) * 1e6 + 5e-1) / 1e6) ELSE (tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) END)"
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (
@@ -422,7 +426,7 @@ cent_arr AS (
 ),
 scored AS (
   SELECT e.vec_id, e.label, c.cluster,
-         (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) * 1e6 + 5e-1) / 1e6) AS sim
+         (CASE WHEN ABS(({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) END) AS sim
   FROM embeddings e CROSS JOIN cent_arr c
 ),
 assigned AS (

@@ -98,7 +98,7 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates, so the double math below evaluates the identical tree on
 # both engines; rounded to 6 dp so the per-doc mean can use the exact
 # decimal accumulator.
-_LM_SCORE = "(FLOOR((LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) * 1e6 + 5e-1) / 1e6)"
+_LM_SCORE = "(CASE WHEN ABS((LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) * 1e6) < 9e18 THEN (FLOOR((LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) * 1e6 + 5e-1) / 1e6) ELSE (LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) END)"
 
 _BIGRAMS = bigram_pairs_sql("text")
 
@@ -230,7 +230,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gap in integer microseconds (exact on both engines), rendered to
 # seconds through one shared rounding expression.
-_GAP_S = "(FLOOR((gap_us / CAST(1000000 AS DOUBLE)) * 1e6 + 5e-1) / 1e6)"
+_GAP_S = "(CASE WHEN ABS((gap_us / CAST(1000000 AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((gap_us / CAST(1000000 AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (gap_us / CAST(1000000 AS DOUBLE)) END)"
 
 _GAPS_ORACLE = f"""
 WITH g AS (
@@ -300,8 +300,10 @@ _ANOM_TOPK = 3
 # NULL (the guard compares in double so it cannot overflow at scale).
 _Z_SCORE = (
     "CASE WHEN n > 1 AND CAST(s2 AS DOUBLE) * n > CAST(s1 AS DOUBLE) * s1 THEN "
-    "(FLOOR(((c - CAST(s1 AS DOUBLE) / n)"
-    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1e6 + 5e-1) / 1e6) "
+    "(CASE WHEN ABS(((c - CAST(s1 AS DOUBLE) / n)"
+    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1e6) < 9e18 THEN (FLOOR(((c - CAST(s1 AS DOUBLE) / n)"
+    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1e6 + 5e-1) / 1e6) ELSE ((c - CAST(s1 AS DOUBLE) / n)"
+    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) END) "
     "ELSE CAST(NULL AS DOUBLE) END"
 )
 

@@ -53,7 +53,7 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) * 1e6 + 5e-1) / 1e6)
+         (CASE WHEN ABS((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) END)
            AS containment
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
@@ -103,7 +103,7 @@ shared AS (
   GROUP BY a.source, b.source
 )
 SELECT s.source_a, s.source_b, s.shared_ngrams,
-       (FLOOR((s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) * 1e6 + 5e-1) / 1e6)
+       (CASE WHEN ABS((s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) * 1e6) < 9e18 THEN (FLOOR((s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) * 1e6 + 5e-1) / 1e6) ELSE (s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) END)
          AS ngram_jaccard
 FROM shared s
 JOIN sizes na ON na.source = s.source_a
@@ -185,7 +185,7 @@ e AS (
 ),
 d AS (
   SELECT e.vec_id, e.label,
-         (FLOOR(({l2sq_sql('e.v', 'c.centroid')}) * 1e6 + 5e-1) / 1e6) AS centroid_l2sq
+         (CASE WHEN ABS(({l2sq_sql('e.v', 'c.centroid')}) * 1e6) < 9e18 THEN (FLOOR(({l2sq_sql('e.v', 'c.centroid')}) * 1e6 + 5e-1) / 1e6) ELSE ({l2sq_sql('e.v', 'c.centroid')}) END) AS centroid_l2sq
   FROM e JOIN cent_arr c ON c.cluster = e.label
 )
 SELECT vec_id, label, centroid_l2sq, rn FROM (
@@ -285,9 +285,11 @@ hsets AS (
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
-         (FLOOR((({matches}) / {double_lit_sql(dd.N_PERM)}) * 1e6 + 5e-1) / 1e6) AS mh_est,
-         (FLOOR((LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
-               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) * 1e6 + 5e-1) / 1e6)
+         (CASE WHEN ABS((({matches}) / {double_lit_sql(dd.N_PERM)}) * 1e6) < 9e18 THEN (FLOOR((({matches}) / {double_lit_sql(dd.N_PERM)}) * 1e6 + 5e-1) / 1e6) ELSE (({matches}) / {double_lit_sql(dd.N_PERM)}) END) AS mh_est,
+         (CASE WHEN ABS((LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
+               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
+               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
+               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) END)
            AS true_jac
   FROM cands c
   JOIN sig x ON c.id_a = x.doc_id
@@ -296,7 +298,7 @@ scored AS (
   JOIN hsets hy ON c.id_b = hy.doc_id
 )
 SELECT id_a, id_b, mh_est, true_jac,
-       (FLOOR((ABS(mh_est - true_jac)) * 1e6 + 5e-1) / 1e6) AS abs_err
+       (CASE WHEN ABS((ABS(mh_est - true_jac)) * 1e6) < 9e18 THEN (FLOOR((ABS(mh_est - true_jac)) * 1e6 + 5e-1) / 1e6) ELSE (ABS(mh_est - true_jac)) END) AS abs_err
 FROM scored
 """
 
@@ -367,7 +369,7 @@ normed AS (
            AS nrm
   FROM buckets
 )
-SELECT doc_id, bucket, (FLOOR((CAST(v AS DOUBLE) / nrm) * 1e6 + 5e-1) / 1e6) AS w
+SELECT doc_id, bucket, (CASE WHEN ABS((CAST(v AS DOUBLE) / nrm) * 1e6) < 9e18 THEN (FLOOR((CAST(v AS DOUBLE) / nrm) * 1e6 + 5e-1) / 1e6) ELSE (CAST(v AS DOUBLE) / nrm) END) AS w
 FROM normed WHERE v <> 0
 """
 
@@ -517,7 +519,7 @@ series AS (
 )
 SELECT event_type, {fmt_ts_sql('h', micros=False)} AS hour,
        v AS hourly_avg,
-       (FLOOR(({ewma_fold_sql('arr', _EWMA_A)}) * 1e6 + 5e-1) / 1e6) AS ewma
+       (CASE WHEN ABS(({ewma_fold_sql('arr', _EWMA_A)}) * 1e6) < 9e18 THEN (FLOOR(({ewma_fold_sql('arr', _EWMA_A)}) * 1e6 + 5e-1) / 1e6) ELSE ({ewma_fold_sql('arr', _EWMA_A)}) END) AS ewma
 FROM series
 """
 

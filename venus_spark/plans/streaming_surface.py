@@ -113,9 +113,13 @@ agg AS (
 SELECT sp.event_type,
        STRFTIME(sp.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        COALESCE(n, 0) AS n_events,
-       (FLOOR((LAST_VALUE(total IGNORE NULLS)
+       (CASE WHEN ABS((LAST_VALUE(total IGNORE NULLS)
              OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 5e-1) / 1e6) AS locf_value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6) < 9e18 THEN (FLOOR((LAST_VALUE(total IGNORE NULLS)
+             OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 5e-1) / 1e6) ELSE (LAST_VALUE(total IGNORE NULLS)
+             OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END) AS locf_value
 FROM spine sp LEFT JOIN agg
   ON agg.event_type = sp.event_type AND agg.b = sp.bucket
 ORDER BY sp.event_type, bucket

@@ -864,7 +864,7 @@ scored AS (
   FROM d
 )
 SELECT doc_id,
-       (FLOOR((CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) * 1e6 + 5e-1) / 1e6) AS sim
+       (CASE WHEN ABS((CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) END) AS sim
 FROM scored WHERE c > 0
 ORDER BY sim DESC, doc_id LIMIT {_TRGM_SIM_TOPK}
 """
