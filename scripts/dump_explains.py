@@ -57,6 +57,8 @@ SHOWCASE = {
     "phrase_search_kterm_live": "live positional retrieval: pending-union postings serve the chained phrase intersection",
     "vocab_coverage_oov": "one tokenize scan: checkpointed tokens feed both the vocabulary cut and the flagging join (zero parquet scans in the query plan)",
     "tokenizer_fertility": "fertility audit: one narrow scan, partial-aggregated languages-keyed rollup, two closing divisions",
+    "sim_ivf_topk_live": "live IVF (quiescent): degrades to the prepared twin's exact shape — literal IN partition filter, one TakeOrderedAndProject, no union branch",
+    "sim_pq_adc_live": "live PQ-ADC (quiescent): codes-only ReadSchema preserved through the live wrapper, no shuffle before top-k",
 }
 
 # Plans whose showcased access path only ENGAGES at a bigger scale than
