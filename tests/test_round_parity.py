@@ -265,3 +265,61 @@ def test_dround_extreme_inputs_match_cross_engine(spark):
     # huge magnitudes: identity, not a clamp
     assert got_s[3] == 1e19 and got_s[4] == -1e19
     assert got_s[7] == 2.0**62
+
+
+def test_percentile_interpolation_bit_parity(spark):
+    """Spark ``percentile`` and DuckDB ``QUANTILE_CONT`` currently
+    compute bit-identical interpolated values (probed r11: 1200/1200
+    over random doubles and exact-rational sets — the same formula
+    tree). Several plans rely on this (value_percentiles, the
+    duration-percentile tiles, rfm_segments quartiles) with only a
+    dround after it, and dround can only neutralize ulp gaps away from
+    .5e-6 boundaries — so if an engine upgrade ever changes either
+    implementation, this test fails in pytest instead of surfacing as
+    an unexplained mirror hash mismatch."""
+    import random
+    import struct
+
+    random.seed(20260816)
+    cases = []
+    for _ in range(60):
+        n = random.randint(2, 9)
+        cases.append([random.uniform(-1e3, 1e3) for _ in range(n)])
+    for _ in range(40):
+        n = random.randint(2, 9)
+        cases.append(
+            [
+                random.randint(-(10**6), 10**6)
+                / random.choice([1, 2, 4, 8, 16, 128])
+                for _ in range(n)
+            ]
+        )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    rows = [(i, float(v)) for i, vals in enumerate(cases) for v in vals]
+    df = spark.createDataFrame(rows, "g int, x double")
+    sres = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile(
+                "x", F.array(*[F.lit(q) for q in qs])
+            ).alias("p")
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    dres = {
+        g: p
+        for g, p in con.execute(
+            f"SELECT g, QUANTILE_CONT(x, {qs}) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    diverged = [
+        (g, q, s, d)
+        for g in sres
+        for q, s, d in zip(qs, sres[g], dres[g])
+        if struct.pack("d", s) != struct.pack("d", d)
+    ]
+    assert not diverged, diverged[:5]
