@@ -1008,3 +1008,54 @@ def test_prune_logs_schema_rev_propagates_transient_failure(spark, tmp_path):
     with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
         rec = json.load(f)
     assert rec["promoted_extra"] == ["levelname"]  # record untouched
+
+
+def test_prune_logs_schema_rev_walk_error_propagates(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11 pass-8 #2: os.walk swallows scandir errors by default,
+    so a transient FS outage during the empty-table probe would yield
+    no files and masquerade as 'retention removed every file' — the
+    prune must propagate a non-FileNotFoundError walk failure instead
+    of silently emptying the record."""
+    import os as _os
+
+    from venus_spark import streaming as st
+    from venus_spark.streaming import (
+        _LOGS_SCHEMA_REV,
+        prune_logs_schema_rev,
+        start_logs_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    (landing / "g1.jsonl").write_text(json.dumps(make_record(0)))
+    q = start_logs_ingest(
+        read_log_stream(spark, str(landing), max_files_per_trigger=1),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=None,
+        promote=("levelname",),
+    )
+    q.awaitTermination(120)
+    logs_dir = os.path.join(sink, "logs")
+    date_dir = next(d for d in os.listdir(logs_dir) if d.startswith("date="))
+    with open(os.path.join(logs_dir, date_dir, "torn.parquet"), "wb") as f:
+        f.write(b"PAR1 not a footer")  # make the Spark read fail first
+
+    real_walk = _os.walk
+
+    def outage_walk(top, onerror=None, **kw):
+        # simulate a scandir failure the default os.walk would swallow
+        if onerror is not None:
+            onerror(PermissionError(13, "transient outage", str(top)))
+        return iter(())
+
+    monkeypatch.setattr(st.os, "walk", outage_walk)
+    with pytest.raises(PermissionError):
+        prune_logs_schema_rev(spark, sink)
+    monkeypatch.setattr(st.os, "walk", real_walk)
+    with open(os.path.join(sink, _LOGS_SCHEMA_REV)) as f:
+        rec = json.load(f)
+    assert rec["promoted_extra"] == ["levelname"]  # record untouched

@@ -2593,3 +2593,42 @@ def test_delete_paths_refuse_during_crashed_plain_append(
         prepared.vacuum_document_tombstones(spark, sf)
     os.remove(prepared._append_intent_path(sf))
     prepared.tombstone_documents(spark, sf, [1], batch_id=0)  # now fine
+
+
+def test_ivf_centroids_round_discipline_stamp(spark, tmp_path, monkeypatch):
+    """Review r11 pass-8 #1: the IVF centroid table bakes davg-ROUNDED
+    values, so it carries the rounding-discipline meta stamp — a layout
+    built under a different rounding rule (the pre-r11 built-in ROUND)
+    must rebuild instead of being silently served against oracles that
+    recompute centroids with the current rule. Pins: (a) the build
+    stamps; (b) a stale/absent stamp triggers a rebuild on next ensure;
+    (c) a current stamp does NOT rebuild (mtime-stable)."""
+    import json
+    import os
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "emb_sf")
+    spark.read.parquet(os.path.join(src, "embeddings.parquet")).write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    vecs, cents = prepared.embeddings_ivf(spark, sf)
+    n = cents.count()
+    cent_path = prepared.prepared_path(sf, "embeddings_ivf_centroids.parquet")
+    stamp = os.path.join(cent_path, "_prep_meta.json")
+    with open(stamp) as f:
+        assert json.load(f) == prepared._IVF_CENT_META
+    # (c) current stamp: ensure is a no-op (same _SUCCESS inode)
+    marker = os.path.join(cent_path, "_SUCCESS")
+    ino = os.stat(marker).st_ino
+    prepared.embeddings_ivf(spark, sf)
+    assert os.stat(marker).st_ino == ino
+    # (b) a pre-r11 generation (no stamp / foreign stamp) rebuilds
+    with open(stamp, "w") as f:
+        json.dump({"centroid": "davg", "round": "half-up-builtin"}, f)
+    vecs2, cents2 = prepared.embeddings_ivf(spark, sf)
+    assert cents2.count() == n
+    with open(stamp) as f:
+        assert json.load(f) == prepared._IVF_CENT_META

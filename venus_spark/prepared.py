@@ -785,6 +785,19 @@ def _z_sorted(df: DataFrame, min_hour: int, n_files: int) -> DataFrame:
     )
 
 
+# The IVF centroid table BAKES davg-rounded values (the one stored
+# artifact besides the postings stats' avgdl that does), so it carries
+# the rounding-discipline rev: a layout built under the old built-in
+# ROUND rule would otherwise be silently served against oracles that
+# recompute centroids with the FLOOR rule — the exact divergence class
+# dround eliminates, re-entering through storage (review r11 pass-8
+# #1). The vector/codes tables are raw rows and PQ codebooks are raw
+# coreset samples — no rounding stored, no round stamp needed. One
+# constant shared by the build and the retrain staging so the two
+# writers cannot drift.
+_IVF_CENT_META = {"centroid": "davg", "round": "floor-half-up-6"}
+
+
 def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The IVF index as a *layout*: ``(vectors, centroids)`` where the
     vector table is written ``partitionBy(cluster id)`` — so the probe's
@@ -799,11 +812,14 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (vec_path,))
-    if not (_is_built(vec_path) and _is_built(cent_path)) and not (
+    if not (
+        _is_built(vec_path) and _is_built(cent_path, _IVF_CENT_META)
+    ) and not (
         _vector_built_under_lock(
             sf_dir,
             (vec_path,),
-            lambda: _is_built(vec_path) and _is_built(cent_path),
+            lambda: _is_built(vec_path)
+            and _is_built(cent_path, _IVF_CENT_META),
         )
     ):
         _refuse_rebuild_with_absorbed_batches(vec_path, "IVF vector layout")
@@ -817,6 +833,7 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         )
         emb.write.partitionBy("label").parquet(vec_path)
         centroid_arrays(emb).write.parquet(cent_path)
+        _stamp(cent_path, _IVF_CENT_META)
         # drift baseline for retrain_vector_artifacts_if_drifted: the
         # build trained on the live set, so outstanding tombstones are
         # already reflected
@@ -3394,6 +3411,7 @@ def retrain_vector_artifacts_if_drifted(
         if os.path.exists(old) and os.path.exists(p):
             shutil.rmtree(old)  # displaced garbage beside a live path
     centroid_arrays(vecs).write.parquet(cent_path + ".retrain.tmp")
+    _stamp(cent_path + ".retrain.tmp", _IVF_CENT_META)
     # the drift baseline travels INSIDE the staged centroids dir: a
     # crash between the marker and the swap then still delivers it with
     # the recovery, instead of leaving fresh artifacts that read as

@@ -674,9 +674,18 @@ def prune_logs_schema_rev(spark: SparkSession, sink_dir: str) -> list[str]:
         # silently drop read_logs_table's verification of columns that
         # are still on disk — the exact divergence the record exists
         # to catch (review r11 pass-5 #2).
+        def _walk_err(e):
+            # os.walk swallows scandir errors by default — a transient
+            # FS outage (permission hiccup, NFS blip) would make the
+            # walk yield nothing and masquerade as "retention removed
+            # every file" (review r11 pass-8 #2). A vanished directory
+            # is the legitimate retained-away case and stays quiet.
+            if not isinstance(e, FileNotFoundError):
+                raise e
+
         if any(
             f.endswith(".parquet")
-            for _, _, files in os.walk(logs_dir)
+            for _, _, files in os.walk(logs_dir, onerror=_walk_err)
             for f in files
         ):
             raise
