@@ -323,3 +323,44 @@ def test_percentile_interpolation_bit_parity(spark):
         if struct.pack("d", s) != struct.pack("d", d)
     ]
     assert not diverged, diverged[:5]
+
+
+def test_davg_hypothesis_cross_engine_battery(spark):
+    """Hypothesis-driven breadth behind the constructed boundary cases:
+    random 6-dp-quantized value sets (the exact davg input class — all
+    dsum inputs are quantized or exact by the parity discipline) with
+    adversarial counts, every case compared Spark-vs-DuckDB in ONE
+    batched job per engine. Deliberately includes counts with large
+    power-of-two factors (2, 4, 8, 64, 128 divisors put means on .5e-7
+    odd multiples) — the population where built-in ROUND diverged."""
+    import random
+
+    random.seed(0xC0FFEE)
+    cases = []
+    for _ in range(150):
+        n = random.choice([2, 3, 4, 5, 6, 7, 8, 16, 32, 64, 96, 128])
+        vals = [
+            random.randint(-(10**10), 10**10) / 10**6 for _ in range(n)
+        ]
+        cases.append(vals)
+    rows = [(g, float(v)) for g, vals in enumerate(cases) for v in vals]
+    df = spark.createDataFrame(rows, "g int, x double")
+    sres = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(davg("x").alias("m")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    dres = {
+        g: m
+        for g, m in con.execute(
+            f"SELECT g, {davg_sql('x')} FROM t GROUP BY g"
+        ).fetchall()
+    }
+    diverged = [
+        (g, sres[g], dres[g], cases[g][:4])
+        for g in sres
+        if sres[g] != dres[g]
+    ]
+    assert not diverged, diverged[:5]
