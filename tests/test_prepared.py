@@ -2625,10 +2625,29 @@ def test_ivf_centroids_round_discipline_stamp(spark, tmp_path, monkeypatch):
     ino = os.stat(marker).st_ino
     prepared.embeddings_ivf(spark, sf)
     assert os.stat(marker).st_ino == ino
-    # (b) a pre-r11 generation (no stamp / foreign stamp) rebuilds
+    # (b) a pre-r11 generation (no stamp / foreign stamp) HEALS:
+    # centroids recomputed from the existing vec layout and restamped,
+    # the partitioned VECTOR layout untouched (metadata-only
+    # migration, review r11 pass-9 #2) — and the heal must work even
+    # with absorbed streamed batches on the vec layout, where the
+    # full-rebuild path would refuse and brick every IVF read
+    # (review r11 pass-9 #1).
+    vec_path = prepared.prepared_path(sf, "embeddings_ivf.parquet")
+    prepared._mark_appended(vec_path)
+    prepared._write_abatch_manifest(vec_path, {7})
+    vec_ino = os.stat(os.path.join(vec_path, "_SUCCESS")).st_ino
     with open(stamp, "w") as f:
         json.dump({"centroid": "davg", "round": "half-up-builtin"}, f)
-    vecs2, cents2 = prepared.embeddings_ivf(spark, sf)
+    vecs2, cents2 = prepared.embeddings_ivf(spark, sf)  # must not raise
     assert cents2.count() == n
+    assert os.stat(os.path.join(vec_path, "_SUCCESS")).st_ino == vec_ino
     with open(stamp) as f:
         assert json.load(f) == prepared._IVF_CENT_META
+    # crash-window retry: cent dir gone, staged tmp left behind
+    import shutil as _sh
+
+    _sh.copytree(cent_path, cent_path + ".restamp.tmp")
+    _sh.rmtree(cent_path)
+    vecs3, cents3 = prepared.embeddings_ivf(spark, sf)
+    assert cents3.count() == n
+    assert not os.path.exists(cent_path + ".restamp.tmp")

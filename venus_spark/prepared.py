@@ -822,32 +822,80 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
             and _is_built(cent_path, _IVF_CENT_META),
         )
     ):
-        _refuse_rebuild_with_absorbed_batches(vec_path, "IVF vector layout")
-        for p in (vec_path, cent_path):
-            if os.path.exists(p):
-                shutil.rmtree(p)
-        from venus_spark.operators.similarity import centroid_arrays
+        if _is_built(vec_path):
+            # ONLY the centroid stamp is stale/absent (a layout built
+            # before the rounding-discipline stamp, or a crash mid-heal):
+            # this is a METADATA-ONLY migration — recompute the
+            # broadcast-sized centroid table from the existing vec rows
+            # (the retrain recipe) instead of rmtree-ing the partitioned
+            # vector layout for a full from-base rebuild, which would
+            # also hit the absorbed-batches refusal and permanently
+            # brick every IVF read path on an upgraded deployment
+            # (review r11 pass-9 #1/#2).
+            _heal_ivf_centroids(spark, sf_dir, vec_path, cent_path)
+        else:
+            _refuse_rebuild_with_absorbed_batches(
+                vec_path, "IVF vector layout"
+            )
+            for p in (vec_path, cent_path):
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+            from venus_spark.operators.similarity import centroid_arrays
 
-        emb = _anti_vec_tombstones(
-            spark, sf_dir, load_table(spark, sf_dir, "embeddings")
-        )
-        emb.write.partitionBy("label").parquet(vec_path)
-        centroid_arrays(emb).write.parquet(cent_path)
-        _stamp(cent_path, _IVF_CENT_META)
-        # drift baseline for retrain_vector_artifacts_if_drifted: the
-        # build trained on the live set, so outstanding tombstones are
-        # already reflected
-        tb = embedding_tombstones(spark, sf_dir)
-        _write_train_meta(
-            cent_path,
-            0 if tb is None else tb.count(),
-            spark.read.parquet(vec_path).count(),
-        )
+            emb = _anti_vec_tombstones(
+                spark, sf_dir, load_table(spark, sf_dir, "embeddings")
+            )
+            emb.write.partitionBy("label").parquet(vec_path)
+            centroid_arrays(emb).write.parquet(cent_path)
+            _stamp(cent_path, _IVF_CENT_META)
+            # drift baseline for retrain_vector_artifacts_if_drifted:
+            # the build trained on the live set, so outstanding
+            # tombstones are already reflected
+            tb = embedding_tombstones(spark, sf_dir)
+            _write_train_meta(
+                cent_path,
+                0 if tb is None else tb.count(),
+                spark.read.parquet(vec_path).count(),
+            )
     # outstanding (not yet vacuumed) vector deletes filter at read
     return (
         _anti_vec_tombstones(spark, sf_dir, spark.read.parquet(vec_path)),
         spark.read.parquet(cent_path),
     )
+
+
+def _heal_ivf_centroids(
+    spark: SparkSession, sf_dir: str, vec_path: str, cent_path: str
+) -> None:
+    """Recompute ONLY the centroid table from the existing (live,
+    anti-tombstoned) vec layout and stamp it with the current rounding
+    discipline — the non-destructive migration for a centroid table
+    whose stamp predates :data:`_IVF_CENT_META` (review r11 pass-9
+    #1/#2). The vec rows are raw and untouched, so absorbed streamed
+    batches stay served and no refusal applies; the drift baseline is
+    re-seeded from the current live set (the centroids ARE freshly
+    trained on it). Crash-safe: staged to ``.restamp.tmp`` then
+    swapped under the shared vector lock; a crash between the rmtree
+    and the rename leaves cent_path absent with vec built, which
+    re-enters this heal on the next ensure."""
+    from venus_spark.operators.similarity import centroid_arrays
+
+    with _vec_swap_flock(sf_dir):
+        if _is_built(cent_path, _IVF_CENT_META):
+            return  # a concurrent healer won under the lock
+        tmp = cent_path + ".restamp.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # our own crashed prior attempt
+        live = _anti_vec_tombstones(
+            spark, sf_dir, spark.read.parquet(vec_path)
+        )
+        centroid_arrays(live).write.parquet(tmp)
+        _stamp(tmp, _IVF_CENT_META)
+        tb = embedding_tombstones(spark, sf_dir)
+        _write_train_meta(tmp, 0 if tb is None else tb.count(), live.count())
+        if os.path.exists(cent_path):
+            shutil.rmtree(cent_path)
+        os.rename(tmp, cent_path)
 
 
 def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -349,6 +349,28 @@ def live_documents(
     return base.unionByName(streamed)
 
 
+def _dir_has_parquet(path: str) -> bool:
+    """True when any ``.parquet`` file exists under ``path``. Walk
+    errors PROPAGATE (except a vanished directory, which is a
+    legitimate empty/retained-away state): os.walk's default error
+    suppression would turn a transient FS outage into "no files",
+    which a union reader interprets as an empty sink — silently
+    dropping streamed rows from query results — and the schema-rev
+    prune as "retention removed every file" (review r11 pass-8 #2 /
+    pass-9 #3; ONE strict probe shared by both so the invariant
+    cannot drift)."""
+
+    def _err(e):
+        if not isinstance(e, FileNotFoundError):
+            raise e
+
+    return any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path, onerror=_err)
+        for f in files
+    )
+
+
 def _sink_table_has_data(sink_dir: str, table: str) -> bool:
     """True when a streaming-sink table exists AND holds at least one
     data file — zero-row batches are skipped by the writers (an empty
@@ -356,11 +378,7 @@ def _sink_table_has_data(sink_dir: str, table: str) -> bool:
     inference), so readers key off data-file presence, not directory
     existence."""
     p = os.path.join(sink_dir, table)
-    return os.path.isdir(p) and any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(p)
-        for f in files
-    )
+    return os.path.isdir(p) and _dir_has_parquet(p)
 
 
 def read_log_stream(
@@ -674,20 +692,7 @@ def prune_logs_schema_rev(spark: SparkSession, sink_dir: str) -> list[str]:
         # silently drop read_logs_table's verification of columns that
         # are still on disk — the exact divergence the record exists
         # to catch (review r11 pass-5 #2).
-        def _walk_err(e):
-            # os.walk swallows scandir errors by default — a transient
-            # FS outage (permission hiccup, NFS blip) would make the
-            # walk yield nothing and masquerade as "retention removed
-            # every file" (review r11 pass-8 #2). A vanished directory
-            # is the legitimate retained-away case and stays quiet.
-            if not isinstance(e, FileNotFoundError):
-                raise e
-
-        if any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(logs_dir, onerror=_walk_err)
-            for f in files
-        ):
+        if _dir_has_parquet(logs_dir):
             raise
         have = set()
     dropped = [c for c in recorded if c not in have]
