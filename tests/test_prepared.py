@@ -2636,6 +2636,9 @@ def test_ivf_centroids_round_discipline_stamp(spark, tmp_path, monkeypatch):
     prepared._mark_appended(vec_path)
     prepared._write_abatch_manifest(vec_path, {7})
     vec_ino = os.stat(os.path.join(vec_path, "_SUCCESS")).st_ino
+    # pin the SHARED drift baseline: the heal must PRESERVE it (it
+    # also gates the PQ codebook retrain — review r11 pass-10 #1)
+    prepared._write_train_meta(cent_path, 5, 4321)
     with open(stamp, "w") as f:
         json.dump({"centroid": "davg", "round": "half-up-builtin"}, f)
     vecs2, cents2 = prepared.embeddings_ivf(spark, sf)  # must not raise
@@ -2643,6 +2646,8 @@ def test_ivf_centroids_round_discipline_stamp(spark, tmp_path, monkeypatch):
     assert os.stat(os.path.join(vec_path, "_SUCCESS")).st_ino == vec_ino
     with open(stamp) as f:
         assert json.load(f) == prepared._IVF_CENT_META
+    kept = prepared._read_train_meta(cent_path)
+    assert kept["tb_at_train"] == 5 and kept["trained_n"] == 4321
     # crash-window retry: cent dir gone, staged tmp left behind
     import shutil as _sh
 

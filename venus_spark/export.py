@@ -158,8 +158,12 @@ def _snapshot_files(root: str) -> list[str]:
     replacement that a bare name cannot."""
     if os.path.isfile(root):
         return [f"{_SNAP_SELF}:{os.path.getsize(root)}"]
+    # strict walk (review r11 pass-10 #3): a suppressed scandir error
+    # would pin a SUBSET of the real file set as "the snapshot"
+    from venus_spark.fsutil import walk_strict
+
     out = []
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, _dirs, files in walk_strict(root):
         for f in files:
             if f.endswith(".parquet"):
                 out.append(

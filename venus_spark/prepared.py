@@ -583,9 +583,15 @@ def backfill_events_kv_postings(spark: SparkSession, sf_dir: str) -> int:
     # abatch-prefixed data files inside the date partition dirs (the
     # `date` partition column is directory-encoded and not needed for
     # kv derivation)
+    # strict walk (review r11 pass-10 #3): a transiently unreadable
+    # date directory must FAIL the backfill, not silently omit its
+    # abatch files — the rebuilt layout would manifest the batch as
+    # absorbed while dropping its rows (review r8 #3's exact failure)
+    from venus_spark.fsutil import walk_strict
+
     batch_files = [
         os.path.join(root, f)
-        for root, _dirs, files in os.walk(bydate)
+        for root, _dirs, files in walk_strict(bydate)
         for f in files
         if f.startswith("abatch-") and f.endswith(".parquet")
     ]
@@ -812,17 +818,24 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     cent_path = prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (vec_path,))
-    if not (
-        _is_built(vec_path) and _is_built(cent_path, _IVF_CENT_META)
-    ) and not (
-        _vector_built_under_lock(
-            sf_dir,
-            (vec_path,),
-            lambda: _is_built(vec_path)
-            and _is_built(cent_path, _IVF_CENT_META),
-        )
+    # The heal-vs-rebuild fork must be decided by the LOCKED probe, not
+    # an unlocked re-check after the lock drops (review r11 pass-10
+    # #2): a concurrent vacuum's aside window — vec_path briefly
+    # renamed away — would misroute a live built layout into the
+    # destructive from-base rebuild, and the absorbed-batches refusal
+    # reads an empty manifest from the absent dir, so the streamed
+    # rows would be silently rebuilt away. The probe records which
+    # state held WHILE the lock was held.
+    state = {"vec_ok": False}
+
+    def _probe() -> bool:
+        state["vec_ok"] = _is_built(vec_path)
+        return state["vec_ok"] and _is_built(cent_path, _IVF_CENT_META)
+
+    if not _probe() and not _vector_built_under_lock(
+        sf_dir, (vec_path,), _probe
     ):
-        if _is_built(vec_path):
+        if state["vec_ok"]:
             # ONLY the centroid stamp is stale/absent (a layout built
             # before the rounding-discipline stamp, or a crash mid-heal):
             # this is a METADATA-ONLY migration — recompute the
@@ -872,27 +885,53 @@ def _heal_ivf_centroids(
     discipline — the non-destructive migration for a centroid table
     whose stamp predates :data:`_IVF_CENT_META` (review r11 pass-9
     #1/#2). The vec rows are raw and untouched, so absorbed streamed
-    batches stay served and no refusal applies; the drift baseline is
-    re-seeded from the current live set (the centroids ARE freshly
-    trained on it). Crash-safe: staged to ``.restamp.tmp`` then
-    swapped under the shared vector lock; a crash between the rmtree
-    and the rename leaves cent_path absent with vec built, which
-    re-enters this heal on the next ensure."""
+    batches stay served and no refusal applies.
+
+    The Spark work stages OUTSIDE the lock (the vacuum's own
+    discipline — the swap flock must not be held across corpus-sized
+    jobs, review r11 pass-10 #4); only the re-probe + swap run locked.
+    A vacuum swapping vec_path mid-stage fails the staging job LOUDLY
+    (whole-dir rename) — retryable, never silent. The existing drift
+    baseline (``_vec_train_meta.json``) is PRESERVED, not re-seeded:
+    it is the SHARED baseline that also gates the PQ codebook retrain,
+    and resetting it on a centroids-only heal would silently erase the
+    codebook's accumulated delete drift (review r11 pass-10 #1) —
+    fresh counts are seeded only when no readable baseline exists.
+    Crash-safe: a crash between the rmtree and the rename leaves
+    cent_path absent with vec built, which re-enters this heal on the
+    next ensure."""
     from venus_spark.operators.similarity import centroid_arrays
 
+    tmp = cent_path + ".restamp.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # our own crashed prior attempt
+    live = _anti_vec_tombstones(spark, sf_dir, spark.read.parquet(vec_path))
+    centroid_arrays(live).write.parquet(tmp)
+    _stamp(tmp, _IVF_CENT_META)
+    tb = embedding_tombstones(spark, sf_dir)
+    fallback_meta = (0 if tb is None else tb.count(), live.count())
     with _vec_swap_flock(sf_dir):
+        _recover_swap(vec_path, ".vacuum")
+        _recover_vector_retrain_locked(sf_dir)
         if _is_built(cent_path, _IVF_CENT_META):
-            return  # a concurrent healer won under the lock
-        tmp = cent_path + ".restamp.tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)  # our own crashed prior attempt
-        live = _anti_vec_tombstones(
-            spark, sf_dir, spark.read.parquet(vec_path)
-        )
-        centroid_arrays(live).write.parquet(tmp)
-        _stamp(tmp, _IVF_CENT_META)
-        tb = embedding_tombstones(spark, sf_dir)
-        _write_train_meta(tmp, 0 if tb is None else tb.count(), live.count())
+            shutil.rmtree(tmp)  # a concurrent retrain/heal won
+            return
+        if not _is_built(vec_path):
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"IVF vector layout at {vec_path} disappeared while "
+                "healing its centroid stamp — out-of-band deletion; "
+                "re-run the ensure after restoring or rebuilding it."
+            )
+        keep = _read_train_meta(cent_path)
+        if (
+            isinstance(keep, dict)
+            and "tb_at_train" in keep
+            and "trained_n" in keep
+        ):
+            _write_train_meta(tmp, keep["tb_at_train"], keep["trained_n"])
+        else:
+            _write_train_meta(tmp, *fallback_meta)
         if os.path.exists(cent_path):
             shutil.rmtree(cent_path)
         os.rename(tmp, cent_path)
@@ -1281,9 +1320,13 @@ _ABATCH_MANIFEST = "_abatch_manifest.json"
 
 def _walk_rel(tmp: str) -> list[tuple[str, list[str]]]:
     """(relative dir, data files) pairs under a batch tmp write —
-    bookkeeping files (underscore/dot prefixed) excluded."""
+    bookkeeping files (underscore/dot prefixed) excluded. Strict walk:
+    a suppressed scandir failure here would move a PARTIAL batch into
+    the layout as if complete."""
+    from venus_spark.fsutil import walk_strict
+
     out = []
-    for root, _dirs, files in os.walk(tmp):
+    for root, _dirs, files in walk_strict(tmp):
         data = [f for f in files if not f.startswith(("_", "."))]
         if data:
             out.append((os.path.relpath(root, tmp), data))

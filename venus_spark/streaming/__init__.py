@@ -357,16 +357,14 @@ def _dir_has_parquet(path: str) -> bool:
     which a union reader interprets as an empty sink — silently
     dropping streamed rows from query results — and the schema-rev
     prune as "retention removed every file" (review r11 pass-8 #2 /
-    pass-9 #3; ONE strict probe shared by both so the invariant
-    cannot drift)."""
-
-    def _err(e):
-        if not isinstance(e, FileNotFoundError):
-            raise e
+    pass-9 #3; the strict walk lives in :mod:`venus_spark.fsutil` and
+    is shared by every walk-based probe so the invariant cannot
+    drift)."""
+    from venus_spark.fsutil import walk_strict
 
     return any(
         f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(path, onerror=_err)
+        for _root, _dirs, files in walk_strict(path)
         for f in files
     )
 
