@@ -2648,11 +2648,16 @@ def test_ivf_centroids_round_discipline_stamp(spark, tmp_path, monkeypatch):
         assert json.load(f) == prepared._IVF_CENT_META
     kept = prepared._read_train_meta(cent_path)
     assert kept["tb_at_train"] == 5 and kept["trained_n"] == 4321
-    # crash-window retry: cent dir gone, staged tmp left behind
+    # crash-window retry: cent dir gone, staged tmp left behind — the
+    # leftover holds the ONLY copy of the drift baseline, which the
+    # re-entered heal must recover before sweeping (review r11
+    # pass-11 #2), not re-seed from fresh counts
     import shutil as _sh
 
-    _sh.copytree(cent_path, cent_path + ".restamp.tmp")
+    _sh.copytree(cent_path, cent_path + ".restamp.crashed.tmp")
     _sh.rmtree(cent_path)
     vecs3, cents3 = prepared.embeddings_ivf(spark, sf)
     assert cents3.count() == n
-    assert not os.path.exists(cent_path + ".restamp.tmp")
+    assert not os.path.exists(cent_path + ".restamp.crashed.tmp")
+    kept3 = prepared._read_train_meta(cent_path)
+    assert kept3["tb_at_train"] == 5 and kept3["trained_n"] == 4321

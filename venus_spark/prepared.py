@@ -29,6 +29,7 @@ import re
 import shutil
 import threading
 import time
+import uuid
 import zlib
 from contextlib import contextmanager
 
@@ -899,39 +900,72 @@ def _heal_ivf_centroids(
     fresh counts are seeded only when no readable baseline exists.
     Crash-safe: a crash between the rmtree and the rename leaves
     cent_path absent with vec built, which re-enters this heal on the
-    next ensure."""
+    next ensure — and the leftover staging then holds the ONLY copy of
+    the preserved baseline, so it is read BEFORE the sweep (review r11
+    pass-11 #2). Staging names are per-attempt unique: the heal runs
+    on the ensure path where several processes can enter concurrently,
+    and a fixed tmp name let healer B rmtree/overwrite healer A's
+    in-flight staging into a mixed directory that a later rename would
+    serve with a valid stamp (review r11 pass-11 #1) — with unique
+    names the loser's staging at worst dies loudly when the winner
+    sweeps it, and its locked re-probe then sees the healed table."""
     from venus_spark.operators.similarity import centroid_arrays
 
-    tmp = cent_path + ".restamp.tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # our own crashed prior attempt
+    def _valid(m) -> bool:
+        return (
+            isinstance(m, dict) and "tb_at_train" in m and "trained_n" in m
+        )
+
+    # baseline FIRST: cent_path's copy, else a crashed staging's
+    keep = _read_train_meta(cent_path)
+    parent = os.path.dirname(cent_path)
+    base = os.path.basename(cent_path) + ".restamp."
+    leftovers = (
+        [
+            os.path.join(parent, n)
+            for n in os.listdir(parent)
+            if n.startswith(base)
+        ]
+        if os.path.isdir(parent)
+        else []
+    )
+    for p in leftovers:
+        if not _valid(keep):
+            keep = _read_train_meta(p)
+    for p in leftovers:
+        shutil.rmtree(p, ignore_errors=True)  # crashed prior attempts
     live = _anti_vec_tombstones(spark, sf_dir, spark.read.parquet(vec_path))
+    fallback = None
+    if not _valid(keep):
+        # only when NO baseline survives anywhere (pre-r7 layout or
+        # triple crash) — two corpus-sized jobs, skipped in the common
+        # preserved-baseline case (review r11 pass-11 #3)
+        tb = embedding_tombstones(spark, sf_dir)
+        fallback = (0 if tb is None else tb.count(), live.count())
+    tmp = f"{cent_path}.restamp.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
     centroid_arrays(live).write.parquet(tmp)
     _stamp(tmp, _IVF_CENT_META)
-    tb = embedding_tombstones(spark, sf_dir)
-    fallback_meta = (0 if tb is None else tb.count(), live.count())
     with _vec_swap_flock(sf_dir):
         _recover_swap(vec_path, ".vacuum")
         _recover_vector_retrain_locked(sf_dir)
         if _is_built(cent_path, _IVF_CENT_META):
-            shutil.rmtree(tmp)  # a concurrent retrain/heal won
+            shutil.rmtree(tmp, ignore_errors=True)  # a concurrent win
             return
         if not _is_built(vec_path):
-            shutil.rmtree(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
                 f"IVF vector layout at {vec_path} disappeared while "
                 "healing its centroid stamp — out-of-band deletion; "
                 "re-run the ensure after restoring or rebuilding it."
             )
-        keep = _read_train_meta(cent_path)
-        if (
-            isinstance(keep, dict)
-            and "tb_at_train" in keep
-            and "trained_n" in keep
-        ):
-            _write_train_meta(tmp, keep["tb_at_train"], keep["trained_n"])
+        keep2 = _read_train_meta(cent_path)  # freshest, lock-held
+        if _valid(keep2):
+            vals = (keep2["tb_at_train"], keep2["trained_n"])
+        elif _valid(keep):
+            vals = (keep["tb_at_train"], keep["trained_n"])
         else:
-            _write_train_meta(tmp, *fallback_meta)
+            vals = fallback
+        _write_train_meta(tmp, *vals)
         if os.path.exists(cent_path):
             shutil.rmtree(cent_path)
         os.rename(tmp, cent_path)
