@@ -2661,3 +2661,85 @@ def test_ivf_centroids_round_discipline_stamp(spark, tmp_path, monkeypatch):
     assert not os.path.exists(cent_path + ".restamp.crashed.tmp")
     kept3 = prepared._read_train_meta(cent_path)
     assert kept3["tb_at_train"] == 5 and kept3["trained_n"] == 4321
+
+
+def test_postings_round_stamp_heals_not_bricks(spark, tmp_path, monkeypatch):
+    """ADVICE r12 #1: adding the parity-rounding key to _POSTINGS_META
+    invalidates every pre-existing postings/dfreq/stats stamp, and on a
+    deployment whose postings have absorbed streamed batches the
+    rebuild path's absorbed-batches refusal would raise FOREVER —
+    bricking every BM25/phrase/prepared read. Only the 1-row stats
+    table bakes a rounded value (avgdl); postings/dfreq are raw counts,
+    so the heal rewrites JUST the stats row from its own stored
+    counters and restamps. Pins: (a) old-stamped layout with absorbed
+    batches heals instead of raising; (b) postings/dfreq rows untouched
+    (_SUCCESS inode stable); (c) avgdl recomputed under the current
+    rule from the stored counters; (d) the delete-adjustment sidecar —
+    the exactly-once marker of a committed delete — survives the stats
+    rewrite; (e) a crash mid-heal (stats healed, postings/dfreq still
+    old-stamped) completes on retry; (f) any OTHER meta key differing
+    still routes to the refusal (semantic change, not heal-eligible)."""
+    import json
+    import os
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path, name="heal_sf")
+    post, dfreq, stats = prepared.documents_postings(spark, sf)
+    want_stats = stats.first()
+    want_post = post.count()
+    post_path = prepared.prepared_path(sf, "documents_postings.parquet")
+    dfreq_path = prepared.prepared_path(sf, "documents_dfreq.parquet")
+    stats_path = prepared.prepared_path(sf, "documents_stats.parquet")
+    paths = (post_path, dfreq_path, stats_path)
+
+    # arm the refusal: absorbed streamed batches on the postings layout
+    prepared._mark_appended(post_path)
+    # a committed delete's exactly-once sidecar must survive the heal
+    with open(os.path.join(stats_path, prepared._DELETE_ADJ_SIDECAR), "w") as f:
+        json.dump([41], f)
+    pre_round = {
+        k: v for k, v in prepared._POSTINGS_META.items() if k != "round"
+    }
+    for p in paths:
+        with open(os.path.join(p, "_prep_meta.json"), "w") as f:
+            json.dump(pre_round, f)
+    inodes = {
+        p: os.stat(os.path.join(p, "_SUCCESS")).st_ino
+        for p in (post_path, dfreq_path)
+    }
+
+    post2, dfreq2, stats2 = prepared.documents_postings(spark, sf)  # no raise
+    assert post2.count() == want_post
+    got = stats2.first()
+    assert (got["n_docs"], got["dl_sum"], got["avgdl"]) == (
+        want_stats["n_docs"], want_stats["dl_sum"], want_stats["avgdl"]
+    )
+    for p in (post_path, dfreq_path):
+        assert os.stat(os.path.join(p, "_SUCCESS")).st_ino == inodes[p]
+    for p in paths:
+        with open(os.path.join(p, "_prep_meta.json")) as f:
+            assert json.load(f) == prepared._POSTINGS_META
+    assert prepared._read_delete_adj_applied(stats_path) == {41}
+
+    # (e) crash window: stats already healed, postings/dfreq old — the
+    # retry must stay on the heal fork and finish the restamps
+    for p in (post_path, dfreq_path):
+        with open(os.path.join(p, "_prep_meta.json"), "w") as f:
+            json.dump(pre_round, f)
+    prepared.documents_postings(spark, sf)
+    for p in paths:
+        with open(os.path.join(p, "_prep_meta.json")) as f:
+            assert json.load(f) == prepared._POSTINGS_META
+
+    # (f) a SEMANTIC meta change (different tokenizer) is NOT
+    # heal-eligible: with absorbed batches present the refusal must
+    # still protect the streamed rows
+    bad = dict(prepared._POSTINGS_META, tokens="bpe")
+    with open(os.path.join(post_path, "_prep_meta.json"), "w") as f:
+        json.dump(bad, f)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="appended/streamed"):
+        prepared.documents_postings(spark, sf)

@@ -174,6 +174,44 @@ def _stamp(path: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
+def _restamp_atomic(path: str, meta: dict) -> None:
+    """Replace a LIVE directory's stamp (the heal paths' restamp step).
+    Unlike :func:`_stamp` — which only ever writes into unpublished
+    build/staging dirs — this targets a directory concurrent readers
+    are probing with :func:`_is_built`, so the json must never be
+    observable torn: a reader seeing a half-written stamp reads
+    ``_is_built`` False and can take a DESTRUCTIVE rebuild/refusal
+    fork. tmp + ``os.replace`` keeps every observable state a complete
+    json (ADVICE r12 #1)."""
+    p = os.path.join(path, "_prep_meta.json")
+    tmp = f"{p}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+
+
+def _stamp_only_round_mismatch(path: str, meta: dict) -> bool:
+    """True iff the artifact is COMPLETE (``_SUCCESS`` present) and its
+    stored stamp differs from ``meta`` ONLY on the parity-rounding key
+    — the metadata-only migration case a heal can close without
+    touching the rows (ADVICE r12 #1; the postings twin of the IVF
+    centroid heal's fork). An already-current stamp also qualifies, so
+    a crash mid-heal (some artifacts restamped, some not) stays
+    heal-eligible on retry. Any OTHER key differing (tokenizer, norm,
+    layout) is a semantic change the heal cannot paper over — the
+    caller falls back to the rebuild/refusal fork."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(path, "_prep_meta.json")) as f:
+            stored = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if not isinstance(stored, dict):
+        return False
+    return {**stored, "round": meta.get("round")} == meta
+
+
 def _trgm_rows(docs: DataFrame) -> DataFrame:
     """Derived trigram-index rows for a batch of documents — shared by
     the full build and the incremental append (a row depends only on
@@ -1559,6 +1597,34 @@ def _prep_swap_flock(sf_dir: str):
         yield
 
 
+_PREP_HEAL_LOCK = threading.Lock()
+_PREP_HEAL_LOCKFILE = "_prep_heal.lock"
+
+
+@contextmanager
+def _prep_heal_flock(sf_dir: str):
+    """Serializes the ENSURE-path stamp-migration heals (currently the
+    postings family, ADVICE r12 #1). A separate lockfile from
+    :func:`_prep_swap_flock` because the heal body CALLS the
+    swap-locked helpers (``_staged_refresh`` → ``_swap_in_locked``) and
+    the swap flock is not reentrant; lock order is always
+    heal → swap, never the reverse, so the pair cannot deadlock. Why
+    the heal needs its own exclusion at all: ``_staged_refresh`` stages
+    under one FIXED ``*_staging`` name on the assumption of a single
+    maintenance writer, but the ensure path admits several concurrent
+    processes — healer B's rmtree-and-rewrite of A's in-flight staging
+    could hand A a staging that has Spark's ``_SUCCESS`` but not yet
+    the stamp/sidecar, which ``_swap_in_locked`` would install as a
+    live stats generation whose missing stamp then routes the next
+    ensure into the destructive rebuild/refusal fork — the exact
+    bricking class the heal exists to prevent (the same
+    concurrent-healer hazard review r11 pass-11 #1 fixed for the IVF
+    heal with unique staging names; here one small flock is simpler
+    because the staging name is shared with the merge cadence)."""
+    with _swap_flock(sf_dir, _PREP_HEAL_LOCKFILE, _PREP_HEAL_LOCK):
+        yield
+
+
 def _recover_prepared_swaps(sf_dir: str, path: str, *tags: str) -> None:
     """Locked-when-pending recovery for a prepared layout's rewrite
     swaps: the lock-free fast path (no ``.tmp``/``.old``/``.trash``
@@ -2130,9 +2196,25 @@ def _postings_tables(
     _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
     # (an interrupted delete's stats adjustment / append's stats refresh)
     _refuse_if_append_intent(sf_dir)
-    if not all(
-        _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
-    ) and not _prepared_built_under_lock(
+    # The heal-vs-rebuild fork is decided by the LOCKED probe, not an
+    # unlocked re-check (the IVF heal's review r11 pass-10 #2 lesson):
+    # during a compact/refresh swap's aside window an artifact is
+    # briefly absent, so an unlocked stamp-only check would read "not
+    # complete" and misroute a metadata-only migration into the
+    # destructive rebuild — whose absorbed-batches refusal then bricks
+    # every postings read path on an upgraded deployment.
+    paths = (post_path, dfreq_path, stats_path)
+    state = {"stamp_only": False}
+
+    def _probe() -> bool:
+        if all(_is_built(p, meta) for p in paths):
+            return True
+        state["stamp_only"] = all(
+            _stamp_only_round_mismatch(p, meta) for p in paths
+        )
+        return False
+
+    if not _probe() and not _prepared_built_under_lock(
         sf_dir,
         (
             (post_path, ".compact"),
@@ -2140,10 +2222,25 @@ def _postings_tables(
             (stats_path, ".deladj"),
             (stats_path, ".refresh"),
         ),
-        lambda: all(
-            _is_built(p, meta) for p in (post_path, dfreq_path, stats_path)
-        ),
+        _probe,
     ):
+        if state["stamp_only"]:
+            # ONLY the parity-rounding stamp key is stale (a layout
+            # built before review r11 pass-6's rounding discipline):
+            # postings and dfreq hold RAW counts/positions that do not
+            # depend on any rounding rule — only the one-row stats
+            # table bakes a rounded value (avgdl), and it stores the
+            # exact integer counters it was rounded from. Rewrite just
+            # the stats row and restamp, instead of the from-base
+            # rebuild — which would both drop absorbed streamed batches
+            # and hit the refusal, permanently bricking every
+            # BM25/phrase/prepared read path on an upgraded deployment
+            # (ADVICE r12 #1 — the postings twin of
+            # :func:`_heal_ivf_centroids`).
+            _heal_postings_round_stamp(
+                spark, sf_dir, post_path, dfreq_path, stats_path
+            )
+            return tuple(spark.read.parquet(p) for p in paths)
         _refuse_rebuild_with_absorbed_batches(post_path, "inverted index")
         for p in (post_path, dfreq_path, stats_path):
             if os.path.exists(p):
@@ -2167,6 +2264,68 @@ def _postings_tables(
         spark.read.parquet(dfreq_path),
         spark.read.parquet(stats_path),
     )
+
+
+def _heal_postings_round_stamp(
+    spark: SparkSession,
+    sf_dir: str,
+    post_path: str,
+    dfreq_path: str,
+    stats_path: str,
+) -> None:
+    """Non-destructive stamp migration for a postings family built
+    under an older parity-rounding rule (ADVICE r12 #1; the postings
+    twin of :func:`_heal_ivf_centroids`). Rows are untouched —
+    postings/dfreq are raw counts, so absorbed streamed batches stay
+    served and no refusal applies; the ONE baked rounded value (the
+    stats row's avgdl) is recomputed under the current rule from the
+    exact integer counters the same row stores, an O(1) job that never
+    touches the corpus. The delete-adjustment sidecar — the
+    exactly-once marker of :func:`_scrub_postings_delete` — is carried
+    across the rewrite like every row-set-preserving stats refresh
+    carries it (review r7 #1: losing it double-subtracts a delete's
+    retry).
+
+    Crash-ordering: stats (the only content change) commits FIRST via
+    the reader-safe staged swap, then postings/dfreq restamp
+    atomically. A crash between any two steps leaves every artifact
+    either old-stamped (heal-eligible: ``_stamp_only_round_mismatch``
+    accepts current stamps too) or fully healed — the retry completes
+    the rest, and no observable state routes to the destructive fork.
+    The whole body serializes on :func:`_prep_heal_flock` because
+    ``_staged_refresh``'s fixed staging name assumes one writer (see
+    the lock's docstring for the torn-stats-installed hazard);
+    restamps run under the swap flock after a recovery so the target
+    dir cannot be mid-aside."""
+    with _prep_heal_flock(sf_dir):
+        paths = (post_path, dfreq_path, stats_path)
+        if all(_is_built(p, _POSTINGS_META) for p in paths):
+            return  # a concurrent healer won
+        _recover_prepared_swaps(sf_dir, stats_path, ".deladj", ".refresh")
+        old = spark.read.parquet(stats_path).first()
+        n_docs, dl_sum = int(old["n_docs"]), int(old["dl_sum"])
+        adj_applied = _read_delete_adj_applied(stats_path)
+
+        def _healed_stats(target: str) -> None:
+            _write_stats(spark, target, n_docs, dl_sum)
+            if adj_applied:
+                with open(
+                    os.path.join(target, _DELETE_ADJ_SIDECAR), "w"
+                ) as f:
+                    json.dump(sorted(adj_applied), f)
+            _stamp(target, _POSTINGS_META)
+
+        _staged_refresh(
+            sf_dir,
+            stats_path,
+            _healed_stats,
+            recover_tags=(".refresh", ".deladj"),
+        )
+        with _prep_swap_flock(sf_dir):
+            _recover_swap(post_path, ".compact")
+            _recover_swap(dfreq_path, ".refresh")
+            for p in (post_path, dfreq_path):
+                _restamp_atomic(p, _POSTINGS_META)
 
 
 def _postings_rows(docs: DataFrame) -> DataFrame:
