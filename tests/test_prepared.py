@@ -2743,3 +2743,61 @@ def test_postings_round_stamp_heals_not_bricks(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(RuntimeError, match="appended/streamed"):
         prepared.documents_postings(spark, sf)
+
+
+def test_ivf_heal_swap_survives_concurrent_staging_sweep(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 #2: the heal's prologue sweep runs UNLOCKED by
+    design, so a concurrent healer can rmtree this attempt's staged tmp
+    at any point before the locked install. The old sequence rmtree'd
+    cent_path BEFORE renaming tmp in — tmp vanishing in that window
+    destroyed the only on-disk copy of the preserved drift baseline and
+    the next heal silently re-seeded fresh counts. Pins: with tmp swept
+    at the last possible moment, (a) the install fails LOUDLY, (b)
+    cent_path survives intact with its baseline, (c) the retry heals
+    and still preserves the baseline."""
+    import json
+    import os
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "emb_sf")
+    spark.read.parquet(os.path.join(src, "embeddings.parquet")).write.parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    prepared.embeddings_ivf(spark, sf)
+    cent_path = prepared.prepared_path(sf, "embeddings_ivf_centroids.parquet")
+    stamp = os.path.join(cent_path, "_prep_meta.json")
+    prepared._write_train_meta(cent_path, 5, 4321)  # pinned baseline
+    with open(stamp, "w") as f:
+        json.dump({"centroid": "davg", "round": "half-up-builtin"}, f)
+
+    orig = prepared._write_train_meta
+
+    def sweep_after_last_tmp_write(path, tb, n):
+        orig(path, tb, n)
+        if ".restamp." in path and path.endswith(".tmp"):
+            _sh.rmtree(path, ignore_errors=True)  # the concurrent sweep
+
+    monkeypatch.setattr(
+        prepared, "_write_train_meta", sweep_after_last_tmp_write
+    )
+    with _pytest.raises(OSError):
+        prepared.embeddings_ivf(spark, sf)
+    # the displaced old generation was restored, baseline intact
+    assert os.path.exists(os.path.join(cent_path, "_SUCCESS"))
+    kept = prepared._read_train_meta(cent_path)
+    assert kept["tb_at_train"] == 5 and kept["trained_n"] == 4321
+
+    monkeypatch.setattr(prepared, "_write_train_meta", orig)
+    prepared.embeddings_ivf(spark, sf)  # retry heals
+    with open(stamp) as f:
+        assert json.load(f) == prepared._IVF_CENT_META
+    kept2 = prepared._read_train_meta(cent_path)
+    assert kept2["tb_at_train"] == 5 and kept2["trained_n"] == 4321

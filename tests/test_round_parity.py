@@ -179,14 +179,18 @@ def _find_close(s, i):
 
 
 def test_inline_dround_copies_match_current_template():
-    """Lint (review r11 pass-7 #2): ~100 oracle SQL strings inline the
-    dround template textually (f-string conversion of every site would
-    be riskier than it is worth). This test re-derives each inline copy
-    from dround_sql, so a change to the canonical form flags EVERY
-    stale copy instead of silently leaving a divergent one behind. It
-    also requires the rounding idiom marker ('+ 5e-1') to appear only
-    inside validated template spans — a hand-written unguarded floor
-    form cannot slip in beside the guarded ones."""
+    """Lint (review r11 pass-7 #2; narrowed by ADVICE r12 #4): the
+    ~100 oracle SQL strings that inlined the dround template textually
+    were rewritten in r12 to COMPOSE from dround_sql() (verified
+    byte-identical oracle output), so template drift is now impossible
+    at those sites by construction. Four sites remain literal — the
+    template there spans an implicit string-concatenation boundary, so
+    no single f-string interpolation can replace it — and this lint
+    re-derives each from dround_sql so a change to the canonical form
+    flags them. It also still requires the rounding idiom marker
+    ('+ 5e-1') to appear only inside validated template spans — a
+    hand-written unguarded floor form cannot slip in beside the
+    guarded ones."""
     import glob
     import os
     import re

@@ -20,13 +20,26 @@ from __future__ import annotations
 import os
 
 
-def _raise_unless_vanished(e: OSError) -> None:
-    if not isinstance(e, FileNotFoundError):
+def walk_strict(path: str):
+    """``os.walk`` that PROPAGATES scandir failures, with exactly ONE
+    quiet case: the walk ROOT itself being absent (the documented
+    legitimate empty/retained-away state). A SUBDIRECTORY vanishing
+    mid-walk — e.g. concurrent retention/vacuum removing a ``date=``
+    partition while a backfill enumerates abatch files — previously
+    stayed quiet too and yielded a silently short listing, the same
+    silent-subset failure class (review r8 #3) this helper was created
+    to close; it now raises like any other scandir failure (ADVICE r12
+    #3). Callers that hit it are racing a maintenance writer: loud and
+    retryable beats a partial answer manifested as complete."""
+    top = os.path.abspath(path)
+
+    def onerror(e: OSError) -> None:
+        if (
+            isinstance(e, FileNotFoundError)
+            and e.filename is not None
+            and os.path.abspath(e.filename) == top
+        ):
+            return  # absent root: legitimate empty
         raise e
 
-
-def walk_strict(path: str):
-    """``os.walk`` that PROPAGATES scandir failures other than a
-    vanished directory (``FileNotFoundError`` — legitimate
-    empty/retained-away state, kept quiet)."""
-    return os.walk(path, onerror=_raise_unless_vanished)
+    return os.walk(path, onerror=onerror)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from venus_spark.functions import dsum, fmt_ts, dround
-from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
+from venus_spark.functions.sqlgen import dround_sql, dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -65,13 +65,9 @@ def window_topn_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_ORACLE = f"""
 SELECT event_id, user_id,
-       (CASE WHEN ABS((SUM(value) OVER (PARTITION BY user_id
+       {dround_sql('''SUM(value) OVER (PARTITION BY user_id
                               ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING)) * 1e4) < 9e18 THEN (FLOOR((SUM(value) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING)) * 1e4 + 5e-1) / 1e4) ELSE (SUM(value) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING)) END) AS running_value
+                              ROWS UNBOUNDED PRECEDING)''', 4)} AS running_value
 FROM events WHERE user_id <= 50 AND value IS NOT NULL
 """
 

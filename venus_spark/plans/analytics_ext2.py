@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from venus_spark.functions import dsum, fmt_ts, dround
-from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
+from venus_spark.functions.sqlgen import dround_sql, dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -34,7 +34,7 @@ SELECT p.event_id AS purchase_id,
        {fmt_ts_sql('p.ts')} AS purchase_ts,
        c.event_id AS click_id,
        {fmt_ts_sql('c.ts')} AS click_ts,
-       (CASE WHEN ABS((c.value) * 1e6) < 9e18 THEN (FLOOR((c.value) * 1e6 + 5e-1) / 1e6) ELSE (c.value) END) AS click_value
+       {dround_sql('c.value')} AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -133,12 +133,12 @@ def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact percentiles per event type (dashboard latency-style tiles)
 # --------------------------------------------------------------------------
 
-_PCT_ORACLE = """
+_PCT_ORACLE = f"""
 SELECT event_type,
-       (CASE WHEN ABS((QUANTILE_CONT(value, 0.25)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.25)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.25)) END) AS p25,
-       (CASE WHEN ABS((QUANTILE_CONT(value, 0.50)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.50)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.50)) END) AS p50,
-       (CASE WHEN ABS((QUANTILE_CONT(value, 0.75)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.75)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.75)) END) AS p75,
-       (CASE WHEN ABS((QUANTILE_CONT(value, 0.95)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(value, 0.95)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(value, 0.95)) END) AS p95
+       {dround_sql('QUANTILE_CONT(value, 0.25)')} AS p25,
+       {dround_sql('QUANTILE_CONT(value, 0.50)')} AS p50,
+       {dround_sql('QUANTILE_CONT(value, 0.75)')} AS p75,
+       {dround_sql('QUANTILE_CONT(value, 0.95)')} AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -382,10 +382,10 @@ _M4_KEY_SQL = f"{fmt_ts_sql('ts')} || '|' || LPAD(CAST(event_id AS VARCHAR), 12,
 _M4_ORACLE = f"""
 SELECT {fmt_ts_sql("DATE_TRUNC('hour', ts)")} AS bucket,
        COUNT(*) AS n,
-       (CASE WHEN ABS((MIN(value)) * 1e6) < 9e18 THEN (FLOOR((MIN(value)) * 1e6 + 5e-1) / 1e6) ELSE (MIN(value)) END) AS min_v,
-       (CASE WHEN ABS((MAX(value)) * 1e6) < 9e18 THEN (FLOOR((MAX(value)) * 1e6 + 5e-1) / 1e6) ELSE (MAX(value)) END) AS max_v,
-       (CASE WHEN ABS((MIN_BY(value, {_M4_KEY_SQL})) * 1e6) < 9e18 THEN (FLOOR((MIN_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) ELSE (MIN_BY(value, {_M4_KEY_SQL})) END) AS first_v,
-       (CASE WHEN ABS((MAX_BY(value, {_M4_KEY_SQL})) * 1e6) < 9e18 THEN (FLOOR((MAX_BY(value, {_M4_KEY_SQL})) * 1e6 + 5e-1) / 1e6) ELSE (MAX_BY(value, {_M4_KEY_SQL})) END) AS last_v
+       {dround_sql('MIN(value)')} AS min_v,
+       {dround_sql('MAX(value)')} AS max_v,
+       {dround_sql(f'MIN_BY(value, {_M4_KEY_SQL})')} AS first_v,
+       {dround_sql(f'MAX_BY(value, {_M4_KEY_SQL})')} AS last_v
 FROM events
 GROUP BY DATE_TRUNC('hour', ts)
 ORDER BY bucket

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from venus_spark.functions import dsum, fmt_ts, dround
-from venus_spark.functions.sqlgen import dsum_sql, fmt_ts_sql
+from venus_spark.functions.sqlgen import dround_sql, dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -64,7 +64,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Frame sum/count are exact BIGINTs; one shared double formula rounds
 # the quotient identically on both engines.
-_MAVG = "(CASE WHEN ABS((CAST(s AS DOUBLE) / cnt) * 1e6) < 9e18 THEN (FLOOR((CAST(s AS DOUBLE) / cnt) * 1e6 + 5e-1) / 1e6) ELSE (CAST(s AS DOUBLE) / cnt) END)"
+_MAVG = f"{dround_sql('CAST(s AS DOUBLE) / cnt')}"
 
 _MAVG_ORACLE = f"""
 WITH hourly AS (
@@ -120,7 +120,7 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # c and day_total are exact BIGINTs; one shared double division.
-_SHARE = "(CASE WHEN ABS((CAST(c AS DOUBLE) / day_total) * 1e6) < 9e18 THEN (FLOOR((CAST(c AS DOUBLE) / day_total) * 1e6 + 5e-1) / 1e6) ELSE (CAST(c AS DOUBLE) / day_total) END)"
+_SHARE = f"{dround_sql('CAST(c AS DOUBLE) / day_total')}"
 
 _SHARE_ORACLE = f"""
 WITH daily AS (
@@ -277,15 +277,15 @@ _RANK_K = 5
 
 _RANK_ORACLE = f"""
 WITH totals AS (
-  SELECT event_type, user_id, {dsum_sql('(CASE WHEN ABS((value) * 1e6) < 9e18 THEN (FLOOR((value) * 1e6 + 5e-1) / 1e6) ELSE (value) END)')} AS total_value
+  SELECT event_type, user_id, {dsum_sql(dround_sql('value'))} AS total_value
   FROM events GROUP BY event_type, user_id
 ),
 ranked AS (
   SELECT event_type, user_id, total_value,
          RANK() OVER w AS rnk,
          DENSE_RANK() OVER w AS drnk,
-         (CASE WHEN ABS((PERCENT_RANK() OVER w) * 1e6) < 9e18 THEN (FLOOR((PERCENT_RANK() OVER w) * 1e6 + 5e-1) / 1e6) ELSE (PERCENT_RANK() OVER w) END) AS prank,
-         (CASE WHEN ABS((CUME_DIST() OVER w) * 1e6) < 9e18 THEN (FLOOR((CUME_DIST() OVER w) * 1e6 + 5e-1) / 1e6) ELSE (CUME_DIST() OVER w) END) AS cdist
+         {dround_sql('PERCENT_RANK() OVER w')} AS prank,
+         {dround_sql('CUME_DIST() OVER w')} AS cdist
   FROM totals
   WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC)
 )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from venus_spark.functions import fmt_ts, dround
-from venus_spark.functions.sqlgen import fmt_ts_sql
+from venus_spark.functions.sqlgen import dround_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -302,13 +302,9 @@ pairs AS (
   GROUP BY a.event_type, b.event_type
 )
 SELECT type_a, type_b, n,
-       (CASE WHEN ABS(((n * sxy - sx * sy) /
+       {dround_sql('''(n * sxy - sx * sy) /
              NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
-                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) * 1e6) < 9e18 THEN (FLOOR(((n * sxy - sx * sy) /
-             NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
-                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) * 1e6 + 5e-1) / 1e6) ELSE ((n * sxy - sx * sy) /
-             NULLIF(SQRT(GREATEST(0, n * sxx - sx * sx)) *
-                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)) END)
+                    SQRT(GREATEST(0, n * syy - sy * sy)), 0)''')}
          AS pearson_r
 FROM pairs
 ORDER BY type_a, type_b

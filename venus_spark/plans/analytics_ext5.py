@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from venus_spark.plans.registry import plan
+from venus_spark.functions.sqlgen import dround_sql
 from venus_spark.sources import load_table
 from venus_spark.functions import dround
 
@@ -18,7 +19,7 @@ from venus_spark.functions import dround
 # Event-type transition matrix (first-order Markov view of journeys)
 # --------------------------------------------------------------------------
 
-_TRANSITION_ORACLE = """
+_TRANSITION_ORACLE = f"""
 WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id
@@ -31,7 +32,7 @@ trans AS (
   GROUP BY prev_type, event_type
 )
 SELECT prev_type, next_type, n,
-       (CASE WHEN ABS((n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) * 1e6) < 9e18 THEN (FLOOR((n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) * 1e6 + 5e-1) / 1e6) ELSE (n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)) END) AS share
+       {dround_sql('n * CAST(1 AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)')} AS share
 FROM trans
 ORDER BY prev_type, next_type
 """
@@ -172,7 +173,7 @@ WITH cust AS (
          DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '{_RFM_ASOF}')
            AS recency_days,
          COUNT(*) AS frequency,
-         (CASE WHEN ABS(({dsum_sql(dround_sql('o_totalprice'))}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql(dround_sql('o_totalprice'))}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql(dround_sql('o_totalprice'))}) END) AS monetary
+         {dround_sql(f'''{dsum_sql(dround_sql('o_totalprice'))}''')} AS monetary
   FROM orders GROUP BY o_custkey
 ),
 bp AS (
@@ -196,7 +197,7 @@ tiers AS (
 )
 SELECT r_tier, f_tier, m_tier,
        COUNT(*) AS n_customers,
-       (CASE WHEN ABS(({dsum_sql('monetary')}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('monetary')}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('monetary')}) END) AS total_monetary
+       {dround_sql(f'''{dsum_sql('monetary')}''')} AS total_monetary
 FROM tiers GROUP BY r_tier, f_tier, m_tier
 ORDER BY r_tier, f_tier, m_tier
 """

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from venus_spark.functions import davg, dsum
 from venus_spark.functions.sqlgen import (
     davg_sql,
+    dround_sql,
     dsum_sql,
     hashed_shingles_sql,
     shingles_sql,
@@ -40,9 +41,9 @@ _N_STOP = f"LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS({_sql_list(tx.STOPWORDS)
 _N_DISTINCT = f"LEN(LIST_DISTINCT({_TOKS}))"
 _TOTAL_LEN = f"LIST_SUM(LIST_TRANSFORM({_TOKS}, t -> LENGTH(t)))"
 
-_TTR = f"(CASE WHEN ABS(({_N_DISTINCT} * CAST(1 AS DOUBLE) / {_N_TOKENS}) * 1e6) < 9e18 THEN (FLOOR(({_N_DISTINCT} * CAST(1 AS DOUBLE) / {_N_TOKENS}) * 1e6 + 5e-1) / 1e6) ELSE ({_N_DISTINCT} * CAST(1 AS DOUBLE) / {_N_TOKENS}) END)"
-_STOP_RATIO = f"(CASE WHEN ABS(({_N_STOP} * CAST(1 AS DOUBLE) / {_N_TOKENS}) * 1e6) < 9e18 THEN (FLOOR(({_N_STOP} * CAST(1 AS DOUBLE) / {_N_TOKENS}) * 1e6 + 5e-1) / 1e6) ELSE ({_N_STOP} * CAST(1 AS DOUBLE) / {_N_TOKENS}) END)"
-_MEAN_LEN = f"(CASE WHEN ABS(({_TOTAL_LEN} * CAST(1 AS DOUBLE) / {_N_TOKENS}) * 1e6) < 9e18 THEN (FLOOR(({_TOTAL_LEN} * CAST(1 AS DOUBLE) / {_N_TOKENS}) * 1e6 + 5e-1) / 1e6) ELSE ({_TOTAL_LEN} * CAST(1 AS DOUBLE) / {_N_TOKENS}) END)"
+_TTR = f"{dround_sql(f'{_N_DISTINCT} * CAST(1 AS DOUBLE) / {_N_TOKENS}')}"
+_STOP_RATIO = f"{dround_sql(f'{_N_STOP} * CAST(1 AS DOUBLE) / {_N_TOKENS}')}"
+_MEAN_LEN = f"{dround_sql(f'{_TOTAL_LEN} * CAST(1 AS DOUBLE) / {_N_TOKENS}')}"
 
 from venus_spark.functions import WHITESPACE_CLASS as _WS
 
@@ -246,10 +247,8 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         (CASE WHEN ABS((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-               (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-               (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-               (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) END)
+         {dround_sql('''LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
+               (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))''')}
            AS jaccard_sim
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -327,10 +326,8 @@ docsets AS (
 ),
 verified AS (
   SELECT c.id_a, c.id_b,
-         (CASE WHEN ABS((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) END)
+         {dround_sql('''LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))''')}
            AS jaccard_sim
   FROM cands c
   JOIN docsets x ON c.id_a = x.doc_id
@@ -453,7 +450,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT e.vec_id,
-         (CASE WHEN ABS(({_cosine_expr_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({_cosine_expr_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({_cosine_expr_sql(_VD.format('e.embedding'), 'q.qv')}) END) AS cosine_sim
+         {dround_sql(f'''{_cosine_expr_sql(_VD.format('e.embedding'), 'q.qv')}''')} AS cosine_sim
   FROM embeddings e CROSS JOIN q
 )
 SELECT vec_id, cosine_sim FROM scored
@@ -478,9 +475,9 @@ WITH e AS (
   SELECT vec_id, label, {_VD.format('embedding')} AS v FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       (CASE WHEN ABS(({_cosine_expr_sql('a.v', 'b.v')}) * 1e6) < 9e18 THEN (FLOOR(({_cosine_expr_sql('a.v', 'b.v')}) * 1e6 + 5e-1) / 1e6) ELSE ({_cosine_expr_sql('a.v', 'b.v')}) END) AS cosine_sim
+       {dround_sql(f'''{_cosine_expr_sql('a.v', 'b.v')}''')} AS cosine_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE (CASE WHEN ABS(({_cosine_expr_sql('a.v', 'b.v')}) * 1e6) < 9e18 THEN (FLOOR(({_cosine_expr_sql('a.v', 'b.v')}) * 1e6 + 5e-1) / 1e6) ELSE ({_cosine_expr_sql('a.v', 'b.v')}) END) > {_COS_PAIR_T}
+WHERE {dround_sql(f'''{_cosine_expr_sql('a.v', 'b.v')}''')} > {_COS_PAIR_T}
 """
 
 

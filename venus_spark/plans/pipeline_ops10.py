@@ -18,6 +18,7 @@ from venus_spark.functions import bigram_pairs, tokens, dround
 from venus_spark.functions.sqlgen import (
     bigram_pairs_sql,
     double_lit_sql,
+    dround_sql,
     tokens_sql,
 )
 from venus_spark.plans.registry import plan
@@ -43,10 +44,8 @@ big_c AS (SELECT bg, COUNT(*) AS np FROM bigs GROUP BY bg),
 big_t AS (SELECT COUNT(*) AS b FROM bigs),
 scored AS (
   SELECT bg AS bigram, np AS n_pair,
-         (CASE WHEN ABS(((CAST(np AS DOUBLE) / b) /
-               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) * 1e6) < 9e18 THEN (FLOOR(((CAST(np AS DOUBLE) / b) /
-               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) * 1e6 + 5e-1) / 1e6) ELSE ((CAST(np AS DOUBLE) / b) /
-               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))) END)
+         {dround_sql('''(CAST(np AS DOUBLE) / b) /
+               ((CAST(cx.c AS DOUBLE) / t) * (CAST(cy.c AS DOUBLE) / t))''')}
            AS lift
   FROM big_c
   CROSS JOIN big_t CROSS JOIN tok_t
@@ -122,17 +121,15 @@ pairs AS (
   SELECT a.source AS source, COUNT(*) AS n_pairs
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE (CASE WHEN ABS((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
-              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))) END)
+  WHERE {dround_sql('''LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) /
+              (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))''')}
         > {_NDR_T}
   GROUP BY a.source
 ),
 docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
 SELECT d.source, d.n_docs,
        COALESCE(p.n_pairs, 0) AS n_dup_pairs,
-       (CASE WHEN ABS((COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) * 1e6) < 9e18 THEN (FLOOR((COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) * 1e6 + 5e-1) / 1e6) ELSE (COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs) END) AS dup_pair_rate
+       {dround_sql('COALESCE(p.n_pairs, 0) * CAST(1 AS DOUBLE) / d.n_docs')} AS dup_pair_rate
 FROM docs d LEFT JOIN pairs p ON p.source = d.source
 ORDER BY d.source
 """
@@ -211,10 +208,10 @@ durations AS (
   FROM sess GROUP BY user_id, sid
 )
 SELECT COUNT(*) AS n_sessions,
-       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.25)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.25)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.25)) END) AS p25,
-       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.50)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.50)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.50)) END) AS p50,
-       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.75)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.75)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.75)) END) AS p75,
-       (CASE WHEN ABS((QUANTILE_CONT(dur_sec, 0.90)) * 1e6) < 9e18 THEN (FLOOR((QUANTILE_CONT(dur_sec, 0.90)) * 1e6 + 5e-1) / 1e6) ELSE (QUANTILE_CONT(dur_sec, 0.90)) END) AS p90
+       {dround_sql('QUANTILE_CONT(dur_sec, 0.25)')} AS p25,
+       {dround_sql('QUANTILE_CONT(dur_sec, 0.50)')} AS p50,
+       {dround_sql('QUANTILE_CONT(dur_sec, 0.75)')} AS p75,
+       {dround_sql('QUANTILE_CONT(dur_sec, 0.90)')} AS p90
 FROM durations
 """
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from venus_spark.functions import davg, dsum, dround
 from venus_spark.functions.sqlgen import (
     davg_sql,
+    dround_sql,
     dsum_sql,
     hashed_shingles_sql,
     shingles_sql,
@@ -96,7 +97,7 @@ vec AS (
       FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
     )
     SELECT e.vec_id AS doc_id,
-           (CASE WHEN ABS(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) END) AS cosine_sim
+           {dround_sql(f'''{cosine_sql(_VD.format('e.embedding'), 'q.qv')}''')} AS cosine_sim
     FROM embeddings e CROSS JOIN q
     ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_SIDE_K}
   )
@@ -222,10 +223,8 @@ hsets AS (
 ),
 verified AS (
   SELECT c.new_doc, c.dup_doc,
-         (CASE WHEN ABS((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
-               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))) END)
+         {dround_sql('''LEN(LIST_INTERSECT(x.t, y.t)) * CAST(1 AS DOUBLE) /
+               (LEN(x.t) + LEN(y.t) - LEN(LIST_INTERSECT(x.t, y.t)))''')}
            AS jaccard_sim
   FROM cands c
   JOIN hsets x ON c.new_doc = x.doc_id
@@ -360,26 +359,26 @@ _US_PER_DAY = "86400000000.0"
 # ROUND(...,6) makes each term exactly representable for dsum.
 _TREND_XC = f"((CAST(x_us0 AS DOUBLE) - xbar_us) / {_US_PER_DAY})"
 _TREND_YC = "(y - ybar)"
-_TREND_T_XY = f"(CASE WHEN ABS(({_TREND_XC} * {_TREND_YC}) * 1e6) < 9e18 THEN (FLOOR(({_TREND_XC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6) ELSE ({_TREND_XC} * {_TREND_YC}) END)"
-_TREND_T_XX = f"(CASE WHEN ABS(({_TREND_XC} * {_TREND_XC}) * 1e6) < 9e18 THEN (FLOOR(({_TREND_XC} * {_TREND_XC}) * 1e6 + 5e-1) / 1e6) ELSE ({_TREND_XC} * {_TREND_XC}) END)"
-_TREND_T_YY = f"(CASE WHEN ABS(({_TREND_YC} * {_TREND_YC}) * 1e6) < 9e18 THEN (FLOOR(({_TREND_YC} * {_TREND_YC}) * 1e6 + 5e-1) / 1e6) ELSE ({_TREND_YC} * {_TREND_YC}) END)"
+_TREND_T_XY = f"{dround_sql(f'{_TREND_XC} * {_TREND_YC}')}"
+_TREND_T_XX = f"{dround_sql(f'{_TREND_XC} * {_TREND_XC}')}"
+_TREND_T_YY = f"{dround_sql(f'{_TREND_YC} * {_TREND_YC}')}"
 
 # Final projections over the exact aggregates (sxy/sxx/syy canonical
 # doubles from dsum; xbar_us/ybar canonical from davg).
-_TREND_SLOPE = "CASE WHEN sxx > 0 THEN (CASE WHEN ABS((sxy / sxx) * 1e6) < 9e18 THEN (FLOOR((sxy / sxx) * 1e6 + 5e-1) / 1e6) ELSE (sxy / sxx) END) END"
+_TREND_SLOPE = f"CASE WHEN sxx > 0 THEN {dround_sql('sxy / sxx')} END"
 _TREND_INTERCEPT = (
     f"CASE WHEN sxx > 0 THEN "
-    f"(CASE WHEN ABS((ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) * 1e6) < 9e18 THEN (FLOOR((ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) * 1e6 + 5e-1) / 1e6) ELSE (ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})) END) END"
+    f"{dround_sql(f'ybar - (sxy / sxx) * (xbar_us / {_US_PER_DAY})')} END"
 )
 _TREND_R2 = (
-    "CASE WHEN sxx * syy > 0 THEN (CASE WHEN ABS(((sxy * sxy) / (sxx * syy)) * 1e6) < 9e18 THEN (FLOOR(((sxy * sxy) / (sxx * syy)) * 1e6 + 5e-1) / 1e6) ELSE ((sxy * sxy) / (sxx * syy)) END) END"
+    f"CASE WHEN sxx * syy > 0 THEN {dround_sql('(sxy * sxy) / (sxx * syy)')} END"
 )
 
 _TREND_ORACLE = f"""
 WITH ev AS (
   SELECT event_type,
          EPOCH_US(ts) - {_TREND_T0_US} AS x_us0,
-         (CASE WHEN ABS((value) * 1e6) < 9e18 THEN (FLOOR((value) * 1e6 + 5e-1) / 1e6) ELSE (value) END) AS y
+         {dround_sql('value')} AS y
   FROM events
 ),
 stats AS (
@@ -480,7 +479,7 @@ _DRIFT_BIN_W = "25.0"
 # side is non-empty (total mass moved), NULL when both are empty.
 _DRIFT_TV = (
     "CASE WHEN n_a > 0 AND n_b > 0 THEN "
-    "(CASE WHEN ABS((CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)) END) "
+    f"{dround_sql('CAST(num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)')} "
     "WHEN n_a > 0 OR n_b > 0 THEN CAST(1 AS DOUBLE) END"
 )
 

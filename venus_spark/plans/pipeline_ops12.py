@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from venus_spark.functions import cosine, dsum, token_hash31, tokens, dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
+    dround_sql,
     dsum_sql,
     token_hash31_sql,
     tokens_sql,
@@ -51,7 +52,7 @@ pool AS (
 ),
 scored AS (
   SELECT q.query_id, pool.vec_id,
-         (CASE WHEN ABS(({cosine_sql('pool.v', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('pool.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('pool.v', 'q.qv')}) END) AS cosine_sim
+         {dround_sql(f'''{cosine_sql('pool.v', 'q.qv')}''')} AS cosine_sim
   FROM pool CROSS JOIN q
   WHERE pool.label <> q.qlabel
 ),
@@ -122,7 +123,7 @@ _VOCAB_SIZE = 256  # top-V terms by collection frequency form the vocabulary
 
 # BIGINT/BIGINT promotes to double identically in both engines; one
 # shared string so the division cannot fork.
-_OOV_RATE = "(CASE WHEN ABS((CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) END)"
+_OOV_RATE = f"{dround_sql('CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)')}"
 
 _VOCAB_OOV_ORACLE = f"""
 WITH toks AS (
@@ -210,7 +211,7 @@ _SWEEP_QUERY_VEC_ID = 0
 _SWEEP_K = 10
 _SWEEP_NPROBES = (1, 2, 4)
 
-_SWEEP_RECALL = f"(CASE WHEN ABS((CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE)) END)"
+_SWEEP_RECALL = f"{dround_sql(f'CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE)')}"
 
 _VDL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
 
@@ -261,12 +262,12 @@ cent_arr AS (
 ),
 cent_scored AS (
   SELECT cluster,
-         (CASE WHEN ABS(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('cent_arr.centroid', 'q.qv')}) END) AS centroid_sim
+         {dround_sql(f'''{cosine_sql('cent_arr.centroid', 'q.qv')}''')} AS centroid_sim
   FROM cent_arr CROSS JOIN q
 ),
 scored_all AS (
   SELECT e.vec_id, e.label,
-         (CASE WHEN ABS(({cosine_sql(_VDL.format('e.embedding'), 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VDL.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VDL.format('e.embedding'), 'q.qv')}) END) AS cosine_sim
+         {dround_sql(f'''{cosine_sql(_VDL.format('e.embedding'), 'q.qv')}''')} AS cosine_sim
   FROM embeddings e CROSS JOIN q
 ),
 exact AS (
@@ -594,10 +595,10 @@ _EVAL_QTERMS_SQL = ", ".join(
 # CAST(1 AS DOUBLE), not the bare literal 1.0: Spark parses 1.0 as
 # DECIMAL and divides exactly while DuckDB divides doubles — the exact
 # literal class PARITY.md bans from hash-checked columns.
-_RR_SQL = "(CASE WHEN ABS((CAST(1 AS DOUBLE) / first_rel_rank) * 1e6) < 9e18 THEN (FLOOR((CAST(1 AS DOUBLE) / first_rel_rank) * 1e6 + 5e-1) / 1e6) ELSE (CAST(1 AS DOUBLE) / first_rel_rank) END)"  # NULL rank -> NULL rr
+_RR_SQL = f"{dround_sql('CAST(1 AS DOUBLE) / first_rel_rank')}"  # NULL rank -> NULL rr
 _RECALL_SQL = (
     "CASE WHEN n_relevant = 0 THEN NULL ELSE "
-    "(CASE WHEN ABS((CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE)) END) END"
+    f"{dround_sql('CAST(rel_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE)')} END"
 )
 
 # The qterms→perdoc grading prefix — ONE copy shared by the MRR and
@@ -611,7 +612,7 @@ dl AS (
 ),
 stats AS (
   SELECT COUNT(*) AS n_docs,
-         (CASE WHEN ABS((CAST(SUM(dl) AS DOUBLE) / COUNT(*)) * 1e6) < 9e18 THEN (FLOOR((CAST(SUM(dl) AS DOUBLE) / COUNT(*)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) END) AS avgdl
+         {dround_sql('CAST(SUM(dl) AS DOUBLE) / COUNT(*)')} AS avgdl
   FROM dl
 ),
 hits AS (
@@ -635,7 +636,7 @@ scored AS (
 ),
 perdoc AS (
   SELECT query_id, doc_id,
-         (CASE WHEN ABS(({dsum_sql('s')}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('s')}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('s')}) END) AS bm25,
+         {dround_sql(f'''{dsum_sql('s')}''')} AS bm25,
          COUNT(*) AS matched
   FROM scored GROUP BY query_id, doc_id
 )"""
@@ -766,13 +767,13 @@ def _ndcg_term(rank_col: str) -> str:
     )
     return (
         f"CASE WHEN {rank_col} <= {_EVAL_K} "
-        f"THEN (CASE WHEN ABS((matched * ({discount})) * 1e6) < 9e18 THEN (FLOOR((matched * ({discount})) * 1e6 + 5e-1) / 1e6) ELSE (matched * ({discount})) END) END"
+        f"THEN {dround_sql(f'matched * ({discount})')} END"
     )
 
 
 _NDCG_RATIO = (
     "CASE WHEN idcg = 0 THEN NULL ELSE "
-    "(CASE WHEN ABS((CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) END) END"
+    f"{dround_sql('CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)')} END"
 )
 
 _NDCG_ORACLE = f"""
@@ -789,8 +790,8 @@ ranked AS (
 ),
 agg AS (
   SELECT query_id,
-         (CASE WHEN ABS(({dsum_sql(_ndcg_term('rnk_sys'))}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql(_ndcg_term('rnk_sys'))}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql(_ndcg_term('rnk_sys'))}) END) AS dcg,
-         (CASE WHEN ABS(({dsum_sql(_ndcg_term('rnk_ideal'))}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql(_ndcg_term('rnk_ideal'))}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql(_ndcg_term('rnk_ideal'))}) END) AS idcg
+         {dround_sql(f'''{dsum_sql(_ndcg_term('rnk_sys'))}''')} AS dcg,
+         {dround_sql(f'''{dsum_sql(_ndcg_term('rnk_ideal'))}''')} AS idcg
   FROM ranked GROUP BY query_id
 )
 SELECT query_id, dcg, idcg, {_NDCG_RATIO} AS ndcg
@@ -962,10 +963,10 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT/BIGINT promotes to double identically in both engines; shared
 # strings so neither ratio can fork between Spark and the oracle.
 _CHARS_PER_TOKEN = (
-    "(CASE WHEN ABS((CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)) END)"
+    f"{dround_sql('CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)')}"
 )
 _TOKENS_PER_DOC = (
-    "(CASE WHEN ABS((CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) END)"
+    f"{dround_sql('CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)')}"
 )
 
 _FERTILITY_ORACLE = f"""

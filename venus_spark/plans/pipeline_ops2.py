@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import dround
-from venus_spark.functions.sqlgen import cosine_sql, davg_sql
+from venus_spark.functions.sqlgen import cosine_sql, davg_sql, dround_sql
 from venus_spark.operators import multimodal as mm
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -155,7 +155,7 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         (CASE WHEN ABS(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('cent_arr.centroid', 'q.qv')}) END) AS centroid_sim
+         {dround_sql(f'''{cosine_sql('cent_arr.centroid', 'q.qv')}''')} AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_NPROBE}
 )"""
@@ -167,7 +167,7 @@ def _ivf_topk_oracle() -> str:
     return f"""{ivf_probe_cte()},
 scored AS (
   SELECT e.vec_id,
-         (CASE WHEN ABS(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VD.format('e.embedding'), 'q.qv')}) END) AS cosine_sim
+         {dround_sql(f'''{cosine_sql(_VD.format('e.embedding'), 'q.qv')}''')} AS cosine_sim
   FROM embeddings e CROSS JOIN q
   WHERE e.label IN (SELECT cluster FROM probed)
 )
@@ -374,7 +374,7 @@ q AS (
 ),
 scored AS (
   SELECT b.vec_id,
-         (CASE WHEN ABS(({cosine_sql('b.v', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('b.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('b.v', 'q.qv')}) END) AS cosine_sim
+         {dround_sql(f'''{cosine_sql('b.v', 'q.qv')}''')} AS cosine_sim
   FROM b JOIN q
     ON (XOR(b.bucket, q.q_bucket) & (XOR(b.bucket, q.q_bucket) - 1)) = 0
 )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from venus_spark.functions import cosine, shingles, token_hash31, dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
+    dround_sql,
     shingles_sql,
     token_hash31_sql,
     tokens_sql,
@@ -38,14 +39,10 @@ _TOKS = tokens_sql("text")
 _QF_ORACLE = f"""
 WITH feat AS (
   SELECT doc_id, lang, LEN({_TOKS}) AS n_tokens,
-         (CASE WHEN ABS((LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) END) AS ttr,
-         (CASE WHEN ABS((LEN(LIST_FILTER({_TOKS},
+         {dround_sql(f'LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})')} AS ttr,
+         {dround_sql(f'''LEN(LIST_FILTER({_TOKS},
                t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)
-               / LEN({_TOKS})) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_FILTER({_TOKS},
-               t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)
-               / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_FILTER({_TOKS},
-               t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)
-               / LEN({_TOKS})) END) AS stop_ratio
+               / LEN({_TOKS})''')} AS stop_ratio
   FROM documents
 )
 SELECT doc_id, lang, n_tokens
@@ -173,7 +170,7 @@ base AS (
 ),
 scored AS (
   SELECT q.query_id, base.vec_id,
-         (CASE WHEN ABS(({cosine_sql('base.v', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('base.v', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('base.v', 'q.qv')}) END) AS cosine_sim
+         {dround_sql(f'''{cosine_sql('base.v', 'q.qv')}''')} AS cosine_sim
   FROM base CROSS JOIN q
 ),
 ranked AS (
@@ -246,9 +243,9 @@ b AS (
   SELECT vec_id, v, {_rp_bucket_sql('v')} AS bucket FROM v
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       (CASE WHEN ABS(({cosine_sql('a.v', 'c.v')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('a.v', 'c.v')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('a.v', 'c.v')}) END) AS cosine_sim
+       {dround_sql(f'''{cosine_sql('a.v', 'c.v')}''')} AS cosine_sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE (CASE WHEN ABS(({cosine_sql('a.v', 'c.v')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('a.v', 'c.v')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('a.v', 'c.v')}) END) > {_NEAR_THRESHOLD}
+WHERE {dround_sql(f'''{cosine_sql('a.v', 'c.v')}''')} > {_NEAR_THRESHOLD}
 """
 
 

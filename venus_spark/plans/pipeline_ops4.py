@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, shingles, tokens, dround
-from venus_spark.functions.sqlgen import davg_sql, shingles_sql, tokens_sql
+from venus_spark.functions.sqlgen import davg_sql, dround_sql, shingles_sql, tokens_sql
 from venus_spark.operators import text as tx
 from venus_spark.plans.pipeline_ops import _minhash_oracle
 from venus_spark.plans.pipeline_ops3 import (
@@ -154,14 +154,14 @@ _GRAMS = (
 _REP_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id,
-         (CASE WHEN ABS((CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS})) * 1e6) < 9e18 THEN (FLOOR((CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS})) * 1e6 + 5e-1) / 1e6) ELSE (CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS})) END)
+         {dround_sql(f'CAST(1 AS DOUBLE) - LEN(LIST_DISTINCT({_GRAMS})) * CAST(1 AS DOUBLE) / LEN({_GRAMS})')}
            AS dup_3gram_frac
   FROM documents
 ),
 tok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
 cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
 mass AS (
-  SELECT doc_id, (CASE WHEN ABS((MAX(c) * CAST(1 AS DOUBLE) / SUM(c)) * 1e6) < 9e18 THEN (FLOOR((MAX(c) * CAST(1 AS DOUBLE) / SUM(c)) * 1e6 + 5e-1) / 1e6) ELSE (MAX(c) * CAST(1 AS DOUBLE) / SUM(c)) END) AS top_token_mass
+  SELECT doc_id, {dround_sql('MAX(c) * CAST(1 AS DOUBLE) / SUM(c)')} AS top_token_mass
   FROM cnt GROUP BY doc_id
 )
 SELECT g.doc_id, g.dup_3gram_frac, m.top_token_mass
@@ -224,7 +224,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PASS_SQL = (
     f"LEN({_TOKS}) >= {_MIN_TOKENS}"
-    f" AND (CASE WHEN ABS((LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})) END) >= {_MIN_TTR}"
+    f" AND {dround_sql(f'LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})')} >= {_MIN_TTR}"
     f" AND (CASE WHEN ABS((LEN(LIST_FILTER({_TOKS},"
     f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
     f" / LEN({_TOKS})) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_FILTER({_TOKS},"
@@ -238,7 +238,7 @@ _REPORT_ORACLE = f"""
 SELECT source, lang,
        COUNT(*) AS n_docs,
        {davg_sql('n_chars')} AS mean_chars,
-       (CASE WHEN ABS((SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) * 1e6) < 9e18 THEN (FLOOR((SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) * 1e6 + 5e-1) / 1e6) ELSE (SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) END)
+       {dround_sql(f'SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)')}
          AS pass_share
 FROM documents
 GROUP BY source, lang
@@ -333,7 +333,7 @@ WITH g AS (
 ),
 gf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
 SELECT g.doc_id,
-       (CASE WHEN ABS((SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) * 1e6) < 9e18 THEN (FLOOR((SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) * 1e6 + 5e-1) / 1e6) ELSE (SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)) END)
+       {dround_sql('SUM(CASE WHEN gf.df = 1 THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / COUNT(*)')}
          AS novel_3gram_share
 FROM g JOIN gf USING (gram)
 GROUP BY g.doc_id

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from venus_spark.functions import bigram_pairs, token_hash31, tokens, dround
 from venus_spark.functions.sqlgen import (
     bigram_pairs_sql,
+    dround_sql,
     token_hash31_sql,
     tokens_sql,
 )
@@ -244,7 +245,7 @@ SELECT label,
        COUNT(*) AS n_vecs,
        CAST(SUM(CAST(LIST_REDUCE(codes, (a, b) -> a + b) AS BIGINT))
             AS BIGINT) AS code_sum_total,
-       (CASE WHEN ABS((MAX(max_err)) * 1e9) < 9e18 THEN (FLOOR((MAX(max_err)) * 1e9 + 5e-1) / 1e9) ELSE (MAX(max_err)) END) AS max_abs_err
+       {dround_sql('MAX(max_err)', 9)} AS max_abs_err
 FROM coded
 GROUP BY label
 ORDER BY label
@@ -330,11 +331,11 @@ dq AS (
 ),
 exact AS (
   SELECT vec_id FROM v CROSS JOIN q
-  ORDER BY (CASE WHEN ABS(({cosine_sql('v', 'qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('v', 'qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('v', 'qv')}) END) DESC, vec_id LIMIT {_QR_K}
+  ORDER BY {dround_sql(f'''{cosine_sql('v', 'qv')}''')} DESC, vec_id LIMIT {_QR_K}
 ),
 quant AS (
   SELECT vec_id FROM dq CROSS JOIN q
-  ORDER BY (CASE WHEN ABS(({cosine_sql('vq', 'qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('vq', 'qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('vq', 'qv')}) END) DESC, vec_id LIMIT {_QR_K}
+  ORDER BY {dround_sql(f'''{cosine_sql('vq', 'qv')}''')} DESC, vec_id LIMIT {_QR_K}
 )
 SELECT CAST({_QR_K} AS BIGINT) AS k,
        CAST((SELECT COUNT(*) FROM exact JOIN quant USING (vec_id)) AS BIGINT)

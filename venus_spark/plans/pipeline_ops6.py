@@ -27,6 +27,7 @@ from venus_spark.functions import davg, dsum, tokens, dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
     davg_sql,
+    dround_sql,
     dsum_sql,
     tokens_sql,
 )
@@ -82,7 +83,7 @@ scored AS (
   SELECT tf.doc_id, {_BM25_TERM_SCORE} AS s
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 )
-SELECT doc_id, (CASE WHEN ABS(({dsum_sql('s')}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('s')}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('s')}) END) AS bm25
+SELECT doc_id, {dround_sql(f'''{dsum_sql('s')}''')} AS bm25
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
 """
@@ -202,7 +203,7 @@ _TFIDF_TOP_PER_DOC = 3
 _TFIDF_DOC_LIMIT = 20  # report keywords for doc_id < this bound
 
 # Smoothed idf; tf BIGINT, df/n_docs BIGINT -> identical double promotion.
-_TFIDF_SCORE = "(CASE WHEN ABS((tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) * 1e6) < 9e18 THEN (FLOOR((tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) * 1e6 + 5e-1) / 1e6) ELSE (tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))) END)"
+_TFIDF_SCORE = f"{dround_sql('tf * LN((n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))')}"
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (
@@ -426,7 +427,7 @@ cent_arr AS (
 ),
 scored AS (
   SELECT e.vec_id, e.label, c.cluster,
-         (CASE WHEN ABS(({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql(_VD.format('e.embedding'), 'c.centroid')}) END) AS sim
+         {dround_sql(f'''{cosine_sql(_VD.format('e.embedding'), 'c.centroid')}''')} AS sim
   FROM embeddings e CROSS JOIN cent_arr c
 ),
 assigned AS (

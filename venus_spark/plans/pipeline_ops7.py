@@ -26,6 +26,7 @@ from venus_spark.functions import bigram_pairs, davg, fmt_ts, token_hash31, toke
 from venus_spark.functions.sqlgen import (
     bigram_pairs_sql,
     davg_sql,
+    dround_sql,
     fmt_ts_sql,
     token_hash31_sql,
     tokens_sql,
@@ -98,7 +99,7 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates, so the double math below evaluates the identical tree on
 # both engines; rounded to 6 dp so the per-doc mean can use the exact
 # decimal accumulator.
-_LM_SCORE = "(CASE WHEN ABS((LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) * 1e6) < 9e18 THEN (FLOOR((LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) * 1e6 + 5e-1) / 1e6) ELSE (LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))) END)"
+_LM_SCORE = f"{dround_sql('LN((c_big + CAST(1 AS DOUBLE)) / (c_uni + v))')}"
 
 _BIGRAMS = bigram_pairs_sql("text")
 
@@ -230,7 +231,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gap in integer microseconds (exact on both engines), rendered to
 # seconds through one shared rounding expression.
-_GAP_S = "(CASE WHEN ABS((gap_us / CAST(1000000 AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((gap_us / CAST(1000000 AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (gap_us / CAST(1000000 AS DOUBLE)) END)"
+_GAP_S = f"{dround_sql('gap_us / CAST(1000000 AS DOUBLE)')}"
 
 _GAPS_ORACLE = f"""
 WITH g AS (

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import l2sq, dround
-from venus_spark.functions.sqlgen import l2sq_sql
+from venus_spark.functions.sqlgen import dround_sql, l2sq_sql
 from venus_spark.operators import similarity as sim
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
@@ -93,8 +93,8 @@ exact AS (
   FROM (SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings)
 )
 SELECT vec_id,
-       (CASE WHEN ABS((adist) * 1e6) < 9e18 THEN (FLOOR((adist) * 1e6 + 5e-1) / 1e6) ELSE (adist) END) AS adc_l2sq,
-       (CASE WHEN ABS((edist) * 1e6) < 9e18 THEN (FLOOR((edist) * 1e6 + 5e-1) / 1e6) ELSE (edist) END) AS exact_l2sq
+       {dround_sql('adist')} AS adc_l2sq,
+       {dround_sql('edist')} AS exact_l2sq
 FROM adc JOIN exact USING (vec_id)
 ORDER BY adist, vec_id LIMIT {_PQ_K}
 """
@@ -102,7 +102,7 @@ ORDER BY adist, vec_id LIMIT {_PQ_K}
 
 def _pq_prepared_oracle() -> str:
     return f"""{_pq_cte_prefix()}
-SELECT vec_id, (CASE WHEN ABS((adist) * 1e6) < 9e18 THEN (FLOOR((adist) * 1e6 + 5e-1) / 1e6) ELSE (adist) END) AS adc_l2sq
+SELECT vec_id, {dround_sql('adist')} AS adc_l2sq
 FROM adc ORDER BY adist, vec_id LIMIT {_PQ_K}
 """
 
@@ -261,7 +261,7 @@ WITH e AS (
 p AS (
   SELECT b.vec_id AS id_b
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE (CASE WHEN ABS(({{cos}}) * 1e6) < 9e18 THEN (FLOOR(({{cos}}) * 1e6 + 5e-1) / 1e6) ELSE ({{cos}}) END) > {_SEM_T}
+  WHERE {dround_sql(f'{{cos}}')} > {_SEM_T}
 )
 SELECT e.vec_id, e.label FROM e
 WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = e.vec_id)
@@ -340,11 +340,11 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         (CASE WHEN ABS(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('cent_arr.centroid', 'q.qv')}) END) AS centroid_sim
+         {dround_sql(f'''{cosine_sql('cent_arr.centroid', 'q.qv')}''')} AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_IVFPQ_NPROBE}
 )
-SELECT a.vec_id, (CASE WHEN ABS((a.adist) * 1e6) < 9e18 THEN (FLOOR((a.adist) * 1e6 + 5e-1) / 1e6) ELSE (a.adist) END) AS adc_l2sq
+SELECT a.vec_id, {dround_sql('a.adist')} AS adc_l2sq
 FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
 WHERE e.label IN (SELECT cluster FROM probed)
 ORDER BY a.adist, a.vec_id LIMIT {_PQ_K}
@@ -421,7 +421,7 @@ cent_arr AS (
 ),
 probed AS (
   SELECT cluster,
-         (CASE WHEN ABS(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6) < 9e18 THEN (FLOOR(({cosine_sql('cent_arr.centroid', 'q.qv')}) * 1e6 + 5e-1) / 1e6) ELSE ({cosine_sql('cent_arr.centroid', 'q.qv')}) END) AS centroid_sim
+         {dround_sql(f'''{cosine_sql('cent_arr.centroid', 'q.qv')}''')} AS centroid_sim
   FROM cent_arr CROSS JOIN q
   ORDER BY centroid_sim DESC, cluster LIMIT {_IVFPQ_NPROBE}
 ),

@@ -27,6 +27,7 @@ from venus_spark.functions import davg, fmt_ts, l2sq, dround
 from venus_spark.functions.sqlgen import (
     davg_sql,
     double_lit_sql,
+    dround_sql,
     fmt_ts_sql,
     hashed_shingles_sql,
     l2sq_sql,
@@ -53,7 +54,7 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         (CASE WHEN ABS((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)) END)
+         {dround_sql('LEN(LIST_INTERSECT(a.t, b.t)) * CAST(1 AS DOUBLE) / LEN(a.t)')}
            AS containment
   FROM toks a JOIN toks b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
@@ -103,7 +104,7 @@ shared AS (
   GROUP BY a.source, b.source
 )
 SELECT s.source_a, s.source_b, s.shared_ngrams,
-       (CASE WHEN ABS((s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) * 1e6) < 9e18 THEN (FLOOR((s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) * 1e6 + 5e-1) / 1e6) ELSE (s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)) END)
+       {dround_sql('s.shared_ngrams * CAST(1 AS DOUBLE) / (na.n + nb.n - s.shared_ngrams)')}
          AS ngram_jaccard
 FROM shared s
 JOIN sizes na ON na.source = s.source_a
@@ -185,7 +186,7 @@ e AS (
 ),
 d AS (
   SELECT e.vec_id, e.label,
-         (CASE WHEN ABS(({l2sq_sql('e.v', 'c.centroid')}) * 1e6) < 9e18 THEN (FLOOR(({l2sq_sql('e.v', 'c.centroid')}) * 1e6 + 5e-1) / 1e6) ELSE ({l2sq_sql('e.v', 'c.centroid')}) END) AS centroid_l2sq
+         {dround_sql(f'''{l2sq_sql('e.v', 'c.centroid')}''')} AS centroid_l2sq
   FROM e JOIN cent_arr c ON c.cluster = e.label
 )
 SELECT vec_id, label, centroid_l2sq, rn FROM (
@@ -285,11 +286,9 @@ hsets AS (
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
-         (CASE WHEN ABS((({matches}) / {double_lit_sql(dd.N_PERM)}) * 1e6) < 9e18 THEN (FLOOR((({matches}) / {double_lit_sql(dd.N_PERM)}) * 1e6 + 5e-1) / 1e6) ELSE (({matches}) / {double_lit_sql(dd.N_PERM)}) END) AS mh_est,
-         (CASE WHEN ABS((LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
-               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
-               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
-               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))) END)
+         {dround_sql(f'({matches}) / {double_lit_sql(dd.N_PERM)}')} AS mh_est,
+         {dround_sql('''LEN(LIST_INTERSECT(hx.t, hy.t)) * CAST(1 AS DOUBLE) /
+               (LEN(hx.t) + LEN(hy.t) - LEN(LIST_INTERSECT(hx.t, hy.t)))''')}
            AS true_jac
   FROM cands c
   JOIN sig x ON c.id_a = x.doc_id
@@ -298,7 +297,7 @@ scored AS (
   JOIN hsets hy ON c.id_b = hy.doc_id
 )
 SELECT id_a, id_b, mh_est, true_jac,
-       (CASE WHEN ABS((ABS(mh_est - true_jac)) * 1e6) < 9e18 THEN (FLOOR((ABS(mh_est - true_jac)) * 1e6 + 5e-1) / 1e6) ELSE (ABS(mh_est - true_jac)) END) AS abs_err
+       {dround_sql('ABS(mh_est - true_jac)')} AS abs_err
 FROM scored
 """
 
@@ -369,7 +368,7 @@ normed AS (
            AS nrm
   FROM buckets
 )
-SELECT doc_id, bucket, (CASE WHEN ABS((CAST(v AS DOUBLE) / nrm) * 1e6) < 9e18 THEN (FLOOR((CAST(v AS DOUBLE) / nrm) * 1e6 + 5e-1) / 1e6) ELSE (CAST(v AS DOUBLE) / nrm) END) AS w
+SELECT doc_id, bucket, {dround_sql('CAST(v AS DOUBLE) / nrm')} AS w
 FROM normed WHERE v <> 0
 """
 
@@ -519,7 +518,7 @@ series AS (
 )
 SELECT event_type, {fmt_ts_sql('h', micros=False)} AS hour,
        v AS hourly_avg,
-       (CASE WHEN ABS(({ewma_fold_sql('arr', _EWMA_A)}) * 1e6) < 9e18 THEN (FLOOR(({ewma_fold_sql('arr', _EWMA_A)}) * 1e6 + 5e-1) / 1e6) ELSE ({ewma_fold_sql('arr', _EWMA_A)}) END) AS ewma
+       {dround_sql(f'''{ewma_fold_sql('arr', _EWMA_A)}''')} AS ewma
 FROM series
 """
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import dsum, fmt_ts, dround
-from venus_spark.functions.sqlgen import dsum_sql
+from venus_spark.functions.sqlgen import dround_sql, dsum_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 from venus_spark.streaming.windows import sessionize_stream, windowed_event_counts
@@ -113,13 +113,9 @@ agg AS (
 SELECT sp.event_type,
        STRFTIME(sp.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        COALESCE(n, 0) AS n_events,
-       (CASE WHEN ABS((LAST_VALUE(total IGNORE NULLS)
+       {dround_sql('''LAST_VALUE(total IGNORE NULLS)
              OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6) < 9e18 THEN (FLOOR((LAST_VALUE(total IGNORE NULLS)
-             OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 5e-1) / 1e6) ELSE (LAST_VALUE(total IGNORE NULLS)
-             OVER (PARTITION BY sp.event_type ORDER BY sp.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END) AS locf_value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS locf_value
 FROM spine sp LEFT JOIN agg
   ON agg.event_type = sp.event_type AND agg.b = sp.bucket
 ORDER BY sp.event_type, bucket

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, dsum, dround
-from venus_spark.functions.sqlgen import davg_sql, dsum_sql
+from venus_spark.functions.sqlgen import davg_sql, dround_sql, dsum_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -106,7 +106,7 @@ _Q8_TYPE = "ECONOMY"
 
 _Q8_ORACLE = f"""
 SELECT o_year,
-       (CASE WHEN ABS(({dsum_sql('nation_volume')} / {dsum_sql('volume')}) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('nation_volume')} / {dsum_sql('volume')}) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('nation_volume')} / {dsum_sql('volume')}) END) AS mkt_share
+       {dround_sql(f'''{dsum_sql('nation_volume')} / {dsum_sql('volume')}''')} AS mkt_share
 FROM (
   SELECT YEAR(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -318,10 +318,8 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14_T0, _Q14_T1 = "1997-06-01 00:00:00", "1997-07-01 00:00:00"
 
 _Q14_ORACLE = f"""
-SELECT (CASE WHEN ABS((100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
-             / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}) * 1e6) < 9e18 THEN (FLOOR((100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
-             / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}) * 1e6 + 5e-1) / 1e6) ELSE (100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
-             / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}) END)
+SELECT {dround_sql(f'''100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}''')}
          AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{_Q14_T0}'
@@ -412,7 +410,7 @@ WITH avg_qty AS (
   SELECT l_partkey, {davg_sql('l_quantity')} AS part_avg
   FROM lineitem GROUP BY l_partkey
 )
-SELECT (CASE WHEN ABS(({dsum_sql('l.l_extendedprice')} / 7.0) * 1e6) < 9e18 THEN (FLOOR(({dsum_sql('l.l_extendedprice')} / 7.0) * 1e6 + 5e-1) / 1e6) ELSE ({dsum_sql('l.l_extendedprice')} / 7.0) END) AS avg_yearly,
+SELECT {dround_sql(f'''{dsum_sql('l.l_extendedprice')} / 7.0''')} AS avg_yearly,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from venus_spark.functions import davg, dround, dsum, fmt_ts
-from venus_spark.functions.sqlgen import davg_sql, dsum_sql, fmt_ts_sql
+from venus_spark.functions.sqlgen import davg_sql, dround_sql, dsum_sql, fmt_ts_sql
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
 
@@ -864,7 +864,7 @@ scored AS (
   FROM d
 )
 SELECT doc_id,
-       (CASE WHEN ABS((CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) * 1e6) < 9e18 THEN (FLOOR((CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) * 1e6 + 5e-1) / 1e6) ELSE (CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)) END) AS sim
+       {dround_sql(f'CAST(c AS DOUBLE) / CAST({nq} + nd - c AS DOUBLE)')} AS sim
 FROM scored WHERE c > 0
 ORDER BY sim DESC, doc_id LIMIT {_TRGM_SIM_TOPK}
 """

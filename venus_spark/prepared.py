@@ -1004,9 +1004,33 @@ def _heal_ivf_centroids(
         else:
             vals = fallback
         _write_train_meta(tmp, *vals)
+        # Install via ASIDE-rename, never rmtree-then-rename (ADVICE
+        # r12 #2): the prologue sweep runs UNLOCKED by design, so a
+        # concurrent healer can delete this attempt's tmp between the
+        # checks above and the install — rmtree-ing cent_path first
+        # would then fail the rename AFTER the only on-disk copy of the
+        # preserved drift baseline was destroyed, and the next heal
+        # would silently re-seed fresh counts (erasing the PQ
+        # codebook's accumulated delete drift). With the aside, a
+        # failed install restores cent_path intact and fails loudly —
+        # retryable, nothing lost; the aside name shares the
+        # ``.restamp.`` prefix so a crash between the renames leaves it
+        # baseline-readable and sweepable by the next heal's prologue.
+        aside = None
         if os.path.exists(cent_path):
-            shutil.rmtree(cent_path)
-        os.rename(tmp, cent_path)
+            aside = (
+                f"{cent_path}.restamp."
+                f"{os.getpid()}-{uuid.uuid4().hex[:8]}.aside"
+            )
+            os.rename(cent_path, aside)
+        try:
+            os.rename(tmp, cent_path)
+        except OSError:
+            if aside is not None and not os.path.exists(cent_path):
+                os.rename(aside, cent_path)  # restore the displaced old
+            raise
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
 
 
 def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
