@@ -155,8 +155,9 @@ def run_zmq(
     port: int,
     socket_type: str = "pull",
     zmq_module=None,
+    connect: str | None = None,
 ) -> None:
-    """Socket loop for both reference wire topologies:
+    """Socket loop for the reference wire topologies:
 
     - ``pull`` (default): PULL-bind collector — the main venus ingest
       edge (``venus/io/__init__.py:78-108``); producers PUSH-connect.
@@ -168,6 +169,13 @@ def run_zmq(
       subscriber is bound and on slow-subscriber HWM — strictly
       at-most-once, exactly the wire contract the reference's
       queue-overflow drop already accepts (A3).
+    - ``connect=ENDPOINT`` flips either type to the CONNECT side:
+      ``sub`` + connect is the stock SUB-connect/PUB-bind demo
+      (``contrib/zmqlog/stock/collector_sub_connect.py:12-14`` —
+      collector connects to a producer that owns the bound port);
+      ``pull`` + connect is the matching PULL-connect/PUSH-bind
+      fan-in. Only the socket wiring changes — the poll/batch/land
+      loop is identical, and reconnects are zmq-transparent.
 
     ``zmq_module`` injects a stand-in for tests (pyzmq is absent in
     the build container; the import gate below serves deployments)."""
@@ -189,16 +197,19 @@ def run_zmq(
     ctx = zmq.Context.instance()
     sock = ctx.socket(zmq.PULL if socket_type == "pull" else zmq.SUB)
     sock.setsockopt(zmq.LINGER, 1)
-    sock.bind(f"tcp://*:{port:d}")
+    if connect:
+        sock.connect(connect)
+    else:
+        sock.bind(f"tcp://*:{port:d}")
     if socket_type == "sub":
-        # subscribe-all, like the reference demo's sock.subscribe(b'')
+        # subscribe-all, like the reference demos' sock.subscribe(b'')
         sock.subscribe(b"")
     poller = zmq.Poller()
     poller.register(sock, zmq.POLLIN)
-    print(
-        f"relay: {socket_type.upper()} bound on tcp://*:{port}",
-        file=sys.stderr,
+    where = (
+        f"connected to {connect}" if connect else f"bound on tcp://*:{port}"
     )
+    print(f"relay: {socket_type.upper()} {where}", file=sys.stderr)
     try:
         while True:
             # Poll with a short timeout so the age trigger fires even
@@ -235,13 +246,27 @@ def main() -> None:
         "sub = SUB-bind subscribe-all collector (the contrib "
         "PUB/SUB demo topology)",
     )
+    ap.add_argument(
+        "--connect",
+        metavar="ENDPOINT",
+        help="CONNECT to this endpoint (e.g. tcp://127.0.0.1:12345) "
+        "instead of binding --port: with --socket-type sub this is "
+        "the stock SUB-connect/PUB-bind demo topology "
+        "(collector_sub_connect.py); with pull it is PULL-connect/"
+        "PUSH-bind fan-in",
+    )
     args = ap.parse_args()
     os.makedirs(args.landing, exist_ok=True)
     batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
     if args.stdin:
         run_stdin(batcher)
     else:
-        run_zmq(batcher, args.port, socket_type=args.socket_type)
+        run_zmq(
+            batcher,
+            args.port,
+            socket_type=args.socket_type,
+            connect=args.connect,
+        )
 
 
 if __name__ == "__main__":

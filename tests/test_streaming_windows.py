@@ -1704,6 +1704,21 @@ def test_drift_digest_verdict_memoized_per_process(tmp_path, monkeypatch):
         assert stale == set() and drift == {0}
     assert len(calls) == 1  # paid once per process, not per check
 
+    # VERDICT r11 #1: the verdict also persists to the advisory
+    # sidecar, so a NEW process (fresh in-process memo) adopts it
+    # without re-paying the partition read — one read per DEPLOYMENT
+    # per drift generation, not per process
+    assert os.path.exists(os.path.join(sink, st._DRIFT_VERDICT_SIDECAR))
+    st._DIGEST_VERDICT_MEMO.clear()  # "new process"
+    calls.clear()
+    stale, drift = st._sink_receipt_divergence(sink)
+    assert stale == set() and drift == {0}
+    assert len(calls) == 0  # sidecar hit: no partition read at all
+
+    # the repair clears the sidecar (receipts refreshed -> dead weight)
+    st._clear_drift_sidecar(sink)
+    assert not os.path.exists(os.path.join(sink, st._DRIFT_VERDICT_SIDECAR))
+
     # unreadable partition -> None digest -> conservative AND uncached
     st._DIGEST_VERDICT_MEMO.clear()
     calls.clear()
@@ -1714,6 +1729,9 @@ def test_drift_digest_verdict_memoized_per_process(tmp_path, monkeypatch):
         stale, drift = st._sink_receipt_divergence(sink)
         assert stale == {0} and drift == set()
     assert len(calls) == 2  # re-probed every check until it reads clean
+    assert not os.path.exists(  # None is never persisted either
+        os.path.join(sink, st._DRIFT_VERDICT_SIDECAR)
+    )
     st._DIGEST_VERDICT_MEMO.clear()
 
 

@@ -449,6 +449,9 @@ class _FakeZmq:
     def bind(self, addr):
         self.ops.append(("bind", addr))
 
+    def connect(self, addr):
+        self.ops.append(("connect", addr))
+
     def subscribe(self, topic):
         self.ops.append(("subscribe", topic))
 
@@ -502,6 +505,36 @@ def test_socket_loop_lands_frames_both_topologies(tmp_path, socket_type):
     assert ("bind", "tcp://*:5555") in fake.ops
     stype = dict(pull=_FakeZmq.PULL, sub=_FakeZmq.SUB)[socket_type]
     assert ("socket", stype) in fake.ops
+    subs = [op for op in fake.ops if op[0] == "subscribe"]
+    assert subs == ([("subscribe", b"")] if socket_type == "sub" else [])
+    assert ("close",) in fake.ops and ("term",) in fake.ops
+
+
+@pytest.mark.parametrize("socket_type", ["pull", "sub"])
+def test_connect_mode_lands_frames(tmp_path, socket_type):
+    """The CONNECT-side topologies: SUB-connect/PUB-bind is the stock
+    demo (reference contrib collector_sub_connect.py:12-14 — the
+    collector connects to a producer that owns the bound port);
+    PULL-connect is the matching PUSH-bind fan-in. Same loop, only the
+    socket wiring flips: connect() is issued with the endpoint, bind()
+    never is, subscribe-all still fires for sub only."""
+    frames = [[b"INFO", b'{"m": 1}'], [b"INFO", b'{"m": 2}']]
+    fake = _FakeZmq(frames)
+    batcher = relay.MicroBatcher(str(tmp_path), max_size=10, max_age=999)
+    relay.run_zmq(
+        batcher,
+        5555,
+        socket_type=socket_type,
+        zmq_module=fake,
+        connect="tcp://127.0.0.1:12345",
+    )
+    lines = [
+        ln for p in sorted(tmp_path.iterdir())
+        for ln in p.read_text().splitlines()
+    ]
+    assert lines == ['{"m": 1}', '{"m": 2}']
+    assert ("connect", "tcp://127.0.0.1:12345") in fake.ops
+    assert not any(op[0] == "bind" for op in fake.ops)
     subs = [op for op in fake.ops if op[0] == "subscribe"]
     assert subs == ([("subscribe", b"")] if socket_type == "sub" else [])
     assert ("close",) in fake.ops and ("term",) in fake.ops

@@ -1785,6 +1785,83 @@ def _stale_sink_ids(
 _DIGEST_VERDICT_MEMO: dict[tuple, bool] = {}
 _DIGEST_MEMO_CAP = 4096
 
+# Cross-PROCESS twin of the in-process memo (VERDICT r11 next-round
+# #1): the per-process memo bounds a drift batch's digest re-pay to
+# one read per process, but every NEW process (a fresh CLI query, a
+# cron job) still paid the full partition read until the nightly
+# repair refreshed the receipt. The receipt itself is single-writer
+# (the stream owns it; a query-side read-modify-write would race the
+# stream's per-batch receipt writes and could drop a just-landed
+# batch's entry), so the query side persists verdicts to a SIDECAR
+# that is a pure advisory cache instead: keyed by a hash of the exact
+# (table, bid, file set, receipt claim) — landed parquet files are
+# immutable and rewrites mint fresh uuid names, so the key fully
+# determines the verdict and a stale entry is unreachable. Lost
+# updates (two processes racing the tmp+rename) cost one extra
+# re-read, never correctness; all writes are best-effort (a read-only
+# sink dir must not break queries). The repair deletes the sidecar
+# after refreshing receipts — every cached verdict is dead weight once
+# the receipts match again, and entries are re-derivable.
+_DRIFT_VERDICT_SIDECAR = "_drift_verdicts.json"
+_DRIFT_SIDECAR_CAP = 1024
+
+
+def _drift_sidecar_key(
+    table: str, bid: int, files: list[str], want_rows: int, want_sum: int
+) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(
+            [table, bid, sorted(files), want_rows, want_sum],
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:40]
+
+
+def _read_drift_sidecar(sink_dir: str) -> dict[str, bool]:
+    try:
+        with open(os.path.join(sink_dir, _DRIFT_VERDICT_SIDECAR)) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            return {}
+        return {
+            k: v
+            for k, v in data.items()
+            if isinstance(k, str) and isinstance(v, bool)
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+def _append_drift_sidecar(sink_dir: str, key: str, verdict: bool) -> None:
+    rec = _read_drift_sidecar(sink_dir)
+    if rec.get(key) == verdict:
+        return
+    if len(rec) >= _DRIFT_SIDECAR_CAP:
+        rec = {}  # backstop, mirrors the in-process memo's clear
+    rec[key] = verdict
+    p = os.path.join(sink_dir, _DRIFT_VERDICT_SIDECAR)
+    tmp = f"{p}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, p)
+    except OSError:
+        # advisory cache only — a sink dir this process cannot write
+        # (read replica, permissions) keeps the per-process memo
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _clear_drift_sidecar(sink_dir: str) -> None:
+    try:
+        os.unlink(os.path.join(sink_dir, _DRIFT_VERDICT_SIDECAR))
+    except OSError:
+        pass
+
 
 def _digest_verdict_memo(
     sink_dir: str,
@@ -1805,6 +1882,16 @@ def _digest_verdict_memo(
     hit = _DIGEST_VERDICT_MEMO.get(key)
     if hit is not None:
         return hit
+    skey = _drift_sidecar_key(table, bid, files, want_rows, want_sum)
+    shit = _read_drift_sidecar(sink_dir).get(skey)
+    if shit is not None:
+        # another process already paid this drift generation's read —
+        # adopt its verdict (sound: the key pins the immutable file
+        # set AND the claim) and memoize locally
+        if len(_DIGEST_VERDICT_MEMO) >= _DIGEST_MEMO_CAP:
+            _DIGEST_VERDICT_MEMO.clear()
+        _DIGEST_VERDICT_MEMO[key] = shit
+        return shit
     got = _partition_content_digest(sink_dir, table, bid, files)
     if got is None:
         return False  # no claim — conservative, and not cacheable
@@ -1812,6 +1899,7 @@ def _digest_verdict_memo(
     if len(_DIGEST_VERDICT_MEMO) >= _DIGEST_MEMO_CAP:
         _DIGEST_VERDICT_MEMO.clear()
     _DIGEST_VERDICT_MEMO[key] = verdict
+    _append_drift_sidecar(sink_dir, skey, verdict)
     return verdict
 
 
@@ -1830,12 +1918,14 @@ def _sink_receipt_divergence(
     receipt is refreshed — the audit reports them and the repair
     refreshes their receipts, restoring the r9 nightly self-heal the
     digest rule would otherwise have removed (review r10 #2). Between
-    repairs the re-pay is bounded per PROCESS (ADVICE r10 #3):
-    digest-compare verdicts memoize on the exact (partition, file set,
-    receipt claim) key — sound because landed parquet files are
-    immutable (every rewrite mints fresh uuid names, so any change
-    re-keys) — and each drift generation costs one read per process
-    instead of one per query."""
+    repairs the re-pay is bounded per DEPLOYMENT (ADVICE r10 #3 gave
+    the per-process memo; VERDICT r11 #1 added the cross-process
+    sidecar): digest-compare verdicts memoize on the exact (partition,
+    file set, receipt claim) key — sound because landed parquet files
+    are immutable (every rewrite mints fresh uuid names, so any change
+    re-keys) — in-process AND in an advisory sidecar next to the
+    receipt, so each drift generation costs one read by whichever
+    process first sees it, not one per process."""
     stale: set[int] = set()
     drift: set[int] = set()
     for bid, fps in _read_batch_fp_record(sink_dir).items():
@@ -2304,4 +2394,7 @@ def repair_events_sink(
     # maintenance-time receipt hygiene: drop entries whose partitions
     # have all vanished (removed orphans above, retention, surgery)
     _prune_batch_fp_record(sink_dir)
+    # the receipts now match reality, so every cached drift verdict is
+    # dead weight — and all of them are re-derivable; drop the sidecar
+    _clear_drift_sidecar(sink_dir)
     return out
