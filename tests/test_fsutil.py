@@ -63,3 +63,30 @@ def test_full_walk_intact(tmp_path):
         ("a", ["b"], ["f.txt"]),
         (os.path.join("a", "b"), [], []),
     ]
+
+
+def test_spark_staging_dirs_pruned_not_raced(tmp_path):
+    """Spark job commits create and REMOVE _temporary/.spark-staging-*
+    under live-written table roots: the strict walk must neither list
+    their uncommitted part files as data nor raise when one vanishes
+    mid-walk — it prunes them from descent entirely. Partition dirs
+    (_batch_id=N) contain '=' and are never pruned."""
+    root = tmp_path / "events"
+    (root / "_batch_id=0").mkdir(parents=True)
+    (root / "_batch_id=0" / "part-0.parquet").write_text("x")
+    (root / "_temporary" / "0").mkdir(parents=True)
+    (root / "_temporary" / "0" / "part-inflight.parquet").write_text("x")
+    (root / ".spark-staging-abc123").mkdir()
+    (root / ".spark-staging-abc123" / "part-staged.parquet").write_text("x")
+    seen_files = [
+        f for _d, _dn, fns in walk_strict(str(root)) for f in fns
+    ]
+    assert seen_files == ["part-0.parquet"]
+    # vanish race: staging removed after the parent listing -> quiet,
+    # because the walker never descends into it at all
+    walker = walk_strict(str(root))
+    _dirpath, dirnames, _f = next(walker)
+    assert "_temporary" not in dirnames and "_batch_id=0" in dirnames
+    shutil.rmtree(root / "_temporary")
+    shutil.rmtree(root / ".spark-staging-abc123")
+    list(walker)  # completes without raising
