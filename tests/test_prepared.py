@@ -2801,3 +2801,52 @@ def test_ivf_heal_swap_survives_concurrent_staging_sweep(
         assert json.load(f) == prepared._IVF_CENT_META
     kept2 = prepared._read_train_meta(cent_path)
     assert kept2["tb_at_train"] == 5 and kept2["trained_n"] == 4321
+
+
+def test_postings_heal_concurrent_callers_serialize(
+    spark, tmp_path, monkeypatch
+):
+    """The heal runs on the ENSURE path where several callers can
+    enter concurrently (the exact hazard class review r11 pass-11 #1
+    fixed for the IVF heal): racing callers must serialize on the heal
+    flock — no torn stats generation, no spurious refusal, identical
+    results, stamps current. Four threads race documents_postings on a
+    stale-stamped layout with absorbed batches armed."""
+    import json
+    import os
+    import threading
+    import traceback
+
+    from venus_spark import prepared
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = _mk_doc_sf(spark, tmp_path, name="conc_heal_sf")
+    prepared.documents_postings(spark, sf)
+    post = prepared.prepared_path(sf, "documents_postings.parquet")
+    dfreq = prepared.prepared_path(sf, "documents_dfreq.parquet")
+    stats = prepared.prepared_path(sf, "documents_stats.parquet")
+    prepared._mark_appended(post)
+    pre = {k: v for k, v in prepared._POSTINGS_META.items() if k != "round"}
+    for p in (post, dfreq, stats):
+        with open(os.path.join(p, "_prep_meta.json"), "w") as f:
+            json.dump(pre, f)
+
+    errs, results = [], []
+
+    def worker(i):
+        try:
+            pdf, _d, s = prepared.documents_postings(spark, sf)
+            results.append((pdf.count(), s.first()["avgdl"]))
+        except Exception:
+            errs.append(traceback.format_exc())
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs[0]
+    assert len(set(results)) == 1
+    for p in (post, dfreq, stats):
+        with open(os.path.join(p, "_prep_meta.json")) as f:
+            assert json.load(f) == prepared._POSTINGS_META
