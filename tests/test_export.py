@@ -382,3 +382,121 @@ def test_export_snapshot_tombstone_overrides_reproducibility(
     out4 = str(tmp_path / "exp4")
     export_curated_jsonl(spark, sf, out4, shards=2)
     assert {r["doc_id"] for r in spark.read.json(out4).collect()} == ids2
+
+
+def test_export_delta_jsonl_incremental_curation(spark, tmp_path, monkeypatch):
+    """O(delta) incremental export: current-minus-base file sets ARE
+    the landed delta (parquet part files are immutable; appends only
+    add). Pins: (a) calling before the delta is indexed raises the
+    coverage guard (unscreened dedup would be a silent lie); (b) the
+    funnel over the delta drops a low-quality doc, a bench-contaminated
+    doc, a within-delta duplicate, AND — the incremental kernel — a
+    near-dup of an ALREADY-EXPORTED base document; (c) the manifest
+    chains (delta_of digest + base snapshot + current snapshot), and a
+    follow-up delta against the new snapshot is empty; (d) a base file
+    vanishing (compaction/vacuum) makes 'since' undefined — loud."""
+    import json
+    import os
+
+    import pytest
+
+    from venus_spark import prepared
+    from venus_spark.export import (
+        EXPORT_MANIFEST,
+        corpus_snapshot,
+        export_delta_jsonl,
+        snapshot_digest,
+        verify_export,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    doc_dir = os.path.join(sf, "documents.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def words(seed, n=24):
+        return " ".join(f"w{seed}x{k}" for k in range(n))
+
+    bench_text = words("bench", 24)  # doc_id < 20 plays the benchmark set
+    base_rows = [(5, bench_text, "en", "bench", len(bench_text))] + [
+        (30 + 10 * i, words(i), "en", "web", 24 * 6) for i in range(10)
+    ]
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.parquet(doc_dir)
+    base_snap = corpus_snapshot(spark, sf)  # also ensures the mh index
+
+    # the delta: one clean doc; a verbatim copy of base doc 40 (cross-set
+    # near-dup); a within-delta identical pair (keeper = smaller id); a
+    # 5-token doc (quality gate); a doc carrying a bench 5-gram (decontam)
+    contaminated = " ".join(bench_text.split()[:5]) + " " + words("tail", 19)
+    delta_rows = [
+        (9001, words("new"), "en", "web", 144),
+        (9002, base_rows[2][1], "en", "web", 144),   # dup of base 40
+        (9003, words("twin"), "en", "web", 144),
+        (9004, words("twin"), "en", "web", 144),     # within-delta dup
+        (9005, "too short to pass", "en", "web", 18),
+        (9006, contaminated, "en", "web", len(contaminated)),
+    ]
+    delta_df = spark.createDataFrame(delta_rows, schema)
+    delta_df.coalesce(1).write.mode("append").parquet(doc_dir)
+
+    # (a) index lags the corpus -> loud, BEFORE any shard is written
+    out = str(tmp_path / "delta1")
+    with pytest.raises(ValueError, match="MinHash index"):
+        export_delta_jsonl(spark, sf, out, base_snap, shards=4)
+    assert not os.path.exists(out)
+
+    prepared.write_minhash_pending(sf, delta_df, batch_id=1)
+
+    # (b) the curated delta
+    manifest = export_delta_jsonl(spark, sf, out, base_snap, shards=4)
+    got = {r["doc_id"] for r in spark.read.json(out).collect()}
+    assert got == {9001, 9003}
+    assert manifest["n_rows"] == 2
+    assert verify_export(spark, out) == []
+
+    # (c) chaining: delta_of names the base; the embedded base snapshot
+    # re-derives the delta; next delta against the new snapshot is empty
+    with open(os.path.join(out, EXPORT_MANIFEST)) as f:
+        m = json.load(f)
+    assert m["delta_of"] == snapshot_digest(base_snap)
+    assert m["base_snapshot"] == base_snap
+    assert set(m["snapshot"]["documents"]) > set(base_snap["documents"])
+    out2 = str(tmp_path / "delta2")
+    m2 = export_delta_jsonl(spark, sf, out2, m["snapshot"], shards=4)
+    assert m2["n_rows"] == 0 and m2["n_shards"] == 0
+    assert m2["delta_of"] == snapshot_digest(m["snapshot"])
+
+    # (d) history rewritten -> 'since' undefined, loud
+    victim = os.path.join(doc_dir, sorted(base_snap["documents"])[0])
+    os.remove(victim)
+    with pytest.raises(ValueError, match="no longer materializable"):
+        export_delta_jsonl(
+            spark, sf, str(tmp_path / "delta3"), base_snap, shards=4
+        )
+
+
+def test_export_delta_single_file_table(spark, tmp_path, monkeypatch):
+    """A single-file documents table (the small-SF driver layout) pins
+    as __self__:<size>: equal snapshots yield an EMPTY chaining delta;
+    a changed file is an in-place rewrite — delta undefined, loud."""
+    import json
+    import os
+
+    import pytest
+
+    from venus_spark import prepared
+    from venus_spark.export import corpus_snapshot, export_delta_jsonl
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    os.symlink(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(sf, "documents.parquet"),
+    )
+    snap = corpus_snapshot(spark, sf)
+    m = export_delta_jsonl(spark, sf, str(tmp_path / "d1"), snap, shards=2)
+    assert m["n_rows"] == 0
+    forged = dict(snap, documents=["__self__:1"])
+    with pytest.raises(ValueError, match="in-place rewrite"):
+        export_delta_jsonl(spark, sf, str(tmp_path / "d2"), forged, shards=2)

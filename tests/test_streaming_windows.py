@@ -1716,8 +1716,13 @@ def test_drift_digest_verdict_memoized_per_process(tmp_path, monkeypatch):
     assert len(calls) == 0  # sidecar hit: no partition read at all
 
     # the repair clears the sidecar (receipts refreshed -> dead weight)
+    # AND sweeps crash-leftover tmp stagings from interrupted writes
+    crashed_tmp = os.path.join(sink, st._DRIFT_VERDICT_SIDECAR + ".999.tmp")
+    with open(crashed_tmp, "w") as f:
+        f.write("{}")
     st._clear_drift_sidecar(sink)
     assert not os.path.exists(os.path.join(sink, st._DRIFT_VERDICT_SIDECAR))
+    assert not os.path.exists(crashed_tmp)
 
     # unreadable partition -> None digest -> conservative AND uncached
     st._DIGEST_VERDICT_MEMO.clear()

@@ -226,6 +226,145 @@ def _read_snapshot_relation(
     return spark.read.parquet(*paths)
 
 
+def snapshot_digest(snapshot: dict) -> str:
+    """Stable content digest of a corpus snapshot — what a delta
+    export's manifest records as ``delta_of`` so a loader can verify a
+    chain of exports was cut against the corpus states it claims."""
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(snapshot, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def export_delta_jsonl(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    base_snapshot: dict,
+    shards: int = 8,
+) -> dict:
+    """Export only the documents landed SINCE ``base_snapshot`` —
+    the O(delta) continuation of :func:`export_curated_jsonl` for the
+    steady-state pipeline, where re-exporting (and re-curating) a
+    100 TB corpus because 0.1% of it is new would dominate the whole
+    pipeline's cost. Parquet part files are immutable and appends only
+    ADD files (the same contract :func:`corpus_snapshot` pins), so
+    ``current file set − base file set`` IS the landed delta, and the
+    export reads exactly those files.
+
+    Curation of the delta matches the full export's funnel with the
+    two adjustments a delta requires:
+
+    - NEAR-DUP screening is two-sided: within-delta via the standard
+      LSH funnel over the delta's own index rows, PLUS delta-vs-corpus
+      via the incremental cross-set band join
+      (:func:`venus_spark.operators.dedup.incremental_near_dups`) — a
+      new document that near-duplicates an ALREADY-EXPORTED one must
+      not ship again, and only the delta side is ever new compute.
+    - The decontamination BENCHMARK set is a corpus-level constant, so
+      it is extracted from the full table, not the delta slice.
+
+    Guards (all loud, none silent): the base snapshot must still be
+    materializable (a compaction/vacuum that replaced its files makes
+    "since" undefined — re-export full); a single-file table that was
+    rewritten in place is likewise undefined; and every delta document
+    must have a MinHash index row (a raw file dropped in out-of-band
+    is NOT indexed — screening it as dup-free would be a silent lie;
+    land it through the ingest/merge path first). Current tombstones
+    apply on top, same RTBF-wins contract as the full export.
+
+    The manifest records ``delta_of`` (the base snapshot's digest),
+    the full base snapshot (so the exact delta file set re-derives
+    from the manifest alone), and the CURRENT snapshot — which is the
+    ``base_snapshot`` of the next delta: exports chain."""
+    from venus_spark.operators.dedup import incremental_near_dups
+    from venus_spark.plans.pipeline_ops import _JACCARD_T
+    from venus_spark.plans.pipeline_ops4 import curated_funnel
+    from venus_spark.prepared import _anti_tombstones, documents_minhash_live
+
+    if "documents" not in base_snapshot:
+        raise ValueError(
+            "base snapshot has no 'documents' file list — not a corpus "
+            "snapshot this engine wrote"
+        )
+    cur = corpus_snapshot(spark, sf_dir)
+    base_files = set(base_snapshot["documents"])
+    cur_files = set(cur["documents"])
+    selfish = [f for f in base_files | cur_files if f.startswith(_SNAP_SELF)]
+    if selfish:
+        if base_files == cur_files:
+            delta_files: list[str] = []
+        else:
+            raise ValueError(
+                "delta is undefined for a single-file documents table "
+                "whose file changed: an in-place rewrite replaced "
+                "history rather than appending to it; re-export full "
+                "(export_curated_jsonl) to cut a fresh baseline."
+            )
+    else:
+        gone = sorted(base_files - cur_files)
+        if gone:
+            raise ValueError(
+                f"base snapshot no longer materializable: {len(gone)} "
+                f"file(s) were rewritten or removed since it was cut "
+                f"(compaction/vacuum), e.g. {gone[:3]}; 'since' is "
+                "undefined — re-export full to cut a fresh baseline."
+            )
+        delta_files = sorted(cur_files - base_files)
+    if not delta_files:
+        # nothing landed: an EMPTY but self-certifying export — the
+        # manifest still chains (snapshot = current), and a loader
+        # sees 0 rows / 0 shards instead of a missing directory
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = write_export_manifest(spark, out_dir, snapshot=cur)
+        manifest["delta_of"] = snapshot_digest(base_snapshot)
+        manifest["base_snapshot"] = base_snapshot
+        p = os.path.join(out_dir, EXPORT_MANIFEST)
+        with open(p + ".tmp", "w") as f:
+            json.dump(manifest, f, sort_keys=True, indent=1)
+        os.replace(p + ".tmp", p)
+        return manifest
+    doc_root = os.path.join(sf_dir, "documents.parquet")
+    delta_docs = spark.read.parquet(
+        *[os.path.join(doc_root, f) for f in delta_files]
+    )
+    full_docs = _read_snapshot_relation(
+        spark, doc_root, cur["documents"], "documents"
+    )
+    mh_full = documents_minhash_live(spark, sf_dir)  # tombstone-filtered
+    delta_ids = delta_docs.select("doc_id")
+    unindexed = delta_ids.join(mh_full, "doc_id", "left_anti").count()
+    if unindexed:
+        raise ValueError(
+            f"{unindexed} delta document(s) have no MinHash index row — "
+            "the index lags the corpus (a file landed outside the "
+            "ingest/merge path?); build or merge the index first, or "
+            "the delta would ship unscreened for near-duplicates."
+        )
+    mh_delta = mh_full.join(delta_ids, "doc_id", "left_semi")
+    mh_base = mh_full.join(delta_ids, "doc_id", "left_anti")
+    cross_dups = (
+        incremental_near_dups(mh_delta, mh_base, threshold=_JACCARD_T)
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    curated = (
+        curated_funnel(delta_docs, mh_delta, bench_docs=full_docs)
+        .join(cross_dups, "doc_id", "left_anti")
+    )
+    curated = _anti_tombstones(spark, sf_dir, curated)
+    export_jsonl(curated, out_dir, shards)
+    manifest = write_export_manifest(spark, out_dir, snapshot=cur)
+    manifest["delta_of"] = snapshot_digest(base_snapshot)
+    manifest["base_snapshot"] = base_snapshot
+    p = os.path.join(out_dir, EXPORT_MANIFEST)
+    with open(p + ".tmp", "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    os.replace(p + ".tmp", p)
+    return manifest
+
+
 def export_curated_jsonl(
     spark: SparkSession,
     sf_dir: str,

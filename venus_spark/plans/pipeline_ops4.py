@@ -474,7 +474,9 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curated_funnel(docs: DataFrame, mh: DataFrame) -> DataFrame:
+def curated_funnel(
+    docs: DataFrame, mh: DataFrame, bench_docs: DataFrame | None = None
+) -> DataFrame:
     """The curation funnel over INJECTED relations — shared by the
     ``curated_corpus`` plan (current tables) and the snapshot-pinned
     export (:func:`venus_spark.export.export_curated_jsonl` with a
@@ -482,7 +484,12 @@ def curated_funnel(docs: DataFrame, mh: DataFrame) -> DataFrame:
     is the RAW documents relation (neither caller delete-filters it —
     the funnel's output is anti-joined against tombstones by the
     caller that needs RTBF, e.g. the export); ``mh`` is the MinHash
-    index relation, delete-filtered by its provider."""
+    index relation, delete-filtered by its provider. ``bench_docs``
+    overrides where the decontamination BENCHMARK set is extracted
+    from (default: ``docs`` itself) — the delta export passes the full
+    table here while ``docs`` is only the newly-landed files, since
+    the bench set is a corpus-level constant that a delta slice
+    usually does not contain."""
     from venus_spark.operators.dedup import (
         connected_components,
         lsh_near_dup_pairs_from_index,
@@ -500,7 +507,8 @@ def curated_funnel(docs: DataFrame, mh: DataFrame) -> DataFrame:
     )
 
     bench_grams = (
-        docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        (docs if bench_docs is None else bench_docs)
+        .filter(F.col("doc_id") < _BENCH_MAX_ID)
         .select(F.explode(shingles("text", _DECON_N)).alias("g"))
         .distinct()
     )

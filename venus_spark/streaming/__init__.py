@@ -1857,10 +1857,26 @@ def _append_drift_sidecar(sink_dir: str, key: str, verdict: bool) -> None:
 
 
 def _clear_drift_sidecar(sink_dir: str) -> None:
+    """Maintenance-time removal (the repair's tail): the sidecar itself
+    plus any crash-leftover ``.tmp`` stagings from interrupted
+    best-effort writes — a writer killed between its tmp write and the
+    rename leaks one small file per crash, and no query-path code may
+    delete another process's in-flight tmp (pid-named, so only the
+    maintenance window can tell leftovers from live writes)."""
     try:
         os.unlink(os.path.join(sink_dir, _DRIFT_VERDICT_SIDECAR))
     except OSError:
         pass
+    try:
+        names = os.listdir(sink_dir)
+    except OSError:
+        return
+    for n in names:
+        if n.startswith(_DRIFT_VERDICT_SIDECAR + ".") and n.endswith(".tmp"):
+            try:
+                os.unlink(os.path.join(sink_dir, n))
+            except OSError:
+                pass
 
 
 def _digest_verdict_memo(
