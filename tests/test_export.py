@@ -500,3 +500,69 @@ def test_export_delta_single_file_table(spark, tmp_path, monkeypatch):
     forged = dict(snap, documents=["__self__:1"])
     with pytest.raises(ValueError, match="in-place rewrite"):
         export_delta_jsonl(spark, sf, str(tmp_path / "d2"), forged, shards=2)
+
+
+def test_export_delta_chain_never_ships_a_doc_twice(
+    spark, tmp_path, monkeypatch
+):
+    """Chained exports (full -> delta1 -> delta2) partition the curated
+    corpus: no doc_id ships twice anywhere in the chain, each delta's
+    base is the previous manifest's snapshot, and a near-dup landing in
+    delta2 of a doc exported in delta1 is screened by the incremental
+    kernel even though neither is in the base export."""
+    import json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.export import (
+        EXPORT_MANIFEST,
+        corpus_snapshot,
+        export_curated_jsonl,
+        export_delta_jsonl,
+        snapshot_digest,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    doc_dir = os.path.join(sf, "documents.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def words(seed, n=24):
+        return " ".join(f"w{seed}x{k}" for k in range(n))
+
+    base_rows = [(30 + 10 * i, words(i), "en", "web", 144) for i in range(6)]
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.parquet(doc_dir)
+
+    out0 = str(tmp_path / "full")
+    export_curated_jsonl(spark, sf, out0, shards=2)
+    with open(os.path.join(out0, EXPORT_MANIFEST)) as f:
+        snap0 = json.load(f)["snapshot"]
+
+    d1_rows = [(9101, words("d1a"), "en", "web", 144),
+               (9102, words("d1b"), "en", "web", 144)]
+    d1 = spark.createDataFrame(d1_rows, schema)
+    d1.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d1, batch_id=1)
+    out1 = str(tmp_path / "delta1")
+    m1 = export_delta_jsonl(spark, sf, out1, snap0, shards=2)
+    assert m1["delta_of"] == snapshot_digest(snap0)
+
+    # delta2: one clean doc + a verbatim copy of a DELTA1 doc — the
+    # cross-set screen must catch a dup of something exported in a
+    # PREVIOUS DELTA, not just in the original base
+    d2_rows = [(9201, words("d2a"), "en", "web", 144),
+               (9202, d1_rows[0][1], "en", "web", 144)]
+    d2 = spark.createDataFrame(d2_rows, schema)
+    d2.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d2, batch_id=2)
+    out2 = str(tmp_path / "delta2")
+    m2 = export_delta_jsonl(spark, sf, out2, m1["snapshot"], shards=2)
+    assert m2["delta_of"] == snapshot_digest(m1["snapshot"])
+
+    ids0 = {r["doc_id"] for r in spark.read.json(out0).collect()}
+    ids1 = {r["doc_id"] for r in spark.read.json(out1).collect()}
+    ids2 = {r["doc_id"] for r in spark.read.json(out2).collect()}
+    assert ids0 == {r[0] for r in base_rows}
+    assert ids1 == {9101, 9102}
+    assert ids2 == {9201}  # 9202 screened against delta1's 9101
+    assert not (ids0 & ids1) and not (ids1 & ids2) and not (ids0 & ids2)
