@@ -184,6 +184,19 @@ def _restamp_atomic(path: str, meta: dict) -> None:
     fork. tmp + ``os.replace`` keeps every observable state a complete
     json (ADVICE r12 #1)."""
     p = os.path.join(path, "_prep_meta.json")
+    # sweep crashed prior attempts' strays first — safe because every
+    # caller holds the heal flock (writers of these names are
+    # serialized), and hidden-underscore names are invisible to
+    # parquet readers either way; without this a crash between the
+    # tmp write and the replace would leak one stray per attempt
+    # forever (nothing else matches the name).
+    base = os.path.basename(p) + "."
+    try:
+        for n in os.listdir(path):
+            if n.startswith(base) and n.endswith(".tmp"):
+                os.unlink(os.path.join(path, n))
+    except OSError:
+        pass
     tmp = f"{p}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
