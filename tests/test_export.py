@@ -566,3 +566,62 @@ def test_export_delta_chain_never_ships_a_doc_twice(
     assert ids1 == {9101, 9102}
     assert ids2 == {9201}  # 9202 screened against delta1's 9101
     assert not (ids0 & ids1) and not (ids1 & ids2) and not (ids0 & ids2)
+
+
+def test_export_delta_tombstone_and_all_dup_edges(spark, tmp_path, monkeypatch):
+    """Two delta edge semantics: (a) a delta that is ENTIRELY
+    near-dups of already-exported docs produces a valid 0-row export
+    (manifest chains, no shard dirs); (b) a delta doc duplicating a
+    TOMBSTONED base doc SHIPS — the original is deleted, so the copy is
+    now the corpus's only version (RTBF wins over dedup history; the
+    live index the cross-set screen reads is tombstone-filtered)."""
+    import json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.export import (
+        EXPORT_MANIFEST,
+        corpus_snapshot,
+        export_curated_jsonl,
+        export_delta_jsonl,
+    )
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    doc_dir = os.path.join(sf, "documents.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def words(seed, n=24):
+        return " ".join(f"w{seed}x{k}" for k in range(n))
+
+    base_rows = [(30 + 10 * i, words(i), "en", "web", 144) for i in range(4)]
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.parquet(doc_dir)
+    export_curated_jsonl(spark, sf, str(tmp_path / "full"), shards=2)
+    with open(os.path.join(tmp_path / "full", EXPORT_MANIFEST)) as f:
+        snap0 = json.load(f)["snapshot"]
+
+    # tombstone base doc 30 AFTER the full export
+    prepared.tombstone_documents(spark, sf, [30], batch_id=0)
+
+    # delta: a copy of tombstoned 30 (should ship) + a copy of live 40
+    # (screened) — "entirely dups" from the pre-delete perspective
+    d_rows = [(9301, base_rows[0][1], "en", "web", 144),
+              (9302, base_rows[1][1], "en", "web", 144)]
+    d = spark.createDataFrame(d_rows, schema)
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    out1 = str(tmp_path / "d1")
+    m1 = export_delta_jsonl(spark, sf, out1, snap0, shards=2)
+    ids1 = {r["doc_id"] for r in spark.read.json(out1).collect()}
+    assert ids1 == {9301}  # dup-of-tombstoned ships; dup-of-live screened
+    assert m1["n_rows"] == 1
+
+    # second delta entirely dups of exported docs -> valid 0-row export
+    d2_rows = [(9401, base_rows[2][1], "en", "web", 144)]
+    d2 = spark.createDataFrame(d2_rows, schema)
+    d2.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d2, batch_id=2)
+    out2 = str(tmp_path / "d2")
+    m2 = export_delta_jsonl(spark, sf, out2, m1["snapshot"], shards=2)
+    assert m2["n_rows"] == 0 and m2["n_shards"] == 0
+    assert os.path.exists(os.path.join(out2, EXPORT_MANIFEST))
