@@ -179,17 +179,16 @@ def _find_close(s, i):
 
 
 def test_inline_dround_copies_match_current_template():
-    """Lint (review r11 pass-7 #2; narrowed by ADVICE r12 #4): the
-    ~100 oracle SQL strings that inlined the dround template textually
-    were rewritten in r12 to COMPOSE from dround_sql() (verified
-    byte-identical oracle output), so template drift is now impossible
-    at those sites by construction. Four sites remain literal — the
-    template there spans an implicit string-concatenation boundary, so
-    no single f-string interpolation can replace it — and this lint
-    re-derives each from dround_sql so a change to the canonical form
-    flags them. It also still requires the rounding idiom marker
-    ('+ 5e-1') to appear only inside validated template spans — a
-    hand-written unguarded floor form cannot slip in beside the
+    """Lint (review r11 pass-7 #2; retired as a copy-police by ADVICE
+    r12 #4): all ~104 oracle SQL strings that inlined the dround
+    template textually now COMPOSE from dround_sql() (verified
+    byte-identical oracle output for every plan), so template drift is
+    impossible at those sites by construction and zero literal copies
+    remain outside sqlgen.py itself. The lint stays as a FUTURE-drift
+    screen: any hand-inlined copy someone adds later is re-derived
+    from dround_sql and flagged if stale, and the rounding idiom
+    marker ('+ 5e-1') may only appear inside validated template spans
+    — a hand-written unguarded floor form cannot slip in beside the
     guarded ones."""
     import glob
     import os

@@ -46,12 +46,11 @@ _RRF_QUERY_VEC_ID = 0
 # One shared scoring string: ranks are BIGINT, 1.0/(k+r) is the same
 # double division in both engines, and the two-list sum is a two-term
 # add — no accumulation-order concerns.
-_RRF_SCORE = (
-    f"(CASE WHEN ABS((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
-    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) * 1e6) < 9e18 THEN (FLOOR((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
-    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) * 1e6 + 5e-1) / 1e6) ELSE (COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
-    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)) END)"
+_RRF_RAW = (
+    f"COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)"
 )
+_RRF_SCORE = dround_sql(_RRF_RAW)
 
 _VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
 

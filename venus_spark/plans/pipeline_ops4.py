@@ -222,16 +222,15 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rollup a curation run is judged by.
 # --------------------------------------------------------------------------
 
+_STOP_RATIO_RAW = (
+    f"LEN(LIST_FILTER({_TOKS},"
+    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
+    f" / LEN({_TOKS})"
+)
 _PASS_SQL = (
     f"LEN({_TOKS}) >= {_MIN_TOKENS}"
     f" AND {dround_sql(f'LEN(LIST_DISTINCT({_TOKS})) * CAST(1 AS DOUBLE) / LEN({_TOKS})')} >= {_MIN_TTR}"
-    f" AND (CASE WHEN ABS((LEN(LIST_FILTER({_TOKS},"
-    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
-    f" / LEN({_TOKS})) * 1e6) < 9e18 THEN (FLOOR((LEN(LIST_FILTER({_TOKS},"
-    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
-    f" / LEN({_TOKS})) * 1e6 + 5e-1) / 1e6) ELSE (LEN(LIST_FILTER({_TOKS},"
-    f" t -> LIST_CONTAINS({[*tx.STOPWORDS]!r}, t))) * CAST(1 AS DOUBLE)"
-    f" / LEN({_TOKS})) END) <= {_MAX_STOP_RATIO}"
+    f" AND {dround_sql(_STOP_RATIO_RAW)} <= {_MAX_STOP_RATIO}"
 )
 
 _REPORT_ORACLE = f"""

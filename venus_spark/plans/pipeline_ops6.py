@@ -47,15 +47,12 @@ _BM25_TOPK = 20
 # inputs are tf/dl/df/n_docs (BIGINT) and avgdl (canonical double), so the
 # arithmetic promotes identically and LN/div/mul associate identically.
 # Rounded to 6 dp so the per-doc sum can use the exact decimal accumulator.
-_BM25_TERM_SCORE = (
-    f"(CASE WHEN ABS((LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
+_BM25_RAW = (
+    f"LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
     f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
-    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) * 1e6) < 9e18 THEN (FLOOR((LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
-    f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
-    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) * 1e6 + 5e-1) / 1e6) ELSE (LN((n_docs - df + 0.5) / (df + 0.5) + CAST(1 AS DOUBLE))"
-    f" * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))"
-    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) END)"
+    f" / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))"
 )
+_BM25_TERM_SCORE = dround_sql(_BM25_RAW)
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 

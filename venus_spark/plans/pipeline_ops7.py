@@ -299,13 +299,14 @@ _ANOM_TOPK = 3
 # guard matters under Spark's default ANSI mode, where a one-bucket or
 # zero-variance series would make the division a runtime ERROR, not a
 # NULL (the guard compares in double so it cannot overflow at scale).
+_Z_RAW = (
+    "(c - CAST(s1 AS DOUBLE) / n)"
+    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))"
+)
 _Z_SCORE = (
     "CASE WHEN n > 1 AND CAST(s2 AS DOUBLE) * n > CAST(s1 AS DOUBLE) * s1 THEN "
-    "(CASE WHEN ABS(((c - CAST(s1 AS DOUBLE) / n)"
-    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1e6) < 9e18 THEN (FLOOR(((c - CAST(s1 AS DOUBLE) / n)"
-    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1e6 + 5e-1) / 1e6) ELSE ((c - CAST(s1 AS DOUBLE) / n)"
-    " / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) END) "
-    "ELSE CAST(NULL AS DOUBLE) END"
+    + dround_sql(_Z_RAW)
+    + " ELSE CAST(NULL AS DOUBLE) END"
 )
 
 _ANOM_ORACLE = f"""
