@@ -232,7 +232,11 @@ def run_zmq(
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--landing", required=True, help="landing directory")
-    ap.add_argument("--port", type=int, default=5555)
+    # default applied after the --connect conflict check: an EXPLICIT
+    # --port alongside --connect is an error (the socket connects to
+    # ENDPOINT and never binds, so the port would be silently unused —
+    # review r12 ADVICE #4)
+    ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=MAX_BATCH_SIZE)
     ap.add_argument("--batch-age", type=float, default=MAX_BATCH_AGE_SECONDS)
     ap.add_argument(
@@ -256,6 +260,14 @@ def main() -> None:
         "PUSH-bind fan-in",
     )
     args = ap.parse_args()
+    if args.connect and args.port is not None:
+        ap.error(
+            "--port and --connect are mutually exclusive: with "
+            "--connect the relay connects to ENDPOINT and never binds, "
+            "so --port would be silently ignored"
+        )
+    if args.port is None:
+        args.port = 5555
     os.makedirs(args.landing, exist_ok=True)
     batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
     if args.stdin:

@@ -625,3 +625,201 @@ def test_export_delta_tombstone_and_all_dup_edges(spark, tmp_path, monkeypatch):
     m2 = export_delta_jsonl(spark, sf, out2, m1["snapshot"], shards=2)
     assert m2["n_rows"] == 0 and m2["n_shards"] == 0
     assert os.path.exists(os.path.join(out2, EXPORT_MANIFEST))
+
+
+def _delta_fixture(spark, tmp_path, monkeypatch, n_base=4):
+    """Common scaffolding for the delta-chain tests: a quality-passing
+    base corpus written as one parquet file, prepared root redirected,
+    and the full baseline export cut. Returns (sf, doc_dir, schema,
+    words, snap0)."""
+    import json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.export import EXPORT_MANIFEST, export_curated_jsonl
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    doc_dir = os.path.join(sf, "documents.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def words(seed, n=24):
+        return " ".join(f"w{seed}x{k}" for k in range(n))
+
+    base_rows = [(30 + 10 * i, words(i), "en", "web", 144) for i in range(n_base)]
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.parquet(doc_dir)
+    out0 = str(tmp_path / "full")
+    export_curated_jsonl(spark, sf, out0, shards=2)
+    with open(os.path.join(out0, EXPORT_MANIFEST)) as f:
+        snap0 = json.load(f)["snapshot"]
+    return sf, doc_dir, schema, words, snap0, out0
+
+
+def test_export_delta_tombstoned_delta_doc_does_not_block_chain(
+    spark, tmp_path, monkeypatch
+):
+    """Review r12 ADVICE #1 (high): a DELTA document tombstoned after
+    landing has no live-index row BY DESIGN (the live index is
+    tombstone-filtered), so the coverage guard must not count it as
+    'unindexed' — the old behavior blocked the delta chain PERMANENTLY
+    on a document that must not ship anyway. Pin: the export proceeds,
+    ships only the live delta doc, and the tombstoned one is absent."""
+    from venus_spark import prepared
+    from venus_spark.export import export_delta_jsonl
+
+    sf, doc_dir, schema, words, snap0, _ = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    d_rows = [(9001, words("live"), "en", "web", 144),
+              (9002, words("rtbf"), "en", "web", 144)]
+    d = spark.createDataFrame(d_rows, schema)
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    # the RTBF delete arrives AFTER the delta landed and was indexed
+    prepared.tombstone_documents(spark, sf, [9002], batch_id=2)
+
+    out = str(tmp_path / "d1")
+    m = export_delta_jsonl(spark, sf, out, snap0, shards=2)
+    ids = {r["doc_id"] for r in spark.read.json(out).collect()}
+    assert ids == {9001}  # chain proceeds; tombstoned doc does not ship
+    assert m["n_rows"] == 1 and "delta_of" in m
+
+    # and the chain continues past it: next delta against m['snapshot']
+    d2 = spark.createDataFrame([(9003, words("next"), "en", "web", 144)], schema)
+    d2.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d2, batch_id=3)
+    out2 = str(tmp_path / "d2")
+    m2 = export_delta_jsonl(spark, sf, out2, m["snapshot"], shards=2)
+    assert {r["doc_id"] for r in spark.read.json(out2).collect()} == {9003}
+    assert m2["n_rows"] == 1
+
+
+def test_export_delta_base_screen_restricted_to_base_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Review r12 ADVICE #3 (low): the cross-set near-dup screen's base
+    side must be the BASE SNAPSHOT's documents, not 'all live index rows
+    minus delta ids' — an index row for a document the chain has NOT
+    processed (here: an indexed-but-not-yet-landed newcomer, the same
+    state a doc landing between snapshot cut and index read produces)
+    must not suppress a delta doc, or neither copy would ever ship."""
+    from venus_spark import prepared
+    from venus_spark.export import export_delta_jsonl
+
+    sf, doc_dir, schema, words, snap0, _ = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    shared_text = words("race")
+    d = spark.createDataFrame([(9001, shared_text, "en", "web", 144)], schema)
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    # the newcomer: index rows exist (doc 9999, same text), but its
+    # parquet has not landed in any snapshot the chain has processed
+    phantom = spark.createDataFrame([(9999, shared_text, "en", "web", 144)], schema)
+    prepared.write_minhash_pending(sf, phantom, batch_id=2)
+
+    out = str(tmp_path / "d1")
+    m = export_delta_jsonl(spark, sf, out, snap0, shards=2)
+    ids = {r["doc_id"] for r in spark.read.json(out).collect()}
+    # old behavior: 9999 sat on the base side and suppressed 9001 —
+    # with neither ever shipping; the snapshot-restricted screen ships 9001
+    assert ids == {9001}
+    assert m["n_rows"] == 1
+
+
+def test_export_delta_crash_chain_ships_each_doc_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 #3: kill the export at each torn point across a
+    3-delta chain — (k1) between the shard write and the manifest
+    write, (k2) inside the manifest write between the tmp write and the
+    atomic rename — then resume. Pins: a torn export has NO manifest
+    (never a lineage-less one: the complete manifest is ONE atomic
+    write), verify_export NAMES the damage, the re-cut delta is
+    content-identical, and the final valid chain ships every curated
+    doc exactly once."""
+    import json
+    import os
+
+    import pytest
+
+    import venus_spark.export as exp
+    from venus_spark import prepared
+    from venus_spark.export import (
+        EXPORT_MANIFEST,
+        export_delta_jsonl,
+        verify_export,
+    )
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+
+    def land(rows, bid):
+        d = spark.createDataFrame(rows, schema)
+        d.coalesce(1).write.mode("append").parquet(doc_dir)
+        prepared.write_minhash_pending(sf, d, batch_id=bid)
+
+    # ---- delta 1, kill k1: after shards, before the manifest write
+    land([(9101, words("d1a"), "en", "web", 144),
+          (9102, words("d1b"), "en", "web", 144)], 1)
+    torn1 = str(tmp_path / "d1_torn")
+    with monkeypatch.context() as mctx:
+        def killed(*a, **k):
+            raise RuntimeError("killed before certification")
+        mctx.setattr(exp, "write_export_manifest", killed)
+        with pytest.raises(RuntimeError, match="killed"):
+            export_delta_jsonl(spark, sf, torn1, snap0, shards=2)
+    # torn state: shards on disk, NO manifest — and the verifier says so
+    assert not os.path.exists(os.path.join(torn1, EXPORT_MANIFEST))
+    probs = verify_export(spark, torn1)
+    assert len(probs) == 1 and "missing" in probs[0]
+    # resume: re-cut the SAME delta (base snapshot unchanged — the torn
+    # artifact produced no manifest, so the chain never advanced)
+    out1 = str(tmp_path / "d1")
+    m1 = export_delta_jsonl(spark, sf, out1, snap0, shards=2)
+    assert verify_export(spark, out1) == []
+    assert _shard_digests(out1) == _shard_digests(torn1)  # deterministic re-cut
+
+    # ---- delta 2, kill k2: inside the manifest write, tmp written but
+    # not renamed — the single-atomic-write contract (ADVICE #2) means
+    # the torn state is still "no manifest", never a lineage-less one
+    land([(9201, words("d2a"), "en", "web", 144)], 2)
+    torn2 = str(tmp_path / "d2_torn")
+    real_replace = os.replace
+    with monkeypatch.context() as mctx:
+        def torn_replace(src, dst, *a, **k):
+            if str(dst).endswith(EXPORT_MANIFEST):
+                raise RuntimeError("killed between tmp write and rename")
+            return real_replace(src, dst, *a, **k)
+        mctx.setattr("venus_spark.export.os.replace", torn_replace)
+        with pytest.raises(RuntimeError, match="killed"):
+            export_delta_jsonl(spark, sf, torn2, m1["snapshot"], shards=2)
+    assert os.path.exists(os.path.join(torn2, EXPORT_MANIFEST + ".tmp"))
+    assert not os.path.exists(os.path.join(torn2, EXPORT_MANIFEST))
+    probs2 = verify_export(spark, torn2)
+    assert len(probs2) == 1 and "missing" in probs2[0]
+    out2 = str(tmp_path / "d2")
+    m2 = export_delta_jsonl(spark, sf, out2, m1["snapshot"], shards=2)
+    assert verify_export(spark, out2) == []
+
+    # ---- delta 3: clean
+    land([(9301, words("d3a"), "en", "web", 144)], 3)
+    out3 = str(tmp_path / "d3")
+    m3 = export_delta_jsonl(spark, sf, out3, m2["snapshot"], shards=2)
+    assert verify_export(spark, out3) == []
+
+    # every manifest in the valid chain carries complete lineage (the
+    # atomic write ships delta_of/base_snapshot WITH the digests)
+    for out, prev in ((out1, snap0), (out2, m1["snapshot"]), (out3, m2["snapshot"])):
+        with open(os.path.join(out, EXPORT_MANIFEST)) as f:
+            m = json.load(f)
+        assert m["base_snapshot"] == prev and "delta_of" in m and "per_shard" in m
+
+    # exactly-once across the VALID chain (torn dirs are discard-flagged
+    # by their missing manifest, so a loader never consumes them)
+    chain_ids = []
+    for out in (out0, out1, out2, out3):
+        chain_ids.extend(r["doc_id"] for r in spark.read.json(out).collect())
+    assert sorted(chain_ids) == sorted(set(chain_ids))  # no doc twice
+    assert {9101, 9102, 9201, 9301} <= set(chain_ids)

@@ -555,3 +555,49 @@ def test_sub_mode_without_pyzmq_exits_with_guidance(tmp_path):
     )
     assert proc.returncode != 0
     assert "--stdin" in proc.stderr
+
+
+def test_explicit_port_with_connect_is_an_argparse_error(tmp_path):
+    """Review r12 ADVICE #4: with --connect the socket connects to
+    ENDPOINT and never binds, so an explicit --port would be silently
+    unused — the CLI must refuse the combination loudly."""
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(tmp_path),
+         "--port", "6000", "--connect", "tcp://127.0.0.1:5555"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 2  # argparse usage error
+    assert "mutually exclusive" in proc.stderr
+
+    # --connect WITHOUT an explicit --port stays legal (the default
+    # port is simply not applied); --stdin keeps the run socket-free
+    ok = subprocess.run(
+        [sys.executable, script, "--landing", str(tmp_path),
+         "--connect", "tcp://127.0.0.1:5555", "--stdin"],
+        input="",
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert ok.returncode == 0
+
+    # an explicit --port without --connect still works end-to-end
+    ok2 = subprocess.run(
+        [sys.executable, script, "--landing", str(tmp_path / "p"),
+         "--port", "6001", "--stdin"],
+        input='{"i": 1}\n',
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert ok2.returncode == 0
+    landed = [
+        ln for f in sorted((tmp_path / "p").iterdir())
+        for ln in f.read_text().splitlines()
+    ]
+    assert landed == ['{"i": 1}']

@@ -61,7 +61,10 @@ def _shard_digests(spark: SparkSession, out_dir: str) -> dict:
 
 
 def write_export_manifest(
-    spark: SparkSession, out_dir: str, snapshot: dict | None = None
+    spark: SparkSession,
+    out_dir: str,
+    snapshot: dict | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Make an export SELF-CERTIFYING: record per-shard row counts and
     content digests next to the data (the artifact a training loader
@@ -69,7 +72,11 @@ def write_export_manifest(
     copy fails loudly at load time instead of silently training on a
     damaged corpus). ``snapshot`` (the pinned source file sets, see
     :func:`corpus_snapshot`) ships inside the manifest so a re-export
-    can reproduce the exact corpus. Written via tmp + atomic rename;
+    can reproduce the exact corpus. ``extra`` fields (e.g. a delta
+    export's ``delta_of``/``base_snapshot`` lineage) are merged into
+    the SAME atomic write — a manifest is either absent or complete;
+    there is no window where a delta export wears a full export's
+    manifest (review r12 ADVICE #2). Written via tmp + atomic rename;
     byte-deterministic because the export itself is."""
     per_shard = _shard_digests(spark, out_dir)
     manifest = {
@@ -81,6 +88,14 @@ def write_export_manifest(
     }
     if snapshot is not None:
         manifest["snapshot"] = snapshot
+    if extra:
+        reserved = set(extra) & set(manifest)
+        if reserved:
+            raise ValueError(
+                f"extra manifest fields {sorted(reserved)} would "
+                "overwrite computed digest fields"
+            )
+        manifest.update(extra)
     p = os.path.join(out_dir, EXPORT_MANIFEST)
     with open(p + ".tmp", "w") as f:
         json.dump(manifest, f, sort_keys=True, indent=1)
@@ -92,8 +107,17 @@ def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
     """Recompute the shard digests and compare against the manifest.
     Returns the list of discrepancies (empty = verified) — per-shard,
     so a damaged copy names exactly which files to re-fetch rather
-    than failing the whole hand-off opaquely."""
-    with open(os.path.join(out_dir, EXPORT_MANIFEST)) as f:
+    than failing the whole hand-off opaquely. An export with NO
+    manifest (a write torn between the shard write and the
+    certification write) is itself named as damage rather than raised
+    opaquely: the artifact must be discarded and the export re-cut."""
+    mp = os.path.join(out_dir, EXPORT_MANIFEST)
+    if not os.path.exists(mp):
+        return [
+            f"{EXPORT_MANIFEST}: missing — export was torn before "
+            "certification; discard and re-export"
+        ]
+    with open(mp) as f:
         manifest = json.load(f)
     actual = {str(k): v for k, v in _shard_digests(spark, out_dir).items()}
     problems = []
@@ -312,19 +336,16 @@ def export_delta_jsonl(
                 "undefined — re-export full to cut a fresh baseline."
             )
         delta_files = sorted(cur_files - base_files)
+    lineage = {
+        "delta_of": snapshot_digest(base_snapshot),
+        "base_snapshot": base_snapshot,
+    }
     if not delta_files:
         # nothing landed: an EMPTY but self-certifying export — the
         # manifest still chains (snapshot = current), and a loader
         # sees 0 rows / 0 shards instead of a missing directory
         os.makedirs(out_dir, exist_ok=True)
-        manifest = write_export_manifest(spark, out_dir, snapshot=cur)
-        manifest["delta_of"] = snapshot_digest(base_snapshot)
-        manifest["base_snapshot"] = base_snapshot
-        p = os.path.join(out_dir, EXPORT_MANIFEST)
-        with open(p + ".tmp", "w") as f:
-            json.dump(manifest, f, sort_keys=True, indent=1)
-        os.replace(p + ".tmp", p)
-        return manifest
+        return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
     doc_root = os.path.join(sf_dir, "documents.parquet")
     delta_docs = spark.read.parquet(
         *[os.path.join(doc_root, f) for f in delta_files]
@@ -333,7 +354,13 @@ def export_delta_jsonl(
         spark, doc_root, cur["documents"], "documents"
     )
     mh_full = documents_minhash_live(spark, sf_dir)  # tombstone-filtered
-    delta_ids = delta_docs.select("doc_id")
+    # Tombstones come OUT of the delta ids before the coverage guard
+    # (review r12 ADVICE #1): the live index is tombstone-filtered, so
+    # a delta document deleted under RTBF has no index row BY DESIGN —
+    # counting it as "unindexed" would block the chain permanently on a
+    # document that must not ship anyway. The final _anti_tombstones
+    # below keeps it out of the shipped rows regardless.
+    delta_ids = _anti_tombstones(spark, sf_dir, delta_docs).select("doc_id")
     unindexed = delta_ids.join(mh_full, "doc_id", "left_anti").count()
     if unindexed:
         raise ValueError(
@@ -343,7 +370,25 @@ def export_delta_jsonl(
             "the delta would ship unscreened for near-duplicates."
         )
     mh_delta = mh_full.join(delta_ids, "doc_id", "left_semi")
-    mh_base = mh_full.join(delta_ids, "doc_id", "left_anti")
+    # The cross-set screen compares the delta against the BASE
+    # SNAPSHOT's documents only (review r12 ADVICE #3) — not "all live
+    # index rows minus delta ids", which would sweep in documents that
+    # landed between corpus_snapshot(cur) and the index read: a
+    # newcomer near-dupping a delta doc would suppress it this round
+    # and itself be suppressed against the never-shipped delta doc next
+    # round, so NEITHER copy ever ships. Restricting the base side to
+    # docs the chain has already processed restores the
+    # min-id-representative semantics a full re-export would produce.
+    if base_files:
+        base_doc_ids = spark.read.parquet(
+            *[os.path.join(doc_root, f) for f in sorted(base_files)]
+        ).select("doc_id")
+        mh_base = mh_full.join(base_doc_ids, "doc_id", "left_semi")
+    else:
+        # an empty baseline: nothing has been processed yet, so the
+        # cross-set screen has no base side (within-delta dedup in the
+        # funnel still applies)
+        mh_base = mh_full.limit(0)
     cross_dups = (
         incremental_near_dups(mh_delta, mh_base, threshold=_JACCARD_T)
         .select(F.col("new_doc").alias("doc_id"))
@@ -355,14 +400,7 @@ def export_delta_jsonl(
     )
     curated = _anti_tombstones(spark, sf_dir, curated)
     export_jsonl(curated, out_dir, shards)
-    manifest = write_export_manifest(spark, out_dir, snapshot=cur)
-    manifest["delta_of"] = snapshot_digest(base_snapshot)
-    manifest["base_snapshot"] = base_snapshot
-    p = os.path.join(out_dir, EXPORT_MANIFEST)
-    with open(p + ".tmp", "w") as f:
-        json.dump(manifest, f, sort_keys=True, indent=1)
-    os.replace(p + ".tmp", p)
-    return manifest
+    return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
 
 
 def export_curated_jsonl(
