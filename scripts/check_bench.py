@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Adjudicate a BENCH artifact against the committed per-plan noise
+bands (``BENCH_BANDS.json``) — the mechanical replacement for the
+per-round ABA reruns that rounds 9 and 12 burned on shared-host noise
+(VERDICT r12 #1).
+
+Usage:
+    python scripts/check_bench.py BENCH_r13.json [--bands BENCH_BANDS.json]
+
+For every plan in the artifact, compares its seconds against the band
+``median + 3*MAD`` (with a floor: MAD collapses to ~0 on very stable
+plans, and sub-second plans jitter by scheduler granularity, so the
+exceedance threshold is ``median + max(3*MAD, 0.25*median, 0.15s)`` —
+the floor constants are recorded in the bands file, not hardcoded
+trust). Prints ONE JSON line:
+
+    {"n_plans": N, "n_over": K, "over": [{"plan": ..., "sec": ...,
+      "band_median": ..., "band_mad": ..., "threshold": ...}, ...],
+      "median_ratio": R, "verdict": "within-bands" | "elevated" |
+      "plan-regressions"}
+
+Interpretation protocol (PERF.md):
+- ``median_ratio`` (the median of per-plan sec/band_median) far above
+  1 with MANY plans over → host contamination (check the artifact's
+  load_start/load_end stamps), not a code regression.
+- a FEW plans over while median_ratio ~ 1 → those plans regressed;
+  re-measure exactly them with SPARK_GRAFT_ONLY + REPEAT=3.
+- bands were measured with REPEAT=3 medians on an idle host; a
+  repeat=1 artifact (the driver's default) is noisier, which the
+  0.25*median floor absorbs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def check(artifact: dict, bands: dict) -> dict:
+    floors = bands.get("floors", {"rel": 0.25, "abs_sec": 0.15, "mads": 3})
+    over = []
+    ratios = []
+    missing = []
+    for plan, sec in sorted(artifact.get("queries", {}).items()):
+        band = bands["plans"].get(plan)
+        if band is None:
+            missing.append(plan)
+            continue
+        med, mad = band["median"], band["mad"]
+        if sec < 0:  # bench.py marks failed plans -1
+            over.append({"plan": plan, "sec": sec, "band_median": med,
+                         "band_mad": mad, "threshold": None,
+                         "note": "FAILED in artifact"})
+            continue
+        thr = med + max(floors["mads"] * mad,
+                        floors["rel"] * med, floors["abs_sec"])
+        if med > 0:
+            ratios.append(sec / med)
+        if sec > thr:
+            over.append({
+                "plan": plan, "sec": round(sec, 3),
+                "band_median": med, "band_mad": mad,
+                "threshold": round(thr, 3),
+                "ratio": round(sec / med, 2) if med else None,
+            })
+    over.sort(key=lambda o: -(o.get("ratio") or 99))
+    median_ratio = round(statistics.median(ratios), 3) if ratios else None
+    n = len(artifact.get("queries", {}))
+    if not over:
+        verdict = "within-bands"
+    elif median_ratio is not None and median_ratio > 1.2 and len(over) > n / 4:
+        verdict = "elevated"  # broad uniform elevation = host, not code
+    else:
+        verdict = "plan-regressions"
+    return {
+        "n_plans": n,
+        "n_over": len(over),
+        "median_ratio": median_ratio,
+        "verdict": verdict,
+        "bands_measured_at": bands.get("measured", {}),
+        "artifact_load": {
+            "start": artifact.get("load_start"),
+            "end": artifact.get("load_end"),
+        },
+        "plans_not_in_bands": missing,
+        "over": over[:25],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("artifact", help="a BENCH_*.json (driver or self)")
+    ap.add_argument(
+        "--bands", default=os.path.join(REPO, "BENCH_BANDS.json")
+    )
+    args = ap.parse_args()
+    with open(args.artifact) as f:
+        artifact = json.load(f)
+    if artifact.get("sf") != 0.1:
+        print(
+            f"warning: artifact sf={artifact.get('sf')} but bands were "
+            "measured at sf0.1 — comparison is not meaningful",
+            file=sys.stderr,
+        )
+    with open(args.bands) as f:
+        bands = json.load(f)
+    print(json.dumps(check(artifact, bands)))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,57 @@ import uuid
 
 MAX_BATCH_SIZE = 100  # reference MAX_BATCH_SIZE (venus/settings.py:36-38)
 MAX_BATCH_AGE_SECONDS = 5.0  # reference MAX_BATCH_AGE_SECONDS (:39-41)
+QUEUE_MAX = 65536  # reference pull_queue maxsize (venus/main.py:36)
+
+
+class AdmissionQueue:
+    """Bounded handoff between the wire/reader thread and the batching
+    loop — the analog of the reference's ``asyncio.Queue(maxsize=65536)``
+    (``venus/main.py:36``). Overflow DROPS, never blocks
+    (``put_nowait`` posture, ``venus/io/__init__.py:97-105``): the
+    producer is application logging and backpressure cannot reach it,
+    so admission is at-most-once BY DESIGN. Every admitted message
+    lands exactly once (the drain side is single-threaded into the
+    batcher); every dropped message is counted and reported, so the
+    loss is visible in ops instead of silent. Drop logging is
+    rate-limited (1st/10th/100th/1000th then every 10000th) — the
+    reference logs each drop, but at a 65k-burst a per-drop line would
+    itself become the bottleneck."""
+
+    def __init__(self, maxsize: int = QUEUE_MAX) -> None:
+        import queue
+
+        self.q: "queue.Queue[bytes | None]" = queue.Queue(maxsize=maxsize)
+        self.dropped = 0
+        self.admitted = 0
+
+    def admit(self, raw: bytes | None) -> bool:
+        """Non-blocking enqueue; returns False (and counts) on overflow.
+        The EOF sentinel ``None`` must never be lost, so it alone uses a
+        blocking put — by the time EOF arrives the producer has stopped,
+        so the drain side is strictly catching up and the put terminates."""
+        import queue
+
+        if raw is None:
+            self.q.put(None)
+            return True
+        try:
+            self.q.put_nowait(raw)
+        except queue.Full:
+            self.dropped += 1
+            d = self.dropped
+            if d in (1, 10, 100, 1000) or d % 10000 == 0:
+                print(
+                    f"relay: receive queue full; dropped {d} message(s) "
+                    "so far (at-most-once admission)",
+                    file=sys.stderr,
+                )
+            return False
+        self.admitted += 1
+        return True
+
+    def get(self, timeout: float) -> bytes | None:
+        return self.q.get(timeout=timeout)
 
 
 def frame_to_line(level: bytes, message: bytes) -> str:
@@ -113,31 +164,35 @@ class MicroBatcher:
         return path
 
 
-def run_stdin(batcher: MicroBatcher) -> None:
+def run_stdin(batcher: MicroBatcher, queue_max: int = QUEUE_MAX) -> None:
     """Drive the batching/landing path from stdin (no zmq needed).
 
-    Lines are read on a helper thread feeding a queue so the main loop
-    can poll with a timeout — the stdin twin of the zmq branch's 250 ms
-    poll: a producer that goes quiet WITHOUT closing the pipe must
-    still see its buffered batch land once the age trigger passes, not
-    sit in memory until the next line arrives. Bytes are read from
-    ``sys.stdin.buffer`` (the binary layer) and decoded with
-    surrogateescape, so a non-UTF8 byte is preserved for downstream
-    quarantine instead of killing the relay with UnicodeDecodeError."""
+    Lines are read on a helper thread feeding the bounded
+    :class:`AdmissionQueue` so the main loop can poll with a timeout —
+    the stdin twin of the zmq branch's 250 ms poll: a producer that
+    goes quiet WITHOUT closing the pipe must still see its buffered
+    batch land once the age trigger passes, not sit in memory until the
+    next line arrives. A burst beyond the queue bound DROPS (counted,
+    reported) exactly like the reference's ``put_nowait`` admission —
+    the relay must never apply backpressure to an application logger.
+    Bytes are read from ``sys.stdin.buffer`` (the binary layer) and
+    decoded with surrogateescape, so a non-UTF8 byte is preserved for
+    downstream quarantine instead of killing the relay with
+    UnicodeDecodeError."""
     import queue
     import threading
 
-    q: queue.Queue[bytes | None] = queue.Queue(maxsize=10000)
+    aq = AdmissionQueue(maxsize=queue_max)
 
     def reader() -> None:
         for raw in sys.stdin.buffer:
-            q.put(raw)
-        q.put(None)  # EOF sentinel
+            aq.admit(raw)
+        aq.admit(None)  # EOF sentinel
 
     threading.Thread(target=reader, daemon=True).start()
     while True:
         try:
-            raw = q.get(timeout=0.25)
+            raw = aq.get(timeout=0.25)
         except queue.Empty:
             if batcher.due():
                 batcher.flush()
@@ -148,6 +203,12 @@ def run_stdin(batcher: MicroBatcher) -> None:
         if batcher.due():
             batcher.flush()
     batcher.flush()  # graceful EOF flush (A12)
+    if aq.dropped:
+        print(
+            f"relay: TOTAL dropped {aq.dropped} message(s) on queue "
+            f"overflow; {aq.admitted} admitted and landed",
+            file=sys.stderr,
+        )
 
 
 def run_zmq(
@@ -240,6 +301,13 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=MAX_BATCH_SIZE)
     ap.add_argument("--batch-age", type=float, default=MAX_BATCH_AGE_SECONDS)
     ap.add_argument(
+        "--queue-max",
+        type=int,
+        default=QUEUE_MAX,
+        help="admission queue bound (reference pull_queue maxsize, "
+        "venus/main.py:36); a burst beyond it drops, at-most-once",
+    )
+    ap.add_argument(
         "--stdin", action="store_true", help="read lines from stdin instead of zmq"
     )
     ap.add_argument(
@@ -271,7 +339,7 @@ def main() -> None:
     os.makedirs(args.landing, exist_ok=True)
     batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
     if args.stdin:
-        run_stdin(batcher)
+        run_stdin(batcher, queue_max=args.queue_max)
     else:
         run_zmq(
             batcher,

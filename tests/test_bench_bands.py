@@ -1,0 +1,111 @@
+"""The bench noise-band protocol (VERDICT r12 #1): band construction
+from repeat=3 run files and the mechanical exceedance checker that
+replaces per-round ABA adjudication. Pure-python — no Spark session."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name,
+        os.path.join(os.path.dirname(__file__), "..", "scripts", f"{name}.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+bands_mod = _load("build_bench_bands")
+check_mod = _load("check_bench")
+
+
+def _run(queries, **kw):
+    rec = {
+        "metric": "total_wall_sec", "value": sum(queries.values()),
+        "unit": "sec", "load_start": [0.3, 0.4, 0.5],
+        "load_end": [0.5, 0.5, 0.5], "host_cpus": 32, "only": None,
+        "queries": queries, "failed": [], "repeat": 3, "sf": 0.1,
+    }
+    rec.update(kw)
+    return rec
+
+
+def _write_runs(tmp_path, runs):
+    os.makedirs(tmp_path, exist_ok=True)
+    paths = []
+    for i, r in enumerate(runs):
+        p = str(tmp_path / f"run_{i}.json")
+        with open(p, "w") as f:
+            json.dump(r, f)
+        paths.append(p)
+    return paths
+
+
+def test_bands_median_mad_and_guards(tmp_path):
+    base = {"plan_a": 1.0, "plan_b": 0.2}
+    jitter = [1.0, 1.02, 0.98, 1.05, 0.97]
+    runs = [_run({k: round(v * j, 4) for k, v in base.items()})
+            for j in jitter]
+    bands = bands_mod.build(_write_runs(tmp_path, runs))
+    assert set(bands["plans"]) == {"plan_a", "plan_b"}
+    a = bands["plans"]["plan_a"]
+    assert a["median"] == 1.0 and 0 < a["mad"] <= 0.03 and a["n"] == 5
+    assert bands["measured"]["n_runs"] == 5
+
+    # guards: wrong protocol inputs refuse loudly
+    with pytest.raises(SystemExit, match="REPEAT=3"):
+        bands_mod.build(_write_runs(tmp_path / "g1", [_run(base, repeat=1)]))
+    with pytest.raises(SystemExit, match="failed"):
+        bands_mod.build(
+            _write_runs(tmp_path / "g2", [_run(base, failed=["plan_a"])])
+        )
+    runs2 = runs[:4] + [_run({"plan_a": 1.0, "plan_c": 0.2})]
+    with pytest.raises(SystemExit, match="different plan sets"):
+        bands_mod.build(_write_runs(tmp_path / "g3", runs2))
+
+
+def test_checker_verdicts(tmp_path):
+    base = {f"p{i}": 1.0 + i / 10 for i in range(8)}
+    runs = [_run({k: round(v * j, 4) for k, v in base.items()})
+            for j in (1.0, 1.02, 0.98, 1.05, 0.97)]
+    bands = bands_mod.build(_write_runs(tmp_path, runs))
+
+    # within bands: same timings pass
+    ok = check_mod.check(_run(base, repeat=1), bands)
+    assert ok["verdict"] == "within-bands" and ok["n_over"] == 0
+
+    # one plan 2x over while the rest hold -> plan regression, named
+    one = dict(base, p3=base["p3"] * 2)
+    reg = check_mod.check(_run(one, repeat=1), bands)
+    assert reg["verdict"] == "plan-regressions"
+    assert [o["plan"] for o in reg["over"]] == ["p3"]
+    assert reg["median_ratio"] < 1.1
+
+    # broad uniform 1.5x elevation -> host contamination, not code
+    busy = {k: v * 1.5 for k, v in base.items()}
+    elev = check_mod.check(_run(busy, repeat=1), bands)
+    assert elev["verdict"] == "elevated"
+    assert elev["median_ratio"] == pytest.approx(1.5, abs=0.05)
+
+    # a failed plan (-1 sentinel) is always surfaced
+    fail = dict(base, p5=-1.0)
+    f = check_mod.check(_run(fail, repeat=1), bands)
+    assert any(o.get("note") == "FAILED in artifact" for o in f["over"])
+
+    # a plan missing from the bands is reported, not crashed on
+    extra = dict(base, brand_new_plan=0.4)
+    e = check_mod.check(_run(extra, repeat=1), bands)
+    assert e["plans_not_in_bands"] == ["brand_new_plan"]
+
+    # sub-second stability: the abs floor absorbs scheduler jitter on
+    # a 0.2s plan (0.2 -> 0.33 is +65% but only +0.13s: inside floor)
+    tiny_runs = [_run({"t": 0.2}) for _ in range(5)]
+    tb = bands_mod.build(_write_runs(tmp_path / "tiny", tiny_runs))
+    t = check_mod.check(_run({"t": 0.33}, repeat=1), tb)
+    assert t["verdict"] == "within-bands"
+    t2 = check_mod.check(_run({"t": 0.40}, repeat=1), tb)
+    assert t2["n_over"] == 1

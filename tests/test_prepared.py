@@ -2006,13 +2006,13 @@ def test_band_drop_precedes_minhash_fold_crash_window(
         real(*a, **kw)
         raise RuntimeError("crash between fold and any post-fold step")
 
-    monkeypatch.setattr(prepared, "_merge_pending", crash_after_fold)
+    monkeypatch.setattr(prepared.core, "_merge_pending", crash_after_fold)
     with pytest.raises(RuntimeError, match="crash between"):
         prepared.merge_minhash_pending(spark, sf)
     assert not spark.catalog.tableExists(table), (
         "bands must be invalidated BEFORE the fold"
     )
-    monkeypatch.setattr(prepared, "_merge_pending", real)
+    monkeypatch.setattr(prepared.core, "_merge_pending", real)
     # retry converges; the band table rebuilds lazily over the merged set
     prepared.merge_minhash_pending(spark, sf)
     rebuilt = prepared.lsh_bands_bucketed(spark, sf)
@@ -2476,10 +2476,10 @@ def test_append_intent_marker_restores_loud_crash_contract(
     def crash_on_refresh(*a, **k):
         raise RuntimeError("simulated crash before the stats refresh")
 
-    monkeypatch.setattr(prepared, "_staged_refresh", crash_on_refresh)
+    monkeypatch.setattr(prepared.core, "_staged_refresh", crash_on_refresh)
     with pytest.raises(RuntimeError, match="simulated crash"):
         prepared.append_documents(spark, sf, new)
-    monkeypatch.setattr(prepared, "_staged_refresh", real_refresh)
+    monkeypatch.setattr(prepared.core, "_staged_refresh", real_refresh)
 
     # EVERY document-index ensure refuses loudly, naming the remediation
     for ensure in (
@@ -2786,7 +2786,7 @@ def test_ivf_heal_swap_survives_concurrent_staging_sweep(
             _sh.rmtree(path, ignore_errors=True)  # the concurrent sweep
 
     monkeypatch.setattr(
-        prepared, "_write_train_meta", sweep_after_last_tmp_write
+        prepared.vectors, "_write_train_meta", sweep_after_last_tmp_write
     )
     with _pytest.raises(OSError):
         prepared.embeddings_ivf(spark, sf)
@@ -2795,7 +2795,7 @@ def test_ivf_heal_swap_survives_concurrent_staging_sweep(
     kept = prepared._read_train_meta(cent_path)
     assert kept["tb_at_train"] == 5 and kept["trained_n"] == 4321
 
-    monkeypatch.setattr(prepared, "_write_train_meta", orig)
+    monkeypatch.setattr(prepared.vectors, "_write_train_meta", orig)
     prepared.embeddings_ivf(spark, sf)  # retry heals
     with open(stamp) as f:
         assert json.load(f) == prepared._IVF_CENT_META

@@ -601,3 +601,87 @@ def test_explicit_port_with_connect_is_an_argparse_error(tmp_path):
         for ln in f.read_text().splitlines()
     ]
     assert landed == ['{"i": 1}']
+
+
+def test_flood_beyond_queue_bound_drops_at_most_once(tmp_path):
+    """VERDICT r12 #4 (relay flood at the reference envelope): a burst
+    exceeding the 65,536-entry admission queue analog
+    (venus/main.py:36) must match the reference's at-most-once
+    admission (venus/io/__init__.py:97-105): overflow DROPS and is
+    counted — never blocks the producer — and everything admitted
+    lands exactly once, in order, in well-formed batches.
+
+    Deterministic worst case: fill the queue with NO drain running
+    (models a stalled flush during the burst), assert the accounting,
+    then drain through the real batcher and audit the landing."""
+    import queue
+
+    cap = 4096  # scaled envelope; the bound is the parameter under test
+    burst = cap + 1500
+    aq = relay.AdmissionQueue(maxsize=cap)
+    admitted = [i for i in range(burst)
+                if aq.admit(f'{{"i": {i}}}\n'.encode())]
+    assert len(admitted) == cap
+    assert admitted == list(range(cap))  # FIFO prefix, no reordering
+    assert aq.dropped == burst - cap  # every overflow counted
+    assert aq.admitted == cap
+
+    # drain everything through the real flush policy
+    b = relay.MicroBatcher(str(tmp_path), max_size=100, max_age=999.0)
+    while True:
+        try:
+            raw = aq.get(timeout=0.01)
+        except queue.Empty:
+            break
+        b.add(raw.decode().rstrip("\n"))
+    b.flush()
+
+    files = sorted(tmp_path.iterdir())
+    landed = [ln for f in files for ln in f.read_text().splitlines()]
+    # exactly the admitted prefix, once each, in admission order
+    assert landed == [f'{{"i": {i}}}' for i in range(cap)]
+    # well-formed batches: every file full except the final remainder
+    sizes = [len(f.read_text().splitlines()) for f in files]
+    assert all(s == 100 for s in sizes[:-1]) and sizes[-1] == cap % 100 or (
+        cap % 100 == 0 and all(s == 100 for s in sizes)
+    )
+
+
+def test_flood_soak_end_to_end_with_tiny_queue(tmp_path):
+    """The same contract through the real process: flood stdin with a
+    burst far beyond a tiny --queue-max. The relay must exit cleanly
+    (never deadlock on a full queue), land only-admitted lines with no
+    duplicates, preserve relative order, and report the drop count on
+    stderr. Drop COUNT here is timing-dependent (the drain races the
+    reader), so the assertions are the invariants: landed+dropped ==
+    sent, landed is a duplicate-free ordered subsequence."""
+    landing = tmp_path / "landing"
+    n = 50000
+    lines = [f'{{"i": {i}}}' for i in range(n)]
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(landing), "--stdin",
+         "--batch-size", "1000", "--queue-max", "512"],
+        input="\n".join(lines) + "\n",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0
+    landed = [
+        ln for f in sorted(landing.iterdir())
+        for ln in f.read_text().splitlines()
+    ]
+    assert 0 < len(landed) <= n
+    assert len(set(landed)) == len(landed)  # no duplicate landing
+    idx = [int(ln.split(":")[1].rstrip("}")) for ln in landed]
+    assert idx == sorted(idx)  # admission order preserved
+    dropped = n - len(landed)
+    if dropped:
+        # the final accounting line names the exact totals
+        assert f"TOTAL dropped {dropped} message(s)" in proc.stderr
+        assert f"{len(landed)} admitted" in proc.stderr
+    else:
+        assert "dropped" not in proc.stderr
