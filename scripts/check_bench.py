@@ -7,12 +7,21 @@ per-round ABA reruns that rounds 9 and 12 burned on shared-host noise
 Usage:
     python scripts/check_bench.py BENCH_r13.json [--bands BENCH_BANDS.json]
 
-For every plan in the artifact, compares its seconds against the band
-``median + 3*MAD`` (with a floor: MAD collapses to ~0 on very stable
-plans, and sub-second plans jitter by scheduler granularity, so the
-exceedance threshold is ``median + max(3*MAD, 0.25*median, 0.15s)`` —
-the floor constants are recorded in the bands file, not hardcoded
-trust). Prints ONE JSON line:
+Accepts BOTH artifact shapes: a full bench record (the "queries" dict
+bench.py prints on line 1) and the DRIVER's capture format, which
+stores only the LAST 2000 characters of stdout — for the latter the
+per-plan pairs are recovered from the tail fragment by regex, so the
+check covers the recoverable suffix (reported as ``partial_from_tail``)
+plus the summary stamps.
+
+For every plan, compares its seconds against the band
+``median + 3*MAD`` with two widenings: a floor (MAD collapses to ~0 on
+very stable plans and sub-second plans jitter by scheduler
+granularity: ``max(3*MAD, 0.25*median, 0.15s)``), and a lower bound of
+``1.10 * band max`` — five samples underestimate the tail, and a bar
+the band's OWN sources would trip is not a noise model (the
+constants travel in the bands file, not hardcoded trust). Prints ONE
+JSON line:
 
     {"n_plans": N, "n_over": K, "over": [{"plan": ..., "sec": ...,
       "band_median": ..., "band_mad": ..., "threshold": ...}, ...],
@@ -35,18 +44,42 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def queries_from(artifact: dict) -> tuple[dict, bool]:
+    """Per-plan seconds from either artifact shape. Returns
+    (queries, partial): partial=True when recovered from a driver
+    tail capture (prefix plans truncated away)."""
+    if "queries" in artifact:
+        return artifact["queries"], False
+    tail = artifact.get("tail", "")
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)', tail)
+    drop = {
+        "value", "sf", "repeat", "n_plans", "n_failed", "host_cpus",
+        "elapsed_sec",
+    }
+    out = {}
+    for name, sec in pairs:
+        if name not in drop:
+            out[name] = float(sec)
+    # the first recovered pair may be cut mid-name; drop it defensively
+    if pairs and tail and not tail.startswith('{"'):
+        out.pop(pairs[0][0], None)
+    return out, True
+
+
 def check(artifact: dict, bands: dict) -> dict:
     floors = bands.get("floors", {"rel": 0.25, "abs_sec": 0.15, "mads": 3})
+    queries, partial = queries_from(artifact)
     over = []
     ratios = []
     missing = []
-    for plan, sec in sorted(artifact.get("queries", {}).items()):
+    for plan, sec in sorted(queries.items()):
         band = bands["plans"].get(plan)
         if band is None:
             missing.append(plan)
@@ -59,6 +92,7 @@ def check(artifact: dict, bands: dict) -> dict:
             continue
         thr = med + max(floors["mads"] * mad,
                         floors["rel"] * med, floors["abs_sec"])
+        thr = max(thr, 1.10 * band.get("max", 0.0))
         if med > 0:
             ratios.append(sec / med)
         if sec > thr:
@@ -70,15 +104,16 @@ def check(artifact: dict, bands: dict) -> dict:
             })
     over.sort(key=lambda o: -(o.get("ratio") or 99))
     median_ratio = round(statistics.median(ratios), 3) if ratios else None
-    n = len(artifact.get("queries", {}))
+    n = len(queries)
     if not over:
         verdict = "within-bands"
-    elif median_ratio is not None and median_ratio > 1.2 and len(over) > n / 4:
+    elif median_ratio is not None and median_ratio > 1.2 and len(over) >= n / 5:
         verdict = "elevated"  # broad uniform elevation = host, not code
     else:
         verdict = "plan-regressions"
     return {
         "n_plans": n,
+        "partial_from_tail": partial,
         "n_over": len(over),
         "median_ratio": median_ratio,
         "verdict": verdict,

@@ -109,3 +109,44 @@ def test_checker_verdicts(tmp_path):
     assert t["verdict"] == "within-bands"
     t2 = check_mod.check(_run({"t": 0.40}, repeat=1), tb)
     assert t2["n_over"] == 1
+
+
+def test_checker_recovers_driver_tail_capture(tmp_path):
+    """The driver records only the last 2000 chars of bench stdout —
+    the checker must recover the per-plan suffix from that fragment
+    (first pair dropped: it may be cut mid-name) and mark the result
+    partial."""
+    base = {f"plan_{c}": 1.0 for c in "abcdefgh"}
+    runs = [_run({k: round(v * j, 4) for k, v in base.items()})
+            for j in (1.0, 1.02, 0.98, 1.05, 0.97)]
+    bands = bands_mod.build(_write_runs(tmp_path, runs))
+
+    full_line = json.dumps(_run(dict(base, plan_h=9.9)))
+    artifact = {"n": 13, "rc": 0, "cpus": 32, "sf": 0.1,
+                "tail": full_line[-120:]}  # mid-record fragment
+    got = check_mod.check(artifact, bands)
+    assert got["partial_from_tail"] is True
+    assert 0 < got["n_plans"] < len(base)  # a suffix, not everything
+    assert [o["plan"] for o in got["over"]] == ["plan_h"]
+    # stamps in the tail (repeat/sf/host_cpus) are not mistaken for plans
+    assert not {"repeat", "sf", "host_cpus"} & set(
+        o["plan"] for o in got["over"]
+    )
+
+
+def test_bands_never_flag_their_own_sources(tmp_path):
+    """Self-consistency: a noise model that flags the very runs it was
+    built from is not a noise model — the threshold's band-max lower
+    bound guarantees every source run checks within-bands."""
+    base = {f"p{i}": 0.1 + i / 7 for i in range(12)}
+    # heavy-tailed: one run has p3 4x slower (the json_recordize case)
+    runs = []
+    for j in (1.0, 1.02, 0.98, 1.05, 0.97):
+        q = {k: round(v * j, 4) for k, v in base.items()}
+        if j == 1.05:
+            q["p3"] = round(base["p3"] * 4, 4)
+        runs.append(_run(q))
+    bands = bands_mod.build(_write_runs(tmp_path, runs))
+    for r in runs:
+        got = check_mod.check(dict(r, repeat=1), bands)
+        assert got["verdict"] == "within-bands", got["over"]

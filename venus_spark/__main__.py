@@ -459,33 +459,70 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def _manifest_from(arg: str, what: str) -> dict | None:
+    """Load a manifest given an export dir or a manifest path; prints
+    the failure and returns None (caller exits 2)."""
+    from venus_spark.export import EXPORT_MANIFEST
+
+    manifest_path = (
+        arg if arg.endswith(".json") else os.path.join(arg, EXPORT_MANIFEST)
+    )
+    try:
+        with open(manifest_path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError) as exc:
+        print(f"{what}: cannot read {manifest_path}: {exc}", file=sys.stderr)
+        return None
+    if "snapshot" not in prior:
+        print(
+            f"{manifest_path} carries no corpus snapshot "
+            "(pre-snapshot export); re-export unpinned instead",
+            file=sys.stderr,
+        )
+        return None
+    return prior
+
+
 def cmd_export(args) -> int:
     """Materialize the curated corpus as sharded JSONL — the hand-off
     artifact from the engine to a training run. ``--snapshot-from``
     re-exports a PRIOR export's pinned corpus (byte-identical under
     later appends; current tombstones still apply — RTBF overrides
-    reproducibility)."""
-    from venus_spark.export import EXPORT_MANIFEST, export_curated_jsonl
+    reproducibility). ``--delta-from`` instead exports only the
+    documents landed SINCE a prior export — the O(delta) steady-state
+    path; the new manifest chains from the prior one."""
+    from venus_spark.export import export_curated_jsonl, export_delta_jsonl
 
+    if args.snapshot_from and args.delta_from:
+        print(
+            "export: --snapshot-from (byte-identical re-export) and "
+            "--delta-from (incremental continuation) are mutually "
+            "exclusive",
+            file=sys.stderr,
+        )
+        return 2
+    if args.delta_from:
+        prior = _manifest_from(args.delta_from, "export")
+        if prior is None:
+            return 2
+        try:
+            manifest = export_delta_jsonl(
+                _spark(), args.sf, args.out_dir, prior["snapshot"],
+                shards=args.shards,
+            )
+        except ValueError as exc:
+            print(f"export: {exc}", file=sys.stderr)
+            return 2
+        print(
+            f"exported delta of {manifest['n_rows']} document(s) to "
+            f"{args.out_dir} ({manifest['n_shards']} shards), chained "
+            f"from {args.delta_from}"
+        )
+        return 0
     snapshot = None
     if args.snapshot_from:
-        manifest_path = (
-            args.snapshot_from
-            if args.snapshot_from.endswith(".json")
-            else os.path.join(args.snapshot_from, EXPORT_MANIFEST)
-        )
-        try:
-            with open(manifest_path) as f:
-                prior = json.load(f)
-        except (OSError, ValueError) as exc:
-            print(f"export: cannot read {manifest_path}: {exc}", file=sys.stderr)
-            return 2
-        if "snapshot" not in prior:
-            print(
-                f"{manifest_path} carries no corpus snapshot "
-                "(pre-snapshot export); re-export unpinned instead",
-                file=sys.stderr,
-            )
+        prior = _manifest_from(args.snapshot_from, "export")
+        if prior is None:
             return 2
         snapshot = prior["snapshot"]
     try:
@@ -498,6 +535,26 @@ def cmd_export(args) -> int:
         return 2
     print(f"exported {n} curated document(s) to {args.out_dir} ({args.shards} shards)")
     return 0
+
+
+def cmd_verify_export(args) -> int:
+    """Loader-side certification gate: one directory re-derives the
+    shard digests against its manifest; several directories are
+    verified as a CHAIN (per-dir digests + lineage continuity + global
+    exactly-once). Exit 0 = verified, 1 = named discrepancies."""
+    from venus_spark.export import verify_export, verify_export_chain
+
+    spark = _spark()
+    if len(args.dirs) == 1:
+        problems = verify_export(spark, args.dirs[0])
+    else:
+        problems = verify_export_chain(spark, args.dirs)
+    for p in problems:
+        print(p)
+    if not problems:
+        kind = "chain" if len(args.dirs) > 1 else "export"
+        print(f"{kind} verified: {len(args.dirs)} dir(s), no discrepancies")
+    return 1 if problems else 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -569,6 +626,18 @@ def main(argv: list[str] | None = None) -> int:
         help="prior export dir (or manifest path) whose pinned corpus "
         "snapshot to re-export byte-identically",
     )
+    ex.add_argument(
+        "--delta-from",
+        help="prior export dir (or manifest path) to continue from: "
+        "export only documents landed since it (O(delta)); the new "
+        "manifest chains via delta_of/base_snapshot",
+    )
+    ve = sub.add_parser(
+        "verify-export",
+        help="recompute shard digests against the manifest(s); several "
+        "dirs are verified as a full->delta chain (exit 1 on damage)",
+    )
+    ve.add_argument("dirs", nargs="+")
 
     mt.add_argument("--ids", help="comma-separated doc ids (delete-docs)")
     mt.add_argument(
@@ -589,6 +658,7 @@ def main(argv: list[str] | None = None) -> int:
         "ingest": cmd_ingest,
         "maintain": cmd_maintain,
         "export": cmd_export,
+        "verify-export": cmd_verify_export,
     }[args.cmd](args)
 
 

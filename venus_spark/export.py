@@ -128,6 +128,94 @@ def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
     return problems
 
 
+def read_export_manifest(out_dir: str) -> dict:
+    """Load an export's manifest (raises FileNotFoundError for a torn
+    export — use :func:`verify_export` for a named-damage report)."""
+    with open(os.path.join(out_dir, EXPORT_MANIFEST)) as f:
+        return json.load(f)
+
+
+def verify_export_chain(
+    spark: SparkSession, export_dirs: list[str], id_col: str = "doc_id"
+) -> list[str]:
+    """Certify a FULL-then-deltas export chain as ONE artifact set —
+    what a training loader checks before consuming a sequence of
+    incremental hand-offs. Three layers, all named per-discrepancy:
+
+    1. every directory self-certifies (:func:`verify_export` — shard
+       digests intact, manifest present);
+    2. lineage is continuous: each delta's ``delta_of`` equals the
+       digest of the PREVIOUS export's ``snapshot`` (and its embedded
+       ``base_snapshot`` matches outright), so a reordered, skipped,
+       or foreign delta cannot splice in silently;
+    3. global exactly-once: no document id ships in two directories
+       (the partition property the delta screens exist to guarantee).
+
+    Layer 3 is one distributed read over the chain's shards — a
+    groupBy on the id, no driver-side set — so the check itself scales
+    to a 100 TB chain. Returns [] when the chain is verified."""
+    problems: list[str] = []
+    manifests: list[dict | None] = []
+    for d in export_dirs:
+        for p in verify_export(spark, d):
+            problems.append(f"{d}: {p}")
+        try:
+            manifests.append(read_export_manifest(d))
+        except FileNotFoundError:
+            manifests.append(None)
+    for i in range(1, len(export_dirs)):
+        prev, cur = manifests[i - 1], manifests[i]
+        if prev is None or cur is None:
+            continue  # already named by layer 1
+        if "delta_of" not in cur:
+            problems.append(
+                f"{export_dirs[i]}: not a delta export (no delta_of) — "
+                "only position 0 of a chain may be a full export"
+            )
+            continue
+        want = snapshot_digest(prev.get("snapshot", {}))
+        if cur["delta_of"] != want:
+            problems.append(
+                f"{export_dirs[i]}: delta_of {cur['delta_of'][:12]}… does "
+                f"not chain from {export_dirs[i - 1]} (expected "
+                f"{want[:12]}…) — reordered, skipped, or foreign delta"
+            )
+        if cur.get("base_snapshot") != prev.get("snapshot"):
+            problems.append(
+                f"{export_dirs[i]}: embedded base_snapshot differs from "
+                f"{export_dirs[i - 1]}'s snapshot"
+            )
+    nonempty = [
+        d for d, m in zip(export_dirs, manifests)
+        if m is not None and m.get("n_rows", 0) > 0
+    ]
+    if len(nonempty) > 1:
+        union = None
+        for d in nonempty:
+            part = (
+                spark.read.json(d)
+                .select(F.col(id_col), F.lit(d).alias("_export_dir"))
+            )
+            union = part if union is None else union.unionByName(part)
+        dups = (
+            union.groupBy(id_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.sort_array(F.collect_set("_export_dir")).alias("dirs"),
+            )
+            .filter(F.col("n") > 1)
+            .orderBy(id_col)
+            .limit(20)
+            .collect()
+        )
+        for r in dups:
+            problems.append(
+                f"{id_col}={r[id_col]} shipped {r['n']}x across "
+                f"{list(r['dirs'])} — chain is not a partition"
+            )
+    return problems
+
+
 def export_jsonl(
     df: DataFrame,
     out_dir: str,
