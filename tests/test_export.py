@@ -627,7 +627,7 @@ def test_export_delta_tombstone_and_all_dup_edges(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out2, EXPORT_MANIFEST))
 
 
-def _delta_fixture(spark, tmp_path, monkeypatch, n_base=4):
+def _delta_fixture(spark, tmp_path, monkeypatch, n_base=4, shards=2):
     """Common scaffolding for the delta-chain tests: a quality-passing
     base corpus written as one parquet file, prepared root redirected,
     and the full baseline export cut. Returns (sf, doc_dir, schema,
@@ -649,7 +649,7 @@ def _delta_fixture(spark, tmp_path, monkeypatch, n_base=4):
     base_rows = [(30 + 10 * i, words(i), "en", "web", 144) for i in range(n_base)]
     spark.createDataFrame(base_rows, schema).coalesce(1).write.parquet(doc_dir)
     out0 = str(tmp_path / "full")
-    export_curated_jsonl(spark, sf, out0, shards=2)
+    export_curated_jsonl(spark, sf, out0, shards=shards)
     with open(os.path.join(out0, EXPORT_MANIFEST)) as f:
         snap0 = json.load(f)["snapshot"]
     return sf, doc_dir, schema, words, snap0, out0
@@ -978,3 +978,202 @@ def test_cli_export_delta_and_verify_chain(spark, tmp_path, monkeypatch, capsys)
     with open(victim, "a") as f:
         f.write('{"doc_id": 1, "text": "x"}\n')
     assert main(["verify-export", out1_bad]) == 1
+
+
+def _damage_shard(out_dir, k, mode="truncate"):
+    import os
+    import shutil
+
+    d = os.path.join(out_dir, f"_shard={k}")
+    if mode == "remove":
+        shutil.rmtree(d)
+        return
+    for f in os.listdir(d):
+        if f.endswith(".crc"):
+            os.remove(os.path.join(d, f))
+    victim = next(
+        os.path.join(d, f) for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    )
+    if mode == "truncate":
+        lines = open(victim).read().splitlines()
+        with open(victim, "w") as f:
+            f.write("\n".join(lines[:-1]) + ("\n" if lines[:-1] else ""))
+    else:  # inject
+        with open(victim, "a") as f:
+            f.write('{"doc_id": 987654, "text": "injected"}\n')
+
+
+def test_repair_export_rebuilds_only_damaged_shards(
+    spark, tmp_path, monkeypatch
+):
+    """Repair leg of the hand-off surface: truncate one shard, delete
+    another, inject a foreign shard dir — repair re-materializes
+    exactly those from the pinned snapshot, removes the foreign dir,
+    and the result is byte-identical to the original export. Undamaged
+    shard files are NOT rewritten (their mtimes prove O(damaged))."""
+    import os
+    import shutil
+
+    from venus_spark import prepared
+    from venus_spark.export import repair_export, verify_export
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=12, shards=6
+    )
+    baseline = _shard_digests(out0)
+    damaged = sorted(baseline)[:2]
+    assert len(baseline) >= 3, "need an undamaged shard for the mtime probe"
+    untouched = sorted(baseline)[-1]
+    untouched_files = {
+        f: os.path.getmtime(os.path.join(out0, f"_shard={untouched}", f))
+        for f in os.listdir(os.path.join(out0, f"_shard={untouched}"))
+    }
+    _damage_shard(out0, damaged[0], "truncate")
+    _damage_shard(out0, damaged[1], "remove")
+    os.makedirs(os.path.join(out0, "_shard=9"))
+    shutil.copy(
+        next(
+            os.path.join(out0, f"_shard={untouched}", f)
+            for f in untouched_files if not f.startswith(("_", "."))
+        ),
+        os.path.join(out0, "_shard=9", "part-injected.txt"),
+    )
+    assert verify_export(spark, out0) != []
+
+    result = repair_export(spark, sf, out0)
+    assert result["repaired"] == damaged
+    assert result["removed"] == [9]
+    assert result["row_drift"] == {} and result["problems"] == []
+    assert verify_export(spark, out0) == []
+    assert _shard_digests(out0) == baseline  # byte-identical repair
+    for f, mt in untouched_files.items():
+        assert os.path.getmtime(
+            os.path.join(out0, f"_shard={untouched}", f)
+        ) == mt  # undamaged shards untouched
+
+
+def test_repair_export_delta_lineage_aware(spark, tmp_path, monkeypatch):
+    """A DELTA export repairs through the delta-curation core (base
+    snapshot + pinned current snapshot re-derive the same curated
+    delta), so damage to an incremental hand-off also costs O(damaged),
+    not a re-export of the chain."""
+    from venus_spark import prepared
+    from venus_spark.export import repair_export, verify_export
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    d = spark.createDataFrame(
+        [(9101 + i, words(f"d{i}"), "en", "web", 144) for i in range(6)],
+        schema,
+    )
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    from venus_spark.export import export_delta_jsonl
+
+    out1 = str(tmp_path / "d1")
+    export_delta_jsonl(spark, sf, out1, snap0, shards=3)
+    baseline = _shard_digests(out1)
+    victim = sorted(baseline)[0]
+    _damage_shard(out1, victim, "inject")
+    result = repair_export(spark, sf, out1)
+    assert result["repaired"] == [victim] and result["problems"] == []
+    assert _shard_digests(out1) == baseline
+
+
+def test_repair_export_reports_rtbf_drift(spark, tmp_path, monkeypatch):
+    """RTBF wins over reproducibility in repair too: tombstone a doc
+    AFTER the export, damage its shard — the repaired shard legitimately
+    lacks the deleted doc, the manifest is recomputed, verify passes,
+    and the row drift is REPORTED, never papered over."""
+    import json
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.export import (
+        read_export_manifest,
+        repair_export,
+        verify_export,
+    )
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=6
+    )
+    rows_before = read_export_manifest(out0)["n_rows"]
+    # find a doc and its shard from the landed files
+    some = spark.read.json(out0).select("doc_id").first()["doc_id"]
+    import pyspark.sql.functions as F
+
+    modulus = read_export_manifest(out0)["shard_modulus"]
+    shard_of = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(int(some)).cast("long")), F.lit(modulus))
+        )
+        .first()[0]
+    )
+    prepared.tombstone_documents(spark, sf, [int(some)], batch_id=0)
+    _damage_shard(out0, int(shard_of), "truncate")
+    result = repair_export(spark, sf, out0)
+    assert result["problems"] == []
+    assert list(result["row_drift"]) == [int(shard_of)]
+    before, after = result["row_drift"][int(shard_of)]
+    assert before - after == 1  # exactly the deleted doc
+    assert read_export_manifest(out0)["n_rows"] == rows_before - 1
+    ids = {r["doc_id"] for r in spark.read.json(out0).collect()}
+    assert int(some) not in ids
+    assert verify_export(spark, out0) == []
+
+
+def test_repair_export_refusals(spark, tmp_path, monkeypatch):
+    """Cannot-repair states are loud: no manifest (torn export),
+    pre-modulus manifest (unknown shard function)."""
+    import json
+    import os
+
+    import pytest
+
+    from venus_spark.export import EXPORT_MANIFEST, repair_export
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    mp = os.path.join(out0, EXPORT_MANIFEST)
+    with open(mp) as f:
+        manifest = json.load(f)
+    legacy = {k: v for k, v in manifest.items() if k != "shard_modulus"}
+    with open(mp, "w") as f:
+        json.dump(legacy, f)
+    with pytest.raises(ValueError, match="shard_modulus"):
+        repair_export(spark, sf, out0)
+    os.remove(mp)
+    with pytest.raises(ValueError, match="no manifest"):
+        repair_export(spark, sf, out0)
+
+
+def test_cli_repair_export(spark, tmp_path, monkeypatch, capsys):
+    """`repair-export` drives the same path operationally: exit 0 with
+    a JSON result on success, exit 2 with guidance when unrepairable."""
+    import json
+    import os
+
+    from venus_spark.__main__ import main
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    baseline = _shard_digests(out0)
+    _damage_shard(out0, sorted(baseline)[0], "truncate")
+    rc = main(["repair-export", out0, "--sf", sf])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1])["repaired"] == [
+        sorted(baseline)[0]
+    ]
+    assert _shard_digests(out0) == baseline
+
+    os.remove(os.path.join(out0, "_export_manifest.json"))
+    rc = main(["repair-export", out0, "--sf", sf])
+    assert rc == 2
+    assert "re-export" in capsys.readouterr().err

@@ -537,6 +537,23 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_repair_export(args) -> int:
+    """Re-materialize only the damaged/missing shards of an export in
+    place (full or delta — lineage-aware), remove injected shard dirs,
+    recompute the manifest, and re-verify. Exit 0 = repaired and
+    verified; 2 = cannot repair (no manifest / pre-modulus manifest /
+    expired snapshot)."""
+    from venus_spark.export import repair_export
+
+    try:
+        result = repair_export(_spark(), args.sf, args.out_dir)
+    except ValueError as exc:
+        print(f"repair-export: {exc}", file=sys.stderr)
+        return 2
+    print(json.dumps(result))
+    return 1 if result["problems"] else 0
+
+
 def cmd_verify_export(args) -> int:
     """Loader-side certification gate: one directory re-derives the
     shard digests against its manifest; several directories are
@@ -638,6 +655,13 @@ def main(argv: list[str] | None = None) -> int:
         "dirs are verified as a full->delta chain (exit 1 on damage)",
     )
     ve.add_argument("dirs", nargs="+")
+    rx = sub.add_parser(
+        "repair-export",
+        help="re-materialize only the damaged shards of an export from "
+        "its pinned snapshot (O(damaged), not O(corpus))",
+    )
+    rx.add_argument("out_dir")
+    rx.add_argument("--sf", default=DEFAULT_SF)
 
     mt.add_argument("--ids", help="comma-separated doc ids (delete-docs)")
     mt.add_argument(
@@ -659,6 +683,7 @@ def main(argv: list[str] | None = None) -> int:
         "maintain": cmd_maintain,
         "export": cmd_export,
         "verify-export": cmd_verify_export,
+        "repair-export": cmd_repair_export,
     }[args.cmd](args)
 
 

@@ -390,6 +390,31 @@ def export_delta_jsonl(
     the full base snapshot (so the exact delta file set re-derives
     from the manifest alone), and the CURRENT snapshot — which is the
     ``base_snapshot`` of the next delta: exports chain."""
+    cur = corpus_snapshot(spark, sf_dir)
+    lineage = {
+        "delta_of": snapshot_digest(base_snapshot),
+        "base_snapshot": base_snapshot,
+        "shard_modulus": shards,
+    }
+    curated = _delta_curated(spark, sf_dir, base_snapshot, cur)
+    if curated is None:
+        # nothing landed: an EMPTY but self-certifying export — the
+        # manifest still chains (snapshot = current), and a loader
+        # sees 0 rows / 0 shards instead of a missing directory
+        os.makedirs(out_dir, exist_ok=True)
+        return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
+    export_jsonl(curated, out_dir, shards)
+    return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
+
+
+def _delta_curated(
+    spark: SparkSession, sf_dir: str, base_snapshot: dict, cur: dict
+):
+    """The delta-curation core shared by :func:`export_delta_jsonl`
+    and :func:`repair_export`: given the base snapshot and the pinned
+    CURRENT snapshot, derive the curated delta DataFrame (None for an
+    empty delta). All delta guards live here so a repair re-validates
+    exactly what the original export validated."""
     from venus_spark.operators.dedup import incremental_near_dups
     from venus_spark.plans.pipeline_ops import _JACCARD_T
     from venus_spark.plans.pipeline_ops4 import curated_funnel
@@ -400,7 +425,6 @@ def export_delta_jsonl(
             "base snapshot has no 'documents' file list — not a corpus "
             "snapshot this engine wrote"
         )
-    cur = corpus_snapshot(spark, sf_dir)
     base_files = set(base_snapshot["documents"])
     cur_files = set(cur["documents"])
     selfish = [f for f in base_files | cur_files if f.startswith(_SNAP_SELF)]
@@ -424,16 +448,8 @@ def export_delta_jsonl(
                 "undefined — re-export full to cut a fresh baseline."
             )
         delta_files = sorted(cur_files - base_files)
-    lineage = {
-        "delta_of": snapshot_digest(base_snapshot),
-        "base_snapshot": base_snapshot,
-    }
     if not delta_files:
-        # nothing landed: an EMPTY but self-certifying export — the
-        # manifest still chains (snapshot = current), and a loader
-        # sees 0 rows / 0 shards instead of a missing directory
-        os.makedirs(out_dir, exist_ok=True)
-        return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
+        return None
     doc_root = os.path.join(sf_dir, "documents.parquet")
     delta_docs = spark.read.parquet(
         *[os.path.join(doc_root, f) for f in delta_files]
@@ -486,9 +502,7 @@ def export_delta_jsonl(
         curated_funnel(delta_docs, mh_delta, bench_docs=full_docs)
         .join(cross_dups, "doc_id", "left_anti")
     )
-    curated = _anti_tombstones(spark, sf_dir, curated)
-    export_jsonl(curated, out_dir, shards)
-    return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
+    return _anti_tombstones(spark, sf_dir, curated)
 
 
 def export_curated_jsonl(
@@ -521,11 +535,25 @@ def export_curated_jsonl(
     EXPORT, not the plan, and the manifest ships with the shards so the
     loader side re-certifies with :func:`verify_export` before
     training."""
+    if snapshot is None:
+        snapshot = corpus_snapshot(spark, sf_dir)
+    curated = _curated_from_snapshot(spark, sf_dir, snapshot)
+    export_jsonl(curated, out_dir, shards)
+    return write_export_manifest(
+        spark, out_dir, snapshot=snapshot, extra={"shard_modulus": shards}
+    )["n_rows"]
+
+
+def _curated_from_snapshot(
+    spark: SparkSession, sf_dir: str, snapshot: dict
+) -> DataFrame:
+    """The full-export curation core shared by
+    :func:`export_curated_jsonl` and :func:`repair_export`: the
+    curated corpus read THROUGH a pinned snapshot, with current
+    tombstones applied on top (RTBF wins over reproducibility)."""
     from venus_spark.plans.pipeline_ops4 import curated_funnel
     from venus_spark.prepared import _anti_tombstones, prepared_path
 
-    if snapshot is None:
-        snapshot = corpus_snapshot(spark, sf_dir)
     missing_keys = {"documents", "documents_minhash"} - set(snapshot)
     if missing_keys:
         raise ValueError(
@@ -552,6 +580,125 @@ def export_curated_jsonl(
             "documents_minhash",
         ),
     )
-    curated = _anti_tombstones(spark, sf_dir, curated_funnel(docs, mh))
-    export_jsonl(curated, out_dir, shards)
-    return write_export_manifest(spark, out_dir, snapshot=snapshot)["n_rows"]
+    return _anti_tombstones(spark, sf_dir, curated_funnel(docs, mh))
+
+
+def repair_export(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Re-materialize EXACTLY the damaged or missing shards of an
+    export, in place — the repair leg of the hand-off surface (write →
+    :func:`verify_export` → repair). A 100 TB export with one
+    rsync-truncated shard must not cost a full re-export: shard
+    membership is a pure function of the document id and the corpus is
+    pinned by the manifest's snapshot, so each shard's bytes are
+    INDEPENDENTLY reproducible; the repair recomputes the curated set
+    once, writes only the damaged shards' rows, and swaps them in.
+
+    Works for both export kinds: a full export re-derives from its
+    pinned ``snapshot``; a delta export re-derives from
+    ``base_snapshot`` + ``snapshot`` through the same delta-curation
+    core (all original guards re-validated). Foreign shard directories
+    not in the manifest (injected data) are removed.
+
+    CURRENT tombstones apply, same as a pinned re-export — so a repair
+    after an RTBF delete legitimately produces fewer rows than the
+    manifest recorded. The manifest is then recomputed (lineage
+    preserved) and the per-shard row drift is REPORTED in the result
+    rather than papered over: {"repaired": [...], "removed": [...],
+    "row_drift": {shard: (manifest_rows, now_rows)}, "problems":
+    verify_export(...) after repair}."""
+    import shutil
+    import uuid as _uuid
+
+    if not os.path.exists(os.path.join(out_dir, EXPORT_MANIFEST)):
+        raise ValueError(
+            "export has no manifest (torn before certification) — the "
+            "repair target is unknown; discard the directory and "
+            "re-export."
+        )
+    manifest = read_export_manifest(out_dir)
+    modulus = manifest.get("shard_modulus")
+    if modulus is None:
+        raise ValueError(
+            "manifest predates shard_modulus recording — the shard "
+            "assignment function cannot be reconstructed; re-export to "
+            "refresh the manifest, then repair becomes available."
+        )
+    want = {int(k): v for k, v in manifest["per_shard"].items()}
+    actual = _shard_digests(spark, out_dir)
+    damaged = sorted(k for k in want if actual.get(k) != want[k])
+    foreign = sorted(k for k in actual if k not in want)
+    for k in foreign:
+        shutil.rmtree(os.path.join(out_dir, f"_shard={k}"))
+    if not damaged:
+        if foreign:
+            # removing injected shards is itself a repair; re-verify
+            return {
+                "repaired": [],
+                "removed": foreign,
+                "row_drift": {},
+                "problems": verify_export(spark, out_dir),
+            }
+        return {"repaired": [], "removed": [], "row_drift": {},
+                "problems": []}
+
+    if "delta_of" in manifest:
+        curated = _delta_curated(
+            spark, sf_dir, manifest["base_snapshot"], manifest["snapshot"]
+        )
+        if curated is None:
+            raise ValueError(
+                "delta manifest names damaged shards but the snapshot "
+                "pair derives an empty delta — manifest and corpus "
+                "disagree; re-export."
+            )
+    else:
+        curated = _curated_from_snapshot(spark, sf_dir, manifest["snapshot"])
+
+    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(modulus))
+    tmp = os.path.join(out_dir, f".repair-{_uuid.uuid4().hex[:8]}")
+    (
+        curated.withColumn("_shard", shard)
+        .filter(F.col("_shard").isin([int(k) for k in damaged]))
+        .repartition(len(damaged), F.col("_shard"))
+        .sortWithinPartitions("_shard", "doc_id")
+        .select(
+            "_shard",
+            F.to_json(F.struct(*curated.columns)).alias("value"),
+        )
+        .write.mode("error")
+        .partitionBy("_shard")
+        .text(tmp)
+    )
+    row_drift = {}
+    try:
+        for k in damaged:
+            dst = os.path.join(out_dir, f"_shard={k}")
+            src = os.path.join(tmp, f"_shard={k}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            # an absent src means the shard now has ZERO rows (every
+            # document it held was tombstoned since) — absence IS the
+            # correct repaired state
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    extras = {
+        k: manifest[k]
+        for k in ("delta_of", "base_snapshot", "shard_modulus")
+        if k in manifest
+    }
+    new_manifest = write_export_manifest(
+        spark, out_dir, snapshot=manifest.get("snapshot"), extra=extras
+    )
+    for k in damaged:
+        before = want.get(k, {}).get("rows")
+        after = new_manifest["per_shard"].get(str(k), {}).get("rows", 0)
+        if before != after:
+            row_drift[k] = (before, after)
+    return {
+        "repaired": damaged,
+        "removed": foreign,
+        "row_drift": row_drift,
+        "problems": verify_export(spark, out_dir),
+    }
