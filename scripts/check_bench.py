@@ -60,16 +60,17 @@ def queries_from(artifact: dict) -> tuple[dict, bool]:
     tail = artifact.get("tail", "")
     pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)', tail)
     drop = {
-        "value", "sf", "repeat", "n_plans", "n_failed", "host_cpus",
-        "elapsed_sec",
+        "value", "sf", "repeat", "n_plans", "n_failed", "n_only",
+        "host_cpus", "elapsed_sec",
     }
+    # no truncation handling needed for the first pair: the capture is
+    # a SUFFIX, so a name cut at the tail's start lost its opening
+    # quote and the regex never matches it — every matched pair is
+    # complete (values sit left of their cut point too)
     out = {}
     for name, sec in pairs:
         if name not in drop:
             out[name] = float(sec)
-    # the first recovered pair may be cut mid-name; drop it defensively
-    if pairs and tail and not tail.startswith('{"'):
-        out.pop(pairs[0][0], None)
     return out, True
 
 

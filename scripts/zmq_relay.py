@@ -300,12 +300,18 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=MAX_BATCH_SIZE)
     ap.add_argument("--batch-age", type=float, default=MAX_BATCH_AGE_SECONDS)
+    # default applied after the mode check: the admission queue exists
+    # on the stdin reader-thread handoff only (the zmq loop feeds the
+    # batcher synchronously; its bound is the socket HWM), so an
+    # explicit --queue-max in zmq mode would be silently unused — the
+    # same loud-refusal posture as --port with --connect
     ap.add_argument(
         "--queue-max",
         type=int,
-        default=QUEUE_MAX,
-        help="admission queue bound (reference pull_queue maxsize, "
-        "venus/main.py:36); a burst beyond it drops, at-most-once",
+        default=None,
+        help="admission queue bound for --stdin (reference pull_queue "
+        "maxsize, venus/main.py:36); a burst beyond it drops, "
+        "at-most-once",
     )
     ap.add_argument(
         "--stdin", action="store_true", help="read lines from stdin instead of zmq"
@@ -336,6 +342,14 @@ def main() -> None:
         )
     if args.port is None:
         args.port = 5555
+    if args.queue_max is not None and not args.stdin:
+        ap.error(
+            "--queue-max applies to --stdin only: the zmq loop feeds "
+            "the batcher synchronously (the socket HWM is its bound), "
+            "so the flag would be silently ignored"
+        )
+    if args.queue_max is None:
+        args.queue_max = QUEUE_MAX
     os.makedirs(args.landing, exist_ok=True)
     batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
     if args.stdin:

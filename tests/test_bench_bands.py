@@ -133,6 +133,13 @@ def test_checker_recovers_driver_tail_capture(tmp_path):
         o["plan"] for o in got["over"]
     )
 
+    # the summary line's n_only stamp must not surface as a phantom
+    # plan (r13 self-review #4)
+    art2 = {"tail": 'lan_x":1.0, "plan_h":9.9}, "n_only":0, "sf": 0.1}'}
+    got2 = check_mod.check(art2, bands)
+    assert got2["plans_not_in_bands"] == []  # neither n_only nor the cut pair
+    assert [o["plan"] for o in got2["over"]] == ["plan_h"]
+
 
 def test_bands_never_flag_their_own_sources(tmp_path):
     """Self-consistency: a noise model that flags the very runs it was

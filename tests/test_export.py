@@ -1177,3 +1177,121 @@ def test_cli_repair_export(spark, tmp_path, monkeypatch, capsys):
     rc = main(["repair-export", out0, "--sf", sf])
     assert rc == 2
     assert "re-export" in capsys.readouterr().err
+
+
+def test_verify_export_chain_review_hardenings(spark, tmp_path, monkeypatch):
+    """r13 self-review fixes, pinned: (1) a chain whose position 0 is a
+    DELTA export (full base lost/truncated) is named, not certified;
+    (2) a dir that lost EVERY shard while its manifest says n_rows>0 is
+    reported by the digest layer instead of crashing schema inference;
+    (3) a systemic duplicate overlap reports a bounded list WITH an
+    explicit more-beyond-the-cap marker."""
+    import os
+    import shutil
+
+    from venus_spark import prepared
+    from venus_spark.export import (
+        export_delta_jsonl,
+        export_jsonl,
+        verify_export_chain,
+        write_export_manifest,
+    )
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    d = spark.createDataFrame(
+        [(9101, words("d1a"), "en", "web", 144)], schema
+    )
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    out1 = str(tmp_path / "d1")
+    export_delta_jsonl(spark, sf, out1, snap0, shards=2)
+
+    # (1) prefix-truncated chain: deltas only
+    probs = verify_export_chain(spark, [out1])
+    assert len(probs) == 1 and "full base export is missing" in probs[0]
+
+    # (2) all shards lost, manifest intact: named per-shard, no crash
+    out0_lost = str(tmp_path / "full_lost")
+    shutil.copytree(out0, out0_lost)
+    for e in list(os.listdir(out0_lost)):
+        if e.startswith("_shard="):
+            shutil.rmtree(os.path.join(out0_lost, e))
+    probs = verify_export_chain(spark, [out0_lost, out1])
+    assert probs and all(p.startswith(out0_lost) for p in probs)
+    assert all("actual None" in p for p in probs)
+
+    # (3) systemic overlap: 25 duplicated ids -> 20 named + a marker
+    many = spark.createDataFrame(
+        [(5000 + i, words(f"m{i}"), "en") for i in range(25)],
+        "doc_id long, text string, lang string",
+    )
+    a_dir, b_dir = str(tmp_path / "ova"), str(tmp_path / "ovb")
+    export_jsonl(many, a_dir, shards=2)
+    write_export_manifest(spark, a_dir, snapshot=snap0)
+    export_jsonl(many, b_dir, shards=2)
+    write_export_manifest(spark, b_dir, snapshot=snap0)
+    probs = verify_export_chain(spark, [a_dir, b_dir])
+    dup_lines = [p for p in probs if "shipped 2x" in p]
+    marker = [p for p in probs if "beyond the 20 reported" in p]
+    assert len(dup_lines) == 20 and len(marker) == 1
+
+
+def test_repair_export_delta_expired_snapshot_is_loud(
+    spark, tmp_path, monkeypatch
+):
+    """r13 self-review #3: repairing a delta export whose pinned delta
+    files were compacted away refuses with the expired-snapshot
+    ValueError (CLI exit 2), never a raw Spark path error."""
+    import os
+
+    import pytest
+
+    from venus_spark import prepared
+    from venus_spark.__main__ import main
+    from venus_spark.export import export_delta_jsonl, repair_export
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    d = spark.createDataFrame(
+        [(9101, words("d1a"), "en", "web", 144)], schema
+    )
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    out1 = str(tmp_path / "d1")
+    m1 = export_delta_jsonl(spark, sf, out1, snap0, shards=2)
+
+    shard = sorted(int(k) for k in m1["per_shard"])[0]
+    _damage_shard(out1, shard, "truncate")
+    # compaction: the delta's pinned part file is gone
+    delta_file = sorted(
+        set(m1["snapshot"]["documents"]) - set(snap0["documents"])
+    )[0]
+    os.remove(os.path.join(doc_dir, delta_file))
+    with pytest.raises(ValueError, match="no longer materializable"):
+        repair_export(spark, sf, out1)
+    rc = main(["repair-export", out1, "--sf", sf])
+    assert rc == 2
+
+
+def test_relay_queue_max_requires_stdin(tmp_path):
+    """r13 self-review #5: --queue-max in zmq mode would be silently
+    unused (the admission queue is the stdin handoff) — loud refusal,
+    same posture as --port with --connect."""
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(tmp_path),
+         "--queue-max", "1024"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "--stdin only" in proc.stderr

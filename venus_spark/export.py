@@ -163,6 +163,13 @@ def verify_export_chain(
             manifests.append(read_export_manifest(d))
         except FileNotFoundError:
             manifests.append(None)
+    if manifests and manifests[0] is not None and "delta_of" in manifests[0]:
+        problems.append(
+            f"{export_dirs[0]}: chain starts with a DELTA export "
+            f"(delta_of {manifests[0]['delta_of'][:12]}…) — the full "
+            "base export is missing or the chain was truncated; a "
+            "prefix-less delta sequence is not a complete corpus"
+        )
     for i in range(1, len(export_dirs)):
         prev, cur = manifests[i - 1], manifests[i]
         if prev is None or cur is None:
@@ -185,9 +192,15 @@ def verify_export_chain(
                 f"{export_dirs[i]}: embedded base_snapshot differs from "
                 f"{export_dirs[i - 1]}'s snapshot"
             )
+    # Layer 3 reads only directories that still HAVE shard files: a dir
+    # whose manifest says n_rows>0 but whose shards were all lost is
+    # already fully named by layer 1, and reading it would crash on
+    # schema inference instead of reporting (review r13 self-review #2).
     nonempty = [
         d for d, m in zip(export_dirs, manifests)
-        if m is not None and m.get("n_rows", 0) > 0
+        if m is not None
+        and m.get("n_rows", 0) > 0
+        and any(e.startswith("_shard=") for e in os.listdir(d))
     ]
     if len(nonempty) > 1:
         union = None
@@ -197,6 +210,7 @@ def verify_export_chain(
                 .select(F.col(id_col), F.lit(d).alias("_export_dir"))
             )
             union = part if union is None else union.unionByName(part)
+        cap = 20
         dups = (
             union.groupBy(id_col)
             .agg(
@@ -205,13 +219,19 @@ def verify_export_chain(
             )
             .filter(F.col("n") > 1)
             .orderBy(id_col)
-            .limit(20)
+            .limit(cap + 1)
             .collect()
         )
-        for r in dups:
+        for r in dups[:cap]:
             problems.append(
                 f"{id_col}={r[id_col]} shipped {r['n']}x across "
                 f"{list(r['dirs'])} — chain is not a partition"
+            )
+        if len(dups) > cap:
+            # no silent caps: a bounded report must say it is bounded
+            problems.append(
+                f"…and more duplicate {id_col}s beyond the {cap} "
+                "reported — the chain overlap is systemic, not isolated"
             )
     return problems
 
@@ -221,6 +241,7 @@ def export_jsonl(
     out_dir: str,
     shards: int,
     id_col: str = "doc_id",
+    only_shards: list[int] | None = None,
 ) -> None:
     """Write ``df`` as ``shards`` JSONL files under ``out_dir``.
 
@@ -233,17 +254,28 @@ def export_jsonl(
       byte-deterministic given the corpus, so re-exports diff clean.
     - Serialization is ``to_json(struct(*))`` (JVM-side, one pass); no
       data touches the driver.
+    - ``only_shards`` restricts the write to those shard ids (the
+      repair path): the assignment function is unchanged, so the
+      produced shard files are byte-identical to the full export's —
+      ONE serialization pipeline, shared, never forked.
 
     At 100 TB this is one shuffle + one write, shards sized to the
     loader's preferred file size by picking ``shards``."""
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    sharded = df.withColumn("_shard", shard)
+    n_tasks = shards
+    if only_shards is not None:
+        sharded = sharded.filter(
+            F.col("_shard").isin([int(k) for k in only_shards])
+        )
+        n_tasks = max(1, len(only_shards))
     (
-        df.withColumn("_shard", shard)
+        sharded
         # each shard value hashes to exactly one task, so each shard
         # directory receives exactly one sorted file
-        .repartition(shards, F.col("_shard"))
+        .repartition(n_tasks, F.col("_shard"))
         .sortWithinPartitions("_shard", id_col)
         .select(
             "_shard", F.to_json(F.struct(*df.columns)).alias("value")
@@ -451,6 +483,21 @@ def _delta_curated(
     if not delta_files:
         return None
     doc_root = os.path.join(sf_dir, "documents.parquet")
+    # When `cur` is a PINNED snapshot (repair path) rather than
+    # freshly listed, its files may have been compacted away since —
+    # refuse loudly like every other expired-snapshot path instead of
+    # crashing in the reader (review r13 self-review #3)
+    lost = [
+        f for f in delta_files
+        if not os.path.exists(os.path.join(doc_root, f))
+    ]
+    if lost:
+        raise ValueError(
+            f"snapshot no longer materializable: {len(lost)} delta "
+            f"file(s) were rewritten or removed since the snapshot "
+            f"(compaction/vacuum), e.g. {lost[:3]}; re-export full to "
+            "cut a fresh baseline."
+        )
     delta_docs = spark.read.parquet(
         *[os.path.join(doc_root, f) for f in delta_files]
     )
@@ -654,21 +701,11 @@ def repair_export(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     else:
         curated = _curated_from_snapshot(spark, sf_dir, manifest["snapshot"])
 
-    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(modulus))
     tmp = os.path.join(out_dir, f".repair-{_uuid.uuid4().hex[:8]}")
-    (
-        curated.withColumn("_shard", shard)
-        .filter(F.col("_shard").isin([int(k) for k in damaged]))
-        .repartition(len(damaged), F.col("_shard"))
-        .sortWithinPartitions("_shard", "doc_id")
-        .select(
-            "_shard",
-            F.to_json(F.struct(*curated.columns)).alias("value"),
-        )
-        .write.mode("error")
-        .partitionBy("_shard")
-        .text(tmp)
-    )
+    # the SAME serialization pipeline as the original export — byte
+    # identity of repaired shards is by shared construction, not by a
+    # forked copy staying in sync
+    export_jsonl(curated, tmp, modulus, only_shards=damaged)
     row_drift = {}
     try:
         for k in damaged:
@@ -696,9 +733,24 @@ def repair_export(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         after = new_manifest["per_shard"].get(str(k), {}).get("rows", 0)
         if before != after:
             row_drift[k] = (before, after)
+    # write_export_manifest just recomputed every shard digest from
+    # disk — comparing the UNDAMAGED shards' fresh digests against the
+    # old manifest gives the full verify_export assurance without a
+    # second O(corpus) read (the repaired shards' digests are the new
+    # ground truth; their content delta is row_drift above)
+    problems = []
+    for k, v in want.items():
+        if k in damaged:
+            continue
+        got = new_manifest["per_shard"].get(str(k))
+        if got != v:
+            problems.append(
+                f"_shard={k}: changed while repairing other shards: "
+                f"manifest {v} != recomputed {got} (concurrent writer?)"
+            )
     return {
         "repaired": damaged,
         "removed": foreign,
         "row_drift": row_drift,
-        "problems": verify_export(spark, out_dir),
+        "problems": problems,
     }
