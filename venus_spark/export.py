@@ -136,7 +136,10 @@ def read_export_manifest(out_dir: str) -> dict:
 
 
 def verify_export_chain(
-    spark: SparkSession, export_dirs: list[str], id_col: str = "doc_id"
+    spark: SparkSession,
+    export_dirs: list[str],
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
 ) -> list[str]:
     """Certify a FULL-then-deltas export chain as ONE artifact set —
     what a training loader checks before consuming a sequence of
@@ -153,7 +156,11 @@ def verify_export_chain(
 
     Layer 3 is one distributed read over the chain's shards — a
     groupBy on the id, no driver-side set — so the check itself scales
-    to a 100 TB chain. Returns [] when the chain is verified."""
+    to a 100 TB chain: the JSON read carries an explicit one-column
+    schema (``id_type``, default the engine's bigint doc ids), which
+    skips Spark's whole-file inference pass AND lets the JSON parser
+    materialize only the id field instead of every exported column.
+    Returns [] when the chain is verified."""
     problems: list[str] = []
     manifests: list[dict | None] = []
     for d in export_dirs:
@@ -206,7 +213,8 @@ def verify_export_chain(
         union = None
         for d in nonempty:
             part = (
-                spark.read.json(d)
+                spark.read.schema(f"{id_col} {id_type}")
+                .json(d)
                 .select(F.col(id_col), F.lit(d).alias("_export_dir"))
             )
             union = part if union is None else union.unionByName(part)
