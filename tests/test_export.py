@@ -311,11 +311,19 @@ def test_export_snapshot_reexport_byte_identical_after_append(
         m1 = json.load(f)
     assert set(m1["snapshot"]) == {"documents", "documents_minhash"}
 
-    # the append: byte-identical text of doc 40, id 35 (< 40) — the
-    # unpinned funnel now clusters {35, 40} with keeper 35 and drops 40
+    # the append: byte-identical text of doc 40, id 35 (< 40), landed
+    # in the BASE table AND indexed (r13 whole-file review #6 changed
+    # the index-only variant of this fixture: an index row whose
+    # document is not in the snapshot's table no longer influences the
+    # funnel — that was the neither-copy-ships bug, now semi-joined
+    # out). With the document really landed, the unpinned funnel
+    # clusters {35, 40} with keeper 35 and drops 40.
     dup_of_40 = spark.createDataFrame(
         [(35, rows[1][1], "en", "web", rows[1][4])],
         "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dup_of_40.coalesce(1).write.mode("append").parquet(
+        os.path.join(sf, "documents.parquet")
     )
     prepared.append_documents_batch(spark, sf, dup_of_40, batch_id=1)
 
@@ -323,6 +331,7 @@ def test_export_snapshot_reexport_byte_identical_after_append(
     export_curated_jsonl(spark, sf, out_unpinned, shards=4)
     unpinned_ids = {r["doc_id"] for r in spark.read.json(out_unpinned).collect()}
     assert 40 not in unpinned_ids  # the append really changed the funnel
+    assert 35 in unpinned_ids  # and the surviving copy actually ships
 
     # pinned re-export: byte-identical to the original
     out2 = str(tmp_path / "exp2")
@@ -1295,3 +1304,128 @@ def test_relay_queue_max_requires_stdin(tmp_path):
     )
     assert proc.returncode == 2
     assert "--stdin only" in proc.stderr
+
+
+def test_export_hardening_pass2(spark, tmp_path, monkeypatch):
+    """r13 whole-file review fixes, pinned: (1) a corrupt/truncated
+    manifest is NAMED damage, per-dir in a chain too; (2) a foreign
+    non-integer `_shard=junk` directory is named by verify and removed
+    by repair, never crashed on; (3) an empty delta aimed at an
+    EXISTING export directory refuses instead of re-certifying its
+    stale shards under delta lineage."""
+    import json
+    import os
+
+    import pytest
+
+    from venus_spark.export import (
+        EXPORT_MANIFEST,
+        export_delta_jsonl,
+        repair_export,
+        verify_export,
+        verify_export_chain,
+    )
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch
+    )
+
+    # (2) foreign non-integer shard dir
+    junk = os.path.join(out0, "_shard=junk")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-x.txt"), "w") as f:
+        f.write('{"doc_id": 1}\n')
+    probs = verify_export(spark, out0)
+    assert len(probs) == 1 and probs[0].startswith("_shard=junk")
+    res = repair_export(spark, sf, out0)
+    assert res["removed"] == ["junk"] and res["repaired"] == []
+    assert verify_export(spark, out0) == []
+
+    # (3) empty delta into an existing directory refuses
+    with pytest.raises(ValueError, match="already exists"):
+        export_delta_jsonl(spark, sf, out0, snap0, shards=2)
+
+    # (1) corrupt manifest: truncated JSON, then missing per_shard
+    mp = os.path.join(out0, EXPORT_MANIFEST)
+    good = open(mp).read()
+    with open(mp, "w") as f:
+        f.write(good[: len(good) // 2])
+    probs = verify_export(spark, out0)
+    assert len(probs) == 1 and "corrupt" in probs[0]
+    chain_probs = verify_export_chain(spark, [out0])
+    assert any("corrupt" in p for p in chain_probs)  # no crash, named
+    with open(mp, "w") as f:
+        json.dump({"n_rows": 1}, f)  # valid JSON, not a manifest
+    probs = verify_export(spark, out0)
+    assert len(probs) == 1 and "corrupt" in probs[0]
+    with open(mp, "w") as f:
+        f.write(good)
+    assert verify_export(spark, out0) == []
+
+
+def test_full_export_snapshot_race_cannot_drop_pinned_doc(
+    spark, tmp_path, monkeypatch
+):
+    """r13 whole-file review #6: corpus_snapshot lists documents then
+    the index; an append landing between the walks yields a snapshot
+    whose index covers a doc outside its documents set. Forge exactly
+    that inconsistent snapshot: without the semi-join the phantom's
+    smaller id steals doc 40's cluster keepership and 40 silently
+    vanishes from the export (while the phantom never ships either);
+    with it, 40 ships."""
+    import os
+
+    from venus_spark import prepared
+    from venus_spark.export import corpus_snapshot, export_curated_jsonl
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    sf = str(tmp_path / "sf")
+    doc_dir = os.path.join(sf, "documents.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def words(seed, n=24):
+        return " ".join(f"w{seed}x{k}" for k in range(n))
+
+    base_rows = [(30 + 10 * i, words(i), "en", "web", 144) for i in range(4)]
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.parquet(doc_dir)
+    snap_before = corpus_snapshot(spark, sf)
+
+    # the racing append: id 7 < 40, text identical to doc 40's
+    phantom = spark.createDataFrame(
+        [(7, base_rows[1][1], "en", "web", 144)], schema
+    )
+    prepared.append_documents_batch(spark, sf, phantom, batch_id=1)
+    snap_after = corpus_snapshot(spark, sf)
+
+    forged = {
+        "documents": snap_before["documents"],          # pre-append walk
+        "documents_minhash": snap_after["documents_minhash"],  # post-append
+    }
+    assert set(forged["documents_minhash"]) > set(
+        snap_before["documents_minhash"]
+    ), "fixture must actually widen the index file set"
+
+    out = str(tmp_path / "exp")
+    export_curated_jsonl(spark, sf, out, shards=2, snapshot=forged)
+    ids = {r["doc_id"] for r in spark.read.json(out).collect()}
+    assert 40 in ids          # the pinned doc ships
+    assert 7 not in ids       # the phantom (outside the pinned docs) does not
+    assert ids == {r[0] for r in base_rows}
+
+
+def test_cli_snapshot_from_inherits_shard_modulus(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """r13 whole-file review #4: a byte-identical re-export must reuse
+    the prior manifest's shard modulus when --shards is not given —
+    otherwise every file differs despite the identical row set."""
+    from venus_spark.__main__ import main
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=6, shards=3
+    )
+    out2 = str(tmp_path / "re")
+    rc = main(["export", out2, "--sf", sf, "--snapshot-from", out0])
+    assert rc == 0
+    assert "(3 shards)" in capsys.readouterr().out
+    assert _shard_digests(out2) == _shard_digests(out0)  # byte-identical

@@ -505,10 +505,18 @@ def cmd_export(args) -> int:
         prior = _manifest_from(args.delta_from, "export")
         if prior is None:
             return 2
+        # inherit the prior export's shard modulus unless overridden —
+        # a chain with a consistent assignment function keeps every
+        # doc's shard id stable across links
+        shards = (
+            args.shards
+            if args.shards is not None
+            else prior.get("shard_modulus", 8)
+        )
         try:
             manifest = export_delta_jsonl(
                 _spark(), args.sf, args.out_dir, prior["snapshot"],
-                shards=args.shards,
+                shards=shards,
             )
         except ValueError as exc:
             print(f"export: {exc}", file=sys.stderr)
@@ -520,20 +528,26 @@ def cmd_export(args) -> int:
         )
         return 0
     snapshot = None
+    shards = args.shards if args.shards is not None else 8
     if args.snapshot_from:
         prior = _manifest_from(args.snapshot_from, "export")
         if prior is None:
             return 2
         snapshot = prior["snapshot"]
+        if args.shards is None:
+            # byte-identical re-export REQUIRES the prior modulus — a
+            # different shard count reshuffles every file even though
+            # the row set is identical
+            shards = prior.get("shard_modulus", 8)
     try:
         n = export_curated_jsonl(
-            _spark(), args.sf, args.out_dir, shards=args.shards,
+            _spark(), args.sf, args.out_dir, shards=shards,
             snapshot=snapshot,
         )
     except ValueError as exc:
         print(f"export: {exc}", file=sys.stderr)
         return 2
-    print(f"exported {n} curated document(s) to {args.out_dir} ({args.shards} shards)")
+    print(f"exported {n} curated document(s) to {args.out_dir} ({shards} shards)")
     return 0
 
 
@@ -637,7 +651,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("out_dir")
     ex.add_argument("--sf", default=DEFAULT_SF)
-    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="shard count (default 8; with --snapshot-from/--delta-from "
+        "the prior manifest's shard_modulus is inherited so layouts "
+        "stay comparable)",
+    )
     ex.add_argument(
         "--snapshot-from",
         help="prior export dir (or manifest path) whose pinned corpus "

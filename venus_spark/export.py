@@ -54,10 +54,18 @@ def _shard_digests(spark: SparkSession, out_dir: str) -> dict:
         )
         .collect()
     )
+    # keys stay STRINGS: a foreign `_shard=junk` directory (injected
+    # data) must surface as a named discrepancy downstream, not crash
+    # an int() here and take the whole verifier with it
     return {
-        int(r["_shard"]): {"rows": int(r["rows"]), "xxh_xor": int(r["xxh_xor"])}
+        str(r["_shard"]): {"rows": int(r["rows"]), "xxh_xor": int(r["xxh_xor"])}
         for r in rows
     }
+
+
+def _shard_sort_key(k: str):
+    """Order integer shard ids numerically, foreign names after."""
+    return (0, int(k), "") if k.lstrip("-").isdigit() else (1, 0, k)
 
 
 def write_export_manifest(
@@ -84,7 +92,7 @@ def write_export_manifest(
         "n_rows": sum(s["rows"] for s in per_shard.values()),
         "n_shards": len(per_shard),
         # sort_keys=True below orders the serialized keys; no pre-sort
-        "per_shard": {str(k): v for k, v in per_shard.items()},
+        "per_shard": per_shard,
     }
     if snapshot is not None:
         manifest["snapshot"] = snapshot
@@ -117,12 +125,23 @@ def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
             f"{EXPORT_MANIFEST}: missing — export was torn before "
             "certification; discard and re-export"
         ]
-    with open(mp) as f:
-        manifest = json.load(f)
-    actual = {str(k): v for k, v in _shard_digests(spark, out_dir).items()}
+    try:
+        with open(mp) as f:
+            manifest = json.load(f)
+        per_shard = manifest["per_shard"]
+        if not isinstance(per_shard, dict):
+            raise KeyError("per_shard")
+    except (json.JSONDecodeError, UnicodeDecodeError, KeyError, TypeError) as exc:
+        # a truncated/garbled manifest is DAMAGE, named like any other
+        # — not an opaque traceback out of the verifier
+        return [
+            f"{EXPORT_MANIFEST}: corrupt ({type(exc).__name__}: {exc}) "
+            "— discard and re-export"
+        ]
+    actual = _shard_digests(spark, out_dir)
     problems = []
-    for k in sorted(set(manifest["per_shard"]) | set(actual), key=int):
-        want, got = manifest["per_shard"].get(k), actual.get(k)
+    for k in sorted(set(per_shard) | set(actual), key=_shard_sort_key):
+        want, got = per_shard.get(k), actual.get(k)
         if want != got:
             problems.append(f"_shard={k}: manifest {want} != actual {got}")
     return problems
@@ -168,8 +187,8 @@ def verify_export_chain(
             problems.append(f"{d}: {p}")
         try:
             manifests.append(read_export_manifest(d))
-        except FileNotFoundError:
-            manifests.append(None)
+        except (FileNotFoundError, json.JSONDecodeError, UnicodeDecodeError):
+            manifests.append(None)  # layer 1 already named the damage
     if manifests and manifests[0] is not None and "delta_of" in manifests[0]:
         problems.append(
             f"{export_dirs[0]}: chain starts with a DELTA export "
@@ -440,8 +459,20 @@ def export_delta_jsonl(
     if curated is None:
         # nothing landed: an EMPTY but self-certifying export — the
         # manifest still chains (snapshot = current), and a loader
-        # sees 0 rows / 0 shards instead of a missing directory
-        os.makedirs(out_dir, exist_ok=True)
+        # sees 0 rows / 0 shards instead of a missing directory. The
+        # existence contract matches the non-empty path's
+        # errorifexists write: an empty delta aimed at an EXISTING
+        # export directory must refuse, not recompute that directory's
+        # stale shards into a fresh delta-lineage manifest (which
+        # would silently re-certify a prior export's rows as this
+        # delta's content).
+        if os.path.exists(out_dir):
+            raise ValueError(
+                f"output path {out_dir} already exists — refusing to "
+                "overwrite its manifest with this (empty) delta; "
+                "choose a fresh directory per export."
+            )
+        os.makedirs(out_dir)
         return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
     export_jsonl(curated, out_dir, shards)
     return write_export_manifest(spark, out_dir, snapshot=cur, extra=lineage)
@@ -635,6 +666,13 @@ def _curated_from_snapshot(
             "documents_minhash",
         ),
     )
+    # Restrict the index to the pinned documents' ids (r13 self-review
+    # #6, the full-export twin of the delta path's r12 #3 semi-joins):
+    # corpus_snapshot lists the two relations in sequence, so an index
+    # row for a document that landed BETWEEN the walks could otherwise
+    # bridge two dedup clusters and drop a pinned doc that a consistent
+    # snapshot would ship.
+    mh = mh.join(docs.select("doc_id"), "doc_id", "left_semi")
     return _anti_tombstones(spark, sf_dir, curated_funnel(docs, mh))
 
 
@@ -678,12 +716,20 @@ def repair_export(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             "assignment function cannot be reconstructed; re-export to "
             "refresh the manifest, then repair becomes available."
         )
-    want = {int(k): v for k, v in manifest["per_shard"].items()}
-    actual = _shard_digests(spark, out_dir)
-    damaged = sorted(k for k in want if actual.get(k) != want[k])
-    foreign = sorted(k for k in actual if k not in want)
+    want = dict(manifest["per_shard"])  # str keys, ours are int-valued
+    actual = _shard_digests(spark, out_dir)  # str keys, may be foreign
+    damaged = sorted(
+        (int(k) for k in want if actual.get(k) != want[k])
+    )
+    # foreign = on disk but not in the manifest: injected data, integer
+    # id or not (a `_shard=junk` directory is removed by name, never
+    # crashed on)
+    foreign = sorted(
+        (k for k in actual if k not in want), key=_shard_sort_key
+    )
     for k in foreign:
         shutil.rmtree(os.path.join(out_dir, f"_shard={k}"))
+    foreign = [int(k) if k.lstrip("-").isdigit() else k for k in foreign]
     if not damaged:
         if foreign:
             # removing injected shards is itself a repair; re-verify
@@ -737,20 +783,25 @@ def repair_export(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         spark, out_dir, snapshot=manifest.get("snapshot"), extra=extras
     )
     for k in damaged:
-        before = want.get(k, {}).get("rows")
+        before = (want.get(str(k)) or {}).get("rows")
         after = new_manifest["per_shard"].get(str(k), {}).get("rows", 0)
         if before != after:
             row_drift[k] = (before, after)
     # write_export_manifest just recomputed every shard digest from
-    # disk — comparing the UNDAMAGED shards' fresh digests against the
-    # old manifest gives the full verify_export assurance without a
-    # second O(corpus) read (the repaired shards' digests are the new
-    # ground truth; their content delta is row_drift above)
+    # disk — comparing against the old manifest over the UNION of key
+    # sets gives the full verify_export assurance without a second
+    # O(corpus) read: an undamaged shard that changed underneath us
+    # AND a shard that APPEARED during the repair window (after the
+    # initial scan, before the manifest write) are both named instead
+    # of silently certified (the repaired shards' fresh digests are
+    # the new ground truth; their content delta is row_drift above)
     problems = []
-    for k, v in want.items():
-        if k in damaged:
+    for k in sorted(
+        set(want) | set(new_manifest["per_shard"]), key=_shard_sort_key
+    ):
+        if k.lstrip("-").isdigit() and int(k) in damaged:
             continue
-        got = new_manifest["per_shard"].get(str(k))
+        v, got = want.get(k), new_manifest["per_shard"].get(k)
         if got != v:
             problems.append(
                 f"_shard={k}: changed while repairing other shards: "
