@@ -160,32 +160,54 @@ def print_result_lines(
     # rounded floats each end plus a cpu count — so the tail contract's
     # size headroom holds; "load" absent means a pre-r10 artifact.
     load = load or {}
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "load_start": load.get("start"),
-                "load_end": load.get("end"),
-                "host_cpus": load.get("cpus"),
-                # non-null ONLY marks a RESTRICTED re-measure run: its
-                # headline covers just these plans and must never be
-                # compared against a full-registry artifact (review
-                # r10 #4 — provenance is a one-field check, like load)
-                "only": only,
-                "queries": timings,
-                # total_wall_sec spans the whole loop INCLUDING time a
-                # failed plan burned before throwing (its queries entry
-                # is -1.0); the explicit list keeps the headline number
-                # honest when cross-checking against the breakdown.
-                "failed": failed,
-                "repeat": repeat,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+    full = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "load_start": load.get("start"),
+        "load_end": load.get("end"),
+        "host_cpus": load.get("cpus"),
+        # non-null ONLY marks a RESTRICTED re-measure run: its
+        # headline covers just these plans and must never be
+        # compared against a full-registry artifact (review
+        # r10 #4 — provenance is a one-field check, like load)
+        "only": only,
+        "queries": timings,
+        # total_wall_sec spans the whole loop INCLUDING time a
+        # failed plan burned before throwing (its queries entry
+        # is -1.0); the explicit list keeps the headline number
+        # honest when cross-checking against the breakdown.
+        "failed": failed,
+        "repeat": repeat,
+        "sf": sf,
+    }
+    print(json.dumps(full, separators=(",", ":")))
+    # Sidecar with the FULL per-plan map (VERDICT r13 #4): the driver's
+    # capture keeps only the last ~2000 chars of stdout, losing ~126 of
+    # 190 plan timings per round; check_bench.py adopts this file when
+    # its entries agree with the tail fragment (proof of same-run
+    # provenance). Atomic write; best-effort — the stdout contract is
+    # the primary artifact and must survive a read-only checkout.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    # A RESTRICTED re-measure (SPARK_GRAFT_ONLY) must not clobber the
+    # last full run's sidecar — check_bench's tail-agreement proof
+    # would reject the partial file and silently fall back to the
+    # 64-plan tail fragment, recreating the very gap the sidecar fixes.
+    if only:
+        detail_path = "-"
+    if detail_path != "-":  # "-" disables the sidecar
+        try:
+            tmp = f"{detail_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(full, f, separators=(",", ":"))
+            os.replace(tmp, detail_path)
+        except OSError as exc:
+            print(f"bench: BENCH_DETAIL sidecar not written: {exc}",
+                  file=sys.stderr)
     print(
         json.dumps(
             {

@@ -51,10 +51,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def queries_from(artifact: dict) -> tuple[dict, bool]:
+def queries_from(
+    artifact: dict, detail: dict | None = None
+) -> tuple[dict, bool]:
     """Per-plan seconds from either artifact shape. Returns
     (queries, partial): partial=True when recovered from a driver
-    tail capture (prefix plans truncated away)."""
+    tail capture (prefix plans truncated away).
+
+    When a ``BENCH_DETAIL.json`` sidecar (VERDICT r13 #4 — bench.py
+    writes the full line-1 record there) is supplied, it is adopted in
+    place of the tail fragment IF every plan pair recovered from the
+    tail agrees with the sidecar exactly — same names, same seconds —
+    which is the same-run provenance proof (a stale sidecar from a
+    different run would disagree on the sub-millisecond timings)."""
     if "queries" in artifact:
         return artifact["queries"], False
     tail = artifact.get("tail", "")
@@ -71,12 +80,15 @@ def queries_from(artifact: dict) -> tuple[dict, bool]:
     for name, sec in pairs:
         if name not in drop:
             out[name] = float(sec)
+    dq = (detail or {}).get("queries")
+    if dq and out and all(dq.get(k) == v for k, v in out.items()):
+        return dq, False
     return out, True
 
 
-def check(artifact: dict, bands: dict) -> dict:
+def check(artifact: dict, bands: dict, detail: dict | None = None) -> dict:
     floors = bands.get("floors", {"rel": 0.25, "abs_sec": 0.15, "mads": 3})
-    queries, partial = queries_from(artifact)
+    queries, partial = queries_from(artifact, detail)
     over = []
     ratios = []
     missing = []
@@ -134,9 +146,21 @@ def main() -> None:
     ap.add_argument(
         "--bands", default=os.path.join(REPO, "BENCH_BANDS.json")
     )
+    ap.add_argument(
+        "--detail",
+        default=os.path.join(REPO, "BENCH_DETAIL.json"),
+        help="bench.py's full-record sidecar; adopted for a tail-"
+        "capture artifact only when its timings match the tail",
+    )
     args = ap.parse_args()
     with open(args.artifact) as f:
         artifact = json.load(f)
+    detail = None
+    try:
+        with open(args.detail) as f:
+            detail = json.load(f)
+    except (OSError, ValueError):
+        pass
     if artifact.get("sf") != 0.1:
         print(
             f"warning: artifact sf={artifact.get('sf')} but bands were "
@@ -145,7 +169,7 @@ def main() -> None:
         )
     with open(args.bands) as f:
         bands = json.load(f)
-    print(json.dumps(check(artifact, bands)))
+    print(json.dumps(check(artifact, bands, detail)))
 
 
 if __name__ == "__main__":

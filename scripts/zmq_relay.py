@@ -63,15 +63,26 @@ class AdmissionQueue:
         self.dropped = 0
         self.admitted = 0
 
-    def admit(self, raw: bytes | None) -> bool:
+    def admit(self, raw: bytes | None, block: bool = False) -> bool:
         """Non-blocking enqueue; returns False (and counts) on overflow.
         The EOF sentinel ``None`` must never be lost, so it alone uses a
         blocking put — by the time EOF arrives the producer has stopped,
-        so the drain side is strictly catching up and the put terminates."""
+        so the drain side is strictly catching up and the put terminates.
+
+        ``block=True`` is the LOSSLESS admission mode (ADVICE r13 #4):
+        a blocking put that applies backpressure to the producer
+        instead of dropping. Only correct when backpressure is
+        acceptable — the stdin pipeline, where the OS pipe already
+        blocks the producer for free — never for the wire loop, where
+        a stalled recv lets the kernel buffer overflow invisibly."""
         import queue
 
         if raw is None:
             self.q.put(None)
+            return True
+        if block:
+            self.q.put(raw)
+            self.admitted += 1
             return True
         try:
             self.q.put_nowait(raw)
@@ -164,7 +175,11 @@ class MicroBatcher:
         return path
 
 
-def run_stdin(batcher: MicroBatcher, queue_max: int = QUEUE_MAX) -> None:
+def run_stdin(
+    batcher: MicroBatcher,
+    queue_max: int = QUEUE_MAX,
+    lossless: bool = False,
+) -> None:
     """Drive the batching/landing path from stdin (no zmq needed).
 
     Lines are read on a helper thread feeding the bounded
@@ -172,13 +187,18 @@ def run_stdin(batcher: MicroBatcher, queue_max: int = QUEUE_MAX) -> None:
     the stdin twin of the zmq branch's 250 ms poll: a producer that
     goes quiet WITHOUT closing the pipe must still see its buffered
     batch land once the age trigger passes, not sit in memory until the
-    next line arrives. A burst beyond the queue bound DROPS (counted,
-    reported) exactly like the reference's ``put_nowait`` admission —
-    the relay must never apply backpressure to an application logger.
-    Bytes are read from ``sys.stdin.buffer`` (the binary layer) and
-    decoded with surrogateescape, so a non-UTF8 byte is preserved for
-    downstream quarantine instead of killing the relay with
-    UnicodeDecodeError."""
+    next line arrives. By default a burst beyond the queue bound DROPS
+    (counted, reported) exactly like the reference's ``put_nowait``
+    admission — the relay must never apply backpressure to an
+    application logger. ``lossless=True`` (``--lossless``, ADVICE r13
+    #4) flips admission to a blocking put: on stdin the producer is a
+    PIPE, whose kernel buffer already blocks the writer for free, so
+    backpressure is both acceptable and already happening one hop
+    upstream — pipelines that relied on the pre-r13 never-drop
+    behavior opt back into it explicitly. Bytes are read from
+    ``sys.stdin.buffer`` (the binary layer) and decoded with
+    surrogateescape, so a non-UTF8 byte is preserved for downstream
+    quarantine instead of killing the relay with UnicodeDecodeError."""
     import queue
     import threading
 
@@ -186,7 +206,7 @@ def run_stdin(batcher: MicroBatcher, queue_max: int = QUEUE_MAX) -> None:
 
     def reader() -> None:
         for raw in sys.stdin.buffer:
-            aq.admit(raw)
+            aq.admit(raw, block=lossless)
         aq.admit(None)  # EOF sentinel
 
     threading.Thread(target=reader, daemon=True).start()
@@ -317,6 +337,14 @@ def main() -> None:
         "--stdin", action="store_true", help="read lines from stdin instead of zmq"
     )
     ap.add_argument(
+        "--lossless",
+        action="store_true",
+        help="with --stdin: block (pipe backpressure) instead of "
+        "dropping when the admission queue fills — for pipelines "
+        "where the producer tolerates backpressure; never available "
+        "on the wire loop, whose contract is at-most-once",
+    )
+    ap.add_argument(
         "--socket-type",
         choices=("pull", "sub"),
         default="pull",
@@ -348,12 +376,19 @@ def main() -> None:
             "the batcher synchronously (the socket HWM is its bound), "
             "so the flag would be silently ignored"
         )
+    if args.lossless and not args.stdin:
+        ap.error(
+            "--lossless applies to --stdin only: the wire loop's "
+            "contract is at-most-once (PUB/SUB and kernel buffers drop "
+            "regardless), so the flag would promise what the transport "
+            "cannot deliver"
+        )
     if args.queue_max is None:
         args.queue_max = QUEUE_MAX
     os.makedirs(args.landing, exist_ok=True)
     batcher = MicroBatcher(args.landing, args.batch_size, args.batch_age)
     if args.stdin:
-        run_stdin(batcher, queue_max=args.queue_max)
+        run_stdin(batcher, queue_max=args.queue_max, lossless=args.lossless)
     else:
         run_zmq(
             batcher,

@@ -157,3 +157,84 @@ def test_bands_never_flag_their_own_sources(tmp_path):
     for r in runs:
         got = check_mod.check(dict(r, repeat=1), bands)
         assert got["verdict"] == "within-bands", got["over"]
+
+
+def test_checker_adopts_matching_detail_sidecar(tmp_path):
+    """VERDICT r13 #4: with a BENCH_DETAIL.json sidecar whose timings
+    agree with every pair recovered from the driver's tail capture,
+    the checker adopts the FULL per-plan map (partial_from_tail False);
+    a sidecar from a different run (any tail-visible timing differs)
+    is rejected and the tail fragment is used as before."""
+    base = {f"plan_{c}": round(0.3 + i / 9, 4)
+            for i, c in enumerate("abcdefghijkl")}
+    runs = [_run({k: round(v * j, 4) for k, v in base.items()})
+            for j in (1.0, 1.02, 0.98, 1.05, 0.97)]
+    bands = bands_mod.build(_write_runs(tmp_path, runs))
+
+    this_run = _run(base, repeat=1)
+    full_line = json.dumps(this_run, separators=(",", ":"))
+    artifact = {"n": 14, "rc": 0, "sf": 0.1, "tail": full_line[-140:]}
+
+    got = check_mod.check(artifact, bands, detail=this_run)
+    assert got["partial_from_tail"] is False
+    assert got["n_plans"] == len(base)
+    assert got["verdict"] == "within-bands"
+
+    # same tail, stale sidecar: disagree on a tail-visible plan
+    tail_only = check_mod.queries_from(artifact)[0]
+    stale_key = sorted(tail_only)[0]
+    stale = _run(dict(base, **{stale_key: 99.9}), repeat=1)
+    got2 = check_mod.check(artifact, bands, detail=stale)
+    assert got2["partial_from_tail"] is True
+    assert got2["n_plans"] == len(tail_only) < len(base)
+
+
+def test_bench_writes_detail_sidecar(tmp_path, monkeypatch, capsys):
+    """bench.py's print_result_lines must persist the full line-1
+    record to the BENCH_DETAIL sidecar (atomic, env-overridable) so
+    the driver's 2000-char tail truncation stops losing timings."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail))
+    timings = {f"plan_{i}": 0.1 * i for i in range(40)}
+    bench.print_result_lines(timings, 12.3, 1, 0.1)
+    line1 = capsys.readouterr().out.splitlines()[0]
+    with open(detail) as f:
+        side = json.load(f)
+    assert side == json.loads(line1)
+    assert side["queries"] == timings
+
+    # "-" disables the sidecar
+    detail.unlink()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", "-")
+    bench.print_result_lines(timings, 12.3, 1, 0.1)
+    capsys.readouterr()
+    assert not detail.exists()
+
+
+def test_bench_detail_sidecar_skipped_for_restricted_runs(
+    tmp_path, monkeypatch, capsys
+):
+    """A SPARK_GRAFT_ONLY re-measure must not clobber the full run's
+    sidecar — the partial file would fail the checker's tail-agreement
+    proof and silently drop coverage back to the tail fragment."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail))
+    bench.print_result_lines({"p": 0.1}, 0.1, 1, 0.1, only=["p"])
+    capsys.readouterr()
+    assert not detail.exists()

@@ -1429,3 +1429,209 @@ def test_cli_snapshot_from_inherits_shard_modulus(
     assert rc == 0
     assert "(3 shards)" in capsys.readouterr().out
     assert _shard_digests(out2) == _shard_digests(out0)  # byte-identical
+
+
+def test_repair_removes_foreign_shard_with_escaped_name(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 #1: a foreign shard dir whose NAME Spark percent-
+    escaped on disk (`_shard=a%20b` decoding to 'a b') must be removed
+    by its literal directory name — the old code rmtree'd the DECODED
+    path and crashed with FileNotFoundError. An EMPTY foreign dir (no
+    digest row at all) must be removed too."""
+    import json
+    import os
+
+    from venus_spark.export import repair_export, verify_export
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=8, shards=4
+    )
+    # inject: a space-bearing foreign shard (escaped on disk), with a
+    # real line so the digest scan sees it, and an empty foreign dir
+    esc = os.path.join(out0, "_shard=a%20b")
+    os.makedirs(esc)
+    with open(os.path.join(esc, "part-injected.txt"), "w") as f:
+        f.write('{"doc_id": 77777}\n')
+    os.makedirs(os.path.join(out0, "_shard=empty_junk"))
+
+    result = repair_export(spark, sf, out0)
+    assert result["repaired"] == []
+    assert sorted(map(str, result["removed"])) == ["a b", "empty_junk"]
+    assert not os.path.exists(esc)
+    assert not os.path.exists(os.path.join(out0, "_shard=empty_junk"))
+    assert verify_export(spark, out0) == []
+
+
+def test_manifest_refuses_to_certify_foreign_shards(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 #2: a foreign `_shard=junk` (or out-of-modulus
+    integer) directory present at manifest-WRITE time must fail loudly
+    with its name, not get certified into per_shard where repair later
+    dies on int('junk')."""
+    import os
+
+    import pytest
+
+    from venus_spark.export import write_export_manifest
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=8, shards=4
+    )
+    junk = os.path.join(out0, "_shard=junk")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-x.txt"), "w") as f:
+        f.write('{"doc_id": 1}\n')
+    with pytest.raises(ValueError, match="junk"):
+        write_export_manifest(spark, out0, extra={"shard_modulus": 4})
+    os.rename(junk, os.path.join(out0, "_shard=11"))
+    with pytest.raises(ValueError, match=r"\[0, 4\)"):
+        write_export_manifest(spark, out0, extra={"shard_modulus": 4})
+
+
+def test_chain_names_modulus_mismatch_and_legacy_links(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 #3: verify_export_chain must name (a) a link whose
+    manifest predates shard_modulus recording and (b) links certified
+    under DIFFERENT moduli; and the CLI's --delta-from must refuse a
+    pre-modulus prior manifest unless --shards states one."""
+    import json
+    import os
+
+    from venus_spark.export import (
+        EXPORT_MANIFEST, export_delta_jsonl, verify_export_chain,
+    )
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=6, shards=3
+    )
+    from venus_spark import prepared
+
+    d = spark.createDataFrame(
+        [(9100, words("delta"), "en", "web", 144)], schema
+    )
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+    out1 = str(tmp_path / "delta1")
+    export_delta_jsonl(spark, sf, out1, snap0, shards=3)
+    assert verify_export_chain(spark, [out0, out1]) == []
+
+    # (b) mismatched modulus on the delta link
+    mp = os.path.join(out1, EXPORT_MANIFEST)
+    with open(mp) as f:
+        m1 = json.load(f)
+    m1["shard_modulus"] = 5
+    with open(mp, "w") as f:
+        json.dump(m1, f)
+    probs = verify_export_chain(spark, [out0, out1])
+    assert any("shard_modulus 5 != chain's 3" in p for p in probs)
+
+    # (a) legacy pre-modulus manifest
+    del m1["shard_modulus"]
+    with open(mp, "w") as f:
+        json.dump(m1, f)
+    probs = verify_export_chain(spark, [out0, out1])
+    assert any("records no shard_modulus" in p for p in probs)
+
+    # CLI refusal: --delta-from a pre-modulus manifest without --shards
+    mp0 = os.path.join(out0, EXPORT_MANIFEST)
+    with open(mp0) as f:
+        m0 = json.load(f)
+    del m0["shard_modulus"]
+    with open(mp0, "w") as f:
+        json.dump(m0, f)
+    import venus_spark.__main__ as cli
+
+    rc = cli.main([
+        "export", str(tmp_path / "d2"), "--sf", sf,
+        "--delta-from", out0,
+    ])
+    assert rc == 2
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("order", ["delta_mid_repair", "repair_mid_delta"])
+def test_repair_races_delta_cut_chain_stays_exactly_once(
+    spark, tmp_path, monkeypatch, order
+):
+    """VERDICT r13 #3 (chaos leg): `repair_export` on the chain's base
+    and a DELTA cut extending the same chain, deterministically
+    interleaved both ways — mid-repair the delta cut fires (reading
+    the base's manifest while its shards are being rewritten), and
+    mid-delta (between its curation and its manifest write) the repair
+    fires. After EITHER interleaving the chain must verify clean and
+    ship every doc exactly once: the base manifest's snapshot is
+    immutable under repair (os.replace keeps every observable manifest
+    complete), so the delta's lineage is the same whichever side wins."""
+    import os
+
+    from venus_spark import prepared
+    import venus_spark.export as ex
+
+    sf, doc_dir, schema, words, snap0, out0 = _delta_fixture(
+        spark, tmp_path, monkeypatch, n_base=10, shards=4
+    )
+    baseline = _shard_digests(out0)
+    victim = sorted(baseline)[0]
+
+    d = spark.createDataFrame(
+        [(9301, words("race1"), "en", "web", 144),
+         (9302, words("race2"), "en", "web", 144)], schema
+    )
+    d.coalesce(1).write.mode("append").parquet(doc_dir)
+    prepared.write_minhash_pending(sf, d, batch_id=1)
+
+    _damage_shard(out0, victim, "truncate")
+    assert ex.verify_export(spark, out0) != []
+    out1 = str(tmp_path / "delta_race")
+    fired = []
+
+    if order == "delta_mid_repair":
+        real_export = ex.export_jsonl
+
+        def hook(df, out_dir, shards, only_shards=None, **kw):
+            # the repair leg's only_shards call: cut the delta NOW,
+            # while the base's damaged shards are still being rebuilt
+            if only_shards is not None and not fired:
+                fired.append(1)
+                ex.export_delta_jsonl(spark, sf, out1, snap0, shards=4)
+            return real_export(
+                df, out_dir, shards, only_shards=only_shards, **kw
+            )
+
+        monkeypatch.setattr(ex, "export_jsonl", hook)
+        result = ex.repair_export(spark, sf, out0)
+        assert result["repaired"] == [victim]
+        assert result["problems"] == []
+    else:
+        real_manifest = ex.write_export_manifest
+
+        def hook(spark_, out_dir, snapshot=None, extra=None):
+            # between the delta's shard write and its certification,
+            # the base repairs underneath it
+            if out_dir == out1 and not fired:
+                fired.append(1)
+                r = ex.repair_export(spark, sf, out0)
+                assert r["repaired"] == [victim]
+            return real_manifest(
+                spark_, out_dir, snapshot=snapshot, extra=extra
+            )
+
+        monkeypatch.setattr(ex, "write_export_manifest", hook)
+        ex.export_delta_jsonl(spark, sf, out1, snap0, shards=4)
+
+    assert fired == [1], "interleaving hook never fired"
+    assert _shard_digests(out0) == baseline  # byte-identical repair
+    assert ex.verify_export(spark, out0) == []
+    assert ex.verify_export(spark, out1) == []
+    assert ex.verify_export_chain(spark, [out0, out1]) == []
+    # the delta shipped exactly the streamed docs, once
+    got = {
+        int(r.doc_id)
+        for r in spark.read.json(out1).select("doc_id").collect()
+    }
+    assert got == {9301, 9302}

@@ -196,10 +196,15 @@ print("OK")
     assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
 
 
-def test_bucketed_sales_rebuilds_from_orphaned_location(spark, tmp_path):
+def test_bucketed_sales_adopts_orphaned_location(spark, tmp_path):
     """A fresh catalog + a persisted warehouse directory (process
-    restart) must rebuild, not crash with LOCATION_ALREADY_EXISTS."""
+    restart) must ADOPT the existing complete generation — external
+    table over the same files, ZERO deletion (VERDICT r13 #1: the old
+    rmtree+rebuild raced concurrent readers); a junk location without
+    a build stamp must be displaced atomically and rebuilt, never
+    crash with LOCATION_ALREADY_EXISTS."""
     import os
+    import shutil
 
     from venus_spark.prepared import bucketed_sales
 
@@ -207,19 +212,86 @@ def test_bucketed_sales_rebuilds_from_orphaned_location(spark, tmp_path):
     loc = os.path.join(
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), li_name
     )
-    assert os.path.exists(loc)
+    assert os.path.exists(os.path.join(loc, "_SUCCESS"))
+    assert os.path.exists(os.path.join(loc, "_prep_meta.json"))
     rows = spark.table(li_name).count()
-    # Simulate the restart: DROP removes entry AND managed files; an
-    # orphaned location (files without a catalog entry) is then what a
-    # dead process leaves behind — recreate one by hand.
+    # Simulate the restart: drop loses the catalog entry; the table is
+    # EXTERNAL so the files persist — exactly what a dead process
+    # leaves behind.
     spark.sql(f"DROP TABLE {li_name}")
-    os.makedirs(loc)
-    (tmp_path / "marker").write_text("x")
-    os.rename(str(tmp_path / "marker"), os.path.join(loc, "stale-part"))
+    before = sorted(os.listdir(loc))
     li_name2, _ = bucketed_sales(spark, SF)
     assert li_name2 == li_name
     assert spark.table(li_name).count() == rows
+    assert sorted(os.listdir(loc)) == before, "adopt must not rewrite files"
+    # Legacy/incomplete orphan (no stamp, junk content): staged rebuild
+    # displaces it aside and installs a fresh generation.
+    spark.sql(f"DROP TABLE {li_name}")
+    shutil.rmtree(loc)
+    os.makedirs(loc)
+    (tmp_path / "marker").write_text("x")
+    os.rename(str(tmp_path / "marker"), os.path.join(loc, "stale-part"))
+    li_name3, _ = bucketed_sales(spark, SF)
+    assert li_name3 == li_name
+    assert spark.table(li_name).count() == rows
     assert not os.path.exists(os.path.join(loc, "stale-part"))
+
+
+def test_bucketed_tables_survive_concurrent_fresh_process(spark):
+    """VERDICT r13 #1 repro, inverted to green: a reader scanning the
+    bucketed band + sales tables in a loop while a FRESH process (empty
+    in-memory catalog, same persisted warehouse) ensures the same
+    tables. The old code rmtree'd the live location from the fresh
+    process and the reader died with FileNotFoundException on a
+    part file; the adopt path must leave the files untouched."""
+    import subprocess
+    import sys
+    import threading
+
+    from venus_spark.prepared import bucketed_sales, lsh_bands_bucketed
+
+    li_name, _ = bucketed_sales(spark, SF)
+    bands = lsh_bands_bucketed(spark, SF)
+    n_li = spark.table(li_name).count()
+    n_bands = spark.table(bands).count()
+
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def scan_loop():
+        try:
+            while not stop.is_set():
+                assert spark.table(li_name).count() == n_li
+                assert spark.table(bands).count() == n_bands
+        except BaseException as e:  # surfaced below
+            errors.append(e)
+
+    t = threading.Thread(target=scan_loop)
+    t.start()
+    script = f"""
+import os
+from venus_spark.session import get_spark
+from venus_spark.prepared import bucketed_sales, lsh_bands_bucketed
+spark = get_spark(cpus=4)
+li, _ = bucketed_sales(spark, {SF!r})
+bands = lsh_bands_bucketed(spark, {SF!r})
+assert spark.table(li).count() == {n_li}, "fresh process adopted wrong rows"
+assert spark.table(bands).count() == {n_bands}
+print("OK")
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+        )
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
+    assert not errors, f"concurrent reader died: {errors[0]}"
 
 
 def test_pack_sequences_window_is_shard_partitioned(spark):

@@ -2850,3 +2850,121 @@ def test_postings_heal_concurrent_callers_serialize(
     for p in (post, dfreq, stats):
         with open(os.path.join(p, "_prep_meta.json")) as f:
             assert json.load(f) == prepared._POSTINGS_META
+
+
+def test_colocated_live_agrees_with_live_on_streamed_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #2: a streamed batch sitting in the MinHash PENDING
+    list must be visible to the bucketed-layout dedup pass via its
+    live twin — `dedup_minhash_lsh_colocated_live` must return exactly
+    `dedup_minhash_lsh_live`'s rows (base∪pending), while the
+    steady-state `dedup_minhash_lsh_colocated` (by contract: merged
+    index only) misses the pending docs. After the merge folds, all
+    three agree."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.plans import all_plans
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    base = docs.filter(F.col("doc_id") < 40)
+    base.write.parquet(os.path.join(sf, "documents.parquet"))
+    plans = all_plans()
+
+    def rows(name):
+        return {
+            tuple(r)
+            for r in plans[name].fn(spark, sf).collect()
+        }
+
+    # quiescent: all three identical
+    live0 = rows("dedup_minhash_lsh_live")
+    assert rows("dedup_minhash_lsh_colocated_live") == live0
+    assert rows("dedup_minhash_lsh_colocated") == live0
+
+    # stream a batch that near-duplicates a base doc: copy a base doc
+    # under a new id (jaccard 1.0 with its source)
+    dup = base.limit(2).withColumn("doc_id", F.col("doc_id") + 9000)
+    prepared.write_minhash_pending(sf, dup, 0)
+
+    live1 = rows("dedup_minhash_lsh_live")
+    assert live1 > live0  # the streamed dups created new pairs
+    got = rows("dedup_minhash_lsh_colocated_live")
+    assert got == live1, (
+        f"colocated_live diverged: missing {live1 - got}, "
+        f"extra {got - live1}"
+    )
+    # shape: the pending×merged leg must BROADCAST the O(batch) pending
+    # side — a shuffled cross-set join here would re-shuffle the corpus
+    # per micro-batch and defeat the bucketed layout's purpose
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans["dedup_minhash_lsh_colocated_live"].fn(spark, sf).explain(
+            "formatted"
+        )
+    assert "BroadcastExchange" in buf.getvalue()
+    # the steady-state twin contractually serves the merged index only
+    assert rows("dedup_minhash_lsh_colocated") == live0
+
+    # fold the pending list: every path converges
+    assert prepared.merge_minhash_pending(spark, sf) > 0
+    assert rows("dedup_minhash_lsh_colocated") == live1
+    assert rows("dedup_minhash_lsh_colocated_live") == live1
+
+
+def test_band_table_fingerprint_guard_catches_foreign_merge(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #2 (staleness bound): the bucketed band table's
+    stamp records a fingerprint of the MinHash layout it was built
+    from; when ANOTHER process merges/vacuums the index (modeled here
+    by suppressing the in-session `_drop_lsh_bands` hook), the next
+    `lsh_bands_bucketed` call must detect the source drift and rebuild
+    instead of serving stale bands that silently drop candidate
+    pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+    from venus_spark.prepared import buckets as bk
+
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    sf = str(tmp_path / "sf")
+    docs.filter(F.col("doc_id") < 30).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    table = prepared.lsh_bands_bucketed(spark, sf)
+    n0 = spark.table(table).select("doc_id").distinct().count()
+
+    new = docs.filter(F.col("doc_id") >= 30).limit(6).withColumn(
+        "doc_id", F.col("doc_id") + 970
+    )
+    prepared.write_minhash_pending(sf, new, 0)
+    # model a merge performed by a DIFFERENT process: this session's
+    # invalidation hook never fires, only the files change on disk
+    monkeypatch.setattr(bk, "_drop_lsh_bands", lambda *a, **k: None)
+    monkeypatch.setattr(
+        prepared.docs._buckets, "_drop_lsh_bands", lambda *a, **k: None
+    )
+    assert prepared.merge_minhash_pending(spark, sf) > 0
+    assert spark.catalog.tableExists(table), "hook suppressed, table kept"
+
+    table2 = prepared.lsh_bands_bucketed(spark, sf)
+    assert table2 == table
+    n1 = spark.table(table2).select("doc_id").distinct().count()
+    assert n1 == n0 + 6, (
+        f"fingerprint guard failed: band table still has {n1} docs "
+        f"(expected {n0 + 6}) after a foreign merge"
+    )

@@ -685,3 +685,57 @@ def test_flood_soak_end_to_end_with_tiny_queue(tmp_path):
         assert f"{len(landed)} admitted" in proc.stderr
     else:
         assert "dropped" not in proc.stderr
+
+
+def test_lossless_stdin_never_drops_under_tiny_queue(tmp_path):
+    """ADVICE r13 #4: --lossless flips stdin admission from
+    drop-on-overflow back to blocking (pipe backpressure is free on
+    stdin) — a burst far beyond a tiny --queue-max must land EVERY
+    line, in order, and report zero drops."""
+    landing = tmp_path / "landing"
+    n = 20000
+    lines = [f'{{"i": {i}}}' for i in range(n)]
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(landing), "--stdin",
+         "--queue-max", "64", "--lossless", "--batch-size", "500"],
+        input="\n".join(lines) + "\n",
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    landed = [
+        ln for f in sorted(landing.iterdir())
+        for ln in f.read_text().splitlines()
+    ]
+    assert landed == lines  # every line, once, in order
+    assert "dropped" not in proc.stderr
+
+
+def test_lossless_requires_stdin(tmp_path):
+    """--lossless on the wire loop would promise what PUB/SUB and
+    kernel buffers cannot deliver — loud refusal, same posture as
+    --queue-max without --stdin."""
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "zmq_relay.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--landing", str(tmp_path), "--lossless"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "--stdin only" in proc.stderr
+
+
+def test_admission_queue_blocking_mode_counts_admitted():
+    """The block=True path must count admissions (ops parity with the
+    dropping path) and never increment the drop counter."""
+    aq = relay.AdmissionQueue(maxsize=8)
+    for i in range(8):
+        assert aq.admit(f"{i}".encode(), block=True)
+    assert aq.admitted == 8 and aq.dropped == 0

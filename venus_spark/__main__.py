@@ -507,11 +507,22 @@ def cmd_export(args) -> int:
             return 2
         # inherit the prior export's shard modulus unless overridden —
         # a chain with a consistent assignment function keeps every
-        # doc's shard id stable across links
+        # doc's shard id stable across links. A prior manifest WITHOUT
+        # a recorded modulus must not silently fall back to the default
+        # (ADVICE r13 #3: the chain could mix moduli without notice) —
+        # refuse unless the operator states one explicitly.
+        if args.shards is None and "shard_modulus" not in prior:
+            print(
+                "export: prior manifest records no shard_modulus "
+                "(pre-modulus export) — refusing to guess the chain's "
+                "shard assignment; pass --shards explicitly to state it",
+                file=sys.stderr,
+            )
+            return 2
         shards = (
             args.shards
             if args.shards is not None
-            else prior.get("shard_modulus", 8)
+            else prior["shard_modulus"]
         )
         try:
             manifest = export_delta_jsonl(

@@ -68,6 +68,20 @@ def _shard_sort_key(k: str):
     return (0, int(k), "") if k.lstrip("-").isdigit() else (1, 0, k)
 
 
+def _unescape_partition(raw: str) -> str:
+    """Invert Spark's partition-path percent-escaping (the writer-side
+    ``ExternalCatalogUtils.escapePathName``): ``%xx`` hex pairs decode
+    to the raw character; malformed escapes pass through literally.
+    Needed wherever a DIRECTORY name must be compared against a
+    DECODED ``_shard`` value — ``_shard=a b`` is stored on disk as
+    ``_shard=a%20b`` (ADVICE r13 #1)."""
+    import re as _re
+
+    return _re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), raw
+    )
+
+
 def write_export_manifest(
     spark: SparkSession,
     out_dir: str,
@@ -87,6 +101,30 @@ def write_export_manifest(
     manifest (review r12 ADVICE #2). Written via tmp + atomic rename;
     byte-deterministic because the export itself is."""
     per_shard = _shard_digests(spark, out_dir)
+    # Certify ONLY shards this export could have written (ADVICE r13
+    # #2): a foreign `_shard=junk` directory injected before the
+    # manifest write must fail HERE with its name, not get certified
+    # into per_shard where repair_export later dies on `int("junk")`
+    # with a bare ValueError. Integer ids out of [0, modulus) are the
+    # same class — another export's shards copied in.
+    modulus = (extra or {}).get("shard_modulus")
+    bad = sorted(
+        (
+            k for k in per_shard
+            if not k.lstrip("-").isdigit()
+            or (modulus is not None and not 0 <= int(k) < modulus)
+        ),
+        key=_shard_sort_key,
+    )
+    if bad:
+        raise ValueError(
+            f"refusing to certify foreign shard directories "
+            f"{[f'_shard={k}' for k in bad]}: only integer shard ids"
+            + (f" in [0, {modulus})" if modulus is not None else "")
+            + " belong to this export — remove injected/stray "
+            "directories first (repair_export removes the ones a "
+            "certified manifest names as foreign)"
+        )
     manifest = {
         "format": "jsonl/_shard=<k>",
         "n_rows": sum(s["rows"] for s in per_shard.values()),
@@ -217,6 +255,30 @@ def verify_export_chain(
             problems.append(
                 f"{export_dirs[i]}: embedded base_snapshot differs from "
                 f"{export_dirs[i - 1]}'s snapshot"
+            )
+    # Shard-modulus consistency (ADVICE r13 #3): shard membership is
+    # id % modulus, so links certified under DIFFERENT moduli scatter
+    # the same id space differently — a loader that merges shards
+    # positionally reads a spliced corpus. Every link must record the
+    # same modulus; a manifest that predates modulus recording makes
+    # the property unverifiable and is named, not assumed.
+    moduli = [
+        (d, m.get("shard_modulus"))
+        for d, m in zip(export_dirs, manifests)
+        if m is not None
+    ]
+    chain_mod = next((v for _, v in moduli if v is not None), None)
+    for d, v in moduli:
+        if v is None:
+            problems.append(
+                f"{d}: manifest records no shard_modulus (pre-modulus "
+                "export) — chain modulus consistency is unverifiable "
+                "for this link; re-export it to refresh the manifest"
+            )
+        elif v != chain_mod:
+            problems.append(
+                f"{d}: shard_modulus {v} != chain's {chain_mod} — links "
+                "use different shard assignment functions"
             )
     # Layer 3 reads only directories that still HAVE shard files: a dir
     # whose manifest says n_rows>0 but whose shards were all lost is
@@ -722,13 +784,22 @@ def repair_export(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         (int(k) for k in want if actual.get(k) != want[k])
     )
     # foreign = on disk but not in the manifest: injected data, integer
-    # id or not (a `_shard=junk` directory is removed by name, never
-    # crashed on)
-    foreign = sorted(
-        (k for k in actual if k not in want), key=_shard_sort_key
-    )
-    for k in foreign:
-        shutil.rmtree(os.path.join(out_dir, f"_shard={k}"))
+    # id or not. Removal is by LITERAL directory name from os.listdir —
+    # Spark percent-escapes partition values on disk (`_shard=a b` is
+    # stored as `_shard=a%20b`), so deriving the path from the DECODED
+    # _shard column would rmtree a name that does not exist and crash
+    # the repair instead of naming the damage (ADVICE r13 #1); listdir
+    # also catches an EMPTY injected dir no digest scan would surface.
+    foreign = []
+    for entry in os.listdir(out_dir):
+        if not entry.startswith("_shard="):
+            continue
+        val = _unescape_partition(entry[len("_shard="):])
+        if val in want:
+            continue
+        shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+        foreign.append(val)
+    foreign.sort(key=_shard_sort_key)
     foreign = [int(k) if k.lstrip("-").isdigit() else k for k in foreign]
     if not damaged:
         if foreign:

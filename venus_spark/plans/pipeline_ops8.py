@@ -509,3 +509,65 @@ def dedup_minhash_lsh_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = documents_minhash(spark, sf_dir)
     toks = idx.select(F.col("doc_id"), F.col("_sh").alias("toks"))
     return _verify_candidates(cands, toks, "doc_id", _JACCARD_T)
+
+
+@plan("dedup_minhash_lsh_colocated_live", oracle=_lsh_colocated_oracle())
+def dedup_minhash_lsh_colocated_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_minhash_lsh_colocated``'s answer over the LIVE view —
+    the liveness leg VERDICT r13 #2 asked for: a streamed document
+    batch that has landed in the MinHash PENDING list but not yet been
+    merged must be visible to the bucketed-layout dedup pass WITHOUT
+    rebuilding the band table per micro-batch. Candidates come from
+    three legs, each priced for what it is:
+
+    1. merged × merged — the bucketed band self-join, zero exchange
+       (identical to the steady-state plan);
+    2. pending × merged — a cross-set band join with the O(batch)
+       pending side BROADCAST against the bucketed table (the
+       incremental-dedup shape: only the batch side is new work);
+    3. pending × pending — a self-join over the tiny pending slice.
+
+    Verification runs once over the union of candidates against the
+    live index (base ∪ pending). On a quiescent corpus legs 2–3 vanish
+    and the plan degrades to ``dedup_minhash_lsh_colocated`` under the
+    same oracle; the with-pending half is pinned by the streamed
+    agreement test against ``dedup_minhash_lsh_live``. Staleness of
+    the bucketed table itself (a MERGE another process ran) is handled
+    one level down by the band table's source fingerprint
+    (prepared.buckets.lsh_bands_bucketed)."""
+    from venus_spark.operators.dedup import (
+        _verify_candidates,
+        band_candidate_pairs,
+        cross_candidate_pairs,
+        lsh_bands,
+    )
+    from venus_spark.plans.pipeline_ops import _JACCARD_T
+    from venus_spark.prepared import (
+        documents_minhash,
+        documents_minhash_live,
+        documents_minhash_pending,
+        lsh_bands_bucketed,
+    )
+
+    bands_bkt = spark.table(lsh_bands_bucketed(spark, sf_dir))
+    pend = documents_minhash_pending(spark, sf_dir)
+    if pend is None:
+        cands = band_candidate_pairs(bands_bkt)
+        idx = documents_minhash(spark, sf_dir)
+    else:
+        pend_bands = lsh_bands(pend)
+        mm = band_candidate_pairs(bands_bkt)
+        pm = cross_candidate_pairs(
+            F.broadcast(pend_bands), bands_bkt,
+            left_out="id_p", right_out="id_m",
+        ).select(
+            F.least("id_p", "id_m").alias("id_a"),
+            F.greatest("id_p", "id_m").alias("id_b"),
+        )
+        pp = band_candidate_pairs(pend_bands)
+        cands = mm.unionByName(pm).unionByName(pp).distinct()
+        idx = documents_minhash_live(spark, sf_dir)
+    toks = idx.select(F.col("doc_id"), F.col("_sh").alias("toks"))
+    return _verify_candidates(cands, toks, "doc_id", _JACCARD_T)

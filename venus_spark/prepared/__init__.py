@@ -100,6 +100,7 @@ from venus_spark.prepared.docs import (  # noqa: F401
     _MINHASH_INDEX,
     write_minhash_pending,
     documents_minhash_live,
+    documents_minhash_pending,
     merge_minhash_pending,
     _TOMBSTONES,
     _tombstones_path,

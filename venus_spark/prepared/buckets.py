@@ -1,12 +1,42 @@
 """Bucketed join layouts: the 32-bucket sales tables (zero-shuffle
-q18) and the bucketed LSH band table."""
+q18) and the bucketed LSH band table.
+
+Concurrency posture (VERDICT r13 #1 — the last non-atomic rebuild):
+the warehouse bucketed tables are the Spark expression of reference
+A13's single-writer discipline (`venus/db/__init__.py:39-41`), so the
+rebuild path must never delete a location a concurrent process is
+scanning. Every (re)build now:
+
+1. serializes cross-process on an OS ``flock`` kept NEXT TO the
+   warehouse directory (the warehouse is session-fixed while the
+   prepared root is test-overridable, so the prepared-root locks
+   would not exclude a second process pointed elsewhere);
+2. **adopts** a complete prior generation instead of rebuilding it —
+   a fresh process whose in-memory catalog lost the entry registers
+   an EXTERNAL bucketed table over the existing files
+   (``CREATE TABLE .. CLUSTERED BY .. LOCATION``), zero deletion,
+   zero data movement, concurrent readers untouched (this was the
+   reproduced FileNotFoundException: a bare ``rmtree`` of a live
+   location);
+3. when it truly must build (no prior generation, or a stale stamp
+   after the MinHash index changed), stages an external bucketed
+   write ASIDE under a unique name, stamps it, and installs it with
+   an atomic rename pair (displaced generation → ``.trash``, staged
+   → live); the trash rmtree runs outside the lock.
+
+Completeness + spec are certified by the same ``_SUCCESS`` +
+``_prep_meta.json`` stamp convention as every other prepared artifact
+(core._is_built); the stamp also carries the table DDL so adoption
+never re-infers schema.
+"""
 
 from __future__ import annotations
 
 import os
-import re
 import shutil
-import time
+import threading
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -14,6 +44,169 @@ from venus_spark.sources import load_table
 from venus_spark.prepared import docs as _docs
 
 N_BUCKETS = 32
+
+# Stamp-version for the bucket family: bump to force a coordinated
+# rebuild of all warehouse bucketed tables (spec change).
+_BKT_VERSION = 1
+
+_BKT_LOCK = threading.Lock()
+
+
+def _warehouse_dir(spark: SparkSession) -> str:
+    return spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+
+@contextmanager
+def _bkt_flock(spark: SparkSession):
+    """Cross-process + cross-thread exclusion for warehouse bucketed
+    (re)builds: an OS ``flock`` on ``<warehouse>/_bkt_swap.lock``
+    (kernel-released on crash) behind a module lock so one process's
+    threads queue in user space. NOT reentrant — helpers never nest.
+    Same recipe as ``core._swap_flock`` but anchored to the warehouse
+    directory, which is what the tables actually share across
+    processes."""
+    import fcntl
+
+    wh = _warehouse_dir(spark)
+    os.makedirs(wh, exist_ok=True)
+    with _BKT_LOCK:
+        with open(os.path.join(wh, "_bkt_swap.lock"), "w") as fd:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+
+
+def _adopt(spark: SparkSession, name: str, loc: str, meta: dict) -> None:
+    """Register an EXTERNAL bucketed table over a complete existing
+    generation — the no-deletion path a fresh process takes when the
+    warehouse survived but the in-memory catalog did not. The DDL is
+    read from the build stamp (written by the process that produced
+    the files), so adoption involves no scan and no inference."""
+    spark.sql(
+        f"CREATE TABLE {name} ({meta['ddl']}) USING parquet "
+        f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+        f"INTO {meta['n_buckets']} BUCKETS LOCATION '{loc}'"
+    )
+
+
+def _dir_fingerprint(path: str) -> str:
+    """Cheap content identity of a parquet layout: md5 over the sorted
+    data-file (name, size) pairs. Part file names embed writer UUIDs,
+    so any rewrite, merge, or vacuum of the layout changes the
+    fingerprint; mtimes are deliberately excluded so a faithful copy
+    keeps its identity. One listdir — cheap enough to run per query as
+    the cross-process staleness guard for DERIVED bucketed tables
+    (VERDICT r13 #2: a band table built by process A must not serve
+    stale after process B merged the MinHash index)."""
+    import hashlib
+
+    try:
+        entries = sorted(
+            f"{n}:{os.path.getsize(os.path.join(path, n))}"
+            for n in os.listdir(path)
+            if not n.startswith((".", "_"))
+        )
+    except OSError:
+        entries = []
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()
+
+
+def _ensure_bucketed(
+    spark: SparkSession,
+    name: str,
+    key: str,
+    n_buckets: int,
+    build_df,
+    extra_meta: dict | None = None,
+) -> None:
+    """Idempotent ensure for one warehouse bucketed table. Fast path
+    (catalog hit + current stamp) costs one stamp read; everything
+    that can touch the shared location runs under the warehouse flock.
+    ``build_df`` is a thunk so adopters never pay the source scan.
+    ``extra_meta`` keys (e.g. a source fingerprint) participate in the
+    currency check: a registered generation whose stamp no longer
+    matches is dropped and rebuilt under the lock."""
+    from venus_spark.prepared.core import _is_built, _stamp
+
+    wh = _warehouse_dir(spark)
+    loc = os.path.join(wh, name)
+    meta = {"key": key, "n_buckets": n_buckets, "v": _BKT_VERSION}
+    meta.update(extra_meta or {})
+    if spark.catalog.tableExists(name) and _bkt_meta_current(loc, meta):
+        return
+    with _bkt_flock(spark):
+        if spark.catalog.tableExists(name):
+            if _bkt_meta_current(loc, meta):
+                return
+            # registered generation diverged from its source (or spec):
+            # deregister and fall through to the staged rebuild — the
+            # data itself is displaced atomically below, never deleted
+            # under a reader.
+            spark.sql(f"DROP TABLE {name}")
+        if _is_built(loc) and _bkt_meta_current(loc, meta):
+            _adopt(spark, name, loc, _read_stamp(loc))
+            return
+        # Build aside. Sweep crashed prior stagings first — safe, the
+        # flock serializes every builder, so any *.stg-* here is a
+        # dead process's leftover.
+        for n in os.listdir(wh) if os.path.isdir(wh) else []:
+            if n.startswith(f"{name}.stg-"):
+                shutil.rmtree(os.path.join(wh, n), ignore_errors=True)
+        tag = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(wh, f"{name}.stg-{tag}")
+        stg_name = f"{name}_stg"
+        spark.sql(f"DROP TABLE IF EXISTS {stg_name}")
+        (
+            build_df()
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", staging)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(stg_name)
+        )
+        ddl = spark.table(stg_name)._jdf.schema().toDDL()
+        # external table: dropping the entry leaves the staged files
+        spark.sql(f"DROP TABLE {stg_name}")
+        full = {**meta, "ddl": ddl}
+        _stamp(staging, full)
+        trash = None
+        if os.path.exists(loc):
+            # Displace, never delete, the old generation: rename is
+            # atomic, and a concurrent reader's already-open file
+            # descriptors stay valid on POSIX. (The adopt path above
+            # makes this branch maintenance-only: it runs solely when
+            # the stamp says the data is stale or incomplete.)
+            trash = os.path.join(wh, f"{name}.trash-{tag}")
+            os.rename(loc, trash)
+        os.rename(staging, loc)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _adopt(spark, name, loc, full)
+    # Trash rmtree OUTSIDE the lock (a multi-GB displaced generation
+    # under the flock would stall every concurrent ensure).
+    if trash is not None:
+        shutil.rmtree(trash, ignore_errors=True)
+
+
+def _bkt_meta_current(loc: str, meta: dict) -> bool:
+    stored = _read_stamp(loc)
+    return bool(stored) and {
+        k: stored.get(k) for k in meta
+    } == meta and "ddl" in stored
+
+
+def _read_stamp(loc: str) -> dict:
+    import json
+
+    try:
+        with open(os.path.join(loc, "_prep_meta.json")) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
 
 def bucketed_sales(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """``(lineitem, orders)`` co-bucketed on the order key: both tables
@@ -26,47 +219,48 @@ def bucketed_sales(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     target file size in production.
 
     Bucket METADATA lives in the session catalog (this container has no
-    persistent metastore — production parks the table spec in one), so
-    an unknown table is (re)built into ``spark.sql.warehouse.dir``; one
-    shuffle each at ingest time, exactly like the other prepared
-    artifacts."""
+    persistent metastore — production parks the table spec in one). A
+    fresh process adopts the persisted generation as an external table
+    (zero rebuild); only a missing or stale generation is rebuilt, via
+    the flock'd staged swap in :func:`_ensure_bucketed`."""
     sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
     names = (f"lineitem_bkt_{sfx}", f"orders_bkt_{sfx}")
     for name, table, key in (
         (names[0], "lineitem", "l_orderkey"),
         (names[1], "orders", "o_orderkey"),
     ):
-        if not spark.catalog.tableExists(name):
-            # A fresh process has an empty in-memory catalog while the
-            # warehouse directory persists; saveAsTable refuses to adopt
-            # an orphaned location, so clear it and rebuild (bucket
-            # metadata cannot outlive the catalog entry without a real
-            # metastore).
-            loc = os.path.join(
-                spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
-            )
-            if os.path.exists(loc):
-                shutil.rmtree(loc)
-            (
-                load_table(spark, sf_dir, table)
-                .write.bucketBy(N_BUCKETS, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(name)
-            )
+        _ensure_bucketed(
+            spark, name, key, N_BUCKETS,
+            lambda table=table: load_table(spark, sf_dir, table),
+        )
     return names
+
 
 def _lsh_bands_table(sf_dir: str) -> str:
     sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
     return f"lsh_bands_bkt_{sfx}"
 
+
 def _drop_lsh_bands(spark: SparkSession, sf_dir: str) -> None:
     """Invalidate the bucketed band layout after its source (the MinHash
     index) changes — the table is derived and rebuilt lazily on next
     use; serving stale bands would silently drop candidate pairs for
-    appended documents."""
-    spark.sql(f"DROP TABLE IF EXISTS {_lsh_bands_table(sf_dir)}")
+    appended documents. The table is EXTERNAL now, so dropping the
+    catalog entry alone would leave a complete-looking generation the
+    adopt path would happily resurrect: also unlink the build stamp
+    (under the flock), which routes the next ensure into the staged
+    rebuild. The data files themselves are displaced atomically by
+    that rebuild, never deleted here — a concurrent reader mid-scan
+    keeps its open descriptors."""
+    name = _lsh_bands_table(sf_dir)
+    with _bkt_flock(spark):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        stamp = os.path.join(_warehouse_dir(spark), name, "_prep_meta.json")
+        try:
+            os.unlink(stamp)
+        except OSError:
+            pass
+
 
 def lsh_bands_bucketed(spark: SparkSession, sf_dir: str) -> str:
     """The LSH band keys as a BUCKETED catalog table
@@ -77,22 +271,29 @@ def lsh_bands_bucketed(spark: SparkSession, sf_dir: str) -> str:
     100 TB the band self-join is the dedup run's only corpus-sized
     shuffle, and this layout removes it; build is one explode of the
     stored signatures + one bucketed write at ingest time (same
-    catalog-resident pattern and caveats as ``bucketed_sales``)."""
-    from venus_spark.operators.dedup import lsh_bands
+    catalog-resident adopt/staged-rebuild pattern as
+    ``bucketed_sales``).
 
+    Staleness contract (VERDICT r13 #2): the table is DERIVED from the
+    MinHash index, so its stamp carries a fingerprint of the index
+    layout it was built from; every call re-fingerprints the source
+    (one listdir) and a mismatch — an in-session merge that bypassed
+    ``_drop_lsh_bands``, or another PROCESS's merge/vacuum — routes
+    into the locked staged rebuild. Not-yet-merged streaming batches
+    are by definition absent from the merged index and therefore from
+    this table; the live read path
+    (``dedup_minhash_lsh_colocated_live``) unions their bands at query
+    time instead of forcing a rebuild per micro-batch."""
+    from venus_spark.operators.dedup import lsh_bands
+    from venus_spark.prepared.core import prepared_path
+
+    # ensure the source exists BEFORE fingerprinting it
+    _docs.documents_minhash(spark, sf_dir)
+    src_fp = _dir_fingerprint(prepared_path(sf_dir, _docs._MINHASH_INDEX))
     name = _lsh_bands_table(sf_dir)
-    if not spark.catalog.tableExists(name):
-        loc = os.path.join(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
-        )
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
-        (
-            lsh_bands(_docs.documents_minhash(spark, sf_dir))
-            .write.bucketBy(16, "band_hash")
-            .sortBy("band_hash")
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(name)
-        )
+    _ensure_bucketed(
+        spark, name, "band_hash", 16,
+        lambda: lsh_bands(_docs.documents_minhash(spark, sf_dir)),
+        extra_meta={"src_fp": src_fp},
+    )
     return name

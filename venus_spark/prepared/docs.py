@@ -329,6 +329,27 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _MINHASH_INDEX, documents_minhash(spark, sf_dir)
     )
 
+def documents_minhash_pending(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """ONLY the not-yet-merged pending rows of the MinHash index (the
+    GIN pending list alone, without the base tree) — ``None`` when the
+    corpus is quiescent. Same exclusion rule (batches already in the
+    merged manifest are skipped) and tombstone anti-join as
+    :func:`documents_minhash_live`; exists so the bucketed-layout live
+    read path can treat the pending slice as the O(batch) broadcast
+    side of a cross join instead of re-deriving it with a corpus-sized
+    anti-join (live − merged)."""
+    base = _core.prepared_path(sf_dir, _MINHASH_INDEX)
+    pend = _core._pending_path(sf_dir, _MINHASH_INDEX)
+    bids = _core._pending_bids_with_data(pend) - _core._read_merged(base)
+    if not bids:
+        return None
+    pend_df = spark.read.parquet(pend).filter(
+        F.col("_batch_id").isin(sorted(bids))
+    )
+    return _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
+
 def merge_minhash_pending(
     spark: SparkSession, sf_dir: str, below_bid: int | None = None
 ) -> int:
