@@ -177,7 +177,7 @@ def _vec_probe_labels(spark, sf: str):
     """(probed labels, query vector, unprobed labels) — the plans' own
     frozen-centroid probe, via the SHARED helper the plans themselves
     run (review r11 pass-1 #4: no hand-copied probe logic here)."""
-    from venus_spark.plans.pipeline_ops2 import frozen_ivf_probe
+    from venus_spark.plans.pipeline_ann import frozen_ivf_probe
 
     return frozen_ivf_probe(spark, sf)
 
@@ -480,7 +480,7 @@ def main() -> int:
         # pass-1 #4: a hand copy here could desynchronize from the
         # oracle it guards).
         from venus_spark.operators.similarity import PQ_CB_MOD, PQ_KS
-        from venus_spark.plans.pipeline_ops2 import ivf_probe_cte
+        from venus_spark.plans.pipeline_ann import ivf_probe_cte
 
         def probe_screen(stage: str):
             """union-oracle probe set, or None (with a targeted error

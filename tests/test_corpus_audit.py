@@ -1,4 +1,4 @@
-"""Targeted tests for the corpus-audit plans (pipeline_ops9): directional
+"""Targeted tests for the corpus-audit plans: directional
 containment, cross-source overlap, embedding outliers, EWMA smoothing.
 Cross-engine value parity is covered by test_oracle_parity; these pin
 the semantics the oracle can't state as crisply."""
@@ -66,7 +66,7 @@ def test_containment_is_directional_for_near_equal_sets(spark):
 
 
 def test_source_overlap_bounds(spark):
-    from venus_spark.plans.pipeline_ops9 import source_overlap_ngrams
+    from venus_spark.plans.pipeline_decontam import source_overlap_ngrams
 
     rows = source_overlap_ngrams(spark, SF_DIR).collect()
     assert rows, "sf0.001 corpus has cross-source shingle overlap"
@@ -77,7 +77,7 @@ def test_source_overlap_bounds(spark):
 
 
 def test_embedding_outliers_shape(spark):
-    from venus_spark.plans.pipeline_ops9 import _OUTLIER_N, embedding_outliers
+    from venus_spark.plans.pipeline_eval import _OUTLIER_N, embedding_outliers
 
     rows = embedding_outliers(spark, SF_DIR).collect()
     by_label: dict[int, list] = {}
@@ -91,7 +91,7 @@ def test_embedding_outliers_shape(spark):
 
 
 def test_ewma_matches_reference_fold(spark):
-    from venus_spark.plans.pipeline_ops9 import _EWMA_A, ewma_smoothing
+    from venus_spark.plans.pipeline_behavioral import _EWMA_A, ewma_smoothing
 
     got = {
         (r.event_type, r.hour): (r.hourly_avg, r.ewma)
@@ -109,7 +109,7 @@ def test_ewma_matches_reference_fold(spark):
 def test_hash_embed_unit_norm(spark):
     from pyspark.sql import functions as F
 
-    from venus_spark.plans.pipeline_ops9 import text_hash_embed
+    from venus_spark.plans.pipeline_ann_exact import text_hash_embed
 
     emb = text_hash_embed(spark, SF_DIR)
     norms = (

@@ -78,7 +78,7 @@ def test_text_kernels_agree(spark, con, texts):
         .collect()
     )
     con.register("gen_docs", df.toPandas())
-    from venus_spark.plans.pipeline_ops import _FINGERPRINT as fp_sql
+    from venus_spark.plans.pipeline_quality import _FINGERPRINT as fp_sql
 
     du = con.sql(
         f"SELECT doc_id, {tokens_sql('text')} AS toks, "
@@ -180,7 +180,7 @@ def test_ewma_fold_bit_equal(spark, con, xs):
 
     from venus_spark.functions import ewma_fold
     from venus_spark.functions.sqlgen import double_array_sql, ewma_fold_sql
-    from venus_spark.plans.pipeline_ops9 import _EWMA_A as a
+    from venus_spark.plans.pipeline_behavioral import _EWMA_A as a
 
     # both sides exercise the PRODUCTION kernels, not a local rewrite
     du = con.sql(
@@ -208,7 +208,7 @@ def test_winnowing_and_trigram_kernels_agree(spark, con, texts):
     fuzz cannot drift from what the plans ship."""
     from venus_spark.functions.sqlgen import char_trigrams_sql
     from venus_spark.operators.text import char_trigrams
-    from venus_spark.plans.pipeline_ops12 import winnow_fingerprints, winnow_sel_sql
+    from venus_spark.plans.pipeline_decontam import winnow_fingerprints, winnow_sel_sql
 
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"

@@ -80,7 +80,7 @@ def test_anomaly_z_guard_survives_degenerate_series(spark):
     NULL z, not a DIVIDE_BY_ZERO runtime error."""
     from pyspark.sql import functions as F
 
-    from venus_spark.plans.pipeline_ops7 import _Z_SCORE
+    from venus_spark.plans.pipeline_behavioral import _Z_SCORE
 
     rows = spark.createDataFrame(
         [
@@ -204,7 +204,7 @@ def test_ewma_edges_single_point_and_null_hours(spark, tmp_path):
     """EWMA on degenerate series, cross-engine: a one-point series (ewma
     == the point), an hour whose only value is NULL (bucket vanishes on
     both sides), and a multi-hour series exercising the fold."""
-    from venus_spark.plans.pipeline_ops9 import _EWMA_ORACLE, ewma_smoothing
+    from venus_spark.plans.pipeline_behavioral import _EWMA_ORACLE, ewma_smoothing
 
     t = lambda s: dt.datetime.fromisoformat(s)
     rows = [
@@ -238,7 +238,7 @@ def test_hash_embed_edges_empty_and_whitespace_docs(spark, tmp_path):
     """Feature hashing on degenerate docs, cross-engine: empty text and
     whitespace-only text produce NO rows (no tokens), a one-token doc
     produces exactly one unit-weight bucket."""
-    from venus_spark.plans.pipeline_ops9 import _embed_oracle, text_hash_embed
+    from venus_spark.plans.pipeline_ann_exact import _embed_oracle, text_hash_embed
 
     rows = [
         (0, "", "en", "web", 0),
@@ -268,7 +268,7 @@ def test_containment_edges_short_docs_and_exact_dup(spark, tmp_path, monkeypatch
     docs (single whole-text shingle), an exact duplicate pair (both
     directions at 1.0), and a cross-bucket pair that must NOT pair."""
     from venus_spark import prepared
-    from venus_spark.plans.pipeline_ops9 import _CONTAIN_ORACLE, dedup_containment
+    from venus_spark.plans.pipeline_dedup import _CONTAIN_ORACLE, dedup_containment
 
     # the plan builds the MinHash index for this tmp sf_dir — keep it
     # out of the repo-level .prepared cache
@@ -339,7 +339,7 @@ def test_drift_tv_bin_counts_merge_across_micro_batches(spark):
     be maintained per streaming micro-batch or per appended chunk."""
     from pyspark.sql import functions as F
 
-    from venus_spark.plans.pipeline_ops11 import (
+    from venus_spark.plans.pipeline_eval import (
         _DRIFT_BIN_W,
         _DRIFT_CUT_US,
         _DRIFT_TV,
@@ -400,7 +400,7 @@ def test_er_mask_blocking_is_complete_vs_brute_force(spark):
     for the all-pairs scan)."""
     import duckdb
 
-    from venus_spark.plans.pipeline_ops11 import er_hamming_pairs
+    from venus_spark.plans.pipeline_dedup_scale import er_hamming_pairs
 
     sf = "/root/testdata/sf0.001"
     got = sum(
@@ -425,8 +425,8 @@ def test_dedup_incremental_agrees_with_corpus_self_dedup(spark):
     of the corpus-wide self-dedup pairs that cross the batch split —
     same bands, same threshold, no pair invented or lost by the
     cross-set join."""
-    from venus_spark.plans.pipeline_ops import dedup_minhash_lsh
-    from venus_spark.plans.pipeline_ops11 import _INC_MOD, dedup_incremental
+    from venus_spark.plans.pipeline_dedup import dedup_minhash_lsh
+    from venus_spark.plans.pipeline_dedup_scale import _INC_MOD, dedup_incremental
 
     sf = "/root/testdata/sf0.001"
     inc = {
@@ -570,9 +570,9 @@ def test_winnowing_shared_run_guarantee_and_edges(spark, tmp_path):
     degenerate docs (under k tokens, zero tokens, exactly one window)
     digest without error and match the oracle bit-for-bit. The
     guarantee is checked on the PRODUCTION kernel
-    (pipeline_ops12.winnow_fingerprints), not a reimplementation."""
+    (pipeline_decontam.winnow_fingerprints), not a reimplementation."""
     from venus_spark.plans import all_plans
-    from venus_spark.plans.pipeline_ops12 import winnow_fingerprints
+    from venus_spark.plans.pipeline_decontam import winnow_fingerprints
     from venus_spark.sources import load_table
 
     shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
@@ -645,7 +645,7 @@ def test_exact_dedup_positive_path_cross_engine(spark, tmp_path):
     the oracle comparison non-vacuous (≥ 1 row) — the field-fidelity
     oracle style of the reference's test_sender superset assertions
     (/root/reference/tests/test_sender.py:97-136)."""
-    from venus_spark.plans.pipeline_ops import _DEDUP_EXACT_ORACLE, dedup_exact
+    from venus_spark.plans.pipeline_dedup import _DEDUP_EXACT_ORACLE, dedup_exact
 
     rows = [
         # trio of byte-identical texts -> one group, keeper 1
@@ -680,7 +680,7 @@ def test_mm_payload_dedup_positive_path_cross_engine(spark, tmp_path):
     byte hashing (no text canonicalization — 'Hello' and 'hello' are
     DIFFERENT payloads), duplicate groups found with keeper = min
     doc_id, cross-engine agreement non-vacuous."""
-    from venus_spark.plans.pipeline_ops2 import _MM_DEDUP_ORACLE, mm_payload_dedup
+    from venus_spark.plans.pipeline_multimodal import _MM_DEDUP_ORACLE, mm_payload_dedup
 
     rows = [
         (1, "same payload bytes", "en", "web", 18),

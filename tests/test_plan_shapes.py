@@ -45,7 +45,7 @@ def test_ivf_prepared_scan_prunes_partitions(spark):
     plan = formatted_plan(all_plans()["sim_ivf_topk_prepared"].fn(spark, SF))
     m = re.search(r"PartitionFilters: \[label#\d+ IN \((\d+(?:,\d+)*)\)\]", plan)
     assert m, f"expected a literal IN partition filter, plan:\n{plan[:2000]}"
-    from venus_spark.plans.pipeline_ops2 import _NPROBE
+    from venus_spark.plans.pipeline_ann import _NPROBE
 
     assert len(m.group(1).split(",")) == _NPROBE
 
@@ -497,7 +497,7 @@ def test_ivfpq_scan_prunes_partitions_and_reads_codes_only(spark):
     over a scan whose ReadSchema is the codes column, never the float
     vectors (PQ bandwidth) — and no shuffle before the top-k merge."""
     from venus_spark.plans import all_plans
-    from venus_spark.plans.pipeline_ops8 import _IVFPQ_NPROBE
+    from venus_spark.plans.pipeline_ann_pq import _IVFPQ_NPROBE
 
     plan = formatted_plan(all_plans()["sim_ivfpq_topk"].fn(spark, SF))
     m = re.search(r"PartitionFilters: \[label#\d+ IN \((\d+(?:,\d+)*)\)\]", plan)
@@ -1009,7 +1009,7 @@ def test_live_vector_plans_quiescent_shapes_match_prepared(spark):
     (the streamed/pending branch is certified by the streamed mirror
     and tests/test_vector_live.py)."""
     from venus_spark.plans import all_plans
-    from venus_spark.plans.pipeline_ops2 import _NPROBE
+    from venus_spark.plans.pipeline_ann import _NPROBE
 
     plans = all_plans()
     ivf = formatted_plan(plans["sim_ivf_topk_live"].fn(spark, SF))

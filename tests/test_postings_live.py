@@ -498,7 +498,7 @@ def test_streamed_docs_surface_in_live_bm25_before_any_merge(
     prepared (base-only) read path serves the pre-stream answer; after
     the VACUUM merge both paths agree. This is the with-pending half of
     bm25_topk_live's contract, driven through the real service."""
-    from venus_spark.plans.pipeline_ops6 import _bm25_from_index
+    from venus_spark.plans.pipeline_retrieval import _bm25_from_index
     from venus_spark.streaming import start_documents_ingest
 
     monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))

@@ -415,7 +415,7 @@ def test_zorder_prunes_both_dims_where_1d_layout_cannot(spark):
     import datetime
 
     from tests.conftest import SF_DIR_MED
-    from venus_spark.plans.pipeline_ops9 import _L2D_KEY, _L2D_T0, _L2D_T1
+    from venus_spark.plans.pipeline_behavioral import _L2D_KEY, _L2D_T0, _L2D_T1
     from venus_spark.prepared import events_by_user, events_zorder, prepared_path
 
     events_zorder(spark, SF_DIR_MED)

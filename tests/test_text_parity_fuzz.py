@@ -37,7 +37,7 @@ def frames(spark):
     from venus_spark.functions import shingles, tokens
     from venus_spark.functions.sqlgen import shingles_sql, tokens_sql
     from venus_spark.operators.text import fingerprint_col
-    from venus_spark.plans.pipeline_ops import _FINGERPRINT
+    from venus_spark.plans.pipeline_quality import _FINGERPRINT
 
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(ADVERSARIAL)], "doc_id long, text string"

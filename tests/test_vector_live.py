@@ -38,7 +38,7 @@ def _setup_base(spark, tmp_path, monkeypatch):
 def _probed_labels(spark, sf):
     """The live/prepared plans' frozen-centroid probe set — via the
     SHARED helper the plans themselves run."""
-    from venus_spark.plans.pipeline_ops2 import frozen_ivf_probe
+    from venus_spark.plans.pipeline_ann import frozen_ivf_probe
 
     labels, qvec, _unprobed = frozen_ivf_probe(spark, sf)
     return labels, qvec
@@ -197,7 +197,7 @@ def test_pending_cap_overflow_falls_back_to_dedup_shuffle(
     path, exactly where a silent regression would hurt most. Cap
     monkeypatched to -1 so ANY pending id overflows."""
     from venus_spark.plans import all_plans
-    from venus_spark.plans import pipeline_ops2 as po2
+    from venus_spark.plans import pipeline_ann as po2
     from venus_spark.streaming import (
         _write_idempotent,
         embeddings_stream_sink_dir,

@@ -282,7 +282,7 @@ def test_full_topology_streaming_retrieval(spark, tmp_path, monkeypatch):
     from pyspark.sql import functions as F
 
     from venus_spark import prepared
-    from venus_spark.plans.pipeline_ops6 import _bm25_from_index
+    from venus_spark.plans.pipeline_retrieval import _bm25_from_index
     from venus_spark.streaming import start_documents_ingest
 
     monkeypatch.setattr(prepared, "PREPARED_ROOT", str(tmp_path / "prep"))
@@ -355,7 +355,7 @@ def test_full_topology_streaming_retrieval(spark, tmp_path, monkeypatch):
     # phrase surfaces pre-merge (the with-pending half of the
     # phrase_search_kterm_live contract), invisible to the base path
     # for the still-pending epoch
-    from venus_spark.plans.pipeline_ops6 import _kphrase_from_postings
+    from venus_spark.plans.pipeline_retrieval import _kphrase_from_postings
 
     phrase = ("vector", "stream", "merge")
     live_post, _d, _s = prepared.documents_postings_live(spark, sf)

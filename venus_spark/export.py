@@ -549,8 +549,8 @@ def _delta_curated(
     empty delta). All delta guards live here so a repair re-validates
     exactly what the original export validated."""
     from venus_spark.operators.dedup import incremental_near_dups
-    from venus_spark.plans.pipeline_ops import _JACCARD_T
-    from venus_spark.plans.pipeline_ops4 import curated_funnel
+    from venus_spark.plans.pipeline_dedup import _JACCARD_T
+    from venus_spark.plans.pipeline_curation import curated_funnel
     from venus_spark.prepared import _anti_tombstones, documents_minhash_live
 
     if "documents" not in base_snapshot:
@@ -699,7 +699,7 @@ def _curated_from_snapshot(
     :func:`export_curated_jsonl` and :func:`repair_export`: the
     curated corpus read THROUGH a pinned snapshot, with current
     tombstones applied on top (RTBF wins over reproducibility)."""
-    from venus_spark.plans.pipeline_ops4 import curated_funnel
+    from venus_spark.plans.pipeline_curation import curated_funnel
     from venus_spark.prepared import _anti_tombstones, prepared_path
 
     missing_keys = {"documents", "documents_minhash"} - set(snapshot)

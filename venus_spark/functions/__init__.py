@@ -83,7 +83,7 @@ def fmt_ts(col: Column | str, micros: bool = True) -> Column:
 # \x0B (vertical tab), RE2 (DuckDB) \s does not — on text containing a
 # vertical tab the two engines would tokenize differently. The explicit
 # class is Java's exact \s set, spelled so both engines agree. (Same
-# discipline as the BPE tokenizer's explicit class, pipeline_ops.py.)
+# discipline as the BPE tokenizer's explicit class, pipeline_quality.py.)
 WHITESPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]"
 
 

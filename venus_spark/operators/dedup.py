@@ -19,7 +19,7 @@ Design for 100 TB:
 
 Everything is built-in column expressions (md5/conv/bitwise/array ops) —
 no Python in the hot path. Hash parameters are module constants shared
-with the SQL oracle generators in venus_spark/plans/pipeline_ops.py.
+with the SQL oracle generators in venus_spark/plans/pipeline_dedup.py.
 """
 
 from __future__ import annotations

@@ -4,7 +4,7 @@ document fingerprinting.
 All JVM-side column expressions (split/filter/array ops/md5) — no Python
 in the hot path, so they run inside whole-stage codegen and scale to
 arbitrarily wide scans. Each has an exact SQL twin used by the DuckDB
-oracle (see venus_spark/plans/pipeline_ops.py).
+oracle (see venus_spark/plans/pipeline_quality.py).
 """
 
 from __future__ import annotations

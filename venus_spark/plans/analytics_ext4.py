@@ -279,7 +279,7 @@ from venus_spark.functions import dsum  # noqa: E402
 from venus_spark.functions.sqlgen import dsum_sql  # noqa: E402
 
 def _corr_series_oracle() -> str:
-    from venus_spark.plans.pipeline_ops9 import _HOURLY_SERIES_SQL
+    from venus_spark.plans.pipeline_behavioral import _HOURLY_SERIES_SQL
 
     # GREATEST(0, variance) on both engines: decimal(25,6) quantization
     # of v*v can push a constant series' variance term a hair NEGATIVE
@@ -332,7 +332,7 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder's note), so a constant series yields NULL r identically
     in both engines. The series itself is the shared
     hourly_value_series kernel (EWMA's series, one definition)."""
-    from venus_spark.plans.pipeline_ops9 import hourly_value_series
+    from venus_spark.plans.pipeline_behavioral import hourly_value_series
 
     hourly = hourly_value_series(load_table(spark, sf_dir, "events"))
     a, b = hourly.alias("a"), hourly.alias("b")

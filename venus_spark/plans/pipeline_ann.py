@@ -1,121 +1,21 @@
-"""Training-data pipeline plans, part 2: multimodal columns and the
-IVF two-stage similarity search.
+"""Training-data pipeline plans: ANN similarity search — the IVF
+two-stage search (probe centroids, then exact top-k in-cluster), its
+prepared/live twins, and the random-hyperplane LSH-bucketed variant.
 
-The multimodal plans run the *real* Spark plumbing (binary payload
-column -> Arrow batches -> ``mapInPandas`` decode/frame-sample with a
-typed output schema); only the codec byte-math is a deterministic stub
-(no image/audio libraries in this container — see
-``venus_spark.operators.multimodal``). Because the stub is pure
-byte-length arithmetic, the oracle can recompute it in SQL, so the
-whole mapInPandas path is value-checked, not just row-counted.
+(Moved verbatim from the accreted pipeline_ops2 module in the r14
+domain re-grouping; plan names unchanged.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import dround
-from venus_spark.functions.sqlgen import cosine_sql, davg_sql, dround_sql
-from venus_spark.operators import multimodal as mm
+from venus_spark.functions import cosine, davg, dround, dsum
+from venus_spark.functions.sqlgen import cosine_sql, davg_sql, dround_sql, dsum_sql
+from venus_spark.operators import similarity as sim
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table
-
-# --------------------------------------------------------------------------
-# Multimodal: payload decode -> typed metadata (stub codec, real plumbing)
-# --------------------------------------------------------------------------
-
-# The payload is encode(text,'utf-8'), so byte_len == strlen(text) and the
-# stub's fake dimensions are pure functions of it (operators/multimodal.py).
-_BLEN = "STRLEN(text)"
-
-_MM_DECODE_ORACLE = f"""
-SELECT doc_id,
-       {_BLEN} AS byte_len,
-       64 + {_BLEN} % 512 AS width,
-       64 + ({_BLEN} * 7) % 512 AS height,
-       ['jpeg', 'png', 'webp'][({_BLEN} % 3) + 1] AS format
-FROM documents
-"""
-
-
-@plan("mm_decode_meta", oracle=_MM_DECODE_ORACLE)
-def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> typed metadata via Arrow-batched mapInPandas.
-    1:1 row shape; parallelism follows the scan partitioning; payloads
-    never hit the driver."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.decode_metadata(docs)
-
-
-_MM_FRAME_ORACLE = f"""
-SELECT doc_id,
-       f.frame_idx,
-       ({_BLEN} // {mm.N_FRAMES})
-         + CASE WHEN f.frame_idx < {_BLEN} % {mm.N_FRAMES} THEN 1 ELSE 0 END
-         AS frame_len
-FROM documents
-CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {mm.N_FRAMES - 1})) AS frame_idx) f
-"""
-
-
-@plan("mm_frame_sample", oracle=_MM_FRAME_ORACLE)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Video' frame sampling: 1 payload -> N frame rows, the variable
-    fan-out shape through mapInPandas (a real sampler swaps the byte-split
-    for decoded frames without touching the plumbing)."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.frame_sample(docs)
-
-
-# Integer aspect-preserving rescale of the stub dims — every operand
-# BIGINT, so both engines compute the identical quotients.
-_W = f"(64 + {_BLEN} % 512)"
-_H = f"(64 + ({_BLEN} * 7) % 512)"
-_MM_RESIZE_ORACLE = f"""
-SELECT doc_id,
-       {_W} AS src_w, {_H} AS src_h,
-       ({_W} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H}) AS dst_w,
-       ({_H} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H}) AS dst_h,
-       (({_W} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H}))
-         * (({_H} * {mm.RESIZE_TARGET}) // GREATEST({_W}, {_H})) * 3 AS out_len
-FROM documents
-"""
-
-
-@plan("mm_resize", oracle=_MM_RESIZE_ORACLE)
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize: decode dims, aspect-preserving integer rescale to
-    the vision-model input size, output geometry + resized byte count.
-    Same Arrow-batched mapInPandas plumbing as the decode plan; a real
-    deployment emits the resized bytes from the identical loop."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.resize_images(docs)
-
-
-# ASCII corpus (verified: len == strlen for every row), so char ops and
-# byte ops agree and the feature row is SQL-recomputable.
-_MM_AUDIO_ORACLE = f"""
-SELECT doc_id,
-       {_BLEN} AS n_bytes,
-       {_BLEN} - STRLEN(REPLACE(text, ' ', '')) AS n_space,
-       {_BLEN} - STRLEN(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
-         text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS n_vowel,
-       CASE WHEN text = '' THEN 0
-            ELSE CAST(LIST_SUM([ORD(x) FOR x IN STRING_SPLIT(text, '')]) AS BIGINT)
-       END AS byte_sum
-FROM documents
-"""
-
-
-@plan("mm_audio_features", oracle=_MM_AUDIO_ORACLE)
-def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction: payload -> fixed-width feature row
-    through the same Arrow-batched path (the MFCC-summary shape). The
-    byte-statistics stand-in keeps the whole path value-checked."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.audio_features(docs)
-
 
 # --------------------------------------------------------------------------
 # IVF two-stage ANN search (probe centroids, then exact top-k in-cluster)
@@ -396,41 +296,191 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(emb, query_id=_QUERY_VEC_ID, k=_TOPK)
 
 
+
+
 # --------------------------------------------------------------------------
-# Multimodal payload dedup: exact-byte dedup over the opaque binary
-# column — the first pass every image/audio corpus runs (identical
-# files recur massively in web crawls), and deliberately DIFFERENT
-# from doc_fingerprint: this hashes the raw payload bytes with no text
-# normalization, so it applies to any binary modality unchanged.
+# IVF nprobe sweep: recall@k vs probe width — the ANN tuning curve
 # --------------------------------------------------------------------------
 
-_MM_DEDUP_ORACLE = """
-SELECT MD5(text) AS payload_md5,
-       COUNT(*) AS n_payloads,
-       MIN(doc_id) AS keeper_doc
-FROM documents
-GROUP BY MD5(text)
-HAVING COUNT(*) >= 2
-ORDER BY payload_md5
+_SWEEP_QUERY_VEC_ID = 0
+_SWEEP_K = 10
+_SWEEP_NPROBES = (1, 2, 4)
+
+_SWEEP_RECALL = f"{dround_sql(f'CAST(hits AS DOUBLE) / CAST({_SWEEP_K} AS DOUBLE)')}"
+
+_VDL = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _nprobe_sweep_oracle() -> str:
+    from venus_spark.functions.sqlgen import davg_sql
+
+    blocks, rows = [], []
+    for n in _SWEEP_NPROBES:
+        blocks.append(f"""
+probed_{n} AS (
+  SELECT cluster FROM cent_scored
+  ORDER BY centroid_sim DESC, cluster LIMIT {n}
+),
+cand_{n} AS (
+  SELECT vec_id, cosine_sim FROM scored_all
+  WHERE label IN (SELECT cluster FROM probed_{n})
+),
+ivf_{n} AS (
+  SELECT vec_id FROM cand_{n}
+  ORDER BY cosine_sim DESC, vec_id LIMIT {_SWEEP_K}
+),
+row_{n} AS (
+  SELECT {n} AS nprobe,
+         (SELECT COUNT(*) FROM cand_{n}) AS n_candidates,
+         (SELECT COUNT(*) FROM ivf_{n} JOIN exact USING (vec_id)) AS hits
+)""")
+        rows.append(f"SELECT * FROM row_{n}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH q AS (
+  SELECT {_VDL.format('embedding')} AS qv FROM embeddings
+  WHERE vec_id = {_SWEEP_QUERY_VEC_ID}
+),
+long_cent AS (
+  SELECT label AS cluster,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+         UNNEST({_VDL.format('embedding')}) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
+  FROM long_cent GROUP BY cluster, pos
+),
+cent_arr AS (
+  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
+  FROM cent GROUP BY cluster
+),
+cent_scored AS (
+  SELECT cluster,
+         {dround_sql(f'''{cosine_sql('cent_arr.centroid', 'q.qv')}''')} AS centroid_sim
+  FROM cent_arr CROSS JOIN q
+),
+scored_all AS (
+  SELECT e.vec_id, e.label,
+         {dround_sql(f'''{cosine_sql(_VDL.format('e.embedding'), 'q.qv')}''')} AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+),
+exact AS (
+  SELECT vec_id FROM scored_all ORDER BY cosine_sim DESC, vec_id
+  LIMIT {_SWEEP_K}
+),{",".join(blocks)}
+SELECT nprobe, CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(hits AS BIGINT) AS hits, {_SWEEP_RECALL} AS recall_at_k
+FROM ({union}) ORDER BY nprobe
 """
 
 
-@plan("mm_payload_dedup", oracle=_MM_DEDUP_ORACLE)
-def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate binary payloads by content hash, lowest doc_id as the
-    canonical keeper. One hash-partitioned aggregate on the uniform
-    md5 key — at 100 TB the md5 computes where the bytes live and only
-    32-byte digests shuffle, never payloads. The oracle hashes the
-    source text directly: the payload is its UTF-8 encoding, so the
-    digests coincide (DuckDB MD5 hashes the varchar's UTF-8 bytes) —
-    which is exactly the audit that the binary plumbing is lossless."""
-    from venus_spark.operators.multimodal import attach_payload
+@plan("sim_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: for each probe width, recall@k of the IVF
+    search against the exact brute-force top-k, next to the candidate
+    count the probe paid for it — the accuracy/cost trade every IVF
+    deployment sweeps before fixing nprobe (recall rises toward 1.0 as
+    the probe widens toward the full scan). Composes the production
+    pieces: one centroid table scored once, per-width cluster
+    restriction, exact ranking inside the probe, intersection with the
+    exact set.
 
-    docs = attach_payload(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select("doc_id", F.md5("payload").alias("payload_md5"))
-        .groupBy("payload_md5")
-        .agg(F.count("*").alias("n_payloads"), F.min("doc_id").alias("keeper_doc"))
-        .filter(F.col("n_payloads") >= 2)
-        .orderBy("payload_md5")
+    Scale shape: two narrow passes over the vector table (per-cluster
+    top-k digest; per-cluster counts), materialized ONCE via
+    localCheckpoint into broadcast-sized tables — every derived
+    quantity, including each width's top-k AND the exact global top-k
+    (a global top-k vector is necessarily in its own cluster's top-k),
+    re-ranks those tiny tables, so sweeping more widths never
+    re-scans the corpus. Cluster probe order comes from the bounded
+    collect-sort-posexplode aggregate (no single-partition WindowExec).
+    No collect beyond the one-row query-vector fetch (the documented
+    idiom)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _SWEEP_QUERY_VEC_ID)
+        .select("embedding")
+        .first()
     )
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+
+    scored_all = emb.select(
+        "vec_id",
+        "label",
+        dround(cosine(sim.as_double(F.col("embedding")), query)).alias(
+            "cosine_sim"
+        ),
+    )
+    # ONE corpus pass: per-cluster top-k digest + per-cluster counts.
+    per_cluster_rank = Window.partitionBy("label").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+    digest = (
+        scored_all.withColumn("rn", F.row_number().over(per_cluster_rank))
+        .filter(F.col("rn") <= _SWEEP_K)
+        .drop("rn")
+    )
+    cluster_sizes = scored_all.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    # Probe order of the clusters: rank centroids by cosine via the
+    # bounded collect-sort aggregate (n_clusters rows — no WindowExec).
+    cent_scored = sim.centroid_arrays(emb).select(
+        "cluster",
+        dround(cosine(F.col("centroid"), query)).alias("centroid_sim"),
+    )
+    cluster_rank = (
+        cent_scored.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("centroid_sim")).alias("neg"), F.col("cluster")
+                    )
+                )
+            ).alias("ordered")
+        )
+        .select(F.posexplode("ordered").alias("i", "s"))
+        .select(
+            F.col("s.cluster").alias("label"), (F.col("i") + 1).alias("crank")
+        )
+    )
+    ranked = F.broadcast(cluster_rank)
+    # Materialize the two digests once (n_clusters × k rows and
+    # n_clusters rows): the sweep branches below each reference them
+    # twice, and without this every branch would re-run the corpus scan
+    # (Catalyst does not share common subplans across a union).
+    sized = cluster_sizes.join(ranked, "label").localCheckpoint(eager=True)
+    dig = digest.join(ranked, "label").localCheckpoint(eager=True)
+    exact = (
+        dig.orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(_SWEEP_K)
+        .select("vec_id")
+    )
+
+    out = None
+    for n in _SWEEP_NPROBES:
+        ivf = (
+            dig.filter(F.col("crank") <= n)
+            .orderBy(F.col("cosine_sim").desc(), "vec_id")
+            .limit(_SWEEP_K)
+            .select("vec_id")
+        )
+        row = (
+            sized.filter(F.col("crank") <= n)
+            .agg(F.sum("n_vecs").cast("long").alias("n_candidates"))
+            .crossJoin(
+                ivf.join(exact, "vec_id").agg(
+                    F.count("*").cast("long").alias("hits")
+                )
+            )
+            .select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "n_candidates",
+                "hits",
+                F.expr(_SWEEP_RECALL).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+

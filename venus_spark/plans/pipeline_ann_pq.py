@@ -1,4 +1,4 @@
-"""Training-data pipeline plans, part 8: product quantization (PQ)
+"""Training-data pipeline plans: product quantization (PQ)
 retrieval — the memory-bandwidth lever for ANN at 100 TB scale.
 
 IVF (sim_ivf_topk) prunes WHICH vectors a query touches; PQ shrinks the
@@ -206,7 +206,7 @@ def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Quiescent dirs degrade to exactly the prepared
     codes-column scan; the pending union is micro-batch-sized and
     engages only when the manifest says a batch is in flight."""
-    from venus_spark.plans.pipeline_ops2 import _live_vector_candidates
+    from venus_spark.plans.pipeline_ann import _live_vector_candidates
     from venus_spark.prepared import (
         _pq_code_rows,
         _pq_saturated_codebook,
@@ -242,71 +242,6 @@ def sim_pq_adc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Semantic dedup keep-set (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
-# cluster the embedding space (the given `label` column plays the k-means
-# cluster id, as in sim_cosine_pairs/sim_ivf_*), form near-dup pairs only
-# WITHIN a cluster, and keep one representative per near-dup
-# neighborhood — the greedy lowest-id rule: a vector is dropped iff a
-# lower-id vector in its cluster sits above the cosine threshold. Same
-# pair predicate and threshold as sim_cosine_pairs, so the two plans are
-# the pairs view and the keep view of one operation.
-# --------------------------------------------------------------------------
-
-_SEM_T = 0.35  # = pipeline_ops._COS_PAIR_T (one near-dup band corpus-wide)
-
-_SEM_KEEP_ORACLE = f"""
-WITH e AS (
-  SELECT vec_id, label, {_VDBL.format('embedding')} AS v FROM embeddings
-),
-p AS (
-  SELECT b.vec_id AS id_b
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {dround_sql(f'{{cos}}')} > {_SEM_T}
-)
-SELECT e.vec_id, e.label FROM e
-WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = e.vec_id)
-ORDER BY e.vec_id
-"""
-
-
-def _sem_keep_oracle() -> str:
-    from venus_spark.functions.sqlgen import cosine_sql
-
-    return _SEM_KEEP_ORACLE.format(cos=cosine_sql("a.v", "b.v"))
-
-
-@plan("dedup_semantic_keep", oracle=_sem_keep_oracle())
-def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup keep-set: drop every vector with a lower-id
-    above-threshold neighbor in its embedding cluster; emit the
-    survivors. The pair join is confined to cluster buckets (at 100 TB
-    the cluster id is the storage partition key, so it is
-    co-partitioned and shuffle-free) and the drop side collapses to a
-    distinct id set — the anti-join is on a uniform key. Within-cluster
-    pair formation is quadratic in the bucket BY DESIGN (SemDeDup's own
-    semantics); the paper-scale posture is a cluster count that grows
-    with the corpus (k ~ 10^4-10^5 for web-scale sets), keeping buckets
-    near-constant — the driver corpus fixes k=10, so this plan's bench
-    cost overstates the production per-row cost. Composition:
-    sim_cosine_pairs emits these pairs, this plan applies the keep
-    policy; curated_corpus applies the same policy shape to MinHash
-    clusters on the text side."""
-    from venus_spark.operators.similarity import cosine_pairs_in_buckets
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    drops = (
-        cosine_pairs_in_buckets(emb, threshold=_SEM_T)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        emb.join(drops, "vec_id", "left_anti")
-        .select("vec_id", "label")
-        .orderBy("vec_id")
-    )
-
-
-# --------------------------------------------------------------------------
 # IVF-PQ: the full FAISS-style ANN composition — coarse quantizer prunes
 # WHICH cluster directories are read (IVF, static partition filter over
 # the label-partitioned codes table), PQ shrinks the COST of each read
@@ -317,7 +252,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One probe width corpus-wide: drift between the IVF and IVF-PQ plans
 # would make their recall numbers incomparable.
-from venus_spark.plans.pipeline_ops2 import _NPROBE as _IVFPQ_NPROBE  # noqa: E402
+from venus_spark.plans.pipeline_ann import _NPROBE as _IVFPQ_NPROBE  # noqa: E402
 
 
 def _ivfpq_oracle() -> str:
@@ -472,102 +407,190 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # --------------------------------------------------------------------------
-# Zero-shuffle LSH candidate generation: the band self-join rides a
-# bucketed layout. At 100 TB the band join is the dedup run's only
-# corpus-sized shuffle; this variant removes it entirely.
+# Embedding quantization: symmetric per-vector int8 — the storage/
+# bandwidth lever for vector corpora at 100 TB scale. Codes are exact
+# integers (parity-trivial); the reconstruction-error audit uses the
+# same explicit floor(x + 0.5) rounding in both engines.
 # --------------------------------------------------------------------------
 
+_QUANT_ORACLE = f"""
+WITH prepared AS (
+  SELECT label,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT label, v,
+         LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127 AS scale
+  FROM prepared
+),
+coded AS (
+  SELECT label, scale,
+         LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5)) AS codes,
+         LIST_MAX(
+           LIST_ZIP(v, LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5)))
+             .apply(p -> ABS(CAST(p[2] AS DOUBLE) * scale
+                             - CAST(p[1] AS DOUBLE)))
+         ) AS max_err
+  FROM scaled
+  WHERE scale > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(LIST_REDUCE(codes, (a, b) -> a + b) AS BIGINT))
+            AS BIGINT) AS code_sum_total,
+       {dround_sql('MAX(max_err)', 9)} AS max_abs_err
+FROM coded
+GROUP BY label
+ORDER BY label
+"""
 
-def _lsh_colocated_oracle() -> str:
-    from venus_spark.plans.pipeline_ops import _minhash_oracle
 
-    return _minhash_oracle()
-
-
-@plan("dedup_minhash_lsh_colocated", oracle=_lsh_colocated_oracle())
-def dedup_minhash_lsh_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same answer as dedup_minhash_lsh / _prepared, with the candidate
-    self-join served from the bucketed band table
-    (prepared.lsh_bands_bucketed): both join sides read the same
-    band_hash buckets, so candidate generation needs NO exchange
-    (shape-tested) — the only remaining shuffles are candidate-set
-    sized (the pair distinct and the verify joins), which are orders
-    of magnitude smaller than the corpus. The full prepared-layout
-    posture for near-dup dedup: signatures materialized at ingest
-    (documents_minhash), band keys bucketed at ingest (this table),
-    query time pays only bucket-local joins + bounded verification."""
-    from venus_spark.operators.dedup import (
-        _verify_candidates,
-        band_candidate_pairs,
+@plan("embedding_quantize", oracle=_QUANT_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale = max|x|/127,
+    code = floor(x/scale + 0.5) (explicit floor rounding — identical in
+    both engines, unlike engine-native round()), reporting per label the
+    integer code checksum and the max absolute reconstruction error.
+    All math is higher-order array functions over one scan; the groupBy
+    key (label) is 64-ary — partial-agg, no data movement beyond the
+    final tiny exchange. At scale the codes column (4x smaller than
+    float32, 8x than float64) is what you'd persist; this plan is the
+    write-time audit that the error bound holds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prepared = emb.select("label", v.alias("v"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    scaled = prepared.select("label", "v", scale.alias("scale"))
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
     )
-    from venus_spark.plans.pipeline_ops import _JACCARD_T
-    from venus_spark.prepared import documents_minhash, lsh_bands_bucketed
-
-    bands = spark.table(lsh_bands_bucketed(spark, sf_dir))
-    cands = band_candidate_pairs(bands)
-    idx = documents_minhash(spark, sf_dir)
-    toks = idx.select(F.col("doc_id"), F.col("_sh").alias("toks"))
-    return _verify_candidates(cands, toks, "doc_id", _JACCARD_T)
-
-
-@plan("dedup_minhash_lsh_colocated_live", oracle=_lsh_colocated_oracle())
-def dedup_minhash_lsh_colocated_live(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """``dedup_minhash_lsh_colocated``'s answer over the LIVE view —
-    the liveness leg VERDICT r13 #2 asked for: a streamed document
-    batch that has landed in the MinHash PENDING list but not yet been
-    merged must be visible to the bucketed-layout dedup pass WITHOUT
-    rebuilding the band table per micro-batch. Candidates come from
-    three legs, each priced for what it is:
-
-    1. merged × merged — the bucketed band self-join, zero exchange
-       (identical to the steady-state plan);
-    2. pending × merged — a cross-set band join with the O(batch)
-       pending side BROADCAST against the bucketed table (the
-       incremental-dedup shape: only the batch side is new work);
-    3. pending × pending — a self-join over the tiny pending slice.
-
-    Verification runs once over the union of candidates against the
-    live index (base ∪ pending). On a quiescent corpus legs 2–3 vanish
-    and the plan degrades to ``dedup_minhash_lsh_colocated`` under the
-    same oracle; the with-pending half is pinned by the streamed
-    agreement test against ``dedup_minhash_lsh_live``. Staleness of
-    the bucketed table itself (a MERGE another process ran) is handled
-    one level down by the band table's source fingerprint
-    (prepared.buckets.lsh_bands_bucketed)."""
-    from venus_spark.operators.dedup import (
-        _verify_candidates,
-        band_candidate_pairs,
-        cross_candidate_pairs,
-        lsh_bands,
-    )
-    from venus_spark.plans.pipeline_ops import _JACCARD_T
-    from venus_spark.prepared import (
-        documents_minhash,
-        documents_minhash_live,
-        documents_minhash_pending,
-        lsh_bands_bucketed,
-    )
-
-    bands_bkt = spark.table(lsh_bands_bucketed(spark, sf_dir))
-    pend = documents_minhash_pending(spark, sf_dir)
-    if pend is None:
-        cands = band_candidate_pairs(bands_bkt)
-        idx = documents_minhash(spark, sf_dir)
-    else:
-        pend_bands = lsh_bands(pend)
-        mm = band_candidate_pairs(bands_bkt)
-        pm = cross_candidate_pairs(
-            F.broadcast(pend_bands), bands_bkt,
-            left_out="id_p", right_out="id_m",
-        ).select(
-            F.least("id_p", "id_m").alias("id_a"),
-            F.greatest("id_p", "id_m").alias("id_b"),
+    max_err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            codes,
+            lambda x, c: F.abs(c.cast("double") * F.col("scale") - x),
         )
-        pp = band_candidate_pairs(pend_bands)
-        cands = mm.unionByName(pm).unionByName(pp).distinct()
-        idx = documents_minhash_live(spark, sf_dir)
-    toks = idx.select(F.col("doc_id"), F.col("_sh").alias("toks"))
-    return _verify_candidates(cands, toks, "doc_id", _JACCARD_T)
+    )
+    coded = scaled.filter(F.col("scale") > 0).select(
+        "label",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "code_sum"
+        ),
+        max_err.alias("max_err"),
+    )
+    return (
+        coded.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("code_sum").alias("code_sum_total"),
+            dround(F.max("max_err"), 9).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantization recall audit: does int8 change retrieval answers? Exact
+# float top-k vs top-k over dequantized vectors, reported as integer
+# recall permille — the accept/reject gate for shipping the quantized
+# index. Composes embedding_quantize's code math with sim_cosine_topk's
+# retrieval shape; all constants shared with those plans.
+# --------------------------------------------------------------------------
+
+_QR_K = 10
+_QR_QUERY_ID = 0
+
+
+def _quant_recall_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql
+
+    return f"""
+WITH q AS (
+  SELECT {_VDBL.format('embedding')} AS qv FROM embeddings
+  WHERE vec_id = {_QR_QUERY_ID}
+),
+v AS (
+  SELECT vec_id, {_VDBL.format('embedding')} AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127 AS scale
+  FROM v
+),
+dq AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5) * scale) AS vq
+  FROM s WHERE scale > 0
+),
+exact AS (
+  SELECT vec_id FROM v CROSS JOIN q
+  ORDER BY {dround_sql(f'''{cosine_sql('v', 'qv')}''')} DESC, vec_id LIMIT {_QR_K}
+),
+quant AS (
+  SELECT vec_id FROM dq CROSS JOIN q
+  ORDER BY {dround_sql(f'''{cosine_sql('vq', 'qv')}''')} DESC, vec_id LIMIT {_QR_K}
+)
+SELECT CAST({_QR_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN quant USING (vec_id)) AS BIGINT)
+         AS n_common,
+       CAST(((SELECT COUNT(*) FROM exact JOIN quant USING (vec_id)) * 1000)
+            // {_QR_K} AS BIGINT) AS recall_permille
+"""
+
+
+@plan("quant_recall_topk", oracle=_quant_recall_oracle())
+def quant_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized retrieval against the exact float
+    baseline for the canonical query vector: quantize (same floor(x/
+    scale + 0.5) codes as embedding_quantize), dequantize, rank by
+    cosine with the sim_cosine_topk tie-break (sim DESC, vec_id), and
+    intersect the two k-sets. Two TakeOrderedAndProject scans plus a
+    k-row join — nothing driver-side but the one query-vector lookup;
+    at scale this audit runs per shard on a sample of queries, same
+    shape."""
+    from venus_spark.functions import cosine
+    from venus_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _QR_QUERY_ID).select("embedding").first()
+    )
+    q = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+
+    # Hoist v and scale into projections: referencing the scale
+    # EXPRESSION inside the dequantize lambda would inline the whole
+    # array_max fold per element — O(dim^2) per row instead of O(dim).
+    prepared = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    scaled = prepared.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    vq = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
+
+    exact = (
+        prepared.select("vec_id", dround(cosine(F.col("v"), q)).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_QR_K)
+        .select("vec_id")
+    )
+    quant = (
+        scaled.filter(F.col("scale") > 0)
+        .select("vec_id", dround(cosine(vq, q)).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_QR_K)
+        .select("vec_id")
+    )
+    return exact.join(quant, "vec_id").agg(
+        F.lit(_QR_K).cast("long").alias("k"),
+        F.count("*").alias("n_common"),
+        F.expr(f"(count(*) * 1000) div {_QR_K}").alias("recall_permille"),
+    )

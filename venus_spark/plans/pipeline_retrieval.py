@@ -1,21 +1,16 @@
-"""Training-data pipeline plans, part 6: text retrieval (BM25, tf-idf
-keyword extraction), behavioral funnels/retention over the event stream,
-and one Lloyd iteration of k-means over the embedding table.
+"""Training-data pipeline plans: text retrieval — BM25 ranking,
+tf-idf keyword extraction, and the positional-postings query family
+(phrase / boolean / proximity / k-term phrase), each with prepared-
+index and live (base ∪ pending) twins.
 
-Same discipline as parts 1-5: the Spark side is built-in column
-expressions (whole-stage codegen, no Python in the data path); every
-parity-sensitive scalar formula is ONE shared SQL-syntax string passed
-to Spark via ``F.expr`` and to DuckDB verbatim, so both engines parse
-the identical expression tree and the doubles come out bit-equal.
-Aggregation of rounded doubles goes through the exact decimal
-accumulator (:func:`venus_spark.functions.dsum`) so summation order
-cannot matter.
+Parity discipline: every parity-sensitive scalar formula is ONE shared
+SQL-syntax string passed to Spark via ``F.expr`` and to DuckDB
+verbatim, so both engines parse the identical expression tree; rounded
+doubles aggregate through the exact decimal accumulator
+(:func:`venus_spark.functions.dsum`).
 
-Reference tie-in: the reference delegates all analytics to documented
-SQL over PostgreSQL (`/root/reference/README.rst:82-107`); retrieval
-ranking and cohort funnels are the natural extensions of that surface
-for a training-data curation engine (SURVEY.md north star), and each
-plan here carries the equivalent ANSI SQL as its oracle.
+(Moved verbatim from the accreted pipeline_ops6 module in the r14
+domain re-grouping; plan names unchanged.)
 """
 
 from __future__ import annotations
@@ -25,7 +20,6 @@ from pyspark.sql import functions as F
 
 from venus_spark.functions import davg, dsum, tokens, dround
 from venus_spark.functions.sqlgen import (
-    cosine_sql,
     davg_sql,
     dround_sql,
     dsum_sql,
@@ -296,199 +290,6 @@ def tfidf_keywords_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Behavioral funnel over the event stream
-# --------------------------------------------------------------------------
-
-_FUNNEL = ("view", "click", "purchase")
-
-_FUNNEL_ORACLE = f"""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
-),
-s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
-  WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY e.user_id
-),
-s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
-  WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY e.user_id
-)
-SELECT (SELECT COUNT(*) FROM s1) AS n_stage1,
-       (SELECT COUNT(*) FROM s2) AS n_stage2,
-       (SELECT COUNT(*) FROM s3) AS n_stage3
-"""
-
-
-@plan("funnel_conversion", oracle=_FUNNEL_ORACLE)
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered 3-stage funnel (view -> click -> purchase):
-    users counted at stage n+1 only for events after their first
-    stage-n event.
-
-    Scale shape: each stage is a hash aggregate keyed on user_id; all
-    three stages and both joins share the same shuffle key, so after
-    the first exchange the join/agg chain stays co-partitioned (no
-    re-shuffle). Window-free — no per-user event ordering is
-    materialized, only MIN(ts) partial aggregates.
-    """
-    events = load_table(spark, sf_dir, "events")
-
-    def stage(etype: str, prev: DataFrame | None, tcol: str) -> DataFrame:
-        e = events.filter(F.col("event_type") == etype)
-        if prev is not None:
-            prev_t = prev.columns[-1]
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
-        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
-
-    s1 = stage(_FUNNEL[0], None, "t1")
-    s2 = stage(_FUNNEL[1], s1, "t2")
-    s3 = stage(_FUNNEL[2], s2, "t3")
-    return (
-        s1.agg(F.count("*").alias("n_stage1"))
-        .join(s2.agg(F.count("*").alias("n_stage2")))
-        .join(s3.agg(F.count("*").alias("n_stage3")))
-    )
-
-
-# --------------------------------------------------------------------------
-# Retention cohorts
-# --------------------------------------------------------------------------
-
-_RETENTION_ORACLE = """
-WITH cohort AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
-),
-active AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
-)
-SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort_day,
-       CAST(DATE_DIFF('day', c.cohort_day, a.active_day) AS INT) AS day_offset,
-       COUNT(*) AS n_users
-FROM active a JOIN cohort c USING (user_id)
-GROUP BY 1, 2
-"""
-
-
-@plan("retention_cohorts", oracle=_RETENTION_ORACLE)
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic cohort retention triangle: users bucketed by first-seen
-    day, counted on each subsequent active day.
-
-    Scale shape: cohort assignment and the (user, day) de-dup are both
-    hash aggregates on user_id (same key -> co-partitioned join, one
-    exchange); the final rollup groups on (cohort_day, day_offset)
-    whose cardinality is O(days^2) — trivially small however large the
-    event table. Output days are canonical strings (oracle-stable).
-    """
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("active_day")
-    )
-    cohort = events.groupBy("user_id").agg(
-        F.min("active_day").alias("cohort_day")
-    )
-    active = events.distinct()
-    return (
-        active.join(cohort, "user_id")
-        .groupBy(
-            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
-            F.datediff("active_day", "cohort_day").alias("day_offset"),
-        )
-        .agg(F.count("*").alias("n_users"))
-    )
-
-
-# --------------------------------------------------------------------------
-# One Lloyd iteration of k-means over the embedding table
-# --------------------------------------------------------------------------
-
-_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
-
-_KMEANS_ORACLE = f"""
-WITH long_cent AS (
-  SELECT label AS cluster,
-         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
-         UNNEST({_VD.format('embedding')}) AS v
-  FROM embeddings
-),
-cent AS (
-  SELECT cluster, pos, {davg_sql('v')} AS centroid_v
-  FROM long_cent GROUP BY cluster, pos
-),
-cent_arr AS (
-  SELECT cluster, LIST(centroid_v ORDER BY pos) AS centroid
-  FROM cent GROUP BY cluster
-),
-scored AS (
-  SELECT e.vec_id, e.label, c.cluster,
-         {dround_sql(f'''{cosine_sql(_VD.format('e.embedding'), 'c.centroid')}''')} AS sim
-  FROM embeddings e CROSS JOIN cent_arr c
-),
-assigned AS (
-  SELECT vec_id, label, cluster, sim FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
-    FROM scored
-  ) WHERE rn = 1
-)
-SELECT cluster,
-       COUNT(*) AS n_assigned,
-       COUNT(*) FILTER (WHERE label <> cluster) AS n_moved,
-       {davg_sql('sim')} AS avg_sim
-FROM assigned GROUP BY cluster
-"""
-
-
-@plan("kmeans_refine", oracle=_KMEANS_ORACLE)
-def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Lloyd step of k-means: seed centroids from the label means,
-    re-assign every vector to its nearest centroid (cosine, argmax with
-    deterministic tie-break), and report per-cluster membership, move
-    count, and mean similarity — the iterative-refinement unit an
-    embedding-clustering pipeline runs to convergence.
-
-    Scale shape: the centroid table is k rows and broadcast; scoring is
-    a broadcast nested-loop over a single scan of the vectors; the
-    argmax is MAX(struct(sim, -cluster)) — a partial-aggregable
-    groupBy, NOT a window, so assignment map-side-combines and the only
-    shuffle keys on vec_id. The per-cluster rollup is k rows.
-    """
-    from venus_spark.operators.similarity import as_double, centroid_arrays
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = centroid_arrays(emb)
-
-    from venus_spark.functions import cosine
-
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        F.col("cluster"),
-        dround(
-            cosine(as_double(F.col("embedding")), F.col("centroid"))).alias("sim"),
-    )
-    assigned = (
-        scored.groupBy("vec_id", "label")
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cluster")).alias("negc"))
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            "label",
-            (-F.col("m.negc")).alias("cluster"),
-            F.col("m.sim").alias("sim"),
-        )
-    )
-    return assigned.groupBy("cluster").agg(
-        F.count("*").alias("n_assigned"),
-        F.count(F.when(F.col("label") != F.col("cluster"), 1)).alias("n_moved"),
-        davg("sim").alias("avg_sim"),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -798,3 +599,141 @@ def phrase_search_kterm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     post, _dfreq, _stats = documents_postings_live(spark, sf_dir)
     return _kphrase_from_postings(post)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine top-k
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+_RRF_SIDE_K = 20  # depth of each retrieval list entering the fusion
+_RRF_TOPK = 10
+_RRF_QUERY_VEC_ID = 0
+
+# One shared scoring string: ranks are BIGINT, 1.0/(k+r) is the same
+# double division in both engines, and the two-list sum is a two-term
+# add — no accumulation-order concerns.
+_RRF_RAW = (
+    f"COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0)"
+)
+_RRF_SCORE = dround_sql(_RRF_RAW)
+
+_VD = "LIST_TRANSFORM({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _rank_bounded(df: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """1-based dense ranking of a LIMIT-k result (score desc, doc_id
+    asc tiebreak) as a bounded-array aggregate instead of a window:
+    the input is k rows by construction, so collect_list is a k-element
+    array and the sort/posexplode are constant work — the ROW_NUMBER()
+    twin of the oracle without a WindowExec in the physical plan."""
+    arr = df.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            )
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("pos", "x")).select(
+        F.col("x.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).alias(rank_name),
+    )
+
+
+def _rrf_oracle() -> str:
+    from venus_spark.functions.sqlgen import cosine_sql
+    from venus_spark.plans.pipeline_retrieval import _BM25_ORACLE
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM ({_BM25_ORACLE})
+),
+vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS r_vec
+  FROM (
+    WITH q AS (
+      SELECT {_VD.format('embedding')} AS qv
+      FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id AS doc_id,
+           {dround_sql(f'''{cosine_sql(_VD.format('e.embedding'), 'q.qv')}''')} AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_SIDE_K}
+  )
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         {_RRF_SCORE} AS rrf
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+def _rrf_fused(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFrame:
+    """The fusion stage shared by both hybrid plans (one copy, so the
+    fused semantics cannot fork): dense cosine top-k for the fixed
+    query vector, bounded-aggregate ranks over both k-row lists (no
+    WindowExec — see _rank_bounded), full outer join on doc_id, RRF
+    score, final top-k."""
+    from venus_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )  # bounded single-row fetch, same idiom as sim_cosine_topk
+    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = _rank_bounded(lex, "bm25", "r_lex").join(
+        _rank_bounded(vec, "cosine_sim", "r_vec"), "doc_id", "full"
+    ).select("doc_id", F.expr(_RRF_SCORE).alias("rrf"))
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+
+
+@plan("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical top-k and the dense cosine
+    top-k by reciprocal-rank fusion (score = Σ 1/(60+rank)) — the
+    standard RAG retrieval composition, built entirely from plans this
+    engine already serves (bm25_topk's postings-proportional scan and
+    the brute-force cosine baseline; swap in the prepared-postings /
+    IVF-pruned variants for the 100 TB path, the fusion is unchanged).
+
+    Scale shape: both retrieval lists are corpus-sized scans reduced to
+    k rows by TakeOrderedAndProject; everything after — the rank
+    windows, the full outer join on doc_id, the final top-k — runs on
+    at most 2k = 40 rows regardless of corpus size, so the rank
+    windows over LIMIT-k inputs are constant-bounded by construction
+    (NOT data-sized single-partition windows; the corpus never flows
+    through them)."""
+    from venus_spark.plans.pipeline_retrieval import bm25_topk
+
+    return _rrf_fused(spark, sf_dir, bm25_topk(spark, sf_dir))
+
+
+@plan("hybrid_search_rrf_prepared", oracle=_rrf_oracle())
+def hybrid_search_rrf_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf served from the prepared layouts: the lexical
+    list comes from the materialized inverted index (bm25_topk_prepared
+    — the query terms arrive as a pushed parquet filter on the
+    term-sorted postings, no tokenize/explode at query time) while the
+    dense list stays the exact cosine scan so the fused answer — and
+    the oracle — are identical. At 100 TB the dense side swaps to the
+    IVF-partition-pruned probe (sim_ivf_topk_prepared) for a fully
+    index-served hybrid; the fusion stage is unchanged either way."""
+    from venus_spark.plans.pipeline_retrieval import bm25_topk_prepared
+
+    return _rrf_fused(spark, sf_dir, bm25_topk_prepared(spark, sf_dir))
+
+

@@ -26,18 +26,19 @@ _PLAN_MODULES = (
     "venus_spark.plans.tpch",
     "venus_spark.plans.tpch2",
     "venus_spark.plans.tpch3",
-    "venus_spark.plans.pipeline_ops",
-    "venus_spark.plans.pipeline_ops2",
-    "venus_spark.plans.pipeline_ops3",
-    "venus_spark.plans.pipeline_ops4",
-    "venus_spark.plans.pipeline_ops5",
-    "venus_spark.plans.pipeline_ops6",
-    "venus_spark.plans.pipeline_ops7",
-    "venus_spark.plans.pipeline_ops8",
-    "venus_spark.plans.pipeline_ops9",
-    "venus_spark.plans.pipeline_ops10",
-    "venus_spark.plans.pipeline_ops11",
-    "venus_spark.plans.pipeline_ops12",
+    "venus_spark.plans.pipeline_quality",
+    "venus_spark.plans.pipeline_curation",
+    "venus_spark.plans.pipeline_tokens",
+    "venus_spark.plans.pipeline_decontam",
+    "venus_spark.plans.pipeline_dedup",
+    "venus_spark.plans.pipeline_ann",
+    "venus_spark.plans.pipeline_ann_exact",
+    "venus_spark.plans.pipeline_multimodal",
+    "venus_spark.plans.pipeline_retrieval",
+    "venus_spark.plans.pipeline_behavioral",
+    "venus_spark.plans.pipeline_ann_pq",
+    "venus_spark.plans.pipeline_dedup_scale",
+    "venus_spark.plans.pipeline_eval",
     "venus_spark.plans.analytics_ext",
     "venus_spark.plans.analytics_ext2",
     "venus_spark.plans.analytics_ext3",

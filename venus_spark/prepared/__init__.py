@@ -195,6 +195,15 @@ from venus_spark.prepared.vectors import (  # noqa: F401
 )
 from venus_spark.prepared.buckets import (  # noqa: F401
     N_BUCKETS,
+    _BKT_VERSION,
+    _BKT_LOCK,
+    _warehouse_dir,
+    _bkt_flock,
+    _adopt,
+    _ensure_bucketed,
+    _bkt_meta_current,
+    _read_stamp,
+    _dir_fingerprint,
     bucketed_sales,
     _lsh_bands_table,
     _drop_lsh_bands,
