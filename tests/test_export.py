@@ -209,7 +209,7 @@ def test_export_manifest_certifies_and_detects_damage(spark, tmp_path):
     assert raw["n_shards"] == 3 and set(raw["per_shard"]) == {"0", "1", "2"}
 
 
-def test_bench_tail_contract_parses_from_2000_char_capture():
+def test_bench_tail_contract_parses_from_2000_char_capture(monkeypatch):
     """VERDICT r7 #8: the driver records only the LAST 2000 characters
     of bench.py's stdout and tries to parse JSON from them. With 188
     long-named plans the per-plan line alone is ~6 KB, so the tail
@@ -220,6 +220,10 @@ def test_bench_tail_contract_parses_from_2000_char_capture():
     import json
 
     import bench
+
+    # synthetic timings must not clobber the repo-root sidecar a real
+    # full bench run writes (BENCH_DETAIL.json); "-" disables it
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", "-")
 
     timings = {f"some_rather_long_plan_name_{i:03d}": 0.123 for i in range(188)}
     # a SYSTEMIC failure run (review r8 pass-7 #2): 60 failed plans —
