@@ -287,9 +287,16 @@ def lsh_bands_bucketed(spark: SparkSession, sf_dir: str) -> str:
     from venus_spark.operators.dedup import lsh_bands
     from venus_spark.prepared.core import prepared_path
 
-    # ensure the source exists BEFORE fingerprinting it
-    _docs.documents_minhash(spark, sf_dir)
-    src_fp = _dir_fingerprint(prepared_path(sf_dir, _docs._MINHASH_INDEX))
+    # The hot path (table registered + fingerprint current) must cost
+    # one listdir + one stamp read — running the full documents_minhash
+    # ensure here added ~0.2 s per query (r14 self-bench). Only when
+    # the source layout is absent does the ensure run eagerly so there
+    # is something to fingerprint; the build thunk below ensures it
+    # again (idempotent) before deriving the bands.
+    src = prepared_path(sf_dir, _docs._MINHASH_INDEX)
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        _docs.documents_minhash(spark, sf_dir)
+    src_fp = _dir_fingerprint(src)
     name = _lsh_bands_table(sf_dir)
     _ensure_bucketed(
         spark, name, "band_hash", 16,
