@@ -143,6 +143,12 @@ _DOC_PROOFS = {
     "proximity_search_live": ("proximity_search_prepared", "doc_id", 9_100_003),
     "phrase_search_kterm_live": ("phrase_search_kterm", "doc_id", 9_100_004),
     "dedup_minhash_lsh_live": ("dedup_minhash_lsh_prepared", "id_b", 9_100_006),
+    # r14: the bucketed-layout live twin — same near-dup needle; its
+    # cold twin reads ONLY the bucketed band table (merged index), so
+    # the needle pair proves the pending-broadcast legs answered
+    "dedup_minhash_lsh_colocated_live": (
+        "dedup_minhash_lsh_colocated", "id_b", 9_100_006
+    ),
 }
 _FUZZY_LIVE = ("fuzzy_trgm_postings_live", "fuzzy_trgm_postings")
 
@@ -804,6 +810,21 @@ def main() -> int:
         shutil.rmtree(
             os.path.join(PREPARED_ROOT, sf_name), ignore_errors=True
         )
+        # the colocated live twin lazily built a bucketed band table in
+        # the session warehouse under this workspace's name — drop the
+        # catalog entry and remove the external files, or every run
+        # would leave one orphan table behind
+        try:
+            from venus_spark.prepared import _lsh_bands_table
+
+            bname = _lsh_bands_table(sf)
+            spark.sql(f"DROP TABLE IF EXISTS {bname}")
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir"
+            ).removeprefix("file:")
+            shutil.rmtree(os.path.join(wh, bname), ignore_errors=True)
+        except Exception:
+            pass  # cleanup is best-effort; the run's verdict stands
 
 
 if __name__ == "__main__":
