@@ -269,7 +269,8 @@ def test_bucketed_tables_survive_concurrent_fresh_process(spark):
     t = threading.Thread(target=scan_loop)
     t.start()
     script = f"""
-import os
+import contextlib, io, os, re
+from pyspark.sql import functions as F
 from venus_spark.session import get_spark
 from venus_spark.prepared import bucketed_sales, lsh_bands_bucketed
 spark = get_spark(cpus=4)
@@ -277,6 +278,20 @@ li, _ = bucketed_sales(spark, {SF!r})
 bands = lsh_bands_bucketed(spark, {SF!r})
 assert spark.table(li).count() == {n_li}, "fresh process adopted wrong rows"
 assert spark.table(bands).count() == {n_bands}
+# the ADOPTED external table must keep the zero-exchange property —
+# a lost bucket spec here would silently reintroduce the corpus shuffle
+b = spark.table(bands)
+j = b.alias("a").join(
+    b.alias("b"),
+    (F.col("a.band_hash") == F.col("b.band_hash"))
+    & (F.col("a.band_idx") == F.col("b.band_idx"))
+    & (F.col("a.doc_id") < F.col("b.doc_id")),
+)
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    j.explain("formatted")
+n_ex = len(re.findall(r"\\(\\d+\\) Exchange ", buf.getvalue()))
+assert n_ex == 0, f"adopted band join shuffles: {{n_ex}} exchanges"
 print("OK")
 """
     try:

@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, davg, dround, dsum
-from venus_spark.functions.sqlgen import cosine_sql, davg_sql, dround_sql, dsum_sql
+from venus_spark.functions import cosine, davg, dround
+from venus_spark.functions.sqlgen import cosine_sql, davg_sql, dround_sql
 from venus_spark.operators import similarity as sim
 from venus_spark.plans.registry import plan
 from venus_spark.sources import load_table

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, dround
+from venus_spark.functions import dround
 from venus_spark.functions.sqlgen import (
     cosine_sql,
     dround_sql,
