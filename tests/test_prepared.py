@@ -2968,3 +2968,95 @@ def test_band_table_fingerprint_guard_catches_foreign_merge(
         f"fingerprint guard failed: band table still has {n1} docs "
         f"(expected {n0 + 6}) after a foreign merge"
     )
+
+
+def test_cross_process_merge_visible_and_retryable(spark, tmp_path, monkeypatch):
+    """r14 chaos probe, pinned: a MinHash pending merge performed by a
+    DIFFERENT process must (a) become visible to this session's live
+    view without a restart — Spark's per-session FileStatusCache made
+    merged batches invisible forever before the mtime-gated
+    refreshByPath guard (core._refresh_on_external_change) — and
+    (b) leave any reader that raced a merge's file moves retryable:
+    the torn plan may fail (two-directory unions have no snapshot
+    isolation without a lakehouse format — the documented gap), but
+    the RERUN plans against refreshed listings and succeeds. Every
+    observed cardinality must be a valid pre/post-merge view (base +
+    4k docs), never a partial or double-counted one."""
+    import os
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from venus_spark import prepared
+
+    prep = str(tmp_path / "prep")
+    monkeypatch.setattr(prepared, "PREPARED_ROOT", prep)
+    sf = str(tmp_path / "sf")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(F.col("doc_id") < 40).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    prepared.documents_minhash(spark, sf)
+
+    stop = threading.Event()
+    counts: list[int] = []
+    transient: list[str] = []
+    hard: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(
+                    prepared.documents_minhash_live(spark, sf).count()
+                )
+            except Exception as e:
+                transient.append(type(e).__name__)
+                try:  # retry-on-conflict contract
+                    counts.append(
+                        prepared.documents_minhash_live(spark, sf).count()
+                    )
+                except Exception as e2:  # pragma: no cover - failure detail
+                    hard.append(repr(e2)[:300])
+                    return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    script = f"""
+import os
+os.environ["SPARK_GRAFT_PREPARED_DIR"] = {prep!r}
+import venus_spark.prepared as pkg
+pkg.PREPARED_ROOT = {prep!r}
+from pyspark.sql import functions as F
+from venus_spark.session import get_spark
+from venus_spark import prepared
+spark = get_spark(cpus=4)
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+for i in range(4):
+    b = docs.filter(F.col("doc_id") >= 40).limit(4).withColumn(
+        "doc_id", F.col("doc_id") + 9000 + i * 100)
+    prepared.write_minhash_pending({sf!r}, b, batch_id=i)
+    prepared.merge_minhash_pending(spark, {sf!r})
+print("WRITER-DONE")
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+        )
+        time.sleep(1)
+    finally:
+        stop.set()
+        t.join(timeout=180)
+    assert out.returncode == 0 and "WRITER-DONE" in out.stdout, out.stderr[-2000:]
+    assert not hard, f"retry after a raced merge failed: {hard[0]}"
+    valid = {40 + 4 * k for k in range(5)}
+    assert set(counts) <= valid, f"invalid cardinalities: {sorted(set(counts) - valid)}"
+    # the foreign process's merges became visible without a restart
+    assert prepared.documents_minhash_live(spark, sf).count() == 56
+    assert max(counts) == 56 or counts[-1] == 56

@@ -603,6 +603,47 @@ def _pending_bids_with_data(pend: str) -> set[int]:
             out.add(int(d.split("=", 1)[1]))
     return out
 
+_LIVE_FRESHNESS: dict[str, tuple[int, int, int]] = {}
+
+def _refresh_on_external_change(
+    spark: SparkSession, sf_dir: str, index_name: str
+) -> None:
+    """Cross-process visibility for the live read path (r14 chaos
+    probe): Spark caches directory listings per session
+    (FileStatusCache), so a MERGE or a freshly landed pending batch
+    performed by ANOTHER process stays invisible to this session's
+    queries forever — the live view would serve the stale base until
+    restart. Gate a (cheap) ``refreshByPath`` on the three mtimes that
+    change exactly when the layout does: the merged-batch manifest
+    (rewritten by every merge), the base directory (files move in on
+    merge; compaction/vacuum swaps replace it), and the pending area
+    (partition dirs are created by new batches and removed by merges).
+    Steady state costs three ``stat()`` calls and the listing cache
+    survives between changes.
+
+    This closes the STALENESS half of the cross-process race. The
+    narrower crash half remains inherent to a two-directory union
+    without a snapshotting table format (the documented lakehouse
+    gap): a query whose plan listed the pending files can execute
+    after a concurrent merge moved them and fail with a missing-file
+    error. The contract is retry-on-conflict — the rerun plans against
+    refreshed listings (this guard) and succeeds on the post-merge
+    view; the cross-process chaos test pins both halves."""
+    base = prepared_path(sf_dir, index_name)
+    pend = _pending_path(sf_dir, index_name)
+
+    def mt(p: str) -> int:
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            return -1
+
+    cur = (mt(_merged_manifest_path(base)), mt(base), mt(pend))
+    if _LIVE_FRESHNESS.get(base) != cur:
+        _LIVE_FRESHNESS[base] = cur
+        spark.catalog.refreshByPath(base)
+        spark.catalog.refreshByPath(pend)
+
 def _pending_union(
     spark: SparkSession,
     sf_dir: str,

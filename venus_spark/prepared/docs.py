@@ -325,6 +325,7 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-writes its pending partition even though its (byte-identical,
     deterministically derived) rows already sit in the base — without
     the exclusion the union would double-count them."""
+    _core._refresh_on_external_change(spark, sf_dir, _MINHASH_INDEX)
     return _core._pending_union(
         spark, sf_dir, _MINHASH_INDEX, documents_minhash(spark, sf_dir)
     )
@@ -340,6 +341,7 @@ def documents_minhash_pending(
     read path can treat the pending slice as the O(batch) broadcast
     side of a cross join instead of re-deriving it with a corpus-sized
     anti-join (live − merged)."""
+    _core._refresh_on_external_change(spark, sf_dir, _MINHASH_INDEX)
     base = _core.prepared_path(sf_dir, _MINHASH_INDEX)
     pend = _core._pending_path(sf_dir, _MINHASH_INDEX)
     bids = _core._pending_bids_with_data(pend) - _core._read_merged(base)

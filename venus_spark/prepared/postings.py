@@ -460,6 +460,7 @@ def documents_postings_live(
     commit; merges scrub), and the pending union anti-joins the
     tombstone set — same rule as ``documents_minhash_live``.
     """
+    _core._refresh_on_external_change(spark, sf_dir, _POSTINGS_INDEX)
     post, _dfreq, stored_stats = _postings_tables(spark, sf_dir)
     _recover_pending_scrubs(_core._pending_path(sf_dir, _POSTINGS_INDEX))
     # only_bids: a batch is visible once COMMITTED — its counter

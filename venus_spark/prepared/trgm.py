@@ -224,6 +224,7 @@ def documents_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows anti-joined against outstanding tombstones like the base read
     — the same union rule as ``documents_minhash_live``
     (:func:`_pending_union`)."""
+    _core._refresh_on_external_change(spark, sf_dir, _TRGM_POST_INDEX)
     return _core._pending_union(
         spark, sf_dir, _TRGM_POST_INDEX, documents_trgm_postings(spark, sf_dir)
     )
