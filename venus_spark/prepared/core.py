@@ -631,6 +631,27 @@ def _refresh_on_external_change(
     view; the cross-process chaos test pins both halves."""
     base = prepared_path(sf_dir, index_name)
     pend = _pending_path(sf_dir, index_name)
+    _refresh_paths_on_change(
+        spark,
+        base,
+        (_merged_manifest_path(base), base, pend),
+        (base, pend),
+    )
+
+def _refresh_paths_on_change(
+    spark: SparkSession,
+    key: str,
+    stat_paths: tuple[str, ...],
+    refresh_paths: tuple[str, ...],
+) -> None:
+    """Shared mtime-gated cache-drop (see
+    :func:`_refresh_on_external_change` for the rationale): when any of
+    ``stat_paths``' mtimes changed since the last probe under ``key``,
+    drop this session's cached file listings for ``refresh_paths``. A
+    directory's mtime changes when entries are added/removed (appends,
+    merges, partition creation) and when a staged swap renames a new
+    generation into place, so these stats are exactly the signal that
+    the listing cache went stale."""
 
     def mt(p: str) -> int:
         try:
@@ -638,11 +659,11 @@ def _refresh_on_external_change(
         except OSError:
             return -1
 
-    cur = (mt(_merged_manifest_path(base)), mt(base), mt(pend))
-    if _LIVE_FRESHNESS.get(base) != cur:
-        _LIVE_FRESHNESS[base] = cur
-        spark.catalog.refreshByPath(base)
-        spark.catalog.refreshByPath(pend)
+    cur = tuple(mt(p) for p in stat_paths)
+    if _LIVE_FRESHNESS.get(key) != cur:
+        _LIVE_FRESHNESS[key] = cur
+        for p in refresh_paths:
+            spark.catalog.refreshByPath(p)
 
 def _pending_union(
     spark: SparkSession,

@@ -44,6 +44,13 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     centroid aggregation on every search."""
     vec_path = _core.prepared_path(sf_dir, "embeddings_ivf.parquet")
     cent_path = _core.prepared_path(sf_dir, "embeddings_ivf_centroids.parquet")
+    # cross-process visibility (r14): a foreign process's streamed
+    # abatch append, vacuum swap, or retrain must not stay hidden
+    # behind this session's cached listings — same guard as the
+    # document-side live views (core._refresh_on_external_change)
+    _core._refresh_paths_on_change(
+        spark, vec_path, (vec_path, cent_path), (vec_path, cent_path)
+    )
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (vec_path,))
     # The heal-vs-rebuild fork must be decided by the LOCKED probe, not
@@ -245,6 +252,10 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     }
     codes_path = _core.prepared_path(sf_dir, "embeddings_pq_codes.parquet")
     cb_path = _core.prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
+    # cross-process visibility (r14) — see embeddings_ivf
+    _core._refresh_paths_on_change(
+        spark, codes_path, (codes_path, cb_path), (codes_path, cb_path)
+    )
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (codes_path,))
     if not (_core._is_built(codes_path, meta) and _core._is_built(cb_path, meta)) and not (
