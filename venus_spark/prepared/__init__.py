@@ -64,6 +64,9 @@ from venus_spark.prepared.core import (  # noqa: F401
     _write_pending,
     _pending_bids_with_data,
     _pending_union,
+    _LIVE_FRESHNESS,
+    _refresh_on_external_change,
+    _refresh_paths_on_change,
     _merge_pending,
     _merged_manifest_path,
     _read_merged,
