@@ -111,6 +111,11 @@ def build(paths: list[str]) -> dict:
             "n_runs": len(runs),
             "host_cpus": runs[0].get("host_cpus"),
             "loads_start": [r.get("load_start") for r in runs],
+            # ends too (r15, VERDICT r14 #4): check_bench's
+            # comparability envelope is the per-component max over
+            # start AND end stamps — a band says nothing about a run
+            # captured at load above anything its sources ever saw
+            "loads_end": [r.get("load_end") for r in runs],
             "totals_sec": [r.get("value") for r in runs],
         },
         "plans": plans,

@@ -25,8 +25,17 @@ JSON line:
 
     {"n_plans": N, "n_over": K, "over": [{"plan": ..., "sec": ...,
       "band_median": ..., "band_mad": ..., "threshold": ...}, ...],
-      "median_ratio": R, "verdict": "within-bands" | "elevated" |
-      "plan-regressions"}
+      "median_ratio": R, "verdict": "within-bands" | "host-elevated" |
+      "elevated" | "plan-regressions", "remeasure_cmd": ...}
+
+Load normalization (VERDICT r14 #4): the bands file records the host
+load stamps of its own measurement runs; when the artifact's 1/5/15-min
+load stamps exceed that envelope (any component, start or end), flagged
+plans are NOT comparable against the bands — the verdict becomes
+``host-elevated`` instead of listing dozens of false plan flags, and
+``remeasure_cmd`` carries the exact SPARK_GRAFT_ONLY command that
+re-measures the flagged set with the band protocol (REPEAT=3) once the
+host settles. ``remeasure_cmd`` is emitted for every non-clean verdict.
 
 Interpretation protocol (PERF.md):
 - ``median_ratio`` (the median of per-plan sec/band_median) far above
@@ -86,6 +95,40 @@ def queries_from(
     return out, True
 
 
+def artifact_loads(artifact: dict) -> dict:
+    """The artifact's 1/5/15-min load stamps. The DRIVER's capture
+    shape nests the summary line under ``parsed`` (the top level holds
+    only rc/tail); a self-bench record carries them at top level."""
+    src = artifact if "load_start" in artifact else artifact.get("parsed", {})
+    return {"start": src.get("load_start"), "end": src.get("load_end")}
+
+
+def load_envelope(bands: dict) -> list[float] | None:
+    """Per-component max of the load stamps (start AND end) the bands
+    were measured under — the comparability envelope: a band built on
+    a host at load L says nothing about a run captured at load > L.
+    Pre-r15 bands files lack ``loads_end``; the start stamps alone
+    still bound the envelope then."""
+    measured = bands.get("measured") or {}
+    runs = (measured.get("loads_start") or []) + (
+        measured.get("loads_end") or []
+    )
+    runs = [r for r in runs if isinstance(r, list) and len(r) == 3]
+    if not runs:
+        return None
+    return [max(r[i] for r in runs) for i in range(3)]
+
+
+def exceeds_envelope(loads: dict, env: list[float] | None) -> bool:
+    if env is None:
+        return False
+    for stamp in (loads.get("start"), loads.get("end")):
+        if isinstance(stamp, list) and len(stamp) == 3:
+            if any(s > e for s, e in zip(stamp, env) if s is not None and s >= 0):
+                return True
+    return False
+
+
 def check(artifact: dict, bands: dict, detail: dict | None = None) -> dict:
     floors = bands.get("floors", {"rel": 0.25, "abs_sec": 0.15, "mads": 3})
     queries, partial = queries_from(artifact, detail)
@@ -118,23 +161,41 @@ def check(artifact: dict, bands: dict, detail: dict | None = None) -> dict:
     over.sort(key=lambda o: -(o.get("ratio") or 99))
     median_ratio = round(statistics.median(ratios), 3) if ratios else None
     n = len(queries)
+    loads = artifact_loads(artifact)
+    env = load_envelope(bands)
+    host_hot = exceeds_envelope(loads, env)
     if not over:
         verdict = "within-bands"
+    elif host_hot:
+        # load-normalized verdict (VERDICT r14 #4): the run was
+        # captured under more host load than ANY of the bands' own
+        # measurement runs, so per-plan flags are not evidence of
+        # code regressions — don't emit dozens of false flags, emit
+        # the settled-host re-measure command instead
+        verdict = "host-elevated, bands not comparable"
     elif median_ratio is not None and median_ratio > 1.2 and len(over) >= n / 5:
         verdict = "elevated"  # broad uniform elevation = host, not code
     else:
         verdict = "plan-regressions"
+    remeasure = None
+    if over:
+        flagged = ",".join(sorted(o["plan"] for o in over))
+        remeasure = (
+            f"SPARK_GRAFT_ONLY={flagged} SPARK_GRAFT_REPEAT=3 "
+            "python bench.py   # re-measure flagged set with the band "
+            "protocol on a settled host"
+        )
     return {
         "n_plans": n,
         "partial_from_tail": partial,
         "n_over": len(over),
         "median_ratio": median_ratio,
         "verdict": verdict,
+        "load_exceeds_band_envelope": host_hot,
+        "band_load_envelope": env,
         "bands_measured_at": bands.get("measured", {}),
-        "artifact_load": {
-            "start": artifact.get("load_start"),
-            "end": artifact.get("load_end"),
-        },
+        "artifact_load": loads,
+        "remeasure_cmd": remeasure,
         "plans_not_in_bands": missing,
         "over": over[:25],
     }

@@ -24,26 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def to_record(r) -> dict:
-    """Map a CompareResult onto the driver's CORRECTNESS row shape.
+    """CORRECTNESS row shape — canonical implementation lives in
+    :func:`venus_spark.oracle.correctness_record` (r15: shared with the
+    ``__spark_entry__.mirror`` driver entry point)."""
+    from venus_spark.oracle import correctness_record
 
-    ``compare`` short-circuits at the first mismatch, so a failed row
-    reports the *first* failing layer: column/dtype mismatch -> schema,
-    count mismatch -> rows, value mismatch -> hash. Rows-only plans
-    (no oracle) record ``hash_match: null`` exactly as the driver's
-    weaker check does.
-    """
-    rows_only = r.rows_oracle < 0
-    schema_ok = not (
-        r.detail.startswith("columns differ") or r.detail.startswith("dtypes differ")
-    )
-    return {
-        "rows_match": (r.rows_spark >= 0) if rows_only else (r.rows_spark == r.rows_oracle),
-        "schema_match": None if rows_only else schema_ok,
-        "hash_match": None if rows_only else r.ok,
-        "spark_rows": r.rows_spark,
-        "oracle_rows": None if rows_only else r.rows_oracle,
-        "err": None if r.ok else r.detail,
-    }
+    return correctness_record(r)
 
 
 def main() -> int:

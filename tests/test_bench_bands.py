@@ -238,3 +238,74 @@ def test_bench_detail_sidecar_skipped_for_restricted_runs(
     bench.print_result_lines({"p": 0.1}, 0.1, 1, 0.1, only=["p"])
     capsys.readouterr()
     assert not detail.exists()
+
+
+def test_checker_load_normalized_verdict(tmp_path):
+    """VERDICT r14 #4: a run captured under more host load than any of
+    the bands' own measurement runs must self-classify as host-elevated
+    (bands not comparable) instead of emitting dozens of false per-plan
+    flags — and must hand back the exact settled-host re-measure
+    command for the flagged set. BENCH_r14 (79 false flags, a full
+    adjudication cycle) is the motivating artifact."""
+    base = {f"p{i}": 1.0 + i / 10 for i in range(8)}
+    runs = [_run({k: round(v * j, 4) for k, v in base.items()})
+            for j in (1.0, 1.02, 0.98, 1.05, 0.97)]
+    bands = bands_mod.build(_write_runs(tmp_path, runs))
+    # per-component max over start [0.3,0.4,0.5] AND end [0.5,0.5,0.5]
+    assert check_mod.load_envelope(bands) == [0.5, 0.5, 0.5]
+
+    # uniformly 1.5x elevated AND captured over the bands' load
+    # envelope -> host-elevated, with the re-measure command emitted
+    busy = {k: v * 1.5 for k, v in base.items()}
+    hot = check_mod.check(
+        _run(busy, repeat=1, load_start=[2.5, 1.9, 1.2],
+             load_end=[3.1, 2.2, 1.4]),
+        bands,
+    )
+    assert hot["verdict"] == "host-elevated, bands not comparable"
+    assert hot["load_exceeds_band_envelope"] is True
+    assert "SPARK_GRAFT_ONLY=" in hot["remeasure_cmd"]
+    assert "SPARK_GRAFT_REPEAT=3" in hot["remeasure_cmd"]
+    for o in hot["over"]:
+        assert o["plan"] in hot["remeasure_cmd"]
+
+    # ONE component over the envelope suffices (r14's signature: 1-min
+    # stamps looked settled, the 5-min stamp betrayed the busy window)
+    one_comp = check_mod.check(
+        _run(dict(base, p3=base["p3"] * 2), repeat=1,
+             load_end=[0.3, 0.6, 0.5]),
+        bands,
+    )
+    assert one_comp["verdict"] == "host-elevated, bands not comparable"
+
+    # inside the envelope nothing changes: regression stays a
+    # regression and carries the re-measure command too
+    reg = check_mod.check(_run(dict(base, p3=base["p3"] * 2), repeat=1), bands)
+    assert reg["verdict"] == "plan-regressions"
+    assert "p3" in reg["remeasure_cmd"]
+
+    # a clean run over the envelope is still clean — no flags means
+    # the load never biased anything upward that matters
+    clean = check_mod.check(
+        _run(base, repeat=1, load_start=[9.0, 9.0, 9.0]), bands
+    )
+    assert clean["verdict"] == "within-bands"
+    assert clean["remeasure_cmd"] is None
+
+    # DRIVER capture shape: loads nest under "parsed", not top-level
+    driver_shape = {
+        "rc": 0,
+        "tail": json.dumps({"queries": busy})[-2000:],
+        "parsed": {"load_start": [2.5, 1.9, 1.2],
+                   "load_end": [3.1, 2.2, 1.4], "sf": 0.1},
+    }
+    d = check_mod.check(driver_shape, bands)
+    assert d["artifact_load"]["start"] == [2.5, 1.9, 1.2]
+    assert d["verdict"] == "host-elevated, bands not comparable"
+
+    # bands without load stamps: envelope unknown -> never host-gated
+    nb = {k: (v if k != "measured" else {}) for k, v in bands.items()}
+    nohost = check_mod.check(
+        _run(busy, repeat=1, load_start=[9.0, 9.0, 9.0]), nb
+    )
+    assert nohost["verdict"] == "elevated"

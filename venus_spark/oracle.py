@@ -126,3 +126,44 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) ->
         else:
             results.append(compare(pname, df, con, p.oracle))
     return results
+
+
+def correctness_record(r: CompareResult) -> dict:
+    """Map a CompareResult onto the driver's CORRECTNESS row shape
+    (``rows_match`` / ``schema_match`` / ``hash_match`` / ``err``).
+
+    ``compare`` short-circuits at the first mismatch, so a failed row
+    reports the *first* failing layer: column/dtype mismatch -> schema,
+    count mismatch -> rows, value mismatch -> hash. Rows-only plans
+    (no oracle) record ``hash_match: null`` exactly as the driver's
+    weaker check does."""
+    rows_only = r.rows_oracle < 0
+    schema_ok = not (
+        r.detail.startswith("columns differ")
+        or r.detail.startswith("dtypes differ")
+    )
+    return {
+        "rows_match": (
+            (r.rows_spark >= 0) if rows_only else (r.rows_spark == r.rows_oracle)
+        ),
+        "schema_match": None if rows_only else schema_ok,
+        "hash_match": None if rows_only else r.ok,
+        "spark_rows": r.rows_spark,
+        "oracle_rows": None if rows_only else r.rows_oracle,
+        "err": None if r.ok else r.detail,
+    }
+
+
+def run_mirror(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, dict]:
+    """The FULL-registry oracle check in CORRECTNESS format — every
+    registered plan (not a sample) run side-by-side with its DuckDB
+    oracle at ``sf_dir``, returned as {plan: correctness-row}. This is
+    what ``scripts/run_mirror.py`` persists each round and what
+    ``__spark_entry__.mirror`` exposes to the driver (VERDICT r14 #3:
+    121/191 plans have never been in the driver's frozen 50-key
+    CORRECTNESS sample; this makes the full check a one-call affair)."""
+    return {
+        r.name: correctness_record(r) for r in run_all(spark, sf_dir, names)
+    }

@@ -8,11 +8,14 @@ compare sorts columns by name before hashing values.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from venus_spark.retry import RetryingDataFrame
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -62,7 +65,24 @@ def plan(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate plan name {name!r}")
-        _REGISTRY[name] = Plan(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        # Engine-internal retry-on-conflict (venus_spark/retry.py):
+        # a driver-side action on ANY registered plan's result that
+        # races a concurrent index merge/vacuum swap (missing-file
+        # conflict) re-invokes the plan function — which re-runs the
+        # freshness guards and re-plans against refreshed listings —
+        # and retries the action once. Plans without live/prepared
+        # reads never hit the conflict class, so the wrapper is inert
+        # for them beyond a constant-cost re-wrap of the result.
+        @functools.wraps(fn)
+        def armed(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return RetryingDataFrame(
+                fn(spark, sf_dir), lambda: fn(spark, sf_dir)
+            )
+
+        _REGISTRY[name] = Plan(
+            name=name, fn=armed, oracle=oracle, doc=fn.__doc__ or ""
+        )
         return fn
 
     return deco

@@ -119,6 +119,7 @@ from venus_spark.prepared.postings import (  # noqa: F401
     compact_documents_postings,
     _POSTINGS_META,
     documents_postings,
+    _build_postings_live,
     _postings_tables,
     _heal_postings_round_stamp,
     _postings_rows,

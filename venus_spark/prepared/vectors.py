@@ -49,7 +49,11 @@ def embeddings_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     # behind this session's cached listings — same guard as the
     # document-side live views (core._refresh_on_external_change)
     _core._refresh_paths_on_change(
-        spark, vec_path, (vec_path, cent_path), (vec_path, cent_path)
+        spark,
+        vec_path,
+        # scoped per layout dir (r15): each gated on its own mtime —
+        # appends/vacuum touch vec_path, a retrain swap touches both
+        (((vec_path,), vec_path), ((cent_path,), cent_path)),
     )
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (vec_path,))
@@ -254,7 +258,10 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     cb_path = _core.prepared_path(sf_dir, "embeddings_pq_codebook.parquet")
     # cross-process visibility (r14) — see embeddings_ivf
     _core._refresh_paths_on_change(
-        spark, codes_path, (codes_path, cb_path), (codes_path, cb_path)
+        spark,
+        codes_path,
+        # scoped per layout dir (r15) — see embeddings_ivf
+        (((codes_path,), codes_path), ((cb_path,), cb_path)),
     )
     # finish any interrupted vacuum swap + committed retrain, locked
     _recover_vector_layouts(sf_dir, (codes_path,))
