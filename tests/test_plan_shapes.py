@@ -1039,3 +1039,135 @@ def test_live_vector_plans_quiescent_shapes_match_prepared(spark):
     for plan_text in (ivf, pq):
         assert "BatchEvalPython" not in plan_text
         assert "MapInPandas" not in plan_text
+
+
+def test_stale_version_stamp_is_displaced_not_adopted(spark):
+    """VERDICT r14 #5(a): the adopt path must only resurrect a
+    generation whose stamp matches the CURRENT ``_BKT_VERSION`` — a
+    version bump means the spec changed, and adopting an old-stamp
+    generation would serve data built to the outdated spec. Both
+    restart shapes are exercised: a registered table whose stamp aged
+    (in-catalog skew) and an orphaned location with an old stamp
+    (fresh-process skew). Either must route into the staged rebuild,
+    installing a current-stamp generation atomically."""
+    import json
+    import os
+
+    from venus_spark.prepared import (
+        _BKT_VERSION,
+        _dir_fingerprint,
+        _read_stamp,
+        bucketed_sales,
+    )
+
+    li_name, _ = bucketed_sales(spark, SF)
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        li_name,
+    )
+    rows = spark.table(li_name).count()
+
+    def age_stamp():
+        p = os.path.join(loc, "_prep_meta.json")
+        with open(p) as f:
+            stamp = json.load(f)
+        stamp["v"] = _BKT_VERSION - 1
+        with open(p, "w") as f:
+            json.dump(stamp, f)
+
+    # (1) registered table, aged stamp: the fast path must miss and the
+    # locked path must deregister + rebuild (not return the stale gen)
+    age_stamp()
+    fp_old = _dir_fingerprint(loc)
+    li2, _ = bucketed_sales(spark, SF)
+    assert li2 == li_name
+    assert _read_stamp(loc).get("v") == _BKT_VERSION, "stamp not renewed"
+    assert _dir_fingerprint(loc) != fp_old, (
+        "old-version generation was adopted, not displaced"
+    )
+    assert spark.table(li_name).count() == rows
+
+    # (2) orphaned location (no catalog entry), aged stamp: the adopt
+    # branch must refuse it and rebuild
+    age_stamp()
+    fp_old = _dir_fingerprint(loc)
+    spark.sql(f"DROP TABLE {li_name}")
+    li3, _ = bucketed_sales(spark, SF)
+    assert li3 == li_name
+    assert _read_stamp(loc).get("v") == _BKT_VERSION
+    assert _dir_fingerprint(loc) != fp_old
+    assert spark.table(li_name).count() == rows
+
+
+def test_racing_stale_stamp_ensures_converge_to_one_rebuild(spark):
+    """VERDICT r14 #5(b): two processes racing ``_ensure_bucketed``
+    over the SAME stale-stamp generation must converge — the warehouse
+    flock serializes them, the first performs the staged rebuild, the
+    second finds a current stamp under the lock and ADOPTS the fresh
+    generation instead of rebuilding again. Proof: both report the
+    same post-ensure layout fingerprint (two rebuilds would differ —
+    part names embed writer UUIDs), it differs from the stale one, and
+    no staging/trash leftovers survive."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from venus_spark.prepared import (
+        _BKT_VERSION,
+        _dir_fingerprint,
+        _read_stamp,
+        bucketed_sales,
+    )
+
+    li_name, _ = bucketed_sales(spark, SF)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, li_name)
+    rows = spark.table(li_name).count()
+
+    stamp_path = os.path.join(loc, "_prep_meta.json")
+    with open(stamp_path) as f:
+        stamp = json.load(f)
+    stamp["v"] = _BKT_VERSION - 1
+    with open(stamp_path, "w") as f:
+        json.dump(stamp, f)
+    fp_stale = _dir_fingerprint(loc)
+    # this session's catalog entry now points at a stale-stamp gen;
+    # drop it so the racers model two FRESH processes
+    spark.sql(f"DROP TABLE {li_name}")
+
+    script = f"""
+import sys
+from venus_spark.session import get_spark
+from venus_spark.prepared import bucketed_sales, _dir_fingerprint
+spark = get_spark(cpus=4)
+li, _ = bucketed_sales(spark, {SF!r})
+assert spark.table(li).count() == {rows}
+print("FP:" + _dir_fingerprint({loc!r}))
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+        )
+        for _ in range(2)
+    ]
+    fps = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        fps.append([ln for ln in out.splitlines() if ln.startswith("FP:")][0])
+    assert fps[0] == fps[1], "racing ensures produced different generations"
+    assert fps[0] != "FP:" + fp_stale, "a racer adopted the stale generation"
+    assert _read_stamp(loc).get("v") == _BKT_VERSION
+    leftovers = [
+        n for n in os.listdir(wh)
+        if n.startswith((f"{li_name}.stg-", f"{li_name}.trash-"))
+    ]
+    assert not leftovers, f"staging/trash not cleaned: {leftovers}"
+    # this session (whose catalog lost the entry) adopts the winner
+    li2, _ = bucketed_sales(spark, SF)
+    assert spark.table(li2).count() == rows
