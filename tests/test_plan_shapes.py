@@ -1171,3 +1171,18 @@ print("FP:" + _dir_fingerprint({loc!r}))
     # this session (whose catalog lost the entry) adopts the winner
     li2, _ = bucketed_sales(spark, SF)
     assert spark.table(li2).count() == rows
+
+
+def test_curated_colocated_agrees_with_plain_funnel(spark):
+    """r15: curated_corpus_colocated must return byte-identical rows to
+    curated_corpus — same funnel, near-dup pairs served from the
+    bucketed band table instead of the per-run band self-join (the
+    bucket-join's zero-exchange property itself is pinned by
+    test_lsh_bucketed_band_join_has_no_exchange; both plans share one
+    oracle, so the driver cross-checks each against DuckDB too)."""
+    from venus_spark.plans import all_plans
+
+    plans = all_plans()
+    a = plans["curated_corpus"].fn(spark, SF).collect()
+    b = plans["curated_corpus_colocated"].fn(spark, SF).collect()
+    assert a == b and len(a) > 0

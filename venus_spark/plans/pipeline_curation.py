@@ -139,8 +139,44 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("curated_corpus_colocated", oracle=_curated_oracle())
+def curated_corpus_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curated_corpus``'s answer with its ONE corpus-sized shuffle
+    removed (r15): the funnel's near-dup stage is the LSH band
+    self-join, and in the plain plan that join hash-exchanges the full
+    band set (corpus × bands rows) every run. Here candidates come
+    from the bucketed band table (``prepared.lsh_bands_bucketed`` —
+    both self-join sides read the same ``band_hash`` buckets, ZERO
+    exchange, same layout the ``dedup_minhash_lsh_colocated`` plan
+    rides), verification reads the stored shingle arrays, and the
+    remaining funnel shuffles are all candidate- or
+    quality-output-sized. At 100 TB this is the difference between
+    re-shuffling the corpus per curation run and a bucket-local scan;
+    the quality gate and decontamination legs are unchanged, so the
+    plan shares ``curated_corpus``'s oracle verbatim."""
+    from venus_spark.operators.dedup import (
+        _verify_candidates,
+        band_candidate_pairs,
+    )
+    from venus_spark.plans.pipeline_dedup import _JACCARD_T
+    from venus_spark.prepared import documents_minhash, lsh_bands_bucketed
+
+    mh = documents_minhash(spark, sf_dir)
+    bands = spark.table(lsh_bands_bucketed(spark, sf_dir))
+    toks = mh.select(F.col("doc_id"), F.col("_sh").alias("toks"))
+    pairs = _verify_candidates(
+        band_candidate_pairs(bands), toks, "doc_id", _JACCARD_T
+    )
+    return curated_funnel(
+        load_table(spark, sf_dir, "documents"), mh, pairs=pairs
+    )
+
+
 def curated_funnel(
-    docs: DataFrame, mh: DataFrame, bench_docs: DataFrame | None = None
+    docs: DataFrame,
+    mh: DataFrame,
+    bench_docs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The curation funnel over INJECTED relations — shared by the
     ``curated_corpus`` plan (current tables) and the snapshot-pinned
@@ -154,7 +190,10 @@ def curated_funnel(
     from (default: ``docs`` itself) — the delta export passes the full
     table here while ``docs`` is only the newly-landed files, since
     the bench set is a corpus-level constant that a delta slice
-    usually does not contain."""
+    usually does not contain. ``pairs`` overrides where the verified
+    near-dup pair set comes from (default: the LSH band self-join over
+    ``mh``) — the colocated twin passes pairs derived from the bucketed
+    band table so the funnel's one corpus-sized shuffle disappears."""
     from venus_spark.operators.dedup import (
         connected_components,
         lsh_near_dup_pairs_from_index,
@@ -164,9 +203,9 @@ def curated_funnel(
 
     corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID)
 
-    labels = connected_components(
-        lsh_near_dup_pairs_from_index(mh, threshold=_JACCARD_T)
-    )
+    if pairs is None:
+        pairs = lsh_near_dup_pairs_from_index(mh, threshold=_JACCARD_T)
+    labels = connected_components(pairs)
     dup_drop = labels.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
