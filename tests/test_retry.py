@@ -160,3 +160,44 @@ def test_live_views_are_retry_armed(spark, tmp_path, monkeypatch):
     assert isinstance(dfreq, RetryingDataFrame)
     trgm = prepared.documents_trgm_postings_live(spark, sf)
     assert isinstance(trgm, RetryingDataFrame)
+
+
+def test_write_path_is_retry_armed(spark, tmp_path):
+    """Writes materialize the plan like collect() does (bench's noop
+    sink, every ETL job): the recording writer proxy must replay its
+    builder chain (format/mode/...) onto a replanned frame and succeed
+    after a raced swap that kills the plain writer."""
+    p = str(tmp_path / "g.parquet")
+    _write_corpus(spark, p, 0, 50)
+    builds = []
+
+    def build() -> DataFrame:
+        builds.append(1)
+        return spark.read.parquet(p)
+
+    stale_plain = spark.read.parquet(p)
+    armed = retryable(build)
+    writer = armed.write.format("noop").mode("overwrite")  # chain recorded
+
+    # the swap: a new generation replaces every data file
+    for fn in os.listdir(p):
+        if fn.endswith(".parquet"):
+            os.remove(os.path.join(p, fn))
+    _write_corpus(spark, str(tmp_path / "g2.parquet"), 0, 80)
+    for fn in os.listdir(str(tmp_path / "g2.parquet")):
+        os.rename(
+            os.path.join(str(tmp_path / "g2.parquet"), fn),
+            os.path.join(p, fn),
+        )
+
+    with pytest.raises(Exception) as ei:
+        stale_plain.write.format("noop").mode("overwrite").save()
+    assert _is_missing_file_error(ei.value)
+
+    writer.save()  # replans + replays the chain internally
+    assert len(builds) == 2
+
+    # a real parquet write through the proxy lands the right rows
+    out = str(tmp_path / "out.parquet")
+    retryable(build).write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == 80

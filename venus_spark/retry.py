@@ -148,6 +148,67 @@ class RetryingDataFrame(_CDF):
             lambda d: _CDF.toLocalIterator(d, prefetchPartitions)
         )
 
+    @property
+    def write(self):
+        # Writes materialize the plan too (bench's noop sink, every ETL
+        # job) and can race a merge exactly like collect() — hand back
+        # a recording proxy that replays the builder-method chain onto
+        # a replanned frame's writer on a missing-file conflict.
+        return _RetryingWriter(self)
+
+
+class _RetryingWriter:
+    """Records the DataFrameWriter builder chain (format/mode/option/
+    partitionBy/...) and replays it verbatim against a REPLANNED
+    frame's writer if a terminal method hits the missing-file conflict
+    (idempotence note: the failed attempt ran with mode as configured —
+    'overwrite' replays cleanly, and the conflict class fails the job
+    before commit for the file-source committers used here)."""
+
+    _TERMINAL = frozenset(
+        {"save", "saveAsTable", "insertInto", "parquet", "json", "csv",
+         "orc", "text", "jdbc"}
+    )
+
+    def __init__(self, rdf: "RetryingDataFrame"):
+        self._rdf = rdf
+        self._calls: list[tuple[str, tuple, dict]] = []
+
+    def _writer_for(self, df: DataFrame):
+        w = _CDF.write.fget(df)
+        for name, args, kwargs in self._calls:
+            w = getattr(w, name)(*args, **kwargs)
+        return w
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        rdf = self._rdf
+
+        if name in self._TERMINAL:
+
+            def terminal(*args, **kwargs):
+                try:
+                    return getattr(self._writer_for(rdf), name)(
+                        *args, **kwargs
+                    )
+                except Exception as exc:  # noqa: BLE001 - filtered below
+                    if not _is_missing_file_error(exc):
+                        raise
+                    _refresh_error_paths(rdf.sparkSession, exc)
+                    fresh = rdf._vs_replan()
+                    return getattr(self._writer_for(fresh), name)(
+                        *args, **kwargs
+                    )
+
+            return terminal
+
+        def builder(*args, **kwargs):
+            self._calls.append((name, args, kwargs))
+            return self
+
+        return builder
+
 
 def retryable(build: Callable[[], DataFrame]) -> DataFrame:
     """Build a DataFrame and arm it with the retry-on-conflict contract:
