@@ -309,3 +309,30 @@ def test_checker_load_normalized_verdict(tmp_path):
         _run(busy, repeat=1, load_start=[9.0, 9.0, 9.0]), nb
     )
     assert nohost["verdict"] == "elevated"
+
+
+def test_bench_final_refuses_dirty_tree(tmp_path):
+    """scripts/bench_final.py (VERDICT r14 #1): the shipped-commit
+    bench artifact must describe exactly one commit — a dirty working
+    tree is refused before any JVM spins up (--allow-dirty overrides,
+    marking the artifact)."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    marker = os.path.join(repo, "_dirty_marker_for_test.tmp")
+    with open(marker, "w") as f:
+        f.write("x")
+    try:
+        out = subprocess.run(
+            [sys.executable, "scripts/bench_final.py", "/tmp/never.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert out.returncode != 0
+        assert "dirty" in (out.stderr + out.stdout)
+        assert not os.path.exists("/tmp/never.json")
+    finally:
+        os.unlink(marker)
