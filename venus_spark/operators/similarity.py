@@ -354,16 +354,30 @@ def cosine_pairs_in_buckets(
     sim = F.try_divide(
         dot(F.col("a.v"), F.col("b.v")), F.col("a.norm") * F.col("b.norm")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dround(sim).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") > threshold)
-    )
+    # The raw similarity is materialized across a localCheckpoint
+    # BEFORE the dround + threshold filter (r15, guide §1.2 "per-task
+    # work"): left in one plan, Catalyst pushes the rounded-threshold
+    # predicate into the join condition and CollapseProject re-inlines
+    # the fold into every reference — dround's guarded CASE alone holds
+    # three copies — so each candidate pair paid the interpreted
+    # per-element fold up to SIX times (the higher-order kernels are
+    # CodegenFallback; flat unrolling at dim 64 instead blows janino's
+    # 64 KB method limit and de-codegens the whole stage, measured
+    # 3-10x WORSE). The barrier pins exactly ONE fold per pair; what
+    # crosses it is (id, id, double) per candidate — pair-count-sized,
+    # the same bounded class as the winnowing_pairs checkpoint — and
+    # the rounding/filter run on the materialized column. Measured
+    # 2.08 s -> ~0.9 s on sim_cosine_pairs at sf0.1; identical values
+    # by construction (same fold, same rounding, applied once).
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        sim.alias("sim_raw"),
+    ).localCheckpoint(eager=False)
+    return scored.select(
+        "id_a", "id_b", dround(F.col("sim_raw")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") > threshold)

@@ -98,22 +98,40 @@ ORDER BY g.doc_id
 @plan("ngram_novelty", oracle=_NOVELTY_ORACLE)
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of each doc's distinct word-3-grams that are corpus-unique
-    (document frequency 1). Same explode/agg/join-back shape as
-    vocab_rarity, on the shingle key — shingles are phrase-level, so the
-    df table has no zipf head to speak of (a hot shingle IS duplication,
-    which the dedup stack removes first)."""
+    (document frequency 1). Shingles are phrase-level, so the df table
+    has no zipf head to speak of (a hot shingle IS duplication, which
+    the dedup stack removes first).
+
+    r15 shape: a corpus-unique gram (df = 1, an OCCURRENCE count)
+    belongs to exactly one document, so the old corpus-sized join-back
+    (every gram occurrence re-shuffled against the df table, then
+    re-shuffled again onto doc_id) is unnecessary: carry min(doc_id)
+    through the df aggregate — for a df=1 group that IS the owning doc
+    — and the novel count per doc falls out of the (tiny) df=1 slice.
+    Per-doc totals come from a doc-keyed partial aggregate of the same
+    explode. Two partial-aggregated shuffles of aggregate rows replace
+    one full shuffle of every gram occurrence plus its doc_id re-shuffle
+    (guide §2.3/§2.4); the closing join is doc-sized on both sides.
+    The share arithmetic is the identical double division."""
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", F.explode(shingles("text")).alias("gram"))
-    gf = g.groupBy("gram").agg(F.count("*").alias("df"))
-    return (
-        g.join(gf, "gram")
+    novel = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
+        .agg(F.count("*").alias("n_novel"))
+    )
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
             dround(
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
                 * F.lit(1).cast("double")
-                / F.count("*")
-            ).alias("novel_3gram_share")
+                / F.col("n_grams")
+            ).alias("novel_3gram_share"),
         )
         .orderBy("doc_id")
     )

@@ -368,16 +368,33 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-level aggregate (distinct suppliers / distinct late suppliers
     per order) joined back on l_orderkey — lineitem is scanned twice
     total instead of four times, and both joins shuffle on the same
-    uniform key so AQE can reuse the exchange."""
+    uniform key so AQE can reuse the exchange.
+
+    r15: the aggregate is a two-level rollup instead of two
+    COUNT(DISTINCT)s — a per-(order, supplier) dedup with a has-late
+    flag, then a plain per-order count/sum. Spark plans multiple
+    distinct aggregates via Expand (every lineitem row duplicated once
+    per distinct clause before the first shuffle); the rollup form
+    map-side-combines the (orderkey, suppkey) groups directly, so the
+    exchange carries each distinct pair once instead of 2x raw rows
+    (guide §2.3 "aggregate before you shuffle"). Same values by
+    construction: COUNT(DISTINCT suppkey) is the group count, and
+    COUNT(DISTINCT CASE WHEN late THEN suppkey END) is the count of
+    groups containing a late row."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    order_stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    per_supp = li.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("late")
+    )
+    order_stats = per_supp.groupBy("ok").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
     )
     return (
         li.filter(F.col("l_returnflag") == "R")
