@@ -85,6 +85,38 @@ def test_raced_swap_retried_once_inside_the_engine(spark, tmp_path):
     assert len(builds) == 2
 
 
+def test_construction_conflict_rebuilt_once(spark, tmp_path):
+    """CONSTRUCTION is under the contract too (r15 full-suite chaos
+    catch): the builder's read performs listing + footer schema
+    inference at plan time, so a raced merge can kill build() itself
+    before any action exists to retry. retryable() must refresh the
+    named listings and re-invoke the builder once — and only for the
+    missing-file class."""
+    p = str(tmp_path / "t.parquet")
+    _write_corpus(spark, p, 0, 30)
+    builds = []
+
+    def build() -> DataFrame:
+        builds.append(1)
+        if len(builds) == 1:
+            raise Exception(
+                "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error "
+                f"while reading file file://{p}/part-gone.parquet. "
+                "File does not exist."
+            )
+        return spark.read.parquet(p)
+
+    df = retryable(build)
+    assert len(builds) == 2  # failed construction + one rebuild
+    assert df.count() == 30
+
+    def always_bad() -> DataFrame:
+        raise ValueError("analysis bug, not a conflict")
+
+    with pytest.raises(ValueError):
+        retryable(always_bad)  # non-conflict build errors propagate
+
+
 def test_non_conflict_errors_propagate_without_replan(spark, tmp_path):
     """Only the missing-file conflict class is retried: any other
     execution error re-raises immediately and the builder is NOT

@@ -215,5 +215,21 @@ def retryable(build: Callable[[], DataFrame]) -> DataFrame:
     ``build`` is invoked now for the plan and again (once) if a
     driver-side action hits a missing-file conflict. ``build`` must be
     safe to re-invoke (all live builders are: they re-run the freshness
-    guard and re-derive the union)."""
-    return RetryingDataFrame(build(), build)
+    guard and re-derive the union).
+
+    CONSTRUCTION is under the contract too: the builder's
+    ``spark.read.parquet(pending_dir)`` performs a listing plus a
+    footer-reading schema-inference job at plan time, so a merge's file
+    moves can kill the build itself, not just a later action (the r15
+    full-suite chaos run tripped exactly this window). Same policy as
+    actions: refresh the listings the error names, re-invoke once."""
+    try:
+        df = build()
+    except Exception as exc:  # noqa: BLE001 - filtered below
+        if not _is_missing_file_error(exc):
+            raise
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            _refresh_error_paths(spark, exc)
+        df = build()
+    return RetryingDataFrame(df, build)
