@@ -1186,3 +1186,51 @@ def test_curated_colocated_agrees_with_plain_funnel(spark):
     a = plans["curated_corpus"].fn(spark, SF).collect()
     b = plans["curated_corpus_colocated"].fn(spark, SF).collect()
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# fan_out (r15): scale-adaptive fan-out after an unsplittable scan
+# --------------------------------------------------------------------------
+
+
+def test_fan_out_widens_single_split_scan(spark):
+    from venus_spark.sources import fan_out, load_table
+
+    docs = load_table(spark, SF, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # single row group = one split
+    fanned = fan_out(docs)
+    slots = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == slots
+    # content identical, only placement changed
+    assert fanned.count() == docs.count()
+
+
+def test_fan_out_noop_when_scan_already_parallel(spark):
+    from venus_spark.sources import fan_out, load_table
+
+    slots = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF, "documents").repartition(slots)
+    # already >= slots: fan_out must not add another exchange
+    assert fan_out(docs) is docs
+
+
+def test_fan_out_kill_switch(spark, monkeypatch):
+    from venus_spark.sources import fan_out, load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_FANOUT", "1")
+    docs = load_table(spark, SF, "documents")
+    assert fan_out(docs) is docs
+
+
+def test_fanned_scan_keeps_pruning_and_pushdown(spark):
+    from venus_spark.sources import load_table
+
+    df = (
+        load_table(spark, SF, "documents", fanned=True)
+        .filter(F.col("doc_id") > 10)
+        .select("doc_id")
+    )
+    plan = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(",")[0].startswith("doc_id")
+    assert "doc_id" in plan[plan.index("PushedFilters") :].splitlines()[0]

@@ -52,7 +52,7 @@ def ingest_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is built-in expressions (to_json/from_json/get_json_object)
     — one scan, zero shuffles, fully codegen'd.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanned=True)
     raw = ev.select(
         F.to_json(
             F.struct(

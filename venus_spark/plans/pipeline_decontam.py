@@ -56,7 +56,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-match + partial-agg groupBy — no shuffle of corpus text, no
     quadratic pairing. At 100 TB the broadcast side becomes a bloom
     filter pushed into the scan; the shape is unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanned=True)
     bench = (
         docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
         .select(F.explode(shingles("text", _DECON_N)).alias("g"))
@@ -253,7 +253,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum. At scale the fingerprint set (not the checksum) is the
     join key for candidate pairing, exactly like the LSH band join;
     work is one narrow scan, all array ops per-row in codegen."""
-    sel = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    sel = winnow_fingerprints(load_table(spark, sf_dir, "documents", fanned=True))
     return sel.select(
         "doc_id",
         "n_grams",

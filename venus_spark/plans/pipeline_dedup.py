@@ -246,7 +246,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup pairs then reduce to hamming-distance joins on this value."""
     from venus_spark.operators.dedup import simhash
 
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(load_table(spark, sf_dir, "documents", fanned=True))
 
 
 

@@ -118,7 +118,7 @@ GROUP BY actual_lang, predicted_lang
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-word profiles) vs the labeled lang —
     a confusion-matrix aggregation. Scan + tiny-key groupBy only."""
-    docs = tx.lang_hits(tx.with_tokens(load_table(spark, sf_dir, "documents")))
+    docs = tx.lang_hits(tx.with_tokens(load_table(spark, sf_dir, "documents", fanned=True)))
     return (
         docs.select(
             F.col("lang").alias("actual_lang"),
@@ -243,7 +243,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate fully in codegen — at 100 TB this is the pass that decides
     what the rest of the pipeline ever touches, so it must stay a
     straight filter (it does: no shuffle, no Python)."""
-    docs = tx.quality_features(load_table(spark, sf_dir, "documents"))
+    docs = tx.quality_features(load_table(spark, sf_dir, "documents", fanned=True))
     return docs.filter(
         (F.col("n_tokens") >= _MIN_TOKENS)
         & (F.col("type_token_ratio") >= _MIN_TTR)
@@ -365,7 +365,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that handles million-token documents, where a per-row quadratic
     count-each-distinct expression would not). The doc_id join is on a
     uniform key."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanned=True)
     # Two branches joined on doc_id, deliberately: folding the dup
     # fraction into the explode pipeline looks join-free but makes
     # Catalyst push the O(tokens) gram expression BELOW the Generate,

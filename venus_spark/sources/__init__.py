@@ -29,9 +29,44 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def fan_out(df: DataFrame) -> DataFrame:
+    """Fan a scan out to the session's task slots when the input itself
+    cannot provide parallelism (guide §2.5: "one huge unsplittable file
+    … repartition immediately after the read").
+
+    A parquet row group is the atomic split unit, and each test-data
+    table ships as ONE file with ONE row group — so every map-side chain
+    above it (JSON render/parse, tokenize/shingle/hash kernels, partial
+    aggregation) runs as a single task no matter how many cores the
+    session has. The round-robin exchange here is placed directly above
+    the scan, and Catalyst pushes later projections AND filters below a
+    Repartition, so it carries only the pruned/filtered columns the plan
+    actually uses.
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    repartition fires only when the scan yields FEWER splits than the
+    session has task slots (``defaultParallelism`` — follows the
+    driver's ``local[N]``). A real-scale table scans as thousands of
+    row-group splits, so the condition is false and the plan is
+    untouched — no extra shuffle ever reaches a 100 TB run.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):  # A/B kill switch
+        return df
+    sc = df.sparkSession.sparkContext
+    slots = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= slots:
+        return df
+    return df.repartition(slots)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fanned: bool = False
+) -> DataFrame:
     """Read one synthetic table. Columnar scan: Catalyst prunes columns and
     pushes filters into the parquet reader automatically.
+
+    ``fanned=True`` applies :func:`fan_out` — for plans whose map side
+    above this scan is compute-heavy (tokenize/shingle/JSON kernels).
 
     Self-sufficient in a foreign SparkSession: events.parquet carries
     TIMESTAMP(NANOS) which Spark's vectorized reader rejects unless
@@ -55,7 +90,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
-    return df
+    return fan_out(df) if fanned else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
