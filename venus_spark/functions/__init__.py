@@ -12,6 +12,9 @@ bit-identical on both sides. The matching SQL fragments live in
 
 from __future__ import annotations
 
+import math
+from typing import Iterable, Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -145,6 +148,27 @@ def token_hash31(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     h60 = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
     return h60 % F.lit(HASH_P31)
+
+
+def lit_doubles(values: Iterable[float]) -> Column:
+    """array<double> literal built in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(x) for x in xs])`` costs 2-3 driver<->JVM calls
+    PER ELEMENT — for a dim-64 query vector or a 16x64 RP weight matrix
+    that is hundreds to thousands of synchronous socket round-trips per
+    plan build (profiled at 0.1-1.0 s of pure py4j chatter; guide §5:
+    the driver should do almost no data work, and this was pure driver
+    overhead). One ``F.expr`` string with D-suffixed double literals
+    parses JVM-side into the IDENTICAL CreateArray(Literal...) tree:
+    Python ``repr`` emits the shortest string that round-trips to the
+    same IEEE double, and Java ``Double.parseDouble`` reads it back to
+    that exact double, so values are bit-identical to the per-element
+    form. Non-finite values fall back to the per-element path (no SQL
+    literal form for NaN/inf)."""
+    vals = [float(v) for v in values]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v).cast("double") for v in vals])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -426,17 +426,28 @@ def connected_components(
     mid-iteration recomputes nothing; otherwise ``localCheckpoint``
     (executor-memory lineage truncation, the single-node default) is
     used. Same plan shape either way.
-    """
+
+    Job economy (r15): checkpoints are LAZY (``eager=False``) and the
+    convergence probe is join-free — each round's label table carries
+    its predecessor (``prev``) so "anything changed?" is a single
+    aggregate over the round's own (checkpointed) output, and that one
+    aggregate job is also what materializes the round's checkpoint.
+    The pre-r15 shape ran 2 + 2×rounds driver-synchronous jobs (eager
+    ckpt + a join-based limit/count probe per round); this shape runs
+    one per round, with identical per-round shuffle structure
+    (edges⋈labels + groupBy), identical labels, identical convergence
+    decision."""
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint()
-        return df.localCheckpoint()
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = _ckpt(edges)  # evaluate the (possibly expensive) pair plan once
+    # lazy: evaluated once, inside round 1's convergence-probe job
+    edges = _ckpt(edges)
     labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -453,17 +464,19 @@ def connected_components(
             .select(
                 "id",
                 F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
+                F.col("lab").alias("prev"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # Full-scan aggregate, not limit(1).count(): sees every
+        # partition, so this single job both materializes the lazy
+        # checkpoint completely and answers the convergence question
+        # (a limit probe would leave partitions to a second, hidden
+        # checkpoint-completion job).
+        changed = new_labels.agg(
+            F.sum((F.col("lab") != F.col("prev")).cast("int"))
+        ).first()[0]
+        labels = new_labels.drop("prev")
+        if not changed:
             break
     else:
         # Exhausting max_iter without a fixed point means the label

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, dot, dround
+from venus_spark.functions import cosine, dot, dround, lit_doubles
 
 
 def as_double(vec: Column) -> Column:
@@ -145,7 +145,10 @@ RP_W = _rp_weight_matrix()
 def rp_projection(vec: Column, h: int) -> Column:
     """Signed projection of ``vec`` onto pseudo-random hyperplane ``h`` —
     a left fold over (value × ±1 weight), same order as the oracle."""
-    w = F.array(*[F.lit(x) for x in RP_W[h]])
+    # lit_doubles: ±1.0 weights in ONE py4j call — rp_bucket expands
+    # RP_H of these projections, so the per-element form cost
+    # RP_H × RP_DIM driver round-trips per plan build (r15).
+    w = lit_doubles(RP_W[h])
     terms = F.zip_with(vec, w, lambda x, wi: x * wi)
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 

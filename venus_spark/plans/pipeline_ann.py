@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, davg, dround
+from venus_spark.functions import cosine, davg, dround, lit_doubles
 from venus_spark.functions.sqlgen import cosine_sql, davg_sql, dround_sql
 from venus_spark.operators import similarity as sim
 from venus_spark.plans.registry import plan
@@ -100,7 +100,7 @@ def frozen_ivf_probe(spark: SparkSession, sf_dir: str, layout=None):
         .first()
     )
     qvec = [float(x) for x in qrow["embedding"]]
-    query = F.array(*[F.lit(x).cast("double") for x in qvec])
+    query = lit_doubles(qvec)
     rows = (
         cents.select(
             "cluster",
@@ -125,7 +125,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    query = lit_doubles(qrow["embedding"])
     return ivf_topk(emb, query, k=_TOPK, nprobe=_NPROBE)
 
 
@@ -152,7 +152,7 @@ def sim_ivf_topk_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dynamic-pruning rule declines this join because of the limit, and
     # at 100 TB a guaranteed static prune beats hoping for DPP.
     labels, qvec, _ = frozen_ivf_probe(spark, sf_dir, layout=layout)
-    query = F.array(*[F.lit(x).cast("double") for x in qvec])
+    query = lit_doubles(qvec)
     pruned = vecs.filter(F.col("label").isin(labels))
     return brute_force_topk(pruned, query, k=_TOPK)
 
@@ -238,7 +238,7 @@ def sim_ivf_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = embeddings_ivf(spark, sf_dir)
     vecs = layout[0]
     labels, qvec, _ = frozen_ivf_probe(spark, sf_dir, layout=layout)
-    query = F.array(*[F.lit(x).cast("double") for x in qvec])
+    query = lit_doubles(qvec)
     pruned = _live_vector_candidates(
         spark,
         sf_dir,
@@ -402,7 +402,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .first()
     )
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    query = lit_doubles(qrow["embedding"])
 
     scored_all = emb.select(
         "vec_id",
@@ -411,17 +411,19 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_sim"
         ),
     )
-    # ONE corpus pass: per-cluster top-k digest + per-cluster counts.
-    per_cluster_rank = Window.partitionBy("label").orderBy(
-        F.col("cosine_sim").desc(), "vec_id"
-    )
+    # ONE corpus pass for BOTH derived tables (r15): the per-cluster
+    # count rides the same label-partitioned window pass as the top-k
+    # rank (two WindowExecs, one Exchange — same partitioning), so the
+    # separate groupBy-count aggregation pass over the corpus is gone;
+    # cluster sizes are recovered below from the digest (every
+    # non-empty cluster has a rn=1 row carrying n_vecs).
+    per_cluster = Window.partitionBy("label")
+    per_cluster_rank = per_cluster.orderBy(F.col("cosine_sim").desc(), "vec_id")
     digest = (
         scored_all.withColumn("rn", F.row_number().over(per_cluster_rank))
+        .withColumn("n_vecs", F.count("*").over(per_cluster).cast("long"))
         .filter(F.col("rn") <= _SWEEP_K)
         .drop("rn")
-    )
-    cluster_sizes = scored_all.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_vecs")
     )
     # Probe order of the clusters: rank centroids by cosine via the
     # bounded collect-sort aggregate (n_clusters rows — no WindowExec).
@@ -445,12 +447,18 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = F.broadcast(cluster_rank)
-    # Materialize the two digests once (n_clusters × k rows and
-    # n_clusters rows): the sweep branches below each reference them
-    # twice, and without this every branch would re-run the corpus scan
-    # (Catalyst does not share common subplans across a union).
-    sized = cluster_sizes.join(ranked, "label").localCheckpoint(eager=True)
-    dig = digest.join(ranked, "label").localCheckpoint(eager=True)
+    # Materialize the digest once (n_clusters × k rows): the sweep
+    # branches below each reference it twice, and without this every
+    # branch would re-run the corpus scan (Catalyst does not share
+    # common subplans across a union). eager=False (r15): the
+    # checkpoint materializes inside the query's own first job instead
+    # of a separate driver-synchronous job at build time — every later
+    # branch still reads the cached blocks.
+    dig = digest.join(ranked, "label").localCheckpoint(eager=False)
+    # n_clusters rows, deduped from the digest's window-carried counts —
+    # no second corpus aggregation pass (r15).
+    sized = dig.select("label", "n_vecs", "crank").distinct()
+    dig = dig.drop("n_vecs")
     exact = (
         dig.orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(_SWEEP_K)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from venus_spark.functions import cosine, davg, dround, dsum, token_hash31
+from venus_spark.functions import cosine, davg, dround, dsum, lit_doubles, token_hash31
 from venus_spark.functions.sqlgen import (
     cosine_sql,
     davg_sql,
@@ -64,7 +64,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    query = lit_doubles(qrow["embedding"])
     return brute_force_topk(emb, query, k=_TOPK)
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import l2sq, dround
+from venus_spark.functions import l2sq, dround, lit_doubles
 from venus_spark.functions.sqlgen import dround_sql, l2sq_sql
 from venus_spark.operators import similarity as sim
 from venus_spark.plans.registry import plan
@@ -159,7 +159,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = emb.select("vec_id", v.alias("v")).withColumn(
         "codes", sim.pq_codes_col("v", codebook)
     )
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_doubles(q)
     return (
         t.select(
             "vec_id",
@@ -307,7 +307,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     q = _query_vec(load_table(spark, sf_dir, "embeddings"))
     lut = sim.pq_lut(q, codebook)
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_doubles(q)
 
     probed = (
         cents.select(
@@ -392,7 +392,7 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim_ivfpq_topk(spark, sf_dir).select("vec_id")
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vec(emb)
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_doubles(q)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     exact = (
         emb.select("vec_id", l2sq(v, qlit).alias("edist"))
@@ -558,7 +558,7 @@ def quant_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = (
         emb.filter(F.col("vec_id") == _QR_QUERY_ID).select("embedding").first()
     )
-    q = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    q = lit_doubles(qrow["embedding"])
 
     # Hoist v and scale into projections: referencing the scale
     # EXPRESSION inside the dequantize lambda would inline the whole

@@ -567,7 +567,7 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hist = sorted(
         (int(r["dl"]), int(r["n"]))

@@ -314,7 +314,7 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpd = (
         winnow_fingerprints(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "fps")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .select("doc_id", F.explode("fps").alias("fp"))
     )
     rare = (

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from venus_spark.functions import davg, dsum, tokens, dround
+from venus_spark.functions import davg, dsum, tokens, dround, lit_doubles
 from venus_spark.functions.sqlgen import (
     davg_sql,
     dround_sql,
@@ -691,7 +691,7 @@ def _rrf_fused(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFrame:
         .select("embedding")
         .first()
     )  # bounded single-row fetch, same idiom as sim_cosine_topk
-    query = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    query = lit_doubles(qrow["embedding"])
     vec = brute_force_topk(emb, query, k=_RRF_SIDE_K).withColumnRenamed(
         "vec_id", "doc_id"
     )

@@ -317,7 +317,7 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = (
         load_table(spark, sf_dir, "documents")
         .select("lang", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     toks = packed.select("lang", F.explode("_toks").alias("term"))
     vocab = (

@@ -249,9 +249,17 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
+    # No .distinct() on the pair stream (r15): the closing
+    # count_distinct("ps_suppkey") already collapses duplicate
+    # (partkey, suppkey) pairs inside each (brand, type, size) group —
+    # Spark plans it as a two-phase aggregate keyed on
+    # (group keys, ps_suppkey) with map-side partial dedup, so the
+    # explicit distinct only added a THIRD full-width exchange of the
+    # lineitem pair stream ahead of the joins. The broadcast anti/inner
+    # joins are per-row and unaffected by duplicates.
     pairs = li.select(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).distinct()
+    )
     bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     keep_part = part.filter(
         (F.col("p_brand") != _Q16_BRAND)

@@ -823,7 +823,7 @@ def _fuzzy_from_trgm_postings(
             cand = cand.unionByName(c)
         cand = cand.distinct()
         if share_candidates:
-            cand = cand.localCheckpoint()
+            cand = cand.localCheckpoint(eager=False)
         docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
     # verify over ALL patterns via reduce — stays in lockstep with the
     # candidate loop if _PATTERNS ever grows
@@ -1129,7 +1129,12 @@ def _serve_containment(
         # emptiness proven from the index itself (candidate
         # intersection over the postings), never from statistics
         return _containment_recheck(ev.limit(0))
-    hit = ev.filter(F.col("event_id").isin(ids))
+    # One-call In(): .isin(ids) builds a py4j literal per candidate id —
+    # profiled at ~0.8 s of driver<->JVM round-trips for a ~1000-id
+    # candidate set (r15; guide §5 driver overhead). The parsed IN list
+    # is the identical In(event_id, [...]) predicate (ids are ints from
+    # the bounded collect), same InSet conversion, same pushed filter.
+    hit = ev.filter(F.expr(f"event_id IN ({','.join(str(i) for i in ids)})"))
     if dedup_ids:
         hit = hit.dropDuplicates(["event_id"])
     return _containment_recheck(hit)
