@@ -212,6 +212,12 @@ def approx_dashboard_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned-TRUE oracle. Below the floor the contract is vacuous by
     construction — a sparse new event type cannot produce a false
     alarm.
+
+    fan-out tried and REJECTED (r15): the exact-percentile buffers ship
+    the full value set through the fan exchange on both legs, so the
+    round-robin repartition doubled the moved bytes and the plan ran
+    2.0x slower — the single-task sketch partial-agg is the cheaper
+    shape here.
     """
     ev = load_table(spark, sf_dir, "events")
 

@@ -235,6 +235,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dround(dsum(dround("o_totalprice"))).alias("monetary"),
     )
+    # Lineage-cut on cust tried and REJECTED (r15): the orders groupBy
+    # re-run under the quartile build is cheaper than the checkpoint
+    # barrier (1.06x slower, REPEAT=3).
     qs = [F.lit(x) for x in (0.25, 0.50, 0.75)]
     bp = cust.agg(
         F.percentile("recency_days", F.array(*qs)).alias("r"),

@@ -244,6 +244,9 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from venus_spark.functions import cosine
 
+    # fan-out tried and REJECTED (r15): the k×n cosine folds over 2000
+    # vectors cost less than the added exchange + AQE stage (1.25x
+    # slower, REPEAT=3) — the kernel is already amortized per pair.
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",

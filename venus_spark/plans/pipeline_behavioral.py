@@ -255,6 +255,10 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
     ).agg(F.count("*").alias("c"))
+    # hourly feeds both the stats aggregate and the z-score probe; the
+    # lazy checkpoint stops the events scan + hourly agg from running
+    # twice (r15) — it materializes inside the broadcast-stats job.
+    hourly = hourly.localCheckpoint(eager=False)
     stats = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),

@@ -284,6 +284,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and retries. At 100 TB the rate table is still 20
     rows; the corpus is still scanned once."""
     docs = load_table(spark, sf_dir, "documents")
+    # Lineage-cut on counts tried and REJECTED (r15): the re-evaluated
+    # 20-row groupBy costs less than the checkpoint's job barrier
+    # (1.30x slower, REPEAT=3).
     counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
     totals = counts.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("n_sources")

@@ -178,6 +178,9 @@ def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
         F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
     )
+    # bins feeds totals AND the |c_a·n_b − c_b·n_a| sum; the lazy
+    # checkpoint cuts the second full events scan (r15).
+    bins = bins.localCheckpoint(eager=False)
     totals = bins.groupBy("event_type").agg(
         F.sum("c_a").alias("n_a"),
         F.sum("c_b").alias("n_b"),
@@ -275,9 +278,16 @@ def _eval_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark twin of _EVAL_PERDOC_CTES, shared by both eval plans."""
     from venus_spark.prepared import documents_postings
 
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in _EVAL_QUERIES for t in ts],
-        "query_id int, term string",
+    # VALUES LocalRelation, not createDataFrame: parallelized Python
+    # rows plan as `Scan ExistingRDD (applySchemaToPythonRDD)`, which
+    # launches a Python worker to deserialize 6 literal rows EVERY
+    # execution (guide §4: eliminate the Python boundary). The VALUES
+    # form is a JVM-side LocalRelation — same rows, same schema, zero
+    # Python at execution time.
+    qterms = spark.sql(
+        "SELECT query_id, term FROM VALUES "
+        + ", ".join(f"({qid}, '{t}')" for qid, ts in _EVAL_QUERIES for t in ts)
+        + " AS t(query_id, term)"
     )
     post, dfreq, stats = documents_postings(spark, sf_dir)
     hits = post.filter(F.col("term").isin(*_EVAL_TERMS))
@@ -339,9 +349,11 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on uniform ids, ranking windows partition per query, and the
     final aggregate is queries-sized. Adding queries widens the In
     filter, never adds scans."""
-    nq = spark.createDataFrame(
-        [(qid, len(ts)) for qid, ts in _EVAL_QUERIES],
-        "query_id int, n_terms long",
+    # LocalRelation for the same reason as qterms in _eval_perdoc.
+    nq = spark.sql(
+        "SELECT query_id, CAST(n_terms AS BIGINT) AS n_terms FROM VALUES "
+        + ", ".join(f"({qid}, {len(ts)})" for qid, ts in _EVAL_QUERIES)
+        + " AS t(query_id, n_terms)"
     )
     perdoc = _eval_perdoc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")

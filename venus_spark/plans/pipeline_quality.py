@@ -537,7 +537,15 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("c_uni"))
     vocab = uni.agg(F.count("*").alias("v"))
-    bigs = docs.select("doc_id", F.explode(bigram_pairs("text")).alias("g"))
+    # bigs feeds the model counts AND the scoring join; the lazy
+    # checkpoint makes the bigram tokenize+explode run once instead of
+    # twice (r15) — with the unigram pass that is 2 corpus tokenizations
+    # total, down from 3. MEMORY_AND_DISK holds the exploded (doc_id, g)
+    # stream; at scale that copy is the price of not re-shingling the
+    # corpus.
+    bigs = docs.select(
+        "doc_id", F.explode(bigram_pairs("text")).alias("g")
+    ).localCheckpoint(eager=False)
     bigc = bigs.groupBy("g").agg(F.count("*").alias("c_big"))
     scored = (
         bigs.join(bigc, "g")

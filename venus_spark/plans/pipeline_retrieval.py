@@ -112,6 +112,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl",
         F.explode("toks").alias("term"),
     ).filter(F.col("term").isin(*_BM25_TERMS))
+    # Lineage-cut on tf tried and REJECTED (r15): the re-run of the
+    # tokenize pass under the broadcast-df build costs less than the
+    # checkpoint barrier on this shape (1.12x slower, REPEAT=3).
     tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
@@ -239,6 +242,9 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
+    # Lineage-cut on tf tried and REJECTED (r15): three re-derivations
+    # of the tokenize+agg still beat the checkpoint's materialize+read
+    # barrier here (1.06x slower, REPEAT=3).
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))

@@ -49,8 +49,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One parquet scan (shipdate filter pushed down), hash aggregate with
     map-side partial agg, 4-group output. Whole plan stays in codegen.
+
+    fanned (r15): the seven decimal(38,6) accumulators dominate the map
+    side, and the one-row-group input runs it all in a single task
+    (OPTIMIZATION_r15.md batch 2); the fan-out exchange carries only the
+    pruned+filtered 6 columns, and exact decimal sums/counts are
+    partition-order independent, so the 4-group result is bit-identical.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanned=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

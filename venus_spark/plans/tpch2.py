@@ -148,18 +148,31 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_volume = F.when(F.col("supp_nation") == _Q8_NATION, volume).otherwise(0.0)
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part.filter(F.col("p_type") == _Q8_TYPE)),
-              F.col("l_partkey") == F.col("p_partkey"))
+    # Join order matters (r15; guide §2.3 "shuffle fewer bytes"): the
+    # rule-based planner keeps the written order, so putting the
+    # orders ⋈ lineitem exchange FIRST shuffled both fact tables at
+    # full width. Applying every broadcast dimension filter first cuts
+    # lineitem ~6x (p_type) and orders ~5x (customer region) BEFORE the
+    # only fact-fact exchange; inner joins commute, so the result is
+    # unchanged.
+    li_red = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == _Q8_TYPE)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    ord_red = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(
             F.broadcast(region.filter(F.col("r_name") == _Q8_REGION)),
             F.col("n2_region") == F.col("r_regionkey"),
         )
+    )
+    return (
+        li_red.join(ord_red, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(dround(dsum(nation_volume) / dsum(volume)).alias("mkt_share"))
         .orderBy("o_year")
@@ -422,21 +435,35 @@ WHERE p.p_brand = '{_Q17_BRAND}'
 
 @plan("q17_small_quantity", oracle=_Q17_ORACLE)
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: the correlated avg subquery becomes an aggregate-then-
-    join; the per-part threshold uses the decimal-exact davg so the
-    comparison is engine-stable. Both sides of the self-join shuffle on
-    l_partkey (uniform key)."""
+    """TPC-H Q17: the correlated avg subquery decorrelates into a
+    per-part WINDOW average over the brand-filtered lineitems (r15) —
+    the brand predicate selects whole parts, so the window over the
+    broadcast-join survivors sees exactly every lineitem of each
+    qualifying part and reproduces the oracle's full-table per-part
+    davg bit-for-bit (same decimal sum / non-null count / dround).
+    The pre-r15 shape aggregated the FULL lineitem table on one shuffle
+    branch and joined it against a second shuffled branch; this shape
+    scans lineitem once, prunes to the brand's ~0.1% of rows while the
+    filter is still a broadcast hash join, and shuffles only those
+    survivors once for the window."""
+    from pyspark.sql import Window
+
+    from venus_spark.functions import DECIMAL_ACC
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        davg("l_quantity").alias("part_avg")
+    w = Window.partitionBy("l_partkey")
+    # davg(c) == dround(dsum(c)/count(c)) spelled in window form
+    part_avg = dround(
+        F.sum(F.col("l_quantity").cast(DECIMAL_ACC)).over(w).cast("double")
+        / F.count("l_quantity").over(w)
     )
     return (
         li.join(
             F.broadcast(part.filter(F.col("p_brand") == _Q17_BRAND)),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(avg_qty, F.col("l_partkey") == F.col("ak"))
+        .withColumn("part_avg", part_avg)
         .filter(F.col("l_quantity") < 0.2 * F.col("part_avg"))
         .agg(
             dround(dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
@@ -472,7 +499,12 @@ LIMIT 100
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: aggregate lineitem per order first (collapses the fact
     table ~4:1 before any join), semi-filter with HAVING, then join the
-    survivors — tiny by construction — against orders/customer."""
+    survivors — tiny by construction — against orders/customer.
+
+    fan-out tried and REJECTED (r15): even at ~4:1 the partial
+    aggregate collapses enough that the added round-robin exchange of
+    the raw pair stream cost more than the single-task hash-agg it
+    parallelized (1.74x slower, REPEAT=3)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")

@@ -167,6 +167,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        # reused by the threshold scalar AND the probe side — the lazy
+        # checkpoint stops Catalyst re-running the lineitem join+agg
+        # twice (r15); materializes inside the broadcast-threshold job
+        .localCheckpoint(eager=False)
     )
     threshold = natval.agg((dsum("value") * _Q11_FRACTION).alias("threshold"))
     return (
