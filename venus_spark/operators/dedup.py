@@ -217,7 +217,16 @@ def lsh_near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH dedup: band-bucket candidates, then exact
     shingle-set Jaccard verification above ``threshold``. The band join
-    bounds the pair expansion; verification only ever touches candidates."""
+    bounds the pair expansion; verification only ever touches candidates.
+
+    Lineage cuts on the signature/shingle subtrees tried and REJECTED
+    (r15): the double evaluations (both sides of the band self-join,
+    both sides of the verify join) are INDEPENDENT single-task stages
+    that the scheduler overlaps on idle cores, so serializing them
+    behind a checkpoint barrier measured 6-20% slower (interleaved
+    A/B, REPEAT=3) despite halving total work — the duplicate passes
+    are hidden by unused parallelism at this input's one-row-group
+    geometry."""
     cands = lsh_candidate_pairs(df, id_col, text_col)
     toks = df.select(F.col(id_col), shingles(text_col).alias("toks"))
     return _verify_candidates(cands, toks, id_col, threshold)
@@ -292,6 +301,11 @@ def jaccard_pairs_in_buckets(
         t = df.select(
             id_col, *bucket_cols, F.array_distinct(tokens(text_col)).alias("toks")
         )
+    # Lineage cut on the postings stream tried and REJECTED (r15): the
+    # two per-side evaluations are independent stages the scheduler
+    # overlaps, so the checkpoint barrier serialized them and measured
+    # 10-27% slower (interleaved A/B, REPEAT=3) despite running the
+    # explode once.
     posts = t.withColumn("_n", F.size("toks")).select(
         id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
     )
@@ -348,6 +362,11 @@ def containment_pairs_in_buckets(
     t = df.select(
         id_col, *bucket_cols, F.array_distinct(F.col(toks_col)).alias("toks")
     )
+    # Lineage cut on the postings stream tried and REJECTED (r15): the
+    # two per-side evaluations are independent stages the scheduler
+    # overlaps, so the checkpoint barrier serialized them and measured
+    # 10-27% slower (interleaved A/B, REPEAT=3) despite running the
+    # explode once.
     posts = t.withColumn("_n", F.size("toks")).select(
         id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
     )

@@ -182,7 +182,12 @@ ORDER BY returnflag, linestatus
 @plan("rollup_lineitem_status", oracle=_ROLLUP_ORACLE)
 def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotal hierarchy — Catalyst expands to a single Expand +
-    hash aggregate (one scan for all grouping sets)."""
+    hash aggregate (one scan for all grouping sets).
+
+    fan-out tried and REJECTED (r15): unlike q1 (seven decimal
+    accumulators), one dsum + count over the Expand stream is light
+    enough that the fan exchange was pure overhead (1.03x, interleaved
+    A/B REPEAT=3)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")

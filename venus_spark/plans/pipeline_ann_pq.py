@@ -155,8 +155,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(emb)
     lut = sim.pq_lut(q, codebook)
 
+    # fan_out (r15): the per-row encode kernel (PQ_M × k_s literal-array
+    # L2² folds ≈ 128 interpreted folds per vector) runs above the
+    # one-row-group embeddings scan — single-task without the fan; the
+    # kernel dwarfs the tiny fan exchange (embeddings are ~2k rows).
+    from venus_spark.sources import fan_out
+
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    t = emb.select("vec_id", v.alias("v")).withColumn(
+    t = fan_out(emb).select("vec_id", v.alias("v")).withColumn(
         "codes", sim.pq_codes_col("v", codebook)
     )
     qlit = lit_doubles(q)

@@ -113,9 +113,15 @@ def source_overlap_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from venus_spark.prepared import documents_minhash
 
     idx = documents_minhash(spark, sf_dir)
-    vocab = idx.select(
-        "source", F.explode("_sh_h").alias("h")
-    ).distinct()
+    # vocab feeds THREE consumers (sizes + both self-join sides); the
+    # lazy lineage cut makes the explode+distinct run once instead of
+    # three times (r15 — the before-explain shows three Scan+Generate+
+    # Exchange evaluations of the same subtree).
+    vocab = (
+        idx.select("source", F.explode("_sh_h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
     a, b = vocab.alias("a"), vocab.alias("b")
     shared = (

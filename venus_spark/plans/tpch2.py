@@ -74,15 +74,32 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    return (
+    # Pre-reduce both facts BEFORE the fact-fact exchange (r15, same
+    # rationale as q8): the disjunction only admits suppliers and
+    # customers from the two named nations, so each side can apply its
+    # broadcast nation prune first — lineitem and orders both shrink
+    # ~12x ahead of the only shuffle; the cross-side disjunction still
+    # runs after the join. Inner joins + implied one-sided filters —
+    # result unchanged.
+    two = (_Q7_N1, _Q7_N2)
+    li_red = (
         li.filter(
             (F.col("l_shipdate") >= _ts(_Q7_T0)) & (F.col("l_shipdate") < _ts(_Q7_T1))
         )
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(n1.filter(F.col("supp_nation").isin(*two))),
+            F.col("s_nationkey") == F.col("n1_key"),
+        )
+    )
+    ord_red = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).join(
+        F.broadcast(n2.filter(F.col("cust_nation").isin(*two))),
+        F.col("c_nationkey") == F.col("n2_key"),
+    )
+    return (
+        li_red.join(ord_red, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
             | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))

@@ -408,19 +408,27 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.sum("late").alias("n_late_supp"),
     )
+    # Probe pre-reduce (r15, same rationale as q8/q7): the final group
+    # only counts suppliers of one nation, so the probe stream applies
+    # the broadcast supplier⋈nation prune FIRST — ~25x fewer lineitem
+    # rows enter the two orderkey-shuffled joins. The per-order stats
+    # side must still see every supplier (n_supp counts them all) and
+    # is untouched. Inner joins commute — result unchanged.
+    nat_supp = F.broadcast(
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == _Q21_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
     return (
         li.filter(F.col("l_returnflag") == "R")
+        .join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             orders.filter(F.col("o_orderstatus") == "F"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(order_stats, F.col("l_orderkey") == F.col("ok"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(nation.filter(F.col("n_name") == _Q21_NATION)),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
