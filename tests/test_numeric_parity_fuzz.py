@@ -154,3 +154,75 @@ def test_trend_and_drift_plans_agree_on_seeded_random_events(spark, rng, tmp_pat
         p = all_plans()[name]
         res = compare(name, p.fn(spark, sf_dir), con, p.oracle)
         assert res.ok, (name, res.detail)
+
+
+def test_lit_doubles_bit_identical_to_per_element_form(spark):
+    """r15 lit_doubles builds the array literal JVM-side in one call;
+    the contract is BIT-identity with the per-element F.lit form for
+    every finite double (repr -> Double.parseDouble round-trip), and a
+    per-element fallback for non-finite values."""
+    import math
+    import struct
+
+    from venus_spark.functions import lit_doubles
+
+    rng = np.random.default_rng(20260817)
+    tricky = [
+        0.1,
+        1.0 / 3.0,
+        -0.0,
+        0.0,
+        1e-300,
+        -1e300,
+        2.2250738585072014e-308,  # smallest normal
+        5e-324,  # smallest subnormal
+        1.7976931348623157e308,  # largest finite
+        math.pi,
+        -math.e,
+    ] + [float(x) for x in rng.standard_normal(64) * 10.0**rng.integers(-30, 30, 64)]
+    df = spark.range(1)
+    row = df.select(
+        lit_doubles(tricky).alias("one_call"),
+        F.array(*[F.lit(v).cast("double") for v in tricky]).alias("per_elem"),
+    ).first()
+    bits = lambda xs: [struct.pack("<d", v) for v in xs]
+    assert bits(row["one_call"]) == bits(row["per_elem"])
+
+    # non-finite values take the per-element fallback and round-trip
+    nf = [float("nan"), float("inf"), float("-inf"), 1.5]
+    got = df.select(lit_doubles(nf).alias("a")).first()["a"]
+    assert math.isnan(got[0]) and got[1:] == nf[1:]
+
+
+def test_q17_window_davg_equals_grouped_davg_join(spark):
+    """r15 q17 decorrelates the per-part average into a window over the
+    broadcast-join survivors; pin the operator-level identity on a
+    crafted frame (fractional averages, single-line parts, ties)
+    against the aggregate-then-join form the oracle uses."""
+    from venus_spark.functions import DECIMAL_ACC, davg, dround
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 1.0), (1, 2.0), (1, 2.5),   # avg 11/6 (repeating decimal)
+        (2, 7.0),                        # single line
+        (3, 0.1), (3, 0.2),             # binary-unrepresentable
+        (4, 1e8), (4, 1.0), (4, 3.0),   # large/small mix
+    ]
+    df = spark.createDataFrame(rows, "k long, q double")
+    w = Window.partitionBy("k")
+    windowed = df.select(
+        "k",
+        "q",
+        dround(
+            F.sum(F.col("q").cast(DECIMAL_ACC)).over(w).cast("double")
+            / F.count("q").over(w)
+        ).alias("part_avg"),
+    )
+    grouped = df.groupBy("k").agg(davg("q").alias("part_avg_g"))
+    joined = windowed.join(grouped, "k")
+    import struct
+
+    for r in joined.collect():
+        assert struct.pack("<d", r["part_avg"]) == struct.pack(
+            "<d", r["part_avg_g"]
+        ), r
