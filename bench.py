@@ -97,14 +97,29 @@ def main() -> None:
 
     prepare_all(spark, SF_DIR)
 
+    # SPARK_GRAFT_PROGRESS=1: per-run build/exec wall times to stderr
+    # (r16 — adjudication instrumentation for the host's intermittent
+    # degradation windows; stderr only, the stdout contract is
+    # untouched and the timed region is identical).
+    progress = bool(os.environ.get("SPARK_GRAFT_PROGRESS"))
+
     total0 = time.perf_counter()
     for name, p in sorted(plans.items()):
         runs: list[float] = []
         for _ in range(REPEAT):
             t0 = time.perf_counter()
             try:
-                materialize(p.fn(spark, SF_DIR))
-                runs.append(time.perf_counter() - t0)
+                df = p.fn(spark, SF_DIR)
+                t1 = time.perf_counter()
+                materialize(df)
+                t2 = time.perf_counter()
+                runs.append(t2 - t0)
+                if progress:
+                    print(
+                        f"bench-progress: {name} build={t1 - t0:.3f} "
+                        f"exec={t2 - t1:.3f} at={time.strftime('%H:%M:%S')}",
+                        file=sys.stderr,
+                    )
             except Exception as exc:  # keep the bench line parseable
                 runs = []
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -135,6 +150,62 @@ def main() -> None:
     )
 
 
+# Sized so that (chunk line + final summary line + newlines) stays
+# inside a 2000-char tail capture: the summary line is bounded ~500
+# chars (counts, ten-name failed/only prefixes, load stamps), leaving
+# ~1450 for the chunk. ~55 plans per chunk at current name lengths.
+_CHUNK_MAX_CHARS = 1400
+
+
+def _query_chunk_lines(
+    timings: dict[str, float], repeat: int, sf: float
+) -> list[str]:
+    """The per-plan map re-encoded as complete-JSON lines, each at most
+    ``_CHUNK_MAX_CHARS`` long, alphabetical order preserved across
+    chunks (see the call site for the tail-capture geometry)."""
+    envelope = len(
+        json.dumps(
+            {
+                "metric": "per_plan_sec",
+                "unit": "sec",
+                "chunk": 99,
+                "n_chunks": 99,
+                "repeat": repeat,
+                "sf": sf,
+                "queries": {},
+            },
+            separators=(",", ":"),
+        )
+    )
+    chunks: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    cur_len = 0
+    for name in sorted(timings):
+        ent = len(json.dumps({name: timings[name]}, separators=(",", ":")))
+        if cur and envelope + cur_len + ent > _CHUNK_MAX_CHARS:
+            chunks.append(cur)
+            cur, cur_len = {}, 0
+        cur[name] = timings[name]
+        cur_len += ent  # dict braces counted in envelope; +1 comma slack
+    if cur:
+        chunks.append(cur)
+    return [
+        json.dumps(
+            {
+                "metric": "per_plan_sec",
+                "unit": "sec",
+                "chunk": i,
+                "n_chunks": len(chunks),
+                "repeat": repeat,
+                "sf": sf,
+                "queries": ch,
+            },
+            separators=(",", ":"),
+        )
+        for i, ch in enumerate(chunks, 1)
+    ]
+
+
 def print_result_lines(
     timings: dict[str, float],
     total: float,
@@ -143,17 +214,20 @@ def print_result_lines(
     load: dict | None = None,
     only: list[str] | None = None,
 ) -> None:
-    """Emit the two output lines (factored so the tail contract is
+    """Emit the output lines (factored so the tail contract is
     unit-testable without running plans):
 
     1. the full contract line — headline + per-plan map;
-    2. a compact totals-only summary as the FINAL line. The per-plan
+    2. the per-plan map again as tail-sized complete-JSON chunk lines
+       (metric "per_plan_sec"; see the geometry note at the call
+       below — r16);
+    3. a compact totals-only summary as the FINAL line. The per-plan
        line has outgrown any fixed-size tail capture (183+ plans ≈
        6 KB), so a reader that keeps only the LAST ~2000 characters of
        stdout would otherwise see an unparseable fragment; the final
        line guarantees every tail capture ends with complete JSON
-       (VERDICT r7 #8). The full breakdown stays on line 1 and in the
-       committed BENCH_SELF_r* artifacts.
+       (VERDICT r7 #8). The full breakdown stays on line 1, on the
+       chunk lines, and in the committed BENCH_SELF_r* artifacts.
     """
     failed = sorted(k for k, v in timings.items() if v < 0)
     # host-state stamp on BOTH lines (VERDICT r9 #3): bounded — three
@@ -208,6 +282,24 @@ def print_result_lines(
         except OSError as exc:
             print(f"bench: BENCH_DETAIL sidecar not written: {exc}",
                   file=sys.stderr)
+    # Tail-safe per-plan re-emit (VERDICT r15 "what's wrong" #1 / task
+    # #2): the driver keeps only the last ~2000 chars of stdout, and the
+    # full 192-plan map is ~5.2 KB — it cannot fit on ANY single
+    # tail-visible line, so line 1 alone loses ~2/3 of the per-plan
+    # timings to truncation every round. Re-emit the SAME map (same
+    # names, same seconds) as complete-JSON chunk lines immediately
+    # before the final summary: each chunk + the summary line fit the
+    # tail together, so a tail capture always ends with parseable
+    # per-plan JSON covering the alphabetical suffix (the same suffix
+    # recoverable from the r15 tail fragment — maximizing the driver's
+    # round-over-round common set), and a reader with a larger buffer
+    # recovers the whole map from the chunk lines alone. Chunks carry
+    # metric "per_plan_sec" (never "total_wall_sec") and no "value", so
+    # a parser keyed on the headline contract cannot mistake one for
+    # the summary. Additions-only: line 1 and the final summary line
+    # are byte-identical to the r15 contract.
+    for line in _query_chunk_lines(timings, repeat, sf):
+        print(line)
     print(
         json.dumps(
             {

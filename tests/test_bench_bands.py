@@ -219,6 +219,54 @@ def test_bench_writes_detail_sidecar(tmp_path, monkeypatch, capsys):
     assert not detail.exists()
 
 
+def test_bench_tail_safe_query_chunks(monkeypatch, capsys):
+    """r16 (VERDICT r15 #2): the per-plan map must be re-emitted as
+    complete-JSON chunk lines small enough that (last chunk + final
+    summary) fit a 2000-char tail capture, with line 1 and the final
+    summary byte-identical to the prior contract."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", "-")
+    # realistic geometry: ~192 plans with ~18-char names
+    timings = {
+        f"plan_{'x' * 12}_{i:03d}": round(0.2 + 0.01 * i, 3)
+        for i in range(192)
+    }
+    load = {"start": [0.1, 0.2, 0.3], "end": [0.4, 0.5, 0.6], "cpus": 32}
+    bench.print_result_lines(timings, 123.4, 3, 0.1, load=load)
+    lines = capsys.readouterr().out.splitlines()
+
+    first, chunks, final = lines[0], lines[1:-1], lines[-1]
+    # line 1 and the final summary keep the pre-r16 contract exactly
+    assert json.loads(first)["queries"] == timings
+    parsed_final = json.loads(final)
+    assert parsed_final["metric"] == "total_wall_sec"
+    assert "queries" not in parsed_final
+
+    # chunks: complete JSON, bounded, reassemble to the identical map
+    assert chunks, "expected at least one per-plan chunk line"
+    seen: dict[str, float] = {}
+    order: list[str] = []
+    for i, line in enumerate(chunks, 1):
+        rec = json.loads(line)
+        assert rec["metric"] == "per_plan_sec"
+        assert "value" not in rec
+        assert rec["chunk"] == i and rec["n_chunks"] == len(chunks)
+        assert len(line) <= bench._CHUNK_MAX_CHARS
+        seen.update(rec["queries"])
+        order.extend(rec["queries"])
+    assert seen == timings
+    assert order == sorted(timings)  # alphabetical across chunks
+    # the tail-capture guarantee: last chunk + final line fit 2000 chars
+    assert len(chunks[-1]) + len(final) + 2 <= 2000
+
+
 def test_bench_detail_sidecar_skipped_for_restricted_runs(
     tmp_path, monkeypatch, capsys
 ):

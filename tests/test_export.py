@@ -240,7 +240,12 @@ def test_bench_tail_contract_parses_from_2000_char_capture(monkeypatch):
         )
     out = buf.getvalue()
     lines = out.strip().split("\n")
-    assert len(lines) == 2
+    # r16: per-plan chunk re-emit lines sit between line 1 and the
+    # final summary (test_bench_tail_safe_query_chunks pins them);
+    # this test pins the two CONTRACT lines around them.
+    assert len(lines) >= 2
+    for mid in lines[1:-1]:
+        assert json.loads(mid)["metric"] == "per_plan_sec"
     full = json.loads(lines[0])
     assert len(full["queries"]) == 188 and len(full["failed"]) == 60
     tail = out[-2000:]

@@ -1205,13 +1205,44 @@ def test_fan_out_widens_single_split_scan(spark):
     assert fanned.count() == docs.count()
 
 
-def test_fan_out_noop_when_scan_already_parallel(spark):
-    from venus_spark.sources import fan_out, load_table
+def test_fan_out_noop_when_scan_already_parallel(spark, tmp_path):
+    from venus_spark.sources import fan_out
 
     slots = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, SF, "documents").repartition(slots)
-    # already >= slots: fan_out must not add another exchange
-    assert fan_out(docs) is docs
+    # a real-scale table scans as many files/splits: fan_out must be a
+    # no-op, decided from the file index alone (r16: the probe reads
+    # inputFiles(), never df.rdd — no scan planning on the driver)
+    path = str(tmp_path / "many_files")
+    spark.range(10_000).repartition(slots + 8).write.parquet(path)
+    many = spark.read.parquet(path)
+    assert len(many.inputFiles()) >= slots
+    assert fan_out(many) is many
+
+
+def test_fan_out_split_estimate_counts_byte_ranges(spark, tmp_path):
+    """A FEW HUGE files still scan as many byte-range splits: the
+    size-based estimate must keep fan_out a no-op there (r16 probe),
+    and the byte-size conf parser must read Spark's forms."""
+    from venus_spark.sources import _estimate_scan_splits, _parse_bytes
+
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("128") == 128
+
+    path = str(tmp_path / "one_file")
+    spark.range(50_000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    files = [f for f in df.inputFiles()]
+    assert len(files) == 1
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        # force "huge file" geometry: tiny max split => many ranges
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096b")
+        est = _estimate_scan_splits(spark, files)
+        assert est >= spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_fan_out_kill_switch(spark, monkeypatch):

@@ -220,15 +220,22 @@ def lsh_near_dup_pairs(
     bounds the pair expansion; verification only ever touches candidates.
 
     Lineage cuts on the signature/shingle subtrees tried and REJECTED
-    (r15): the double evaluations (both sides of the band self-join,
-    both sides of the verify join) are INDEPENDENT single-task stages
-    that the scheduler overlaps on idle cores, so serializing them
-    behind a checkpoint barrier measured 6-20% slower (interleaved
-    A/B, REPEAT=3) despite halving total work — the duplicate passes
-    are hidden by unused parallelism at this input's one-row-group
-    geometry."""
-    cands = lsh_candidate_pairs(df, id_col, text_col)
-    toks = df.select(F.col(id_col), shingles(text_col).alias("toks"))
+    for the default posture (r15): the double evaluations (both sides
+    of the band self-join, both sides of the verify join) are
+    INDEPENDENT single-task stages that the scheduler overlaps on idle
+    cores, so serializing them behind a checkpoint barrier measured
+    6-20% slower (interleaved A/B, REPEAT=3) despite halving total
+    work — the duplicate passes are hidden by unused parallelism at
+    this input's one-row-group geometry. On a SATURATED cluster the
+    duplicate CPU is real cost: ``SPARK_GRAFT_SATURATED=1`` enables
+    the cuts (:func:`venus_spark.lineage.ckpt_if_saturated`)."""
+    from venus_spark.lineage import ckpt_if_saturated
+
+    bands = ckpt_if_saturated(lsh_bands(minhash_signatures(df, id_col, text_col), id_col))
+    cands = band_candidate_pairs(bands, id_col)
+    toks = ckpt_if_saturated(
+        df.select(F.col(id_col), shingles(text_col).alias("toks"))
+    )
     return _verify_candidates(cands, toks, id_col, threshold)
 
 
@@ -301,13 +308,18 @@ def jaccard_pairs_in_buckets(
         t = df.select(
             id_col, *bucket_cols, F.array_distinct(tokens(text_col)).alias("toks")
         )
-    # Lineage cut on the postings stream tried and REJECTED (r15): the
-    # two per-side evaluations are independent stages the scheduler
-    # overlaps, so the checkpoint barrier serialized them and measured
-    # 10-27% slower (interleaved A/B, REPEAT=3) despite running the
-    # explode once.
-    posts = t.withColumn("_n", F.size("toks")).select(
-        id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
+    # Lineage cut on the postings stream tried and REJECTED for the
+    # default posture (r15): the two per-side evaluations are
+    # independent stages the scheduler overlaps, so the checkpoint
+    # barrier serialized them and measured 10-27% slower (interleaved
+    # A/B, REPEAT=3) despite running the explode once. Saturated
+    # clusters opt in via SPARK_GRAFT_SATURATED=1 (lineage module).
+    from venus_spark.lineage import ckpt_if_saturated
+
+    posts = ckpt_if_saturated(
+        t.withColumn("_n", F.size("toks")).select(
+            id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
+        )
     )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
@@ -362,13 +374,15 @@ def containment_pairs_in_buckets(
     t = df.select(
         id_col, *bucket_cols, F.array_distinct(F.col(toks_col)).alias("toks")
     )
-    # Lineage cut on the postings stream tried and REJECTED (r15): the
-    # two per-side evaluations are independent stages the scheduler
-    # overlaps, so the checkpoint barrier serialized them and measured
-    # 10-27% slower (interleaved A/B, REPEAT=3) despite running the
-    # explode once.
-    posts = t.withColumn("_n", F.size("toks")).select(
-        id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
+    # Lineage cut on the postings stream tried and REJECTED for the
+    # default posture (r15): see jaccard_pairs_in_buckets — same
+    # measured reason, same SPARK_GRAFT_SATURATED=1 opt-in.
+    from venus_spark.lineage import ckpt_if_saturated
+
+    posts = ckpt_if_saturated(
+        t.withColumn("_n", F.size("toks")).select(
+            id_col, *bucket_cols, "_n", F.explode("toks").alias("_tok")
+        )
     )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")) & (
@@ -453,14 +467,13 @@ def connected_components(
     aggregate job is also what materializes the round's checkpoint.
     The pre-r15 shape ran 2 + 2×rounds driver-synchronous jobs (eager
     ckpt + a join-based limit/count probe per round); this shape runs
-    one per round, with identical per-round shuffle structure
-    (edges⋈labels + groupBy), identical labels, identical convergence
-    decision."""
+    one compute job per round (the localCheckpoint path — the reliable-
+    checkpoint path adds one cache-read write job per round, see
+    :func:`venus_spark.lineage.ckpt`), with identical per-round shuffle
+    structure (edges⋈labels + groupBy), identical labels, identical
+    convergence decision."""
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=False)
-        return df.localCheckpoint(eager=False)
+    from venus_spark.lineage import ckpt as _ckpt
 
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))

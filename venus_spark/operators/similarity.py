@@ -372,15 +372,19 @@ def cosine_pairs_in_buckets(
     # the rounding/filter run on the materialized column. Measured
     # 2.08 s -> ~0.9 s on sim_cosine_pairs at sf0.1; identical values
     # by construction (same fold, same rounding, applied once).
-    scored = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        sim.alias("sim_raw"),
-    ).localCheckpoint(eager=False)
+    from venus_spark.lineage import ckpt
+
+    scored = ckpt(
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim_raw"),
+        )
+    )
     return scored.select(
         "id_a", "id_b", dround(F.col("sim_raw")).alias("cosine_sim")
     ).filter(F.col("cosine_sim") > threshold)

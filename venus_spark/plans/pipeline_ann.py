@@ -454,7 +454,9 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint materializes inside the query's own first job instead
     # of a separate driver-synchronous job at build time — every later
     # branch still reads the cached blocks.
-    dig = digest.join(ranked, "label").localCheckpoint(eager=False)
+    from venus_spark.lineage import ckpt
+
+    dig = ckpt(digest.join(ranked, "label"))
     # n_clusters rows, deduped from the digest's window-carried counts —
     # no second corpus aggregation pass (r15).
     sized = dig.select("label", "n_vecs", "crank").distinct()

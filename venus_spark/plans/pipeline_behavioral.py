@@ -258,7 +258,9 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hourly feeds both the stats aggregate and the z-score probe; the
     # lazy checkpoint stops the events scan + hourly agg from running
     # twice (r15) — it materializes inside the broadcast-stats job.
-    hourly = hourly.localCheckpoint(eager=False)
+    from venus_spark.lineage import ckpt
+
+    hourly = ckpt(hourly)
     stats = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),

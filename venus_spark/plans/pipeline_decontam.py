@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from venus_spark.functions import dround, shingles, token_hash31, tokens
+from venus_spark.lineage import ckpt
 from venus_spark.functions.sqlgen import (
     dround_sql,
     hashed_shingles_sql,
@@ -117,10 +118,8 @@ def source_overlap_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy lineage cut makes the explode+distinct run once instead of
     # three times (r15 — the before-explain shows three Scan+Generate+
     # Exchange evaluations of the same subtree).
-    vocab = (
-        idx.select("source", F.explode("_sh_h").alias("h"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    vocab = ckpt(
+        idx.select("source", F.explode("_sh_h").alias("h")).distinct()
     )
     sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
     a, b = vocab.alias("a"), vocab.alias("b")
@@ -317,12 +316,10 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed-minimum expression re-ran the whole kernel once per
     fingerprint (measured 122 s → ~1.6 s at sf0.1); the checkpoint also
     keeps the df filter and both join sides from recomputing it."""
-    fpd = (
+    fpd = ckpt(
         winnow_fingerprints(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "fps")
-        .localCheckpoint(eager=False)
-        .select("doc_id", F.explode("fps").alias("fp"))
-    )
+    ).select("doc_id", F.explode("fps").alias("fp"))
     rare = (
         fpd.groupBy("fp")
         .agg(F.count("*").alias("df"))

@@ -180,7 +180,9 @@ def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bins feeds totals AND the |c_a·n_b − c_b·n_a| sum; the lazy
     # checkpoint cuts the second full events scan (r15).
-    bins = bins.localCheckpoint(eager=False)
+    from venus_spark.lineage import ckpt
+
+    bins = ckpt(bins)
     totals = bins.groupBy("event_type").agg(
         F.sum("c_a").alias("n_a"),
         F.sum("c_b").alias("n_b"),
@@ -284,9 +286,16 @@ def _eval_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execution (guide §4: eliminate the Python boundary). The VALUES
     # form is a JVM-side LocalRelation — same rows, same schema, zero
     # Python at execution time.
+    # '' -> ' escaping (ADVICE r15): _EVAL_QUERIES is plain words today,
+    # but an apostrophe in a future term must not break (or inject into)
+    # the statement.
     qterms = spark.sql(
         "SELECT query_id, term FROM VALUES "
-        + ", ".join(f"({qid}, '{t}')" for qid, ts in _EVAL_QUERIES for t in ts)
+        + ", ".join(
+            f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')"
+            for qid, ts in _EVAL_QUERIES
+            for t in ts
+        )
         + " AS t(query_id, term)"
     )
     post, dfreq, stats = documents_postings(spark, sf_dir)

@@ -543,9 +543,11 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total, down from 3. MEMORY_AND_DISK holds the exploded (doc_id, g)
     # stream; at scale that copy is the price of not re-shingling the
     # corpus.
-    bigs = docs.select(
-        "doc_id", F.explode(bigram_pairs("text")).alias("g")
-    ).localCheckpoint(eager=False)
+    from venus_spark.lineage import ckpt
+
+    bigs = ckpt(
+        docs.select("doc_id", F.explode(bigram_pairs("text")).alias("g"))
+    )
     bigc = bigs.groupBy("g").agg(F.count("*").alias("c_big"))
     scored = (
         bigs.join(bigc, "g")

@@ -314,10 +314,11 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages-sized. The deterministic (cf DESC, term) boundary makes
     the vocabulary — and therefore the whole report — reproducible
     across engines and runs."""
-    packed = (
+    from venus_spark.lineage import ckpt
+
+    packed = ckpt(
         load_table(spark, sf_dir, "documents")
         .select("lang", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .localCheckpoint(eager=False)
     )
     toks = packed.select("lang", F.explode("_toks").alias("term"))
     vocab = (

@@ -167,11 +167,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
-        # reused by the threshold scalar AND the probe side — the lazy
-        # checkpoint stops Catalyst re-running the lineitem join+agg
-        # twice (r15); materializes inside the broadcast-threshold job
-        .localCheckpoint(eager=False)
     )
+    # reused by the threshold scalar AND the probe side — the lazy
+    # checkpoint stops Catalyst re-running the lineitem join+agg
+    # twice (r15); materializes inside the broadcast-threshold job
+    from venus_spark.lineage import ckpt
+
+    natval = ckpt(natval)
     threshold = natval.agg((dsum("value") * _Q11_FRACTION).alias("threshold"))
     return (
         natval.join(F.broadcast(threshold))

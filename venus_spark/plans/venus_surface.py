@@ -823,7 +823,9 @@ def _fuzzy_from_trgm_postings(
             cand = cand.unionByName(c)
         cand = cand.distinct()
         if share_candidates:
-            cand = cand.localCheckpoint(eager=False)
+            from venus_spark.lineage import ckpt
+
+            cand = ckpt(cand)
         docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
     # verify over ALL patterns via reduce — stays in lockstep with the
     # candidate loop if _PATTERNS ever grows

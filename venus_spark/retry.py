@@ -44,12 +44,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
-# Execution-time signatures of "the files my plan listed are gone".
-# Spark 4 raises FAILED_READ_FILE.FILE_NOT_EXIST (wrapping
+# Signatures of "the files/paths my plan (or builder) referenced are
+# gone". Spark 4 raises FAILED_READ_FILE.FILE_NOT_EXIST (wrapping
 # java.io.FileNotFoundException) from the scan; older paths and the
-# driver-side listing race surface the bare JVM exception. Matching is
-# deliberately narrow — a genuinely absent input table fails plan-time
-# analysis (path check), never through here.
+# driver-side listing race surface the bare JVM exception; and at
+# CONSTRUCTION time a merge that moved the pending dir between the
+# builder's bids probe and its spark.read.parquet surfaces as a
+# plan-time AnalysisException [PATH_NOT_FOUND] 'Path does not exist'
+# — which the construction-time contract (:func:`retryable`) must
+# retry, because that is exactly the two-directory conflict window.
+# Consequence (ADVICE r15, accepted cost): a GENUINELY missing input
+# table matches too and pays one spurious listing refresh + rebuild
+# before its analysis error propagates — one wasted plan build on a
+# path that ends in an error either way, vs missing the real race.
 _MISSING_FILE_MARKERS = (
     "FILE_NOT_EXIST",
     "FAILED_READ_FILE",

@@ -54,9 +54,56 @@ def fan_out(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     slots = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= slots:
+    # Split probe WITHOUT df.rdd (VERDICT r15 #8): converting to an RDD
+    # instantiates the Python RDD wrapper and plans the scan just to
+    # read its partition count — at 100 TB that is driver-side
+    # file-listing/planning cost paid even when the answer is "already
+    # parallel". inputFiles() reads the (cached) file index only:
+    # every file yields at least one scan split, so file count >= slots
+    # proves the scan parallel with no further metadata. Only when
+    # FEWER files than slots exist (a bounded set) are their sizes
+    # statted to estimate per-file range splits.
+    files = df.inputFiles()
+    if len(files) >= slots:
+        return df
+    if _estimate_scan_splits(df.sparkSession, files) >= slots:
         return df
     return df.repartition(slots)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def _estimate_scan_splits(spark: SparkSession, files: list[str]) -> int:
+    """Lower-bound estimate of the scan's split count from file sizes:
+    ceil(size / maxPartitionBytes) per file (Spark packs byte ranges at
+    most that large; it may cut SMALLER ranges to fill idle cores, so
+    this under-counts — erring toward fanning, which the repartition's
+    no-op-at-scale guarantee makes safe). Bounded driver work: callers
+    only reach here with fewer files than task slots."""
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for uri in files:
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        try:
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:  # noqa: BLE001 - probe is best-effort
+            size = 0
+        total += -(-int(size) // max_split) if size else 1
+    return total
 
 
 def load_table(
