@@ -111,7 +111,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     3-token window per output position inside a transform lambda —
     the higher-order functions are interpreted per element, and the
     zip form is ~5x faster at sf0.1 with identical output."""
-    t = tokens(col)
+    return shingles_of_tokens(tokens(col), n)
+
+
+def shingles_of_tokens(t: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-TOKENIZED array column — the
+    same expression tree with ``t`` in place of ``tokens(col)``.
+
+    Exists so a caller that has materialized the token array once (the
+    curation funnel tokenizes the corpus behind a lineage barrier, r16)
+    can build shingles without re-inlining the tokenizer: this
+    expression references ``t`` ~13 times, which is 13 array-column
+    reads on a stored array but 13 FULL ``split()`` evaluations per row
+    when ``t`` is the raw tokenize expression (CollapseProject re-
+    inlines it into every reference — the sim_cosine_pairs lesson)."""
     cnt = F.size(t) - (n - 1)
     grams = F.slice(t, 1, cnt)
     for k in range(2, n + 1):
@@ -166,7 +179,12 @@ def lit_doubles(values: Iterable[float]) -> Column:
     form. Non-finite values fall back to the per-element path (no SQL
     literal form for NaN/inf)."""
     vals = [float(v) for v in values]
-    if not vals or not all(math.isfinite(v) for v in vals):
+    if not vals:
+        # F.array() with zero children types as array<void>; the cast
+        # keeps an empty literal composable into zip_with/aggregate
+        # kernels (ADVICE r15).
+        return F.expr("array()").cast("array<double>")
+    if not all(math.isfinite(v) for v in vals):
         return F.array(*[F.lit(v).cast("double") for v in vals])
     return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 

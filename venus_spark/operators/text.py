@@ -35,11 +35,26 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Per-document quality signals: token count, type-token ratio,
     stopword ratio, mean token length — the standard cheap filters a
-    pretraining pipeline runs before anything expensive."""
-    df = with_tokens(df, text_col)
+    pretraining pipeline runs before anything expensive.
+
+    ``tokens_col`` (r16): compute the features from an ALREADY-
+    TOKENIZED array column instead of re-tokenizing ``text_col`` —
+    the feature expressions reference the token array ~13 times, and
+    CollapseProject re-inlines a raw ``tokens()`` expression into every
+    reference (13 split() evaluations per row, visible in the curated
+    funnel's before-explain); against a stored array they are 13 cheap
+    column reads."""
+    if tokens_col is not None:
+        df = df.withColumn("toks", F.col(tokens_col)).withColumn(
+            "n_tokens", F.size("toks")
+        )
+    else:
+        df = with_tokens(df, text_col)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
     n_distinct = F.size(F.array_distinct("toks"))

@@ -194,6 +194,8 @@ def curated_funnel(
     near-dup pair set comes from (default: the LSH band self-join over
     ``mh``) — the colocated twin passes pairs derived from the bucketed
     band table so the funnel's one corpus-sized shuffle disappears."""
+    from venus_spark.functions import shingles_of_tokens
+    from venus_spark.lineage import ckpt
     from venus_spark.operators.dedup import (
         connected_components,
         lsh_near_dup_pairs_from_index,
@@ -210,6 +212,21 @@ def curated_funnel(
         F.col("id").alias("doc_id")
     )
 
+    # Tokenize the corpus ONCE (r16, VERDICT r15 #3): the quality-gate
+    # predicates and the decontamination shingles both derive from the
+    # same whitespace tokenization, but expressed directly each
+    # reference re-inlines the tokenizer (CollapseProject): the r15
+    # funnel's explain shows 13 split() copies in the quality Filter
+    # and 13 more inside the shingle Generate — the corpus paid ~26
+    # tokenize passes per run. The lineage barrier pins exactly one;
+    # what crosses it is (doc_id, lang, source, token-array) — the
+    # same corpus-narrow class as the curriculum_order checkpoint.
+    toked = ckpt(
+        corpus.select(
+            "doc_id", "lang", "source", tokens("text").alias("_toks")
+        )
+    )
+
     bench_grams = (
         (docs if bench_docs is None else bench_docs)
         .filter(F.col("doc_id") < _BENCH_MAX_ID)
@@ -217,13 +234,16 @@ def curated_funnel(
         .distinct()
     )
     contaminated = (
-        corpus.select("doc_id", F.explode(shingles("text", _DECON_N)).alias("g"))
+        toked.select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("_toks"), _DECON_N)).alias("g"),
+        )
         .join(F.broadcast(bench_grams), "g")
         .select("doc_id")
         .distinct()
     )
 
-    gated = tx.quality_features(corpus).filter(
+    gated = tx.quality_features(toked, tokens_col="_toks").filter(
         (F.col("n_tokens") >= _MIN_TOKENS)
         & (F.col("type_token_ratio") >= _MIN_TTR)
         & (F.col("stopword_ratio") <= _MAX_STOP_RATIO)
@@ -567,10 +587,11 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the ranked output — without it the corpus is tokenized twice
     # (the vocab_coverage_oov lesson); the checkpoint is two narrow
     # columns per document.
-    docs = (
+    from venus_spark.lineage import ckpt
+
+    docs = ckpt(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl"))
-        .localCheckpoint(eager=False)
     )
     hist = sorted(
         (int(r["dl"]), int(r["n"]))
