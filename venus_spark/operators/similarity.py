@@ -333,6 +333,64 @@ def pq_adc_dist(codes_name: str, lut: list[list[float]]) -> Column:
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def _cosine_pairs_arrow():
+    """Arrow-batched pair-cosine kernel (guide §4.2, r16 — the same
+    treatment as the PQ audit scan): for each candidate pair row
+    (id_a, id_b, va, vb), compute sim = dot(va,vb) / (‖va‖·‖vb‖) in
+    vectorized numpy with EXACTLY the JVM kernels' IEEE op order —
+    every dot is the zero-seeded left fold of x*y over the dimension
+    (sequential adds vectorized across rows), norms are sqrt of the
+    self-dot (recomputing a norm per pair yields the identical double:
+    the fold is deterministic), float32→float64 widening is exact, and
+    a zero denominator yields NULL (try_divide / DuckDB semantics).
+
+    Replaces an interpreted CodegenFallback fold per pair that
+    Catalyst re-inlined up to SIX times through dround's guarded CASE
+    (the r15 localCheckpoint barrier pinned it to one — this removes
+    the barrier AND the interpretation; flat JVM unrolling at dim 64
+    was measured 3-10x worse under janino's 64 KB method limit).
+    Raises on ragged or null vectors rather than diverging silently."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _mat(arr, n):
+        if arr.null_count:
+            raise ValueError("cosine pair kernel: null vector")
+        lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+        if n and (lens.min() != lens.max()):
+            raise ValueError("cosine pair kernel: ragged vectors")
+        return np.asarray(arr.flatten(), dtype=np.float64).reshape(n, -1)
+
+    def _fold_dot(x, y):
+        acc = np.zeros(x.shape[0], dtype=np.float64)  # the 0.0 seed
+        for i in range(x.shape[1]):
+            acc = acc + x[:, i] * y[:, i]
+        return acc
+
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            va = _mat(b.column("va"), n)
+            vb = _mat(b.column("vb"), n)
+            num = _fold_dot(va, vb)
+            den = np.sqrt(_fold_dot(va, va)) * np.sqrt(_fold_dot(vb, vb))
+            zero = den == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = num / den
+            yield pa.record_batch(
+                [
+                    b.column("id_a"),
+                    b.column("id_b"),
+                    pa.array(sim, mask=zero),
+                ],
+                names=["id_a", "id_b", "sim_raw"],
+            )
+
+    return score
+
+
 def cosine_pairs_in_buckets(
     df: DataFrame,
     bucket_col: str = "label",
@@ -342,48 +400,33 @@ def cosine_pairs_in_buckets(
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, restricted to
     bucket_col partitions (the blocked/bucketed version of the quadratic
-    problem — buckets come from LSH, IVF, or a coarse label)."""
-    # Norms are folded once per vector, not once per pair — bit-identical
-    # to the per-pair form (same fold order) at 1/3 the arithmetic.
+    problem — buckets come from LSH, IVF, or a coarse label).
+
+    The bucket self-join stays JVM-side; the per-pair cosine runs in
+    one Arrow-batched numpy pass (:func:`_cosine_pairs_arrow` — r16,
+    bit-identical fold order; the id columns must be integral, which
+    every caller's vec/doc ids are). Rounding and the threshold filter
+    apply JVM-side to the materialized ``sim_raw`` column — MapInArrow
+    is an optimizer barrier, so Catalyst can no longer re-inline the
+    kernel into the dround CASE or push the filter into the join."""
     t = df.select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a, b = t.alias("a"), t.alias("b")
-    # try_divide: a zero vector has norm 0, which must yield NULL (and
-    # fail the >= threshold filter) — not an ANSI DIVIDE_BY_ZERO error —
-    # matching DuckDB's double division and functions.cosine.
-    sim = F.try_divide(
-        dot(F.col("a.v"), F.col("b.v")), F.col("a.norm") * F.col("b.norm")
+        F.col(vec_col).alias("v"),
     )
-    # The raw similarity is materialized across a localCheckpoint
-    # BEFORE the dround + threshold filter (r15, guide §1.2 "per-task
-    # work"): left in one plan, Catalyst pushes the rounded-threshold
-    # predicate into the join condition and CollapseProject re-inlines
-    # the fold into every reference — dround's guarded CASE alone holds
-    # three copies — so each candidate pair paid the interpreted
-    # per-element fold up to SIX times (the higher-order kernels are
-    # CodegenFallback; flat unrolling at dim 64 instead blows janino's
-    # 64 KB method limit and de-codegens the whole stage, measured
-    # 3-10x WORSE). The barrier pins exactly ONE fold per pair; what
-    # crosses it is (id, id, double) per candidate — pair-count-sized,
-    # the same bounded class as the winnowing_pairs checkpoint — and
-    # the rounding/filter run on the materialized column. Measured
-    # 2.08 s -> ~0.9 s on sim_cosine_pairs at sf0.1; identical values
-    # by construction (same fold, same rounding, applied once).
-    from venus_spark.lineage import ckpt
-
-    scored = ckpt(
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("sim_raw"),
-        )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    scored = pairs.mapInArrow(
+        _cosine_pairs_arrow(), "id_a long, id_b long, sim_raw double"
     )
     return scored.select(
         "id_a", "id_b", dround(F.col("sim_raw")).alias("cosine_sim")

@@ -399,12 +399,25 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    per_supp = li.groupBy(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).agg(
-        F.max(
-            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
-        ).alias("late")
+    # ONE exchange for the whole stats side (r16, guide §2.4 "two
+    # operations keyed the same way can share one exchange"): the
+    # rollup used to shuffle on (orderkey, suppkey) and the per-order
+    # finalize again on orderkey — but lineitem's (ok, sk) pairs are
+    # 99.8% distinct (598807 of 600000 at sf0.1), so the map-side
+    # partial agg ahead of the first exchange compressed nothing.
+    # Repartitioning the 3-column projection by orderkey up front
+    # satisfies BOTH groupings (hash(ok) clusters (ok, sk) too): the
+    # two aggregates pipeline in one stage, 2 exchanges → 1, same
+    # rows, same bytes-per-row, one fewer full pass.
+    per_supp = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("late")
+        )
     )
     order_stats = per_supp.groupBy("ok").agg(
         F.count("*").alias("n_supp"),

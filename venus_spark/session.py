@@ -53,6 +53,28 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) is unsupported by the Spark reader;
         # surface it as epoch-nanos LongType and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r16 config posture (guide §9/§3.1), env-parameterised so the
+        # driver's bench stays comparable and a cluster deployment can
+        # flip them without code edits; defaults = the measured-kept
+        # values (interleaved A/B, OPTIMIZATION_r16.md "config sweep").
+        # preferSortMergeJoin=false lets the planner pick shuffled-hash
+        # when its size conditions hold (no risk to result, spills are
+        # the guard); the shuffle codec stays lz4 locally (zstd
+        # measured neutral-to-slower at this exchange geometry — its
+        # ratio advantage needs network-bound shuffles, so a cluster
+        # run sets SPARK_GRAFT_IO_CODEC=zstd).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
