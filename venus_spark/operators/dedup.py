@@ -471,7 +471,15 @@ def connected_components(
     checkpoint path adds one cache-read write job per round, see
     :func:`venus_spark.lineage.ckpt`), with identical per-round shuffle
     structure (edges⋈labels + groupBy), identical labels, identical
-    convergence decision."""
+    convergence decision.
+
+    Double-stepping (two propagations per driver iteration — sound
+    because min-label propagation is monotone, so step²(x)=x implies
+    step(x)=x) was tried and REJECTED (r16, interleaved REPEAT=3 over
+    all five consumer plans): near-dup graphs converge in ~2 rounds, so
+    halving the driver round-trips buys one probe but costs a wasted
+    extra propagation pair and a 2x-deeper per-job DAG — measured
+    15-35% slower on every consumer both rounds."""
 
     from venus_spark.lineage import ckpt as _ckpt
 

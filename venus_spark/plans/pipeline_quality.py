@@ -243,6 +243,13 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate fully in codegen — at 100 TB this is the pass that decides
     what the rest of the pipeline ever touches, so it must stay a
     straight filter (it does: no shuffle, no Python)."""
+    # Tokenize-once barrier tried and REJECTED (r16, REPEAT=3
+    # interleaved): the gate predicates re-inline the tokenizer (14
+    # split() copies per row), but across the fanned 32-slot scan the
+    # duplicate splits are cheaper than the ckpt barrier + cache pass
+    # (0.83 s -> 0.99 s). The curated funnel keeps the barrier because
+    # TWO corpus-sized legs (quality + 5-gram decontam explode) share
+    # it there; standalone, this stays the straight filter.
     docs = tx.quality_features(load_table(spark, sf_dir, "documents", fanned=True))
     return docs.filter(
         (F.col("n_tokens") >= _MIN_TOKENS)

@@ -93,6 +93,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (`/root/reference/README.rst:101`) generalized to ranked
     retrieval.
     """
+    # Packed-tokens ckpt tried and REJECTED too (r16, REPEAT=3
+    # interleaved: 1.80 s -> 2.45 s), on top of r15's rejected ckpt on
+    # the exploded tf stream — the scheduler overlaps the stats/tf
+    # re-tokenizations on idle slots, so any barrier serializes more
+    # than it saves at this geometry.
     dl = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         tokens(F.lower(F.col("text"))).alias("toks"),
